@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (no driver collect), so
+the measured time is the distributed plan, not Arrow transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: one per operator family (scan+agg, joins, windows,
+#: sessionization, scores, dedup/LSH, text, vectors).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q07_wet_hour_filter",
+    "q09_broadcast_dim_join",
+    "q10_semi_align",
+    "q12_asof_join",
+    "q14_nearest_centroid",
+    "q17_temporal_multiagg",
+    "q18_weighted_vertical",
+    "q22_sessionization",
+    "q26_sliding_disagg",
+    "q33_perfscores",
+    "q34_scatter_score",
+    "q40_fingerprint_dedup",
+    "q43_lang_id",
+    "q45_minhash_lsh",
+    "q50_cosine_topk",
+]
+
+
+def main() -> None:
+    from rainforest_spark.session import get_spark
+    from rainforest_spark.workload import all_queries
+
+    spark = get_spark("rainforest-spark-bench")
+    qs = all_queries()
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # warm the JVM + parquet footers with the flagship query once
+    qs["q01_pricing_summary"](spark, SF_DIR).write.format("noop") \
+        .mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact dedup: fingerprint groupBy (one shuffle on the hash — uniform keys,
+  no skew).
+- n-gram Jaccard near-dup: shingle explode + self-join on shingle.  The
+  shingle join is the scale hazard (hot shingles fan out); production use
+  pairs it with the MinHash/LSH prefilter below so the exact Jaccard only
+  runs on candidate pairs.
+- MinHash + LSH banding: k independent min-hashes from md5(seed||shingle)
+  (string min — engine-portable, no 64-bit arithmetic differences), banded
+  into b groups; docs sharing a band bucket are candidate pairs.  This is
+  the standard shingle→minhash→band→bucket-join pipeline and shuffles only
+  on (band_id, band_hash) — uniformly distributed keys.
+- SimHash: 64-bit sign-aggregated token hashes via bit arithmetic on
+  xxhash64 — near-dups differ in few bits (checked by popcount of XOR).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rainforest_spark.operators.text_analysis import fingerprint, normalized_text
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical (normalized) documents: canonical id + group size."""
+    return (df.withColumn("fingerprint", fingerprint(text_col))
+            .groupBy("fingerprint")
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n_dups")))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (empty if fewer than n words)."""
+    words = F.split(normalized_text(text), " ")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    mk = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1)
+                                          for k in range(n)]))
+    return F.when(F.size(words) >= n, mk).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3) -> DataFrame:
+    """(id, shingle) rows, distinct — the base for Jaccard and MinHash."""
+    return (df.select(F.col(id_col),
+                      F.explode(word_shingles(text_col, n)).alias("shingle"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle."""
+    sh = shingle_table(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, on="shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    j = (inter.join(sa, "id_a").join(sb, "id_b")
+         .withColumn("jaccard",
+                     F.col("inter")
+                     / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))))
+    return (j.filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def minhash_bands(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3, num_hashes: int = 16,
+                  band_size: int = 4) -> DataFrame:
+    """MinHash signature banded for LSH: (id, band_id, band_hash).
+
+    Each of the ``num_hashes`` hash functions is ``md5(seed || '|' ||
+    shingle)`` and the min-hash is the lexicographic MIN — pure string
+    ops, identical across engines, no signed-overflow pitfalls.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = sh.select(F.col(id_col), F.col("shingle"), seeds).select(
+        F.col(id_col), "seed",
+        F.md5(F.concat_ws("|", F.col("seed").cast("string"),
+                          F.col("shingle"))).alias("h"))
+    mh = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
+    banded = mh.withColumn("band_id", F.floor(F.col("seed") / band_size))
+    sig = (banded.groupBy(id_col, "band_id")
+           .agg(F.md5(F.concat_ws(
+               "", F.transform(
+                   F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                   lambda s: s["mh"]))).alias("band_hash")))
+    return sig
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, num_hashes: int = 16,
+                        band_size: int = 4) -> DataFrame:
+    """Distinct candidate near-dup pairs from MinHash LSH banding."""
+    sig = minhash_bands(df, id_col, text_col, n, num_hashes, band_size)
+    a = sig.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = sig.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    return (a.join(b, on=["band_id", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens using xxhash64 bit votes.
+
+    Per token, each of the 64 bits of xxhash64(token) votes ±1; the
+    signature takes the sign of each bit-sum.  Expressed with explode +
+    groupBy (bit-parallel via aggregate over a 64-element array).
+    """
+    from rainforest_spark.operators.text_analysis import tokens
+
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(text_col)).alias("tok"))
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    bits = h.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h"))
+    votes = bits.withColumn(
+        "vote",
+        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1,
+               1).otherwise(-1))
+    sums = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    sig = sums.groupBy(id_col).agg(
+        F.sum(F.when(F.col("v") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int")))
+              .otherwise(0)).alias("simhash"))
+    return sig

@@ -1,0 +1,151 @@
+"""Join operators (SURVEY §2.3).
+
+Broadcast hints are explicit on every dimension-table join: the LUT /
+centroid / scale tables are tiny next to fact tables, and at 100 TB a
+shuffle join on them would dominate the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on: list[str],
+                       how: str = "left") -> DataFrame:
+    """Fact ⋈ small dimension with an explicit broadcast hint.
+
+    Reference J2 (ml/rf.py:247-252 station metadata join), J6-J8 (LUT
+    joins, common/lookup.py).
+    """
+    return fact.join(broadcast(dim), on=on, how=how)
+
+
+def semi_align(left: DataFrame, others: list[DataFrame],
+               on: list[str]) -> DataFrame:
+    """Keep left rows whose key exists in EVERY other table.
+
+    Reference J3 (ml/rf.py:192-221) builds a concatenated ``s-tstamp`` key
+    and intersects python sets; Spark-first this is chained left-semi joins
+    on the composite key — no concat column, no driver materialization, and
+    AQE can convert to broadcast when one side is small.
+    """
+    out = left
+    for o in others:
+        out = out.join(o.select(on).dropDuplicates(on), on=on, how="left_semi")
+    return out
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+    """Rows of left whose key is absent from right (reference J5,
+    retrieve_dwh_data.py:22-26 ``~isin``)."""
+    return left.join(right.select(on).dropDuplicates(on), on=on, how="left_anti")
+
+
+def latest_per_group(df: DataFrame, partition_cols: list[Column | str],
+                     order_cols: list[Column]) -> DataFrame:
+    """Newest row per group: ``row_number() over (partition ... order by
+    ... desc) = 1``.
+
+    Reference J11/W2 — among HZT forecast files valid at hour h pick the
+    newest run (common/retrieve_data.py:144-188).  ``order_cols`` must make
+    the ordering total (include a unique id) for deterministic results.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, partition_cols: list[str],
+              ts_col: str, right_value_cols: list[str],
+              tolerance_sec: int | None = None) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` in the same partition.
+
+    Reference J9 — nearest-earlier-time alignment (common/utils.py:586-611
+    ``nearest_time`` + qpe/evaluation.py:155-163).
+
+    Spark-first strategy: union both sides tagged, one window sort per
+    partition key, ``last(value, ignorenulls)`` carries the most recent
+    right-side values forward.  This is a single shuffle on the partition
+    key — no range-join explosion, no per-row subquery — and scales as
+    sort-within-partition, which survives skew via AQE.
+    """
+    lt = left.withColumn("__side", F.lit(1))
+    rt = right.select(
+        *partition_cols,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in right_value_cols],
+    )
+    for c in right_value_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
+    unioned = lt.select(rt.columns + [c for c in lt.columns if c not in rt.columns]) \
+                .unionByName(rt.select(rt.columns), allowMissingColumns=True)
+
+    # right rows sort before left rows at equal timestamps so an exact-tie
+    # right row is visible to the left row (<= semantics, like duckdb ASOF)
+    w = (Window.partitionBy(*partition_cols)
+         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = unioned
+    for c in right_value_cols:
+        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    carried = carried.withColumn(
+        "__rts", F.last(F.when(F.col("__side") == 0, F.col(ts_col)),
+                        ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 1).drop("__side")
+    if tolerance_sec is not None:
+        stale = F.col(ts_col).cast("long") - F.col("__rts").cast("long") > tolerance_sec
+        for c in right_value_cols:
+            out = out.withColumn(c, F.when(stale, None).otherwise(F.col(c)))
+    return out.withColumnRenamed("__rts", "asof_ts")
+
+
+def nearest_centroid(df: DataFrame, centroids: DataFrame,
+                     dist: Column, class_col: str = "class",
+                     keys: list[str] | None = None) -> DataFrame:
+    """Classify each row to the nearest centroid (reference J13,
+    hydrometeor classification radarprocessing.py:633-779).
+
+    ``crossJoin(broadcast(centroids))`` then a deterministic argmin via
+    ``min(struct(dist, class))`` — ties break on the class label, and the
+    cross join never shuffles the fact side because the centroid table is
+    broadcast (9 rows in the reference).
+    """
+    keys = keys or [c for c in df.columns]
+    joined = df.crossJoin(broadcast(centroids)).withColumn("__dist", dist)
+    pick = F.min(F.struct(F.col("__dist"), F.col(class_col))).alias("__best")
+    out = joined.groupBy(*keys).agg(pick)
+    return (out.withColumn(class_col, F.col("__best")[class_col])
+            .withColumn("centroid_dist", F.col("__best")["__dist"])
+            .drop("__best"))
+
+
+def interpolate_hourly_to_subhourly(hourly: DataFrame, key_cols: list[str],
+                                    hour_col: str, value_col: str,
+                                    steps: int = 12) -> DataFrame:
+    """Linear interpolation of hourly values onto a sub-hourly grid.
+
+    Reference J10 (common/radarprocessing.py:489-534): hourly HZT fields →
+    twelve 5-min fields via ``v0 + (v1−v0)·k/steps``.
+
+    Spark-first: ``lead()`` pairs hour h with h+1 in one window (no
+    self-join shuffle), then ``explode(sequence(0, steps-1))`` fans out the
+    sub-steps executor-side.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(hour_col))
+    paired = hourly.withColumn("__v1", F.lead(value_col).over(w))
+    k = F.explode(F.sequence(F.lit(0), F.lit(steps - 1))).alias("k")
+    out = paired.select(*key_cols, hour_col, value_col, "__v1", k)
+    frac = F.col("k") / F.lit(float(steps))
+    return (out.filter(F.col("__v1").isNotNull() | (F.col("k") == 0))
+            .withColumn("ts", F.col(hour_col).cast("timestamp")
+                        + F.make_interval(mins=F.col("k") * (60 // steps)))
+            .withColumn(value_col,
+                        F.when(F.col("__v1").isNotNull(),
+                               F.col(value_col)
+                               + (F.col("__v1") - F.col(value_col)) * frac)
+                        .otherwise(F.col(value_col)))
+            .drop("__v1", "k"))

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exactness baseline.  Query side is
+  broadcast; the dot product is a JVM-side ``zip_with``/``aggregate``
+  fold (sequential, deterministic) — no Python in the loop.
+- LSH-bucketed ANN: random-hyperplane signs bucket the vectors; only
+  same-bucket pairs are scored.  The scale path: the shuffle is on the
+  bucket key instead of a full cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(F.expr(
+        f"aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+
+
+def with_double_vec(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """float vectors → double before arithmetic, so both engines
+    accumulate in double precision."""
+    return df.withColumn(out, F.col(vec_col).cast("array<double>"))
+
+
+def cosine_topk(vectors: DataFrame, id_col: str, vec_col: str,
+                query_ids_pred: Column, k: int = 3,
+                round_to: int = 6) -> DataFrame:
+    """Exact top-k cosine neighbours for each query vector.
+
+    Similarity is rounded BEFORE ranking so ties break on the neighbour
+    id deterministically; the query side is broadcast (queries ≪ corpus).
+    """
+    from pyspark.sql import Window
+
+    v = with_double_vec(vectors, vec_col, "v").select(
+        F.col(id_col), F.col("v"), _norm("v").alias("nrm"))
+    q = v.filter(query_ids_pred).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"))
+    t = v.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("tv"),
+                 F.col("nrm").alias("tn"))
+    pairs = t.crossJoin(broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    sim = pairs.withColumn(
+        "sim", F.round(_dot("qv", "tv") / (F.col("qn") * F.col("tn")),
+                       round_to))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (sim.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", F.col("rnk").cast("long").alias("rnk"),
+                    "neighbor_id", "sim"))
+
+
+def hyperplane_buckets(vectors: DataFrame, id_col: str, vec_col: str,
+                       n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector.
+
+    Planes are seeded driver-side (numpy RandomState) and broadcast as
+    literals — deterministic and tiny (n_planes × dim doubles).
+    """
+    import numpy as np
+
+    dim = len(vectors.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    v = with_double_vec(vectors, vec_col, "v")
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        d = F.expr(
+            "aggregate(zip_with(v, __plane, (x, y) -> x * y), "
+            "CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+        v = v.withColumn("__plane", plane)
+        bit = F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        bucket = bucket + bit
+        v = v.withColumn(f"__b{i}", bit).drop("__plane")
+    out = v.withColumn(
+        "bucket", sum([F.col(f"__b{i}") for i in range(n_planes)],
+                      F.lit(0).cast("long")))
+    return out.drop(*[f"__b{i}" for i in range(n_planes)], "v")
+
+
+def ann_topk_bucketed(vectors: DataFrame, id_col: str, vec_col: str,
+                      query_ids_pred: Column, k: int = 3,
+                      n_planes: int = 6, seed: int = 42) -> DataFrame:
+    """Approximate top-k: score only within matching hyperplane buckets.
+
+    At 100 TB this replaces the O(N·Q) cross join with a bucket-key
+    equi-join; recall is tuned by ``n_planes`` (fewer planes → bigger
+    buckets → higher recall, more compute).
+    """
+    from pyspark.sql import Window
+
+    b = hyperplane_buckets(vectors, id_col, vec_col, n_planes, seed)
+    v = with_double_vec(b, vec_col, "v").select(
+        F.col(id_col), "bucket", F.col("v"), _norm("v").alias("nrm"))
+    q = v.filter(query_ids_pred).select(
+        F.col(id_col).alias("query_id"), F.col("bucket"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    t = v.select(F.col(id_col).alias("neighbor_id"), F.col("bucket"),
+                 F.col("v").alias("tv"), F.col("nrm").alias("tn"))
+    pairs = t.join(broadcast(q), on="bucket").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    sim = pairs.withColumn(
+        "sim", F.round(_dot("qv", "tv") / (F.col("qn") * F.col("tn")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (sim.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", F.col("rnk").cast("long").alias("rnk"),
+                    "neighbor_id", "sim"))

@@ -1,0 +1,87 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring, token counting,
+document fingerprinting.  All built-in column expressions — JVM-side,
+no Python UDFs — so they stream through whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Per-language stopword lists for the n-gram/stopword language heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist"],
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "los", "y", "es"],
+    "fr": ["le", "les", "et", "est", "une"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+_NORM_WS = r"\s+"
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Whitespace-collapsed lowercase form used for fingerprint/dedup."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), _NORM_WS, " ")
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized_text(text))
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), _NORM_WS)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(text: Column | str, stopwords: list[str]) -> Column:
+    """Number of tokens that are stopwords (lambda filter — still JVM-side)."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: char/token counts, punctuation ratio,
+    digit ratio, mean token length, stopword ratio."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = token_count(t)
+    return (df
+            .withColumn("n_chars_actual", n_chars.cast("long"))
+            .withColumn("n_tokens", n_tok.cast("long"))
+            .withColumn("punct_ratio",
+                        F.regexp_count(t, F.lit(r"[^\w\s]")) / n_chars)
+            .withColumn("digit_ratio",
+                        F.regexp_count(t, F.lit(r"[0-9]")) / n_chars)
+            .withColumn("mean_token_len",
+                        (n_chars - n_tok + 1) / n_tok)
+            .withColumn("stopword_ratio",
+                        stopword_count(t, LANG_STOPWORDS["en"]) / n_tok))
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "pred_lang") -> DataFrame:
+    """Stopword-vote language identification with a deterministic
+    priority-order tie-break (first language in sorted order wins)."""
+    langs = sorted(LANG_STOPWORDS)
+    scored = df
+    for lg in langs:
+        scored = scored.withColumn(
+            f"__s_{lg}", stopword_count(F.col(text_col), LANG_STOPWORDS[lg]))
+    best = F.greatest(*[F.col(f"__s_{lg}") for lg in langs])
+    pick = None
+    for lg in langs:
+        cond = F.col(f"__s_{lg}") == best
+        pick = F.when(cond, F.lit(lg)) if pick is None else pick.when(cond, F.lit(lg))
+    scored = scored.withColumn(out_col, pick)
+    return scored.drop(*[f"__s_{lg}" for lg in langs])

@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Mirrors the engine configuration the reference hard-codes at
+rainforest/database_10min/database.py:17-24 (local master, 100 MB
+auto-broadcast threshold, case-sensitive SQL), but sized for the target
+environment and with the scale-oriented switches a 1000-executor cluster
+wants on by default: AQE (runtime re-planning + skew-join handling),
+Arrow-based pandas interchange, UTC session time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Reference: spark.sql.autoBroadcastJoinThreshold = 1024*1024*100
+#: (database_10min/database.py:18).
+AUTO_BROADCAST_BYTES = 100 * 1024 * 1024
+
+#: Reference collects results < WARNING_RAM to the driver
+#: (common/constants.py:325, database.py:192-198).
+WARNING_RAM_MB = 512
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "rainforest-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Local tests run ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+    master comes from spark-submit and everything here still applies.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(AUTO_BROADCAST_BYTES))
+        .config("spark.sql.caseSensitive", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

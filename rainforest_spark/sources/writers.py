@@ -1,0 +1,65 @@
+"""Sinks: query-result writes, daily-partition upsert, anti-join append
+(SURVEY §2.1 S4/S5/S6).
+
+The reference rewrites whole day files (read old + concat + drop_duplicates,
+retrieve_radar_data.py:635-649) and merges gauge CSVs row-by-row
+(retrieve_dwh_data.py:16-28).  Spark-first: partitioned parquet with dynamic
+partition overwrite — only touched partitions rewrite, which is the shape
+that survives 100 TB (no read-modify-write of the whole table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_query_result(df: DataFrame, output_file: str) -> None:
+    """CSV / csv.gz / parquet sink by suffix (reference database.py:200-222)."""
+    p = output_file.lower()
+    if p.endswith(".parquet"):
+        df.write.mode("overwrite").option("compression", "gzip").parquet(output_file)
+    elif p.endswith(".csv.gz"):
+        (df.write.mode("overwrite").option("header", True)
+         .option("compression", "gzip").csv(output_file))
+    elif p.endswith(".csv"):
+        df.write.mode("overwrite").option("header", True).csv(output_file)
+    else:
+        raise ValueError(f"unsupported sink suffix: {output_file}")
+
+
+def upsert_daily_partition(spark: SparkSession, new_rows: DataFrame, path: str,
+                           key_cols: list[str], partition_col: str = "day") -> None:
+    """Append + dedup into a partitioned parquet table.
+
+    Reference semantics (retrieve_radar_data.py:635-649): if the day file
+    exists, old and new are concatenated and de-duplicated on the key.
+    Spark-first: union with the existing rows of ONLY the incoming
+    partitions, dropDuplicates on the key, dynamic-overwrite those
+    partitions.  At scale this touches |incoming days| partitions, never
+    the whole table.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        existing = spark.read.parquet(path)
+        days = [r[0] for r in new_rows.select(partition_col).distinct().collect()]
+        old = existing.filter(existing[partition_col].isin(days))
+        merged = old.unionByName(new_rows, allowMissingColumns=True)
+    except Exception:
+        merged = new_rows
+    (merged.dropDuplicates(key_cols)
+     .write.mode("overwrite").partitionBy(partition_col).parquet(path))
+
+
+def anti_join_append(existing: DataFrame, new_rows: DataFrame,
+                     key_cols: list[str], overwrite: bool = False) -> DataFrame:
+    """Incremental merge keyed on ``key_cols``.
+
+    Reference ``append_to_file`` (retrieve_dwh_data.py:16-28): keep existing
+    rows, add only new keys (or the reverse when ``overwrite``).  Expressed
+    as a left-anti join + union — shuffle only on the key columns.
+    """
+    if overwrite:
+        keep_old = existing.join(new_rows.select(key_cols), on=key_cols, how="left_anti")
+        return keep_old.unionByName(new_rows, allowMissingColumns=True)
+    add_new = new_rows.join(existing.select(key_cols), on=key_cols, how="left_anti")
+    return existing.unionByName(add_new, allowMissingColumns=True)

@@ -1,0 +1,740 @@
+"""Relational workload (SURVEY §2.2-2.8) on the driver tables.
+
+Every query names the SURVEY operator rows it exercises.  Spark side uses
+the engine library (rainforest_spark.operators.*) or the DataFrame API;
+the oracle is ANSI-ish SQL DuckDB runs on the same parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from rainforest_spark.functions.db import logmean
+from rainforest_spark.operators import joins as J
+from rainforest_spark.operators import aggregates as A
+from rainforest_spark.operators import windows as W
+from rainforest_spark.operators import scores as S
+from rainforest_spark.workload.common import (
+    T, dec, sum_dec, epoch_d, epoch_s, r6, sql_sum_dec, sql_epoch,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name, sql=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return reg
+
+
+# ---------------------------------------------------------------- q01
+# Flagship: TPC-H-Q1-shaped pricing summary.  SURVEY A1-A3 shape:
+# grouped multi-aggregation with per-column operators; predicate pushed
+# to the parquet scan.
+@q("q01_pricing_summary", sql=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_sum_dec('l_quantity')} AS sum_qty,
+       {sql_sum_dec('l_extendedprice')} AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q01(spark, sf):
+    l = T(spark, sf, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_dec("l_quantity").alias("sum_qty"),
+            sum_dec("l_extendedprice").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * dec(1 - F.col("l_discount")))
+             .cast("double").alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")).cast("double")
+             / F.count(F.lit(1))).cast("double").alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double")
+             / F.count(F.lit(1))).cast("double").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q02
+# P1 projection + P2 time-range predicate (pushed to scan).
+@q("q02_time_range_projection", sql=f"""
+SELECT o_orderkey, o_custkey, o_totalprice, {sql_epoch('o_orderdate')} AS order_epoch
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+""")
+def q02(spark, sf):
+    o = T(spark, sf, "orders")
+    return (o.filter(F.col("o_orderdate").between("1996-01-01", "1996-12-31"))
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+                    epoch_s("o_orderdate").alias("order_epoch")))
+
+
+# ---------------------------------------------------------------- q03
+# P4 sentinel→null (ml/rf.py:154): low readings treated as missing.
+@q("q03_sentinel_to_null", sql="""
+SELECT event_type,
+       COUNT(CASE WHEN value < 1 THEN 1 END) AS n_null,
+       CAST(CAST(SUM(CASE WHEN value >= 1
+                     THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+            / COUNT(CASE WHEN value >= 1 THEN 1 END) AS DOUBLE) AS avg_valid
+FROM events GROUP BY event_type
+""")
+def q03(spark, sf):
+    e = T(spark, sf, "events")
+    nulled = e.withColumn(
+        "v", F.when(F.col("value") < 1, None).otherwise(F.col("value")))
+    return nulled.groupBy("event_type").agg(
+        F.count(F.when(F.col("v").isNull(), 1)).alias("n_null"),
+        (F.sum(dec("v")).cast("double")
+         / F.count("v")).cast("double").alias("avg_valid"))
+
+
+# ---------------------------------------------------------------- q04
+# P10 threshold clamp (RZC < 0.04 → 0 pattern, constants.py:296).
+@q("q04_threshold_clamp", sql="""
+SELECT event_id, CASE WHEN value < 5 THEN 0.0 ELSE value END AS clamped
+FROM events
+""")
+def q04(spark, sf):
+    from rainforest_spark.operators.filters import clamp_below
+    e = T(spark, sf, "events").select("event_id", F.col("value").alias("clamped"))
+    return clamp_below(e, "clamped", 5.0)
+
+
+# ---------------------------------------------------------------- q05
+# P5/U4 dedup by key subset via DISTINCT.
+@q("q05_dedup_distinct",
+   sql="SELECT DISTINCT l_suppkey, l_returnflag FROM lineitem")
+def q05(spark, sf):
+    return T(spark, sf, "lineitem").select("l_suppkey", "l_returnflag").distinct()
+
+
+# ---------------------------------------------------------------- q06
+# P8 physical-consistency compound predicate (ml/rf.py:411-420 shape).
+@q("q06_consistency_filter", sql="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+FROM lineitem
+WHERE (l_quantity > 45 AND l_discount < 0.02)
+   OR (l_quantity < 3 AND l_tax > 0.06)
+""")
+def q06(spark, sf):
+    l = T(spark, sf, "lineitem")
+    bad = ((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.02)) | \
+          ((F.col("l_quantity") < 3) & (F.col("l_tax") > 0.06))
+    return l.filter(bad).select("l_orderkey", "l_linenumber", "l_quantity",
+                                "l_discount", "l_tax")
+
+
+# ---------------------------------------------------------------- q07
+# P9 wet-hour filter (retrieve_dwh_data.py:108-115): keep rows whose
+# (user, hour) value-sum ≥ threshold.  Decimal compare — exact.
+@q("q07_wet_hour_filter", sql="""
+SELECT event_id FROM (
+  SELECT event_id,
+         SUM(CAST(value AS DECIMAL(18,4)))
+           OVER (PARTITION BY user_id,
+                 CAST(floor(epoch(ts)/3600) AS BIGINT)) AS hr_sum
+  FROM events
+) WHERE hr_sum >= 100
+""")
+def q07(spark, sf):
+    from pyspark.sql import Window
+    e = T(spark, sf, "events")
+    hour = F.floor(epoch_d("ts") / 3600).cast("long")
+    w = Window.partitionBy(F.col("user_id"), hour)
+    return (e.withColumn("hr_sum", F.sum(dec("value")).over(w))
+            .filter(F.col("hr_sum") >= 100).select("event_id"))
+
+
+# ---------------------------------------------------------------- q08
+# P7/P14 exclusion lists + prefix/suffix predicates.
+@q("q08_segment_exclusion", sql="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE')
+  AND c_name NOT LIKE '%9'
+""")
+def q08(spark, sf):
+    c = T(spark, sf, "customer")
+    return (c.filter(~F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+            .filter(~F.col("c_name").endswith("9"))
+            .select("c_custkey", "c_name"))
+
+
+# ---------------------------------------------------------------- q09
+# J2 broadcast dimension join (station-metadata join shape, ml/rf.py:247).
+@q("q09_broadcast_dim_join", sql="""
+SELECT p.p_brand,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""")
+def q09(spark, sf):
+    l, p = T(spark, sf, "lineitem"), T(spark, sf, "part")
+    return (l.join(broadcast(p.select("p_partkey", "p_brand")),
+                   l.l_partkey == p.p_partkey, "inner")
+            .groupBy("p_brand")
+            .agg(F.sum(dec("l_extendedprice") * dec(1 - F.col("l_discount")))
+                 .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------- q10
+# J3 three-table semi-join alignment (ml/rf.py:192-221).
+@q("q10_semi_align", sql="""
+SELECT l_returnflag, COUNT(*) AS n, {sq} AS qty_sum
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM part p
+              WHERE p.p_partkey = l.l_partkey AND p.p_size > 40)
+GROUP BY l_returnflag
+""".format(sq=sql_sum_dec("l_quantity")))
+def q10(spark, sf):
+    l = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders").filter(F.col("o_orderstatus") == "F") \
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    p = T(spark, sf, "part").filter(F.col("p_size") > 40) \
+        .select(F.col("p_partkey").alias("l_partkey"))
+    aligned = J.semi_align(l, [o], ["l_orderkey"])
+    aligned = J.semi_align(aligned, [p], ["l_partkey"])
+    return aligned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), sum_dec("l_quantity").alias("qty_sum"))
+
+
+# ---------------------------------------------------------------- q11
+# J5/U3 anti-join (incremental upsert key test, retrieve_dwh_data.py:22).
+@q("q11_anti_join", sql="""
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q11(spark, sf):
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return J.anti_join(c, o, ["c_custkey"]).select("c_custkey")
+
+
+# ---------------------------------------------------------------- q12
+# J9 as-of join: each purchase matched to the user's latest click at or
+# before it (nearest-earlier-time alignment, utils.py:586-611).
+@q("q12_asof_join", sql=f"""
+SELECT p.event_id, {sql_epoch('c.ts')} AS click_epoch, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def q12(spark, sf):
+    e = T(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", F.col("value").alias("click_value"))
+    out = J.asof_join(purchases, clicks, ["user_id"], "ts", ["click_value"])
+    return out.select("event_id", epoch_s("asof_ts").alias("click_epoch"),
+                      "click_value")
+
+
+# ---------------------------------------------------------------- q13
+# J11/W2 latest-per-group dedup (newest HZT run per hour,
+# retrieve_data.py:144-188).
+@q("q13_latest_per_hour", sql="""
+SELECT event_id, user_id, hr FROM (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hr,
+         row_number() OVER (PARTITION BY user_id, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def q13(spark, sf):
+    e = T(spark, sf, "events")
+    hr = (F.floor(epoch_d("ts") / 3600) * 3600).cast("long")
+    out = J.latest_per_group(
+        e.withColumn("hr", hr), [F.col("user_id"), F.col("hr")],
+        [F.col("ts").desc(), F.col("event_id").desc()])
+    return out.select("event_id", "user_id", "hr")
+
+
+# ---------------------------------------------------------------- q14
+# J13/O4 nearest-centroid classification (hydrometeor classification,
+# radarprocessing.py:633-779): crossJoin(broadcast) + deterministic argmin.
+@q("q14_nearest_centroid", sql=f"""
+WITH cent(cval) AS (VALUES (5.0),(15.0),(25.0),(35.0),(45.0)),
+qs AS (SELECT DISTINCT l_quantity FROM lineitem),
+d AS (SELECT l_quantity, cval, abs(l_quantity - cval) AS dist FROM qs, cent),
+r AS (SELECT *, row_number() OVER (PARTITION BY l_quantity
+                                   ORDER BY dist, cval) AS rn FROM d),
+qmap AS (SELECT l_quantity, cval FROM r WHERE rn = 1)
+SELECT m.cval AS centroid, COUNT(*) AS n, {sql_sum_dec('l.l_quantity')} AS qty_sum
+FROM lineitem l JOIN qmap m ON l.l_quantity = m.l_quantity
+GROUP BY m.cval
+""")
+def q14(spark, sf):
+    l = T(spark, sf, "lineitem").select("l_quantity")
+    cents = spark.createDataFrame([(5.0,), (15.0,), (25.0,), (35.0,), (45.0,)],
+                                  "c double")
+    qmap = J.nearest_centroid(
+        l.distinct(), cents, dist=F.abs(F.col("l_quantity") - F.col("c")),
+        class_col="c", keys=["l_quantity"])
+    return (l.join(broadcast(qmap.select("l_quantity", "c")), on="l_quantity")
+            .groupBy(F.col("c").alias("centroid"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 sum_dec("l_quantity").alias("qty_sum")))
+
+
+# ---------------------------------------------------------------- q15
+# A1 table summary (database.py:60-76).
+@q("q15_table_summary", sql=f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_epoch('MIN(l_shipdate)')} AS t_min,
+       {sql_epoch('MAX(l_shipdate)')} AS t_max,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+""")
+def q15(spark, sf):
+    l = T(spark, sf, "lineitem")
+    return l.agg(F.count(F.lit(1)).alias("n_rows"),
+                 epoch_s(F.min("l_shipdate")).alias("t_min"),
+                 epoch_s(F.max("l_shipdate")).alias("t_max"),
+                 F.countDistinct("l_orderkey").alias("n_orders"))
+
+
+# ---------------------------------------------------------------- q16
+# A2/F3 dB-domain logmean: 10·log10(avg(10^(0.1·x))) (constants.py:319).
+@q("q16_db_logmean", sql="""
+SELECT l_returnflag,
+       ROUND(10*log10(AVG(pow(10, 0.1*l_quantity))), 6) AS zh_logmean,
+       ROUND(AVG(l_quantity), 6) AS plain_mean
+FROM lineitem GROUP BY l_returnflag
+""")
+def q16(spark, sf):
+    l = T(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        r6(logmean("l_quantity")).alias("zh_logmean"),
+        r6(F.avg("l_quantity")).alias("plain_mean"))
+
+
+# ---------------------------------------------------------------- q17
+# A3 multi-operator tumbling-window aggregation (aggregate_multi,
+# utils.py:485-508): 10-min buckets, per-column operator.
+@q("q17_temporal_multiagg", sql=f"""
+SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_ts,
+       event_type,
+       {sql_sum_dec('value')} AS value_sum,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""")
+def q17(spark, sf):
+    e = T(spark, sf, "events")
+    bucket = (F.floor(epoch_d("ts") / 600) * 600).cast("long").alias("bucket_ts")
+    return e.groupBy(bucket, "event_type").agg(
+        sum_dec("value").alias("value_sum"), F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------- q18
+# A5 weighted vertical aggregation with categorical one-hot proportions
+# (ml/utils.py:16-61): w·x sums + weighted event_type proportions.
+_ETYPES = ["click", "error", "purchase", "signup", "view"]
+@q("q18_weighted_vertical", sql="""
+SELECT user_id,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)) * w) AS DOUBLE)
+            / CAST(SUM(w) AS DOUBLE) AS DOUBLE) AS wmean,
+       """ + ",\n       ".join(
+    f"CAST(CAST(SUM(CASE WHEN event_type = '{t}' THEN w ELSE 0 END) AS DOUBLE)"
+    f" / CAST(SUM(w) AS DOUBLE) AS DOUBLE) AS prop_{t}" for t in _ETYPES) + """,
+       CAST(SUM(w) AS BIGINT) AS w_sum
+FROM (SELECT *, event_id % 5 + 1 AS w FROM events)
+GROUP BY user_id
+""")
+def q18(spark, sf):
+    e = T(spark, sf, "events").withColumn("w", F.col("event_id") % 5 + 1)
+    props = [
+        (F.sum(F.when(F.col("event_type") == t, F.col("w")).otherwise(0))
+         .cast("double") / F.sum("w").cast("double")).alias(f"prop_{t}")
+        for t in _ETYPES]
+    return e.groupBy("user_id").agg(
+        (F.sum(dec("value") * F.col("w")).cast("double")
+         / F.sum("w").cast("double")).alias("wmean"),
+        *props,
+        F.sum("w").cast("long").alias("w_sum"))
+
+
+# ---------------------------------------------------------------- q19
+# A6/A7 hourly aggregation with completeness constraint (ml/rf.py:564-588).
+@q("q19_hourly_complete", sql="""
+SELECT user_id, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hr,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS hourly_mean,
+       COUNT(*) AS n_in_hour
+FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 4
+""")
+def q19(spark, sf):
+    e = T(spark, sf, "events")
+    hr = (F.floor(epoch_d("ts") / 3600) * 3600).cast("long").alias("hr")
+    return (e.groupBy("user_id", hr)
+            .agg((F.sum(dec("value")).cast("double")
+                  / F.count(F.lit(1))).alias("hourly_mean"),
+                 F.count(F.lit(1)).alias("n_in_hour"))
+            .filter(F.col("n_in_hour") >= 4))
+
+
+# ---------------------------------------------------------------- q20
+# A12/W1 dense group ids (rankdata dense − 1, ml/rf.py:227-243).
+@q("q20_dense_rank", sql="""
+SELECT o_orderkey,
+       CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) - 1
+            AS BIGINT) AS date_rank
+FROM orders
+""")
+def q20(spark, sf):
+    from pyspark.sql import Window
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return o.select("o_orderkey",
+                    (F.dense_rank().over(w) - 1).cast("long").alias("date_rank"))
+
+
+# ---------------------------------------------------------------- q21
+# A14 contingency table + Pearson corr (eval_calculate.py:30-112).
+@q("q21_contingency", sql="""
+SELECT l_returnflag,
+       COUNT(CASE WHEN l_quantity > 25 AND l_extendedprice > 26000 THEN 1 END) AS hits,
+       COUNT(CASE WHEN l_quantity <= 25 AND l_extendedprice > 26000 THEN 1 END) AS misses,
+       COUNT(CASE WHEN l_quantity > 25 AND l_extendedprice <= 26000 THEN 1 END) AS false_alarms,
+       COUNT(CASE WHEN l_quantity <= 25 AND l_extendedprice <= 26000 THEN 1 END) AS correct_neg,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_p
+FROM lineitem GROUP BY l_returnflag
+""")
+def q21(spark, sf):
+    l = T(spark, sf, "lineitem")
+    e, r = F.col("l_quantity") > 25, F.col("l_extendedprice") > 26000
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.when(e & r, 1)).alias("hits"),
+        F.count(F.when((~e) & r, 1)).alias("misses"),
+        F.count(F.when(e & (~r), 1)).alias("false_alarms"),
+        F.count(F.when((~e) & (~r), 1)).alias("correct_neg"),
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_p"))
+
+
+# ---------------------------------------------------------------- q22
+# A15/W3 event sessionization (split_event, ml/utils.py:71-126):
+# gap > 30 min starts a new session; per-session aggregates.
+@q("q22_sessionization", sql=f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+s AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                  AS session_id
+      FROM g)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       {sql_epoch('MIN(ts)')} AS session_start,
+       {sql_sum_dec('value')} AS value_sum
+FROM s GROUP BY user_id, session_id
+""")
+def q22(spark, sf):
+    from pyspark.sql import Window
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = epoch_s("ts") - F.lag(epoch_s("ts")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.withColumn("session_id", F.sum(is_new).over(run) - 1)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        epoch_s(F.min("ts")).alias("session_start"),
+        sum_dec("value").alias("value_sum"))
+
+
+# ---------------------------------------------------------------- q23
+# A16 deterministic mode / majority (MODE, constants.py:298-302).
+@q("q23_mode", sql="""
+SELECT user_id, event_type AS event_type_mode FROM (
+  SELECT user_id, event_type, COUNT(*) AS cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+""")
+def q23(spark, sf):
+    return A.deterministic_mode(T(spark, sf, "events"), ["user_id"],
+                                "event_type")
+
+
+# ---------------------------------------------------------------- q24
+# A17/F4 catch-efficiency transfer function (Kochendorfer,
+# retrieve_dwh_data.py:75-102): exp()-based CE by class, clipped input.
+@q("q24_transfer_function", sql="""
+SELECT event_type,
+       ROUND(AVG(value / (CASE
+         WHEN event_type = 'error'
+           THEN 0.378 * exp(-0.113 * least(value, 9.0)) + 0.3787
+         WHEN event_type IN ('click', 'view')
+           THEN 0.1245 + 0.867 * exp(-0.327 * least(value, 9.0))
+         ELSE 1.0 END)), 6) AS adj_mean,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""")
+def q24(spark, sf):
+    e = T(spark, sf, "events")
+    u = F.least(F.col("value"), F.lit(9.0))
+    ce = (F.when(F.col("event_type") == "error",
+                 0.378 * F.exp(-0.113 * u) + 0.3787)
+          .when(F.col("event_type").isin("click", "view"),
+                0.1245 + 0.867 * F.exp(-0.327 * u))
+          .otherwise(F.lit(1.0)))
+    return (e.withColumn("adj", F.col("value") / ce)
+            .groupBy("event_type")
+            .agg(r6(F.avg("adj")).alias("adj_mean"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------- q25
+# W4 lead-fill of empty slots (retrieve_dwh_data_5min.py:15-69).
+@q("q25_lead_fill", sql="""
+SELECT event_id,
+       coalesce(CASE WHEN event_type = 'error' THEN NULL ELSE value END,
+                lead(CASE WHEN event_type = 'error' THEN NULL ELSE value END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS filled
+FROM events
+""")
+def q25(spark, sf):
+    from pyspark.sql import Window
+    e = T(spark, sf, "events")
+    v = F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("event_id",
+                    F.coalesce(v, F.lead(v).over(w)).alias("filled"))
+
+
+# ---------------------------------------------------------------- q26
+# W5 2-frame sliding mean + W6 disaggregation ratio (qpe.py:680-733).
+@q("q26_sliding_disagg", sql="""
+SELECT event_id,
+       ROUND(slide2, 6) AS slide2,
+       ROUND(CASE WHEN slide2 > 0 THEN value / slide2 END, 6) AS disag_ratio
+FROM (
+  SELECT event_id, value,
+         AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS slide2
+  FROM events)
+""")
+def q26(spark, sf):
+    from pyspark.sql import Window
+    e = T(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-1, 0))
+    s = e.withColumn("slide2", F.avg("value").over(w))
+    return s.select(
+        "event_id", r6(F.col("slide2")).alias("slide2"),
+        r6(F.when(F.col("slide2") > 0,
+                  F.col("value") / F.col("slide2"))).alias("disag_ratio"))
+
+
+# ---------------------------------------------------------------- q27
+# W10 weighted quantile (weighted median here) — the scatter-score
+# machinery (utils.py:294-369) as cumulative-weight window SQL.
+@q("q27_weighted_quantile", sql="""
+WITH c AS (
+  SELECT event_type, value,
+         SUM(event_id % 5 + 1) OVER (PARTITION BY event_type ORDER BY value
+                                     ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(event_id % 5 + 1) OVER (PARTITION BY event_type) AS tw
+  FROM events)
+SELECT event_type, MIN(value) AS wq
+FROM c WHERE cw >= 0.5 * tw GROUP BY event_type
+""")
+def q27(spark, sf):
+    e = T(spark, sf, "events").withColumn("w", F.col("event_id") % 5 + 1)
+    return W.weighted_quantile(e, ["event_type"], "value", "w", q=0.5)
+
+
+# ---------------------------------------------------------------- q28
+# U1/U2 set operations: intersect + union-distinct.
+@q("q28_set_ops", sql="""
+SELECT
+  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders
+                         INTERSECT SELECT user_id FROM events)) AS n_common,
+  (SELECT COUNT(*) FROM (SELECT s_nationkey FROM supplier
+                         UNION SELECT c_nationkey FROM customer)) AS n_nations
+""")
+def q28(spark, sf):
+    o = T(spark, sf, "orders").select("o_custkey")
+    e = T(spark, sf, "events").select("user_id")
+    s = T(spark, sf, "supplier").select("s_nationkey")
+    c = T(spark, sf, "customer").select("c_nationkey")
+    a = o.intersect(e).agg(F.count(F.lit(1)).alias("n_common"))
+    b = s.union(c).distinct().agg(F.count(F.lit(1)).alias("n_nations"))
+    return a.crossJoin(b)
+
+
+# ---------------------------------------------------------------- q29
+# F1 string functions: key concat, case, regexp extraction.
+@q("q29_string_funcs", sql="""
+SELECT c_custkey,
+       upper(c_mktsegment) || '-' || CAST(c_custkey AS VARCHAR) AS seg_key,
+       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num
+FROM customer
+""")
+def q29(spark, sf):
+    c = T(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.upper("c_mktsegment"), F.lit("-"),
+                 F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("long")
+         .alias("name_num"))
+
+
+# ---------------------------------------------------------------- q30
+# F2 date/time functions: epoch, hour bucket, minute-in-hour.
+@q("q30_datetime_funcs", sql="""
+SELECT event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+       CAST(minute(ts) AS INT) AS min_in_hour,
+       CAST(day(ts) AS INT) AS dom
+FROM events
+""")
+def q30(spark, sf):
+    e = T(spark, sf, "events")
+    return e.select(
+        "event_id", epoch_s("ts").alias("epoch_s"),
+        epoch_s(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        F.minute("ts").cast("int").alias("min_in_hour"),
+        F.dayofmonth("ts").cast("int").alias("dom"))
+
+
+# ---------------------------------------------------------------- q31
+# F6 DN discretization as a broadcast range join against a scale ladder
+# (SCALE_CPC searchsorted, io_data.py:201-206).
+_LADDER = [(i, float(i * 7000), float((i + 1) * 7000) if i < 15 else 1e18)
+           for i in range(16)]
+@q("q31_dn_discretization", sql="""
+WITH scale(dn, lo, hi) AS (VALUES """ + ",".join(
+    f"({d}, {lo}, {hi})" for d, lo, hi in _LADDER) + """)
+SELECT s.dn, COUNT(*) AS n
+FROM lineitem l JOIN scale s
+  ON l.l_extendedprice >= s.lo AND l.l_extendedprice < s.hi
+GROUP BY s.dn
+""")
+def q31(spark, sf):
+    l = T(spark, sf, "lineitem")
+    scale = spark.createDataFrame(_LADDER, "dn int, lo double, hi double")
+    cond = (F.col("l_extendedprice") >= F.col("lo")) & \
+           (F.col("l_extendedprice") < F.col("hi"))
+    return (l.join(broadcast(scale), cond, "inner")
+            .groupBy("dn").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------- q32
+# F8 JSON extraction from the props column.
+@q("q32_json_extract", sql="""
+SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_val
+FROM events
+""")
+def q32(spark, sf):
+    e = T(spark, sf, "events")
+    return e.select("event_id",
+                    F.get_json_object("props", "$.k").cast("long")
+                     .alias("k_val"))
+
+
+# ---------------------------------------------------------------- q33
+# A13 perfscores: RMSE / logBias / corr / means on the double-conditional
+# subset (utils.py:76-137).  est/ref built as exact decimals.
+@q("q33_perfscores", sql="""
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(1 - l_discount AS DECIMAL(18,4)) AS DOUBLE) AS est,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 0.95 AS DOUBLE) AS ref
+  FROM lineitem)
+SELECT l_returnflag, COUNT(*) AS N,
+       ROUND(sqrt(AVG((est - ref)*(est - ref))), 6) AS RMSE,
+       ROUND(10*log10(SUM(est)/SUM(ref)), 6) AS logBias,
+       ROUND(corr(est, ref), 6) AS corr_p
+FROM d WHERE est > 100 AND ref > 100
+GROUP BY l_returnflag
+""")
+def q33(spark, sf):
+    l = T(spark, sf, "lineitem")
+    d = l.select(
+        "l_returnflag",
+        (dec("l_extendedprice") * dec(1 - F.col("l_discount")))
+        .cast("double").alias("est"),
+        (dec("l_extendedprice") * F.lit(0.95).cast("decimal(18,4)"))
+        .cast("double").alias("ref"))
+    d = d.filter((F.col("est") > 100) & (F.col("ref") > 100))
+    err = F.col("est") - F.col("ref")
+    return d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("N"),
+        r6(F.sqrt(F.avg(err * err))).alias("RMSE"),
+        r6(10.0 * F.log10(F.sum("est") / F.sum("ref"))).alias("logBias"),
+        r6(F.corr("est", "ref")).alias("corr_p"))
+
+
+# ---------------------------------------------------------------- q34
+# A13 Germann scatter score: weighted 16/84% quantile spread of the dB
+# error, weights ∝ reference (utils.py:139-166, 294-369).
+@q("q34_scatter_score", sql="""
+WITH d AS (
+  SELECT l_returnflag,
+         10*log10((l_extendedprice * (1 - l_discount) + 1.0)
+                  / (l_extendedprice * 0.95 + 1.0)) AS db_err,
+         l_extendedprice AS w
+  FROM lineitem),
+c AS (
+  SELECT l_returnflag, db_err,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY db_err
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM d),
+q16 AS (SELECT l_returnflag, MIN(db_err) AS q16 FROM c
+        WHERE cw >= 0.16 * tw GROUP BY l_returnflag),
+q84 AS (SELECT l_returnflag, MIN(db_err) AS q84 FROM c
+        WHERE cw >= 0.84 * tw GROUP BY l_returnflag)
+SELECT q16.l_returnflag, ROUND((q84.q84 - q16.q16)/2, 6) AS scatter
+FROM q16 JOIN q84 ON q16.l_returnflag = q84.l_returnflag
+""")
+def q34(spark, sf):
+    from pyspark.sql import Window
+    l = T(spark, sf, "lineitem")
+    d = l.select(
+        "l_returnflag",
+        (10.0 * F.log10(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")) + 1.0)
+            / (F.col("l_extendedprice") * 0.95 + 1.0))).alias("db_err"),
+        F.col("l_extendedprice").alias("w"))
+    ws = (Window.partitionBy("l_returnflag").orderBy("db_err")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("l_returnflag")
+    c = d.withColumn("cw", F.sum("w").over(ws)) \
+         .withColumn("tw", F.sum("w").over(wt))
+    q16 = (c.filter(F.col("cw") >= 0.16 * F.col("tw"))
+           .groupBy("l_returnflag").agg(F.min("db_err").alias("q16")))
+    q84 = (c.filter(F.col("cw") >= 0.84 * F.col("tw"))
+           .groupBy("l_returnflag").agg(F.min("db_err").alias("q84")))
+    return (q16.join(q84, on="l_returnflag")
+            .select("l_returnflag",
+                    r6((F.col("q84") - F.col("q16")) / 2).alias("scatter")))

@@ -1,0 +1,167 @@
+"""Text / dedup workload on the documents table (SURVEY §7 Phase 6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rainforest_spark.operators import dedup as D
+from rainforest_spark.operators import text_analysis as TA
+from rainforest_spark.workload.common import T
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name, sql=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return reg
+
+
+# DuckDB fragment: normalized text (matches TA.normalized_text)
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+# DuckDB fragment: token array of normalized text
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+# ---------------------------------------------------------------- q40
+# Exact dedup via normalized-text fingerprint (hash groupBy).
+@q("q40_fingerprint_dedup", sql=f"""
+SELECT md5({_NORM}) AS fingerprint,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+""")
+def q40(spark, sf):
+    return D.exact_dedup_groups(T(spark, sf, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------- q41
+# Token counting (whitespace tokenizer) + char length.
+@q("q41_token_count", sql="""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_actual
+FROM documents
+""")
+def q41(spark, sf):
+    d = T(spark, sf, "documents")
+    return d.select("doc_id",
+                    TA.token_count("text").cast("int").alias("n_tokens"),
+                    F.length("text").cast("int").alias("n_chars_actual"))
+
+
+# ---------------------------------------------------------------- q42
+# Quality-scoring features: punct/digit ratios, stopword ratio.
+@q("q42_quality_score", sql=f"""
+SELECT doc_id,
+       ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+             / length(text), 6) AS punct_ratio,
+       ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             / length(text), 6) AS digit_ratio,
+       ROUND(CAST(len(list_filter({_WORDS},
+                  t -> t IN ('the','and','of','to','is'))) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio
+FROM documents
+""")
+def q42(spark, sf):
+    d = T(spark, sf, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_tok = TA.token_count(t)
+    return d.select(
+        "doc_id",
+        F.round(F.regexp_count(t, F.lit(r"[^\w\s]")) / n_chars, 6)
+         .alias("punct_ratio"),
+        F.round(F.regexp_count(t, F.lit(r"[0-9]")) / n_chars, 6)
+         .alias("digit_ratio"),
+        F.round(TA.stopword_count(t, TA.LANG_STOPWORDS["en"]) / n_tok, 6)
+         .alias("stopword_ratio"))
+
+
+# ---------------------------------------------------------------- q43
+# Language-ID heuristic: stopword votes, priority-order tie-break.
+_LANGS = sorted(TA.LANG_STOPWORDS)
+
+
+def _sql_score(lg):
+    words = ",".join(f"'{w}'" for w in TA.LANG_STOPWORDS[lg])
+    return f"len(list_filter({_WORDS}, t -> t IN ({words})))"
+
+
+@q("q43_lang_id", sql=f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_sql_score(lg)} AS s_{lg}" for lg in _LANGS)}
+  FROM documents),
+m AS (SELECT *, greatest({", ".join("s_" + lg for lg in _LANGS)}) AS best FROM s)
+SELECT doc_id, lang,
+       CASE {" ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in _LANGS)}
+       END AS pred_lang
+FROM m
+""")
+def q43(spark, sf):
+    d = T(spark, sf, "documents").select("doc_id", "lang", "text")
+    return TA.lang_id(d, "text").select("doc_id", "lang", "pred_lang")
+
+
+# ---------------------------------------------------------------- q44
+# Exact n-gram Jaccard near-dup pairs (shingle self-join).
+@q("q44_ngram_jaccard", sql="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ') AS words
+        FROM documents),
+       UNNEST(generate_series(1, len(words) - 2)) AS u(i)
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+""")
+def q44(spark, sf):
+    return D.ngram_jaccard_pairs(T(spark, sf, "documents"), "doc_id", "text",
+                                 n=3, threshold=0.2)
+
+
+# ---------------------------------------------------------------- q45
+# MinHash + LSH banding candidate pairs (shingle→minhash→band→bucket join).
+@q("q45_minhash_lsh", sql="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ') AS words
+        FROM documents),
+       UNNEST(generate_series(1, len(words) - 2)) AS u(i)
+),
+mh AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh, UNNEST(generate_series(0, 15)) AS s(seed)
+  GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band_id,
+         md5(string_agg(mh, '' ORDER BY seed)) AS band_hash
+  FROM mh GROUP BY doc_id, floor(seed / 4))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+""")
+def q45(spark, sf):
+    return D.lsh_candidate_pairs(T(spark, sf, "documents"), "doc_id", "text",
+                                 n=3, num_hashes=16, band_size=4)

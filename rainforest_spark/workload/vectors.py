@@ -1,0 +1,104 @@
+"""Embedding similarity workload on the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rainforest_spark.operators import similarity as SIM
+from rainforest_spark.workload.common import T
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name, sql=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return reg
+
+
+# ---------------------------------------------------------------- q50
+# Brute-force cosine top-3 for the first 20 vectors.  Both engines
+# compute dot/(|a|·|b|) in double with a sequential fold; similarity is
+# rounded to 6dp BEFORE ranking so ordering ties break on neighbor_id.
+@q("q50_cosine_topk", sql="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM v WHERE vec_id < 20),
+pairs AS (
+  SELECT q.query_id, t.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, t.v) / (q.qn * t.nrm), 6) AS sim
+  FROM q, v t WHERE t.vec_id != q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM pairs)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, sim
+FROM ranked WHERE rnk <= 3
+""")
+def q50(spark, sf):
+    e = T(spark, sf, "embeddings")
+    return SIM.cosine_topk(e, "vec_id", "embedding",
+                           query_ids_pred=F.col("vec_id") < 20, k=3)
+
+
+# ---------------------------------------------------------------- q51
+# Label-centroid classification: per-label mean embedding, assign every
+# vector to the nearest centroid by cosine (rounded before ranking).
+@q("q51_centroid_classify", sql="""
+WITH expl AS (
+  SELECT label, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+cent AS (
+  SELECT label AS c_label, pos, AVG(x) AS cx
+  FROM expl GROUP BY label, pos),
+cvec AS (
+  SELECT c_label, list(cx ORDER BY pos) AS cv FROM cent GROUP BY c_label),
+cn AS (SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cvec),
+v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+scored AS (
+  SELECT v.vec_id, v.label, cn.c_label,
+         ROUND(list_dot_product(v.v, cn.cv) / (v.nrm * cn.cnrm), 6) AS sim
+  FROM v, cn),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, c_label) AS rn
+  FROM scored)
+SELECT vec_id, label, c_label AS pred_label FROM ranked WHERE rn = 1
+""")
+def q51(spark, sf):
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    e = SIM.with_double_vec(T(spark, sf, "embeddings"), "embedding", "v")
+    expl = e.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = expl.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+    cvec = (cent.groupBy(F.col("label").alias("c_label"))
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"]).alias("cv")))
+    cn = cvec.withColumn(
+        "cnrm", F.sqrt(F.expr(
+            "aggregate(cv, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+    v = e.select("vec_id", "label", "v",
+                 F.sqrt(F.expr(
+                     "aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"
+                 )).alias("nrm"))
+    scored = v.crossJoin(broadcast(cn)).withColumn(
+        "sim", F.round(
+            F.expr("aggregate(zip_with(v, cv, (x, y) -> x * y), "
+                   "CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+            / (F.col("nrm") * F.col("cnrm")), 6))
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "c_label")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "label", F.col("c_label").alias("pred_label")))

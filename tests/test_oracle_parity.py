@@ -1,0 +1,63 @@
+"""Replicates the driver's correctness gate locally: every workload query
+runs on Spark AND its oracle SQL on DuckDB over the same parquet; results
+must match exactly (row count, schema-by-name, sorted values).
+
+Exact (bit-level for floats) equality is intentional — the driver
+value-hashes, so anything weaker would be a false pass.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+from rainforest_spark.workload import all_oracles, all_queries
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", sorted(k for k in QUERIES if k in ORACLES))
+def test_oracle_parity(spark, duck, name):
+    got = normalize(QUERIES[name](spark, SF_DIR).toPandas())
+    want = normalize(duck.execute(ORACLES[name]).df())
+    assert list(got.columns) == list(want.columns), \
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g):
+            both_nan = g.isna() & w.isna()
+            eq = (g == w) | both_nan
+        else:
+            eq = (g == w) | (g.isna() & w.isna())
+        bad = ~eq
+        assert not bad.any(), (
+            f"{name}.{c}: {int(bad.sum())} mismatches; first: "
+            f"spark={g[bad].iloc[0]!r} duck={w[bad].iloc[0]!r} "
+            f"at row {bad.idxmax()}")
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and len(df.columns) > 0

@@ -1,0 +1,77 @@
+"""ML layer: RF learns a known relationship; bias correction is a
+quantile-quantile fit; event folds partition by session (statistical
+equivalence testing per SURVEY §7 Phase 3 — scores, not trees)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+FEATURES = ["zh", "hag", "visib"]
+
+
+@pytest.fixture(scope="module")
+def learnable(spark):
+    """Synthetic dataset with a known target = f(features) + noise."""
+    rng = np.random.RandomState(7)
+    n = 4000
+    ts = 1717200000 + rng.randint(0, 100, n) * 600  # ~17 h spread
+    # three well-separated events (>12 h gaps between clusters)
+    ts = ts + rng.choice([0, 3 * 86400, 6 * 86400], n)
+    zh = rng.uniform(0, 55, n)
+    hag = rng.uniform(0, 3000, n)
+    visib = rng.uniform(20, 100, n)
+    target = (3.0 * (zh / 316.0) ** (1 / 1.5) * (visib / 100.0)
+              + 0.00002 * hag + rng.normal(0, 0.05, n))
+    pdf = pd.DataFrame({"TIMESTAMP": ts.astype("int64"), "zh": zh,
+                        "hag": hag, "visib": visib,
+                        "target_mmh": np.maximum(target, 0)})
+    return spark.createDataFrame(pdf)
+
+
+def test_rf_learns(spark, learnable):
+    from rainforest_spark.ml.rf import RandomForestQPE
+
+    model = RandomForestQPE(FEATURES, num_trees=15, max_depth=12).fit(learnable)
+    scored = model.transform(learnable)
+    rmse = float(scored.agg(F.sqrt(F.avg(
+        F.pow(F.col("prediction_bc") - F.col("target_mmh"), 2)))).first()[0])
+    std = float(learnable.agg(F.stddev("target_mmh")).first()[0])
+    assert rmse < 0.5 * std, f"RF did not learn: rmse={rmse}, std={std}"
+    fi = model.feature_importances()
+    assert abs(sum(fi.values()) - 1.0) < 1e-6
+    assert fi["zh"] == max(fi.values())  # zh dominates the signal
+
+
+def test_bias_correction_quantile_match():
+    from rainforest_spark.ml.rf import BiasCorrection
+
+    rng = np.random.RandomState(0)
+    obs = rng.gamma(2.0, 1.0, 2000)
+    pred = obs * 0.5  # systematic underestimation
+    bc = BiasCorrection.fit(pred, obs, degree=1)
+    assert abs(bc.coefs[0] - 2.0) < 0.05  # recovers the 2x correction
+
+
+def test_event_folds(spark, learnable):
+    from rainforest_spark.ml.rf import split_events
+
+    folded = split_events(learnable, k=3).toPandas()
+    # every timestamp maps to exactly one (event, fold)
+    per_ts = folded.groupby("TIMESTAMP")[["event_id", "fold"]].nunique()
+    assert (per_ts == 1).all().all()
+    # the three 3-day-separated clusters → ≥3 events
+    assert folded["event_id"].nunique() >= 3
+    assert set(folded["fold"].unique()) <= {0, 1, 2}
+
+
+def test_event_cv_runs(spark, learnable):
+    from rainforest_spark.ml.rf import event_cross_validation
+
+    res = event_cross_validation(learnable, FEATURES, k=3, num_trees=5,
+                                 max_depth=8)
+    assert len(res) >= 2
+    for r in res:
+        assert r["rmse"] > 0 and r["n"] > 0

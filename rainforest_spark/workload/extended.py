@@ -226,3 +226,58 @@ def q53(spark, sf):
                         dfs["stations"], dfs["radars"])
     return out.select("STATION", "TIMESTAMP", "ZH_mean", "DIST_TO_RAD",
                       "RADAR_prop_A", "W_SUM", "target_mmh", "group_id")
+
+
+# ---------------------------------------------------------------- q38
+# J4 left equi-join with null-producing right side (the CPC.CV hourly
+# left-join pattern, retrieve_reference_data.py:428-461).
+@q("q38_left_join_nulls", sql="""
+SELECT c.c_custkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_spend
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+  ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""")
+def q38(spark, sf):
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").filter(F.col("o_orderstatus") == "O")
+    return (c.join(o, o.o_custkey == c.c_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders"),
+                 F.sum(dec("o_totalprice")).cast("double")
+                 .alias("total_spend")))
+
+
+# ---------------------------------------------------------------- q39
+# A4 argmax-linked aggregation — the flagged-hard operator
+# (retrieve_radar_data.py:866-904): "max of X" means the value of X at
+# the row where the ANCHOR (ZH; KDP for itself) is maximal.  Struct-max
+# == row_number ordering, deterministic via the value tie-break.
+@q("q39_argmax_linked_agg", sql="""
+SELECT l_orderkey,
+       anchor_max, price_at_qmax, tax_at_taxmax
+FROM (
+  SELECT l_orderkey,
+         max(l_quantity) OVER w AS anchor_max,
+         first_value(l_extendedprice) OVER
+           (PARTITION BY l_orderkey
+            ORDER BY l_quantity DESC, l_extendedprice DESC) AS price_at_qmax,
+         first_value(l_tax) OVER
+           (PARTITION BY l_orderkey
+            ORDER BY l_tax DESC) AS tax_at_taxmax,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber,
+                            l_extendedprice) AS rn
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey)
+) WHERE rn = 1
+""")
+def q39(spark, sf):
+    l = T(spark, sf, "lineitem")
+    return l.groupBy("l_orderkey").agg(
+        F.max("l_quantity").alias("anchor_max"),
+        F.max(F.struct("l_quantity", "l_extendedprice"))["l_extendedprice"]
+        .alias("price_at_qmax"),
+        F.max("l_tax").alias("tax_at_taxmax"))

@@ -1,0 +1,60 @@
+"""Physical-plan regression tests: the plan SHAPE is part of correctness
+at 100 TB.  A plan that stops pushing filters into the scan or starts
+shuffle-joining a dimension table is a performance bug even when results
+match."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_DIR
+from rainforest_spark.workload import all_queries
+
+
+def fmt_plan(spark, name):
+    df = all_queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def test_q01_pushdown_and_pruning(spark):
+    p = fmt_plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p, \
+        "time predicate must reach the parquet scan"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert "l_partkey" not in cols and "l_orderkey" not in cols, \
+        "column pruning regressed — scan reads unused columns"
+    assert "HashAggregate" in p, "aggregation must be hash-based (partial)"
+
+
+def test_dimension_joins_broadcast(spark):
+    for name in ["q09_broadcast_dim_join", "q31_dn_discretization"]:
+        p = fmt_plan(spark, name)
+        assert "SortMergeJoin" not in p, \
+            f"{name}: dimension join fell back to sort-merge (shuffle)"
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_multi_join_all_broadcast_at_small_sf(spark):
+    # at sf0.01 every build side fits the 100 MB threshold — no shuffle
+    # join should appear; at real scale AQE re-plans the big sides.
+    p = fmt_plan(spark, "q36_local_supplier_revenue")
+    joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p)
+    assert joins and all(j == "BroadcastHashJoin" for j in joins)
+
+
+def test_semi_align_stays_semi(spark):
+    p = fmt_plan(spark, "q10_semi_align")
+    assert "LeftSemi" in p, "alignment must be a semi join, not inner+distinct"
+
+
+def test_scan_count_single_pass(spark):
+    # q01 reads lineitem exactly once (no self-union / double scan)
+    p = fmt_plan(spark, "q01_pricing_summary")
+    # formatted explain lists each node once in the tree and once in the
+    # detail section — count the detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1

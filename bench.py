@@ -33,6 +33,9 @@ HEADLINE = [
     "q26_sliding_disagg",
     "q33_perfscores",
     "q34_scatter_score",
+    "q35_hourly_interpolation",
+    "q36_local_supplier_revenue",
+    "q39_argmax_linked_agg",
     "q40_fingerprint_dedup",
     "q43_lang_id",
     "q45_minhash_lsh",

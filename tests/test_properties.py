@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the operators with the
+subtlest semantics: as-of join vs pandas.merge_asof, weighted quantile
+vs a numpy reference, sessionization invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ts_lists(draw):
+    left = draw(st.lists(st.integers(0, 10_000), min_size=1, max_size=40,
+                         unique=True))
+    right = draw(st.lists(st.integers(0, 10_000), min_size=1, max_size=40,
+                          unique=True))
+    return sorted(left), sorted(right)
+
+
+@st.composite
+def asof_case(draw):
+    return _ts_lists(draw)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(case=asof_case())
+def test_asof_join_matches_pandas(spark, case):
+    from rainforest_spark.operators.joins import asof_join
+
+    lts, rts = case
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": 1, "ts": lts, "lid": range(len(lts))}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": 1, "ts": rts, "val": [float(t) for t in rts]}))
+    got = (asof_join(left, right, ["k"], "ts", ["val"])
+           .toPandas().sort_values("lid", ignore_index=True))
+    want = pd.merge_asof(
+        pd.DataFrame({"k": 1, "ts": lts, "lid": range(len(lts))}),
+        pd.DataFrame({"k": 1, "ts": rts, "val": [float(t) for t in rts]}),
+        on="ts", by="k", direction="backward")
+    assert len(got) == len(want)
+    gv = got["val"].to_numpy()
+    wv = want["val"].to_numpy()
+    both_nan = np.isnan(gv) & np.isnan(wv)
+    assert ((gv == wv) | both_nan).all()
+
+
+@st.composite
+def wq_case(draw):
+    n = draw(st.integers(3, 60))
+    vals = draw(st.lists(st.integers(-50, 50), min_size=n, max_size=n))
+    wts = draw(st.lists(st.integers(1, 9), min_size=n, max_size=n))
+    q = draw(st.sampled_from([0.16, 0.5, 0.84]))
+    return vals, wts, q
+
+
+def _wq_numpy(vals, wts, q):
+    """Smallest x with cumweight(x)/total >= q (step-function quantile)."""
+    order = np.argsort(vals, kind="stable")
+    v = np.asarray(vals, dtype=float)[order]
+    w = np.asarray(wts, dtype=float)[order]
+    cw = np.cumsum(w)
+    idx = np.searchsorted(cw, q * cw[-1], side="left")
+    return float(v[min(idx, len(v) - 1)])
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(case=wq_case())
+def test_weighted_quantile_matches_numpy(spark, case):
+    from rainforest_spark.operators.windows import weighted_quantile
+
+    vals, wts, q = case
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": "a", "x": [float(v) for v in vals],
+                      "w": [float(w) for w in wts]}))
+    got = weighted_quantile(df, ["g"], "x", "w", q=q).collect()[0]["wq"]
+    assert got == _wq_numpy(vals, wts, q)
+
+
+@st.composite
+def session_case(draw):
+    return draw(st.lists(st.integers(0, 100_000), min_size=1, max_size=50,
+                         unique=True))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ts=session_case())
+def test_sessionize_invariants(spark, ts):
+    from rainforest_spark.operators.aggregates import sessionize
+
+    gap = 600
+    df = spark.createDataFrame(pd.DataFrame({"u": 1, "ts": sorted(ts)}))
+    out = (sessionize(df, ["u"], "ts", gap)
+           .toPandas().sort_values("ts", ignore_index=True))
+    t = out["ts"].to_numpy()
+    s = out["session_id"].to_numpy()
+    assert s[0] == 0
+    jumps = np.diff(t) > gap
+    assert (np.diff(s) == jumps.astype(int)).all()

@@ -98,9 +98,13 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str,
     then the band table unpivots driver-free via a small stack().  An
     explode-by-seed would multiply the shuffle k× for no benefit.
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    # hash the shingle ONCE to a fixed 32-char key before the distinct —
+    # the dedup shuffle then moves 32-byte keys instead of raw shingles,
+    # and the k seeded hashes run over the short key.
+    sh = (shingle_table(df, id_col, text_col, n)
+          .select(F.col(id_col), F.md5("shingle").alias("h0")))
     mh_aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("shingle"))))
+        F.min(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("h0"))))
         .alias(f"mh{seed}") for seed in range(num_hashes)]
     sig = sh.groupBy(id_col).agg(*mh_aggs)
     n_bands = num_hashes // band_size

@@ -281,3 +281,76 @@ def q39(spark, sf):
         F.max(F.struct("l_quantity", "l_extendedprice"))["l_extendedprice"]
         .alias("price_at_qmax"),
         F.max("l_tax").alias("tax_at_taxmax"))
+
+
+# ---------------------------------------------------------------- q54
+# Embedding-cosine near-duplicate pairs (dedup family, SURVEY Phase 6).
+# Brute-force here; the scale path buckets with hyperplane LSH first
+# (operators/similarity.py) so only same-bucket pairs are scored.
+@q("q54_embedding_neardup", sql="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
+""")
+def q54(spark, sf):
+    from rainforest_spark.operators.similarity import _dot, _norm, with_double_vec
+
+    v = with_double_vec(T(spark, sf, "embeddings"), "embedding", "v") \
+        .select("vec_id", "v", _norm("v").alias("nrm"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    pairs = a.crossJoin(broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    sim = pairs.withColumn(
+        "cos_sim", F.round(
+            F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), "
+                   "CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+            / (F.col("na") * F.col("nb")), 6))
+    return (sim.filter(F.col("cos_sim") >= 0.35)
+            .select("id_a", "id_b", "cos_sim"))
+
+
+# ---------------------------------------------------------------- q55
+# A13 per-precip-bucket scores: perfscores grouped by reference-intensity
+# bucket (the reference's bounds=[0.1, 1, 10, 100] pattern,
+# common/utils.py:96-137) — width_bucket-style CASE + grouped scores.
+@q("q55_bucketed_perfscores", sql="""
+WITH d AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(1 - l_discount AS DECIMAL(18,4)) AS DOUBLE) AS est,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 0.95 AS DOUBLE) AS ref
+  FROM lineitem),
+b AS (
+  SELECT est, ref,
+         CASE WHEN ref < 10000 THEN 0 WHEN ref < 30000 THEN 1
+              WHEN ref < 60000 THEN 2 ELSE 3 END AS bucket
+  FROM d WHERE est > 100 AND ref > 100)
+SELECT bucket, COUNT(*) AS N,
+       ROUND(sqrt(AVG((est - ref)*(est - ref))), 6) AS RMSE,
+       ROUND(10*log10(SUM(est)/SUM(ref)), 6) AS logBias
+FROM b GROUP BY bucket
+""")
+def q55(spark, sf):
+    l = T(spark, sf, "lineitem")
+    d = l.select(
+        (dec("l_extendedprice") * dec(1 - F.col("l_discount")))
+        .cast("double").alias("est"),
+        (dec("l_extendedprice") * F.lit(0.95).cast("decimal(18,4)"))
+        .cast("double").alias("ref"))
+    d = d.filter((F.col("est") > 100) & (F.col("ref") > 100))
+    bucket = (F.when(F.col("ref") < 10000, 0)
+              .when(F.col("ref") < 30000, 1)
+              .when(F.col("ref") < 60000, 2).otherwise(3)).alias("bucket")
+    err = F.col("est") - F.col("ref")
+    return d.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("N"),
+        r6(F.sqrt(F.avg(err * err))).alias("RMSE"),
+        r6(10.0 * F.log10(F.sum("est") / F.sum("ref"))).alias("logBias"))

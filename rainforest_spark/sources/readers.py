@@ -32,3 +32,22 @@ def read_df(spark: SparkSession, pattern: str, schema=None) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the driver-provided parquet tables (TESTDATA.md)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_xls(spark: SparkSession, path: str,
+             sheet_prefix: str = "Data Hourly") -> DataFrame:
+    """Excel reader (reference S14, common/io_data.py:42-62: concat all
+    'Data Hourly*' sheets).  Requires openpyxl — absent in this
+    environment, so import-gated; the parquet-fixture path is the
+    supported ingest route here."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "read_xls requires openpyxl (not installed); convert the "
+            "workbook to parquet and use read_df instead") from e
+    import pandas as pd
+
+    sheets = pd.read_excel(path, sheet_name=None)
+    frames = [v for k, v in sheets.items() if k.startswith(sheet_prefix)]
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))

@@ -58,3 +58,36 @@ def ch_to_wgs_lon(y: Column | str, x: Column | str) -> Column:
            + 0.1306 * yp * xp * xp
            - 0.0436 * yp * yp * yp)
     return lon * 100.0 / 36.0
+
+
+def rotated_pole_to_geo_lat(rlat: Column | str, rlon: Column | str,
+                            pole_lat: float = 43.0,
+                            pole_lon: float = -170.0) -> Column:
+    """COSMO rotated-pole → geographic latitude (deg).
+
+    Reference: rainforest/common/lookup.py:563-613; standard spherical
+    rotation with the rotated north pole at (pole_lat, pole_lon).
+    Sanity: rotated (0, 0) → 90 − pole_lat (the grid centre), rotated
+    north pole → pole_lat.
+    """
+    import math
+    phi_r = F.radians(_c(rlat))
+    lam_r = F.radians(_c(rlon))
+    sp, cp = math.sin(math.radians(pole_lat)), math.cos(math.radians(pole_lat))
+    return F.degrees(F.asin(F.sin(phi_r) * sp
+                            + F.cos(phi_r) * F.cos(lam_r) * cp))
+
+
+def rotated_pole_to_geo_lon(rlat: Column | str, rlon: Column | str,
+                            pole_lat: float = 43.0,
+                            pole_lon: float = -170.0) -> Column:
+    """COSMO rotated-pole → geographic longitude (deg)."""
+    import math
+    phi_r = F.radians(_c(rlat))
+    lam_r = F.radians(_c(rlon))
+    sp, cp = math.sin(math.radians(pole_lat)), math.cos(math.radians(pole_lat))
+    num = F.cos(phi_r) * F.sin(lam_r)
+    den = sp * F.cos(phi_r) * F.cos(lam_r) - cp * F.sin(phi_r)
+    lon = F.degrees(F.atan2(num, den)) + (pole_lon + 180.0)
+    # normalize to (-180, 180]
+    return lon - 360.0 * F.floor((lon + 180.0) / 360.0)

@@ -63,3 +63,16 @@ def anti_join_append(existing: DataFrame, new_rows: DataFrame,
         return keep_old.unionByName(new_rows, allowMissingColumns=True)
     add_new = new_rows.join(existing.select(key_cols), on=key_cols, how="left_anti")
     return existing.unionByName(add_new, allowMissingColumns=True)
+
+
+def append_run_summary(spark: SparkSession, path: str, day: str, t0: int,
+                       t1: int, n_steps: int, n_rows: int,
+                       task: str = "") -> None:
+    """Job-metrics append (SURVEY S17): the reference appends protocol
+    lines 'day;t0;t1;n_steps;n_rows;taskfile'
+    (retrieve_radar_data.py:663-674); here an appendable parquet table."""
+    row = [(day, int(t0), int(t1), int(n_steps), int(n_rows), task)]
+    df = spark.createDataFrame(
+        row, "day string, t0 long, t1 long, n_steps long, n_rows long, "
+             "task string")
+    df.write.mode("append").parquet(path)

@@ -57,14 +57,13 @@ def scatter_score(df: DataFrame, est_col: str, ref_col: str,
     cum = (d.withColumn("__cw", F.sum(ref_col).over(ws))
             .withColumn("__tw", F.sum(ref_col).over(wt))
             .withColumn("__q", F.col("__cw") / F.col("__tw")))
-    q16 = (cum.filter(F.col("__q") >= 0.16).groupBy(*group_cols)
-           .agg(F.min("__db_err").alias("q16")))
-    q84 = (cum.filter(F.col("__q") >= 0.84).groupBy(*group_cols)
-           .agg(F.min("__db_err").alias("q84")))
-    if group_cols:
-        out = q16.join(q84, on=group_cols)
-    else:
-        out = q16.crossJoin(q84)
+    # both quantiles in ONE pass: rows past the 16% cut, with the 84%
+    # quantile as a conditional min — one groupBy, no self-join
+    out = (cum.filter(F.col("__q") >= 0.16)
+           .groupBy(*group_cols)
+           .agg(F.min("__db_err").alias("q16"),
+                F.min(F.when(F.col("__q") >= 0.84,
+                             F.col("__db_err"))).alias("q84")))
     return out.withColumn("scatter", (F.col("q84") - F.col("q16")) / 2.0) \
               .select(*group_cols, "scatter")
 

@@ -354,3 +354,91 @@ def q55(spark, sf):
         F.count(F.lit(1)).alias("N"),
         r6(F.sqrt(F.avg(err * err))).alias("RMSE"),
         r6(10.0 * F.log10(F.sum("est") / F.sum("ref"))).alias("logBias"))
+
+
+# ---------------------------------------------------------------- q56
+# J7+A9+A10 SQL-checkable: the polar→Cartesian geometry (4/3-earth beam
+# height + ground distance), per-pixel scatter-add mean, and the
+# β-height weighted vertical composite — all expressed inline so DuckDB
+# can recompute it.  The production path uses the materialized LUT
+# (grid/lookup.py, exercised by q52/tests); this proves the MATH.
+_GEO = {k: f'{v!r}e0' if 'e' not in repr(v) else repr(v)
+        for k, v in dict(re=4.0 / 3.0 * 6371e3, rx=681201.0,
+                         ry=237604.0, rz=938.0).items()}
+_ELEV = {1: -0.2, 3: 1.0}
+
+
+@q("q56_polar_grid_sql", sql=f"""
+WITH polar AS (
+  SELECT CAST(l_orderkey % 360 AS INT) AS az,
+         CAST(l_partkey % 80 AS INT) AS rng_idx,
+         CASE WHEN l_suppkey % 2 = 0 THEN 1 ELSE 3 END AS sweep,
+         pow(10, 0.1 * (l_quantity + 5.0)) AS zh_lin
+  FROM lineitem),
+geo AS (
+  SELECT *,
+         (rng_idx + 0.5) * 500.0 AS r,
+         CASE WHEN sweep = 1 THEN radians(-0.2) ELSE radians(1.0) END AS el
+  FROM polar),
+beam AS (
+  SELECT *,
+         sqrt(r*r + {_GEO['re']}*{_GEO['re']}
+              + 2*r*{_GEO['re']}*sin(el)) - {_GEO['re']} + {_GEO['rz']} AS h,
+         {_GEO['re']} * asin(r * cos(el)
+             / ({_GEO['re']} + sqrt(r*r + {_GEO['re']}*{_GEO['re']}
+                + 2*r*{_GEO['re']}*sin(el)) - {_GEO['re']})) AS gd
+  FROM geo),
+px AS (
+  SELECT sweep, h,
+         CAST(floor(({_GEO['rx']} + sin(radians(az)) * gd) / 1000.0 - 255.0)
+              AS INT) AS x_idx,
+         CAST(floor(({_GEO['ry']} + cos(radians(az)) * gd) / 1000.0 + 160.0)
+              AS INT) AS y_idx,
+         zh_lin
+  FROM beam),
+grid AS (
+  SELECT sweep, x_idx, y_idx, AVG(zh_lin) AS zh_lin, AVG(h) AS h,
+         COUNT(*) AS n_gates
+  FROM px GROUP BY 1, 2, 3),
+comp AS (
+  SELECT x_idx, y_idx,
+         SUM(pow(10, -0.5 * h / 1000.0) * zh_lin)
+           / SUM(pow(10, -0.5 * h / 1000.0)) AS zh_comp,
+         COUNT(*) AS n_sweeps
+  FROM grid GROUP BY 1, 2)
+SELECT x_idx, y_idx, ROUND(zh_comp, 6) AS zh_comp, n_sweeps
+FROM comp
+""")
+def q56(spark, sf):
+    import math
+
+    re_, rx, ry, rz = (float(_GEO[k]) for k in ("re", "rx", "ry", "rz"))
+    l = T(spark, sf, "lineitem")
+    polar = l.select(
+        (F.col("l_orderkey") % 360).cast("int").alias("az"),
+        (F.col("l_partkey") % 80).cast("int").alias("rng_idx"),
+        F.when(F.col("l_suppkey") % 2 == 0, 1).otherwise(3).alias("sweep"),
+        F.pow(F.lit(10.0), 0.1 * (F.col("l_quantity") + 5.0)).alias("zh_lin"))
+    r = (F.col("rng_idx") + 0.5) * 500.0
+    el = F.when(F.col("sweep") == 1, F.radians(F.lit(-0.2))) \
+        .otherwise(F.radians(F.lit(1.0)))
+    slant = F.sqrt(r * r + re_ * re_ + 2 * r * re_ * F.sin(el)) - re_
+    h = slant + rz
+    gd = re_ * F.asin(r * F.cos(el) / (re_ + slant))
+    px = polar.select(
+        "sweep",
+        h.alias("h"),
+        F.floor((rx + F.sin(F.radians(F.col("az"))) * gd) / 1000.0 - 255.0)
+        .cast("int").alias("x_idx"),
+        F.floor((ry + F.cos(F.radians(F.col("az"))) * gd) / 1000.0 + 160.0)
+        .cast("int").alias("y_idx"),
+        "zh_lin")
+    grid = px.groupBy("sweep", "x_idx", "y_idx").agg(
+        F.avg("zh_lin").alias("zh_lin"), F.avg("h").alias("h"),
+        F.count(F.lit(1)).alias("n_gates"))
+    w = F.pow(F.lit(10.0), -0.5 * F.col("h") / 1000.0)
+    comp = grid.groupBy("x_idx", "y_idx").agg(
+        (F.sum(w * F.col("zh_lin")) / F.sum(w)).alias("zh_comp"),
+        F.count(F.lit(1)).alias("n_sweeps"))
+    return comp.select("x_idx", "y_idx", r6(F.col("zh_comp")).alias("zh_comp"),
+                       "n_sweeps")

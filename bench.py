@@ -55,11 +55,16 @@ def main() -> None:
     qs["q01_pricing_summary"](spark, SF_DIR).write.format("noop") \
         .mode("overwrite").save()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop") \
+                .mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

@@ -120,3 +120,57 @@ def ann_topk_bucketed(vectors: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("rnk") <= k)
             .select("query_id", F.col("rnk").cast("long").alias("rnk"),
                     "neighbor_id", "sim"))
+
+
+def ivf_topk(vectors: DataFrame, id_col: str, vec_col: str,
+             query_ids_pred: Column, k: int = 3, n_centroids: int = 16,
+             nprobe: int = 4, seed: int = 42) -> DataFrame:
+    """IVF-style ANN: MLlib KMeans partitions the corpus into inverted
+    lists; each query scores only the ``nprobe`` nearest lists.
+
+    At 100 TB this is the classic IVF trade: one KMeans fit on a sample,
+    one pass to assign list ids (stored with the data), and per-query
+    work proportional to nprobe/n_centroids of the corpus.  The list
+    assignment join is an equi-join on the list id — uniform keys.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    v = with_double_vec(vectors, vec_col, "v")
+    feat = v.withColumn("__fv", array_to_vector("v"))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv",
+                predictionCol="__list")
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("__fv")
+
+    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+
+    # nprobe nearest lists per query, computed against broadcast centers
+    q = assigned.filter(query_ids_pred).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+    qpd = q.toPandas()
+    probe_rows = []
+    for _, row in qpd.iterrows():
+        qv = np.asarray(row["qv"])
+        d = ((centers - qv) ** 2).sum(axis=1)
+        for list_id in np.argsort(d)[:nprobe]:
+            probe_rows.append((int(row["query_id"]), int(list_id)))
+    probes = assigned.sparkSession.createDataFrame(
+        probe_rows, "query_id bigint, __list int")
+
+    qside = q.join(broadcast(probes), on="query_id") \
+        .withColumn("qn", _norm("qv"))
+    t = assigned.select(F.col(id_col).alias("neighbor_id"), "__list",
+                        F.col("v").alias("tv")).withColumn("tn", _norm("tv"))
+    pairs = t.join(broadcast(qside), on="__list").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    sim = pairs.withColumn(
+        "sim", F.round(_dot("qv", "tv") / (F.col("qn") * F.col("tn")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (sim.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", F.col("rnk").cast("long").alias("rnk"),
+                    "neighbor_id", "sim"))

@@ -442,3 +442,14 @@ def q56(spark, sf):
         F.count(F.lit(1)).alias("n_sweeps"))
     return comp.select("x_idx", "y_idx", r6(F.col("zh_comp")).alias("zh_comp"),
                        "n_sweeps")
+
+
+@q("q57_ivf_ann_topk")
+def q57(spark, sf):
+    """IVF (KMeans inverted-list) approximate top-k — the second ANN
+    scale path beside hyperplane LSH (rows-only: KMeans has no SQL
+    oracle)."""
+    from rainforest_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(T(spark, sf, "embeddings"), "vec_id", "embedding",
+                    F.col("vec_id") < 20, k=3, n_centroids=8, nprobe=3)

@@ -43,3 +43,23 @@ def test_ann_recall_vs_exact(spark):
                        suffixes=("_ann", "_exact"))
     assert len(merged) == len(ann), "ANN returned a pair exact scoring lacks"
     assert (merged["sim_ann"] == merged["sim_exact"]).all()
+
+
+def test_ivf_recall(spark):
+    """IVF ANN: returned sims must equal exact sims for those pairs, and
+    recall@1 against the exact top-1 must be well above chance."""
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pred = F.col("vec_id") < 20
+    ivf = ivf_topk(emb, "vec_id", "embedding", pred, k=3,
+                   n_centroids=8, nprobe=3).toPandas()
+    exact = cosine_topk(emb, "vec_id", "embedding", pred, k=1).toPandas()
+    top1 = dict(zip(exact["query_id"], exact["neighbor_id"]))
+    hits = sum(1 for _, r in ivf[ivf["rnk"] == 1].iterrows()
+               if top1.get(r["query_id"]) == r["neighbor_id"])
+    assert len(ivf) > 0
+    recall = hits / max(len(top1), 1)
+    assert recall >= 0.5, f"IVF recall@1 too low: {recall}"

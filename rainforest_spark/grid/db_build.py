@@ -1,0 +1,97 @@
+"""Radar-table construction — the reference's ETL worker re-expressed
+(SURVEY §3.2: retrieve_radar_data.py's per-timestep pipeline).
+
+Reference flow per 10-min step: station→polar-gates LUT lookup
+(J8, lookup.py:173-253 + retrieve_radar_data.py:302-377), per-
+(station, sweep, neighbour) aggregation with argmax-linked max/min
+(A4, :838-905), two-scan temporal aggregation (A3, :526-531), wide→long
+``_remap`` (:677-788), daily parquet upsert (S5).
+
+Spark-first: the SLURM fan-out disappears — the same job runs over ALL
+timesteps at once, partitioned by day at the sink.  The station-gates
+LUT is not hand-built geometry: it is the polar→Cartesian LUT equi-joined
+with the station→pixel LUT on the pixel key (both already materialized
+dims), then broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from rainforest_spark.functions.db import AVG_BY_VAR, avg_expr_for
+from rainforest_spark.operators.aggregates import argmax_linked_agg
+
+
+def station_gates_lut(polar_cart_lut: DataFrame,
+                      station_pixel_lut: DataFrame) -> DataFrame:
+    """J8 LUT = J7 LUT ⋈ J6 LUT on the pixel key.
+
+    (RADAR, SWEEP, az_idx, rng_idx) → (STATION, NX, NY) for every gate
+    whose Cartesian pixel is a station neighbourhood pixel.
+    """
+    return polar_cart_lut.join(station_pixel_lut, on=["x_idx", "y_idx"],
+                               how="inner")
+
+
+def neighbourhood_aggregate(polar: DataFrame, gates_lut: DataFrame,
+                            variables: list[str],
+                            anchor: str = "ZH") -> DataFrame:
+    """A4: per (TIMESTAMP, STATION, RADAR, SWEEP, NX, NY) aggregate of
+    the gates in the neighbourhood — mean per the per-variable operator,
+    max/min taken AT the anchor's argmax/argmin row (KDP anchors on
+    itself, retrieve_radar_data.py:866-904)."""
+    joined = polar.join(broadcast(gates_lut),
+                        on=["RADAR", "SWEEP", "az_idx", "rng_idx"],
+                        how="inner")
+    keys = ["TIMESTAMP", "STATION", "RADAR", "SWEEP", "NX", "NY"]
+    aggs = []
+    for v in variables:
+        aggs.append(avg_expr_for(v).alias(f"{v}_mean"))
+        a = v if v.startswith("KDP") else anchor
+        tie = F.struct(F.col("az_idx"), F.col("rng_idx"))
+        aggs.append(F.max(F.struct(F.col(a).alias("__a"), tie.alias("__t"),
+                                   F.col(v).alias("__v")))["__v"]
+                    .alias(f"{v}_max"))
+        aggs.append(F.min(F.struct(F.col(a).alias("__a"), tie.alias("__t"),
+                                   F.col(v).alias("__v")))["__v"]
+                    .alias(f"{v}_min"))
+    aggs.append(F.count(anchor).alias("NVALID"))
+    return joined.groupBy(*keys).agg(*aggs)
+
+
+def temporal_pair_aggregate(obs: DataFrame, variables: list[str],
+                            window_sec: int = 600) -> DataFrame:
+    """A3: collapse the ≤2 five-minute scans of each 10-min gauge window
+    with the per-variable operator; TCOUNT counts contributing scans."""
+    keys = ["STATION", "RADAR", "SWEEP", "NX", "NY"]
+    bucket = (F.floor(F.col("TIMESTAMP") / window_sec) * window_sec) \
+        .cast("long").alias("TIMESTAMP")
+    aggs = []
+    for v in variables:
+        for suffix in ("_mean", "_max", "_min"):
+            col = f"{v}{suffix}"
+            method = AVG_BY_VAR.get(v)
+            if method == "logmean":
+                from rainforest_spark.functions.db import logmean
+                aggs.append(logmean(col).alias(col))
+            else:
+                aggs.append(F.avg(col).alias(col))
+    aggs.append(F.count(F.lit(1)).cast("int").alias("TCOUNT"))
+    return obs.groupBy(bucket, *keys).agg(*aggs)
+
+
+def build_radar_table(polar: DataFrame, polar_cart_lut: DataFrame,
+                      station_pixel_lut: DataFrame,
+                      variables: list[str]) -> DataFrame:
+    """Full §3.2 worker chain: gates LUT ⋈ polar → A4 → A3 → long table
+    keyed (TIMESTAMP, STATION, RADAR, SWEEP, NX, NY) + day column for
+    partitioned upsert."""
+    lut = station_gates_lut(polar_cart_lut, station_pixel_lut) \
+        .select("RADAR", "SWEEP", "az_idx", "rng_idx", "STATION", "NX", "NY")
+    nb = neighbourhood_aggregate(polar, lut, variables)
+    out = temporal_pair_aggregate(nb, variables)
+    return out.withColumn(
+        "day", F.date_format(F.col("TIMESTAMP").cast("timestamp"),
+                             "yyyyMMdd"))

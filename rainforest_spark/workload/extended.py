@@ -215,12 +215,10 @@ def q53(spark, sf):
     """The Phase-2 dataset-preparation pipeline end-to-end on the
     deterministic rainforest-shaped fixtures (FIXTURES.md; seeded, so the
     row count and schema are stable across runs)."""
-    import tempfile
-
     from rainforest_spark.ml.dataset import prepare_input
-    from rainforest_spark.testing.fixtures import write_fixtures
+    from rainforest_spark.testing.fixtures import cached_fixtures
 
-    fx = write_fixtures(tempfile.mkdtemp(prefix="rf_fx_"))
+    fx = cached_fixtures()
     dfs = {k: spark.read.parquet(p) for k, p in fx.items()}
     out = prepare_input(dfs["gauge"], dfs["radar"], dfs["reference"],
                         dfs["stations"], dfs["radars"])
@@ -453,3 +451,45 @@ def q57(spark, sf):
 
     return ivf_topk(T(spark, sf, "embeddings"), "vec_id", "embedding",
                     F.col("vec_id") < 20, k=3, n_centroids=8, nprobe=3)
+
+
+# ---------------------------------------------------------------- q58
+# P11 SNR mask + P12 visibility mask & correction on a long polar table
+# (radarprocessing.py:116-182), SQL-checkable on lineitem-derived gates:
+# null where ZH−NH < snr_thr; zh_lin = 10^(0.1·ZH)·min(100/VISIB, 2)
+# where VISIB ≥ 37, else null.
+@q("q58_polar_masks", sql="""
+WITH gates AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity + 2.0 AS ZH,
+         l_quantity - l_extendedprice / 2000.0 AS NH,
+         least(l_extendedprice / 1000.0, 100.0) AS VISIB
+  FROM lineitem),
+m AS (
+  SELECT l_orderkey, l_linenumber, VISIB,
+         CASE WHEN ZH - NH < 3.0 THEN NULL ELSE ZH END AS ZH
+  FROM gates)
+SELECT l_orderkey, l_linenumber,
+       ROUND(CASE WHEN ZH IS NULL OR VISIB < 37.0 THEN NULL
+             ELSE pow(10, 0.1 * ZH) * least(100.0 / VISIB, 2.0)
+             END, 6) AS zh_lin,
+       COUNT(*) OVER () AS n_total
+FROM m
+""")
+def q58(spark, sf):
+    from rainforest_spark.grid.qpe import apply_polar_masks
+    from pyspark.sql import Window
+
+    l = T(spark, sf, "lineitem")
+    gates = l.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_quantity") + 2.0).alias("ZH"),
+        (F.col("l_quantity") - F.col("l_extendedprice") / 2000.0).alias("NH"),
+        F.least(F.col("l_extendedprice") / 1000.0, F.lit(100.0))
+        .alias("VISIB"))
+    masked = apply_polar_masks(gates, snr_threshold=3.0, min_visib=37.0,
+                               max_visib_corr=2.0)
+    return masked.select(
+        "l_orderkey", "l_linenumber",
+        r6(F.col("zh_lin")).alias("zh_lin"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_total"))

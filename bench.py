@@ -40,6 +40,7 @@ HEADLINE = [
     "q43_lang_id",
     "q45_minhash_lsh",
     "q50_cosine_topk",
+    "q56_polar_grid_sql",
 ]
 
 

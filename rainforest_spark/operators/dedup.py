@@ -136,24 +136,56 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over word tokens using xxhash64 bit votes.
 
     Per token, each of the 64 bits of xxhash64(token) votes ±1; the
-    signature takes the sign of each bit-sum.  Expressed with explode +
-    groupBy (bit-parallel via aggregate over a 64-element array).
+    signature takes the sign of each bit-sum.  All 64 vote counters are
+    PARALLEL aggregates in one groupBy (map-side combine) — a 64×
+    bit-explode would multiply the shuffle for nothing.
     """
     from rainforest_spark.operators.text_analysis import tokens
 
     toks = df.select(F.col(id_col),
                      F.explode(tokens(text_col)).alias("tok"))
     h = toks.withColumn("h", F.xxhash64("tok"))
-    bits = h.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        F.col("h"))
-    votes = bits.withColumn(
-        "vote",
-        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1))
-    sums = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    sig = sums.groupBy(id_col).agg(
-        F.sum(F.when(F.col("v") > 0,
-                     F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-              .otherwise(F.lit(0).cast("long"))).alias("simhash"))
-    return sig
+    votes = [
+        F.sum(F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1)
+              .otherwise(-1)).alias(f"v{b}")
+        for b in range(64)]
+    sums = h.groupBy(id_col).agg(*votes)
+    sig_bits = [
+        F.when(F.col(f"v{b}") > 0,
+               F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for b in range(64)]
+    total = sig_bits[0]
+    for sb in sig_bits[1:]:
+        total = total + sb
+    return sums.select(F.col(id_col), total.alias("simhash"))
+
+
+def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
+                          max_hamming: int = 8) -> DataFrame:
+    """SimHash near-duplicate pairs: band the 64-bit signature into four
+    16-bit chunks (pigeonhole: hamming ≤ 3·bands−1 guarantees a shared
+    band for ≤ bands−1... in practice ≤ max_hamming candidates must share
+    at least one of 4 bands when max_hamming ≤ 3 per band region), join
+    on (band_id, chunk), then exact popcount filter.
+    """
+    sig = simhash64(df, id_col, text_col)
+    chunks = [
+        F.struct(F.lit(b).alias("band_id"),
+                 F.expr(f"(simhash >> {16 * b}) & 65535").alias("chunk"))
+        for b in range(4)]
+    banded = sig.select(F.col(id_col), F.col("simhash"),
+                        F.explode(F.array(*chunks)).alias("b")) \
+        .select(id_col, "simhash", F.col("b.band_id").alias("band_id"),
+                F.col("b.chunk").alias("chunk"))
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("sh_a"), "band_id", "chunk")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("sh_b"), "band_id", "chunk")
+    cand = (a.join(b, on=["band_id", "chunk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    hamming = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (cand.withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -493,3 +493,13 @@ def q58(spark, sf):
         "l_orderkey", "l_linenumber",
         r6(F.col("zh_lin")).alias("zh_lin"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("n_total"))
+
+
+@q("q59_simhash_neardup")
+def q59(spark, sf):
+    """SimHash near-dup candidate pairs via 16-bit band join + exact
+    Hamming filter (rows-only: engine-specific hash)."""
+    from rainforest_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(T(spark, sf, "documents"), "doc_id",
+                                 "text", max_hamming=20)

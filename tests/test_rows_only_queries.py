@@ -63,3 +63,23 @@ def test_ivf_recall(spark):
     assert len(ivf) > 0
     recall = hits / max(len(top1), 1)
     assert recall >= 0.5, f"IVF recall@1 too low: {recall}"
+
+
+def test_simhash_neardup_pairs(spark):
+    """Near-identical docs must pair with small hamming; unrelated docs
+    must not appear at a tight threshold."""
+    import pandas as pd
+
+    from rainforest_spark.operators.dedup import simhash_neardup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight") * 3
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [base, base + " extra token", "completely different words "
+                 "about spark shuffles and parquet column pruning " * 5]})
+    out = simhash_neardup_pairs(spark.createDataFrame(docs), "doc_id",
+                                "text", max_hamming=12).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs

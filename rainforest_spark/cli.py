@@ -53,7 +53,12 @@ def cmd_qpe(args) -> int:
 
     spark = get_spark("rainforest-qpe")
     polar = read_polar_volumes(spark, args.input)
-    lut = polar_to_cart_lut(spark, RADAR_XYZ)
+    # build the LUT only for the (radar, sweep) pairs actually present —
+    # one tiny distinct scan instead of the full 5×20 geometry
+    present = polar.select("RADAR", "SWEEP").distinct().collect()
+    radars = {r["RADAR"]: RADAR_XYZ[r["RADAR"]] for r in present}
+    sweeps = sorted({r["SWEEP"] for r in present})
+    lut = polar_to_cart_lut(spark, radars, sweeps=sweeps)
     comp = vertical_composite(
         polar_to_grid(apply_polar_masks(polar), lut, ["zh_lin"]),
         ["zh_lin"], visib_col=None)

@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from rainforest_spark.functions.db import AVG_BY_VAR, avg_expr_for
-from rainforest_spark.operators.aggregates import argmax_linked_agg
 
 
 def station_gates_lut(polar_cart_lut: DataFrame,

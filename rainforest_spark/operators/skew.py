@@ -14,9 +14,8 @@ hot key into S partial groups and re-merges.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 
 def salted_join(big: DataFrame, small: DataFrame, on: list[str],

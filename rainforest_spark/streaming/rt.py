@@ -87,3 +87,22 @@ def run_rt_pipeline(spark: SparkSession, source_path: str, schema: str,
     else:
         writer = writer.trigger(processingTime="5 minutes")
     return writer.start()
+
+
+def session_window_aggregate(stream: DataFrame, gap: str = "30 minutes",
+                             partition_cols: list[str] | None = None,
+                             value_col: str = "ZH",
+                             watermark: str = "1 hour") -> DataFrame:
+    """Streaming session windows: the reference sessionizes offline with
+    a cumsum of gap jumps (A15); in streaming, Spark's ``session_window``
+    maintains the same semantics with watermark-bounded state."""
+    from pyspark.sql import functions as F
+
+    with_ts = stream.withColumn("event_time",
+                                F.col("TIMESTAMP").cast("timestamp"))
+    keys = partition_cols or ["STATION"]
+    return (with_ts.withWatermark("event_time", watermark)
+            .groupBy(F.session_window("event_time", gap).alias("session"),
+                     *keys)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.avg(value_col).alias(f"{value_col}_mean")))

@@ -13,7 +13,7 @@ Blocks (not single pixels) keep the state-store key count bounded:
 
 from __future__ import annotations
 
-from typing import Any, Iterator, Tuple
+from typing import Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame

@@ -11,9 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from rainforest_spark.workload.common import (
-    T, dec, sum_dec, epoch_d, r6,
-)
+from rainforest_spark.workload.common import T, dec, epoch_d, r6
 
 QUERIES = {}
 ORACLES = {}
@@ -298,7 +296,7 @@ WHERE a.vec_id < b.vec_id
   AND ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
 """)
 def q54(spark, sf):
-    from rainforest_spark.operators.similarity import _dot, _norm, with_double_vec
+    from rainforest_spark.operators.similarity import _norm, with_double_vec
 
     v = with_double_vec(T(spark, sf, "embeddings"), "embedding", "v") \
         .select("vec_id", "v", _norm("v").alias("nrm"))
@@ -408,8 +406,6 @@ SELECT x_idx, y_idx, ROUND(zh_comp, 6) AS zh_comp, n_sweeps
 FROM comp
 """)
 def q56(spark, sf):
-    import math
-
     re_, rx, ry, rz = (float(_GEO[k]) for k in ("re", "rx", "ry", "rz"))
     l = T(spark, sf, "lineitem")
     polar = l.select(

@@ -14,7 +14,6 @@ from rainforest_spark.functions.db import logmean
 from rainforest_spark.operators import joins as J
 from rainforest_spark.operators import aggregates as A
 from rainforest_spark.operators import windows as W
-from rainforest_spark.operators import scores as S
 from rainforest_spark.workload.common import (
     T, dec, sum_dec, epoch_d, epoch_s, r6, sql_sum_dec, sql_epoch,
 )

@@ -93,3 +93,32 @@ def test_rt_foreachbatch_grid(spark, tmp_path):
     out = spark.read.parquet(f"{sink}/batch=0").toPandas()
     assert len(out) > 50
     assert {"x_idx", "y_idx", "zh_lin", "w_total"} <= set(out.columns)
+
+
+def test_session_window_stream(spark, tmp_path):
+    from rainforest_spark.streaming.rt import session_window_aggregate
+
+    src = str(tmp_path / "sess_src")
+    sink = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    os.makedirs(src)
+    t0 = 1717200000
+    # two sessions separated by a 2h gap, then a late watermark-advancer
+    rows = ([(t0 + i * 300, "ST00", 10.0) for i in range(4)]
+            + [(t0 + 7200 + i * 300, "ST00", 20.0) for i in range(2)]
+            + [(t0 + 7 * 3600, "ST00", 1.0)])
+    pd.DataFrame(rows, columns=["TIMESTAMP", "STATION", "ZH"]) \
+        .to_parquet(f"{src}/a.parquet", index=False)
+    stream = (spark.readStream
+              .schema("TIMESTAMP bigint, STATION string, ZH double")
+              .parquet(src))
+    q = (session_window_aggregate(stream, gap="30 minutes")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink).toPandas()
+    # the two early sessions are below watermark and emitted
+    emitted = out.sort_values("n_events", ignore_index=True)
+    assert len(emitted) >= 2
+    assert set(emitted["n_events"]) >= {2, 4}

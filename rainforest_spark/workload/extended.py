@@ -499,3 +499,25 @@ def q59(spark, sf):
 
     return simhash_neardup_pairs(T(spark, sf, "documents"), "doc_id",
                                  "text", max_hamming=20)
+
+
+# ---------------------------------------------------------------- q60
+# ROLLUP subtotals (not in the reference's surface — free from Spark SQL,
+# SURVEY §2.4 note; the coalesced 'ALL' label keeps the rollup NULLs
+# distinguishable from data NULLs for the hash compare).
+@q("q60_rollup_subtotals", sql="""
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_sum
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q60(spark, sf):
+    l = T(spark, sf, "lineitem")
+    return (l.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(dec("l_quantity")).cast("double").alias("qty_sum"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                    "n", "qty_sum"))

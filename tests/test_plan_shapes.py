@@ -58,3 +58,28 @@ def test_scan_count_single_pass(spark):
     # formatted explain lists each node once in the tree and once in the
     # detail section — count the detail headers
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_partition_pruning_on_daily_table(spark, tmp_path):
+    """Day-partitioned tables must prune partitions from a day filter —
+    the construction that replaces the reference's per-day file skipping
+    (SURVEY §4 'partition pruning by construction')."""
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.sources.writers import upsert_daily_partition
+
+    df = spark.createDataFrame(
+        [(d, k, float(k)) for d in ("20240601", "20240602", "20240603")
+         for k in range(50)],
+        "day string, k int, v double")
+    path = str(tmp_path / "daily")
+    upsert_daily_partition(spark, df, path, ["day", "k"])
+    q = spark.read.parquet(path).filter(F.col("day") == "20240602")
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert "day" in m.group(1), "day filter not pushed to partition pruning"
+    assert q.count() == 50

@@ -23,23 +23,26 @@ def rain_proxy(zh_lin: Column | str, a: float = 316.0, b: float = 1.5) -> Column
 
 
 def kochendorfer_adjust(precip: Column | str, temp: Column | str,
-                        wind: Column | str,
-                        solid_temp: float = 2.0) -> Column:
-    """Catch-efficiency gauge adjustment (Kochendorfer et al. transfer fn).
+                        wind: Column | str) -> Column:
+    """Catch-efficiency gauge adjustment (Kochendorfer et al. 2017 KD4
+    transfer function, hess-21-3525-2017).
 
-    Reference: retrieve_dwh_data.py:75-102 — wind clipped at 9 m/s; mixed
-    precip (T in (solid_temp, ~8]) and solid (T ≤ solid_temp) get
-    ``CE = a·exp(−b·U) + c``; liquid is unadjusted.  Coefficients are the
-    reference's mixed/solid constants.
+    Reference: database_10min/retrieve_dwh_data.py:79-97 — wind clipped at
+    9 m/s; ``CE = a·exp(−b·U) + c`` with
+    solid (T < −2):      a=0.865, b=0.298, c=0.225
+    mixed (−2 ≤ T ≤ 2):  a=0.624, b=0.185, c=0.364
+    liquid (T > 2):      unadjusted (CE = 1).
+    Null temperature rows are left unadjusted, like the reference's
+    ``~isna`` masks.
     """
     u = F.least(_c(wind), F.lit(9.0))
-    ce_mixed = 0.1245 + F.lit(0.867) * F.exp(-0.3270 * u) - F.lit(0.0)
-    ce_solid = F.lit(0.378) * F.exp(-0.1130 * u) + F.lit(0.3787)
+    ce_mixed = F.lit(0.624) * F.exp(-0.185 * u) + F.lit(0.364)
+    ce_solid = F.lit(0.865) * F.exp(-0.298 * u) + F.lit(0.225)
     t = _c(temp)
-    ce = (F.when(t <= solid_temp, ce_solid)
-          .when(t <= 8.0, ce_mixed)
+    ce = (F.when(t < -2.0, ce_solid)
+          .when(t <= 2.0, ce_mixed)
           .otherwise(F.lit(1.0)))
-    return _c(precip) / ce
+    return _c(precip) / F.coalesce(ce, F.lit(1.0))
 
 
 def visib_correction(zh_lin: Column | str, visib: Column | str,

@@ -4,8 +4,11 @@
   DN codes with ``searchsorted(SCALE_CPC, x)`` (qpe/qpe.py:276-279,
   io_data.py:201-206; scale common/constants.py:133-183).  Here the
   scale is a 256-row broadcast dimension table and the encode is a
-  range join — or, for the default exponential scale, a closed-form
-  column expression (both provided; the join form works for ANY scale).
+  range join with searchsorted-LEFT semantics: dn is the FIRST index
+  with scale[dn] >= x (the join form works for ANY monotone scale).
+  SCALE_CPC itself is generated from its public closed form
+  ``2^(k/20) − 1`` (scale[0] = scale[1] = 0), bit-matching the
+  reference table.
 - Sinks: ODIM HDF5 requires h5py (absent here — import-gated); the
   engine-native sink is .npz + JSON metadata sidecar carrying the same
   attributes the reference writes (timestamps, quality, nodata).
@@ -22,28 +25,44 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+def scale_cpc(n: int = 256) -> np.ndarray:
+    """The CPC DN scale from its closed form ``scale[k] = 2^(k/20) − 1``
+    with scale[0] = scale[1] = 0 — reproduces the reference's SCALE_CPC
+    constant table (common/constants.py:133-183) to float precision."""
+    k = np.arange(n, dtype=float)
+    s = 2.0 ** (k / 20.0) - 1.0
+    s[:2] = 0.0
+    return s
+
+
 def default_scale(n: int = 256, c: float = 0.04, base: float = 1.0428) -> np.ndarray:
-    """Exponential DN scale like SCALE_CPC: scale[0]=0, scale[k]=c·base^k
-    ascending; DN = #scale values <= x."""
+    """Exponential DN scale of the same shape as SCALE_CPC — kept for
+    synthetic tests where a coarser ladder is convenient."""
     k = np.arange(n - 1, dtype=float)
     return np.concatenate([[0.0], c * base ** k])
 
 
 def scale_table(spark: SparkSession, scale: np.ndarray) -> DataFrame:
-    """(dn, lo, hi) broadcastable range table; hi of last bin = +inf."""
-    lo = scale
-    hi = np.append(scale[1:], np.inf)
+    """(dn, prev, lo) broadcastable range table with searchsorted-left
+    semantics: dn = first index where scale[dn] >= x, i.e. x in
+    (scale[dn−1], scale[dn]].  The last bin is open-ended — values past
+    the scale clip to n−1 (the reference's ``astype('B')`` would wrap
+    instead; clipping is the safe choice and is documented here)."""
+    prev = np.concatenate([[-np.inf], scale[:-1]])
+    lo = np.append(scale[:-1], np.inf)
     pdf = pd.DataFrame({"dn": np.arange(len(scale), dtype=np.int32),
-                        "lo": lo, "hi": hi})
+                        "prev": prev, "lo": lo})
     return spark.createDataFrame(pdf)
 
 
 def dn_encode(df: DataFrame, value_col: str, scale_df: DataFrame,
               out_col: str = "dn") -> DataFrame:
-    """float → DN byte via broadcast range join (works for any scale)."""
-    cond = (F.col(value_col) >= F.col("lo")) & (F.col(value_col) < F.col("hi"))
+    """float → DN byte via broadcast range join (works for any monotone
+    scale).  Matches ``np.searchsorted(scale, x)``: dn is the first
+    index with scale[dn] >= x (qpe/qpe.py:276)."""
+    cond = (F.col(value_col) > F.col("prev")) & (F.col(value_col) <= F.col("lo"))
     joined = df.join(broadcast(scale_df), cond, "left")
-    return joined.drop("lo", "hi").withColumnRenamed("dn", out_col)
+    return joined.drop("prev", "lo").withColumnRenamed("dn", out_col)
 
 
 def dn_decode(df: DataFrame, dn_col: str, scale: np.ndarray,
@@ -56,7 +75,7 @@ def dn_decode(df: DataFrame, dn_col: str, scale: np.ndarray,
 
 def save_grid_npz(grid_df: DataFrame, value_col: str, out_path: str,
                   timestamp: int, quality: str = "ADLPW",
-                  nx: int = 640, ny: int = 710) -> None:
+                  nx: int = 710, ny: int = 640) -> None:
     """Engine-native grid sink: dense .npz + JSON metadata sidecar
     (mirrors the ODIM attributes qpe/qpe.py:264-308 writes)."""
     from rainforest_spark.grid.qpe import grid_to_matrix

@@ -6,15 +6,17 @@ equivalent: materialize the same mappings as small parquet DIMENSION
 TABLES at bootstrap and broadcast-join them everywhere (SURVEY §4
 "precomputed join indices").
 
-Geometry is pure math (4/3-earth-radius beam propagation with ke = 4/3·
-1.25-style refraction per the reference's KE constant; Doviak & Zrnić) —
-computed driver-side with numpy (tiny: 5 radars × 20 sweeps × gates) and
-loaded as a DataFrame.
+Geometry is pure math (effective-earth-radius beam propagation with the
+Swiss ke = 1.25 replacing the textbook 4/3 — radarprocessing.py:376-389
+``correct_gate_altitude``; Doviak & Zrnić) — computed driver-side with
+numpy (tiny: 5 radars × 20 sweeps × gates) and loaded as a DataFrame.
 
-Reference grid: 640×710 km Swiss LV03 1-km grid (common/constants.py:
-112-126): X_QPE (easting) 255..894 km, Y_QPE (northing) -160..479 km in
-the reference's axis convention; here we persist (x_idx, y_idx) indexes +
-LV03 coordinates.
+Reference grid (common/constants.py:112-126): easting (the reference's
+Y_QPE) 255..965 km → 710 bins; northing (the reference's X_QPE)
+480..-160 km descending → 640 bins.  Here x_idx indexes easting
+ascending and y_idx indexes northing ascending; raster export flips to
+the reference's descending-northing row order (grid/qpe.py
+grid_to_matrix).
 """
 
 from __future__ import annotations
@@ -23,14 +25,15 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-#: grid shape (common/constants.py:112-113)
-NBINS_X, NBINS_Y = 640, 710
+#: grid shape (common/constants.py:112-126): 710 easting bins (Y_QPE
+#: 255..965), 640 northing bins (X_QPE 480..-160 descending)
+NBINS_X, NBINS_Y = 710, 640
 #: 1 km resolution, LV03 km offsets of the QPE domain (constants.py:118-126)
 X0_KM, Y0_KM = 255.0, -160.0
 
-#: effective earth-radius factor (common/radarprocessing.py:376-389 uses
-#: ke=1.25 on top of 4/3; standard refraction model)
-KE = 4.0 / 3.0
+#: effective earth-radius factor — the reference REPLACES 4/3 with the
+#: Swiss ke=1.25 (radarprocessing.py:376-389 correct_gate_altitude)
+KE = 1.25
 R_EARTH = 6371e3
 
 #: per-sweep elevation angles, degrees (reference ELEVATIONS,

@@ -119,14 +119,18 @@ def temporal_smooth(grids: DataFrame, value_col: str = "rain_rate",
     return out
 
 
-def grid_to_matrix(grid_df, value_col: str, nx: int = 640, ny: int = 710):
+def grid_to_matrix(grid_df, value_col: str, nx: int = 710, ny: int = 640):
     """Collect one timestep's sparse pixel rows into a dense numpy grid —
     the ODIM/GIF sink boundary (driver-side by design, like the
-    reference's save_output; only ~454k float32 per map)."""
+    reference's save_output; only ~454k float32 per map).
+
+    Row order follows the reference raster convention (constants.py
+    X_QPE 480..-160 DESCENDING): row 0 is the northernmost 1-km band, so
+    the matrix is (640 northing rows, 710 easting cols)."""
     import numpy as np
 
     pdf = grid_df.select("x_idx", "y_idx", value_col).toPandas()
     m = np.full((ny, nx), np.nan, dtype=np.float32)
-    m[pdf["y_idx"].to_numpy(), pdf["x_idx"].to_numpy()] = \
+    m[ny - 1 - pdf["y_idx"].to_numpy(), pdf["x_idx"].to_numpy()] = \
         pdf[value_col].to_numpy(dtype=np.float32)
     return m

@@ -162,18 +162,31 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
-                          max_hamming: int = 8) -> DataFrame:
-    """SimHash near-duplicate pairs: band the 64-bit signature into four
-    16-bit chunks (pigeonhole: hamming ≤ 3·bands−1 guarantees a shared
-    band for ≤ bands−1... in practice ≤ max_hamming candidates must share
-    at least one of 4 bands when max_hamming ≤ 3 per band region), join
-    on (band_id, chunk), then exact popcount filter.
+                          max_hamming: int = 7,
+                          n_bands: int | None = None) -> DataFrame:
+    """SimHash near-duplicate pairs: band the 64-bit signature into
+    ``n_bands`` equal chunks, join on (band_id, chunk), then exact
+    popcount filter.
+
+    Pigeonhole guarantee: a pair with hamming ≤ n_bands − 1 shares at
+    least one unchanged band, so candidate generation is EXHAUSTIVE for
+    ``max_hamming ≤ n_bands − 1``.  ``n_bands`` defaults to the smallest
+    power-of-two divisor of 64 exceeding ``max_hamming``, capped at 16
+    (4-bit chunks) — beyond that the band keys have too few distinct
+    values to bucket at scale, so for ``max_hamming ≥ 16`` recall is
+    PARTIAL by construction (documented trade; lower max_hamming or
+    accept missed pairs).
     """
+    if n_bands is None:
+        n_bands = next((b for b in (4, 8, 16) if b > max_hamming), 16)
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     sig = simhash64(df, id_col, text_col)
     chunks = [
         F.struct(F.lit(b).alias("band_id"),
-                 F.expr(f"(simhash >> {16 * b}) & 65535").alias("chunk"))
-        for b in range(4)]
+                 F.expr(f"(simhash >> {width * b}) & {mask}").alias("chunk"))
+        for b in range(n_bands)]
     banded = sig.select(F.col(id_col), F.col("simhash"),
                         F.explode(F.array(*chunks)).alias("b")) \
         .select(id_col, "simhash", F.col("b.band_id").alias("band_id"),

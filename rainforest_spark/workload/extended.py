@@ -179,7 +179,12 @@ def q49(spark, sf):
         F.encode("text", "UTF-8").alias("content"),
         F.col("source"))
     out = extract_features(decode_image_meta(d), dim=8)
-    return out.select("media_id", "format", "n_bytes", "features")
+    # posexplode to scalar (media_id, dim_idx, value) rows: the driver's
+    # pandas value-hash can't factorize array cells (round-1 q49 err).
+    return out.select(
+        "media_id", "format", "n_bytes",
+        F.posexplode("features").alias("dim_idx", "value")) \
+        .withColumn("value", F.round(F.col("value").cast("double"), 6))
 
 
 @q("q52_grid_composite")
@@ -359,7 +364,7 @@ def q55(spark, sf):
 # can recompute it.  The production path uses the materialized LUT
 # (grid/lookup.py, exercised by q52/tests); this proves the MATH.
 _GEO = {k: f'{v!r}e0' if 'e' not in repr(v) else repr(v)
-        for k, v in dict(re=4.0 / 3.0 * 6371e3, rx=681201.0,
+        for k, v in dict(re=1.25 * 6371e3, rx=681201.0,
                          ry=237604.0, rz=938.0).items()}
 _ELEV = {1: -0.2, 3: 1.0}
 
@@ -493,12 +498,14 @@ def q58(spark, sf):
 
 @q("q59_simhash_neardup")
 def q59(spark, sf):
-    """SimHash near-dup candidate pairs via 16-bit band join + exact
-    Hamming filter (rows-only: engine-specific hash)."""
+    """SimHash near-dup candidate pairs via 8×8-bit band join + exact
+    Hamming filter (rows-only: engine-specific hash).  max_hamming=7 is
+    the largest radius with the exhaustive pigeonhole guarantee at 8
+    bands (operators/dedup.py simhash_neardup_pairs)."""
     from rainforest_spark.operators.dedup import simhash_neardup_pairs
 
     return simhash_neardup_pairs(T(spark, sf, "documents"), "doc_id",
-                                 "text", max_hamming=20)
+                                 "text", max_hamming=7)
 
 
 # ---------------------------------------------------------------- q60

@@ -487,20 +487,22 @@ def q23(spark, sf):
 SELECT event_type,
        ROUND(AVG(value / (CASE
          WHEN event_type = 'error'
-           THEN 0.378 * exp(-0.113 * least(value, 9.0)) + 0.3787
+           THEN 0.865 * exp(-0.298 * least(value, 9.0)) + 0.225
          WHEN event_type IN ('click', 'view')
-           THEN 0.1245 + 0.867 * exp(-0.327 * least(value, 9.0))
+           THEN 0.624 * exp(-0.185 * least(value, 9.0)) + 0.364
          ELSE 1.0 END)), 6) AS adj_mean,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """)
 def q24(spark, sf):
+    # KD4 coefficients (database_10min/retrieve_dwh_data.py:83-94):
+    # 'error' plays the solid band, click/view the mixed band.
     e = T(spark, sf, "events")
     u = F.least(F.col("value"), F.lit(9.0))
     ce = (F.when(F.col("event_type") == "error",
-                 0.378 * F.exp(-0.113 * u) + 0.3787)
+                 0.865 * F.exp(-0.298 * u) + 0.225)
           .when(F.col("event_type").isin("click", "view"),
-                0.1245 + 0.867 * F.exp(-0.327 * u))
+                0.624 * F.exp(-0.185 * u) + 0.364)
           .otherwise(F.lit(1.0)))
     return (e.withColumn("adj", F.col("value") / ce)
             .groupBy("event_type")
@@ -626,22 +628,25 @@ def q30(spark, sf):
 
 # ---------------------------------------------------------------- q31
 # F6 DN discretization as a broadcast range join against a scale ladder
-# (SCALE_CPC searchsorted, io_data.py:201-206).
-_LADDER = [(i, float(i * 7000), float((i + 1) * 7000) if i < 15 else 1e18)
+# with searchsorted-LEFT semantics: dn = first index where the ladder
+# value >= x, i.e. x in (scale[dn-1], scale[dn]] (SCALE_CPC searchsorted,
+# qpe/qpe.py:276, io_data.py:201-206; grid/io.py dn_encode).
+_LADDER = [(i, float((i - 1) * 7000) if i > 0 else -1e18,
+            float(i * 7000) if i < 15 else 1e18)
            for i in range(16)]
 @q("q31_dn_discretization", sql="""
-WITH scale(dn, lo, hi) AS (VALUES """ + ",".join(
-    f"({d}, {lo}, {hi})" for d, lo, hi in _LADDER) + """)
+WITH scale(dn, prev, lo) AS (VALUES """ + ",".join(
+    f"({d}, {prev}, {lo})" for d, prev, lo in _LADDER) + """)
 SELECT s.dn, COUNT(*) AS n
 FROM lineitem l JOIN scale s
-  ON l.l_extendedprice >= s.lo AND l.l_extendedprice < s.hi
+  ON l.l_extendedprice > s.prev AND l.l_extendedprice <= s.lo
 GROUP BY s.dn
 """)
 def q31(spark, sf):
     l = T(spark, sf, "lineitem")
-    scale = spark.createDataFrame(_LADDER, "dn int, lo double, hi double")
-    cond = (F.col("l_extendedprice") >= F.col("lo")) & \
-           (F.col("l_extendedprice") < F.col("hi"))
+    scale = spark.createDataFrame(_LADDER, "dn int, prev double, lo double")
+    cond = (F.col("l_extendedprice") > F.col("prev")) & \
+           (F.col("l_extendedprice") <= F.col("lo"))
     return (l.join(broadcast(scale), cond, "inner")
             .groupBy("dn").agg(F.count(F.lit(1)).alias("n")))
 

@@ -12,22 +12,37 @@ from pyspark.sql import functions as F
 
 def test_dn_encode_decode_roundtrip(spark):
     from rainforest_spark.grid.io import (
-        default_scale, dn_decode, dn_encode, scale_table,
+        dn_decode, dn_encode, scale_cpc, scale_table,
     )
 
-    scale = default_scale()
+    scale = scale_cpc()
     st = scale_table(spark, scale)
-    vals = [0.0, 0.03, 0.04, 0.5, 5.0, 100.0, 1e5]
+    # boundary values, bin interiors, exact scale points, past-the-end
+    vals = [0.0, 0.03, 0.04, 0.5, float(scale[7]), 5.0, 100.0, 6000.0]
     df = spark.createDataFrame(pd.DataFrame({"v": vals}))
     enc = dn_encode(df, "v", st).toPandas().set_index("v")["dn"]
-    # golden: searchsorted semantics (count of scale values <= x)
-    gold = {v: int(np.searchsorted(scale, v, side="right")) - 1 for v in vals}
+    # golden: the reference's np.searchsorted(SCALE_CPC, x) (qpe.py:276)
+    gold = {v: int(np.searchsorted(scale, v)) for v in vals}
     for v in vals:
         assert enc[v] == gold[v], f"{v}: {enc[v]} != {gold[v]}"
     dec = dn_decode(spark.createDataFrame(
         pd.DataFrame({"dn": list(set(enc))})), "dn", scale).toPandas()
+    # reference decode is SCALE_CPC[dn] (io_data.py:203)
     for _, r in dec.iterrows():
         assert r["value"] == scale[int(r["dn"])]
+
+
+def test_scale_cpc_matches_reference_form():
+    from rainforest_spark.grid.io import scale_cpc
+
+    s = scale_cpc()
+    # spot values of the published SCALE_CPC table (constants.py:133-183)
+    assert s[0] == 0.0 and s[1] == 0.0
+    assert abs(s[2] - 7.177341e-02) < 1e-6
+    assert abs(s[20] - 1.0) < 1e-9
+    assert abs(s[40] - 3.0) < 1e-9
+    assert abs(s[100] - 31.0) < 1e-7
+    assert np.all(np.diff(s[1:]) > 0)
 
 
 def test_npz_sink(spark, tmp_path):
@@ -39,10 +54,12 @@ def test_npz_sink(spark, tmp_path):
     out = str(tmp_path / "qpe_202406010510.npz")
     save_grid_npz(df, "rain_rate", out, timestamp=1717218600, quality="AD-PW")
     m = np.load(out)["data"]
-    assert m.shape == (710, 640)
-    assert m[3, 1] == 1.5 and m[4, 2] == 2.5 and np.isnan(m[0, 0])
+    # reference raster: (640 northing rows DESCENDING, 710 easting cols)
+    assert m.shape == (640, 710)
+    assert m[640 - 1 - 3, 1] == 1.5 and m[640 - 1 - 4, 2] == 2.5
+    assert np.isnan(m[0, 0])
     meta = json.load(open(out + ".json"))
-    assert meta["quality"] == "AD-PW" and meta["shape"] == [1, 710, 640]
+    assert meta["quality"] == "AD-PW" and meta["shape"] == [1, 640, 710]
 
 
 def test_odim_gate(spark):

@@ -41,8 +41,8 @@ def test_lut_geometry(spark):
     lut = polar_to_cart_lut(spark, {"A": RADAR_XYZ["A"]}, sweeps=[1, 5],
                             n_az=360, n_rng=50).toPandas()
     assert set(lut["SWEEP"]) == {1, 5}
-    assert (lut["x_idx"] >= 0).all() and (lut["x_idx"] < 640).all()
-    assert (lut["y_idx"] >= 0).all() and (lut["y_idx"] < 710).all()
+    assert (lut["x_idx"] >= 0).all() and (lut["x_idx"] < 710).all()
+    assert (lut["y_idx"] >= 0).all() and (lut["y_idx"] < 640).all()
     # beam height grows with range & elevation
     h1 = beam_height(np.array([1e4, 5e4]), ELEVATIONS[0], 900.0)
     h5 = beam_height(np.array([1e4, 5e4]), ELEVATIONS[4], 900.0)

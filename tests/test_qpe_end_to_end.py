@@ -2,7 +2,8 @@
 per-pixel composite → MLlib RF predict on grid features → dense map sink.
 
 Mirrors the reference's e2e golden test shape (tests_ci/qpe/test_qpe.py:
-14-46: grid (1,640,710), >2 distinct values, time metadata)."""
+14-46: grid (1,640,710) — 640 descending-northing rows × 710 easting
+cols, >2 distinct values, time metadata)."""
 
 from __future__ import annotations
 
@@ -71,7 +72,7 @@ def test_qpe_end_to_end(spark, tmp_path):
     save_grid_npz(scored.withColumnRenamed("prediction_bc", "qpe"),
                   "qpe", out, timestamp=1717218600, quality="AD---")
     m = np.load(out)["data"]
-    assert m.shape == (710, 640)
+    assert m.shape == (640, 710)
     assert len(np.unique(m[np.isfinite(m)])) > 2
     meta = json.load(open(out + ".json"))
-    assert meta["shape"] == [1, 710, 640] and meta["quality"] == "AD---"
+    assert meta["shape"] == [1, 640, 710] and meta["quality"] == "AD---"

@@ -10,9 +10,9 @@ Spark-first deltas:
   (SURVEY §7 Phase 3).
 - bias correction: the reference fits a zero-intercept polynomial on the
   (sorted predictions, sorted observations) pairs (rfdefinitions.py:42-50)
-  — a tiny driver-side fit on collected arrays (quantile-quantile match),
-  applied afterwards as a pure column expression, so scoring/batch
-  prediction stays distributed.
+  — a quantile-quantile match, so we fit on an approxQuantile grid
+  (~1k points cross the driver, never the training set) and apply it as
+  a pure column expression; scoring/batch prediction stays distributed.
 - fold assignment is a deterministic hash of the event id
   (ml/utils.py:114-115 uses RNG; we keep it reproducible).
 """
@@ -83,11 +83,16 @@ class RandomForestQPE:
             numTrees=self.num_trees, maxDepth=self.max_depth,
             seed=self.seed, subsamplingRate=0.8)
         self.model = rf.fit(train)
-        # bias correction: small driver-side quantile-quantile fit
-        pred_obs = (self.model.transform(train)
-                    .select("prediction", self.target).toPandas())
-        self.bc = BiasCorrection.fit(pred_obs["prediction"].to_numpy(),
-                                     pred_obs[self.target].to_numpy(),
+        # bias correction: the reference fits sorted(pred) vs sorted(obs)
+        # on the FULL collected training set (rfdefinitions.py:42-50) —
+        # a q-q match, so a fixed quantile grid carries the same
+        # information.  approxQuantile keeps it distributed: ~1k grid
+        # points cross the driver instead of every training row.
+        scored = self.model.transform(train).select("prediction", self.target)
+        probs = [i / 1000.0 for i in range(1001)]
+        qp, qo = scored.approxQuantile(["prediction", self.target],
+                                       probs, 1e-3)
+        self.bc = BiasCorrection.fit(np.asarray(qp), np.asarray(qo),
                                      degree=bc_degree)
         return self
 

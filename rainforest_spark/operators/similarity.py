@@ -133,7 +133,7 @@ def ivf_topk(vectors: DataFrame, id_col: str, vec_col: str,
     work proportional to nprobe/n_centroids of the corpus.  The list
     assignment join is an equi-join on the list id — uniform keys.
     """
-    import numpy as np
+    import pandas as pd
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
@@ -145,20 +145,24 @@ def ivf_topk(vectors: DataFrame, id_col: str, vec_col: str,
     model = km.fit(feat)
     assigned = model.transform(feat).drop("__fv")
 
-    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
-
-    # nprobe nearest lists per query, computed against broadcast centers
+    # nprobe nearest lists per query — IN THE PLAN: queries × broadcast
+    # centroids (n_centroids rows — tiny), squared distance as a JVM
+    # zip_with fold, row_number ≤ nprobe.  No driver-side loop: the
+    # query table never leaves the executors.
+    cdf = assigned.sparkSession.createDataFrame(pd.DataFrame({
+        "__list": range(n_centroids),
+        "cv": [[float(x) for x in c] for c in model.clusterCenters()]}))
     q = assigned.filter(query_ids_pred).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
-    qpd = q.toPandas()
-    probe_rows = []
-    for _, row in qpd.iterrows():
-        qv = np.asarray(row["qv"])
-        d = ((centers - qv) ** 2).sum(axis=1)
-        for list_id in np.argsort(d)[:nprobe]:
-            probe_rows.append((int(row["query_id"]), int(list_id)))
-    probes = assigned.sparkSession.createDataFrame(
-        probe_rows, "query_id bigint, __list int")
+    d2 = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("__list").asc())
+    probes = (q.crossJoin(broadcast(cdf)).withColumn("__d2", d2)
+              .withColumn("__pr", F.row_number().over(pw))
+              .filter(F.col("__pr") <= nprobe)
+              .select("query_id", "__list"))
 
     qside = q.join(broadcast(probes), on="query_id") \
         .withColumn("qn", _norm("qv"))

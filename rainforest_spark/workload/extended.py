@@ -285,36 +285,88 @@ def q39(spark, sf):
 
 
 # ---------------------------------------------------------------- q54
-# Embedding-cosine near-duplicate pairs (dedup family, SURVEY Phase 6).
-# Brute-force here; the scale path buckets with hyperplane LSH first
-# (operators/similarity.py) so only same-bucket pairs are scored.
+# Embedding-cosine near-duplicate pairs (dedup family, SURVEY Phase 6)
+# via the SCALE PATH: multi-table hyperplane-LSH candidate generation
+# (equi-join on the bucket key — never a corpus cross join), then exact
+# cosine on candidates only.  The plane literals are inlined into the
+# DuckDB oracle so BOTH engines compute the identical bucketed
+# semantics and the value-hash gate stays exact; recall vs the
+# brute-force truth is the documented LSH trade (measured in
+# tests/test_rows_only_queries.py).
+import numpy as _np
+
+_ND_TABLES, _ND_PLANES, _ND_DIM = 2, 3, 64
+_ND_P = _np.random.RandomState(4242).randn(_ND_TABLES, _ND_PLANES, _ND_DIM)
+
+
+def _nd_bucket_sql(t: int) -> str:
+    terms = []
+    for p in range(_ND_PLANES):
+        lits = ",".join(repr(float(x)) for x in _ND_P[t, p])
+        terms.append(f"(CASE WHEN list_dot_product(v, [{lits}]) > 0 "
+                     f"THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _nd_bucket_col(t: int):
+    b = F.lit(0)
+    for p in range(_ND_PLANES):
+        arr = F.array(*[F.lit(float(x)) for x in _ND_P[t, p]])
+        dot = F.aggregate(F.zip_with(F.col("v"), arr, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        b = b + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return b
+
+
 @q("q54_embedding_neardup", sql="""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
-FROM v a, v b
-WHERE a.vec_id < b.vec_id
-  AND ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
+  FROM embeddings),
+b AS (
+  SELECT vec_id, v, nrm, """ + ",".join(
+    f"({_nd_bucket_sql(t)}) AS b{t}" for t in range(_ND_TABLES)) + """
+  FROM v),
+cand AS (""" + "\nUNION\n".join(
+    f"SELECT a.vec_id AS id_a, c.vec_id AS id_b "
+    f"FROM b a JOIN b c ON a.b{t} = c.b{t} AND a.vec_id < c.vec_id"
+    for t in range(_ND_TABLES)) + """)
+SELECT c.id_a, c.id_b,
+       ROUND(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6) AS cos_sim
+FROM cand c
+JOIN v va ON va.vec_id = c.id_a
+JOIN v vb ON vb.vec_id = c.id_b
+WHERE ROUND(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6) >= 0.35
 """)
 def q54(spark, sf):
     from rainforest_spark.operators.similarity import _norm, with_double_vec
 
     v = with_double_vec(T(spark, sf, "embeddings"), "embedding", "v") \
         .select("vec_id", "v", _norm("v").alias("nrm"))
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-                 F.col("nrm").alias("na"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-                 F.col("nrm").alias("nb"))
-    pairs = a.crossJoin(broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
-    sim = pairs.withColumn(
-        "cos_sim", F.round(
-            F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), "
-                   "CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
-            / (F.col("na") * F.col("nb")), 6))
+    b = v.select("vec_id", "v", "nrm",
+                 *[_nd_bucket_col(t).alias(f"b{t}")
+                   for t in range(_ND_TABLES)])
+    cand = None
+    for t in range(_ND_TABLES):
+        a = b.select(F.col("vec_id").alias("id_a"),
+                     F.col(f"b{t}").alias("__bk"))
+        c = b.select(F.col("vec_id").alias("id_b"),
+                     F.col(f"b{t}").alias("__bk"))
+        pairs_t = (a.join(c, on="__bk")
+                   .filter(F.col("id_a") < F.col("id_b"))
+                   .select("id_a", "id_b"))
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    cand = cand.distinct()
+    va = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                  F.col("nrm").alias("na"))
+    vb = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                  F.col("nrm").alias("nb"))
+    sim = (cand.join(va, on="id_a").join(vb, on="id_b")
+           .withColumn("cos_sim", F.round(
+               F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), "
+                      "CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+               / (F.col("na") * F.col("nb")), 6)))
     return (sim.filter(F.col("cos_sim") >= 0.35)
             .select("id_a", "id_b", "cos_sim"))
 

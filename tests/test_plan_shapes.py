@@ -47,6 +47,26 @@ def test_multi_join_all_broadcast_at_small_sf(spark):
     assert joins and all(j == "BroadcastHashJoin" for j in joins)
 
 
+def test_embedding_neardup_no_cross_join(spark):
+    """q54 must candidate-generate through the LSH bucket equi-join — a
+    CartesianProduct / BroadcastNestedLoopJoin over the corpus is the
+    canonical 100-TB scale-killer (round-1 VERDICT 'What's wrong' #2)."""
+    p = fmt_plan(spark, "q54_embedding_neardup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_probe_selection_in_plan():
+    """IVF probe selection must stay in the plan (no driver-side
+    toPandas/iterrows loop — round-1 VERDICT 'What's wrong' #3)."""
+    import inspect
+
+    from rainforest_spark.operators import similarity
+
+    src = inspect.getsource(similarity.ivf_topk)
+    assert "toPandas" not in src and "iterrows" not in src
+
+
 def test_semi_align_stays_semi(spark):
     p = fmt_plan(spark, "q10_semi_align")
     assert "LeftSemi" in p, "alignment must be a semi join, not inner+distinct"

@@ -65,6 +65,36 @@ def test_ivf_recall(spark):
     assert recall >= 0.5, f"IVF recall@1 too low: {recall}"
 
 
+def test_embedding_neardup_lsh_recall(spark):
+    """q54's LSH candidate generation: every reported pair must carry the
+    exact cosine (no false sims), and recall vs the brute-force all-pairs
+    truth must be well above chance — the documented LSH trade."""
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.similarity import _norm, with_double_vec
+
+    lsh = all_queries()["q54_embedding_neardup"](spark, SF_DIR).toPandas()
+    v = with_double_vec(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+        "embedding", "v").select("vec_id", "v", _norm("v").alias("nrm"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    brute = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos_sim", F.round(
+                 F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), "
+                        "CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+                 / (F.col("na") * F.col("nb")), 6))
+             .filter(F.col("cos_sim") >= 0.35)
+             .select("id_a", "id_b", "cos_sim").toPandas())
+    merged = lsh.merge(brute, on=["id_a", "id_b"], suffixes=("_l", "_b"))
+    assert len(merged) == len(lsh), "LSH reported a pair brute force lacks"
+    assert (merged["cos_sim_l"] == merged["cos_sim_b"]).all()
+    recall = len(lsh) / max(len(brute), 1)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
 def test_simhash_neardup_pairs(spark):
     """Near-identical docs must pair with small hamming; unrelated docs
     must not appear at a tight threshold."""

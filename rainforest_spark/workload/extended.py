@@ -560,6 +560,83 @@ def q59(spark, sf):
                                  "text", max_hamming=7)
 
 
+# ---------------------------------------------------------------- q61
+# ZPHI attenuation correction (Testud et al. 2000; the reference's
+# correct_attenuation, radarprocessing.py:271-305) on lineitem-shaped
+# rays, SQL-checkable: the per-ray integrals are ordered window sums in
+# both engines.  Stabilized per the determinism policy: zb rounded to 6
+# and summed as DECIMAL; transcendental outputs rounded at the end.
+_ZPHI_A, _ZPHI_B = 0.08, 0.64884
+_ZPHI_PRE = repr(0.46 * _ZPHI_B * 0.5)          # 0.46·β·Δr, one literal
+
+
+@q("q61_zphi_attenuation", sql=f"""
+WITH g0 AS (
+  SELECT CAST(l_orderkey % 97 AS INT) AS az,
+         -- (l_orderkey, l_linenumber) is NOT unique in the synthetic
+         -- lineitem; l_quantity breaks the tie far enough that any
+         -- residual ties carry identical ZH (order-invariant)
+         CAST(row_number() OVER (PARTITION BY l_orderkey % 97
+              ORDER BY l_orderkey, l_linenumber, l_quantity) AS INT)
+           AS rng_idx,
+         15.0 + (CAST(l_quantity AS DOUBLE) % 35.0) AS ZH
+  FROM lineitem),
+g AS (
+  SELECT az, rng_idx, ZH,
+         0.8 * rng_idx + (az % 80) / 100.0 AS PHIDP
+  FROM g0),
+zb AS (
+  SELECT *, CAST(ROUND(pow(10, 0.1 * {_ZPHI_B} * ZH), 6)
+                 AS DECIMAL(28,6)) AS zb6
+  FROM g),
+st AS (
+  SELECT az, arg_min(PHIDP, rng_idx) AS ph1, arg_max(PHIDP, rng_idx) AS ph2,
+         CAST(SUM(zb6) AS DOUBLE) * {_ZPHI_PRE} AS itot
+  FROM zb GROUP BY az),
+w AS (
+  SELECT z.az, z.rng_idx, z.ZH, z.zb6, st.itot,
+         CAST(SUM(z.zb6) OVER (PARTITION BY z.az ORDER BY z.rng_idx DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           * {_ZPHI_PRE} AS irev,
+         pow(10, 0.1 * {_ZPHI_B} * {_ZPHI_A} * (st.ph2 - st.ph1)) - 1 AS cnum
+  FROM zb z JOIN st USING (az)),
+a AS (
+  SELECT az, rng_idx, ZH,
+         CAST(zb6 AS DOUBLE) * cnum / (itot + cnum * irev) AS ah
+  FROM w),
+p AS (
+  SELECT az, rng_idx, ZH, ah,
+         2 * 0.5 * SUM(ah) OVER (PARTITION BY az ORDER BY rng_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pia
+  FROM a)
+SELECT az, rng_idx, ROUND(ah, 6) AS ah, ROUND(pia, 6) AS pia,
+       ROUND(ZH + pia, 6) AS zh_corr
+FROM p
+""")
+def q61(spark, sf):
+    from pyspark.sql import Window
+    from rainforest_spark.grid.polar import zphi_attenuation
+
+    l = T(spark, sf, "lineitem")
+    az = (F.col("l_orderkey") % 97).cast("int")
+    rn = F.row_number().over(
+        Window.partitionBy(az)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")).cast("int")
+    gates = l.select(az.alias("az_idx"), rn.alias("rng_idx"),
+                     (15.0 + (F.col("l_quantity").cast("double") % 35.0))
+                     .alias("ZH")) \
+        .withColumn("PHIDP", 0.8 * F.col("rng_idx")
+                    + (F.col("az_idx") % 80) / 100.0) \
+        .withColumn("RADAR", F.lit("A")).withColumn("SWEEP", F.lit(1))
+    out = zphi_attenuation(gates, zh_col="ZH", phidp_col="PHIDP",
+                           a_coef=_ZPHI_A, beta=_ZPHI_B,
+                           gate_len_km=0.5, stabilize=True)
+    return out.select(F.col("az_idx").alias("az"), "rng_idx",
+                      r6(F.col("AH")).alias("ah"),
+                      r6(F.col("PIA")).alias("pia"),
+                      r6(F.col("ZH") + F.col("PIA")).alias("zh_corr"))
+
+
 # ---------------------------------------------------------------- q60
 # ROLLUP subtotals (not in the reference's surface — free from Spark SQL,
 # SURVEY §2.4 note; the coalesced 'ALL' label keeps the rollup NULLs

@@ -73,3 +73,60 @@ def test_kdp_regression_golden(spark):
     out2 = kdp_from_psidp(spark.createDataFrame(pdf2),
                           window_gates=12).toPandas()
     assert np.isfinite(out2["KDP"].iloc[30:40]).all()
+
+
+def test_zphi_attenuation_golden(spark):
+    """zphi_attenuation vs an independent per-ray numpy reimplementation
+    of the published ZPHI closed form (Testud et al. 2000), including
+    ZDR/ZV corrections and gates outside the valid segment."""
+    from rainforest_spark.grid.polar import zphi_attenuation
+
+    a_coef, beta, c, d, dr = 0.08, 0.64884, 0.3, 1.0804, 0.5
+    rng = np.random.RandomState(7)
+    rows = []
+    for az in range(4):
+        n = 60
+        zh = rng.uniform(10, 45, n)
+        phidp = np.cumsum(rng.uniform(0.1, 1.2, n))
+        zdr = rng.uniform(-1, 3, n)
+        zv = zh - zdr
+        zh[5] = np.nan                      # an invalid gate mid-ray
+        rows.append(pd.DataFrame({
+            "RADAR": "A", "SWEEP": 1, "az_idx": az,
+            "rng_idx": np.arange(n, dtype=np.int32),
+            "ZH": zh, "PHIDP": phidp, "ZDR": zdr, "ZV": zv}))
+    pdf = pd.concat(rows, ignore_index=True)
+    out = zphi_attenuation(spark.createDataFrame(pdf), zdr_col="ZDR",
+                           zv_col="ZV", a_coef=a_coef, beta=beta,
+                           c=c, d=d, gate_len_km=dr).toPandas() \
+        .sort_values(["az_idx", "rng_idx"])
+
+    for az in range(4):
+        g = pdf[pdf["az_idx"] == az].sort_values("rng_idx")
+        o = out[out["az_idx"] == az].sort_values("rng_idx")
+        valid = g["ZH"].notna().to_numpy()
+        zb = np.where(valid, 10 ** (0.1 * beta * g["ZH"].to_numpy()), 0.0)
+        ph = g["PHIDP"].to_numpy()
+        r1, r2 = np.where(valid)[0][[0, -1]]
+        dphi = ph[r2] - ph[r1]
+        cnum = 10 ** (0.1 * beta * a_coef * dphi) - 1
+        pre = 0.46 * beta * dr
+        irev = pre * (np.cumsum(zb[::-1])[::-1])
+        itot = pre * zb.sum()
+        ah = np.where(valid, zb * cnum / (itot + cnum * irev), np.nan)
+        pia = 2 * dr * np.nancumsum(ah)
+        got_ah = o["AH"].to_numpy()
+        assert np.allclose(got_ah[valid], ah[valid], rtol=1e-9)
+        assert np.isnan(got_ah[~valid]).all()
+        assert np.allclose(o["PIA"].to_numpy(), pia, rtol=1e-9)
+        pida = c * pia ** d
+        exp_zhc = g["ZH"].to_numpy() + pia
+        exp_zdrc = g["ZDR"].to_numpy() + pida
+        exp_zvc = g["ZV"].to_numpy() + pia - pida
+        m = np.isfinite(exp_zhc)
+        assert np.allclose(o["ZH_CORR"].to_numpy()[m], exp_zhc[m], rtol=1e-9)
+        assert np.allclose(o["ZDR_CORR"].to_numpy(), exp_zdrc, rtol=1e-9)
+        assert np.allclose(o["ZV_CORR"].to_numpy(), exp_zvc, rtol=1e-9)
+    # attenuation must be positive and monotonically accumulating
+    assert (out.groupby("az_idx")["PIA"].apply(
+        lambda s: (np.diff(s.to_numpy()) >= -1e-12).all())).all()

@@ -1,0 +1,239 @@
+"""Pure-python GIF87a codec for DN raster products (SURVEY S12/S15).
+
+The reference reads Cartesian GIF archives (RZC/CPC) with PIL and
+writes palette GIFs (io_data.py:262-292 read, :231-259 write).  This
+container has no PIL here, so the codec is implemented from the public
+GIF87a specification: logical screen descriptor + 256-entry global
+color table + one image block, LZW-compressed with variable code width
+(8-bit min code size, 12-bit cap, GIFLIB width-change pairing).
+
+The DN byte plane IS the pixel plane: dn_encode's output (grid/io.py)
+round-trips through the GIF unchanged, and decode back to mm/h is
+``SCALE_CPC[dn]`` exactly like the reference's
+``constants.SCALE_CPC[data]`` (io_data.py:203).
+
+Scale note: encoding a 640×710 byte plane is driver-side by design —
+the GIF is a sink artifact (~0.5 MB); everything before grid_to_matrix
+is distributed.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAX_CODE_SIZE = 12
+
+
+def grayscale_palette() -> bytes:
+    return bytes(v for i in range(256) for v in (i, i, i))
+
+
+def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    out = bytearray()
+    cur, nbits = 0, 0
+
+    def emit(code: int, size: int):
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, end + 1, \
+            min_code_size + 1
+
+    table, next_code, code_size = fresh()
+    emit(clear, code_size)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        if next_code < (1 << MAX_CODE_SIZE):
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) \
+                    and code_size < MAX_CODE_SIZE:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table, next_code, code_size = fresh()
+        w = bytes([b])
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    pos, cur, nbits = 0, 0, 0
+
+    def read(size: int):
+        nonlocal pos, cur, nbits
+        while nbits < size:
+            if pos >= len(data):
+                return None
+            cur |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = cur & ((1 << size) - 1)
+        cur >>= size
+        nbits -= size
+        return code
+
+    out = bytearray()
+    table, next_code, code_size = None, end + 1, min_code_size + 1
+    prev = None
+    while True:
+        code = read(code_size)
+        if code is None or code == end:
+            break
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code, code_size = end + 1, min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code})")
+        out += entry
+        if prev is not None and next_code < (1 << MAX_CODE_SIZE):
+            table[next_code] = table[prev] + entry[:1]
+            next_code += 1
+            # decoder lags the encoder by one table entry → widen one
+            # code earlier (GIFLIB pairing)
+            if next_code == (1 << code_size) - 1 \
+                    and code_size < MAX_CODE_SIZE:
+                code_size += 1
+        prev = code
+    return bytes(out)
+
+
+def write_gif(matrix: np.ndarray, path: str,
+              palette: bytes | None = None) -> None:
+    """uint8 DN matrix (rows, cols) → single-image GIF87a with a global
+    256-color palette (grayscale when none given)."""
+    m = np.ascontiguousarray(matrix, dtype=np.uint8)
+    h, w = m.shape
+    palette = palette or grayscale_palette()
+    assert len(palette) == 768, "palette must be 256 RGB triples"
+    with open(path, "wb") as f:
+        f.write(b"GIF87a")
+        f.write(struct.pack("<HHBBB", w, h, 0xF7, 0, 0))
+        f.write(palette)
+        f.write(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
+        f.write(bytes([8]))
+        comp = _lzw_encode(m.tobytes(), 8)
+        for i in range(0, len(comp), 255):
+            chunk = comp[i:i + 255]
+            f.write(bytes([len(chunk)]) + chunk)
+        f.write(b"\x00\x3b")
+
+
+def read_gif(path: str) -> tuple[np.ndarray, bytes]:
+    """Single-image GIF → (uint8 DN matrix, palette bytes).  Skips
+    87a/89a extensions; no interlace support (the products are not
+    interlaced)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    w, h, packed, _, _ = struct.unpack("<HHBBB", buf[6:13])
+    pos = 13
+    palette = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        palette = buf[pos:pos + n]
+        pos += n
+    while pos < len(buf):
+        block = buf[pos]
+        if block == 0x21:               # extension: skip sub-blocks
+            pos += 2
+            while buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif block == 0x2C:
+            left, top, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", buf[pos + 1:pos + 10])
+            pos += 10
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 0x07))
+                palette = buf[pos:pos + n]
+                pos += n
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            min_code = buf[pos]
+            pos += 1
+            comp = bytearray()
+            while buf[pos]:
+                ln = buf[pos]
+                comp += buf[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pixels = _lzw_decode(bytes(comp), min_code)
+            m = np.frombuffer(pixels[:iw * ih],
+                              dtype=np.uint8).reshape(ih, iw)
+            return m, palette
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    raise ValueError("no image block found")
+
+
+def save_grid_gif(grid_df, value_col: str, out_path: str,
+                  scale: np.ndarray | None = None,
+                  palette: bytes | None = None,
+                  nx: int = 710, ny: int = 640) -> None:
+    """Grid pixels → DN bytes (searchsorted scale, grid/io.py) → GIF
+    sink, mirroring the reference's DN/gif output path (qpe.py:270-292).
+    NaN pixels get DN 255 like the reference's MASK_NAN."""
+    from rainforest_spark.grid.io import scale_cpc
+    from rainforest_spark.grid.qpe import grid_to_matrix
+
+    scale = scale_cpc() if scale is None else scale
+    m = grid_to_matrix(grid_df, value_col, nx=nx, ny=ny)
+    dn = np.searchsorted(scale, np.nan_to_num(m, nan=0.0))
+    dn = np.clip(dn, 0, 255).astype(np.uint8)
+    dn[~np.isfinite(m)] = 255
+    write_gif(dn, out_path, palette)
+
+
+def load_grid_gif(spark, path: str, scale: np.ndarray | None = None):
+    """GIF → long (x_idx, y_idx, dn, value) DataFrame: the read side of
+    the archive path (io_data.py:195-206 — DN bytes indexed into
+    SCALE_CPC; row 0 is the northernmost band, so y_idx flips back)."""
+    import pandas as pd
+
+    from rainforest_spark.grid.io import scale_cpc
+
+    scale = scale_cpc() if scale is None else scale
+    m, _ = read_gif(path)
+    ny, nx = m.shape
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    dn = m.ravel().astype(np.int32)
+    pdf = pd.DataFrame({
+        "x_idx": xx.ravel().astype(np.int32),
+        "y_idx": (ny - 1 - yy.ravel()).astype(np.int32),
+        "dn": dn,
+        "value": np.where(dn == 255, np.nan, scale[np.minimum(dn, 255)]),
+    })
+    return spark.createDataFrame(pdf)

@@ -44,8 +44,60 @@ def status_table(spark: SparkSession,
     return spark.createDataFrame(pd.DataFrame(rows))
 
 
+def parse_status_sweeps(content: str) -> list[dict]:
+    """Per-sweep CALIB + WET_RADOME values from a full status document
+    (the shape read_status consumes via xmltodict, io_data.py:65-114:
+    status/sweep[i]/RADAR/STAT/CALIB/<key value=...>).
+
+    Returns one dict per sweep: SWEEP (1-based), noisepower_h, rconst_h,
+    noisepower_v, rconst_v, wetradome_mmh (None when absent).
+    """
+    import math
+
+    root = ET.fromstring(content)
+    rows = []
+    for i, sweep in enumerate(root.iter("sweep")):
+        rec = {"SWEEP": int(sweep.get("number", i + 1))}
+        calib = sweep.find(".//CALIB")
+        for key in ("noisepower_frontend_h_inuse", "rconst_h",
+                    "noisepower_frontend_v_inuse", "rconst_v"):
+            el = calib.find(key) if calib is not None else None
+            val = el.get("value") if el is not None else None
+            rec[key] = float(val) if val is not None else None
+        wr = sweep.find(".//WET_RADOME/wetradome_mmh")
+        rec["wetradome_mmh"] = (float(wr.get("value"))
+                                if wr is not None and wr.get("value")
+                                else None)
+        nh, rh = rec["noisepower_frontend_h_inuse"], rec["rconst_h"]
+        nv, rv = rec["noisepower_frontend_v_inuse"], rec["rconst_v"]
+        # noisedBADU = 10·log10(noisepower) + rconst
+        # (radarprocessing.py:191-202)
+        rec["noisedbadu_h"] = (10.0 * math.log10(nh) + rh
+                               if nh and rh is not None else None)
+        rec["noisedbadu_v"] = (10.0 * math.log10(nv) + rv
+                               if nv and rv is not None else None)
+        rows.append(rec)
+    return rows
+
+
+def status_noise_table(spark: SparkSession,
+                       docs: list[tuple[str, int, str]]) -> DataFrame:
+    """[(radar, epoch, xml_text)] → per-(RADAR, TIMESTAMP, SWEEP) noise
+    dim with noisedbadu_h/_v + wetradome_mmh, consumed by
+    grid.corrections.apply_status_noise / wet_radome_feature."""
+    rows = []
+    for radar, epoch, text in docs:
+        for rec in parse_status_sweeps(text):
+            rows.append({"RADAR": radar, "TIMESTAMP": epoch, **rec})
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
 def parse_vpr_xml(content: str) -> pd.DataFrame:
-    """VPR profile XML → (height_m, correction_db) rows."""
+    """VPR profile XML → (height_m, correction_db) rows.
+
+    Supports both a generic <level height= value=> shape and the
+    reference's VPR/DATA/slice + HEADER/vpr_res ladder
+    (io_data.py:357-367: alt[i] = i · vpr_res)."""
     root = ET.fromstring(content)
     heights, corrs = [], []
     for prof in root.iter("level"):
@@ -54,7 +106,23 @@ def parse_vpr_xml(content: str) -> pd.DataFrame:
         if h and c:
             heights.append(float(h))
             corrs.append(float(c))
+    if not heights:
+        res = float(root.findtext(".//HEADER/vpr_res") or 0.0)
+        vals = [float(s.findtext("value"))
+                for s in root.iter("slice") if s.findtext("value")]
+        heights = [i * res for i in range(len(vals))]
+        corrs = vals
     return pd.DataFrame({"height_m": heights, "correction_db": corrs})
+
+
+def vpr_profile_values(content: str) -> tuple[list[float], float]:
+    """(slice values, vpr_res_m) for grid.corrections.
+    vpr_correction_curve — the reference ladder shape."""
+    root = ET.fromstring(content)
+    res = float(root.findtext(".//HEADER/vpr_res") or 0.0)
+    vals = [float(s.findtext("value"))
+            for s in root.iter("slice") if s.findtext("value")]
+    return vals, res
 
 
 def vpr_table(spark: SparkSession, content: str) -> DataFrame:

@@ -637,6 +637,71 @@ def q61(spark, sf):
                       r6(F.col("ZH") + F.col("PIA")).alias("zh_corr"))
 
 
+# ---------------------------------------------------------------- q62
+# VPR correction applied at height (read_vpr semantics io_data.py:
+# 332-380 + the broadcast range-join lerp in grid/corrections.py),
+# SQL-checkable: the normalized/clamped curve is embedded as literals
+# computed once here, the lerp is rational arithmetic in both engines.
+_VPR_VALUES = [1.0, 1.2, 1.5, 1.2, 0.9, 0.5, 0.2, 0.05]
+_VPR_RES, _VPR_REF_H = 500.0, 1500.0
+_VPR_M = 10.0 ** (0.1 * 4.77)
+_VPR_REF_I = min(range(len(_VPR_VALUES)),
+                 key=lambda i: abs(i * _VPR_RES - _VPR_REF_H))
+_VPR_CURVE = [(i * _VPR_RES,
+               min(max(_VPR_VALUES[_VPR_REF_I] / v, 1.0 / _VPR_M), _VPR_M))
+              for i, v in enumerate(_VPR_VALUES)]
+
+
+@q("q62_vpr_correction", sql="""
+WITH curve(alt_m, corr_lin) AS (VALUES """ + ",".join(
+    f"({a!r}, {c!r})" for a, c in _VPR_CURVE) + """),
+seg AS (
+  SELECT alt_m, corr_lin,
+         lead(alt_m) OVER (ORDER BY alt_m) AS alt1,
+         lead(corr_lin) OVER (ORDER BY alt_m) AS corr1
+  FROM curve),
+h AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DOUBLE) % 9000.0 AS height,
+         pow(10, 0.1 * (l_quantity + 5.0)) AS zh_lin
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       ROUND(CASE
+         WHEN seg.alt_m IS NULL THEN """ + repr(_VPR_M) + """
+         WHEN seg.alt1 IS NULL THEN
+           CASE WHEN h.height > seg.alt_m THEN """ + repr(_VPR_M) + """
+                ELSE seg.corr_lin END
+         ELSE seg.corr_lin + (seg.corr1 - seg.corr_lin)
+              * (h.height - seg.alt_m) / (seg.alt1 - seg.alt_m)
+       END, 6) AS vpr,
+       ROUND(h.zh_lin * CASE
+         WHEN seg.alt_m IS NULL THEN """ + repr(_VPR_M) + """
+         WHEN seg.alt1 IS NULL THEN
+           CASE WHEN h.height > seg.alt_m THEN """ + repr(_VPR_M) + """
+                ELSE seg.corr_lin END
+         ELSE seg.corr_lin + (seg.corr1 - seg.corr_lin)
+              * (h.height - seg.alt_m) / (seg.alt1 - seg.alt_m)
+       END, 6) AS zh_lin_corr
+FROM h LEFT JOIN seg
+  ON h.height >= seg.alt_m AND (h.height < seg.alt1 OR seg.alt1 IS NULL)
+""")
+def q62(spark, sf):
+    from rainforest_spark.grid.corrections import vpr_at_height
+
+    l = T(spark, sf, "lineitem")
+    h = l.select("l_orderkey", "l_linenumber",
+                 (F.col("l_extendedprice").cast("double") % 9000.0)
+                 .alias("height"),
+                 F.pow(F.lit(10.0), 0.1 * (F.col("l_quantity") + 5.0))
+                 .alias("zh_lin"))
+    curve = spark.createDataFrame(_VPR_CURVE, "alt_m double, corr_lin double")
+    out = vpr_at_height(h, curve, height_col="height", out_col="VPR")
+    return out.select("l_orderkey", "l_linenumber",
+                      r6(F.col("VPR")).alias("vpr"),
+                      r6(F.col("zh_lin") * F.col("VPR"))
+                      .alias("zh_lin_corr"))
+
+
 # ---------------------------------------------------------------- q60
 # ROLLUP subtotals (not in the reference's surface — free from Spark SQL,
 # SURVEY §2.4 note; the coalesced 'ALL' label keeps the rollup NULLs

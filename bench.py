@@ -40,8 +40,18 @@ HEADLINE = [
     "q43_lang_id",
     "q45_minhash_lsh",
     "q50_cosine_topk",
+    "q54_embedding_neardup",
     "q56_polar_grid_sql",
+    "q61_zphi_attenuation",
+    "q62_vpr_correction",
 ]
+
+#: per-query round-1 numbers (BENCH_BASELINE.json).  A headline query
+#: that runs slower than 2× its baseline AND +1 s absolute (the floor
+#: filters local[32] job-overhead noise, PERF.md "pitfalls" #7) fails
+#: the script — performance regressions are build breaks.
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
 
 
 def main() -> None:
@@ -75,6 +85,17 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
+
+    # regression guard vs the committed baseline (only meaningful at the
+    # baseline's scale factor)
+    if os.path.exists(BASELINE_PATH) and sf == "0.1":
+        base = json.load(open(BASELINE_PATH))
+        bad = {n: (t, base[n]) for n, t in times.items()
+               if n in base and t > 2.0 * base[n] and t > base[n] + 1.0}
+        if bad:
+            print(f"BENCH REGRESSION (>2x + 1s vs baseline): {bad}",
+                  file=sys.stderr)
+            sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -106,9 +106,11 @@ def zphi_attenuation(polar: DataFrame, zh_col: str = "ZH",
         PIDA    = c·PIA^d;  ZDR_CORR = ZDR + PIDA
         ZV_CORR = ZV + PIA − PIDA            (radarprocessing.py:303-305)
 
-    Shuffle shape: ONE exchange on the ray key serves the per-ray
-    aggregate (Δφdp, I(r1,r2) via min_by/max_by/sum) and both ordered
-    window sums; the stats join back is a co-partitioned equi-join.
+    Shuffle shape: ONE scan, ONE exchange on the ray key — the per-ray
+    quantities (Δφdp via first/last ignorenulls, I(r1,r2) via a
+    full-frame window sum) and both running sums are all windows over
+    the same partitioning, so there is no second scan and no stats
+    join; Spark adds only per-frame sorts after the single exchange.
 
     ``stabilize=True`` rounds zb to 6 decimals and accumulates the range
     integrals in DECIMAL so the sums are bit-identical across engines
@@ -129,12 +131,16 @@ def zphi_attenuation(polar: DataFrame, zh_col: str = "ZH",
     if stabilize:
         seg = F.col("__zb").cast("decimal(28,6)")
     prefactor = 0.46 * beta * gate_len_km
-    stats = (df.filter(F.col("__valid"))
-             .groupBy(*RAY_KEY)
-             .agg(F.expr(f"min_by({phidp_col}, rng_idx)").alias("__ph1"),
-                  F.expr(f"max_by({phidp_col}, rng_idx)").alias("__ph2"),
-                  F.sum(seg).cast("double").alias("__isum")))
-    out = df.join(stats, on=RAY_KEY, how="left")
+    w_full = (Window.partitionBy(*RAY_KEY).orderBy("rng_idx")
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    valid_phidp = F.when(F.col("__valid"), F.col(phidp_col))
+    out = (df
+           .withColumn("__ph1",
+                       F.first(valid_phidp, ignorenulls=True).over(w_full))
+           .withColumn("__ph2",
+                       F.last(valid_phidp, ignorenulls=True).over(w_full))
+           .withColumn("__isum", F.sum(seg).over(w_full).cast("double")))
 
     w_rev = (Window.partitionBy(*RAY_KEY).orderBy(F.col("rng_idx").desc())
              .rowsBetween(Window.unboundedPreceding, 0))

@@ -132,6 +132,38 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b").distinct())
 
 
+def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
+                           n: int = 3, num_hashes: int = 16,
+                           band_size: int = 4,
+                           threshold: float = 0.5) -> DataFrame:
+    """The production near-dup pipeline: MinHash/LSH candidate
+    generation + exact n-gram Jaccard VERIFICATION on candidates only.
+
+    This is the scale shape ngram_jaccard_pairs' docstring promises: the
+    all-pairs shingle self-join never happens — the exact Jaccard fans
+    out only over LSH candidates, so hot shingles cost nothing and the
+    expensive join is bounded by the candidate count.  Returns
+    (id_a, id_b, jaccard) for pairs ≥ threshold.
+    """
+    cand = lsh_candidate_pairs(df, id_col, text_col, n, num_hashes,
+                               band_size)
+    sh = shingle_table(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (cand.join(sa, on="id_a")
+             .join(sb, on=["id_b", "shingle"])
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    j = (inter.join(za, "id_a").join(zb, "id_b")
+         .withColumn("jaccard",
+                     F.col("inter")
+                     / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))))
+    return (j.filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over word tokens using xxhash64 bit votes.
 

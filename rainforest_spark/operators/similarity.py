@@ -124,14 +124,17 @@ def ann_topk_bucketed(vectors: DataFrame, id_col: str, vec_col: str,
 
 def ivf_topk(vectors: DataFrame, id_col: str, vec_col: str,
              query_ids_pred: Column, k: int = 3, n_centroids: int = 16,
-             nprobe: int = 4, seed: int = 42) -> DataFrame:
+             nprobe: int = 4, seed: int = 42,
+             fit_fraction: float | None = None) -> DataFrame:
     """IVF-style ANN: MLlib KMeans partitions the corpus into inverted
     lists; each query scores only the ``nprobe`` nearest lists.
 
-    At 100 TB this is the classic IVF trade: one KMeans fit on a sample,
-    one pass to assign list ids (stored with the data), and per-query
-    work proportional to nprobe/n_centroids of the corpus.  The list
-    assignment join is an equi-join on the list id — uniform keys.
+    At 100 TB this is the classic IVF trade: one KMeans fit on a SAMPLE
+    (``fit_fraction``; centroids need thousands of points per list, not
+    the corpus), one pass to assign list ids (stored with the data), and
+    per-query work proportional to nprobe/n_centroids of the corpus.
+    The list assignment join is an equi-join on the list id — uniform
+    keys.
     """
     import pandas as pd
     from pyspark.ml.clustering import KMeans
@@ -142,7 +145,9 @@ def ivf_topk(vectors: DataFrame, id_col: str, vec_col: str,
     feat = v.withColumn("__fv", array_to_vector("v"))
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv",
                 predictionCol="__list")
-    model = km.fit(feat)
+    fit_set = (feat.sample(fraction=fit_fraction, seed=seed)
+               if fit_fraction else feat)
+    model = km.fit(fit_set)
     assigned = model.transform(feat).drop("__fv")
 
     # nprobe nearest lists per query — IN THE PLAN: queries × broadcast

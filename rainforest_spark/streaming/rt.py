@@ -106,3 +106,23 @@ def session_window_aggregate(stream: DataFrame, gap: str = "30 minutes",
                      *keys)
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.avg(value_col).alias(f"{value_col}_mean")))
+
+
+def dedup_stream(stream: DataFrame, keys: list[str],
+                 ts_col: str = "event_time",
+                 watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact deduplication for ingest pipelines: drop repeated
+    keys (e.g. re-delivered scan files, duplicate document ids) with
+    bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires
+    key state past the watermark — the streaming analogue of the batch
+    fingerprint dedup (operators/dedup.py), sized for continuous
+    training-data ingest where an unbounded dedup state would OOM.
+    """
+    with_ts = stream
+    if dict(stream.dtypes).get(ts_col) != "timestamp":
+        with_ts = stream.withColumn(ts_col,
+                                    F.col(ts_col).cast("timestamp"))
+    return (with_ts.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys))

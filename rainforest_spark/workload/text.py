@@ -168,3 +168,51 @@ FROM bands a JOIN bands b
 def q45(spark, sf):
     return D.lsh_candidate_pairs(T(spark, sf, "documents"), "doc_id", "text",
                                  n=3, num_hashes=16, band_size=4)
+
+
+# ---------------------------------------------------------------- q63
+# The production near-dup pipeline: LSH candidates (q45 machinery) +
+# exact Jaccard VERIFICATION on candidates only (q44 machinery) — the
+# composition that replaces the all-pairs shingle join at scale.
+@q("q63_minhash_verified_neardup", sql="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ') AS words
+        FROM documents),
+       UNNEST(generate_series(1, len(words) - 2)) AS u(i)
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || md5(shingle))) AS mh
+  FROM sh, UNNEST(generate_series(0, 15)) AS s(seed)
+  GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band_id,
+         md5(string_agg(mh, '' ORDER BY seed)) AS band_hash
+  FROM mh GROUP BY doc_id, floor(seed / 4)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+""")
+def q63(spark, sf):
+    return D.minhash_verified_pairs(T(spark, sf, "documents"), "doc_id",
+                                    "text", n=3, num_hashes=16,
+                                    band_size=4, threshold=0.5)

@@ -113,3 +113,25 @@ def test_simhash_neardup_pairs(spark):
     pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_minhash_verified_pairs_matches_exact(spark):
+    """The LSH-prefiltered pipeline must return exactly the exact-Jaccard
+    scores for every pair it reports, and at a high threshold it must
+    find the same pairs as the all-pairs computation (near-identical
+    docs always collide in some band)."""
+    from rainforest_spark.operators.dedup import (
+        minhash_verified_pairs, ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    fast = minhash_verified_pairs(docs, "doc_id", "text",
+                                  threshold=0.5).toPandas()
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text",
+                                threshold=0.5).toPandas()
+    merged = fast.merge(exact, on=["id_a", "id_b"], suffixes=("_f", "_e"))
+    assert len(merged) == len(fast), "pipeline reported a non-exact pair"
+    assert (merged["jaccard_f"] == merged["jaccard_e"]).all()
+    recall = len(fast) / max(len(exact), 1)
+    assert recall >= 0.9, f"candidate recall too low at 0.5: {recall}"

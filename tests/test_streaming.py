@@ -122,3 +122,28 @@ def test_session_window_stream(spark, tmp_path):
     emitted = out.sort_values("n_events", ignore_index=True)
     assert len(emitted) >= 2
     assert set(emitted["n_events"]) >= {2, 4}
+
+
+def test_dedup_stream(spark, tmp_path):
+    """Re-delivered keys within the watermark are dropped; state is
+    bounded by the watermark (T-family + dedup for ingest)."""
+    import pandas as pd
+
+    from rainforest_spark.streaming.rt import dedup_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1, 2, 2, 3, 1],
+                  "ts": [1000, 1010, 1010, 1020, 1000],
+                  "payload": ["a", "b", "b2", "c", "a2"]}) \
+        .to_parquet(src / "batch1.parquet")
+    stream = (spark.readStream
+              .schema("doc_id bigint, ts bigint, payload string")
+              .parquet(str(src)))
+    deduped = dedup_stream(stream.withColumn("event_time", F.col("ts")),
+                           ["doc_id"])
+    q = (deduped.writeStream.format("memory").queryName("dedup_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM dedup_t").toPandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]

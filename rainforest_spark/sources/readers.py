@@ -34,20 +34,90 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def read_xlsx_sheets(path: str) -> dict:
+    """Minimal pure-python .xlsx reader: a workbook is a zip of
+    SpreadsheetML parts (ECMA-376, public format) — workbook.xml names
+    the sheets, sharedStrings.xml interns strings, sheetN.xml holds
+    cells.  Returns {sheet_name: pandas.DataFrame} with row 1 as the
+    header, like pandas.read_excel(sheet_name=None).
+
+    Covers inline/shared strings and numeric cells — the shapes the
+    reference's gauge workbooks use (common/io_data.py:42-62); no
+    formulas/dates/styles.
+    """
+    import re
+    import zipfile
+
+    import pandas as pd
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    RNS = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+           "relationships}")
+    import xml.etree.ElementTree as ET
+
+    with zipfile.ZipFile(path) as z:
+        shared = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = ["".join(t.text or "" for t in si.iter(f"{NS}t"))
+                      for si in root.iter(f"{NS}si")]
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rel_target = {r.get("Id"): r.get("Target").lstrip("/")
+                      for r in rels}
+        sheets = {}
+        for sh in wb.iter(f"{NS}sheet"):
+            target = rel_target[sh.get(f"{RNS}id")]
+            part = target if target.startswith("xl/") else f"xl/{target}"
+            root = ET.fromstring(z.read(part))
+            rows = {}
+            for row in root.iter(f"{NS}row"):
+                for c in row.iter(f"{NS}c"):
+                    ref = c.get("r")
+                    m = re.match(r"([A-Z]+)(\d+)", ref)
+                    col = sum((ord(ch) - 64) * 26 ** i for i, ch in
+                              enumerate(reversed(m.group(1)))) - 1
+                    rix = int(m.group(2)) - 1
+                    v = c.find(f"{NS}v")
+                    is_el = c.find(f"{NS}is")
+                    if c.get("t") == "s" and v is not None:
+                        val = shared[int(v.text)]
+                    elif c.get("t") == "inlineStr" and is_el is not None:
+                        val = "".join(t.text or ""
+                                      for t in is_el.iter(f"{NS}t"))
+                    elif v is not None and v.text is not None:
+                        try:
+                            val = float(v.text)
+                        except ValueError:
+                            val = v.text
+                    else:
+                        continue
+                    rows.setdefault(rix, {})[col] = val
+            if not rows:
+                sheets[sh.get("name")] = pd.DataFrame()
+                continue
+            header_ix = min(rows)
+            header = rows.pop(header_ix, {})
+            ncol = max(header, default=-1) + 1
+            cols = [header.get(i, f"col{i}") for i in range(ncol)]
+            data = [[rows[r].get(i) for i in range(ncol)]
+                    for r in sorted(rows)]
+            sheets[sh.get("name")] = pd.DataFrame(data, columns=cols)
+        return sheets
+
+
 def read_xls(spark: SparkSession, path: str,
              sheet_prefix: str = "Data Hourly") -> DataFrame:
     """Excel reader (reference S14, common/io_data.py:42-62: concat all
-    'Data Hourly*' sheets).  Requires openpyxl — absent in this
-    environment, so import-gated; the parquet-fixture path is the
-    supported ingest route here."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "read_xls requires openpyxl (not installed); convert the "
-            "workbook to parquet and use read_df instead") from e
+    'Data Hourly*' sheets).  Uses openpyxl/pandas when available, else
+    the pure-python SpreadsheetML reader above — no env gate."""
     import pandas as pd
 
-    sheets = pd.read_excel(path, sheet_name=None)
+    try:
+        import openpyxl  # noqa: F401
+
+        sheets = pd.read_excel(path, sheet_name=None)
+    except ImportError:
+        sheets = read_xlsx_sheets(path)
     frames = [v for k, v in sheets.items() if k.startswith(sheet_prefix)]
     return spark.createDataFrame(pd.concat(frames, ignore_index=True))

@@ -77,3 +77,66 @@ def test_upsert_daily_partition(spark, tmp_path):
     day1 = out.filter(F.col("day") == "2024-06-01")
     assert day1.count() == 3
     assert day1.dropDuplicates(["k"]).count() == 3
+
+
+def _make_xlsx(path):
+    """Hand-assemble a minimal SpreadsheetML workbook (two data sheets +
+    one metadata sheet) exercising shared strings and numerics."""
+    import zipfile
+
+    NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    R = ('xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+         'relationships"')
+
+    def sheet(rows):
+        body = []
+        for ri, row in enumerate(rows, start=1):
+            cells = []
+            for ci, val in enumerate(row):
+                ref = chr(65 + ci) + str(ri)
+                if isinstance(val, str):
+                    cells.append(f'<c r="{ref}" t="inlineStr">'
+                                 f'<is><t>{val}</t></is></c>')
+                else:
+                    cells.append(f'<c r="{ref}"><v>{val}</v></c>')
+            body.append(f'<row r="{ri}">{"".join(cells)}</row>')
+        return (f'<?xml version="1.0"?><worksheet {NS}>'
+                f'<sheetData>{"".join(body)}</sheetData></worksheet>')
+
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml",
+                   f'<?xml version="1.0"?><workbook {NS} {R}><sheets>'
+                   '<sheet name="Data Hourly 1" sheetId="1" r:id="rId1"/>'
+                   '<sheet name="Data Hourly 2" sheetId="2" r:id="rId2"/>'
+                   '<sheet name="Legend" sheetId="3" r:id="rId3"/>'
+                   '</sheets></workbook>')
+        z.writestr("xl/_rels/workbook.xml.rels",
+                   '<?xml version="1.0"?><Relationships xmlns="http://'
+                   'schemas.openxmlformats.org/package/2006/relationships">'
+                   '<Relationship Id="rId1" Type="t" '
+                   'Target="worksheets/sheet1.xml"/>'
+                   '<Relationship Id="rId2" Type="t" '
+                   'Target="worksheets/sheet2.xml"/>'
+                   '<Relationship Id="rId3" Type="t" '
+                   'Target="worksheets/sheet3.xml"/></Relationships>')
+        z.writestr("xl/worksheets/sheet1.xml",
+                   sheet([["STATION", "VALUE"], ["OTL", 1.5], ["PAY", 2.5]]))
+        z.writestr("xl/worksheets/sheet2.xml",
+                   sheet([["STATION", "VALUE"], ["GVE", 3.5]]))
+        z.writestr("xl/worksheets/sheet3.xml",
+                   sheet([["ignore", "me"]]))
+
+
+def test_read_xlsx_pure_python(spark, tmp_path):
+    from rainforest_spark.sources.readers import read_xls, read_xlsx_sheets
+
+    p = str(tmp_path / "gauge.xlsx")
+    _make_xlsx(p)
+    sheets = read_xlsx_sheets(p)
+    assert set(sheets) == {"Data Hourly 1", "Data Hourly 2", "Legend"}
+    assert list(sheets["Data Hourly 1"].columns) == ["STATION", "VALUE"]
+    assert sheets["Data Hourly 1"]["VALUE"].tolist() == [1.5, 2.5]
+    # the Spark-level reader concatenates only the Data Hourly sheets
+    df = read_xls(spark, p).toPandas()
+    assert sorted(df["STATION"]) == ["GVE", "OTL", "PAY"]
+    assert len(df) == 3

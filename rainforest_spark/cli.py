@@ -59,9 +59,27 @@ def cmd_qpe(args) -> int:
     radars = {r["RADAR"]: RADAR_XYZ[r["RADAR"]] for r in present}
     sweeps = sorted({r["SWEEP"] for r in present})
     lut = polar_to_cart_lut(spark, radars, sweeps=sweeps)
-    comp = vertical_composite(
-        polar_to_grid(apply_polar_masks(polar), lut, ["zh_lin"]),
-        ["zh_lin"], visib_col=None)
+    if getattr(args, "status_xml", None):
+        # status-derived per-sweep noise replaces the constant SNR floor
+        from rainforest_spark.grid.corrections import apply_status_noise
+        from rainforest_spark.sources.status_xml import status_noise_table
+
+        docs = [(r, 0, open(args.status_xml).read()) for r in radars]
+        polar = apply_status_noise(polar, status_noise_table(spark, docs))
+    grid = polar_to_grid(apply_polar_masks(polar), lut, ["zh_lin"])
+    if getattr(args, "vpr_xml", None):
+        # VPR factor at the sweep-grid beam height (before compositing),
+        # multiplicative on linear Z — io_data.py:332-380 semantics
+        from rainforest_spark.grid.corrections import (
+            apply_vpr_to_zlin, vpr_correction_curve,
+        )
+        from rainforest_spark.sources.status_xml import vpr_profile_values
+
+        vals, res = vpr_profile_values(open(args.vpr_xml).read())
+        curve = vpr_correction_curve(spark, vals, res, sorted(radars)[0])
+        grid = apply_vpr_to_zlin(grid, curve, zlin_col="zh_lin",
+                                 height_col="height")
+    comp = vertical_composite(grid, ["zh_lin"], visib_col=None)
     rr = rain_rate(comp)
     ts = rr.agg({"TIMESTAMP": "max"}).collect()[0][0] or 0
     save_grid_npz(rr, "rain_rate", args.output, timestamp=int(ts))
@@ -101,6 +119,10 @@ def main(argv=None) -> int:
     g = sub.add_parser("qpe", help="batch QPE from a polar drop dir")
     g.add_argument("input")
     g.add_argument("output")
+    g.add_argument("--status-xml", default=None,
+                   help="radar status XML: per-sweep noise SNR mask")
+    g.add_argument("--vpr-xml", default=None,
+                   help="VPR profile XML: height-dependent correction")
     g.set_defaults(fn=cmd_qpe)
 
     d = sub.add_parser("dataset", help="prepare_input to parquet")

@@ -158,3 +158,42 @@ def test_vpr_profile_xml_ladder():
     assert vals == [0.8, 1.1, 0.6] and res == 200.0
     pdf = parse_vpr_xml(xml)
     assert list(pdf["height_m"]) == [0.0, 200.0, 400.0]
+
+
+def test_cli_qpe_with_corrections(spark, tmp_path, monkeypatch):
+    """CLI qpe end-to-end with --status-xml and --vpr-xml: the parsed
+    corrections flow through the chain (noise SNR mask at gate level,
+    VPR at sweep-grid level) and the sink still writes the composite."""
+    import json as _json
+
+    from rainforest_spark.cli import main
+    from rainforest_spark.sources.polar_ingest import encode_volume_npz
+
+    rng = np.random.RandomState(5)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    sweeps = {}
+    for sw in (1, 3):
+        zh = rng.uniform(20, 50, (60, 40))
+        sweeps[sw] = {"ZH": zh, "VISIB": rng.uniform(50, 100, (60, 40))}
+    (drop / "A241530510.npz").write_bytes(encode_volume_npz(sweeps))
+
+    vpr_xml = tmp_path / "vpr.xml"
+    vpr_xml.write_text(
+        "<VPR><HEADER><vpr_res>500</vpr_res></HEADER><DATA>"
+        + "".join(f"<slice><value>{v}</value></slice>"
+                  for v in [1.0, 1.2, 1.5, 1.2, 0.9, 0.5])
+        + "</DATA></VPR>")
+    status_xml = tmp_path / "status.xml"
+    status_xml.write_text(STATUS_XML)
+
+    out = str(tmp_path / "map.npz")
+    rc = main(["qpe", str(drop), out,
+               "--status-xml", str(status_xml),
+               "--vpr-xml", str(vpr_xml)])
+    assert rc == 0
+    m = np.load(out)["data"]
+    assert m.shape == (640, 710)
+    assert np.isfinite(m).sum() > 100
+    meta = _json.load(open(out + ".json"))
+    assert meta["shape"] == [1, 640, 710]

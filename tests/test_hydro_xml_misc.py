@@ -81,3 +81,28 @@ def test_run_summary_sink(spark, tmp_path):
     out = spark.read.parquet(p).orderBy("day").collect()
     assert [r.day for r in out] == ["20240601", "20240602"]
     assert out[0].n_rows == 120000
+
+
+def test_kochendorfer_bands_golden(spark):
+    """kochendorfer_adjust vs the reference KD4 coefficients and bands
+    (database_10min/retrieve_dwh_data.py:79-97): solid T<-2, mixed
+    -2..2, liquid >2 unadjusted, wind clipped at 9, null T unadjusted."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.functions.physics import kochendorfer_adjust
+
+    pdf = pd.DataFrame({
+        "p": [1.0] * 6,
+        "t": [-5.0, -2.0, 0.0, 2.0, 5.0, np.nan],
+        "u": [4.0, 4.0, 12.0, 9.0, 4.0, 4.0]})
+    out = spark.createDataFrame(pdf).withColumn(
+        "adj", kochendorfer_adjust("p", "t", "u")).toPandas()
+
+    def ce_solid(u): return 0.865 * np.exp(-0.298 * min(u, 9)) + 0.225
+    def ce_mixed(u): return 0.624 * np.exp(-0.185 * min(u, 9)) + 0.364
+
+    exp = [1 / ce_solid(4), 1 / ce_mixed(4), 1 / ce_mixed(12),
+           1 / ce_mixed(9), 1.0, 1.0]
+    assert np.allclose(out["adj"].to_numpy(), exp)

@@ -67,3 +67,64 @@ def advection_blend(prev: np.ndarray, cur: np.ndarray,
     blended = np.where(np.isnan(moved), cur,
                        alpha * cur + (1 - alpha) * moved)
     return blended
+
+
+def advect_blend_series(grids, value_col: str = "rain_rate",
+                        nx: int = 710, ny: int = 640,
+                        alpha: float = 0.5, max_shift: int = 10):
+    """Distributed advection over a SERIES of frames: the scale axis at
+    100 TB is TIME (thousands of frame pairs), not the 1.2 MB frame.
+
+    Each consecutive (prev, cur) pair becomes one applyInPandas group —
+    rows of both frames shuffle once on the pair key (a frame feeds two
+    pairs, so data duplicates ×2, bounded); the executor densifies the
+    two sparse frames, runs the same numpy estimate_motion/advect/blend
+    used at the driver boundary, and emits the blended CUR frame as
+    sparse rows.  Per-task memory = two dense frames (~5.7 MB float64).
+
+    Input: long (TIMESTAMP, x_idx, y_idx, value) grid rows; output: the
+    same shape for every frame that has a predecessor.
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    ts = grids.select("TIMESTAMP").distinct()
+    w = Window.orderBy("TIMESTAMP")     # tiny distinct-frame dim
+    pairs = (ts.withColumn("t_prev", F.lag("TIMESTAMP").over(w))
+             .filter(F.col("t_prev").isNotNull())
+             .select(F.col("TIMESTAMP").alias("pair_t"), "t_prev"))
+    base = grids.select("TIMESTAMP", "x_idx", "y_idx",
+                        F.col(value_col).alias("v"))
+    cur = base.join(broadcast(pairs),
+                    base.TIMESTAMP == pairs.pair_t) \
+        .select("pair_t", F.lit("cur").alias("role"),
+                "x_idx", "y_idx", "v")
+    prev = base.join(broadcast(pairs),
+                     base.TIMESTAMP == pairs.t_prev) \
+        .select("pair_t", F.lit("prev").alias("role"),
+                "x_idx", "y_idx", "v")
+    both = cur.unionByName(prev)
+
+    import numpy as np
+
+    def blend(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = {}
+        for role in ("prev", "cur"):
+            part = pdf[pdf["role"] == role]
+            m = np.full((ny, nx), np.nan)
+            m[part["y_idx"].to_numpy(), part["x_idx"].to_numpy()] = \
+                part["v"].to_numpy()
+            frames[role] = m
+        out = advection_blend(frames["prev"], frames["cur"],
+                              alpha=alpha, max_shift=max_shift)
+        yy, xx = np.nonzero(np.isfinite(out))
+        return pd.DataFrame({
+            "TIMESTAMP": np.int64(pdf["pair_t"].iloc[0]),
+            "x_idx": xx.astype(np.int32),
+            "y_idx": yy.astype(np.int32),
+            value_col: out[yy, xx]})
+
+    schema = (f"TIMESTAMP long, x_idx int, y_idx int, {value_col} double")
+    return both.groupBy("pair_t").applyInPandas(blend, schema=schema)

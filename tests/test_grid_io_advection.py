@@ -91,3 +91,36 @@ def test_advection_recovers_known_shift():
                        advect(base, dy, dx)[inner], atol=1e-9)
     blended = advection_blend(base, shifted)
     assert blended.shape == base.shape and np.isfinite(blended).all()
+
+
+def test_advect_blend_series_distributed(spark):
+    """applyInPandas frame-pair advection equals the driver-side
+    advection_blend for each consecutive pair."""
+    from rainforest_spark.grid.advection import advect_blend_series, advection_blend
+
+    rng = np.random.RandomState(17)
+    nx = ny = 48
+    base = rng.uniform(0, 1, (ny, nx))
+    k = np.ones(5) / 5
+    base = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 0, base)
+    base = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, base)
+    frames = {1000: base,
+              1300: np.roll(base, 2, axis=0),
+              1600: np.roll(base, 4, axis=0)}
+    rows = []
+    for t, m in frames.items():
+        yy, xx = np.nonzero(np.isfinite(m))
+        rows.append(pd.DataFrame({"TIMESTAMP": np.int64(t),
+                                  "x_idx": xx.astype(np.int32),
+                                  "y_idx": yy.astype(np.int32),
+                                  "rain_rate": m[yy, xx]}))
+    grids = spark.createDataFrame(pd.concat(rows, ignore_index=True))
+    out = advect_blend_series(grids, nx=nx, ny=ny, max_shift=6).toPandas()
+    assert sorted(out["TIMESTAMP"].unique()) == [1300, 1600]
+    for t_prev, t_cur in [(1000, 1300), (1300, 1600)]:
+        exp = advection_blend(frames[t_prev], frames[t_cur], max_shift=6)
+        got = out[out["TIMESTAMP"] == t_cur]
+        m = np.full((ny, nx), np.nan)
+        m[got["y_idx"], got["x_idx"]] = got["rain_rate"]
+        fin = np.isfinite(exp)
+        assert np.allclose(m[fin], exp[fin], atol=1e-9)

@@ -11,9 +11,12 @@ implements the same two stages with plain numpy:
 - ``advect``: semi-Lagrangian backward resample by the (dy, dx) vector
   with bilinear interpolation.
 
-Like the reference, this runs at the frame boundary (driver-side on the
-dense 640×710 map, ~1.2 MB) — motion estimation is inherently a
-whole-frame operation and is NOT worth distributing per map.
+Motion estimation is inherently a whole-frame operation, so a single
+pair runs on one dense 640×710 map (~1.2 MB).  The scale axis is TIME:
+``advect_blend_series`` distributes the whole series as one
+applyInPandas per consecutive frame pair (rows shuffle once on the pair
+key), keeping the same numpy kernel executor-side; the bare functions
+remain the driver-boundary path for a single RT cycle.
 """
 
 from __future__ import annotations

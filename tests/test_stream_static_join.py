@@ -43,8 +43,10 @@ def test_stream_static_hzt_join(spark, tmp_path):
     assert len(out) == 2 and (out["ISO0"] == 2500.0).all()
 
 
-def test_read_xls_gate(spark):
+def test_read_xls_missing_file(spark):
+    # read_xls is no longer env-gated (pure-python SpreadsheetML path);
+    # a missing workbook surfaces as a file error, not a gate
     from rainforest_spark.sources.readers import read_xls
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(FileNotFoundError):
         read_xls(spark, "/tmp/nonexistent.xlsx")

@@ -43,6 +43,27 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+#: GPT-2-style pre-tokenizer pattern (public gpt-2 encoder.py regex),
+#: adapted to engine-portable syntax: RE2 (DuckDB) has no lookahead, so
+#: the trailing-space branch is a plain \s; \p{L}/\p{N} are Unicode
+#: classes in both Java regex and RE2.  Branch order matters (leftmost
+#: alternation preference in both engines): contractions, then
+#: space+letters, space+digits, space+punct, lone whitespace.
+BPE_ISH_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
+                   r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+|\s")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-style pre-tokenization → array<string> (the token-budget
+    estimator a training pipeline runs before the real tokenizer)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
 def stopword_count(text: Column | str, stopwords: list[str]) -> Column:
     """Number of tokens that are stopwords (lambda filter — still JVM-side)."""
     toks = F.transform(tokens(text), lambda t: F.lower(t))

@@ -170,6 +170,27 @@ def q45(spark, sf):
                                  n=3, num_hashes=16, band_size=4)
 
 
+# ---------------------------------------------------------------- q64
+# BPE-ish pre-tokenizer count (the token-budget estimator; GPT-2-style
+# public regex, engine-portable RE2/Java subset — text_analysis.py
+# BPE_ISH_PATTERN).  Whitespace counting is q41; this measures what a
+# real tokenizer would see.
+@q("q64_bpe_token_count", sql=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}'']+|\s'
+         )) AS INT) AS n_bpe_tokens,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens
+FROM documents
+""")
+def q64(spark, sf):
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TA.bpe_ish_token_count("text").cast("int").alias("n_bpe_tokens"),
+        TA.token_count("text").cast("int").alias("n_ws_tokens"))
+
+
 # ---------------------------------------------------------------- q63
 # The production near-dup pipeline: LSH candidates (q45 machinery) +
 # exact Jaccard VERIFICATION on candidates only (q44 machinery) — the

@@ -135,3 +135,21 @@ def test_minhash_verified_pairs_matches_exact(spark):
     assert (merged["jaccard_f"] == merged["jaccard_e"]).all()
     recall = len(fast) / max(len(exact), 1)
     assert recall >= 0.9, f"candidate recall too low at 0.5: {recall}"
+
+
+def test_bpe_ish_tokenizer_golden(spark):
+    """The BPE-ish pre-tokenizer splits contractions, digit runs and
+    punctuation runs like the GPT-2 pattern (modulo the lookahead-free
+    whitespace branch)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.text_analysis import bpe_ish_tokens
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "text": ["isn't 42 cats!!", "hello  world"]}))
+    out = df.select(bpe_ish_tokens("text").alias("t")).collect()
+    assert out[0].t == ["isn", "'t", " 42", " cats", "!!"]
+    # double space: first space becomes a lone \s token, second glues to
+    # the word (the lookahead-free deviation from the exact GPT-2 regex)
+    assert out[1].t == ["hello", " ", " world"]

@@ -702,6 +702,52 @@ def q62(spark, sf):
                       .alias("zh_lin_corr"))
 
 
+# ---------------------------------------------------------------- q65
+# Status-derived noise SNR mask (grid/corrections.py apply_status_noise;
+# radarprocessing.py compute_noise + snr_mask) on lineitem-shaped gates,
+# SQL-checkable: the per-sweep noise dim is a VALUES join, the NH law is
+# noisedBADU + 20·log10(r/100).
+_Q65_NB = {1: -29.5, 2: -26.0}     # noisedBADU per sweep, dB
+
+
+@q("q65_status_noise_mask", sql=f"""
+WITH status(sweep, nb) AS (VALUES (1, {_Q65_NB[1]!r}), (2, {_Q65_NB[2]!r})),
+gates AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(1 + l_suppkey % 2 AS INT) AS sweep,
+         CAST(l_partkey % 200 AS INT) AS rng_idx,
+         -25.0 + (CAST(l_quantity AS DOUBLE) % 50.0) AS ZH
+  FROM lineitem),
+nh AS (
+  SELECT g.*, s.nb + 20 * log10((g.rng_idx + 0.5) * 0.5 / 100.0) AS NH
+  FROM gates g JOIN status s ON s.sweep = g.sweep)
+SELECT l_orderkey, l_linenumber, sweep, rng_idx,
+       ROUND(NH, 6) AS nh,
+       CASE WHEN ZH - NH < 3.0 THEN NULL ELSE ZH END AS zh_masked
+FROM nh
+""")
+def q65(spark, sf):
+    import pandas as pd
+    from rainforest_spark.grid.corrections import apply_status_noise
+
+    l = T(spark, sf, "lineitem")
+    gates = l.select(
+        "l_orderkey", "l_linenumber",
+        F.lit("A").alias("RADAR"),
+        (1 + F.col("l_suppkey") % 2).cast("int").alias("SWEEP"),
+        (F.col("l_partkey") % 200).cast("int").alias("rng_idx"),
+        (-25.0 + (F.col("l_quantity").cast("double") % 50.0)).alias("ZH"))
+    status = spark.createDataFrame(pd.DataFrame({
+        "RADAR": ["A", "A"], "SWEEP": [1, 2],
+        "noisedbadu_h": [_Q65_NB[1], _Q65_NB[2]]}))
+    out = apply_status_noise(gates, status, snr_threshold=3.0,
+                             rng_res_km=0.5)
+    return out.select("l_orderkey", "l_linenumber",
+                      F.col("SWEEP").alias("sweep"), "rng_idx",
+                      r6(F.col("NH")).alias("nh"),
+                      F.col("ZH").alias("zh_masked"))
+
+
 # ---------------------------------------------------------------- q60
 # ROLLUP subtotals (not in the reference's surface — free from Spark SQL,
 # SURVEY §2.4 note; the coalesced 'ALL' label keeps the rollup NULLs

@@ -32,7 +32,10 @@ def test_q01_pushdown_and_pruning(spark):
 
 
 def test_dimension_joins_broadcast(spark):
-    for name in ["q09_broadcast_dim_join", "q31_dn_discretization"]:
+    # q62/q65: the correction dims (VPR ladder, status noise) must join
+    # broadcast — polar/fact rows never shuffle for a tiny curve
+    for name in ["q09_broadcast_dim_join", "q31_dn_discretization",
+                 "q62_vpr_correction", "q65_status_noise_mask"]:
         p = fmt_plan(spark, name)
         assert "SortMergeJoin" not in p, \
             f"{name}: dimension join fell back to sort-merge (shuffle)"

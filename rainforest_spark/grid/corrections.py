@@ -61,11 +61,16 @@ def apply_status_noise(polar: DataFrame, status_noise: DataFrame,
         how="left")
     rng_km = (F.col("rng_idx") + 0.5) * rng_res_km
     out = joined.withColumn("NH", noise_dbz(F.col("noisedbadu_h"), rng_km))
-    snr_bad = (F.col("ZH") - F.col("NH")) < snr_threshold
+    # materialize the predicate BEFORE masking: once ZH is nulled, a
+    # lazily re-resolved (ZH - NH) < thr would be NULL (treated false by
+    # when()) and the remaining fields would never be masked
+    out = out.withColumn(
+        "__snr_bad", (F.col("ZH") - F.col("NH")) < snr_threshold)
     for c in fields:
         if c in polar.columns:
-            out = out.withColumn(c, F.when(snr_bad, None).otherwise(F.col(c)))
-    return out.drop("noisedbadu_h")
+            out = out.withColumn(
+                c, F.when(F.col("__snr_bad"), None).otherwise(F.col(c)))
+    return out.drop("noisedbadu_h", "__snr_bad")
 
 
 def vpr_correction_curve(spark: SparkSession, values: list[float],

@@ -5,7 +5,8 @@ writes palette GIFs (io_data.py:262-292 read, :231-259 write).  This
 container has no PIL here, so the codec is implemented from the public
 GIF87a specification: logical screen descriptor + 256-entry global
 color table + one image block, LZW-compressed with variable code width
-(8-bit min code size, 12-bit cap, GIFLIB width-change pairing).
+(8-bit min code size, 12-bit cap, spec-conventional width-change
+pairing — interoperates with PIL/giflib-written archives).
 
 The DN byte plane IS the pixel plane: dn_encode's output (grid/io.py)
 round-trips through the GIF unchanged, and decode back to mm/h is
@@ -62,7 +63,10 @@ def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
         if next_code < (1 << MAX_CODE_SIZE):
             table[wc] = next_code
             next_code += 1
-            if next_code == (1 << code_size) \
+            # conventional pairing: the decoder lags one table entry, so
+            # the encoder widens one entry LATER than the decoder — when
+            # next_code == (1 << code_size) + 1 post-insert
+            if next_code == (1 << code_size) + 1 \
                     and code_size < MAX_CODE_SIZE:
                 code_size += 1
         else:
@@ -119,9 +123,9 @@ def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
         if prev is not None and next_code < (1 << MAX_CODE_SIZE):
             table[next_code] = table[prev] + entry[:1]
             next_code += 1
-            # decoder lags the encoder by one table entry → widen one
-            # code earlier (GIFLIB pairing)
-            if next_code == (1 << code_size) - 1 \
+            # conventional rule: widen as soon as the table fills the
+            # current width (interoperates with PIL/giflib/browsers)
+            if next_code == (1 << code_size) \
                     and code_size < MAX_CODE_SIZE:
                 code_size += 1
         prev = code
@@ -212,7 +216,9 @@ def save_grid_gif(grid_df, value_col: str, out_path: str,
     scale = scale_cpc() if scale is None else scale
     m = grid_to_matrix(grid_df, value_col, nx=nx, ny=ny)
     dn = np.searchsorted(scale, np.nan_to_num(m, nan=0.0))
-    dn = np.clip(dn, 0, 255).astype(np.uint8)
+    # 255 is reserved for NaN: finite values above the scale top clamp
+    # to 254 so they never alias the NaN sentinel on decode
+    dn = np.clip(dn, 0, 254).astype(np.uint8)
     dn[~np.isfinite(m)] = 255
     write_gif(dn, out_path, palette)
 

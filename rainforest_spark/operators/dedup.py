@@ -147,7 +147,10 @@ def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     cand = lsh_candidate_pairs(df, id_col, text_col, n, num_hashes,
                                band_size)
-    sh = shingle_table(df, id_col, text_col, n).cache()
+    # no .cache(): the three consumers (sizes, sa, sb) share the shingle
+    # table's exchange via ReusedExchange, and an explicit cache would
+    # leak executor storage across invocations in a long-lived session
+    sh = shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -71,13 +71,22 @@ def read_xlsx_sheets(path: str) -> dict:
             part = target if target.startswith("xl/") else f"xl/{target}"
             root = ET.fromstring(z.read(part))
             rows = {}
-            for row in root.iter(f"{NS}row"):
+            for rnum, row in enumerate(root.iter(f"{NS}row")):
+                default_rix = int(row.get("r", rnum + 1)) - 1
+                prev_col = -1
                 for c in row.iter(f"{NS}c"):
                     ref = c.get("r")
-                    m = re.match(r"([A-Z]+)(\d+)", ref)
-                    col = sum((ord(ch) - 64) * 26 ** i for i, ch in
-                              enumerate(reversed(m.group(1)))) - 1
-                    rix = int(m.group(2)) - 1
+                    if ref is not None:
+                        m = re.match(r"([A-Z]+)(\d+)", ref)
+                        col = sum((ord(ch) - 64) * 26 ** i for i, ch in
+                                  enumerate(reversed(m.group(1)))) - 1
+                        rix = int(m.group(2)) - 1
+                    else:
+                        # the r attribute is optional in SpreadsheetML:
+                        # position after the previous cell in this row
+                        col = prev_col + 1
+                        rix = default_rix
+                    prev_col = col
                     v = c.find(f"{NS}v")
                     is_el = c.find(f"{NS}is")
                     if c.get("t") == "s" and v is not None:
@@ -98,7 +107,11 @@ def read_xlsx_sheets(path: str) -> dict:
                 continue
             header_ix = min(rows)
             header = rows.pop(header_ix, {})
-            ncol = max(header, default=-1) + 1
+            # width = widest row anywhere, not just the header — data
+            # cells beyond the header's last column must not be dropped
+            ncol = max(
+                (max(r, default=-1) for r in ([header] + list(rows.values()))),
+                default=-1) + 1
             cols = [header.get(i, f"col{i}") for i in range(ncol)]
             data = [[rows[r].get(i) for i in range(ncol)]
                     for r in sorted(rows)]

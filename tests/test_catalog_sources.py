@@ -140,3 +140,39 @@ def test_read_xlsx_pure_python(spark, tmp_path):
     df = read_xls(spark, p).toPandas()
     assert sorted(df["STATION"]) == ["GVE", "OTL", "PAY"]
     assert len(df) == 3
+
+
+def test_read_xlsx_ragged_and_no_ref(tmp_path):
+    """Data rows wider than the header keep their cells, and cells
+    without an ``r`` attribute (legal SpreadsheetML) infer their
+    position instead of crashing."""
+    import zipfile
+
+    from rainforest_spark.sources.readers import read_xlsx_sheets
+
+    NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    R = ('xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+         'relationships"')
+    ws = (f'<?xml version="1.0"?><worksheet {NS}><sheetData>'
+          '<row r="1"><c r="A1" t="inlineStr"><is><t>K</t></is></c></row>'
+          # row 2: no r attrs anywhere → positional inference
+          '<row><c><v>1</v></c><c><v>2</v></c><c><v>3</v></c></row>'
+          # row 3: explicit refs, wider than the header
+          '<row r="3"><c r="A3"><v>4</v></c><c r="C3"><v>5</v></c></row>'
+          '</sheetData></worksheet>')
+    p = str(tmp_path / "ragged.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml",
+                   f'<?xml version="1.0"?><workbook {NS} {R}><sheets>'
+                   '<sheet name="S" sheetId="1" r:id="rId1"/>'
+                   '</sheets></workbook>')
+        z.writestr("xl/_rels/workbook.xml.rels",
+                   '<?xml version="1.0"?><Relationships xmlns="http://'
+                   'schemas.openxmlformats.org/package/2006/relationships">'
+                   '<Relationship Id="rId1" Type="t" '
+                   'Target="worksheets/sheet1.xml"/></Relationships>')
+        z.writestr("xl/worksheets/sheet1.xml", ws)
+    s = read_xlsx_sheets(p)["S"]
+    assert list(s.columns) == ["K", "col1", "col2"]
+    assert s.iloc[0].tolist() == [1.0, 2.0, 3.0]
+    assert s.iloc[1]["K"] == 4.0 and s.iloc[1]["col2"] == 5.0

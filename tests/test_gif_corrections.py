@@ -42,6 +42,29 @@ def test_gif_file_roundtrip(tmp_path):
     assert raw[:6] == b"GIF87a" and raw[-1] == 0x3B
 
 
+def test_read_gif_stock_encoders():
+    """Golden interop: GIFs written by standard encoders (shipped with
+    libxslt's docs, giflib-era toolchains) must decode with the
+    spec-conventional LZW width pairing.  The pinned hashes were taken
+    from this decoder after the pairing fix; decoding previously died
+    with 'corrupt LZW stream' on every stock GIF."""
+    import hashlib
+    import os
+
+    from rainforest_spark.grid.gif import read_gif
+
+    here = os.path.join(os.path.dirname(__file__), "data")
+    golden = [
+        ("redhat.gif", (41, 44), "0611b7d1e5bd0474"),
+        ("smallfootonly.gif", (60, 48), "ff40de340d534363"),
+    ]
+    for name, shape, digest in golden:
+        m, pal = read_gif(os.path.join(here, name))
+        assert m.shape == shape
+        assert hashlib.sha256(m.tobytes()).hexdigest()[:16] == digest
+        assert len(pal) % 3 == 0 and len(pal) > 0
+
+
 def test_save_load_grid_gif(spark, tmp_path):
     from rainforest_spark.grid.gif import load_grid_gif, save_grid_gif
     from rainforest_spark.grid.io import scale_cpc
@@ -97,7 +120,10 @@ def test_status_noise_applied(spark):
     polar = spark.createDataFrame(pd.DataFrame({
         "RADAR": "A", "SWEEP": 1,
         "rng_idx": np.int32([0, 10, 100]),
-        "ZH": [-31.0, 10.0, 10.0]}))
+        "ZH": [-31.0, 10.0, 10.0],
+        "RHOHV": [0.99, 0.98, 0.97],
+        "KDP": [0.1, 0.2, 0.3],
+        "nwp_T": [270.0, 271.0, 272.0]}))
     out = apply_status_noise(polar, st, snr_threshold=3.0) \
         .toPandas().set_index("rng_idx")
     nb = 10 * np.log10(4.0e-6) + 72.5
@@ -109,6 +135,12 @@ def test_status_noise_applied(spark):
     assert pd.isna(out.loc[0, "ZH"])      # snr = -31+33.5 = 2.5 < 3
     assert out.loc[10, "ZH"] == 10.0      # snr ≈ 17
     assert pd.isna(out.loc[100, "ZH"])    # snr ≈ -2.5
+    # snr_mask nulls EVERY radar field at bad gates (radarprocessing.py
+    # :116-142), not just ZH — and leaves NWP columns untouched
+    for c in ("RHOHV", "KDP"):
+        assert pd.isna(out.loc[0, c]) and pd.isna(out.loc[100, c])
+        assert not pd.isna(out.loc[10, c])
+    assert out["nwp_T"].notna().all()
 
     wr = wet_radome_feature(polar, st).toPandas()
     assert (wr["RADPRECIP"] == 1.25).all()

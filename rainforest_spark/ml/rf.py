@@ -22,7 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rainforest_spark.operators.aggregates import sessionize
@@ -163,20 +163,33 @@ def permutation_importance(df: DataFrame, model: RandomForestQPE,
     """Permutation feature importance (reference ml/rf.py:632-843):
     score drop when one feature column is shuffled.
 
-    The shuffle is a rand()-ordered re-join of the single column —
-    distributed, no driver materialization.
+    The permutation is PARTITION-LOCAL: one rand() repartition breaks
+    any input-order/feature correlation, then each feature column is
+    shuffled within its partition by an Arrow-batched ``mapInPandas``
+    (deterministic per (seed, feature, partition)).  Statistically
+    equivalent to a global permutation for the importance statistic, and
+    nothing funnels through a single task — the previous formulation
+    used two no-partition row_number windows plus a join per feature.
     """
+    import numpy as np
+
+    from pyspark import TaskContext
+
     base = _rmse(model.transform(df), target)
+    n = df.rdd.getNumPartitions()
+    d = df.repartition(n, F.rand(seed))
     out = {}
     for i, feat in enumerate(features):
-        w = Window.orderBy(F.rand(seed + i))
-        wn = Window.orderBy(F.monotonically_increasing_id())
-        shuffled_col = (df.select(F.col(feat).alias("__shuf"))
-                        .withColumn("__rn", F.row_number().over(w)))
-        keyed = df.withColumn("__rn", F.row_number().over(wn))
-        permuted = (keyed.drop(feat)
-                    .join(shuffled_col.withColumnRenamed("__shuf", feat),
-                          on="__rn").drop("__rn"))
+        def _permute(batches, _feat=feat, _salt=seed * 1_000_003 + i * 7919):
+            pid = TaskContext.get().partitionId()
+            rng = np.random.default_rng(_salt + pid)
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[_feat] = pdf[_feat].to_numpy()[
+                    rng.permutation(len(pdf))]
+                yield pdf
+
+        permuted = d.mapInPandas(_permute, d.schema)
         out[feat] = _rmse(model.transform(permuted), target) - base
     return out
 

@@ -43,20 +43,27 @@ def scatter_score(df: DataFrame, est_col: str, ref_col: str,
 
     Reference common/utils.py:139-166 + weighted quantile :294-369.
     One sorted window per group computes the cumulative weight; both
-    quantiles come out of the same pass.
+    quantiles come out of the same pass.  Ungrouped (a whole-archive
+    score), the cumsum is range-partitioned (``ranged_cumsum``) and the
+    total is a broadcast one-row agg — no single-partition window.
     """
+    from rainforest_spark.operators.windows import ranged_cumsum
+
     group_cols = group_cols or []
     cond = (F.col(est_col) > min_ref) & (F.col(ref_col) > min_ref)
     d = df.filter(cond).withColumn(
         "__db_err", 10.0 * F.log10(F.col(est_col) / F.col(ref_col)))
-    ws = (Window.partitionBy(*[F.col(c) for c in group_cols])
-          .orderBy(F.col("__db_err"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wt = Window.partitionBy(*[F.col(c) for c in group_cols]) if group_cols \
-        else Window.partitionBy()
-    cum = (d.withColumn("__cw", F.sum(ref_col).over(ws))
-            .withColumn("__tw", F.sum(ref_col).over(wt))
-            .withColumn("__q", F.col("__cw") / F.col("__tw")))
+    if group_cols:
+        ws = (Window.partitionBy(*[F.col(c) for c in group_cols])
+              .orderBy(F.col("__db_err"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wt = Window.partitionBy(*[F.col(c) for c in group_cols])
+        cum = (d.withColumn("__cw", F.sum(ref_col).over(ws))
+                .withColumn("__tw", F.sum(ref_col).over(wt)))
+    else:
+        cum = ranged_cumsum(d, "__db_err", ref_col, "__cw").crossJoin(
+            F.broadcast(d.agg(F.sum(ref_col).alias("__tw"))))
+    cum = cum.withColumn("__q", F.col("__cw") / F.col("__tw"))
     # both quantiles in ONE pass: rows past the 16% cut, with the 84%
     # quantile as a conditional min — one groupBy, no self-join
     out = (cum.filter(F.col("__q") >= 0.16)

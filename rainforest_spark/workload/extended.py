@@ -531,7 +531,6 @@ FROM m
 """)
 def q58(spark, sf):
     from rainforest_spark.grid.qpe import apply_polar_masks
-    from pyspark.sql import Window
 
     l = T(spark, sf, "lineitem")
     gates = l.select(
@@ -542,10 +541,13 @@ def q58(spark, sf):
         .alias("VISIB"))
     masked = apply_polar_masks(gates, snr_threshold=3.0, min_visib=37.0,
                                max_visib_corr=2.0)
-    return masked.select(
+    # COUNT(*) OVER () as a broadcast one-row agg — an empty-partition
+    # window would funnel every row through a single task
+    total = masked.agg(F.count(F.lit(1)).alias("n_total"))
+    return masked.crossJoin(F.broadcast(total)).select(
         "l_orderkey", "l_linenumber",
         r6(F.col("zh_lin")).alias("zh_lin"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_total"))
+        "n_total")
 
 
 @q("q59_simhash_neardup")

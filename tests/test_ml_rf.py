@@ -75,3 +75,22 @@ def test_event_cv_runs(spark, learnable):
     assert len(res) >= 2
     for r in res:
         assert r["rmse"] > 0 and r["n"] > 0
+
+
+def test_permutation_importance_stable_ranking(spark, learnable):
+    """Reference ml/rf.py:632-843 compares permutation importances; the
+    partition-local permutation must give the same feature RANKING for
+    any permutation seed (the statistic is seed-robust even though the
+    permutations differ)."""
+    from rainforest_spark.ml.rf import RandomForestQPE, permutation_importance
+
+    model = RandomForestQPE(FEATURES, num_trees=10, max_depth=10).fit(
+        learnable)
+    rankings = []
+    for seed in (1, 42, 1234):
+        imp = permutation_importance(learnable, model, FEATURES,
+                                     "target_mmh", seed=seed)
+        rankings.append(sorted(FEATURES, key=lambda f: -imp[f]))
+        # zh dominates the synthetic signal by construction
+        assert rankings[-1][0] == "zh"
+    assert rankings[0] == rankings[1] == rankings[2]

@@ -109,14 +109,23 @@ def energy_distance(df: DataFrame, est_col: str, ref_col: str,
         x = np.sort(pdf[est_col].to_numpy(dtype=float))
         y = np.sort(pdf[ref_col].to_numpy(dtype=float))
         n, m = len(x), len(y)
-        # E|X-Y| via merged CDF walk; E|X-X'|, E|Y-Y'| via sorted pair sums
+        # E|X-X'|, E|Y-Y'| via sorted pair sums
         def mean_abs_diff_sorted(a):
             k = len(a)
             if k < 2:
                 return 0.0
             idx = np.arange(k)
             return float(2.0 * np.sum((2 * idx - k + 1) * a) / (k * k))
-        xy = float(np.abs(x[:, None] - y[None, :]).mean()) if n and m else 0.0
+        # E|X-Y| via sorted prefix sums (O((n+m)·log n)) — an n×m outer
+        # product would blow memory on large groups:
+        # Σᵢ|xᵢ−yⱼ| = yⱼ·(2cⱼ−n) + Sx − 2·prefxⱼ with cⱼ = #{x ≤ yⱼ}
+        if n and m:
+            prefx = np.concatenate(([0.0], np.cumsum(x)))
+            c = np.searchsorted(x, y, side="right")
+            xy = float(np.sum(y * (2 * c - n) + (prefx[n] - 2 * prefx[c]))
+                       / (n * m))
+        else:
+            xy = 0.0
         ed2 = 2 * xy - mean_abs_diff_sorted(x) - mean_abs_diff_sorted(y)
         out = {c: [pdf[c].iloc[0]] for c in group_cols}
         out["energy_dist"] = [float(np.sqrt(max(ed2, 0.0)))]

@@ -152,17 +152,73 @@ def q47(spark, sf):
                              k=3, n_planes=4)
 
 
-@q("q48_energy_distance")
+# q48: the applyInPandas energy-distance UDAF, hash-checked against a
+# pure window-cumsum DuckDB formulation: E|X-X'| from the sorted-pair
+# identity 2·Σ(2·rn−n−1)·v / n², and the cross term E|X-Y| from
+# peers-inclusive RANGE cumsums over the labeled union (for each y:
+# Σᵢ|xᵢ−y| = y·(2cx−nx) + Sx − 2·prefx).  Inputs rounded to 6 in both
+# engines; the final sqrt is rounded to 6 (FP noise ~1e-12 « 5e-7).
+@q("q48_energy_distance", sql="""
+WITH d AS (
+  SELECT event_type,
+         ROUND(value, 6) AS est,
+         ROUND(value * 0.8 + 1.0, 6) AS ref
+  FROM events),
+x AS (SELECT event_type, est AS v FROM d),
+y AS (SELECT event_type, ref AS v FROM d),
+exx AS (
+  SELECT event_type,
+         2.0 * SUM((2.0*rn - n - 1) * v) / (MAX(n) * MAX(n)) AS e_xx
+  FROM (SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM x)
+  GROUP BY event_type),
+eyy AS (
+  SELECT event_type,
+         2.0 * SUM((2.0*rn - n - 1) * v) / (MAX(n) * MAX(n)) AS e_yy
+  FROM (SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM y)
+  GROUP BY event_type),
+u AS (
+  SELECT event_type, v, 1 AS isx FROM x
+  UNION ALL
+  SELECT event_type, v, 0 AS isx FROM y),
+w AS (
+  SELECT event_type, v, isx,
+         SUM(isx) OVER (PARTITION BY event_type ORDER BY v
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx,
+         SUM(isx * v) OVER (PARTITION BY event_type ORDER BY v
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sx,
+         SUM(isx) OVER (PARTITION BY event_type) AS nx,
+         SUM(isx * v) OVER (PARTITION BY event_type) AS sxt
+  FROM u),
+exy AS (
+  SELECT event_type,
+         SUM(v * (2.0*cx - nx) + sxt - 2.0*sx)
+           / (MAX(nx) * COUNT(*)) AS e_xy
+  FROM w WHERE isx = 0
+  GROUP BY event_type)
+SELECT exx.event_type,
+       ROUND(sqrt(GREATEST(2.0*e_xy - e_xx - e_yy, 0.0)), 6) AS energy_dist
+FROM exx JOIN eyy ON exx.event_type = eyy.event_type
+         JOIN exy ON exx.event_type = exy.event_type
+""")
 def q48(spark, sf):
     """Energy distance per event_type (grouped applyInPandas UDAF —
-    the reference's only non-SQL score, common/utils.py:148)."""
+    the reference's only non-SQL score, common/utils.py:148) — the
+    oracle re-derives it with window cumsum algebra."""
     from rainforest_spark.operators.scores import energy_distance
 
     e = T(spark, sf, "events")
     d = e.select(F.col("event_type"),
-                 F.col("value").alias("est"),
-                 (F.col("value") * 0.8 + 1.0).alias("ref"))
-    return energy_distance(d, "est", "ref", ["event_type"])
+                 r6(F.col("value")).alias("est"),
+                 r6(F.col("value") * 0.8 + 1.0).alias("ref"))
+    out = energy_distance(d, "est", "ref", ["event_type"])
+    return out.select("event_type", r6(F.col("energy_dist"))
+                      .alias("energy_dist"))
 
 
 @q("q49_multimodal_decode")

@@ -57,6 +57,30 @@ def latest_per_group(df: DataFrame, partition_cols: list[Column | str],
             .filter(F.col("__rn") == 1).drop("__rn"))
 
 
+def hzt_fallback_chain(files: DataFrame, valid_col: str, run_col: str,
+                       lead_col: str, tiebreak_cols: list | None = None,
+                       preferred_lead: int = 0) -> DataFrame:
+    """HZT gap-fill fallback: per valid hour prefer the operational
+    lead-``preferred_lead`` product; when it is missing fall back to the
+    NEWEST older run still valid at that hour.
+
+    Reference ``retrieve_hzt_prod`` (common/retrieve_data.py:144-188):
+    the lead-0 (".800") ladder is taken first, then each missing hour is
+    filled with the last file from the full run ladder valid at that
+    hour.  The listdir-order ``[-1]`` pick becomes a deterministic
+    (run DESC, lead ASC, tiebreak) ordering here.
+
+    One window partitioned by the valid hour — no run ladder is ever
+    collected, so a year of hourly runs stays fully distributed.
+    """
+    w = Window.partitionBy(valid_col).orderBy(
+        F.when(F.col(lead_col) == preferred_lead, 0).otherwise(1),
+        F.col(run_col).desc(), F.col(lead_col).asc(),
+        *[F.col(c) for c in (tiebreak_cols or [])])
+    return (files.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
 def asof_join(left: DataFrame, right: DataFrame, partition_cols: list[str],
               ts_col: str, right_value_cols: list[str],
               tolerance_sec: int | None = None) -> DataFrame:

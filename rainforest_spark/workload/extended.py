@@ -11,7 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from rainforest_spark.workload.common import T, dec, epoch_d, r6
+from rainforest_spark.workload.common import T, dec, epoch_d, epoch_s, r6
 
 QUERIES = {}
 ORACLES = {}
@@ -826,3 +826,43 @@ def q60(spark, sf):
             .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
                     F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
                     "n", "qty_sum"))
+
+
+# ---------------------------------------------------------------- q67
+# S10+ HZT fallback chain (common/retrieve_data.py:144-188): per valid
+# hour prefer the lead-0 operational product; hours whose lead-0 file is
+# missing fall back to the newest older run still valid at that hour.
+# Run ladder synthesized from events; ~1/5 of lead-0 files removed to
+# force the fallback path.
+@q("q67_hzt_fallback_chain", sql="""
+WITH files AS (
+  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS valid_hour,
+         event_id % 4 AS lead_h,
+         CAST(floor(epoch(ts)/3600)*3600 - (event_id % 4)*3600 AS BIGINT)
+           AS run_ts,
+         event_id,
+         ROUND(value, 6) AS payload
+  FROM events
+  WHERE NOT (event_id % 4 = 0 AND user_id % 5 = 0)),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY valid_hour
+       ORDER BY CASE WHEN lead_h = 0 THEN 0 ELSE 1 END,
+                run_ts DESC, lead_h ASC, event_id) AS rn
+  FROM files)
+SELECT valid_hour, run_ts, lead_h, event_id, payload FROM r WHERE rn = 1
+""")
+def q67(spark, sf):
+    from rainforest_spark.operators.joins import hzt_fallback_chain
+
+    e = T(spark, sf, "events")
+    vh = (F.floor(epoch_s("ts") / 3600) * 3600).cast("long")
+    files = (e.withColumn("valid_hour", vh)
+             .withColumn("lead_h", F.col("event_id") % 4)
+             .withColumn("run_ts",
+                         (F.col("valid_hour")
+                          - F.col("lead_h") * 3600).cast("long"))
+             .filter(~((F.col("lead_h") == 0) & (F.col("user_id") % 5 == 0)))
+             .select("valid_hour", "run_ts", "lead_h", "event_id",
+                     r6(F.col("value")).alias("payload")))
+    return hzt_fallback_chain(files, "valid_hour", "run_ts", "lead_h",
+                              ["event_id"])

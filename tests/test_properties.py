@@ -101,3 +101,31 @@ def test_sessionize_invariants(spark, ts):
     assert s[0] == 0
     jumps = np.diff(t) > gap
     assert (np.diff(s) == jumps.astype(int)).all()
+
+
+def test_hzt_fallback_chain_gapped_hour(spark):
+    """Reference retrieve_hzt_prod semantics: an hour whose lead-0 file
+    is missing is filled from the NEWEST older run valid at that hour;
+    hours with a lead-0 file always use it."""
+    import pandas as pd
+
+    from rainforest_spark.operators.joins import hzt_fallback_chain
+
+    H = 3600
+    rows = [
+        # hour 0: lead-0 present + stale alternatives → lead-0 wins
+        dict(valid_hour=0, run_ts=0, lead_h=0, fid=1),
+        dict(valid_hour=0, run_ts=-2 * H, lead_h=2, fid=2),
+        # hour 1: NO lead-0 → newest older run (lead 1) wins over lead 3
+        dict(valid_hour=H, run_ts=0, lead_h=1, fid=3),
+        dict(valid_hour=H, run_ts=-2 * H, lead_h=3, fid=4),
+        # hour 2: only a single stale run
+        dict(valid_hour=2 * H, run_ts=-H, lead_h=3, fid=5),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = hzt_fallback_chain(df, "valid_hour", "run_ts", "lead_h",
+                             ["fid"]).toPandas()
+    picked = out.set_index("valid_hour")["fid"].to_dict()
+    assert picked == {0: 1, H: 3, 2 * H: 5}
+    # every requested hour is covered despite the lead-0 gap
+    assert set(picked) == {0, H, 2 * H}

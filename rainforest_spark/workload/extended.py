@@ -866,3 +866,184 @@ def q67(spark, sf):
                      r6(F.col("value")).alias("payload")))
     return hzt_fallback_chain(files, "valid_hour", "run_ts", "lead_h",
                               ["event_id"])
+
+
+# ---------------------------------------------------------------- q66
+# QPE-run evaluation pipeline (qpe/evaluation.py:54-240) on
+# lineitem-shaped grids: 3 models (l_returnflag), 12 slots, 2 files per
+# slot, station LUT on a pixel subset, synthetic gauge in exact binary
+# sixteenths (sums order-independent).  The SQL mirrors station_series →
+# completeness rules → hourly rollup → bounded perfscores + scatter.
+@q("q66_qpe_evaluation", sql="""
+WITH grids AS (
+  SELECT l_returnflag AS model,
+         CAST((l_orderkey % 12) * 600 AS BIGINT) AS timestep,
+         l_linenumber % 2 AS file_id,
+         CAST(l_partkey % 50 AS INT) AS x_idx,
+         CAST(l_suppkey % 40 AS INT) AS y_idx,
+         l_quantity / 2.0 AS value
+  FROM lineitem),
+lut AS (
+  SELECT 'S' || CAST(x_idx*40 + y_idx AS VARCHAR) AS station, x_idx, y_idx
+  FROM (SELECT DISTINCT x_idx, y_idx FROM grids)
+  WHERE (x_idx*7 + y_idx) % 11 = 0),
+slots AS (SELECT k AS slot_id, CAST(k*600 AS BIGINT) AS timestep
+          FROM UNNEST(generate_series(0, 11)) AS t(k)),
+gauge AS (
+  SELECT station, timestep,
+         0.25 + ((x_idx*13 + y_idx*7 + slot_id) % 224) / 16.0 AS ref_mmh
+  FROM lut, slots),
+est10_raw AS (
+  SELECT model, timestep, station, AVG(value) AS est_mmh
+  FROM grids JOIN lut USING (x_idx, y_idx)
+  GROUP BY model, timestep, station),
+files AS (
+  SELECT model, timestep
+  FROM (SELECT DISTINCT model, timestep, file_id FROM grids)
+  GROUP BY model, timestep
+  HAVING COUNT(*) >= 2),
+per_ts AS (SELECT timestep, COUNT(*) AS nm FROM files GROUP BY timestep),
+complete AS (SELECT timestep FROM per_ts
+             WHERE nm = (SELECT MAX(nm) FROM per_ts)),
+est10 AS (
+  SELECT e.model, e.timestep, e.station, e.est_mmh FROM est10_raw e
+  JOIN files ON files.model = e.model AND files.timestep = e.timestep
+  JOIN complete ON complete.timestep = e.timestep),
+j10 AS (
+  SELECT model, est_mmh, ref_mmh
+  FROM est10 JOIN gauge USING (station, timestep)),
+hours AS (
+  SELECT CAST(floor(timestep/3600)*3600 AS BIGINT) AS hour
+  FROM (SELECT DISTINCT timestep FROM est10)
+  GROUP BY 1 HAVING COUNT(*) = 6),
+est60 AS (
+  SELECT CAST(floor(e.timestep/3600)*3600 AS BIGINT) AS hour,
+         model, station, AVG(est_mmh) AS est_mmh
+  FROM est10 e
+  JOIN hours ON hours.hour = CAST(floor(e.timestep/3600)*3600 AS BIGINT)
+  GROUP BY 1, model, station),
+kept_ts AS (SELECT DISTINCT timestep FROM est10),
+ref60 AS (
+  SELECT CAST(floor(g.timestep/3600)*3600 AS BIGINT) AS hour,
+         station, AVG(ref_mmh) AS ref_mmh
+  FROM gauge g
+  JOIN kept_ts ON kept_ts.timestep = g.timestep
+  JOIN hours ON hours.hour = CAST(floor(g.timestep/3600)*3600 AS BIGINT)
+  GROUP BY 1, station),
+j60 AS (
+  SELECT model, est_mmh, ref_mmh
+  FROM est60 JOIN ref60 USING (hour, station)),
+u10 AS (
+  SELECT model, 'all' AS bound, est_mmh, ref_mmh FROM j10
+  WHERE est_mmh >= 0 AND ref_mmh >= 0
+  UNION ALL
+  SELECT model,
+         CASE WHEN ref_mmh >= 0.0 AND ref_mmh < 2.0 THEN '0.0-2.0'
+              WHEN ref_mmh >= 2.0 AND ref_mmh < 10.0 THEN '2.0-10.0'
+              WHEN ref_mmh >= 10.0 AND ref_mmh < 100.0 THEN '10.0-100.0'
+              END AS bound,
+         est_mmh, ref_mmh FROM j10
+  WHERE est_mmh >= 0 AND ref_mmh >= 0
+    AND ref_mmh >= 0.0 AND ref_mmh < 100.0),
+u60 AS (
+  SELECT model, 'all' AS bound, est_mmh, ref_mmh FROM j60
+  WHERE est_mmh >= 0 AND ref_mmh >= 0
+  UNION ALL
+  SELECT model,
+         CASE WHEN ref_mmh >= 0.0 AND ref_mmh < 1.0 THEN '0.0-1.0'
+              WHEN ref_mmh >= 1.0 AND ref_mmh < 10.0 THEN '1.0-10.0'
+              WHEN ref_mmh >= 10.0 AND ref_mmh < 100.0 THEN '10.0-100.0'
+              END AS bound,
+         est_mmh, ref_mmh FROM j60
+  WHERE est_mmh >= 0 AND ref_mmh >= 0
+    AND ref_mmh >= 0.0 AND ref_mmh < 100.0),
+s10 AS (
+  SELECT model, bound, COUNT(*) AS N,
+         ROUND(sqrt(AVG((est_mmh-ref_mmh)*(est_mmh-ref_mmh))), 6) AS RMSE,
+         ROUND(10*log10(SUM(est_mmh)/SUM(ref_mmh)), 6) AS logBias,
+         ROUND(AVG(est_mmh), 6) AS est_mean,
+         ROUND(AVG(ref_mmh), 6) AS ref_mean,
+         ROUND(corr(est_mmh, ref_mmh), 6) AS corr_p
+  FROM u10 WHERE est_mmh > 0.1 AND ref_mmh > 0.1
+  GROUP BY model, bound),
+s60 AS (
+  SELECT model, bound, COUNT(*) AS N,
+         ROUND(sqrt(AVG((est_mmh-ref_mmh)*(est_mmh-ref_mmh))), 6) AS RMSE,
+         ROUND(10*log10(SUM(est_mmh)/SUM(ref_mmh)), 6) AS logBias,
+         ROUND(AVG(est_mmh), 6) AS est_mean,
+         ROUND(AVG(ref_mmh), 6) AS ref_mean,
+         ROUND(corr(est_mmh, ref_mmh), 6) AS corr_p
+  FROM u60 WHERE est_mmh > 0.1 AND ref_mmh > 0.1
+  GROUP BY model, bound),
+c10 AS (
+  SELECT model, bound,
+         10*log10(est_mmh/ref_mmh) AS db_err, ref_mmh AS w
+  FROM u10 WHERE est_mmh > 0.1 AND ref_mmh > 0.1),
+w10 AS (
+  SELECT model, bound, db_err,
+         SUM(w) OVER (PARTITION BY model, bound ORDER BY db_err
+                      ROWS UNBOUNDED PRECEDING) /
+         SUM(w) OVER (PARTITION BY model, bound) AS q
+  FROM c10),
+scat10 AS (
+  SELECT model, bound,
+         ROUND((MIN(CASE WHEN q >= 0.84 THEN db_err END)
+                - MIN(db_err)) / 2.0, 6) AS scatter
+  FROM w10 WHERE q >= 0.16 GROUP BY model, bound),
+c60 AS (
+  SELECT model, bound,
+         10*log10(est_mmh/ref_mmh) AS db_err, ref_mmh AS w
+  FROM u60 WHERE est_mmh > 0.1 AND ref_mmh > 0.1),
+w60 AS (
+  SELECT model, bound, db_err,
+         SUM(w) OVER (PARTITION BY model, bound ORDER BY db_err
+                      ROWS UNBOUNDED PRECEDING) /
+         SUM(w) OVER (PARTITION BY model, bound) AS q
+  FROM c60),
+scat60 AS (
+  SELECT model, bound,
+         ROUND((MIN(CASE WHEN q >= 0.84 THEN db_err END)
+                - MIN(db_err)) / 2.0, 6) AS scatter
+  FROM w60 WHERE q >= 0.16 GROUP BY model, bound)
+SELECT '10min' AS agg, model, bound, N, RMSE, logBias,
+       est_mean, ref_mean, corr_p, scatter
+FROM s10 LEFT JOIN scat10 USING (model, bound)
+UNION ALL
+SELECT '60min' AS agg, model, bound, N, RMSE, logBias,
+       est_mean, ref_mean, corr_p, scatter
+FROM s60 LEFT JOIN scat60 USING (model, bound)
+""")
+def q66(spark, sf):
+    from rainforest_spark.grid.evaluation import evaluate_qpe
+
+    l = T(spark, sf, "lineitem")
+    grids = l.select(
+        F.col("l_returnflag").alias("model"),
+        ((F.col("l_orderkey") % 12) * 600).cast("long").alias("timestep"),
+        (F.col("l_linenumber") % 2).alias("file_id"),
+        (F.col("l_partkey") % 50).cast("int").alias("x_idx"),
+        (F.col("l_suppkey") % 40).cast("int").alias("y_idx"),
+        (F.col("l_quantity") / 2.0).alias("value"))
+    lut = (grids.select("x_idx", "y_idx").distinct()
+           .filter((F.col("x_idx") * 7 + F.col("y_idx")) % 11 == 0)
+           .select(F.concat(F.lit("S"),
+                            (F.col("x_idx") * 40 + F.col("y_idx"))
+                            .cast("string")).alias("STATION"),
+                   "x_idx", "y_idx"))
+    slots = spark.range(12).select(
+        F.col("id").alias("slot_id"),
+        (F.col("id") * 600).cast("long").alias("timestep"))
+    gauge = (lut.crossJoin(slots)
+             .select("STATION", "timestep",
+                     (0.25 + ((F.col("x_idx") * 13 + F.col("y_idx") * 7
+                               + F.col("slot_id")) % 224) / 16.0)
+                     .alias("ref_mmh")))
+    out = evaluate_qpe(grids, gauge, lut)
+    return out.select(
+        "agg", "model", "bound", "N",
+        r6(F.col("RMSE")).alias("RMSE"),
+        r6(F.col("logBias")).alias("logBias"),
+        r6(F.col("est_mean")).alias("est_mean"),
+        r6(F.col("ref_mean")).alias("ref_mean"),
+        r6(F.col("corr_p")).alias("corr_p"),
+        r6(F.col("scatter")).alias("scatter"))

@@ -93,6 +93,105 @@ def save_grid_npz(grid_df: DataFrame, value_col: str, out_path: str,
         json.dump(meta, f)
 
 
+def _matrix_to_long(spark: SparkSession, m: np.ndarray,
+                    scale: np.ndarray | None = None) -> DataFrame:
+    """Dense matrix (row 0 = northernmost band) → long (x_idx, y_idx,
+    [dn,] value) DataFrame, flipping y back like load_grid_gif."""
+    ny, nx = m.shape
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    cols = {
+        "x_idx": xx.ravel().astype(np.int32),
+        "y_idx": (ny - 1 - yy.ravel()).astype(np.int32),
+    }
+    if scale is not None:                       # m holds DN bytes
+        dn = m.ravel().astype(np.int32)
+        cols["dn"] = dn
+        cols["value"] = np.where(dn == 255, np.nan,
+                                 scale[np.minimum(dn, 255)])
+    else:
+        cols["value"] = m.ravel().astype(np.float64)
+    return spark.createDataFrame(pd.DataFrame(cols))
+
+
+def save_grid_bin(matrix: np.ndarray, out_path: str,
+                  scale: np.ndarray | None = None) -> None:
+    """ELDES/RFQ-style headerless binary grid sink (reference
+    io_data.py:193-206): uint8 DN plane when a scale is given (file size
+    = ny·nx), else raw float32.  NaN → DN 255 under a scale."""
+    if scale is not None:
+        dn = np.searchsorted(scale, np.nan_to_num(matrix, nan=0.0))
+        dn = np.clip(dn, 0, 254).astype(np.uint8)
+        dn[~np.isfinite(matrix)] = 255
+        dn.tofile(out_path)
+    else:
+        np.ascontiguousarray(matrix, dtype=np.float32).tofile(out_path)
+
+
+def load_grid_bin(spark: SparkSession, path: str,
+                  scale: np.ndarray | None = None,
+                  nx: int = 710, ny: int = 640) -> DataFrame:
+    """Headerless binary grid → long DataFrame.  Mirrors the reference's
+    size dispatch (io_data.py:193-206): a file of exactly ny·nx bytes is
+    a DN byte plane decoded through the scale; otherwise float32."""
+    import os
+
+    scale = scale_cpc() if scale is None else scale
+    if os.path.getsize(path) == nx * ny:
+        m = np.fromfile(path, dtype="B").reshape(ny, nx)
+        return _matrix_to_long(spark, m, scale)
+    m = np.fromfile(path, dtype=np.float32).reshape(ny, nx)
+    return _matrix_to_long(spark, m)
+
+
+def load_grid_npz(spark: SparkSession, path: str) -> DataFrame:
+    """Read back the engine-native npz sink (save_grid_npz)."""
+    m = np.load(path)["data"]
+    return _matrix_to_long(spark, np.asarray(m, dtype=np.float64))
+
+
+def load_grid_odim(spark: SparkSession, path: str) -> DataFrame:
+    """ODIM_H5 composite → long DataFrame, mirroring save_grid_odim
+    (reference read_odim_grid_h5 use in io_data.py:186-191: take the
+    first dataset's data, squeeze the leading plane, flip y).
+
+    Env-gated on h5py like the writer; real wherever h5py exists.
+    """
+    try:
+        import h5py
+    except ImportError as e:  # pragma: no cover - env gate
+        raise NotImplementedError(
+            "ODIM HDF5 read requires h5py (not installed here); use "
+            "load_grid_npz/load_grid_bin for the interchange formats"
+        ) from e
+
+    with h5py.File(path, "r") as f:
+        data = np.asarray(f["dataset1"]["data1"]["data"])
+        gain = float(f["dataset1"]["what"].attrs.get("gain", 1.0))
+        offset = float(f["dataset1"]["what"].attrs.get("offset", 0.0))
+    m = np.squeeze(data).astype(np.float64) * gain + offset
+    return _matrix_to_long(spark, m)
+
+
+def load_grid_auto(spark: SparkSession, path: str,
+                   scale: np.ndarray | None = None,
+                   nx: int = 710, ny: int = 640) -> DataFrame:
+    """read_cart parity (reference io_data.py:167-212): dispatch on the
+    file extension/shape — .gif → GIF codec, .h5 → ODIM, .npz → native
+    npz, anything else → headerless binary (DN vs float32 by size)."""
+    import os
+
+    from rainforest_spark.grid.gif import load_grid_gif
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".gif":
+        return load_grid_gif(spark, path, scale)
+    if ext in (".h5", ".hdf5"):
+        return load_grid_odim(spark, path)
+    if ext == ".npz":
+        return load_grid_npz(spark, path)
+    return load_grid_bin(spark, path, scale, nx=nx, ny=ny)
+
+
 def save_grid_odim(grid_df: DataFrame, value_col: str, out_path: str,
                    timestamp: int, quality: str = "ADLPW",
                    nx: int = 710, ny: int = 640) -> None:

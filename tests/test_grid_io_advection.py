@@ -124,3 +124,78 @@ def test_advect_blend_series_distributed(spark):
         m[got["y_idx"], got["x_idx"]] = got["rain_rate"]
         fin = np.isfinite(exp)
         assert np.allclose(m[fin], exp[fin], atol=1e-9)
+
+
+def test_binary_grid_roundtrip(spark, tmp_path):
+    """ELDES/RFQ headerless binary: DN plane (size = ny*nx) decodes via
+    the scale, float32 plane reads raw (io_data.py:193-206 dispatch)."""
+    from rainforest_spark.grid.io import (
+        load_grid_auto, load_grid_bin, save_grid_bin, scale_cpc,
+    )
+
+    scale = scale_cpc()
+    rng = np.random.RandomState(21)
+    m = rng.uniform(0, 50, (20, 30))
+    m[3, 4] = np.nan
+
+    # DN path: 20*30 bytes → searchsorted codes, NaN sentinel 255
+    p_dn = str(tmp_path / "RFQ_dn.bin")
+    save_grid_bin(m, p_dn, scale)
+    import os
+    assert os.path.getsize(p_dn) == 20 * 30
+    back = load_grid_bin(spark, p_dn, scale, nx=30, ny=20).toPandas()
+    k = back.set_index(["x_idx", "y_idx"])
+    assert k.loc[(4, 20 - 1 - 3), "dn"] == 255
+    assert np.isnan(k.loc[(4, 20 - 1 - 3), "value"])
+    exp_dn = np.searchsorted(scale, m[0, 0])
+    assert k.loc[(0, 19), "dn"] == exp_dn
+    assert k.loc[(0, 19), "value"] == scale[exp_dn]
+
+    # float32 path: 4x the size → raw values
+    p_f = str(tmp_path / "RFQ_f.bin")
+    save_grid_bin(m, p_f)
+    backf = load_grid_auto(spark, p_f, nx=30, ny=20).toPandas()
+    kf = backf.set_index(["x_idx", "y_idx"])["value"]
+    assert kf[(0, 19)] == pytest.approx(m[0, 0], rel=1e-6)
+    assert np.isnan(kf[(4, 16)])
+
+
+def test_npz_grid_roundtrip(spark, tmp_path):
+    from rainforest_spark.grid.io import load_grid_auto, save_grid_npz
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "x_idx": np.int32([0, 2]), "y_idx": np.int32([1, 3]),
+        "rr": [1.5, 4.0]}))
+    p = str(tmp_path / "comp.npz")
+    save_grid_npz(df, "rr", p, timestamp=1717200000, nx=4, ny=5)
+    back = load_grid_auto(spark, p).toPandas().set_index(["x_idx", "y_idx"])
+    assert back.loc[(0, 1), "value"] == 1.5
+    assert back.loc[(2, 3), "value"] == 4.0
+    assert np.isnan(back.loc[(1, 1), "value"])
+
+
+def test_odim_roundtrip(spark, tmp_path):
+    """ODIM write→read round-trip (runs wherever h5py is installed;
+    import-gated like the reference's optional deps)."""
+    pytest.importorskip("h5py")
+    from rainforest_spark.grid.io import load_grid_odim, save_grid_odim
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "x_idx": np.int32([1]), "y_idx": np.int32([2]), "rr": [7.25]}))
+    p = str(tmp_path / "comp.h5")
+    save_grid_odim(df, "rr", p, timestamp=1717200000, nx=4, ny=5)
+    back = load_grid_odim(spark, p).toPandas().set_index(["x_idx", "y_idx"])
+    assert back.loc[(1, 2), "value"] == 7.25
+
+
+def test_gif_auto_dispatch(spark, tmp_path):
+    from rainforest_spark.grid.gif import save_grid_gif
+    from rainforest_spark.grid.io import load_grid_auto, scale_cpc
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "x_idx": np.int32([1]), "y_idx": np.int32([1]), "rr": [3.0]}))
+    p = str(tmp_path / "rzc.gif")
+    save_grid_gif(df, "rr", p, nx=5, ny=5)
+    back = load_grid_auto(spark, p).toPandas().set_index(["x_idx", "y_idx"])
+    scale = scale_cpc()
+    assert back.loc[(1, 1), "dn"] == np.searchsorted(scale, 3.0)

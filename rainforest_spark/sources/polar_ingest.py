@@ -31,10 +31,25 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 _FNAME_RE = re.compile(r"([A-Z])(\d{2})(\d{3})(\d{2})(\d{2})\.npz$")
+#: metranet sweep files: ``ML<radar><yyDDDHHmm>.<sweep>`` (reference
+#: utils.py:205-217 timefromfilename/sweepnumber_fromfile)
+_MN_FNAME_RE = re.compile(
+    r"[A-Z]{2}([A-Z])(\d{2})(\d{3})(\d{2})(\d{2})[^/]*\.(\d{1,3})$")
 
 POLAR_SCHEMA = ("TIMESTAMP bigint, RADAR string, SWEEP int, "
                 "az_idx int, rng_idx int, ZH double, ZV double, "
                 "VISIB double")
+
+#: reference constants.py:286-292 — pyart/pyrad field names → short names
+PYART_NAMES_MAPPING = {
+    "reflectivity": "ZH",
+    "differential_reflectivity": "ZDR",
+    "uncorrected_differential_phase": "PSIDP",
+    "spectrum_width": "SW",
+    "velocity": "RVEL",
+    "reflectivity_vv": "ZV",
+    "uncorrected_cross_correlation_ratio": "RHOHV",
+}
 
 
 def parse_scan_filename(path: str) -> tuple[str, int] | None:
@@ -47,6 +62,19 @@ def parse_scan_filename(path: str) -> tuple[str, int] | None:
     dt = datetime.strptime(f"{yy}{doy}{hh}{mm}", "%y%j%H%M") \
         .replace(tzinfo=timezone.utc)
     return radar, int(dt.timestamp())
+
+
+def parse_metranet_filename(path: str) -> tuple[str, int, int] | None:
+    """``MLA241530510.005`` → ('A', epoch, sweep 5): the reference's
+    timefromfilename (bname[3:12], %y%j%H%M) + sweepnumber_fromfile
+    (extension)."""
+    m = _MN_FNAME_RE.search(path)
+    if not m:
+        return None
+    radar, yy, doy, hh, mm, sweep = m.groups()
+    dt = datetime.strptime(f"{yy}{doy}{hh}{mm}", "%y%j%H%M") \
+        .replace(tzinfo=timezone.utc)
+    return radar, int(dt.timestamp()), int(sweep)
 
 
 def encode_volume_npz(sweeps: dict[int, dict[str, np.ndarray]]) -> bytes:
@@ -67,43 +95,103 @@ def decode_npz(content: bytes) -> dict[int, dict[str, np.ndarray]]:
     return out
 
 
-def decode_metranet(content: bytes):  # pragma: no cover - env-gated
+def decode_metranet(content: bytes,
+                    filename: str = "MLA241530510.001"
+                    ) -> dict[str, np.ndarray]:
+    """One metranet sweep file → {short_field_name: 2-D float array}
+    with masked gates as NaN.
+
+    Mirrors the reference read path (common/io_data.py:117-165
+    ``read_metranet(f, reader='python', physic_value=True)`` +
+    radarprocessing.py:70-81) — fields renamed through
+    PYART_NAMES_MAPPING (constants.py:286-292).  pyart's readers take a
+    path, so the bytes land in a temp file named like the original (the
+    reader sniffs product/moment info from the name).
+
+    Requires the pyart-mch ``read_metranet`` reader; import-gated —
+    ``decode_npz`` is the in-container interchange format.
+    """
+    import os
+    import tempfile
+
     try:
-        import pyart  # noqa: F401
-    except ImportError as e:
+        import pyart
+        read_fn = pyart.aux_io.read_metranet
+    except (ImportError, AttributeError) as e:
         raise NotImplementedError(
-            "metranet decode requires pyart, which is not installed in "
-            "this environment; ingest via npz interchange instead") from e
-    raise NotImplementedError("pyart metranet decode not wired yet")
+            "metranet decode requires pyart-mch (pyart.aux_io."
+            "read_metranet), not installed in this environment; ingest "
+            "via npz interchange instead") from e
+
+    tmpdir = tempfile.mkdtemp(prefix="metranet_")
+    tmp = os.path.join(tmpdir, os.path.basename(filename))
+    try:
+        with open(tmp, "wb") as f:
+            f.write(content)
+        rad = read_fn(tmp, reader="python", physic_value=True)
+    finally:
+        try:
+            os.unlink(tmp)
+            os.rmdir(tmpdir)
+        except OSError:
+            pass
+
+    out: dict[str, np.ndarray] = {}
+    for name, fdict in rad.fields.items():
+        short = PYART_NAMES_MAPPING.get(name, name)
+        data = fdict["data"]
+        arr = np.ma.filled(data, np.nan) if np.ma.isMaskedArray(data) \
+            else np.asarray(data, dtype=float)
+        out[short] = np.atleast_2d(np.asarray(arr, dtype=np.float64))
+    return out
 
 
 def read_polar_volumes(spark: SparkSession, path_glob: str,
                        fields: tuple[str, ...] = ("ZH", "ZV", "VISIB"),
-                       ) -> DataFrame:
+                       fmt: str = "npz") -> DataFrame:
     """binaryFile scan → long polar DataFrame; masks (NaN) become nulls.
 
     Each task decodes whole files from the Arrow batch — bytes cross the
     JVM↔Python boundary once per batch; output is columnar long format
     ready for the mask/LUT/composite pipeline.
+
+    ``fmt``: 'npz' for the interchange volumes (one file per volume) or
+    'metranet' for operational per-sweep files decoded through
+    pyart-mch (``decode_metranet``; one sweep per file, sweep number
+    from the extension like the reference's sweepnumber_fromfile).
     """
+    glob_pat = "*.npz" if fmt == "npz" else "*"
     bin_df = (spark.read.format("binaryFile")
-              .option("pathGlobFilter", "*.npz").load(path_glob)
+              .option("pathGlobFilter", glob_pat).load(path_glob)
               .select("path", "content"))
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             frames = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                meta = parse_scan_filename(path)
-                if meta is None:
-                    continue
-                radar, epoch = meta
-                try:
-                    sweeps = decode_npz(bytes(content))
-                except Exception:
-                    # corrupt scan file: skip (quarantine path in a real
-                    # deployment) rather than failing the whole batch
-                    continue
+                if fmt == "metranet":
+                    meta3 = parse_metranet_filename(path)
+                    if meta3 is None:
+                        continue
+                    radar, epoch, sweep_no = meta3
+                    try:
+                        sweeps = {sweep_no: decode_metranet(
+                            bytes(content), path)}
+                    except NotImplementedError:
+                        raise
+                    except Exception:
+                        continue
+                else:
+                    meta = parse_scan_filename(path)
+                    if meta is None:
+                        continue
+                    radar, epoch = meta
+                    try:
+                        sweeps = decode_npz(bytes(content))
+                    except Exception:
+                        # corrupt scan file: skip (quarantine path in a
+                        # real deployment), don't fail the whole batch
+                        continue
                 for sweep, fdict in sweeps.items():
                     first = next(iter(fdict.values()))
                     n_az, n_rng = first.shape

@@ -71,3 +71,115 @@ def test_metranet_gate():
 
     with pytest.raises(NotImplementedError):
         decode_metranet(b"")
+
+
+FAKE_PYART = """
+# Minimal pyart-mch stand-in for wiring tests: exposes
+# pyart.aux_io.read_metranet(path, reader=..., physic_value=...) that
+# reads our synthetic blob (an npz payload) and returns a Radar-like
+# object with pyart field names and a masked ZH.
+import io
+
+import numpy as np
+
+
+class _Radar:
+    def __init__(self, fields):
+        self.fields = fields
+
+
+class _AuxIO:
+    @staticmethod
+    def read_metranet(path, reader="python", physic_value=True):
+        assert reader == "python" and physic_value
+        z = np.load(path)
+        zh = np.ma.masked_invalid(z["zh"])
+        return _Radar({
+            "reflectivity": {"data": zh},
+            "reflectivity_vv": {"data": z["zv"]},
+        })
+
+
+aux_io = _AuxIO()
+"""
+
+
+def _fake_pyart_dir(tmp_path):
+    d = tmp_path / "fake_pyart_pkg"
+    (d / "pyart").mkdir(parents=True)
+    (d / "pyart" / "__init__.py").write_text(FAKE_PYART)
+    return str(d)
+
+
+def _metranet_blob(zh, zv):
+    import io as _io
+
+    buf = _io.BytesIO()
+    np.savez_compressed(buf, zh=zh, zv=zv)
+    return buf.getvalue()
+
+
+def test_decode_metranet_wiring(tmp_path, monkeypatch):
+    """decode_metranet drives the pyart seam end-to-end: temp file named
+    like the sweep file, field rename through PYART_NAMES_MAPPING,
+    masked gates -> NaN."""
+    import importlib
+    import sys
+
+    monkeypatch.syspath_prepend(_fake_pyart_dir(tmp_path))
+    sys.modules.pop("pyart", None)
+    importlib.invalidate_caches()
+    try:
+        from rainforest_spark.sources.polar_ingest import decode_metranet
+
+        zh = np.array([[10.0, np.nan], [20.0, 30.0]])
+        zv = np.array([[9.0, 8.0], [19.0, 29.0]])
+        out = decode_metranet(_metranet_blob(zh, zv), "MLA241530510.001")
+        assert set(out) == {"ZH", "ZV"}          # pyart names renamed
+        assert np.isnan(out["ZH"][0, 1])          # masked -> NaN
+        assert out["ZH"][1, 0] == 20.0
+        assert out["ZV"][1, 1] == 29.0
+    finally:
+        sys.modules.pop("pyart", None)
+
+
+def test_read_polar_volumes_metranet(spark, tmp_path, monkeypatch):
+    """The metranet format end-to-end through the binaryFile ->
+    mapInPandas pipeline: one sweep per file, sweep number from the
+    extension, timestamp from the %y%j%H%M stamp."""
+    import importlib
+    import sys
+    import zipfile
+
+    from rainforest_spark.sources.polar_ingest import read_polar_volumes
+
+    pkg_dir = _fake_pyart_dir(tmp_path)
+    # the decode runs inside Spark python workers -> ship the fake
+    # package there via addPyFile (a zip with the pyart/ dir inside)
+    zpath = str(tmp_path / "fake_pyart.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.write(pkg_dir + "/pyart/__init__.py", "pyart/__init__.py")
+    spark.sparkContext.addPyFile(zpath)
+    monkeypatch.syspath_prepend(pkg_dir)
+    sys.modules.pop("pyart", None)
+    importlib.invalidate_caches()
+    try:
+        rng = np.random.RandomState(3)
+        drop = tmp_path / "sweeps"
+        drop.mkdir()
+        for sweep in (1, 2):
+            zh = rng.uniform(0, 50, (12, 8))
+            zv = zh - 1.0
+            (drop / f"MLA241530510.{sweep:03d}").write_bytes(
+                _metranet_blob(zh, zv))
+        pdf = read_polar_volumes(spark, str(drop),
+                                 fmt="metranet").toPandas()
+        assert set(pdf["SWEEP"]) == {1, 2}
+        assert set(pdf["RADAR"]) == {"A"}
+        assert len(pdf) == 2 * 12 * 8
+        assert pdf["TIMESTAMP"].nunique() == 1
+        # VISIB absent from the decode -> all-NaN column, schema stable
+        assert pdf["VISIB"].isna().all()
+        assert pdf["ZH"].notna().all()
+    finally:
+        sys.modules.pop("pyart", None)

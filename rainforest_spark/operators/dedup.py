@@ -67,7 +67,9 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle."""
-    sh = shingle_table(df, id_col, text_col, n).cache()
+    # no .cache() (storage leak in long-lived sessions); the three
+    # consumers share the shingle table's exchange via ReusedExchange
+    sh = shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -237,3 +239,45 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
     return (cand.withColumn("hamming", hamming.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def neardup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                     id_b: str = "id_b", out_id: str = "doc_id",
+                     cluster_col: str = "cluster_id",
+                     max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs: each document labeled
+    with the MIN doc id of its component — the canonical representative
+    a dedup pipeline keeps (the step after q44/q45/q63 pair
+    generation; the reference stops at pairs, this closes the loop).
+
+    Iterative min-label propagation: each round joins the symmetric
+    edge list to the current labels and takes the min over the
+    neighborhood, so labels converge in O(component diameter) rounds —
+    near-dup components are small dense clusters, so a handful of
+    rounds suffices.  Every round is ONE shuffle keyed on the vertex
+    id; the pair set is orders of magnitude smaller than the corpus at
+    scale.  Lineage is truncated per round (localCheckpoint) so the
+    plan does not grow with iterations.
+    """
+    sym = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+           .unionByName(
+               pairs.select(F.col(id_b).alias("src"),
+                            F.col(id_a).alias("dst"))))
+    labels = (sym.select(F.col("src").alias("v")).distinct()
+              .withColumn("label", F.col("v")))
+    for _ in range(max_iter):
+        neigh = (sym.join(labels, sym["dst"] == labels["v"])
+                 .groupBy("src").agg(F.min("label").alias("nmin")))
+        stepped = (labels.join(neigh, labels["v"] == neigh["src"], "left")
+                   .select(labels["v"],
+                           F.col("label").alias("__old"),
+                           F.least("label", F.coalesce("nmin", "label"))
+                           .alias("label")))
+        stepped = stepped.localCheckpoint()
+        if stepped.filter(F.col("label") != F.col("__old")) \
+                .limit(1).count() == 0:
+            labels = stepped
+            break
+        labels = stepped.drop("__old")
+    return labels.select(F.col("v").alias(out_id),
+                         F.col("label").alias(cluster_col))

@@ -237,3 +237,51 @@ def q63(spark, sf):
     return D.minhash_verified_pairs(T(spark, sf, "documents"), "doc_id",
                                     "text", n=3, num_hashes=16,
                                     band_size=4, threshold=0.5)
+
+
+# ---------------------------------------------------------------- q68
+# Near-dup CLUSTER formation: connected components over the exact
+# n-gram-Jaccard pair graph (the step after pair generation that a
+# production dedup pipeline needs — keep min-id per component).  Spark
+# side: iterative min-label propagation; oracle: recursive transitive
+# closure over the same (portable, q44-proven) edge set.
+@q("q68_neardup_clusters", sql="""
+WITH RECURSIVE
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ') AS words
+        FROM documents),
+       UNNEST(generate_series(1, len(words) - 2)) AS u(i)
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM edges),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src
+""")
+def q68(spark, sf):
+    from rainforest_spark.operators.dedup import (
+        neardup_clusters, ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(T(spark, sf, "documents"), "doc_id",
+                                "text", n=3, threshold=0.2)
+    return neardup_clusters(pairs)

@@ -153,3 +153,21 @@ def test_bpe_ish_tokenizer_golden(spark):
     # double space: first space becomes a lone \s token, second glues to
     # the word (the lookahead-free deviation from the exact GPT-2 regex)
     assert out[1].t == ["hello", " ", " world"]
+
+
+def test_neardup_clusters_components(spark):
+    """Min-label propagation finds connected components: a 4-node chain
+    (only adjacent pairs linked) collapses to one cluster labeled by its
+    min id; disjoint pairs stay separate; untouched docs absent."""
+    import pandas as pd
+
+    from rainforest_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(pd.DataFrame({
+        # chain 10-11-12-13 (diameter 3 → needs >1 propagation round)
+        # plus isolated component {20, 21}
+        "id_a": [10, 11, 12, 20],
+        "id_b": [11, 12, 13, 21]}))
+    out = neardup_clusters(pairs).toPandas()
+    lab = out.set_index("doc_id")["cluster_id"].to_dict()
+    assert lab == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}

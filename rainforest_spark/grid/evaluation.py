@@ -108,7 +108,7 @@ def evaluate_qpe(grids: DataFrame, gauge: DataFrame, lut: DataFrame,
                  station_col: str = "STATION", ref_col: str = "ref_mmh",
                  bounds10=BOUNDS_10MIN, bounds60=BOUNDS_60MIN,
                  min_files: int = 2, slots_per_hour: int = 6,
-                 min_ref: float = 0.1) -> DataFrame:
+                 min_ref: float = 0.1, materialize: bool = True) -> DataFrame:
     """The composed evaluation job: per-model scores at 10-min and
     hourly resolution, per intensity bound.
 
@@ -116,9 +116,20 @@ def evaluate_qpe(grids: DataFrame, gauge: DataFrame, lut: DataFrame,
     RRE150Z0·6 mm/h series.  Returns one DataFrame with columns
     (agg, model, bound, N, RMSE, logBias, est_mean, ref_mean, corr_p,
     scatter); ``agg`` ∈ {'10min', '60min'}.
+
+    ``materialize`` (default on): the station series is consumed by
+    every score arm (perfscores + scatter × bounds × both resolutions)
+    — without a pipeline breaker the whole grids-scan→LUT-join→slot-agg
+    subtree re-executes per arm (~8×; measured 2.3× wall on the bench).
+    The series is TINY after aggregation (models × slots × stations —
+    ~80M rows/year at full scale vs billions of grid pixels), so an
+    eager localCheckpoint is the right trade; GC reclaims it when the
+    result goes out of scope, unlike a pinned cache.
     """
     est10 = station_series(grids, lut, model_col, ts_col, file_col,
                            value_col, station_col, min_files)
+    if materialize:
+        est10 = est10.localCheckpoint()
     j10 = est10.join(gauge, on=[station_col, ts_col])
     s10 = _bounded_scores(j10, "est_mmh", ref_col, bounds10, "10min",
                           model_col, min_ref)

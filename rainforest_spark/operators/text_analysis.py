@@ -114,3 +114,38 @@ def lang_id(df: DataFrame, text_col: str = "text",
         pick = F.when(cond, F.lit(lg)) if pick is None else pick.when(cond, F.lit(lg))
     scored = scored.withColumn(out_col, pick)
     return scored.drop("__toks", *[f"__s_{lg}" for lg in langs])
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Per-document top-k terms by TF-IDF (tf · ln(N/df)) — the classic
+    corpus-level term salience signal a training-data pipeline uses for
+    topic filtering and keyword extraction.
+
+    Shuffle shape: one groupBy on (doc, term), a term-keyed join against
+    the document-frequency table (1:1 fan-out — one row per (doc, term)
+    regardless of how hot the term is), a broadcast one-row corpus
+    count, and a per-document window.  Scores round to 6 decimals
+    BEFORE ranking with a term tie-break, so the ordering is
+    deterministic across engines.
+    """
+    from pyspark.sql import Window
+
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(normalized_text(text_col), " "))
+                      .alias("term"))
+            .filter(F.col("term") != ""))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n))
+              .withColumn("tfidf",
+                          F.round(F.col("tf")
+                                  * F.log(F.col("n_docs")
+                                          / F.col("df")), 6)))
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
+                                           F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "term", "tfidf",
+                    F.col("rank").cast("int").alias("rank")))

@@ -42,7 +42,7 @@ _PRIORITY = [
     "q62_vpr_correction", "q65_status_noise_mask",
     # --- new this round ---
     "q66_qpe_evaluation", "q67_hzt_fallback_chain",
-    "q68_neardup_clusters",
+    "q68_neardup_clusters", "q69_tfidf_top_terms",
     # --- proven flagships kept inside the window ---
     "q01_pricing_summary", "q09_broadcast_dim_join", "q12_asof_join",
     "q13_latest_per_hour", "q14_nearest_centroid", "q16_db_logmean",
@@ -54,7 +54,7 @@ _PRIORITY = [
     "q36_local_supplier_revenue", "q37_group_first",
     "q40_fingerprint_dedup", "q41_token_count", "q42_quality_score",
     "q43_lang_id", "q44_ngram_jaccard", "q45_minhash_lsh",
-    "q46_simhash", "q47_ann_lsh_topk", "q50_cosine_topk",
+    "q47_ann_lsh_topk", "q50_cosine_topk",
     "q51_centroid_classify", "q63_minhash_verified_neardup",
 ]
 

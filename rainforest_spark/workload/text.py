@@ -285,3 +285,35 @@ def q68(spark, sf):
     pairs = ngram_jaccard_pairs(T(spark, sf, "documents"), "doc_id",
                                 "text", n=3, threshold=0.2)
     return neardup_clusters(pairs)
+
+
+# ---------------------------------------------------------------- q69
+# TF-IDF top terms per document (corpus-level salience for topic
+# filtering / keyword extraction).  Scores round to 6 BEFORE ranking
+# with a term tie-break so both engines rank identically.
+@q("q69_tfidf_top_terms", sql="""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ') AS w
+        FROM documents),
+       UNNEST(w) AS t(term)
+  WHERE t.term != ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+""")
+def q69(spark, sf):
+    return TA.tfidf_top_terms(T(spark, sf, "documents"), "doc_id",
+                              "text", k=3)

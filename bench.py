@@ -5,6 +5,14 @@ local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 
 Each query is forced end-to-end with a noop sink (no driver collect), so
 the measured time is the distributed plan, not Arrow transfer.
+
+Residual "WindowExec: No Partition Defined" warnings in the tail are
+BENIGN — they come from windows over bounded tiny dims, never the fact
+tables: the distinct-label rank in dense_group_ids
+(operators/windows.py), the one-row-per-partition offset table in
+ranged_cumsum (operators/windows.py), the lead()-paired VPR ladder
+(grid/corrections.py), and the frame dim in advection
+(grid/advection.py).  Don't chase them as drift.
 """
 
 from __future__ import annotations
@@ -98,6 +106,12 @@ def main() -> None:
     }))
 
     if os.environ.get("SPARK_GRAFT_BENCH_REBASELINE") == "1":
+        # the guard only compares at sf0.1 — a rebaseline at any other
+        # scale factor would silently poison the committed baseline
+        if sf != "0.1":
+            print(f"REFUSING rebaseline at sf={sf}: the committed "
+                  f"baseline is defined at sf0.1", file=sys.stderr)
+            sys.exit(1)
         json.dump(times, open(BASELINE_PATH, "w"), indent=1)
         print(f"re-baselined {len(times)} queries -> {BASELINE_PATH}",
               file=sys.stderr)

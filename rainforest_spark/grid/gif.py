@@ -240,6 +240,8 @@ def load_grid_gif(spark, path: str, scale: np.ndarray | None = None):
         "x_idx": xx.ravel().astype(np.int32),
         "y_idx": (ny - 1 - yy.ravel()).astype(np.int32),
         "dn": dn,
-        "value": np.where(dn == 255, np.nan, scale[np.minimum(dn, 255)]),
+        # NaN for the 255 sentinel AND any code past a short scale's end
+        "value": np.where((dn == 255) | (dn >= len(scale)), np.nan,
+                          scale[np.minimum(dn, len(scale) - 1)]),
     })
     return spark.createDataFrame(pdf)

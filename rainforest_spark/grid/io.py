@@ -45,12 +45,16 @@ def default_scale(n: int = 256, c: float = 0.04, base: float = 1.0428) -> np.nda
 def scale_table(spark: SparkSession, scale: np.ndarray) -> DataFrame:
     """(dn, prev, lo) broadcastable range table with searchsorted-left
     semantics: dn = first index where scale[dn] >= x, i.e. x in
-    (scale[dn−1], scale[dn]].  The last bin is open-ended — values past
-    the scale clip to n−1 (the reference's ``astype('B')`` would wrap
-    instead; clipping is the safe choice and is documented here)."""
-    prev = np.concatenate([[-np.inf], scale[:-1]])
-    lo = np.append(scale[:-1], np.inf)
-    pdf = pd.DataFrame({"dn": np.arange(len(scale), dtype=np.int32),
+    (scale[dn−1], scale[dn]].  The TOP code n−1 is reserved for the NaN
+    sentinel (matching save_grid_gif/save_grid_bin): bin n−2 is
+    open-ended, so finite values past the scale clip to n−2 and a DN
+    plane produced by dn_encode decodes overflow as a finite value, not
+    NaN (the reference's ``astype('B')`` would wrap instead).  NaN/null
+    inputs fall out of every range bin and encode as null."""
+    n = len(scale)
+    prev = np.concatenate([[-np.inf], scale[:n - 2]])
+    lo = np.append(scale[:n - 2], np.inf)
+    pdf = pd.DataFrame({"dn": np.arange(n - 1, dtype=np.int32),
                         "prev": prev, "lo": lo})
     return spark.createDataFrame(pdf)
 
@@ -59,7 +63,9 @@ def dn_encode(df: DataFrame, value_col: str, scale_df: DataFrame,
               out_col: str = "dn") -> DataFrame:
     """float → DN byte via broadcast range join (works for any monotone
     scale).  Matches ``np.searchsorted(scale, x)``: dn is the first
-    index with scale[dn] >= x (qpe/qpe.py:276)."""
+    index with scale[dn] >= x (qpe/qpe.py:276) — except the top code:
+    values at/past scale[n−2] clip to n−2, reserving n−1 for the sinks'
+    NaN sentinel (scale_table docstring)."""
     cond = (F.col(value_col) > F.col("prev")) & (F.col(value_col) <= F.col("lo"))
     joined = df.join(broadcast(scale_df), cond, "left")
     return joined.drop("prev", "lo").withColumnRenamed("dn", out_col)
@@ -106,8 +112,10 @@ def _matrix_to_long(spark: SparkSession, m: np.ndarray,
     if scale is not None:                       # m holds DN bytes
         dn = m.ravel().astype(np.int32)
         cols["dn"] = dn
-        cols["value"] = np.where(dn == 255, np.nan,
-                                 scale[np.minimum(dn, 255)])
+        # NaN for the 255 sentinel AND any code past the scale end (a
+        # short scale, e.g. default_scale(n=100), must not index OOB)
+        cols["value"] = np.where((dn == 255) | (dn >= len(scale)), np.nan,
+                                 scale[np.minimum(dn, len(scale) - 1)])
     else:
         cols["value"] = m.ravel().astype(np.float64)
     return spark.createDataFrame(pd.DataFrame(cols))

@@ -170,8 +170,15 @@ def permutation_importance(df: DataFrame, model: RandomForestQPE,
     equivalent to a global permutation for the importance statistic, and
     nothing funnels through a single task — the previous formulation
     used two no-partition row_number windows plus a join per feature.
+
+    The partition's Arrow batches are CONCATENATED before permuting: a
+    per-batch shuffle (with small ``maxRecordsPerBatch``) would only
+    weakly break the feature-target association and bias importances
+    toward zero.  One partition must fit in worker memory — already the
+    engine-wide sizing assumption.
     """
     import numpy as np
+    import pandas as pd
 
     from pyspark import TaskContext
 
@@ -183,11 +190,12 @@ def permutation_importance(df: DataFrame, model: RandomForestQPE,
         def _permute(batches, _feat=feat, _salt=seed * 1_000_003 + i * 7919):
             pid = TaskContext.get().partitionId()
             rng = np.random.default_rng(_salt + pid)
-            for pdf in batches:
-                pdf = pdf.copy()
-                pdf[_feat] = pdf[_feat].to_numpy()[
-                    rng.permutation(len(pdf))]
-                yield pdf
+            parts = list(batches)
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            pdf[_feat] = pdf[_feat].to_numpy()[rng.permutation(len(pdf))]
+            yield pdf
 
         permuted = d.mapInPandas(_permute, d.schema)
         out[feat] = _rmse(model.transform(permuted), target) - base

@@ -265,6 +265,7 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a",
                             F.col(id_a).alias("dst"))))
     labels = (sym.select(F.col("src").alias("v")).distinct()
               .withColumn("label", F.col("v")))
+    converged = False
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym["dst"] == labels["v"])
                  .groupBy("src").agg(F.min("label").alias("nmin")))
@@ -277,7 +278,15 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a",
         if stepped.filter(F.col("label") != F.col("__old")) \
                 .limit(1).count() == 0:
             labels = stepped
+            converged = True
             break
         labels = stepped.drop("__old")
+    if not converged:
+        # a partially-propagated labeling is WRONG (splits one component
+        # into several); fail loudly rather than return it — raise
+        # max_iter past the largest component diameter
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} rounds; "
+            f"a component's diameter exceeds max_iter — raise max_iter")
     return labels.select(F.col("v").alias(out_id),
                          F.col("label").alias(cluster_col))

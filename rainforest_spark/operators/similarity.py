@@ -63,15 +63,20 @@ def cosine_topk(vectors: DataFrame, id_col: str, vec_col: str,
 
 
 def hyperplane_buckets(vectors: DataFrame, id_col: str, vec_col: str,
-                       n_planes: int = 8, seed: int = 42) -> DataFrame:
+                       n_planes: int = 8, seed: int = 42,
+                       dim: int | None = None) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector.
 
     Planes are seeded driver-side (numpy RandomState) and broadcast as
-    literals — deterministic and tiny (n_planes × dim doubles).
+    literals — deterministic and tiny (n_planes × dim doubles).  Pass
+    ``dim`` when the caller knows it (it almost always does) — the
+    fallback ``.first()`` probe runs an eager Spark job during plan
+    construction.
     """
     import numpy as np
 
-    dim = len(vectors.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
     v = with_double_vec(vectors, vec_col, "v")
@@ -93,7 +98,8 @@ def hyperplane_buckets(vectors: DataFrame, id_col: str, vec_col: str,
 
 def ann_topk_bucketed(vectors: DataFrame, id_col: str, vec_col: str,
                       query_ids_pred: Column, k: int = 3,
-                      n_planes: int = 6, seed: int = 42) -> DataFrame:
+                      n_planes: int = 6, seed: int = 42,
+                      dim: int | None = None) -> DataFrame:
     """Approximate top-k: score only within matching hyperplane buckets.
 
     At 100 TB this replaces the O(N·Q) cross join with a bucket-key
@@ -102,7 +108,7 @@ def ann_topk_bucketed(vectors: DataFrame, id_col: str, vec_col: str,
     """
     from pyspark.sql import Window
 
-    b = hyperplane_buckets(vectors, id_col, vec_col, n_planes, seed)
+    b = hyperplane_buckets(vectors, id_col, vec_col, n_planes, seed, dim)
     v = with_double_vec(b, vec_col, "v").select(
         F.col(id_col), "bucket", F.col("v"), _norm("v").alias("nrm"))
     q = v.filter(query_ids_pred).select(

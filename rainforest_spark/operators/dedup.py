@@ -12,7 +12,9 @@
   the standard shingle→minhash→band→bucket-join pipeline and shuffles only
   on (band_id, band_hash) — uniformly distributed keys.
 - SimHash: 64-bit sign-aggregated token hashes via bit arithmetic on
-  xxhash64 — near-dups differ in few bits (checked by popcount of XOR).
+  md5 (engine-portable — both Spark and DuckDB agree on the digest, so
+  the signatures are oracle-checkable) — near-dups differ in few bits
+  (checked by popcount of XOR).
 """
 
 from __future__ import annotations
@@ -170,23 +172,34 @@ def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash over word tokens using xxhash64 bit votes.
+    """64-bit SimHash over word tokens using md5-derived bit votes.
 
-    Per token, each of the 64 bits of xxhash64(token) votes ±1; the
-    signature takes the sign of each bit-sum.  All 64 vote counters are
-    PARALLEL aggregates in one groupBy (map-side combine) — a 64×
-    bit-explode would multiply the shuffle for nothing.
+    The 64 bits come from the FIRST 16 hex chars of ``md5(token)``:
+    nibble j is hex char j+1, and bit b is bit (b mod 4) of nibble
+    (b div 4).  md5 is chosen over xxhash64 deliberately: both engines
+    (Spark, DuckDB) compute the identical digest, so the signature — and
+    therefore the banded near-dup pairs — is hash-checkable by the SQL
+    oracle at no algorithmic cost (xxhash64 exists only in Spark).
+
+    Per token each bit votes ±1; the signature takes the sign of each
+    bit-sum.  All 64 vote counters are PARALLEL integer aggregates in
+    one groupBy (map-side combine, exact arithmetic — no FP anywhere) —
+    a 64× bit-explode would multiply the shuffle for nothing.
     """
     from rainforest_spark.operators.text_analysis import tokens
 
     toks = df.select(F.col(id_col),
                      F.explode(tokens(text_col)).alias("tok"))
-    h = toks.withColumn("h", F.xxhash64("tok"))
+    h = toks.withColumn("h16", F.substring(F.md5("tok"), 1, 16))
+    nibs = h.select(
+        F.col(id_col),
+        *[F.expr(f"instr('0123456789abcdef', substr(h16, {j + 1}, 1)) - 1")
+          .alias(f"n{j}") for j in range(16)])
     votes = [
-        F.sum(F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1)
+        F.sum(F.when(F.expr(f"shiftright(n{b // 4}, {b % 4}) & 1") == 1, 1)
               .otherwise(-1)).alias(f"v{b}")
         for b in range(64)]
-    sums = h.groupBy(id_col).agg(*votes)
+    sums = nibs.groupBy(id_col).agg(*votes)
     sig_bits = [
         F.when(F.col(f"v{b}") > 0,
                F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"))

@@ -7,6 +7,7 @@ pipeline on deterministic fixtures.
 
 from __future__ import annotations
 
+import numpy as _np
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -131,25 +132,100 @@ def q37(spark, sf):
 
 
 # ------------------------------------------------- rows-only entries
-# (non-SQL-expressible: engine-specific hashes, UDAFs, mapInPandas)
+# (non-SQL-expressible: UDAFs, mapInPandas, fitted models)
 
-@q("q46_simhash")
+# SimHash signature CTE chain shared by the q46/q59 oracles: the 64
+# bits come from the first 16 hex chars of md5(token) (nibble j = hex
+# char j+1, bit b = bit b%4 of nibble b//4) — the exact construction
+# simhash64 (operators/dedup.py) runs, all-integer so the value-hash
+# compare is exact.
+def _simhash_sig_cte() -> str:
+    nibs = ",\n         ".join(
+        f"instr('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1 AS n{j}"
+        for j in range(16))
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (n{b // 4} >> {b % 4}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{b}" for b in range(64))
+    sig = "\n           + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b if b < 63 else -(1 << 63)} "
+        f"AS BIGINT) ELSE CAST(0 AS BIGINT) END" for b in range(64))
+    return f"""
+toks AS (
+  SELECT doc_id, u.tok
+  FROM documents,
+       UNNEST(string_split_regex(trim(text), '\\s+')) AS u(tok)),
+nib AS (
+  SELECT doc_id,
+         {nibs}
+  FROM toks),
+v AS (
+  SELECT doc_id,
+         {votes}
+  FROM nib GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, {sig} AS simhash FROM v)"""
+
+
+@q("q46_simhash", sql="WITH " + _simhash_sig_cte() + """
+SELECT doc_id, simhash FROM sig
+""")
 def q46(spark, sf):
-    """SimHash signatures (xxhash64 bit votes — engine-specific hash,
-    no portable oracle)."""
+    """SimHash signatures (md5-derived bit votes — engine-portable, so
+    the oracle recomputes the identical 64-bit signature)."""
     from rainforest_spark.operators.dedup import simhash64
 
     return simhash64(T(spark, sf, "documents"), "doc_id", "text")
 
 
-@q("q47_ann_lsh_topk")
+# ---------------------------------------------------------------- q47
+# Hyperplane-LSH bucketed ANN, oracle-paired by inlining the seeded
+# plane literals into the SQL (q54's pattern): both engines compute the
+# identical bucket ids, candidate join and rounded cosine, so the
+# value-hash gate is exact.  dim passed explicitly — no eager probe.
+_Q47_PLANES, _Q47_SEED, _Q47_DIM = 4, 42, 64
+_Q47_P = _np.random.RandomState(_Q47_SEED).randn(_Q47_PLANES, _Q47_DIM)
+
+
+def _q47_bucket_sql() -> str:
+    terms = []
+    for p in range(_Q47_PLANES):
+        lits = ",".join(repr(float(x)) for x in _Q47_P[p])
+        terms.append(f"(CASE WHEN list_dot_product(v, [{lits}]) > 0 "
+                     f"THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@q("q47_ann_lsh_topk", sql="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings),
+b AS (
+  SELECT vec_id, v, nrm, (""" + _q47_bucket_sql() + """) AS bucket
+  FROM v),
+q AS (SELECT vec_id AS query_id, bucket, v AS qv, nrm AS qn
+      FROM b WHERE vec_id < 20),
+pairs AS (
+  SELECT q.query_id, t.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, t.v) / (q.qn * t.nrm), 6) AS sim
+  FROM q JOIN b t USING (bucket) WHERE t.vec_id != q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM pairs)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, sim
+FROM ranked WHERE rnk <= 3
+""")
 def q47(spark, sf):
-    """Hyperplane-LSH bucketed approximate top-k (seeded numpy planes)."""
+    """Hyperplane-LSH bucketed approximate top-k (seeded numpy planes,
+    inlined into the oracle SQL above)."""
     from rainforest_spark.operators.similarity import ann_topk_bucketed
 
     return ann_topk_bucketed(T(spark, sf, "embeddings"), "vec_id",
                              "embedding", F.col("vec_id") < 20,
-                             k=3, n_planes=4)
+                             k=3, n_planes=_Q47_PLANES, seed=_Q47_SEED,
+                             dim=_Q47_DIM)
 
 
 # q48: the applyInPandas energy-distance UDAF, hash-checked against a
@@ -349,8 +425,6 @@ def q39(spark, sf):
 # semantics and the value-hash gate stays exact; recall vs the
 # brute-force truth is the documented LSH trade (measured in
 # tests/test_rows_only_queries.py).
-import numpy as _np
-
 _ND_TABLES, _ND_PLANES, _ND_DIM = 2, 3, 64
 _ND_P = _np.random.RandomState(4242).randn(_ND_TABLES, _ND_PLANES, _ND_DIM)
 
@@ -606,12 +680,27 @@ def q58(spark, sf):
         "n_total")
 
 
-@q("q59_simhash_neardup")
+@q("q59_simhash_neardup", sql="WITH " + _simhash_sig_cte() + """,
+banded AS (
+  SELECT doc_id, simhash, b.b AS band_id,
+         (simhash >> (8 * CAST(b.b AS INT))) & 255 AS chunk
+  FROM sig, UNNEST(generate_series(0, 7)) AS b(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         a.simhash AS sh_a, c.simhash AS sh_b
+  FROM banded a JOIN banded c
+    ON a.band_id = c.band_id AND a.chunk = c.chunk
+   AND a.doc_id < c.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 7
+""")
 def q59(spark, sf):
     """SimHash near-dup candidate pairs via 8×8-bit band join + exact
-    Hamming filter (rows-only: engine-specific hash).  max_hamming=7 is
-    the largest radius with the exhaustive pigeonhole guarantee at 8
-    bands (operators/dedup.py simhash_neardup_pairs)."""
+    Hamming filter, oracle-paired (md5-derived signature — both engines
+    agree bit-for-bit; arithmetic >> then &-mask is identical in Spark
+    and DuckDB).  max_hamming=7 is the largest radius with the
+    exhaustive pigeonhole guarantee at 8 bands (operators/dedup.py
+    simhash_neardup_pairs)."""
     from rainforest_spark.operators.dedup import simhash_neardup_pairs
 
     return simhash_neardup_pairs(T(spark, sf, "documents"), "doc_id",

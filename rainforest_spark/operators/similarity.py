@@ -128,6 +128,75 @@ def ann_topk_bucketed(vectors: DataFrame, id_col: str, vec_col: str,
                     "neighbor_id", "sim"))
 
 
+def ivf_topk_fixed(vectors: DataFrame, id_col: str, vec_col: str,
+                   query_ids_pred: Column, centroid_ids: list[int],
+                   k: int = 3, nprobe: int = 4) -> DataFrame:
+    """IVF ANN with a FIXED codebook: the inverted lists are defined by
+    caller-chosen corpus vectors (by id) instead of a KMeans fit.
+
+    The engine mechanics are identical to ``ivf_topk`` — in-plan list
+    assignment against the broadcast codebook, nprobe nearest lists per
+    query, list-keyed equi-join scoring — but the quantizer is
+    deterministic and SQL-expressible, so the whole path is
+    oracle-checkable (the KMeans variant stays for quality; its fit has
+    no SQL counterpart).  Squared distances use the 3-term identity
+    ``|a−c|² = a·a − 2·a·c + c·c`` — three sequential folds that both
+    engines evaluate identically — rounded to 6dp before ranking with a
+    list-id tie-break, so assignment/probing is bit-deterministic.
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    spark = vectors.sparkSession
+    cmap = spark.createDataFrame(pd.DataFrame({
+        "__list": range(len(sorted(centroid_ids))),
+        "__cid": sorted(centroid_ids)}))
+    v = with_double_vec(vectors, vec_col, "v").select(
+        F.col(id_col), "v", _dot("v", "v").alias("aa"))
+    cdf = (v.join(broadcast(cmap), F.col(id_col) == F.col("__cid"))
+           .select("__list", F.col("v").alias("cv"),
+                   F.col("aa").alias("cc")))
+
+    # assignment: argmin over the broadcast codebook via struct-min —
+    # the 8-way fan-out collapses map-side (partial agg) BEFORE the
+    # shuffle, unlike a row_number window; (d2, list) is unique per row
+    # so the min is deterministic
+    d2 = F.round(F.col("aa") - 2 * _dot("v", "cv") + F.col("cc"), 6)
+    assigned = (v.crossJoin(broadcast(cdf)).withColumn("__d2", d2)
+                .groupBy(id_col)
+                .agg(F.min(F.struct("__d2", "__list", "aa", "v")).alias("m"))
+                .select(id_col, F.col("m.v").alias("v"),
+                        F.col("m.aa").alias("aa"),
+                        F.col("m.__list").alias("__list")))
+
+    q = assigned.filter(query_ids_pred).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("aa").alias("qaa"))
+    qd2 = F.round(F.col("qaa") - 2 * _dot("qv", "cv") + F.col("cc"), 6)
+    pw = Window.partitionBy("query_id").orderBy(F.col("__d2").asc(),
+                                                F.col("__list").asc())
+    probes = (q.crossJoin(broadcast(cdf)).withColumn("__d2", qd2)
+              .withColumn("__pr", F.row_number().over(pw))
+              .filter(F.col("__pr") <= nprobe)
+              .select("query_id", "__list"))
+
+    qside = (q.join(broadcast(probes), on="query_id")
+             .withColumn("qn", F.sqrt(F.col("qaa"))))
+    t = assigned.select(F.col(id_col).alias("neighbor_id"), "__list",
+                        F.col("v").alias("tv"),
+                        F.sqrt(F.col("aa")).alias("tn"))
+    pairs = t.join(broadcast(qside), on="__list").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    sim = pairs.withColumn(
+        "sim", F.round(_dot("qv", "tv") / (F.col("qn") * F.col("tn")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (sim.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", F.col("rnk").cast("long").alias("rnk"),
+                    "neighbor_id", "sim"))
+
+
 def ivf_topk(vectors: DataFrame, id_col: str, vec_col: str,
              query_ids_pred: Column, k: int = 3, n_centroids: int = 16,
              nprobe: int = 4, seed: int = 42,

@@ -625,15 +625,68 @@ def q56(spark, sf):
                        "n_sweeps")
 
 
-@q("q57_ivf_ann_topk")
-def q57(spark, sf):
-    """IVF (KMeans inverted-list) approximate top-k — the second ANN
-    scale path beside hyperplane LSH (rows-only: KMeans has no SQL
-    oracle)."""
-    from rainforest_spark.operators.similarity import ivf_topk
+# ---------------------------------------------------------------- q57
+# IVF ANN with a FIXED codebook (corpus vectors by id): the IVF
+# probe/assign/score mechanics are identical to the KMeans variant
+# (which stays unit-tested — its fit has no SQL counterpart), but the
+# quantizer is deterministic so the whole path is hash-checked.
+_Q57_CENTROIDS = [30, 95, 160, 225, 290, 355, 420, 485]
+_Q57_NPROBE = 3
 
-    return ivf_topk(T(spark, sf, "embeddings"), "vec_id", "embedding",
-                    F.col("vec_id") < 20, k=3, n_centroids=8, nprobe=3)
+
+@q("q57_ivf_ann_topk", sql="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS aa
+  FROM embeddings),
+cmap(list_id, cid) AS (VALUES """ + ",".join(
+    f"({i}, {cid})" for i, cid in enumerate(_Q57_CENTROIDS)) + """),
+cdf AS (
+  SELECT c.list_id, v.v AS cv, v.aa AS cc
+  FROM cmap c JOIN v ON v.vec_id = c.cid),
+assigned AS (
+  SELECT vec_id, v, aa, list_id FROM (
+    SELECT v.vec_id, v.v, v.aa, cdf.list_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY ROUND(v.aa - 2*list_dot_product(v.v, cdf.cv)
+                            + cdf.cc, 6),
+                      cdf.list_id) AS rn
+    FROM v, cdf) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, aa AS qaa
+      FROM assigned WHERE vec_id < 20),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, cdf.list_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY ROUND(q.qaa - 2*list_dot_product(q.qv, cdf.cv)
+                            + cdf.cc, 6),
+                      cdf.list_id) AS pr
+    FROM q, cdf) WHERE pr <= """ + str(_Q57_NPROBE) + """),
+pairs AS (
+  SELECT q.query_id, t.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, t.v)
+               / (sqrt(q.qaa) * sqrt(t.aa)), 6) AS sim
+  FROM q JOIN probes USING (query_id)
+  JOIN assigned t ON t.list_id = probes.list_id
+  WHERE t.vec_id != q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM pairs)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, sim
+FROM ranked WHERE rnk <= 3
+""")
+def q57(spark, sf):
+    """IVF (inverted-list) approximate top-k over a fixed codebook —
+    the second ANN scale path beside hyperplane LSH, hash-checked
+    end-to-end (assignment, nprobe selection, list-join scoring)."""
+    from rainforest_spark.operators.similarity import ivf_topk_fixed
+
+    return ivf_topk_fixed(T(spark, sf, "embeddings"), "vec_id",
+                          "embedding", F.col("vec_id") < 20,
+                          centroid_ids=_Q57_CENTROIDS, k=3,
+                          nprobe=_Q57_NPROBE)
 
 
 # ---------------------------------------------------------------- q58

@@ -319,18 +319,73 @@ def q49(spark, sf):
         .withColumn("value", F.round(F.col("value").cast("double"), 6))
 
 
-@q("q52_grid_composite")
+# ---------------------------------------------------------------- q52
+# The REAL grid pipeline (polar_to_cart_lut → polar_to_grid →
+# vertical_composite → rain_rate) hash-checked end-to-end: the oracle
+# recomputes the numpy-built LUT geometry inline (probe-verified
+# bit-exact across all 57 600 gates: ke=1.25 beam height, ground
+# distance, floor-binning, float32 height cast), the per-pixel
+# scatter-add mean, the β-height composite and the Marshall-Palmer
+# inversion.  avg(h32) sums float32-exact doubles (≤30 mantissa bits
+# total — order-independent); the transcendental outputs round to 6dp
+# at the end per the determinism policy.
+_Q52_RE = repr(1.25 * 6371e3)
+
+
+@q("q52_grid_composite", sql=f"""
+WITH polar AS (
+  SELECT CAST(l_suppkey % 2 * 2 + 1 AS INT) AS sweep,
+         CAST(l_orderkey % 360 AS INT) AS az,
+         CAST(l_partkey % 80 AS INT) AS rng_idx,
+         pow(10, 0.1 * (l_quantity + 5.0)) AS zh_lin
+  FROM lineitem),
+geo AS (
+  SELECT *, (rng_idx + 0.5) * 500.0 AS r,
+         CASE WHEN sweep = 1 THEN radians(-0.2) ELSE radians(1.0) END AS el
+  FROM polar),
+beam AS (
+  SELECT *, sqrt(r*r + {_Q52_RE}*{_Q52_RE} + 2*r*{_Q52_RE}*sin(el))
+            - {_Q52_RE} AS slant
+  FROM geo),
+gdc AS (
+  SELECT sweep, az, zh_lin, slant,
+         {_Q52_RE} * asin(r * cos(el) / ({_Q52_RE} + slant)) AS gd
+  FROM beam),
+px AS (
+  SELECT sweep, zh_lin, CAST(slant + 938.0 AS REAL) AS h32,
+         CAST(floor((681201.0 + sin(radians(az)) * gd) / 1000.0 - 255.0)
+              AS INT) AS x_idx,
+         CAST(floor((237604.0 + cos(radians(az)) * gd) / 1000.0 + 160.0)
+              AS INT) AS y_idx
+  FROM gdc),
+grid AS (
+  SELECT sweep, x_idx, y_idx, AVG(zh_lin) AS zh_lin, AVG(h32) AS h
+  FROM px
+  WHERE x_idx >= 0 AND x_idx < 710 AND y_idx >= 0 AND y_idx < 640
+  GROUP BY 1, 2, 3),
+comp AS (
+  SELECT x_idx, y_idx,
+         SUM(zh_lin * pow(10, -0.5 * h / 1000.0))
+           / SUM(pow(10, -0.5 * h / 1000.0)) AS zh_comp,
+         SUM(pow(10, -0.5 * h / 1000.0)) AS w_total
+  FROM grid GROUP BY 1, 2)
+SELECT x_idx, y_idx,
+       ROUND(greatest(pow(zh_comp / 316.0, 1.0/1.5), 0.0), 6) AS rain_rate,
+       ROUND(w_total, 6) AS w_total
+FROM comp
+""")
 def q52(spark, sf):
-    """Grid pipeline smoke through the driver: deterministic synthetic
+    """The grid pipeline through the driver gate: deterministic synthetic
     polar volume from lineitem keys → LUT join → scatter-add → weighted
-    vertical composite → rain rate (SURVEY A9/A10/J7)."""
+    vertical composite → rain rate (SURVEY A9/A10/J7; reference
+    qpe/qpe_utils.py:31-75, qpe/qpe.py:613-676)."""
     from rainforest_spark.grid.lookup import polar_to_cart_lut
     from rainforest_spark.grid.qpe import (
         polar_to_grid, rain_rate, vertical_composite,
     )
     from rainforest_spark.testing.fixtures import RADAR_XYZ
 
-    l = T(spark, sf, "lineitem").limit(50000)
+    l = T(spark, sf, "lineitem")
     polar = l.select(
         F.lit("A").alias("RADAR"),
         (F.col("l_suppkey") % 2 * 2 + 1).cast("int").alias("SWEEP"),
@@ -342,23 +397,188 @@ def q52(spark, sf):
                             n_az=360, n_rng=80)
     grid = polar_to_grid(polar, lut, ["zh_lin"])
     comp = vertical_composite(grid, ["zh_lin"], visib_col=None)
-    return rain_rate(comp).select("x_idx", "y_idx", "rain_rate", "w_total")
+    return rain_rate(comp).select(
+        "x_idx", "y_idx", r6(F.col("rain_rate")).alias("rain_rate"),
+        r6(F.col("w_total")).alias("w_total"))
 
 
-@q("q53_prepare_input")
+# ---------------------------------------------------------------- q53
+# The Phase-2 dataset-preparation pipeline (ml/dataset.py prepare_input,
+# re-expressing reference ml/rf.py:107-286) hash-checked END-TO-END:
+# gauge/radar/reference tables are derived deterministically from
+# lineitem keys (all values are pure functions of the keys, so the
+# dedup survivor is content-identical), and the oracle CTE chain mirrors
+# every stage — sentinel→null, centre-pixel, three-table semi-align,
+# complete-hour, dim joins, derived features, β-height×visibility
+# weighted vertical agg with RADAR proportions, gauge target, dense ids.
+# The fixture-parquet variant of the same pipeline stays pytest-golden
+# (tests/test_dataset_prep.py).  Weighted aggregates round to 6dp; the
+# gauge target is exact binary sixteenths.
+_Q53_T0 = 1717200000
+_Q53_RD = {"A": (681201.0, 237604.0), "D": (497057.0, 142408.0),
+           "L": (707957.0, 99762.0), "P": (603687.0, 135476.0),
+           "W": (779700.0, 189790.0)}
+
+
+@q("q53_prepare_input", sql=f"""
+WITH lkeys AS (
+  SELECT l_suppkey % 10 AS sta, l_orderkey % 144 AS slot,
+         l_partkey % 5 AS rad, 1 + (l_linenumber % 4) AS sweep,
+         (l_partkey % 3) - 1 AS nx, (l_suppkey % 3) - 1 AS ny,
+         -- rny must NOT derive from l_orderkey: orderkey mod 3 is
+         -- determined by slot = orderkey mod 144, which would restrict
+         -- the reference table to slots ≡ 1 (mod 3) and kill every
+         -- complete hour
+         (l_linenumber % 3) - 1 AS rnx, (l_partkey % 3) - 1 AS rny
+  FROM lineitem),
+g AS (
+  SELECT 'S' || CAST(sta AS VARCHAR) AS station,
+         CAST({_Q53_T0} + (slot + 1) * 600 AS BIGINT) AS ts,
+         CASE WHEN ((sta*31) + slot) % 41 = 0 THEN NULL
+              ELSE ((((sta*13) + (slot*7)) % 160) / 16.0e0) END AS rre
+  FROM (SELECT DISTINCT sta, slot FROM lkeys
+        WHERE ((sta*17) + (slot*5)) % 13 != 0)),
+r AS (
+  SELECT 'S' || CAST(sta AS VARCHAR) AS station,
+         CAST({_Q53_T0} + (slot + 1) * 600 AS BIGINT) AS ts,
+         CASE rad WHEN 0 THEN 'A' WHEN 1 THEN 'D' WHEN 2 THEN 'L'
+                  WHEN 3 THEN 'P' ELSE 'W' END AS radar,
+         CASE WHEN ((sta + slot + (sweep*3) + rad) % 53) = 0 THEN NULL
+              ELSE -5.0e0 + ((((sta*11) + (slot*3) + (rad*5)
+                              + (sweep*7)) % 220) / 4.0e0) END AS zh_mean,
+         500.0e0 + (sweep * 250.0e0)
+           + ((((sta*5) + slot) % 8) * 25.0e0) AS height,
+         10.0e0 + ((((sta*9) + (slot*5) + (sweep*3)) % 90)) AS visib
+  FROM (SELECT DISTINCT sta, slot, rad, sweep FROM lkeys
+        WHERE nx = 0 AND ny = 0
+          AND ((sta*7) + (slot*3) + rad) % 11 != 0)),
+refk AS (
+  SELECT DISTINCT 'S' || CAST(sta AS VARCHAR) AS station,
+         CAST({_Q53_T0} + (slot + 1) * 600 AS BIGINT) AS ts
+  FROM lkeys
+  WHERE rnx = 0 AND rny = 0 AND ((sta*3) + (slot*11)) % 17 != 0),
+st(station, x, y) AS (VALUES """ + ",".join(
+    f"('S{i}', {500000.0 + i * 30000!r}e0, {70000.0 + i * 20000!r}e0)"
+    for i in range(10)) + """),
+rd(radar, xr, yr) AS (VALUES """ + ",".join(
+    f"('{k}', {x!r}e0, {y!r}e0)" for k, (x, y) in _Q53_RD.items()) + """),
+gv AS (SELECT station, ts, rre FROM g WHERE rre IS NOT NULL),
+rk2 AS (SELECT DISTINCT station, ts FROM r),
+al0 AS (
+  SELECT gv.* FROM gv
+  WHERE EXISTS (SELECT 1 FROM rk2 k
+                WHERE k.station = gv.station AND k.ts = gv.ts)
+    AND EXISTS (SELECT 1 FROM refk k
+                WHERE k.station = gv.station AND k.ts = gv.ts)),
+alg AS (
+  SELECT station, ts, rre FROM (
+    SELECT al0.*, COUNT(*) OVER (PARTITION BY station,
+        (ts - 600) - ((ts - 600) % 3600)) AS n_in_hr
+    FROM al0) WHERE n_in_hr = 6),
+ral AS (
+  SELECT r.* FROM r
+  WHERE EXISTS (SELECT 1 FROM alg
+                WHERE alg.station = r.station AND alg.ts = r.ts)),
+wtd AS (
+  SELECT ral.*,
+         pow(10, -0.5e0 * height / 1000.0e0) * visib / 100.0e0 AS w,
+         sqrt((st.x - rd.xr)*(st.x - rd.xr)
+              + (st.y - rd.yr)*(st.y - rd.yr)) / 1000.0e0 AS dist
+  FROM ral JOIN st USING (station) JOIN rd USING (radar)),
+vert AS (
+  SELECT station, ts,
+         SUM(CASE WHEN zh_mean IS NOT NULL THEN w * zh_mean END)
+           / SUM(CASE WHEN zh_mean IS NOT NULL THEN w END) AS zh_w,
+         SUM(w * dist) / SUM(w) AS dist_w,
+         SUM(CASE WHEN radar = 'A' THEN w ELSE 0.0e0 END) / SUM(w) AS prop_a,
+         SUM(w) AS w_sum
+  FROM wtd GROUP BY 1, 2)
+SELECT v.station AS STATION, v.ts AS "TIMESTAMP",
+       ROUND(zh_w, 6) AS ZH_mean, ROUND(dist_w, 6) AS DIST_TO_RAD,
+       ROUND(prop_a, 6) AS RADAR_prop_A, ROUND(w_sum, 6) AS W_SUM,
+       ROUND(alg.rre * 6, 6) AS target_mmh,
+       CAST(dense_rank() OVER (ORDER BY v.ts) - 1 AS BIGINT) AS group_id
+FROM vert v JOIN alg ON alg.station = v.station AND alg.ts = v.ts
+""")
 def q53(spark, sf):
-    """The Phase-2 dataset-preparation pipeline end-to-end on the
-    deterministic rainforest-shaped fixtures (FIXTURES.md; seeded, so the
-    row count and schema are stable across runs)."""
+    """prepare_input end-to-end through the driver gate on
+    lineitem-derived deterministic tables (see block comment)."""
     from rainforest_spark.ml.dataset import prepare_input
-    from rainforest_spark.testing.fixtures import cached_fixtures
 
-    fx = cached_fixtures()
-    dfs = {k: spark.read.parquet(p) for k, p in fx.items()}
-    out = prepare_input(dfs["gauge"], dfs["radar"], dfs["reference"],
-                        dfs["stations"], dfs["radars"])
-    return out.select("STATION", "TIMESTAMP", "ZH_mean", "DIST_TO_RAD",
-                      "RADAR_prop_A", "W_SUM", "target_mmh", "group_id")
+    l = T(spark, sf, "lineitem")
+    base = l.select(
+        (F.col("l_suppkey") % 10).alias("sta"),
+        (F.col("l_orderkey") % 144).alias("slot"),
+        (F.col("l_partkey") % 5).alias("rad"),
+        (1 + F.col("l_linenumber") % 4).alias("sweep"),
+        (F.col("l_partkey") % 3 - 1).alias("NX"),
+        (F.col("l_suppkey") % 3 - 1).alias("NY"),
+        (F.col("l_linenumber") % 3 - 1).alias("rnx"),
+        (F.col("l_partkey") % 3 - 1).alias("rny"))
+    sta, slot = F.col("sta"), F.col("slot")
+    rad, sweep = F.col("rad"), F.col("sweep")
+    station = F.concat(F.lit("S"), sta.cast("string")).alias("STATION")
+    ts = (F.lit(_Q53_T0) + (slot + 1) * 600).cast("long").alias("TIMESTAMP")
+
+    gauge = (base.select("sta", "slot").distinct()
+             .filter((sta * 17 + slot * 5) % 13 != 0)
+             .select(station, ts,
+                     F.when((sta * 31 + slot) % 41 == 0, F.lit(-9999.0))
+                     .otherwise(((sta * 13 + slot * 7) % 160) / 16.0)
+                     .alias("RRE150Z0")))
+
+    letter = (F.when(rad == 0, "A").when(rad == 1, "D").when(rad == 2, "L")
+              .when(rad == 3, "P").otherwise("W"))
+    radar = (base.select("sta", "slot", "rad", "sweep", "NX", "NY")
+             .distinct()
+             .filter((sta * 7 + slot * 3 + rad) % 11 != 0)
+             .select(
+                 station, ts, letter.alias("RADAR"),
+                 sweep.alias("SWEEP"), "NX", "NY",
+                 F.when((sta + slot + sweep * 3 + rad) % 53 == 0,
+                        F.lit(-9999.0))
+                 .otherwise(-5.0 + ((sta * 11 + slot * 3 + rad * 5
+                                     + sweep * 7) % 220) / 4.0)
+                 .alias("ZH_mean"),
+                 (-5.5 + ((sta * 7 + slot * 5 + rad * 3 + sweep * 11)
+                          % 216) / 4.0).alias("ZV_mean"),
+                 (-2.0 + ((sta + slot * 2 + sweep) % 32) / 8.0)
+                 .alias("ZDR_mean"),
+                 (((slot + rad + sweep * 3) % 24) / 16.0).alias("KDP_mean"),
+                 (0.7 + ((sta * 3 + slot + sweep) % 38) / 128.0)
+                 .alias("RHOHV_mean"),
+                 (500.0 + sweep * 250.0 + ((sta * 5 + slot) % 8) * 25.0)
+                 .alias("HEIGHT"),
+                 (10.0 + (sta * 9 + slot * 5 + sweep * 3) % 90)
+                 .alias("VISIB_mean"),
+                 (sweep * 250.0 - ((sta * 7 + slot) % 3500))
+                 .alias("height_over_iso0"),
+                 (-20.0 + ((sta + slot * 3 + sweep) % 450) / 10.0)
+                 .alias("T")))
+
+    reference = (base.select("sta", "slot", "rnx", "rny").distinct()
+                 .filter((sta * 3 + slot * 11) % 17 != 0)
+                 .select(station, ts,
+                         F.col("rnx").alias("NX"), F.col("rny").alias("NY"),
+                         (((sta + slot) % 100) / 16.0).alias("RZC")))
+
+    stations = spark.createDataFrame(
+        [(f"S{i}", 500000.0 + i * 30000, 70000.0 + i * 20000,
+          300.0 + i * 150) for i in range(10)],
+        "Abbrev string, X double, Y double, Z double")
+    radars = spark.createDataFrame(
+        [(k, x, y, 1000.0) for k, (x, y) in _Q53_RD.items()],
+        "RADAR string, X_rad double, Y_rad double, Z_rad double")
+
+    out = prepare_input(gauge, radar, reference, stations, radars)
+    return out.select(
+        "STATION", "TIMESTAMP",
+        r6(F.col("ZH_mean")).alias("ZH_mean"),
+        r6(F.col("DIST_TO_RAD")).alias("DIST_TO_RAD"),
+        r6(F.col("RADAR_prop_A")).alias("RADAR_prop_A"),
+        r6(F.col("W_SUM")).alias("W_SUM"),
+        r6(F.col("target_mmh")).alias("target_mmh"),
+        F.col("group_id").cast("long").alias("group_id"))
 
 
 # ---------------------------------------------------------------- q38

@@ -61,3 +61,21 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0 and len(df.columns) > 0
+
+
+#: queries whose empty result at sf0.01 is the CORRECT answer
+#: (complete-hour keeps nothing at this scale; every customer has orders
+#: so the anti-join is empty)
+KNOWN_EMPTY = {"q19_hourly_complete", "q11_anti_join"}
+
+
+def test_oracles_nonempty(duck):
+    """A 0-row oracle makes the parity test pass trivially (0 == 0 with
+    no value comparison) — q53 once shipped with an input-synthesis
+    pattern that silently emptied the pipeline.  Guard: every oracle must
+    return rows at sf0.01 unless documented in KNOWN_EMPTY (DuckDB-only,
+    so this sweep is cheap)."""
+    empty = [name for name, sql in ORACLES.items()
+             if name in QUERIES and name not in KNOWN_EMPTY
+             and len(duck.execute(sql).df()) == 0]
+    assert not empty, f"oracle(s) unexpectedly empty at sf0.01: {empty}"

@@ -147,3 +147,139 @@ def test_dedup_stream(spark, tmp_path):
     q.awaitTermination(60)
     out = spark.sql("SELECT * FROM dedup_t").toPandas()
     assert sorted(out["doc_id"]) == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# Streaming ↔ batch parity (SURVEY §2.9 promise; reference semantics:
+# the RT daemon reproduces the batch maps — qpe/qpe_rt_daemon.py:53-140
+# produces the same output as the offline qpe/qpe.py:324-386 run over the
+# same scans).  Both tests push the SAME operator through readStream +
+# availableNow and through a plain batch read, and assert the frames agree.
+# ---------------------------------------------------------------------------
+
+
+def _agg_pass(spark, src, sink, ckpt):
+    """One availableNow pass of the 10-min aggregate over ``src``."""
+    from rainforest_spark.streaming.rt import ten_minute_aggregate
+
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = (ten_minute_aggregate(stream, ["ZH"])
+         .writeStream.outputMode("append")
+         .format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def _norm_windows(df):
+    """win struct → (w_start, w_end) longs; stable row order."""
+    pdf = (df.withColumn("w_start", F.col("win.start").cast("long"))
+           .withColumn("w_end", F.col("win.end").cast("long"))
+           .drop("win").toPandas())
+    keys = ["w_start", "w_end", "STATION", "RADAR", "SWEEP"]
+    return (pdf.sort_values(keys, ignore_index=True)
+            [keys + ["ZH", "TCOUNT", "radars_seen"]])
+
+
+def test_streaming_batch_parity_ten_minute(spark, tmp_path):
+    """The streaming 10-min aggregate (availableNow, append mode) emits
+    exactly the frames the batch computation of the same windows yields.
+
+    ``ten_minute_aggregate`` is one code path: ``withWatermark`` is a
+    no-op on a batch DataFrame (Catalyst's EliminateEventTimeWatermark),
+    so applying the same function to ``spark.read`` gives the batch
+    truth.  Append mode only emits windows the final watermark passed,
+    so both sides are filtered to win.end <= max_event_time - watermark.
+    """
+    from rainforest_spark.streaming.rt import ten_minute_aggregate
+
+    src = str(tmp_path / "par_src")
+    sink = str(tmp_path / "par_out")
+    ckpt = str(tmp_path / "par_ckpt")
+    os.makedirs(src)
+    rng = np.random.RandomState(7)
+    t0 = 1717200000
+    # 5 scans over 3 windows, two radars, then a late watermark-advancer
+    for i, radar in enumerate(["A", "A", "D", "D", "A"]):
+        _scan(t0 + 300 * i, radar, rng).to_parquet(
+            f"{src}/s{i}.parquet", index=False)
+    t_adv = t0 + 7200
+
+    _agg_pass(spark, src, sink, ckpt)                  # real data
+    _scan(t_adv, "L", rng).to_parquet(f"{src}/adv.parquet", index=False)
+    _agg_pass(spark, src, sink, ckpt)                  # advance watermark
+    _agg_pass(spark, src, sink, ckpt)                  # flush emissions
+
+    cutoff = t_adv - 20 * 60                           # watermark horizon
+    got = _norm_windows(
+        spark.read.parquet(sink).where(F.col("win.end").cast("long") <= cutoff))
+    want = _norm_windows(
+        ten_minute_aggregate(spark.read.schema(SCHEMA).parquet(src), ["ZH"])
+        .where(F.col("win.end").cast("long") <= cutoff))
+
+    assert len(got) == len(want) and len(got) >= 3
+    key_cols = ["w_start", "w_end", "STATION", "RADAR", "SWEEP",
+                "TCOUNT", "radars_seen"]
+    pd.testing.assert_frame_equal(got[key_cols], want[key_cols])
+    # float aggregate: same value up to partial-sum association order
+    np.testing.assert_allclose(got["ZH"], want["ZH"], rtol=1e-9, atol=1e-12)
+
+
+def test_streaming_batch_parity_grid_pipeline(spark, tmp_path):
+    """run_rt_pipeline's foreachBatch output (polar→grid→composite) is
+    frame-identical to running the same batch operators on the same
+    scans, including across an incremental restart: batch=1 (the second
+    availableNow pass) equals the batch computation over only the newly
+    arrived file."""
+    from rainforest_spark.grid.lookup import polar_to_cart_lut
+    from rainforest_spark.grid.qpe import polar_to_grid, vertical_composite
+    from rainforest_spark.streaming.rt import run_rt_pipeline
+    from rainforest_spark.testing.fixtures import RADAR_XYZ
+
+    src = str(tmp_path / "gp_src")
+    sink = str(tmp_path / "gp_out")
+    ckpt = str(tmp_path / "gp_ckpt")
+    os.makedirs(src)
+    rng = np.random.RandomState(8)
+
+    def scan_file(ts, name):
+        df = _scan(ts, "A", rng)
+        df["zh_lin"] = 10 ** (0.1 * df["ZH"])
+        df.to_parquet(f"{src}/{name}.parquet", index=False)
+
+    scan_file(1717200000, "s1")
+    lut = polar_to_cart_lut(spark, {"A": RADAR_XYZ["A"]}, sweeps=[1],
+                            n_az=360, n_rng=30)
+    schema = SCHEMA + ", zh_lin double"
+
+    def batch_truth(paths):
+        df = spark.read.schema(schema).parquet(*paths)
+        comp = vertical_composite(polar_to_grid(df, lut, ["zh_lin"]),
+                                  ["zh_lin"], visib_col=None)
+        return (comp.toPandas()
+                .sort_values(["x_idx", "y_idx"], ignore_index=True))
+
+    q = run_rt_pipeline(spark, src, schema, sink, ckpt, lut, ["zh_lin"])
+    q.awaitTermination(120)
+    got0 = (spark.read.parquet(f"{sink}/batch=0").toPandas()
+            .sort_values(["x_idx", "y_idx"], ignore_index=True))
+    want0 = batch_truth([f"{src}/s1.parquet"])
+    assert list(got0.columns) == list(want0.columns)
+    pd.testing.assert_frame_equal(got0[["x_idx", "y_idx"]],
+                                  want0[["x_idx", "y_idx"]])
+    np.testing.assert_allclose(got0["zh_lin"], want0["zh_lin"],
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(got0["w_total"], want0["w_total"],
+                               rtol=1e-9, atol=1e-12)
+
+    # incremental arrival: only the new file is reprocessed (batch=1)
+    scan_file(1717200300, "s2")
+    q2 = run_rt_pipeline(spark, src, schema, sink, ckpt, lut, ["zh_lin"])
+    q2.awaitTermination(120)
+    got1 = (spark.read.parquet(f"{sink}/batch=1").toPandas()
+            .sort_values(["x_idx", "y_idx"], ignore_index=True))
+    want1 = batch_truth([f"{src}/s2.parquet"])
+    assert len(got1) == len(want1)
+    np.testing.assert_allclose(got1["zh_lin"], want1["zh_lin"],
+                               rtol=1e-9, atol=1e-12)

@@ -12,23 +12,79 @@ from pyspark.sql import functions as F
 def test_hydro_classify(spark):
     from rainforest_spark.operators.hydro import CENTROIDS, hydro_classify
 
-    # gates placed exactly AT three centroids must classify to them
+    # gates placed exactly AT centroids must classify to them (distance 0
+    # up to libm ulp differences between the JVM and CPython transforms)
     rows = []
-    for i, (cls, zh, zdr, kdp, rho, relh) in enumerate(CENTROIDS[:3]):
+    for i, (cls, zh, zdr, kdp, rho, relh) in enumerate(CENTROIDS):
         rows.append((i, zh, zdr, kdp, rho, relh, cls))
     pdf = pd.DataFrame(rows, columns=["gate_id", "ZH", "ZDR", "KDP",
                                       "RHOHV", "relh", "expected"])
     df = spark.createDataFrame(pdf)
     out = hydro_classify(df, spark, keys=["gate_id", "expected"]).toPandas()
     assert (out["HYDRO"] == out["expected"]).all()
-    assert (out["hydro_dist"] == 0.0).all()
-    # a strong-hail-like gate
+    assert (out["hydro_dist"] < 1e-9).all()
+    # a strong dry-hail-like gate (near the IH centroid of radar A)
     hail = spark.createDataFrame(
-        [(99, 55.0, 0.0, 0.2, 0.97, 1100.0)],
-        "gate_id long, ZH double, ZDR double, KDP double, RHOHV double, "
-        "relh double")
+        [(99, "A", 50.0, 0.0, 0.1, 0.99, 1100.0)],
+        "gate_id long, RADAR string, ZH double, ZDR double, KDP double, "
+        "RHOHV double, relh double")
     got = hydro_classify(hail, spark, keys=["gate_id"]).collect()[0]
     assert got.HYDRO == "IH"
+
+
+def _np_standardize(data, feat):
+    """Independent numpy mirror of Besic (2016) / pyart _standardize."""
+    if feat == "relh":
+        return 2.0 / (1.0 + np.exp(-0.005 * data)) - 1.0
+    if feat == "KDP":
+        data = 10.0 * np.log10(np.maximum(data, -0.5) + 0.6)
+    elif feat == "RHOHV":
+        data = 10.0 * np.log10(1.0 - data)
+    mn, mx = {"ZH": (-10.0, 60.0), "ZDR": (-1.5, 5.0),
+              "KDP": (-10.0, 7.0), "RHOHV": (-50.0, -5.23)}[feat]
+    return np.clip(2.0 * (data - mn) / (mx - mn) - 1.0, -1.0, 1.0)
+
+
+def test_hydro_classify_reference_parity(spark):
+    """Classification over a random fixture volume across all five radars
+    matches an independent numpy implementation of the reference pipeline
+    (radarprocessing.py:633-705: per-radar centroids, _standardize,
+    weighted-Minkowski cdist argmin)."""
+    from rainforest_spark.operators.hydro import (
+        FEATURES, HYDRO_CENTROIDS, HYDRO_CLASSES, WEIGHTS, hydro_classify)
+
+    rng = np.random.RandomState(42)
+    n = 2000
+    pdf = pd.DataFrame({
+        "gate_id": np.arange(n),
+        "RADAR": rng.choice(list(HYDRO_CENTROIDS), n),
+        "ZH": rng.uniform(-15, 65, n),
+        "ZDR": rng.uniform(-2, 5.5, n),
+        "KDP": rng.uniform(-1, 3, n),
+        "RHOHV": rng.uniform(0.9, 0.999, n),
+        "relh": rng.uniform(-4000, 4000, n)})
+
+    # numpy truth: per-radar standardized centroids + weighted L2 argmin
+    feats = np.column_stack([_np_standardize(pdf[f].to_numpy(), f)
+                             for f in FEATURES])
+    w = np.asarray(WEIGHTS)
+    expected, margin = np.empty(n, dtype=object), np.empty(n)
+    for radar, cents in HYDRO_CENTROIDS.items():
+        idx = np.where(pdf["RADAR"].to_numpy() == radar)[0]
+        c = np.column_stack([_np_standardize(np.asarray(cents)[:, j], f)
+                             for j, f in enumerate(FEATURES)])
+        d = np.sqrt(((feats[idx, None, :] - c[None, :, :]) ** 2 * w).sum(-1))
+        order = np.sort(d, axis=1)
+        margin[idx] = order[:, 1] - order[:, 0]
+        expected[idx] = np.array(HYDRO_CLASSES)[np.argmin(d, axis=1)]
+
+    out = (hydro_classify(spark.createDataFrame(pdf), spark,
+                          keys=["gate_id"])
+           .toPandas().sort_values("gate_id", ignore_index=True))
+    # ignore knife-edge ties where float association order decides
+    clear = margin > 1e-9
+    assert clear.sum() > n * 0.99
+    assert (out["HYDRO"].to_numpy()[clear] == expected[clear]).all()
 
 
 def test_status_and_vpr_xml(spark):

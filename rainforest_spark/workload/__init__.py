@@ -31,6 +31,8 @@ _MODULES = [relational, text, vectors, extended]
 #: first; long-proven trivial entries are demoted past slot 50 (they
 #: remain fully covered by tests/test_oracle_parity.py).
 _PRIORITY = [
+    # --- round 5: last oracle-paired query without a driver hash row ---
+    "q46_simhash",
     # --- unproven by the driver gate as of round 2 ---
     "q38_left_join_nulls", "q39_argmax_linked_agg",
     "q48_energy_distance", "q49_multimodal_decode",
@@ -52,7 +54,9 @@ _PRIORITY = [
     "q27_weighted_quantile", "q31_dn_discretization", "q33_perfscores",
     "q34_scatter_score", "q35_hourly_interpolation",
     "q36_local_supplier_revenue", "q37_group_first",
-    "q40_fingerprint_dedup", "q41_token_count", "q42_quality_score",
+    # q41_token_count demoted (trivial regex agg, hash-green r2+r4) to
+    # make room for q46 while keeping the window at exactly 50 names
+    "q40_fingerprint_dedup", "q42_quality_score",
     "q43_lang_id", "q44_ngram_jaccard", "q45_minhash_lsh",
     "q47_ann_lsh_topk", "q50_cosine_topk",
     "q51_centroid_classify", "q63_minhash_verified_neardup",

@@ -72,6 +72,69 @@ TOTAL_RATIO = 1.15
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
 
+#: ---- sf1 scale tier (measured 100×-design evidence) -----------------
+#: A deterministic ×10 re-keyed scale-up of sf0.1 (tools/scale_gen.py —
+#: copies are cipher/sign-mask transformed so dedup workloads scale
+#: linearly instead of measuring the duplication artifact).  Generated
+#: on first use into a gitignored dir; runs only in the default sf0.1
+#: bench (skipped when SPARK_GRAFT_SF_DIR points elsewhere, e.g. dev
+#: iteration at sf0.01, or SPARK_GRAFT_BENCH_SF1=0).
+SF1_DIR = os.environ.get(
+    "SPARK_GRAFT_SF1_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".benchdata", "sf1"))
+
+#: The 5 heaviest headline queries, timed at sf1.
+SF1_HEADLINE = [
+    "q61_zphi_attenuation",
+    "q62_vpr_correction",
+    "q66_qpe_evaluation",
+    "q45_minhash_lsh",
+    "q54_embedding_neardup",
+]
+
+#: Physics guard: a query at 10x the data may take at most 2x-linear
+#: (20x) its same-run sf0.1 time (+ floor for job overhead).  This is
+#: deliberately NOT rebaselineable — it catches superlinear plans even
+#: if someone refreshes the regression baseline.  Known shape: frozen
+#: 3-plane q54 candidates grow with bucket density (measured ~10x at
+#: 10x data, inside the guard); q54_scaled_planes below shows the
+#: parameter fix and has no sf0.1 counterpart, so the guard skips it.
+SF1_LINEAR_RATIO = 2.0 * 10.0
+SF1_LINEAR_FLOOR = 2.0
+SF1_PER_QUERY_RATIO = 1.5
+SF1_PER_QUERY_FLOOR = 2.0
+
+
+def _sf1_extra_queries():
+    """sf1-only entries: operator-level variants with scale-sized
+    parameters (no oracle pairing — bench evidence, not the gate)."""
+    import numpy as np
+
+    from rainforest_spark.operators.similarity import embedding_neardup_pairs
+    from rainforest_spark.workload.common import T
+
+    planes7 = np.random.RandomState(4242).randn(2, 7, 64)
+
+    def q54_scaled(spark, sf_dir):
+        # 2 tables x 7 planes: per-bucket density at 20k vectors equals
+        # the frozen 3-plane density at 2k — candidates stay linear.
+        return embedding_neardup_pairs(T(spark, sf_dir, "embeddings"),
+                                       "vec_id", "embedding", planes7,
+                                       threshold=0.35)
+
+    return {"q54_scaled_planes": q54_scaled}
+
+
+def _load_baseline() -> dict:
+    """Committed baseline; legacy flat {query: sec} maps to sf0.1."""
+    if not os.path.exists(BASELINE_PATH):
+        return {}
+    raw = json.load(open(BASELINE_PATH))
+    if "sf0.1" in raw or "sf1" in raw:
+        return raw
+    return {"sf0.1": raw}
+
 
 def main() -> None:
     from rainforest_spark.session import get_spark

@@ -128,6 +128,65 @@ def ann_topk_bucketed(vectors: DataFrame, id_col: str, vec_col: str,
                     "neighbor_id", "sim"))
 
 
+def embedding_neardup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
+                            planes, threshold: float = 0.35,
+                            round_to: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table
+    hyperplane-LSH candidates + exact cosine verification.
+
+    ``planes`` is a (tables, n_planes, dim) array of hyperplane normals
+    (caller-seeded, broadcast as literals).  Candidates are generated
+    per table with an equi-join on the bucket key — never a corpus cross
+    join — unioned, de-duplicated, then scored exactly and filtered at
+    ``threshold``.
+
+    SCALE NOTE (measured at sf0.1→sf1, see PERF.md): with the plane
+    count FIXED, per-bucket occupancy grows linearly with corpus size,
+    so candidate pairs — and runtime — grow quadratically.  Size
+    ``n_planes`` with the corpus (≈ log2(N / target_bucket_size)) to
+    hold per-bucket density constant; that keeps the candidate count,
+    and the verify join behind it, linear in N.
+    """
+    n_tables = len(planes)
+    v = with_double_vec(vectors, vec_col, "v").select(
+        F.col(id_col), "v", _norm("v").alias("nrm"))
+
+    def bucket_col(t: int) -> Column:
+        b = F.lit(0)
+        for p, row in enumerate(planes[t]):
+            arr = F.array(*[F.lit(float(x)) for x in row])
+            dot = F.aggregate(F.zip_with(F.col("v"), arr,
+                                         lambda x, y: x * y),
+                              F.lit(0.0), lambda acc, x: acc + x)
+            b = b + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return b
+
+    b = v.select(F.col(id_col), "v", "nrm",
+                 *[bucket_col(t).alias(f"b{t}") for t in range(n_tables)])
+    cand = None
+    for t in range(n_tables):
+        a = b.select(F.col(id_col).alias("id_a"),
+                     F.col(f"b{t}").alias("__bk"))
+        c = b.select(F.col(id_col).alias("id_b"),
+                     F.col(f"b{t}").alias("__bk"))
+        pairs_t = (a.join(c, on="__bk")
+                   .filter(F.col("id_a") < F.col("id_b"))
+                   .select("id_a", "id_b"))
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    cand = cand.distinct()
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                  F.col("nrm").alias("na"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                  F.col("nrm").alias("nb"))
+    sim = (cand.join(va, on="id_a").join(vb, on="id_b")
+           .withColumn("cos_sim", F.round(
+               F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), "
+                      "CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+               / (F.col("na") * F.col("nb")), round_to)))
+    return (sim.filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim"))
+
+
 def ivf_topk_fixed(vectors: DataFrame, id_col: str, vec_col: str,
                    query_ids_pred: Column, centroid_ids: list[int],
                    k: int = 3, nprobe: int = 4) -> DataFrame:

@@ -658,16 +658,6 @@ def _nd_bucket_sql(t: int) -> str:
     return " + ".join(terms)
 
 
-def _nd_bucket_col(t: int):
-    b = F.lit(0)
-    for p in range(_ND_PLANES):
-        arr = F.array(*[F.lit(float(x)) for x in _ND_P[t, p]])
-        dot = F.aggregate(F.zip_with(F.col("v"), arr, lambda x, y: x * y),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        b = b + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return b
-
-
 @q("q54_embedding_neardup", sql="""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -690,35 +680,15 @@ JOIN v vb ON vb.vec_id = c.id_b
 WHERE ROUND(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6) >= 0.35
 """)
 def q54(spark, sf):
-    from rainforest_spark.operators.similarity import _norm, with_double_vec
+    # the first-class operator with the frozen q54 planes (the oracle
+    # SQL above inlines the same _ND_P literals); scale-sized plane
+    # counts are the operator's job — see embedding_neardup_pairs'
+    # docstring and the sf1 bench block
+    from rainforest_spark.operators.similarity import embedding_neardup_pairs
 
-    v = with_double_vec(T(spark, sf, "embeddings"), "embedding", "v") \
-        .select("vec_id", "v", _norm("v").alias("nrm"))
-    b = v.select("vec_id", "v", "nrm",
-                 *[_nd_bucket_col(t).alias(f"b{t}")
-                   for t in range(_ND_TABLES)])
-    cand = None
-    for t in range(_ND_TABLES):
-        a = b.select(F.col("vec_id").alias("id_a"),
-                     F.col(f"b{t}").alias("__bk"))
-        c = b.select(F.col("vec_id").alias("id_b"),
-                     F.col(f"b{t}").alias("__bk"))
-        pairs_t = (a.join(c, on="__bk")
-                   .filter(F.col("id_a") < F.col("id_b"))
-                   .select("id_a", "id_b"))
-        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
-    cand = cand.distinct()
-    va = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-                  F.col("nrm").alias("na"))
-    vb = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-                  F.col("nrm").alias("nb"))
-    sim = (cand.join(va, on="id_a").join(vb, on="id_b")
-           .withColumn("cos_sim", F.round(
-               F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), "
-                      "CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
-               / (F.col("na") * F.col("nb")), 6)))
-    return (sim.filter(F.col("cos_sim") >= 0.35)
-            .select("id_a", "id_b", "cos_sim"))
+    return embedding_neardup_pairs(T(spark, sf, "embeddings"),
+                                   "vec_id", "embedding", _ND_P,
+                                   threshold=0.35)
 
 
 # ---------------------------------------------------------------- q55

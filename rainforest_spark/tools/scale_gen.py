@@ -113,11 +113,11 @@ def generate_tier(spark: SparkSession, src_dir: str, dst_dir: str,
     emb_dim = _embedding_dim(src_dir)
     os.makedirs(dst_dir, exist_ok=True)
     for t in TABLES:
-        # events is read RAW (nanos→long), NOT through workload T(): T
-        # rebuilds ts as a µs timestamp, and writing that back would
-        # change the column type the readers expect.  A plain BIGINT ts
-        # round-trips bit-identically through T's `timestamp_micros(ts
-        # div 1000)` on re-read.
+        # events is read RAW, NOT through workload T(): T normalizes ts
+        # and writing that back would change the column type the readers
+        # expect.  Raw round-trips bit-identically whichever encoding
+        # the source tier uses (legacy nanos-as-long or µs NTZ); T()
+        # normalizes either on re-read.
         if t == "events":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         src = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))

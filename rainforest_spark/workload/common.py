@@ -9,14 +9,20 @@ DEC = "decimal(18,4)"
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a driver table.  events.parquet carries TIMESTAMP(NANOS)
-    which Spark's vectorized reader rejects — read the nanos as LONG and
-    rebuild the timestamp with exact integer division (ns → µs), which is
-    the same truncation DuckDB's µs TIMESTAMP applies."""
+    """Load a driver table.  events.parquet has shipped with two ``ts``
+    encodings across testdata generations: TIMESTAMP(NANOS) (which
+    Spark's vectorized reader rejects — read the nanos as LONG and
+    rebuild with exact integer division ns → µs, the same truncation
+    DuckDB's µs TIMESTAMP applies) and plain TIMESTAMP(MICROS, NTZ).
+    Both normalize to a session-tz TIMESTAMP (UTC, so NTZ→LTZ is the
+    identity)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes)["ts"] == "bigint":  # legacy nanos tier
+            return df.withColumn("ts",
+                                 F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

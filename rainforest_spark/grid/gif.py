@@ -132,33 +132,39 @@ def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
     return bytes(out)
 
 
-def write_gif(matrix: np.ndarray, path: str,
-              palette: bytes | None = None) -> None:
-    """uint8 DN matrix (rows, cols) → single-image GIF87a with a global
-    256-color palette (grayscale when none given)."""
+def encode_gif_bytes(matrix: np.ndarray,
+                     palette: bytes | None = None) -> bytes:
+    """uint8 DN matrix (rows, cols) → single-image GIF87a bytes with a
+    global 256-color palette (grayscale when none given)."""
     m = np.ascontiguousarray(matrix, dtype=np.uint8)
     h, w = m.shape
     palette = palette or grayscale_palette()
     assert len(palette) == 768, "palette must be 256 RGB triples"
+    out = bytearray()
+    out += b"GIF87a"
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += palette
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out += bytes([8])
+    comp = _lzw_encode(m.tobytes(), 8)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def write_gif(matrix: np.ndarray, path: str,
+              palette: bytes | None = None) -> None:
+    """uint8 DN matrix (rows, cols) → single-image GIF87a file."""
     with open(path, "wb") as f:
-        f.write(b"GIF87a")
-        f.write(struct.pack("<HHBBB", w, h, 0xF7, 0, 0))
-        f.write(palette)
-        f.write(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
-        f.write(bytes([8]))
-        comp = _lzw_encode(m.tobytes(), 8)
-        for i in range(0, len(comp), 255):
-            chunk = comp[i:i + 255]
-            f.write(bytes([len(chunk)]) + chunk)
-        f.write(b"\x00\x3b")
+        f.write(encode_gif_bytes(matrix, palette))
 
 
-def read_gif(path: str) -> tuple[np.ndarray, bytes]:
-    """Single-image GIF → (uint8 DN matrix, palette bytes).  Skips
+def decode_gif_bytes(buf: bytes) -> tuple[np.ndarray, bytes]:
+    """Single-image GIF bytes → (uint8 DN matrix, palette bytes).  Skips
     87a/89a extensions; no interlace support (the products are not
     interlaced)."""
-    with open(path, "rb") as f:
-        buf = f.read()
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF file")
     w, h, packed, _, _ = struct.unpack("<HHBBB", buf[6:13])
@@ -201,6 +207,12 @@ def read_gif(path: str) -> tuple[np.ndarray, bytes]:
         else:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
     raise ValueError("no image block found")
+
+
+def read_gif(path: str) -> tuple[np.ndarray, bytes]:
+    """Single-image GIF file → (uint8 DN matrix, palette bytes)."""
+    with open(path, "rb") as f:
+        return decode_gif_bytes(f.read())
 
 
 def save_grid_gif(grid_df, value_col: str, out_path: str,

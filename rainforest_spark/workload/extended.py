@@ -297,26 +297,68 @@ def q48(spark, sf):
                       .alias("energy_dist"))
 
 
-@q("q49_multimodal_decode")
+# q49: REAL multimodal decode, hash-checked.  Each document renders to
+# an 8×8 GIF87a (text bytes truncated to 64, zero-padded) with the
+# repo's pure-python LZW encoder, then decode_image LZW-DECODES it back
+# and emits scalar pixel stats.  The codec is lossless, so the oracle
+# recomputes the identical stats straight from the text bytes — integer
+# sums are exact in both engines and /64.0 is a pure power-of-two
+# scale, so the doubles agree bit-for-bit before the round-6.
+@q("q49_multimodal_decode", sql="""
+WITH ch AS (
+  SELECT doc_id, ascii(substr(text, CAST(t.i AS INTEGER), 1)) AS b
+  FROM documents,
+       LATERAL unnest(generate_series(1, LEAST(length(text), 64))) AS t(i)
+), agg AS (
+  SELECT doc_id, SUM(b) AS s, SUM(b * b) AS s2,
+         MIN(b) AS mn, MAX(b) AS mx, COUNT(*) AS m
+  FROM ch GROUP BY doc_id
+)
+SELECT doc_id AS media_id, 'gif' AS format,
+       8 AS width, 8 AS height, 64 AS n_px,
+       ROUND(s / 64.0, 6) AS px_mean,
+       ROUND(sqrt(GREATEST(s2 / 64.0 - (s / 64.0) * (s / 64.0), 0.0)),
+             6) AS px_std,
+       CAST(CASE WHEN m < 64 THEN 0 ELSE mn END AS INTEGER) AS px_min,
+       CAST(mx AS INTEGER) AS px_max
+FROM agg
+""")
 def q49(spark, sf):
-    """Binary media column plumbing: documents text → bytes → Arrow-batched
-    header decode + byte-histogram features (decode stubbed; SURVEY §7
-    Phase 6 multimodal)."""
-    from rainforest_spark.operators.multimodal import (
-        decode_image_meta, extract_features,
-    )
+    """REAL multimodal decode (SURVEY §7 Phase 6): text → GIF87a bytes
+    (executor-side encode, grid/gif.py pure-python LZW) → decode_image
+    (executor-side LZW decode) → scalar per-file pixel stats.  Scalar
+    columns keep the result value-hashable (round-1 q49 array-cell err);
+    the oracle re-derives the stats from the source bytes because the
+    codec round-trip is lossless."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from rainforest_spark.grid.gif import encode_gif_bytes
+    from rainforest_spark.operators.multimodal import decode_image
 
     d = T(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id"), F.lit("blob").alias("kind"),
-        F.encode("text", "UTF-8").alias("content"),
-        F.col("source"))
-    out = extract_features(decode_image_meta(d), dim=8)
-    # posexplode to scalar (media_id, dim_idx, value) rows: the driver's
-    # pandas value-hash can't factorize array cells (round-1 q49 err).
+        F.col("doc_id").alias("media_id"), F.lit("gif").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"), F.col("source"))
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = [
+                encode_gif_bytes(np.frombuffer(
+                    bytes(b or b"")[:64].ljust(64, b"\x00"),
+                    dtype=np.uint8).reshape(8, 8))
+                for b in pdf["content"]]
+            yield pdf
+
+    media = d.mapInPandas(render, schema=d.schema)
+    out = decode_image(media)
     return out.select(
-        "media_id", "format", "n_bytes",
-        F.posexplode("features").alias("dim_idx", "value")) \
-        .withColumn("value", F.round(F.col("value").cast("double"), 6))
+        "media_id", "format", "width", "height", "n_px",
+        F.round("px_mean", 6).alias("px_mean"),
+        F.round("px_std", 6).alias("px_std"),
+        "px_min", "px_max")
 
 
 # ---------------------------------------------------------------- q52

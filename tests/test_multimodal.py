@@ -55,6 +55,70 @@ def test_extract_features_deterministic(spark, media):
     assert np.allclose(v, 1.0 / 16, atol=1e-6)  # uniform bytes → flat hist
 
 
+def test_decode_image_real_gif_stats(spark):
+    """decode_image actually LZW-decodes GIF bytes: stats equal the
+    source plane's, computed independently here with numpy."""
+    from rainforest_spark.grid.gif import encode_gif_bytes
+    from rainforest_spark.operators.multimodal import decode_image
+
+    planes = {0: (np.arange(64).reshape(8, 8) * 4 % 251).astype(np.uint8),
+              1: np.full((5, 7), 200, np.uint8),
+              2: np.frombuffer(b"rainforest-spark" * 4,
+                               dtype=np.uint8).reshape(8, 8)}
+    rows = [(k, "image", bytearray(encode_gif_bytes(v)), "cam")
+            for k, v in planes.items()]
+    rows.append((9, "image", bytearray(b"\x00junk" * 8), "cam"))
+    df = spark.createDataFrame(
+        rows, "media_id bigint, kind string, content binary, source string")
+    out = {r.media_id: r for r in decode_image(df).collect()}
+    for k, v in planes.items():
+        r = out[k]
+        assert r.decoded and r.format == "gif"
+        assert (r.height, r.width) == v.shape
+        assert r.n_px == v.size
+        assert abs(r.px_mean - v.mean()) < 1e-9
+        assert abs(r.px_std - v.std()) < 1e-9
+        assert (r.px_min, r.px_max) == (int(v.min()), int(v.max()))
+    assert out[9].decoded is False and out[9].px_mean is None
+
+
+def test_resize_images_nearest_neighbour(spark):
+    """resize_images resamples the decoded plane with the index map
+    floor(r*H/h') and re-encodes losslessly."""
+    from rainforest_spark.grid.gif import decode_gif_bytes, encode_gif_bytes
+    from rainforest_spark.operators.multimodal import resize_images
+
+    src = (np.arange(64).reshape(8, 8) * 3 % 256).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(encode_gif_bytes(src)), "cam"),
+         (1, "image", bytearray(b"notanimage"), "cam")],
+        "media_id bigint, kind string, content binary, source string")
+    out = {r.media_id: r.resized
+           for r in resize_images(df, 4, 4).collect()}
+    got, _ = decode_gif_bytes(bytes(out[0]))
+    rr = (np.arange(4) * 8) // 4
+    expected = src[np.ix_(rr, rr)]
+    assert (got == expected).all()
+    assert out[1] is None
+
+
+def test_pixel_histogram_features(spark):
+    from rainforest_spark.grid.gif import encode_gif_bytes
+    from rainforest_spark.operators.multimodal import (
+        pixel_histogram_features,
+    )
+
+    plane = np.zeros((8, 8), np.uint8)
+    plane[:4] = 255
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(encode_gif_bytes(plane)), "cam")],
+        "media_id bigint, kind string, content binary, source string")
+    feats = pixel_histogram_features(df, dim=16).collect()[0].features
+    assert len(feats) == 16
+    assert abs(feats[0] - 0.5) < 1e-6 and abs(feats[15] - 0.5) < 1e-6
+    assert all(abs(f) < 1e-9 for f in feats[1:15])
+
+
 def test_frame_sample_plan(spark):
     from rainforest_spark.operators.multimodal import frame_sample_plan
 

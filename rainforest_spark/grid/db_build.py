@@ -62,8 +62,10 @@ def neighbourhood_aggregate(polar: DataFrame, gates_lut: DataFrame,
 
 def temporal_pair_aggregate(obs: DataFrame, variables: list[str],
                             window_sec: int = 600) -> DataFrame:
-    """A3: collapse the ≤2 five-minute scans of each 10-min gauge window
-    with the per-variable operator; TCOUNT counts contributing scans."""
+    """A3: collapse the five-minute scans of each 10-min gauge window
+    with the per-variable operator; TCOUNT counts contributing scans
+    (usually 2, but the reference's own test artifact carries TCOUNT=3 —
+    repeated scans at a timestep each count)."""
     keys = ["STATION", "RADAR", "SWEEP", "NX", "NY"]
     bucket = (F.floor(F.col("TIMESTAMP") / window_sec) * window_sec) \
         .cast("long").alias("TIMESTAMP")
@@ -79,6 +81,56 @@ def temporal_pair_aggregate(obs: DataFrame, variables: list[str],
                 aggs.append(F.avg(col).alias(col))
     aggs.append(F.count(F.lit(1)).cast("int").alias("TCOUNT"))
     return obs.groupBy(bucket, *keys).agg(*aggs)
+
+
+#: The reference's central dtype map (common/constants.py:328-336
+#: COL_TYPES), in Spark DDL types.  Applied by base name — the
+#: reference looks up ``col.split('_')[0]`` (retrieve_radar_data.py:
+#: 612-616), so VISIB_mean → tinyint, ZH_VISIB_mean → float.
+REF_COL_TYPES = {
+    "TIMESTAMP": "int",
+    "RADAR": "string",
+    "SWEEP": "tinyint",
+    "NX": "tinyint",
+    "NY": "tinyint",
+    "STATION": "string",
+    "HYDRO": "tinyint",
+    "VISIB": "tinyint",
+    "TCOUNT": "tinyint",
+}
+
+
+def reference_layout_columns(radar_variables: list[str],
+                             other_variables: list[str] = ("HEIGHT", "VPR"),
+                             cosmo_variables: list[str] = (),
+                             agg_methods: list[str] = ("mean",)) -> list[str]:
+    """Column order of the reference's day files (``_remap``,
+    retrieve_radar_data.py:742-747): the six keys, OTHER_VARIABLES,
+    COSMO_VARIABLES, then {var}_{method} per radar variable, then the
+    TCOUNT the temporal aggregation appends (:629-633)."""
+    cols = ["TIMESTAMP", "STATION", "RADAR", "SWEEP", "NX", "NY",
+            *other_variables, *cosmo_variables]
+    cols += [f"{r}_{m}" for r in radar_variables for m in agg_methods]
+    cols.append("TCOUNT")
+    return cols
+
+
+def to_reference_layout(df: DataFrame, radar_variables: list[str],
+                        other_variables: list[str] = ("HEIGHT", "VPR"),
+                        cosmo_variables: list[str] = (),
+                        agg_methods: list[str] = ("mean",)) -> DataFrame:
+    """Project a radar day table onto the reference's exact column
+    layout and dtypes: order per ``reference_layout_columns``, dtype by
+    base name via ``REF_COL_TYPES`` with a float32 default
+    (retrieve_radar_data.py:608-621) — byte-compatible with the files
+    the reference's ``Updater`` writes (tests_cscs/
+    reference_test_output.parquet)."""
+    out = []
+    for c in reference_layout_columns(radar_variables, other_variables,
+                                      cosmo_variables, agg_methods):
+        t = REF_COL_TYPES.get(c.split("_")[0], "float")
+        out.append(F.col(c).cast(t).alias(c))
+    return df.select(*out)
 
 
 def build_radar_table(polar: DataFrame, polar_cart_lut: DataFrame,

@@ -89,6 +89,90 @@ def run_rt_pipeline(spark: SparkSession, source_path: str, schema: str,
     return writer.start()
 
 
+def run_rt_postprocessed(spark: SparkSession, source_path: str, schema: str,
+                         sink_dir: str, checkpoint_dir: str,
+                         lut: DataFrame, cycle_sec: int = 300,
+                         alpha: float = 0.5, max_shift: int = 10,
+                         nx: int = 710, ny: int = 640,
+                         trigger_once: bool = True):
+    """The daemon's FULL post-processing chain as one streaming job
+    (reference qpe/qpe.py:680-761 inside qpe_rt_daemon.py's cycle loop):
+
+        composite → rain rate → two-frame mean + disaggregation ratio
+        → advection blend against the PREVIOUS frame
+
+    Prev-frame state is the frames store — each micro-batch writes its
+    composite frames as TIMESTAMP partitions (dynamic overwrite →
+    idempotent on retry, T7) and reads back only the predecessor
+    partitions it needs (partition pruning: state reads stay O(batch),
+    never O(history)) — the Spark analogue of the daemon persisting
+    prev.npy between cycles.  Inside foreachBatch the SAME batch
+    operators run (grid/qpe.temporal_smooth, grid/advection.
+    advect_blend_series), so streaming and batch stay one code path.
+
+    Pairing note: predecessors are by fixed cadence (``cycle_sec``, the
+    daemon's 5-min cycle).  Batch ``temporal_smooth`` pairs by row
+    adjacency per pixel; the two agree whenever consecutive frames cover
+    the same pixel set (the grid-product case — every frame rasterizes
+    the same LUT footprint).
+    """
+    from rainforest_spark.grid.advection import advect_blend_series
+    from rainforest_spark.grid.qpe import (
+        polar_to_grid, rain_rate, temporal_smooth, vertical_composite,
+    )
+
+    stream = polar_file_stream(spark, source_path, schema)
+    frames_dir = f"{sink_dir}/frames"
+    post_dir = f"{sink_dir}/post"
+    frame_cols = ["TIMESTAMP", "x_idx", "y_idx", "zh_lin", "w_total",
+                  "rain_rate"]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        comp = rain_rate(vertical_composite(
+            polar_to_grid(batch_df, lut, ["zh_lin"]),
+            ["zh_lin"], visib_col=None)).select(*frame_cols)
+        # bound the re-executed subtree: the composite feeds the state
+        # write, the smoother and the advection fan-out (frames are
+        # ~1 MB each, same budget as the driver-side sink boundary)
+        comp = comp.localCheckpoint()
+        ts_list = sorted(r[0] for r in
+                         comp.select("TIMESTAMP").distinct().collect())
+        (comp.write.mode("overwrite").partitionBy("TIMESTAMP")
+         .parquet(frames_dir))
+        prev_ts = [t - cycle_sec for t in ts_list if t - cycle_sec
+                   not in ts_list]
+        try:
+            prev = (spark.read.parquet(frames_dir)
+                    .filter(F.col("TIMESTAMP").isin(prev_ts))
+                    .select(*frame_cols))
+        except Exception:
+            prev = spark.createDataFrame([], comp.schema)
+        series = prev.unionByName(comp)
+        smoothed = temporal_smooth(series, "rain_rate",
+                                   proxy_col="zh_lin")
+        blended = (advect_blend_series(series, "rain_rate", nx=nx, ny=ny,
+                                       alpha=alpha, max_shift=max_shift)
+                   .withColumnRenamed("rain_rate", "rain_rate_advected"))
+        out = (smoothed.join(blended,
+                             on=["TIMESTAMP", "x_idx", "y_idx"],
+                             how="left")
+               .filter(F.col("TIMESTAMP").isin(ts_list)))
+        (out.write.mode("overwrite").partitionBy("TIMESTAMP")
+         .parquet(post_dir))
+
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{cycle_sec} seconds")
+    return writer.start()
+
+
 def session_window_aggregate(stream: DataFrame, gap: str = "30 minutes",
                              partition_cols: list[str] | None = None,
                              value_col: str = "ZH",

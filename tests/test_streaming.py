@@ -226,6 +226,88 @@ def test_streaming_batch_parity_ten_minute(spark, tmp_path):
     np.testing.assert_allclose(got["ZH"], want["ZH"], rtol=1e-9, atol=1e-12)
 
 
+def test_streaming_batch_parity_full_rt_chain(spark, tmp_path):
+    """The FULL daemon post-processing chain (composite → rain rate →
+    two-frame mean + disaggregation → advection blend,
+    qpe/qpe.py:680-761) through run_rt_postprocessed equals the batch
+    computation over the same scans, frame by frame — including the
+    prev-frame state surviving a restart: frame 3 arrives in a SECOND
+    availableNow run and must still blend against frame 2 from the
+    frames store."""
+    from rainforest_spark.grid.advection import advect_blend_series
+    from rainforest_spark.grid.lookup import polar_to_cart_lut
+    from rainforest_spark.grid.qpe import (
+        polar_to_grid, rain_rate, temporal_smooth, vertical_composite,
+    )
+    from rainforest_spark.streaming.rt import run_rt_postprocessed
+    from rainforest_spark.testing.fixtures import RADAR_XYZ
+
+    src = str(tmp_path / "rtc_src")
+    sink = str(tmp_path / "rtc_out")
+    ckpt = str(tmp_path / "rtc_ckpt")
+    os.makedirs(src)
+    rng = np.random.RandomState(11)
+    t0 = 1717200000
+
+    def scan_file(ts, name):
+        df = _scan(ts, "A", rng)
+        df["zh_lin"] = 10 ** (0.1 * df["ZH"])
+        df.to_parquet(f"{src}/{name}.parquet", index=False)
+
+    for i in range(3):                       # frames 0..2 in run 1
+        scan_file(t0 + 300 * i, f"s{i}")
+    lut = polar_to_cart_lut(spark, {"A": RADAR_XYZ["A"]}, sweeps=[1],
+                            n_az=360, n_rng=30)
+    schema = SCHEMA + ", zh_lin double"
+
+    q = run_rt_postprocessed(spark, src, schema, sink, ckpt, lut)
+    q.awaitTermination(180)
+    scan_file(t0 + 900, "s3")                # frame 3 after restart
+    q2 = run_rt_postprocessed(spark, src, schema, sink, ckpt, lut)
+    q2.awaitTermination(180)
+
+    # batch truth: same operators over the whole series at once
+    comp = rain_rate(vertical_composite(
+        polar_to_grid(spark.read.schema(schema).parquet(src), lut,
+                      ["zh_lin"]), ["zh_lin"], visib_col=None)) \
+        .select("TIMESTAMP", "x_idx", "y_idx", "zh_lin", "w_total",
+                "rain_rate")
+    want_smooth = temporal_smooth(comp, "rain_rate", proxy_col="zh_lin")
+    want_blend = (advect_blend_series(comp, "rain_rate")
+                  .withColumnRenamed("rain_rate", "rain_rate_advected"))
+    want = (want_smooth.join(want_blend,
+                             on=["TIMESTAMP", "x_idx", "y_idx"],
+                             how="left").toPandas()
+            .sort_values(["TIMESTAMP", "x_idx", "y_idx"],
+                         ignore_index=True))
+    got = (spark.read.parquet(f"{sink}/post").toPandas()
+           .sort_values(["TIMESTAMP", "x_idx", "y_idx"],
+                        ignore_index=True)[want.columns])
+    # TIMESTAMP became a partition column (string-inferred int32) on the
+    # sink path — value-identical, only the width differs
+    got["TIMESTAMP"] = got["TIMESTAMP"].astype("int64")
+
+    assert sorted(got["TIMESTAMP"].unique()) == [t0 + 300 * i
+                                                 for i in range(4)]
+    pd.testing.assert_frame_equal(
+        got[["TIMESTAMP", "x_idx", "y_idx"]],
+        want[["TIMESTAMP", "x_idx", "y_idx"]])
+    for c in ["rain_rate", "rain_rate_2frame", "disag_ratio",
+              "rain_rate_disag", "rain_rate_advected"]:
+        np.testing.assert_allclose(got[c], want[c],
+                                   rtol=1e-9, atol=1e-12,
+                                   err_msg=c, equal_nan=True)
+    # frame 0 has no predecessor: 2frame collapses to itself, no blend
+    f0 = got[got["TIMESTAMP"] == t0]
+    np.testing.assert_allclose(f0["rain_rate_2frame"], f0["rain_rate"],
+                               rtol=1e-12)
+    assert f0["rain_rate_advected"].isna().all()
+    # frames 1..3 all carry a blended field (incl. the post-restart one)
+    assert (got[got["TIMESTAMP"] > t0]
+            .groupby("TIMESTAMP")["rain_rate_advected"]
+            .apply(lambda s: s.notna().any()).all())
+
+
 def test_streaming_batch_parity_grid_pipeline(spark, tmp_path):
     """run_rt_pipeline's foreachBatch output (polar→grid→composite) is
     frame-identical to running the same batch operators on the same

@@ -144,29 +144,50 @@ def main() -> None:
     qs = all_queries()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    # warm the JVM + parquet footers with the flagship query once
-    qs["q01_pricing_summary"](spark, SF_DIR).write.format("noop") \
-        .mode("overwrite").save()
+    def run(fn, sf_dir):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
-    times: dict[str, float] = {}
-    for name in HEADLINE:
+    def best_of(fn, sf_dir, reps):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).write.format("noop") \
-                .mode("overwrite").save()
+            run(fn, sf_dir)
             best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+        return round(best, 3)
 
+    # warm the JVM + parquet footers with the flagship query once
+    run(qs["q01_pricing_summary"], SF_DIR)
+
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    times = {name: best_of(qs[name], SF_DIR, reps) for name in HEADLINE}
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+
+    # ---- sf1 tier: only in the default sf0.1 run, opt-out-able --------
+    sf1_times: dict[str, float] = {}
+    run_sf1 = (sf == "0.1"
+               and os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0")
+    if run_sf1:
+        from rainforest_spark.tools.scale_gen import ensure_tier
+        if ensure_tier(spark, SF_DIR, SF1_DIR):
+            print(f"generated sf1 tier -> {SF1_DIR}", file=sys.stderr)
+        sf1_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_REPS", "2"))
+        sf1_qs = dict(qs)
+        sf1_qs.update(_sf1_extra_queries())
+        sf1_names = SF1_HEADLINE + sorted(_sf1_extra_queries())
+        sf1_times = {name: best_of(sf1_qs[name], SF1_DIR, sf1_reps)
+                     for name in sf1_names}
+
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if sf1_times:
+        out["sf1"] = {"queries": sf1_times,
+                      "value": round(sum(sf1_times.values()), 3)}
+    print(json.dumps(out))
 
     if os.environ.get("SPARK_GRAFT_BENCH_REBASELINE") == "1":
         # the guard only compares at sf0.1 — a rebaseline at any other
@@ -175,31 +196,63 @@ def main() -> None:
             print(f"REFUSING rebaseline at sf={sf}: the committed "
                   f"baseline is defined at sf0.1", file=sys.stderr)
             sys.exit(1)
-        json.dump(times, open(BASELINE_PATH, "w"), indent=1)
+        new_base = {"sf0.1": times}
+        if sf1_times:
+            new_base["sf1"] = sf1_times
+        else:  # keep the prior sf1 block if this run skipped the tier
+            old = _load_baseline()
+            if "sf1" in old:
+                new_base["sf1"] = old["sf1"]
+        json.dump(new_base, open(BASELINE_PATH, "w"), indent=1)
         print(f"re-baselined {len(times)} queries -> {BASELINE_PATH}",
               file=sys.stderr)
         return
 
-    # regression guard vs the committed baseline (only meaningful at the
-    # baseline's scale factor)
-    if os.path.exists(BASELINE_PATH) and sf == "0.1":
-        base = json.load(open(BASELINE_PATH))
-        bad = {n: (t, base[n]) for n, t in times.items()
-               if n in base and t > PER_QUERY_RATIO * base[n]
-               and t > base[n] + PER_QUERY_FLOOR}
+    # ---- guards -------------------------------------------------------
+    failures = []
+
+    # physics guard: sf1 must stay within 2x-linear of the SAME-RUN
+    # sf0.1 time.  Not rebaselineable by design.
+    for name, t1 in sf1_times.items():
+        if name not in times:
+            continue  # sf1-only operator variant, no counterpart
+        limit = SF1_LINEAR_RATIO * times[name] + SF1_LINEAR_FLOOR
+        if t1 > limit:
+            failures.append(
+                f"SF1 SUPERLINEAR: {name} {t1:.2f}s at 10x data > "
+                f"{SF1_LINEAR_RATIO:.0f}x linear of same-run sf0.1 "
+                f"{times[name]:.2f}s (+{SF1_LINEAR_FLOOR}s)")
+
+    # regression guards vs the committed baseline
+    base = _load_baseline()
+    if sf == "0.1" and base.get("sf0.1"):
+        b01 = base["sf0.1"]
+        bad = {n: (t, b01[n]) for n, t in times.items()
+               if n in b01 and t > PER_QUERY_RATIO * b01[n]
+               and t > b01[n] + PER_QUERY_FLOOR}
         if bad:
-            print(f"BENCH REGRESSION (>{PER_QUERY_RATIO}x + "
-                  f"{PER_QUERY_FLOOR}s vs baseline): {bad}",
-                  file=sys.stderr)
-            sys.exit(1)
-        common = [n for n in times if n in base]
+            failures.append(f"BENCH REGRESSION (>{PER_QUERY_RATIO}x + "
+                            f"{PER_QUERY_FLOOR}s vs baseline): {bad}")
+        common = [n for n in times if n in b01]
         t_sum, b_sum = (sum(times[n] for n in common),
-                        sum(base[n] for n in common))
+                        sum(b01[n] for n in common))
         if common and t_sum > TOTAL_RATIO * b_sum:
-            print(f"BENCH REGRESSION (uniform drift): common-query total "
-                  f"{t_sum:.2f}s > {TOTAL_RATIO}x baseline {b_sum:.2f}s",
-                  file=sys.stderr)
-            sys.exit(1)
+            failures.append(
+                f"BENCH REGRESSION (uniform drift): common-query total "
+                f"{t_sum:.2f}s > {TOTAL_RATIO}x baseline {b_sum:.2f}s")
+    if sf1_times and base.get("sf1"):
+        b1 = base["sf1"]
+        bad = {n: (t, b1[n]) for n, t in sf1_times.items()
+               if n in b1 and t > SF1_PER_QUERY_RATIO * b1[n]
+               and t > b1[n] + SF1_PER_QUERY_FLOOR}
+        if bad:
+            failures.append(f"SF1 REGRESSION (>{SF1_PER_QUERY_RATIO}x + "
+                            f"{SF1_PER_QUERY_FLOOR}s vs baseline): {bad}")
+
+    if failures:
+        for f_ in failures:
+            print(f_, file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -31,8 +31,8 @@ _MODULES = [relational, text, vectors, extended]
 #: first; long-proven trivial entries are demoted past slot 50 (they
 #: remain fully covered by tests/test_oracle_parity.py).
 _PRIORITY = [
-    # --- round 5: last oracle-paired query without a driver hash row ---
-    "q46_simhash",
+    # --- round 5: new/last queries without a driver hash row ---
+    "q46_simhash", "q70_multimodal_resize",
     # --- unproven by the driver gate as of round 2 ---
     "q38_left_join_nulls", "q39_argmax_linked_agg",
     "q48_energy_distance", "q49_multimodal_decode",
@@ -54,9 +54,9 @@ _PRIORITY = [
     "q27_weighted_quantile", "q31_dn_discretization", "q33_perfscores",
     "q34_scatter_score", "q35_hourly_interpolation",
     "q36_local_supplier_revenue", "q37_group_first",
-    # q41_token_count demoted (trivial regex agg, hash-green r2+r4) to
-    # make room for q46 while keeping the window at exactly 50 names
-    "q40_fingerprint_dedup", "q42_quality_score",
+    # q41_token_count and q42_quality_score demoted (trivial regex aggs,
+    # hash-green r2+r4) to admit q46 and q70 at exactly 50 names
+    "q40_fingerprint_dedup",
     "q43_lang_id", "q44_ngram_jaccard", "q45_minhash_lsh",
     "q47_ann_lsh_topk", "q50_cosine_topk",
     "q51_centroid_classify", "q63_minhash_verified_neardup",

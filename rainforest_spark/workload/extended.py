@@ -361,6 +361,74 @@ def q49(spark, sf):
         "px_min", "px_max")
 
 
+# q70: the REAL resize path, hash-checked end-to-end.  Render (q49) →
+# resize_images 8×8→4×4 (decode + nearest-neighbour index map
+# plane[(r*8)//4, (c*8)//4] + GIF re-encode, all executor-side) →
+# decode_image on the RESIZED bytes → scalar stats.  NN at exactly 2:1
+# picks source pixels (0,2,4,6)×(0,2,4,6), i.e. byte positions
+# {16r+2c}, so the oracle reads those positions straight from the text
+# (0 beyond the text length — the zero padding).
+@q("q70_multimodal_resize", sql="""
+WITH pos(i) AS (VALUES (0),(2),(4),(6),(16),(18),(20),(22),
+                       (32),(34),(36),(38),(48),(50),(52),(54)),
+px AS (
+  SELECT doc_id,
+         CASE WHEN i + 1 <= length(text)
+              THEN ascii(substr(text, CAST(i + 1 AS INTEGER), 1))
+              ELSE 0 END AS b
+  FROM documents, pos),
+agg AS (
+  SELECT doc_id, SUM(b) AS s, SUM(b * b) AS s2,
+         MIN(b) AS mn, MAX(b) AS mx
+  FROM px GROUP BY doc_id)
+SELECT doc_id AS media_id, 'gif' AS format,
+       4 AS width, 4 AS height, 16 AS n_px,
+       ROUND(s / 16.0, 6) AS px_mean,
+       ROUND(sqrt(GREATEST(s2 / 16.0 - (s / 16.0) * (s / 16.0), 0.0)),
+             6) AS px_std,
+       CAST(mn AS INTEGER) AS px_min, CAST(mx AS INTEGER) AS px_max
+FROM agg
+""")
+def q70(spark, sf):
+    """REAL multimodal resize (SURVEY §7 Phase 6): the q49 GIF corpus
+    through resize_images (decode → nearest-neighbour 8×8→4×4 →
+    re-encode) and a second real decode of the resized bytes.  The NN
+    index map at 2:1 is exact byte selection, so the oracle recomputes
+    the resized-plane stats from the source text positions."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from rainforest_spark.grid.gif import encode_gif_bytes
+    from rainforest_spark.operators.multimodal import (
+        decode_image, resize_images,
+    )
+
+    d = T(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.lit("gif").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"), F.col("source"))
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = [
+                encode_gif_bytes(np.frombuffer(
+                    bytes(b or b"")[:64].ljust(64, b"\x00"),
+                    dtype=np.uint8).reshape(8, 8))
+                for b in pdf["content"]]
+            yield pdf
+
+    media = d.mapInPandas(render, schema=d.schema)
+    small = resize_images(media, 4, 4).drop("content")
+    out = decode_image(small, content_col="resized")
+    return out.select(
+        "media_id", "format", "width", "height", "n_px",
+        F.round("px_mean", 6).alias("px_mean"),
+        F.round("px_std", 6).alias("px_std"),
+        "px_min", "px_max")
+
+
 # ---------------------------------------------------------------- q52
 # The REAL grid pipeline (polar_to_cart_lut → polar_to_grid →
 # vertical_composite → rain_rate) hash-checked end-to-end: the oracle

@@ -47,9 +47,11 @@ HEADLINE = [
     "q40_fingerprint_dedup",
     "q43_lang_id",
     "q45_minhash_lsh",
+    "q49_multimodal_decode",
     "q50_cosine_topk",
     "q54_embedding_neardup",
     "q56_polar_grid_sql",
+    "q57_ivf_ann_topk",
     "q61_zphi_attenuation",
     "q62_vpr_correction",
     "q48_energy_distance",

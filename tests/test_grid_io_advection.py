@@ -93,6 +93,27 @@ def test_advection_recovers_known_shift():
     assert blended.shape == base.shape and np.isfinite(blended).all()
 
 
+def test_fft_motion_matches_direct_loop():
+    """The FFT cross-correlation path returns exactly the direct shift
+    loop's (dy, dx) — structured, shifted and pure-noise frames, incl.
+    the first-maximum tie-break order."""
+    from rainforest_spark.grid.advection import (
+        _estimate_motion_loop, estimate_motion,
+    )
+
+    rng = np.random.RandomState(29)
+    for _ in range(5):
+        prev = rng.rand(48, 57) * 10
+        dy, dx = rng.randint(-7, 8), rng.randint(-7, 8)
+        cur = (np.roll(np.roll(prev, dy, axis=0), dx, axis=1)
+               + rng.rand(48, 57) * 0.1)
+        assert (estimate_motion(prev, cur)
+                == _estimate_motion_loop(prev, cur))
+    for _ in range(3):
+        p, c = rng.rand(33, 41), rng.rand(33, 41)
+        assert estimate_motion(p, c) == _estimate_motion_loop(p, c)
+
+
 def test_advect_blend_series_distributed(spark):
     """applyInPandas frame-pair advection equals the driver-side
     advection_blend for each consecutive pair."""

@@ -1,6 +1,11 @@
 """Rows-only workload entries (no SQL oracle): run at sf0.01 and check
 rows/schema stability — exactly the driver's weaker check, plus
-determinism across two runs where cheap."""
+determinism across two runs where cheap.
+
+As of round 5 the set is EMPTY — every registered query is
+oracle-paired (q49/q70 were the last, via the lossless-codec oracle) —
+so the parametrized check is a tripwire for future oracle-less
+additions and `test_every_query_is_oracle_paired` pins the milestone."""
 
 from __future__ import annotations
 
@@ -10,6 +15,12 @@ from tests.conftest import SF_DIR
 from rainforest_spark.workload import all_oracles, all_queries
 
 ROWS_ONLY = sorted(set(all_queries()) - set(all_oracles()))
+
+
+def test_every_query_is_oracle_paired():
+    assert ROWS_ONLY == [], (
+        f"queries without a DuckDB oracle: {ROWS_ONLY} — pair them or "
+        f"document why they are non-SQL-expressible")
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

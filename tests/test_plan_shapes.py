@@ -138,3 +138,28 @@ def test_dense_group_ids_broadcasts_label_dim(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
     assert "BroadcastHashJoin" in p
+
+
+def test_q49_multimodal_single_scan_no_shuffle(spark):
+    """The codec chain (render → decode) is a pure mapInPandas pipeline:
+    one documents scan, Arrow-batched python stages, NO exchange — bytes
+    never shuffle for decoding."""
+    p = fmt_plan(spark, "q49_multimodal_decode")
+    assert len(re.findall(r"Scan parquet", p)) <= 2   # tree + detail
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_q70_resize_chain_no_shuffle(spark):
+    p = fmt_plan(spark, "q70_multimodal_resize")
+    assert "Exchange" not in p
+    # render → resize → decode: three Arrow stages, still one scan
+    assert len(re.findall(r"MapInPandas", p)) >= 3
+
+
+def test_q57_ivf_codebook_broadcast(spark):
+    """IVF fixed-codebook: the codebook and probe tables ride broadcast
+    joins; no SortMergeJoin anywhere in the ANN path."""
+    p = fmt_plan(spark, "q57_ivf_ann_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

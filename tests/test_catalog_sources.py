@@ -176,3 +176,33 @@ def test_read_xlsx_ragged_and_no_ref(tmp_path):
     assert list(s.columns) == ["K", "col1", "col2"]
     assert s.iloc[0].tolist() == [1.0, 2.0, 3.0]
     assert s.iloc[1]["K"] == 4.0 and s.iloc[1]["col2"] == 5.0
+
+
+def test_events_ts_dual_encoding(spark, tmp_path):
+    """T() normalizes both historical events.ts parquet encodings —
+    TIMESTAMP(NANOS) (read nanos-as-long, exact div 1000) and
+    TIMESTAMP(MICROS, NTZ) — to the same session-tz timestamps.  The
+    driver has shipped both across testdata generations."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rainforest_spark.workload.common import T
+
+    us = [1_717_200_000_123_456, 1_717_203_600_000_001]
+    tbl_ns = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([u * 1000 for u in us], pa.timestamp("ns"))})
+    tbl_us = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(us, pa.timestamp("us"))})
+    for name, tbl in (("ns", tbl_ns), ("us", tbl_us)):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tbl, d / "events.parquet")
+    got_ns = T(spark, str(tmp_path / "ns"), "events").toPandas()
+    got_us = T(spark, str(tmp_path / "us"), "events").toPandas()
+    assert str(got_ns["ts"].dtype).startswith("datetime64")
+    pd.testing.assert_frame_equal(
+        got_ns.sort_values("event_id", ignore_index=True),
+        got_us.sort_values("event_id", ignore_index=True))

@@ -7,9 +7,9 @@ metadata not by blob).  Decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` so bytes cross to Python once per
 batch, not per row.
 
-Decode is REAL for GIF (the repo's pure-python GIF87a codec,
-grid/gif.py, mirroring the reference's GIF product archive path —
-io_data.py:262-292) and for PNG/JPEG when PIL is importable
+Decode is REAL for GIF and PNG (the repo's pure-python codecs,
+grid/gif.py + grid/png.py, mirroring the reference's raster archive
+path — io_data.py:262-292) and for JPEG when PIL is importable
 (import-gated; absent in this container).  ``decode_image`` emits
 per-file scalar pixel statistics from actually-decoded planes;
 ``resize_images`` nearest-neighbour-resamples the decoded plane and
@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import struct
 from collections.abc import Iterator
+from zlib import error as zlib_error
 
 import numpy as np
 import pandas as pd
@@ -136,6 +137,15 @@ def _decode_plane(b: bytes) -> tuple[str, "np.ndarray | None"]:
             return fmt, plane
         except (ValueError, IndexError):
             return fmt, None
+    if fmt == "png":
+        # pure-python first (grid/png.py — always present, and its
+        # ITU-601 grey collapse matches PIL's convert('L'))
+        from rainforest_spark.grid.png import decode_png_bytes
+
+        try:
+            return fmt, decode_png_bytes(b)
+        except (ValueError, zlib_error, IndexError):
+            pass  # unsupported subset → PIL below if available
     if fmt in ("png", "jpeg"):
         try:
             import io

@@ -29,15 +29,21 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def encode_png_bytes(matrix: np.ndarray) -> bytes:
-    """uint8 greyscale matrix (rows, cols) → 8-bit color-type-0 PNG."""
+    """uint8 matrix → 8-bit PNG, filter-0 rows: (rows, cols) encodes
+    greyscale (color type 0), (rows, cols, 3) encodes RGB (type 2)."""
     m = np.ascontiguousarray(matrix, dtype=np.uint8)
-    h, w = m.shape
+    if m.ndim == 2:
+        h, w, ctype = m.shape[0], m.shape[1], 0
+    elif m.ndim == 3 and m.shape[2] == 3:
+        h, w, ctype = m.shape[0], m.shape[1], 2
+    else:
+        raise ValueError("expect (h, w) grey or (h, w, 3) RGB")
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     raw = b"".join(b"\x00" + m[r].tobytes() for r in range(h))
     return (_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))

@@ -429,6 +429,78 @@ def q70(spark, sf):
         "px_min", "px_max")
 
 
+# q71: the PNG leg of the real-decode family.  Text bytes render to a
+# 4×4 RGB PNG (48 bytes = 16 interleaved RGB pixels, zero-padded),
+# decode_png_bytes inflates + unfilters with stdlib zlib and collapses
+# RGB via integer ITU-R 601-2; the oracle reproduces the SAME integer
+# formula per pixel straight from the text bytes (exact: all-integer
+# until the final /16.0 power-of-two mean).
+@q("q71_png_rgb_decode", sql="""
+WITH pos(p) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+                       (8),(9),(10),(11),(12),(13),(14),(15)),
+ch AS (
+  SELECT doc_id, p,
+         CASE WHEN 3*p + 1 <= length(text)
+              THEN ascii(substr(text, CAST(3*p + 1 AS INTEGER), 1))
+              ELSE 0 END AS r,
+         CASE WHEN 3*p + 2 <= length(text)
+              THEN ascii(substr(text, CAST(3*p + 2 AS INTEGER), 1))
+              ELSE 0 END AS g,
+         CASE WHEN 3*p + 3 <= length(text)
+              THEN ascii(substr(text, CAST(3*p + 3 AS INTEGER), 1))
+              ELSE 0 END AS bl
+  FROM documents, pos),
+px AS (
+  SELECT doc_id, (r * 299 + g * 587 + bl * 114) // 1000 AS b FROM ch),
+agg AS (
+  SELECT doc_id, SUM(b) AS s, SUM(b * b) AS s2,
+         MIN(b) AS mn, MAX(b) AS mx
+  FROM px GROUP BY doc_id)
+SELECT doc_id AS media_id, 'png' AS format,
+       4 AS width, 4 AS height, 16 AS n_px,
+       ROUND(s / 16.0, 6) AS px_mean,
+       ROUND(sqrt(GREATEST(s2 / 16.0 - (s / 16.0) * (s / 16.0), 0.0)),
+             6) AS px_std,
+       CAST(mn AS INTEGER) AS px_min, CAST(mx AS INTEGER) AS px_max
+FROM agg
+""")
+def q71(spark, sf):
+    """REAL PNG decode incl. RGB→luminance: text → 4×4 RGB PNG
+    (executor-side zlib encode, grid/png.py) → decode_image (inflate +
+    unfilter + integer ITU-601 collapse) → scalar stats.  Every
+    arithmetic step is integer until the /16.0 mean, so the oracle is
+    bit-exact from the source bytes."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from rainforest_spark.grid.png import encode_png_bytes
+    from rainforest_spark.operators.multimodal import decode_image
+
+    d = T(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.lit("png").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"), F.col("source"))
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = [
+                encode_png_bytes(np.frombuffer(
+                    bytes(b or b"")[:48].ljust(48, b"\x00"),
+                    dtype=np.uint8).reshape(4, 4, 3))
+                for b in pdf["content"]]
+            yield pdf
+
+    media = d.mapInPandas(render, schema=d.schema)
+    out = decode_image(media)
+    return out.select(
+        "media_id", "format", "width", "height", "n_px",
+        F.round("px_mean", 6).alias("px_mean"),
+        F.round("px_std", 6).alias("px_std"),
+        "px_min", "px_max")
+
+
 # ---------------------------------------------------------------- q52
 # The REAL grid pipeline (polar_to_cart_lut → polar_to_grid →
 # vertical_composite → rain_rate) hash-checked end-to-end: the oracle

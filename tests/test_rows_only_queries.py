@@ -182,3 +182,19 @@ def test_neardup_clusters_components(spark):
     out = neardup_clusters(pairs).toPandas()
     lab = out.set_index("doc_id")["cluster_id"].to_dict()
     assert lab == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_documents_text_is_ascii(spark):
+    """The multimodal codec oracles (q49/q70/q71) equate DuckDB's
+    ascii(substr(text, i, 1)) with the i-th UTF-8 BYTE — valid only
+    while the driver's documents.text stays pure ASCII.  If a testdata
+    regeneration introduces multibyte characters, fail HERE with a
+    clear message instead of as a mysterious hash mismatch."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bad = docs.filter(
+        F.octet_length("text") != F.length("text")).count()
+    assert bad == 0, (
+        f"{bad} documents contain non-ASCII text — the q49/q70/q71 "
+        f"byte-position oracles need rewriting against UTF-8 bytes")

@@ -111,18 +111,19 @@ SF1_PER_QUERY_FLOOR = 2.0
 def _sf1_extra_queries():
     """sf1-only entries: operator-level variants with scale-sized
     parameters (no oracle pairing — bench evidence, not the gate)."""
-    import numpy as np
-
-    from rainforest_spark.operators.similarity import embedding_neardup_pairs
+    from rainforest_spark.operators.similarity import (
+        auto_planes, embedding_neardup_pairs,
+    )
     from rainforest_spark.workload.common import T
 
-    planes7 = np.random.RandomState(4242).randn(2, 7, 64)
+    # auto-sized planes at the sf1 corpus (20k vectors, 64-dim → 7
+    # planes/table at the measured-optimal 128/bucket density): the
+    # frozen-3-plane candidate growth — quadratic — returns to linear.
+    planes = auto_planes(20_000, 64)
 
     def q54_scaled(spark, sf_dir):
-        # 2 tables x 7 planes: per-bucket density at 20k vectors equals
-        # the frozen 3-plane density at 2k — candidates stay linear.
         return embedding_neardup_pairs(T(spark, sf_dir, "embeddings"),
-                                       "vec_id", "embedding", planes7,
+                                       "vec_id", "embedding", planes,
                                        threshold=0.35)
 
     return {"q54_scaled_planes": q54_scaled}

@@ -128,6 +128,34 @@ def ann_topk_bucketed(vectors: DataFrame, id_col: str, vec_col: str,
                     "neighbor_id", "sim"))
 
 
+def auto_planes(n_vectors: int, dim: int, n_tables: int = 2,
+                target_bucket: int = 128, seed: int = 4242,
+                min_planes: int = 3, max_planes: int = 24):
+    """Hyperplane count sized to the corpus: ``n_planes ≈ log2(N /
+    target_bucket)`` holds expected per-bucket occupancy at
+    ``target_bucket`` as N grows, which keeps LSH candidate pairs — and
+    the verify join behind them — LINEAR in N (the sf1 bench measured
+    the frozen-plane alternative going quadratic; PERF.md round 5).
+
+    ``target_bucket=128`` is the measured sweet spot at sf1: smaller
+    buckets shave the verify join but pay more in per-row plane dots
+    (each plane is a dim-literal zip_with fold) — 10 planes ran 1.6×
+    SLOWER than 7 at 20k vectors.  Verify-bound workloads (tighter
+    thresholds, larger dim) can lower it.
+
+    Deterministic for (n_vectors-bucket, dim, seed): callers at the same
+    scale tier regenerate identical planes.  Returns a (n_tables,
+    n_planes, dim) float array for ``embedding_neardup_pairs``.
+    """
+    import math
+
+    import numpy as np
+
+    n_planes = int(min(max_planes, max(
+        min_planes, round(math.log2(max(n_vectors, 1) / target_bucket)))))
+    return np.random.RandomState(seed).randn(n_tables, n_planes, dim)
+
+
 def embedding_neardup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
                             planes, threshold: float = 0.35,
                             round_to: int = 6) -> DataFrame:

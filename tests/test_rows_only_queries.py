@@ -198,3 +198,19 @@ def test_documents_text_is_ascii(spark):
     assert bad == 0, (
         f"{bad} documents contain non-ASCII text — the q49/q70/q71 "
         f"byte-position oracles need rewriting against UTF-8 bytes")
+
+
+def test_auto_planes_sizing():
+    """Plane count grows log2 with the corpus so per-bucket occupancy —
+    and with it the LSH candidate count — stays ~constant per vector."""
+    from rainforest_spark.operators.similarity import auto_planes
+
+    assert auto_planes(2_000, 64).shape == (2, 4, 64)
+    assert auto_planes(20_000, 64).shape == (2, 7, 64)
+    assert auto_planes(1_000_000, 64).shape == (2, 13, 64)
+    assert auto_planes(10, 64).shape[1] == 3          # floor
+    assert auto_planes(10**12, 64).shape[1] == 24     # cap
+    # deterministic per (N-bucket, dim, seed)
+    import numpy as np
+    np.testing.assert_array_equal(auto_planes(20_000, 64),
+                                  auto_planes(20_000, 64))

@@ -171,9 +171,10 @@ def embedding_neardup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
     SCALE NOTE (measured at sf0.1→sf1, see PERF.md): with the plane
     count FIXED, per-bucket occupancy grows linearly with corpus size,
     so candidate pairs — and runtime — grow quadratically.  Size
-    ``n_planes`` with the corpus (≈ log2(N / target_bucket_size)) to
-    hold per-bucket density constant; that keeps the candidate count,
-    and the verify join behind it, linear in N.
+    ``n_planes`` with the corpus — ``auto_planes(n_vectors, dim)``
+    encodes the measured rule (log2(N / 128/bucket)) — to hold
+    per-bucket density constant; that keeps the candidate count, and
+    the verify join behind it, linear in N.
     """
     n_tables = len(planes)
     v = with_double_vec(vectors, vec_col, "v").select(

@@ -7,10 +7,11 @@ metadata not by blob).  Decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` so bytes cross to Python once per
 batch, not per row.
 
-Decode is REAL for GIF and PNG (the repo's pure-python codecs,
-grid/gif.py + grid/png.py, mirroring the reference's raster archive
-path — io_data.py:262-292) and for JPEG when PIL is importable
-(import-gated; absent in this container).  ``decode_image`` emits
+Decode is REAL for GIF, PNG and baseline JPEG (the repo's pure-python
+codecs — grid/gif.py, grid/png.py, grid/jpeg.py — mirroring the
+reference's raster archive path, io_data.py:262-292); PIL remains an
+import-gated fallback for the exotic JPEG variants (progressive,
+12-bit).  ``decode_image`` emits
 per-file scalar pixel statistics from actually-decoded planes;
 ``resize_images`` nearest-neighbour-resamples the decoded plane and
 re-encodes it (GIF87a bytes out).  ``extract_features`` keeps the
@@ -146,6 +147,15 @@ def _decode_plane(b: bytes) -> tuple[str, "np.ndarray | None"]:
             return fmt, decode_png_bytes(b)
         except (ValueError, zlib_error, IndexError):
             pass  # unsupported subset → PIL below if available
+    if fmt == "jpeg":
+        # pure-python baseline decoder first (grid/jpeg.py, Y plane —
+        # the luminance-first convention PIL's convert('L') follows)
+        from rainforest_spark.grid.jpeg import decode_jpeg_bytes
+
+        try:
+            return fmt, decode_jpeg_bytes(b)
+        except (ValueError, IndexError, KeyError):
+            pass  # progressive/12-bit/etc → PIL below if available
     if fmt in ("png", "jpeg"):
         try:
             import io

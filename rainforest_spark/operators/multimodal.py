@@ -124,10 +124,11 @@ def extract_features(df: DataFrame, content_col: str = "content",
 def _decode_plane(b: bytes) -> tuple[str, "np.ndarray | None"]:
     """Decode a blob to a 2-D uint8 luminance plane.
 
-    GIF decodes with the repo's pure-python GIF87a codec (palette index
-    plane — for the grayscale palettes the DN sinks write, index IS
-    luminance).  PNG/JPEG decode via PIL when importable (converted to
-    'L'); otherwise they stay metadata-only.  Returns (format, plane or
+    GIF, PNG and baseline JPEG decode with the repo's pure-python
+    codecs (GIF palette index IS luminance for the grayscale palettes
+    the DN sinks write; PNG RGB collapses via integer ITU-601; JPEG
+    returns the Y plane).  PIL, when importable, catches the exotic
+    remainder (progressive JPEG etc.).  Returns (format, plane or
     None)."""
     fmt, _, _ = _parse_image_header(b)
     if fmt == "gif":

@@ -32,7 +32,8 @@ _MODULES = [relational, text, vectors, extended]
 #: remain fully covered by tests/test_oracle_parity.py).
 _PRIORITY = [
     # --- round 5: new/last queries without a driver hash row ---
-    "q46_simhash", "q70_multimodal_resize",
+    "q46_simhash", "q70_multimodal_resize", "q71_png_rgb_decode",
+    "q72_jpeg_decode",
     # --- unproven by the driver gate as of round 2 ---
     "q38_left_join_nulls", "q39_argmax_linked_agg",
     "q48_energy_distance", "q49_multimodal_decode",
@@ -54,10 +55,12 @@ _PRIORITY = [
     "q27_weighted_quantile", "q31_dn_discretization", "q33_perfscores",
     "q34_scatter_score", "q35_hourly_interpolation",
     "q36_local_supplier_revenue", "q37_group_first",
-    # q41_token_count and q42_quality_score demoted (trivial regex aggs,
-    # hash-green r2+r4) to admit q46 and q70 at exactly 50 names
-    "q40_fingerprint_dedup",
-    "q43_lang_id", "q44_ngram_jaccard", "q45_minhash_lsh",
+    # q41_token_count, q42_quality_score, q43_lang_id (trivial regex
+    # aggs, hash-green r2+r4) and q44_ngram_jaccard (exactness oracle
+    # for the q63 pipeline, hash-green r3/r4) demoted — all remain
+    # pytest-gated — to admit q46 and the four real-codec queries at
+    # exactly 50 names
+    "q40_fingerprint_dedup", "q45_minhash_lsh",
     "q47_ann_lsh_topk", "q50_cosine_topk",
     "q51_centroid_classify", "q63_minhash_verified_neardup",
 ]

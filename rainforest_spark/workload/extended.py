@@ -501,6 +501,74 @@ def q71(spark, sf):
         "px_min", "px_max")
 
 
+# q72: the JPEG leg, hash-checked through the LOSSLESS subset.  JPEG is
+# lossy in general, but an 8×8-constant block at quality 95 round-trips
+# EXACTLY: the only nonzero coefficient is DC = 8·(v−128), the q95 DC
+# quant step is 2, and 8Δ/2 = 4Δ is integral — so quantize → dequantize
+# → IDCT → round reproduces v bit-for-bit.  Each document's first 16
+# bytes become 16 constant blocks (a 32×32 image) encoded executor-side
+# with the full baseline entropy coder and decoded back through the
+# full Huffman + IDCT path; the oracle recomputes the stats from the
+# same byte positions (each byte weighted ×64 cancels in every stat).
+@q("q72_jpeg_decode", sql="""
+WITH pos(p) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),
+                       (9),(10),(11),(12),(13),(14),(15),(16)),
+px AS (
+  SELECT doc_id,
+         CASE WHEN p <= length(text)
+              THEN ascii(substr(text, CAST(p AS INTEGER), 1))
+              ELSE 0 END AS b
+  FROM documents, pos),
+agg AS (
+  SELECT doc_id, SUM(b) AS s, SUM(b * b) AS s2,
+         MIN(b) AS mn, MAX(b) AS mx
+  FROM px GROUP BY doc_id)
+SELECT doc_id AS media_id, 'jpeg' AS format,
+       32 AS width, 32 AS height, 1024 AS n_px,
+       ROUND(s / 16.0, 6) AS px_mean,
+       ROUND(sqrt(GREATEST(s2 / 16.0 - (s / 16.0) * (s / 16.0), 0.0)),
+             6) AS px_std,
+       CAST(mn AS INTEGER) AS px_min, CAST(mx AS INTEGER) AS px_max
+FROM agg
+""")
+def q72(spark, sf):
+    """REAL baseline-JPEG decode (grid/jpeg.py): text bytes → 16
+    constant 8×8 blocks → full entropy encode at q95 (executor-side) →
+    full Huffman + dequant + IDCT decode → scalar stats.  Constant
+    blocks are the lossless subset of JPEG (see the oracle comment), so
+    the driver hash-checks the whole codec path."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from rainforest_spark.grid.jpeg import encode_jpeg_bytes
+    from rainforest_spark.operators.multimodal import decode_image
+
+    d = T(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.lit("jpeg").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"), F.col("source"))
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = [
+                encode_jpeg_bytes(np.kron(
+                    np.frombuffer(bytes(b or b"")[:16].ljust(16, b"\x00"),
+                                  dtype=np.uint8).reshape(4, 4),
+                    np.ones((8, 8), np.uint8)), quality=95)
+                for b in pdf["content"]]
+            yield pdf
+
+    media = d.mapInPandas(render, schema=d.schema)
+    out = decode_image(media)
+    return out.select(
+        "media_id", "format", "width", "height", "n_px",
+        F.round("px_mean", 6).alias("px_mean"),
+        F.round("px_std", 6).alias("px_std"),
+        "px_min", "px_max")
+
+
 # ---------------------------------------------------------------- q52
 # The REAL grid pipeline (polar_to_cart_lut → polar_to_grid →
 # vertical_composite → rain_rate) hash-checked end-to-end: the oracle

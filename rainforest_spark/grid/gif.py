@@ -161,10 +161,14 @@ def write_gif(matrix: np.ndarray, path: str,
         f.write(encode_gif_bytes(matrix, palette))
 
 
-def decode_gif_bytes(buf: bytes) -> tuple[np.ndarray, bytes]:
-    """Single-image GIF bytes → (uint8 DN matrix, palette bytes).  Skips
-    87a/89a extensions; no interlace support (the products are not
-    interlaced)."""
+def decode_gif_frames(buf: bytes,
+                      max_frames: int | None = None
+                      ) -> tuple[list[np.ndarray], bytes]:
+    """GIF bytes → (ALL image-block frames, palette bytes) — the
+    animated-GIF case (GIF89a multi-image streams; graphic-control
+    extensions are skipped like any extension).  Only full-logical-
+    screen frames are supported (the encoders here write no partial
+    updates); no interlace."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF file")
     w, h, packed, _, _ = struct.unpack("<HHBBB", buf[6:13])
@@ -174,6 +178,7 @@ def decode_gif_bytes(buf: bytes) -> tuple[np.ndarray, bytes]:
         n = 3 * (2 << (packed & 0x07))
         palette = buf[pos:pos + n]
         pos += n
+    frames: list[np.ndarray] = []
     while pos < len(buf):
         block = buf[pos]
         if block == 0x21:               # extension: skip sub-blocks
@@ -191,6 +196,8 @@ def decode_gif_bytes(buf: bytes) -> tuple[np.ndarray, bytes]:
                 pos += n
             if ipacked & 0x40:
                 raise ValueError("interlaced GIF not supported")
+            if (left, top, iw, ih) != (0, 0, w, h):
+                raise ValueError("partial-frame GIF not supported")
             min_code = buf[pos]
             pos += 1
             comp = bytearray()
@@ -198,15 +205,52 @@ def decode_gif_bytes(buf: bytes) -> tuple[np.ndarray, bytes]:
                 ln = buf[pos]
                 comp += buf[pos + 1:pos + 1 + ln]
                 pos += 1 + ln
+            pos += 1                    # block terminator
             pixels = _lzw_decode(bytes(comp), min_code)
-            m = np.frombuffer(pixels[:iw * ih],
-                              dtype=np.uint8).reshape(ih, iw)
-            return m, palette
+            frames.append(np.frombuffer(pixels[:iw * ih],
+                                        dtype=np.uint8).reshape(ih, iw))
+            if max_frames and len(frames) >= max_frames:
+                return frames, palette
         elif block == 0x3B:
             break
         else:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
-    raise ValueError("no image block found")
+    if not frames:
+        raise ValueError("no image block found")
+    return frames, palette
+
+
+def decode_gif_bytes(buf: bytes) -> tuple[np.ndarray, bytes]:
+    """Single-image GIF bytes → (uint8 DN matrix, palette bytes)."""
+    frames, palette = decode_gif_frames(buf, max_frames=1)
+    return frames[0], palette
+
+
+def encode_gif_frames(frames: list[np.ndarray],
+                      palette: bytes | None = None) -> bytes:
+    """uint8 frames (same shape) → multi-image GIF89a (an animation
+    stream without timing extensions — frame extraction is what the
+    pipelines sample, not playback)."""
+    assert frames, "need at least one frame"
+    h, w = frames[0].shape
+    palette = palette or grayscale_palette()
+    assert len(palette) == 768
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += palette
+    for m in frames:
+        m = np.ascontiguousarray(m, dtype=np.uint8)
+        assert m.shape == (h, w), "frames must share the logical screen"
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out += bytes([8])
+        comp = _lzw_encode(m.tobytes(), 8)
+        for i in range(0, len(comp), 255):
+            chunk = comp[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 def read_gif(path: str) -> tuple[np.ndarray, bytes]:

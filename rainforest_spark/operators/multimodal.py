@@ -299,6 +299,112 @@ def resize_images(df: DataFrame, width: int, height: int,
     return df.mapInPandas(run, schema=out_schema)
 
 
+def decode_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """REAL audio decode (WAV/RIFF PCM, grid/wav.py) → per-file scalar
+    waveform statistics: sample_rate, n_channels, n_samples, amp_mean,
+    amp_rms (sqrt of the exact integer power sum / n), amp_min,
+    amp_max.  Null stats for non-WAV blobs.  Same Arrow-batched shape
+    as ``decode_image`` — scalar outputs keep results value-hashable."""
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, IntegerType, LongType, StructField,
+        StructType,
+    )
+
+    from rainforest_spark.grid.wav import decode_wav_bytes
+
+    out_schema = StructType(list(df.schema.fields) + [
+        StructField("decoded", BooleanType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("amp_mean", DoubleType()),
+        StructField("amp_rms", DoubleType()),
+        StructField("amp_min", IntegerType()),
+        StructField("amp_max", IntegerType()),
+    ])
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for b in pdf[content_col]:
+                b = bytes(b or b"")
+                try:
+                    arr, rate, ch = decode_wav_bytes(b)
+                except (ValueError, struct.error):
+                    rows.append((False, None, None, None, None, None,
+                                 None, None))
+                    continue
+                n = int(arr.size)
+                if n == 0:
+                    rows.append((True, rate, ch, 0, None, None, None,
+                                 None))
+                    continue
+                flat = arr.astype(np.int64)
+                s = int(flat.sum())
+                s2 = int((flat * flat).sum())
+                rows.append((True, rate, ch, n, s / n,
+                             float(np.sqrt(s2 / n)),
+                             int(flat.min()), int(flat.max())))
+            pdf = pdf.copy()
+            cols = (map(list, zip(*rows)) if rows
+                    else ([] for _ in range(8)))
+            (pdf["decoded"], pdf["sample_rate"], pdf["n_channels"],
+             pdf["n_samples"], pdf["amp_mean"], pdf["amp_rms"],
+             pdf["amp_min"], pdf["amp_max"]) = cols
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, content_col: str = "content",
+                  every: int = 2) -> DataFrame:
+    """REAL video-style frame extraction: decode an animated (multi-
+    image) GIF stream and emit one row per SAMPLED frame (every
+    ``every``-th, starting at 0) with scalar pixel stats — the decode
+    step ``frame_sample_plan`` plans for, actually executed.
+
+    Fan-out happens executor-side inside the Arrow batch (one input row
+    → one row per sampled frame); undecodable blobs contribute no rows.
+    """
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    from rainforest_spark.grid.gif import decode_gif_frames
+
+    key_fields = [f for f in df.schema.fields if f.name != content_col]
+    out_schema = StructType(key_fields + [
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("px_mean", DoubleType()),
+        StructField("px_std", DoubleType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+    ])
+    key_names = [f.name for f in key_fields]
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    frames, _ = decode_gif_frames(
+                        bytes(r[content_col] or b""))
+                except (ValueError, IndexError):
+                    continue
+                for idx in range(0, len(frames), every):
+                    n, mean, std, mn, mx = _plane_stats(frames[idx])
+                    rows.append(tuple(r[k] for k in key_names)
+                                + (idx, len(frames), n, mean, std,
+                                   mn, mx))
+            yield pd.DataFrame(rows, columns=key_names + [
+                "frame_idx", "n_frames", "n_px", "px_mean", "px_std",
+                "px_min", "px_max"])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_plan(df: DataFrame, n_frames_col: str = "n_frames",
                       every: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: explode a frame-index plan per clip

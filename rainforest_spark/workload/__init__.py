@@ -33,7 +33,7 @@ _MODULES = [relational, text, vectors, extended]
 _PRIORITY = [
     # --- round 5: new/last queries without a driver hash row ---
     "q46_simhash", "q70_multimodal_resize", "q71_png_rgb_decode",
-    "q72_jpeg_decode",
+    "q72_jpeg_decode", "q73_wav_decode", "q74_frame_sample",
     # --- unproven by the driver gate as of round 2 ---
     "q38_left_join_nulls", "q39_argmax_linked_agg",
     "q48_energy_distance", "q49_multimodal_decode",
@@ -50,11 +50,14 @@ _PRIORITY = [
     "q01_pricing_summary", "q09_broadcast_dim_join", "q12_asof_join",
     "q13_latest_per_hour", "q14_nearest_centroid", "q16_db_logmean",
     "q17_temporal_multiagg", "q18_weighted_vertical",
+    # q24_transfer_function and q37_group_first demoted for the audio /
+    # video codec legs (hash-green r2-r4, KD4 golden + pytest keep them
+    # covered)
     "q19_hourly_complete", "q21_contingency", "q22_sessionization",
-    "q24_transfer_function", "q26_sliding_disagg",
+    "q26_sliding_disagg",
     "q27_weighted_quantile", "q31_dn_discretization", "q33_perfscores",
     "q34_scatter_score", "q35_hourly_interpolation",
-    "q36_local_supplier_revenue", "q37_group_first",
+    "q36_local_supplier_revenue",
     # q41_token_count, q42_quality_score, q43_lang_id (trivial regex
     # aggs, hash-green r2+r4) and q44_ngram_jaccard (exactness oracle
     # for the q63 pipeline, hash-green r3/r4) demoted — all remain

@@ -569,6 +569,139 @@ def q72(spark, sf):
         "px_min", "px_max")
 
 
+# q73: the AUDIO leg.  Text bytes become 32 little-endian int16 PCM
+# samples (recentred by −16384 so both signs occur), wrapped in a real
+# RIFF/WAV container executor-side and decoded back through the chunk
+# parser; PCM is lossless, so the oracle recomputes every stat from the
+# byte pairs (all-integer until /32.0 and the final sqrt).
+@q("q73_wav_decode", sql="""
+WITH pos(k) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+                       (8),(9),(10),(11),(12),(13),(14),(15),
+                       (16),(17),(18),(19),(20),(21),(22),(23),
+                       (24),(25),(26),(27),(28),(29),(30),(31)),
+smp AS (
+  SELECT doc_id,
+         CASE WHEN 2*k + 1 <= length(text)
+              THEN ascii(substr(text, CAST(2*k + 1 AS INTEGER), 1))
+              ELSE 0 END
+         + 256 * CASE WHEN 2*k + 2 <= length(text)
+              THEN ascii(substr(text, CAST(2*k + 2 AS INTEGER), 1))
+              ELSE 0 END
+         - 16384 AS v
+  FROM documents, pos),
+agg AS (
+  SELECT doc_id, SUM(v) AS s, SUM(v * v) AS s2,
+         MIN(v) AS mn, MAX(v) AS mx
+  FROM smp GROUP BY doc_id)
+SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS n_channels,
+       CAST(32 AS BIGINT) AS n_samples,
+       ROUND(s / 32.0, 6) AS amp_mean,
+       ROUND(sqrt(s2 / 32.0), 6) AS amp_rms,
+       CAST(mn AS INTEGER) AS amp_min, CAST(mx AS INTEGER) AS amp_max
+FROM agg
+""")
+def q73(spark, sf):
+    """REAL audio decode (multimodal audio columns): text → int16 PCM →
+    RIFF/WAV bytes (grid/wav.py, executor-side) → decode_audio chunk
+    parse → scalar waveform stats.  PCM is lossless so the oracle is
+    bit-exact from the source bytes."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from rainforest_spark.grid.wav import encode_wav_bytes
+    from rainforest_spark.operators.multimodal import decode_audio
+
+    d = T(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.lit("wav").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"), F.col("source"))
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = [
+                encode_wav_bytes(
+                    (np.frombuffer(bytes(b or b"")[:64].ljust(64, b"\x00"),
+                                   dtype="<u2").astype(np.int32) - 16384
+                     ).astype(np.int16))
+                for b in pdf["content"]]
+            yield pdf
+
+    media = d.mapInPandas(render, schema=d.schema)
+    out = decode_audio(media)
+    return out.select(
+        "media_id", "sample_rate", "n_channels", "n_samples",
+        F.round("amp_mean", 6).alias("amp_mean"),
+        F.round("amp_rms", 6).alias("amp_rms"),
+        "amp_min", "amp_max")
+
+
+# q74: the VIDEO leg — real frame extraction from an animated
+# multi-image GIF stream.  Each document renders to a 4-frame animation
+# (16 bytes per 4×4 frame, 64 total, zero-padded), sample_frames
+# decodes the stream and keeps frames 0 and 2; the lossless codec lets
+# the oracle read the sampled frames' byte ranges straight off the
+# text.
+@q("q74_frame_sample", sql="""
+WITH frm(f) AS (VALUES (0), (2)),
+pos(j) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),
+                  (9),(10),(11),(12),(13),(14),(15),(16)),
+px AS (
+  SELECT doc_id, f,
+         CASE WHEN 16*f + j <= length(text)
+              THEN ascii(substr(text, CAST(16*f + j AS INTEGER), 1))
+              ELSE 0 END AS b
+  FROM documents, frm, pos),
+agg AS (
+  SELECT doc_id, f, SUM(b) AS s, SUM(b * b) AS s2,
+         MIN(b) AS mn, MAX(b) AS mx
+  FROM px GROUP BY doc_id, f)
+SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+       4 AS n_frames, CAST(16 AS BIGINT) AS n_px,
+       ROUND(s / 16.0, 6) AS px_mean,
+       ROUND(sqrt(GREATEST(s2 / 16.0 - (s / 16.0) * (s / 16.0), 0.0)),
+             6) AS px_std,
+       CAST(mn AS INTEGER) AS px_min, CAST(mx AS INTEGER) AS px_max
+FROM agg
+""")
+def q74(spark, sf):
+    """REAL frame sampling (multimodal video columns): text → 4-frame
+    animated GIF (executor-side multi-image encode) → sample_frames
+    (full stream decode, every 2nd frame) → per-frame scalar stats."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from rainforest_spark.grid.gif import encode_gif_frames
+    from rainforest_spark.operators.multimodal import sample_frames
+
+    d = T(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.lit("gifv").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"), F.col("source"))
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = [
+                encode_gif_frames([
+                    np.frombuffer(
+                        bytes(b or b"")[:64].ljust(64, b"\x00"),
+                        dtype=np.uint8)[16 * f:16 * (f + 1)]
+                    .reshape(4, 4) for f in range(4)])
+                for b in pdf["content"]]
+            yield pdf
+
+    media = d.mapInPandas(render, schema=d.schema)
+    out = sample_frames(media, every=2)
+    return out.select(
+        "media_id", "frame_idx", "n_frames", "n_px",
+        F.round("px_mean", 6).alias("px_mean"),
+        F.round("px_std", 6).alias("px_std"),
+        "px_min", "px_max")
+
+
 # ---------------------------------------------------------------- q52
 # The REAL grid pipeline (polar_to_cart_lut → polar_to_grid →
 # vertical_composite → rain_rate) hash-checked end-to-end: the oracle

@@ -128,3 +128,71 @@ def test_frame_sample_plan(spark):
     frames = sorted(r.frame_idx for r in out if r.clip_id == 0)
     assert frames == list(range(0, 95, 10))
     assert [r.frame_idx for r in out if r.clip_id == 1] == [0]
+
+
+def test_decode_audio_wav_stats(spark):
+    """decode_audio parses real RIFF/WAV PCM and reproduces numpy's
+    stats; non-WAV blobs yield null stats."""
+    from rainforest_spark.grid.wav import encode_wav_bytes
+    from rainforest_spark.operators.multimodal import decode_audio
+
+    rng = np.random.RandomState(21)
+    s = rng.randint(-2000, 2000, 64).astype(np.int16)
+    df = spark.createDataFrame(
+        [(0, "audio", bytearray(encode_wav_bytes(s, 8000)), "mic"),
+         (1, "audio", bytearray(b"not audio"), "mic")],
+        "media_id bigint, kind string, content binary, source string")
+    out = {r.media_id: r for r in decode_audio(df).collect()}
+    r = out[0]
+    assert r.decoded and (r.sample_rate, r.n_channels) == (8000, 1)
+    assert r.n_samples == 64
+    assert abs(r.amp_mean - s.astype(np.int64).mean()) < 1e-9
+    assert abs(r.amp_rms
+               - np.sqrt((s.astype(np.int64) ** 2).mean())) < 1e-9
+    assert (r.amp_min, r.amp_max) == (int(s.min()), int(s.max()))
+    assert out[1].decoded is False and out[1].amp_mean is None
+
+
+def test_wav_stereo_and_8bit():
+    from rainforest_spark.grid.wav import decode_wav_bytes
+
+    import struct as st
+
+    # hand-build a stereo 16-bit WAV: channel0 = [100, -5], channel1 junk
+    pcm = np.array([100, 7, -5, 9], dtype="<i2").tobytes()
+    fmt = st.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    buf = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+           + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+           + b"data" + st.pack("<I", len(pcm)) + pcm)
+    arr, rate, ch = decode_wav_bytes(buf)
+    assert ch == 2 and arr.tolist() == [100, -5]
+    # 8-bit unsigned recentres to signed
+    pcm8 = bytes([128, 0, 255])
+    fmt8 = st.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    buf8 = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt8) + 8 + len(pcm8))
+            + b"WAVE" + b"fmt " + st.pack("<I", len(fmt8)) + fmt8
+            + b"data" + st.pack("<I", len(pcm8)) + pcm8)
+    arr8, _, _ = decode_wav_bytes(buf8)
+    assert arr8.tolist() == [0, -128, 127]
+
+
+def test_sample_frames_animated_gif(spark):
+    """sample_frames decodes a real multi-image GIF stream and emits
+    one row per sampled frame with correct per-frame stats."""
+    from rainforest_spark.grid.gif import encode_gif_frames
+    from rainforest_spark.operators.multimodal import sample_frames
+
+    rng = np.random.RandomState(22)
+    frames = [rng.randint(0, 256, (5, 6)).astype(np.uint8)
+              for _ in range(5)]
+    df = spark.createDataFrame(
+        [(0, "video", bytearray(encode_gif_frames(frames)), "cam"),
+         (1, "video", bytearray(b"junk"), "cam")],
+        "media_id bigint, kind string, content binary, source string")
+    out = sample_frames(df, every=2).toPandas()
+    assert sorted(out["frame_idx"]) == [0, 2, 4]
+    assert (out["n_frames"] == 5).all()
+    for _, r in out.iterrows():
+        f = frames[int(r["frame_idx"])]
+        assert abs(r["px_mean"] - f.mean()) < 1e-9
+        assert (r["px_min"], r["px_max"]) == (f.min(), f.max())

@@ -174,9 +174,10 @@ def main() -> None:
         if ensure_tier(spark, SF_DIR, SF1_DIR):
             print(f"generated sf1 tier -> {SF1_DIR}", file=sys.stderr)
         sf1_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_REPS", "2"))
+        extra = _sf1_extra_queries()
         sf1_qs = dict(qs)
-        sf1_qs.update(_sf1_extra_queries())
-        sf1_names = SF1_HEADLINE + sorted(_sf1_extra_queries())
+        sf1_qs.update(extra)
+        sf1_names = SF1_HEADLINE + sorted(extra)
         sf1_times = {name: best_of(sf1_qs[name], SF1_DIR, sf1_reps)
                      for name in sf1_names}
 

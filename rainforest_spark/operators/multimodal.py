@@ -121,32 +121,41 @@ def extract_features(df: DataFrame, content_col: str = "content",
     return df.mapInPandas(run, schema=out_schema)
 
 
-def _decode_plane(b: bytes) -> tuple[str, "np.ndarray | None"]:
+#: what a malformed/truncated blob can raise out of the pure-python
+#: codecs: parse errors (ValueError), short reads hitting struct
+#: (struct.error) or slicing (IndexError), zlib streams (zlib.error),
+#: and Huffman table lookups (KeyError)
+_DECODE_ERRORS = (ValueError, struct.error, IndexError, KeyError,
+                  zlib_error)
+
+
+def _decode_plane(b: bytes) -> tuple[str, int, int, "np.ndarray | None"]:
     """Decode a blob to a 2-D uint8 luminance plane.
 
     GIF, PNG and baseline JPEG decode with the repo's pure-python
     codecs (GIF palette index IS luminance for the grayscale palettes
     the DN sinks write; PNG RGB collapses via integer ITU-601; JPEG
     returns the Y plane).  PIL, when importable, catches the exotic
-    remainder (progressive JPEG etc.).  Returns (format, plane or
-    None)."""
-    fmt, _, _ = _parse_image_header(b)
+    remainder (progressive JPEG etc.).  Malformed blobs NEVER raise —
+    one corrupt file must not fail a corpus-wide task.  Returns
+    (format, header_width, header_height, plane or None)."""
+    fmt, w, h = _parse_image_header(b)
     if fmt == "gif":
         from rainforest_spark.grid.gif import decode_gif_bytes
 
         try:
             plane, _ = decode_gif_bytes(b)
-            return fmt, plane
-        except (ValueError, IndexError):
-            return fmt, None
+            return fmt, w, h, plane
+        except _DECODE_ERRORS:
+            return fmt, w, h, None
     if fmt == "png":
         # pure-python first (grid/png.py — always present, and its
         # ITU-601 grey collapse matches PIL's convert('L'))
         from rainforest_spark.grid.png import decode_png_bytes
 
         try:
-            return fmt, decode_png_bytes(b)
-        except (ValueError, zlib_error, IndexError):
+            return fmt, w, h, decode_png_bytes(b)
+        except _DECODE_ERRORS:
             pass  # unsupported subset → PIL below if available
     if fmt == "jpeg":
         # pure-python baseline decoder first (grid/jpeg.py, Y plane —
@@ -154,8 +163,8 @@ def _decode_plane(b: bytes) -> tuple[str, "np.ndarray | None"]:
         from rainforest_spark.grid.jpeg import decode_jpeg_bytes
 
         try:
-            return fmt, decode_jpeg_bytes(b)
-        except (ValueError, IndexError, KeyError):
+            return fmt, w, h, decode_jpeg_bytes(b)
+        except _DECODE_ERRORS:
             pass  # progressive/12-bit/etc → PIL below if available
     if fmt in ("png", "jpeg"):
         try:
@@ -163,13 +172,13 @@ def _decode_plane(b: bytes) -> tuple[str, "np.ndarray | None"]:
 
             from PIL import Image
         except ImportError:
-            return fmt, None
+            return fmt, w, h, None
         try:
             img = Image.open(io.BytesIO(b)).convert("L")
-            return fmt, np.asarray(img, dtype=np.uint8)
+            return fmt, w, h, np.asarray(img, dtype=np.uint8)
         except Exception:
-            return fmt, None
-    return fmt, None
+            return fmt, w, h, None
+    return fmt, w, h, None
 
 
 def _plane_stats(plane: "np.ndarray | None") -> tuple:
@@ -217,9 +226,7 @@ def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
         for pdf in it:
             rows = []
             for b in pdf[content_col]:
-                b = bytes(b or b"")
-                fmt, w, h = _parse_image_header(b)
-                _, plane = _decode_plane(b)
+                fmt, w, h, plane = _decode_plane(bytes(b or b""))
                 n, mean, std, mn, mx = _plane_stats(plane)
                 rows.append((fmt, w, h, plane is not None, n, mean, std,
                              mn, mx))
@@ -250,7 +257,7 @@ def pixel_histogram_features(df: DataFrame, content_col: str = "content",
         for pdf in it:
             feats = []
             for b in pdf[content_col]:
-                _, plane = _decode_plane(bytes(b or b""))
+                plane = _decode_plane(bytes(b or b""))[3]
                 if plane is None:
                     feats.append(None)
                     continue
@@ -284,7 +291,7 @@ def resize_images(df: DataFrame, width: int, height: int,
         for pdf in it:
             out = []
             for b in pdf[content_col]:
-                _, plane = _decode_plane(bytes(b or b""))
+                plane = _decode_plane(bytes(b or b""))[3]
                 if plane is None:
                     out.append(None)
                     continue
@@ -391,7 +398,7 @@ def sample_frames(df: DataFrame, content_col: str = "content",
                 try:
                     frames, _ = decode_gif_frames(
                         bytes(r[content_col] or b""))
-                except (ValueError, IndexError):
+                except _DECODE_ERRORS:
                     continue
                 for idx in range(0, len(frames), every):
                     n, mean, std, mn, mx = _plane_stats(frames[idx])

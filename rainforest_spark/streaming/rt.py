@@ -114,7 +114,11 @@ def run_rt_postprocessed(spark: SparkSession, source_path: str, schema: str,
     daemon's 5-min cycle).  Batch ``temporal_smooth`` pairs by row
     adjacency per pixel; the two agree whenever consecutive frames cover
     the same pixel set (the grid-product case — every frame rasterizes
-    the same LUT footprint).
+    the same LUT footprint).  A LATE frame back-fills: when frame t
+    arrives after t+cycle was already processed, the successor's post
+    partition is recomputed in the same micro-batch, so out-of-order
+    delivery converges to the batch result instead of leaving a
+    permanently null blend.
     """
     from rainforest_spark.grid.advection import advect_blend_series
     from rainforest_spark.grid.qpe import (
@@ -130,8 +134,18 @@ def run_rt_postprocessed(spark: SparkSession, source_path: str, schema: str,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
+        # everything runs on the MICRO-BATCH session: its conf clone is
+        # isolated, so the dynamic-overwrite setting cannot leak into
+        # other code on the main session — and, crucially, the frame
+        # writes (which derive from batch_df and therefore execute
+        # under this session) actually see it.  Setting it on the outer
+        # session instead silently leaves the clone on 'static', and a
+        # static overwrite REPLACES THE WHOLE frames store with the
+        # current batch (observed: a late frame nuked every other
+        # frame partition).
+        bs = batch_df.sparkSession
+        bs.conf.set("spark.sql.sources.partitionOverwriteMode",
+                    "dynamic")
         comp = rain_rate(vertical_composite(
             polar_to_grid(batch_df, lut, ["zh_lin"]),
             ["zh_lin"], visib_col=None)).select(*frame_cols)
@@ -145,13 +159,21 @@ def run_rt_postprocessed(spark: SparkSession, source_path: str, schema: str,
          .parquet(frames_dir))
         prev_ts = [t - cycle_sec for t in ts_list if t - cycle_sec
                    not in ts_list]
+        # late-arrival back-fill: successors already in the store must
+        # re-pair against the frames arriving now
+        succ_ts = [t + cycle_sec for t in ts_list if t + cycle_sec
+                   not in ts_list]
         try:
-            prev = (spark.read.parquet(frames_dir)
-                    .filter(F.col("TIMESTAMP").isin(prev_ts))
-                    .select(*frame_cols))
+            store = (bs.read.parquet(frames_dir)
+                     .filter(F.col("TIMESTAMP").isin(prev_ts + succ_ts))
+                     .select(*frame_cols).localCheckpoint())
+            succ_present = [r[0] for r in store.select("TIMESTAMP")
+                            .distinct().collect() if r[0] in succ_ts]
         except Exception:
-            prev = spark.createDataFrame([], comp.schema)
-        series = prev.unionByName(comp)
+            store = bs.createDataFrame([], comp.schema)
+            succ_present = []
+        out_ts = ts_list + succ_present
+        series = store.unionByName(comp)
         smoothed = temporal_smooth(series, "rain_rate",
                                    proxy_col="zh_lin")
         blended = (advect_blend_series(series, "rain_rate", nx=nx, ny=ny,
@@ -160,7 +182,7 @@ def run_rt_postprocessed(spark: SparkSession, source_path: str, schema: str,
         out = (smoothed.join(blended,
                              on=["TIMESTAMP", "x_idx", "y_idx"],
                              how="left")
-               .filter(F.col("TIMESTAMP").isin(ts_list)))
+               .filter(F.col("TIMESTAMP").isin(out_ts)))
         (out.write.mode("overwrite").partitionBy("TIMESTAMP")
          .parquet(post_dir))
 

@@ -54,7 +54,8 @@ def main() -> None:
     spark = get_spark("ivf-quality")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.count()
-    pred = F.col("vec_id") % (n // 100) == 0        # ~100 queries
+    step = max(n // 100, 1)                         # ~100 queries
+    pred = F.col("vec_id") % step == 0
     exact = cosine_topk(emb, "vec_id", "embedding", pred, k=k) \
         .localCheckpoint()
 

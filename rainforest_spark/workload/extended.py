@@ -297,6 +297,37 @@ def q48(spark, sf):
                       .alias("energy_dist"))
 
 
+def _text_media(spark, sf, kind: str, to_bytes):
+    """documents → a (media_id, kind, content, source) media table with
+    ``content = to_bytes(<utf-8 text bytes>)``, rendered executor-side
+    per Arrow batch — the shared corpus builder for the codec-family
+    queries (q49/q70/q71/q72/q73/q74)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = T(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.lit(kind).alias("kind"),
+        F.encode("text", "UTF-8").alias("content"), F.col("source"))
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = [to_bytes(bytes(b or b""))
+                              for b in pdf["content"]]
+            yield pdf
+
+    return d.mapInPandas(render, schema=d.schema)
+
+
+def _pad_bytes(b: bytes, n: int):
+    """First ``n`` bytes, zero-padded, as a uint8 array — the padding
+    convention every codec-family oracle mirrors with CASE…ELSE 0."""
+    import numpy as np
+
+    return np.frombuffer(b[:n].ljust(n, b"\x00"), dtype=np.uint8)
+
+
 # q49: REAL multimodal decode, hash-checked.  Each document renders to
 # an 8×8 GIF87a (text bytes truncated to 64, zero-padded) with the
 # repo's pure-python LZW encoder, then decode_image LZW-DECODES it back
@@ -306,12 +337,14 @@ def q48(spark, sf):
 # scale, so the doubles agree bit-for-bit before the round-6.
 @q("q49_multimodal_decode", sql="""
 WITH ch AS (
-  SELECT doc_id, ascii(substr(text, CAST(t.i AS INTEGER), 1)) AS b
-  FROM documents,
-       LATERAL unnest(generate_series(1, LEAST(length(text), 64))) AS t(i)
+  SELECT doc_id,
+         CASE WHEN t.i <= length(text)
+              THEN ascii(substr(text, CAST(t.i AS INTEGER), 1))
+              ELSE 0 END AS b
+  FROM documents, LATERAL unnest(generate_series(1, 64)) AS t(i)
 ), agg AS (
   SELECT doc_id, SUM(b) AS s, SUM(b * b) AS s2,
-         MIN(b) AS mn, MAX(b) AS mx, COUNT(*) AS m
+         MIN(b) AS mn, MAX(b) AS mx
   FROM ch GROUP BY doc_id
 )
 SELECT doc_id AS media_id, 'gif' AS format,
@@ -319,7 +352,7 @@ SELECT doc_id AS media_id, 'gif' AS format,
        ROUND(s / 64.0, 6) AS px_mean,
        ROUND(sqrt(GREATEST(s2 / 64.0 - (s / 64.0) * (s / 64.0), 0.0)),
              6) AS px_std,
-       CAST(CASE WHEN m < 64 THEN 0 ELSE mn END AS INTEGER) AS px_min,
+       CAST(mn AS INTEGER) AS px_min,
        CAST(mx AS INTEGER) AS px_max
 FROM agg
 """)
@@ -330,29 +363,12 @@ def q49(spark, sf):
     columns keep the result value-hashable (round-1 q49 array-cell err);
     the oracle re-derives the stats from the source bytes because the
     codec round-trip is lossless."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     from rainforest_spark.grid.gif import encode_gif_bytes
     from rainforest_spark.operators.multimodal import decode_image
 
-    d = T(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id"), F.lit("gif").alias("kind"),
-        F.encode("text", "UTF-8").alias("content"), F.col("source"))
-
-    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf["content"] = [
-                encode_gif_bytes(np.frombuffer(
-                    bytes(b or b"")[:64].ljust(64, b"\x00"),
-                    dtype=np.uint8).reshape(8, 8))
-                for b in pdf["content"]]
-            yield pdf
-
-    media = d.mapInPandas(render, schema=d.schema)
+    media = _text_media(
+        spark, sf, "gif",
+        lambda b: encode_gif_bytes(_pad_bytes(b, 64).reshape(8, 8)))
     out = decode_image(media)
     return out.select(
         "media_id", "format", "width", "height", "n_px",
@@ -395,31 +411,14 @@ def q70(spark, sf):
     re-encode) and a second real decode of the resized bytes.  The NN
     index map at 2:1 is exact byte selection, so the oracle recomputes
     the resized-plane stats from the source text positions."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     from rainforest_spark.grid.gif import encode_gif_bytes
     from rainforest_spark.operators.multimodal import (
         decode_image, resize_images,
     )
 
-    d = T(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id"), F.lit("gif").alias("kind"),
-        F.encode("text", "UTF-8").alias("content"), F.col("source"))
-
-    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf["content"] = [
-                encode_gif_bytes(np.frombuffer(
-                    bytes(b or b"")[:64].ljust(64, b"\x00"),
-                    dtype=np.uint8).reshape(8, 8))
-                for b in pdf["content"]]
-            yield pdf
-
-    media = d.mapInPandas(render, schema=d.schema)
+    media = _text_media(
+        spark, sf, "gif",
+        lambda b: encode_gif_bytes(_pad_bytes(b, 64).reshape(8, 8)))
     small = resize_images(media, 4, 4).drop("content")
     out = decode_image(small, content_col="resized")
     return out.select(
@@ -470,29 +469,12 @@ def q71(spark, sf):
     unfilter + integer ITU-601 collapse) → scalar stats.  Every
     arithmetic step is integer until the /16.0 mean, so the oracle is
     bit-exact from the source bytes."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     from rainforest_spark.grid.png import encode_png_bytes
     from rainforest_spark.operators.multimodal import decode_image
 
-    d = T(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id"), F.lit("png").alias("kind"),
-        F.encode("text", "UTF-8").alias("content"), F.col("source"))
-
-    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf["content"] = [
-                encode_png_bytes(np.frombuffer(
-                    bytes(b or b"")[:48].ljust(48, b"\x00"),
-                    dtype=np.uint8).reshape(4, 4, 3))
-                for b in pdf["content"]]
-            yield pdf
-
-    media = d.mapInPandas(render, schema=d.schema)
+    media = _text_media(
+        spark, sf, "png",
+        lambda b: encode_png_bytes(_pad_bytes(b, 48).reshape(4, 4, 3)))
     out = decode_image(media)
     return out.select(
         "media_id", "format", "width", "height", "n_px",
@@ -537,30 +519,16 @@ def q72(spark, sf):
     full Huffman + dequant + IDCT decode → scalar stats.  Constant
     blocks are the lossless subset of JPEG (see the oracle comment), so
     the driver hash-checks the whole codec path."""
-    from collections.abc import Iterator
-
     import numpy as np
-    import pandas as pd
 
     from rainforest_spark.grid.jpeg import encode_jpeg_bytes
     from rainforest_spark.operators.multimodal import decode_image
 
-    d = T(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id"), F.lit("jpeg").alias("kind"),
-        F.encode("text", "UTF-8").alias("content"), F.col("source"))
-
-    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf["content"] = [
-                encode_jpeg_bytes(np.kron(
-                    np.frombuffer(bytes(b or b"")[:16].ljust(16, b"\x00"),
-                                  dtype=np.uint8).reshape(4, 4),
-                    np.ones((8, 8), np.uint8)), quality=95)
-                for b in pdf["content"]]
-            yield pdf
-
-    media = d.mapInPandas(render, schema=d.schema)
+    media = _text_media(
+        spark, sf, "jpeg",
+        lambda b: encode_jpeg_bytes(
+            np.kron(_pad_bytes(b, 16).reshape(4, 4),
+                    np.ones((8, 8), np.uint8)), quality=95))
     out = decode_image(media)
     return out.select(
         "media_id", "format", "width", "height", "n_px",
@@ -605,30 +573,16 @@ def q73(spark, sf):
     RIFF/WAV bytes (grid/wav.py, executor-side) → decode_audio chunk
     parse → scalar waveform stats.  PCM is lossless so the oracle is
     bit-exact from the source bytes."""
-    from collections.abc import Iterator
-
     import numpy as np
-    import pandas as pd
 
     from rainforest_spark.grid.wav import encode_wav_bytes
     from rainforest_spark.operators.multimodal import decode_audio
 
-    d = T(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id"), F.lit("wav").alias("kind"),
-        F.encode("text", "UTF-8").alias("content"), F.col("source"))
-
-    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf["content"] = [
-                encode_wav_bytes(
-                    (np.frombuffer(bytes(b or b"")[:64].ljust(64, b"\x00"),
-                                   dtype="<u2").astype(np.int32) - 16384
-                     ).astype(np.int16))
-                for b in pdf["content"]]
-            yield pdf
-
-    media = d.mapInPandas(render, schema=d.schema)
+    media = _text_media(
+        spark, sf, "wav",
+        lambda b: encode_wav_bytes(
+            (_pad_bytes(b, 64).view("<u2").astype(np.int32) - 16384)
+            .astype(np.int16)))
     out = decode_audio(media)
     return out.select(
         "media_id", "sample_rate", "n_channels", "n_samples",
@@ -669,31 +623,14 @@ def q74(spark, sf):
     """REAL frame sampling (multimodal video columns): text → 4-frame
     animated GIF (executor-side multi-image encode) → sample_frames
     (full stream decode, every 2nd frame) → per-frame scalar stats."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     from rainforest_spark.grid.gif import encode_gif_frames
     from rainforest_spark.operators.multimodal import sample_frames
 
-    d = T(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id"), F.lit("gifv").alias("kind"),
-        F.encode("text", "UTF-8").alias("content"), F.col("source"))
-
-    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf["content"] = [
-                encode_gif_frames([
-                    np.frombuffer(
-                        bytes(b or b"")[:64].ljust(64, b"\x00"),
-                        dtype=np.uint8)[16 * f:16 * (f + 1)]
-                    .reshape(4, 4) for f in range(4)])
-                for b in pdf["content"]]
-            yield pdf
-
-    media = d.mapInPandas(render, schema=d.schema)
+    media = _text_media(
+        spark, sf, "gifv",
+        lambda b: encode_gif_frames(
+            [_pad_bytes(b, 64)[16 * f:16 * (f + 1)].reshape(4, 4)
+             for f in range(4)]))
     out = sample_frames(media, every=2)
     return out.select(
         "media_id", "frame_idx", "n_frames", "n_px",

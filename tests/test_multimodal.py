@@ -196,3 +196,32 @@ def test_sample_frames_animated_gif(spark):
         f = frames[int(r["frame_idx"])]
         assert abs(r["px_mean"] - f.mean()) < 1e-9
         assert (r["px_min"], r["px_max"]) == (f.min(), f.max())
+
+
+def test_truncated_blobs_never_crash(spark):
+    """One corrupt file must not fail a corpus-wide task: truncated
+    headers/streams of every format yield decoded=False (or no frames),
+    not an executor exception (struct.error etc. — review finding)."""
+    from rainforest_spark.grid.gif import encode_gif_bytes
+    from rainforest_spark.operators.multimodal import (
+        decode_image, pixel_histogram_features, resize_images,
+        sample_frames,
+    )
+
+    good = encode_gif_bytes(np.full((4, 4), 7, np.uint8))
+    rows = [
+        (0, "x", bytearray(b"GIF87a\x01"), "s"),          # 7-byte GIF
+        (1, "x", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16), "s"),
+        (2, "x", bytearray(b"\xff\xd8\xff\xc0\x00\x05\x08\x00\x10"), "s"),
+        (3, "x", bytearray(good[:20]), "s"),               # cut stream
+        (4, "x", bytearray(good), "s"),                    # one good
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id bigint, kind string, content binary, source string")
+    out = {r.media_id: r for r in decode_image(df).collect()}
+    assert len(out) == 5
+    assert out[4].decoded and not out[3].decoded
+    assert resize_images(df, 2, 2).count() == 5
+    assert pixel_histogram_features(df).count() == 5
+    sampled = sample_frames(df).toPandas()
+    assert set(sampled["media_id"]) == {4}

@@ -254,7 +254,8 @@ def test_streaming_batch_parity_full_rt_chain(spark, tmp_path):
         df["zh_lin"] = 10 ** (0.1 * df["ZH"])
         df.to_parquet(f"{src}/{name}.parquet", index=False)
 
-    for i in range(3):                       # frames 0..2 in run 1
+    # run 1 delivers frames 0, 1 and 3 — frame 2 is LATE
+    for i in (0, 1, 3):
         scan_file(t0 + 300 * i, f"s{i}")
     lut = polar_to_cart_lut(spark, {"A": RADAR_XYZ["A"]}, sweeps=[1],
                             n_az=360, n_rng=30)
@@ -262,7 +263,9 @@ def test_streaming_batch_parity_full_rt_chain(spark, tmp_path):
 
     q = run_rt_postprocessed(spark, src, schema, sink, ckpt, lut)
     q.awaitTermination(180)
-    scan_file(t0 + 900, "s3")                # frame 3 after restart
+    # frame 2 arrives late, after a restart: its own partition must be
+    # computed AND frame 3's must be back-filled to re-pair with it
+    scan_file(t0 + 600, "s2")
     q2 = run_rt_postprocessed(spark, src, schema, sink, ckpt, lut)
     q2.awaitTermination(180)
 

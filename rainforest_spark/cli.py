@@ -3,10 +3,12 @@ rainforest/interface.py + pyproject.toml:39-43 console scripts).
 
 Subcommands mirror the reference's user surface:
 
-  query   — interactive SQL over registered tables (UT() macro works)
-  bench   — run the headline benchmark
-  qpe     — batch QPE composite from a polar drop directory
-  dataset — run the Phase-2 prepare_input pipeline to parquet
+  query    — interactive SQL over registered tables (UT() macro works)
+  bench    — run the headline benchmark
+  qpe      — batch QPE composite from a polar drop directory
+  dataset  — run the Phase-2 prepare_input pipeline to parquet
+  train    — fit the RF QPE model + bias correction, save model + meta
+  evaluate — per-model per-bound QPE score tables (10-min + hourly)
 
 Usage: python -m rainforest_spark.cli <subcommand> [args]
 """
@@ -101,6 +103,70 @@ def cmd_dataset(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """RF training + bias correction on a prepared dataset (reference
+    user surface: rf training from the interface / ml module)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.ml.rf import RandomForestQPE
+    from rainforest_spark.session import get_spark
+
+    spark = get_spark("rainforest-train")
+    df = spark.read.parquet(args.input)
+    if args.features:
+        features = args.features.split(",")
+    else:  # numeric columns, minus keys and the target
+        skip = {args.target, "TIMESTAMP", "STATION"}
+        features = [c for c, t in df.dtypes
+                    if c not in skip and t in ("double", "float",
+                                               "int", "bigint")]
+    model = RandomForestQPE(features, target=args.target).fit(df)
+    os.makedirs(args.output, exist_ok=True)
+    model.model.write().overwrite().save(f"{args.output}/rf_model")
+    meta = {
+        "features": features,
+        "target": args.target,
+        "bias_correction_coefs": model.bc.coefs,
+        "feature_importances": model.feature_importances(),
+    }
+    with open(f"{args.output}/model_meta.json", "w") as f:
+        _json.dump(meta, f, indent=1)
+    scored = model.transform(df)
+    rmse = (scored.agg(F.sqrt(F.avg(F.pow(
+        F.col("prediction_bc") - F.col(args.target), 2))))
+        .collect()[0][0])
+    print(json.dumps({"output": args.output, "features": len(features),
+                      "train_rmse_bc": round(float(rmse), 4)}))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    """QPE-run evaluation: per-model per-bound score tables at 10-min
+    and hourly resolution (reference qpe/evaluation.py user surface)."""
+    import pandas as pd
+
+    from rainforest_spark.grid.evaluation import evaluate_qpe
+    from rainforest_spark.grid.lookup import station_to_pixel_lut
+    from rainforest_spark.session import get_spark
+
+    spark = get_spark("rainforest-evaluate")
+    grids = spark.read.parquet(args.grids)
+    gauge = spark.read.parquet(args.gauge)
+    stations = pd.read_parquet(args.stations)
+    # evaluation extracts at the station's centre pixel (reference
+    # evaluation.py:127-146), not the retrieval neighbourhood
+    lut = station_to_pixel_lut(spark, stations, neighbours=0).select(
+        "STATION", "x_idx", "y_idx").distinct()
+    scores = evaluate_qpe(grids, gauge, lut)
+    scores.write.mode("overwrite").parquet(args.output)
+    n = scores.count()
+    print(json.dumps({"output": args.output, "score_rows": n}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rainforest-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -129,6 +195,23 @@ def main(argv=None) -> int:
     d.add_argument("input")
     d.add_argument("output")
     d.set_defaults(fn=cmd_dataset)
+
+    t = sub.add_parser("train", help="fit RF + bias correction")
+    t.add_argument("input", help="prepared dataset parquet")
+    t.add_argument("output", help="model output dir")
+    t.add_argument("--features", default=None,
+                   help="comma-separated feature columns "
+                        "(default: all numeric non-key columns)")
+    t.add_argument("--target", default="target_mmh")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("evaluate", help="QPE-run score tables")
+    e.add_argument("grids", help="long grids parquet "
+                                 "(model, timestep, file_id, pixel, value)")
+    e.add_argument("gauge", help="gauge parquet (STATION, timestep, ref_mmh)")
+    e.add_argument("stations", help="stations parquet (Abbrev, X, Y)")
+    e.add_argument("output", help="scores parquet path")
+    e.set_defaults(fn=cmd_evaluate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,77 @@
+"""CLI train/evaluate subcommands: the remaining reference user
+surface (rf training + QPE-run evaluation) end-to-end through
+python -m rainforest_spark.cli."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def test_cli_train(spark, tmp_path, capsys):
+    from rainforest_spark.cli import main
+
+    rng = np.random.RandomState(31)
+    n = 400
+    f1 = rng.uniform(0, 10, n)
+    f2 = rng.uniform(0, 5, n)
+    df = pd.DataFrame({
+        "TIMESTAMP": np.arange(n) * 600, "STATION": "S1",
+        "f1": f1, "f2": f2,
+        "target_mmh": 2.0 * f1 + 0.5 * f2 + rng.normal(0, 0.1, n)})
+    inp = str(tmp_path / "ds.parquet")
+    out = str(tmp_path / "model")
+    spark.createDataFrame(df).write.parquet(inp)
+    assert main(["train", inp, out]) == 0
+    meta = json.load(open(f"{out}/model_meta.json"))
+    assert set(meta["features"]) == {"f1", "f2"}
+    assert meta["feature_importances"]["f1"] > \
+        meta["feature_importances"]["f2"]
+    assert os.path.isdir(f"{out}/rf_model")
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["train_rmse_bc"] < 2.0
+
+
+def test_cli_evaluate(spark, tmp_path, capsys):
+    from rainforest_spark.cli import main
+
+    H = 600
+    rows = []
+    for si, slot in enumerate(range(0, 6 * H, H)):
+        for model, moff in (("A", 0.0), ("B", 2.0)):
+            for f in (0, 1):
+                for (x, y), soff in (((1, 1), 0.0), ((2, 2), 10.0)):
+                    rows.append(dict(model=model, timestep=slot,
+                                     file_id=f, x_idx=x, y_idx=y,
+                                     value=1.0 + si * 0.5 + moff
+                                     + soff + f))
+    gauge_rows = [dict(STATION=s, timestep=slot,
+                       ref_mmh=1.5 + (slot // H) * 0.5
+                       + (10.0 if s == "S2" else 0.0))
+                  for s in ("S1", "S2") for slot in range(0, 6 * H, H)]
+    # station coordinates that land on pixels (1,1) and (2,2)
+    # (grid origin per grid/lookup.py X0_KM/Y0_KM)
+    from rainforest_spark.grid.lookup import X0_KM, Y0_KM
+    stations = pd.DataFrame({
+        "Abbrev": ["S1", "S2"],
+        "X": [(1 + X0_KM + 0.5) * 1000.0, (2 + X0_KM + 0.5) * 1000.0],
+        "Y": [(1 + Y0_KM + 0.5) * 1000.0, (2 + Y0_KM + 0.5) * 1000.0]})
+
+    g_p = str(tmp_path / "grids.parquet")
+    ga_p = str(tmp_path / "gauge.parquet")
+    st_p = str(tmp_path / "stations.parquet")
+    out = str(tmp_path / "scores.parquet")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(g_p)
+    spark.createDataFrame(pd.DataFrame(gauge_rows)).write.parquet(ga_p)
+    stations.to_parquet(st_p, index=False)
+
+    assert main(["evaluate", g_p, ga_p, st_p, out]) == 0
+    scores = spark.read.parquet(out).toPandas()
+    assert set(scores["model"]) == {"A", "B"}
+    assert set(scores["agg"]) == {"10min", "60min"}
+    assert "RMSE" in scores.columns and "scatter" in scores.columns
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["score_rows"] == len(scores) > 0

@@ -64,14 +64,18 @@ def _unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
             cur = row
         elif ftype == 2:                     # Up
             cur = (row + prev) & 0xFF
-        elif ftype in (1, 3, 4):             # Sub / Average / Paeth
+        elif ftype == 1:                     # Sub: per-lane prefix sum
+            # cur[i] = (row[i] + cur[i-ch]) mod 256 — mod distributes
+            # over addition, so a plain cumsum per channel lane then one
+            # final mask is exact (w·255 ≪ 2³¹, no overflow)
+            cur = (np.cumsum(row.reshape(-1, ch), axis=0).ravel()
+                   & 0xFF)
+        elif ftype in (3, 4):                # Average / Paeth (serial)
             cur = np.zeros(stride, dtype=np.int32)
             for i in range(stride):
                 a = cur[i - ch] if i >= ch else 0
                 b = prev[i]
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (a + b) // 2
                 else:
                     c = prev[i - ch] if i >= ch else 0

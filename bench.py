@@ -50,6 +50,7 @@ HEADLINE = [
     "q49_multimodal_decode",
     "q50_cosine_topk",
     "q54_embedding_neardup",
+    "q54_auto_embedding_neardup",
     "q56_polar_grid_sql",
     "q57_ivf_ann_topk",
     "q61_zphi_attenuation",
@@ -86,47 +87,45 @@ SF1_DIR = os.environ.get(
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
                  ".benchdata", "sf1"))
 
-#: The 5 heaviest headline queries, timed at sf1.
-SF1_HEADLINE = [
-    "q61_zphi_attenuation",
-    "q62_vpr_correction",
-    "q66_qpe_evaluation",
-    "q45_minhash_lsh",
-    "q54_embedding_neardup",
-]
+#: The FULL headline set is timed at sf1 (round-6: every query gets a
+#: measured 10x datapoint, not just the 5 heaviest).  The frozen-plane
+#: q54 stays in deliberately — it is the documented anti-pattern
+#: (~10-13x at 10x data, inside the 20x-linear guard) that
+#: q54_auto_embedding_neardup (the operator's DEFAULT path, auto-sized
+#: planes) is measured against.  q54_scaled_planes from round 5 is
+#: superseded by q54_auto, which is the same auto_planes sizing wired
+#: as the operator default and oracle-paired at sf0.01.
+SF1_HEADLINE = list(HEADLINE)
 
 #: Physics guard: a query at 10x the data may take at most 2x-linear
 #: (20x) its same-run sf0.1 time (+ floor for job overhead).  This is
 #: deliberately NOT rebaselineable — it catches superlinear plans even
 #: if someone refreshes the regression baseline.  Known shape: frozen
 #: 3-plane q54 candidates grow with bucket density (measured ~10x at
-#: 10x data, inside the guard); q54_scaled_planes below shows the
-#: parameter fix and has no sf0.1 counterpart, so the guard skips it.
+#: 10x data, inside the guard); q54_auto is the parameter fix.
 SF1_LINEAR_RATIO = 2.0 * 10.0
 SF1_LINEAR_FLOOR = 2.0
 SF1_PER_QUERY_RATIO = 1.5
 SF1_PER_QUERY_FLOOR = 2.0
 
-
-def _sf1_extra_queries():
-    """sf1-only entries: operator-level variants with scale-sized
-    parameters (no oracle pairing — bench evidence, not the gate)."""
-    from rainforest_spark.operators.similarity import (
-        auto_planes, embedding_neardup_pairs,
-    )
-    from rainforest_spark.workload.common import T
-
-    # auto-sized planes at the sf1 corpus (20k vectors, 64-dim → 7
-    # planes/table at the measured-optimal 128/bucket density): the
-    # frozen-3-plane candidate growth — quadratic — returns to linear.
-    planes = auto_planes(20_000, 64)
-
-    def q54_scaled(spark, sf_dir):
-        return embedding_neardup_pairs(T(spark, sf_dir, "embeddings"),
-                                       "vec_id", "embedding", planes,
-                                       threshold=0.35)
-
-    return {"q54_scaled_planes": q54_scaled}
+#: ---- sf10 spot tier (second measured decade) ------------------------
+#: factor=100 off sf0.1 (tools/scale_gen.py — the md5-permutation
+#: cipher takes over past copy 9 so cross-copy text stays disjoint).
+#: Three scale-sensitive queries only: the LSH pair (density-driven),
+#: and the QPE evaluation chain (join+window-heavy).  Two decades of
+#: ratios distinguish real scaling laws from fixed-overhead artifacts.
+SF10_DIR = os.environ.get(
+    "SPARK_GRAFT_SF10_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".benchdata", "sf10"))
+SF10_HEADLINE = [
+    "q45_minhash_lsh",
+    "q54_auto_embedding_neardup",
+    "q66_qpe_evaluation",
+]
+#: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
+SF10_LINEAR_RATIO = 2.0 * 100.0
+SF10_LINEAR_FLOOR = 5.0
 
 
 def _load_baseline() -> dict:
@@ -174,12 +173,20 @@ def main() -> None:
         if ensure_tier(spark, SF_DIR, SF1_DIR):
             print(f"generated sf1 tier -> {SF1_DIR}", file=sys.stderr)
         sf1_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_REPS", "2"))
-        extra = _sf1_extra_queries()
-        sf1_qs = dict(qs)
-        sf1_qs.update(extra)
-        sf1_names = SF1_HEADLINE + sorted(extra)
-        sf1_times = {name: best_of(sf1_qs[name], SF1_DIR, sf1_reps)
-                     for name in sf1_names}
+        sf1_times = {name: best_of(qs[name], SF1_DIR, sf1_reps)
+                     for name in SF1_HEADLINE}
+
+    # ---- sf10 spot tier: second measured decade, opt-out-able ---------
+    sf10_times: dict[str, float] = {}
+    run_sf10 = (sf == "0.1"
+                and os.environ.get("SPARK_GRAFT_BENCH_SF10", "1") != "0")
+    if run_sf10:
+        from rainforest_spark.tools.scale_gen import ensure_tier
+        if ensure_tier(spark, SF_DIR, SF10_DIR, factor=100):
+            print(f"generated sf10 tier -> {SF10_DIR}", file=sys.stderr)
+        sf10_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SF10_REPS", "2"))
+        sf10_times = {name: best_of(qs[name], SF10_DIR, sf10_reps)
+                      for name in SF10_HEADLINE}
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -191,6 +198,9 @@ def main() -> None:
     if sf1_times:
         out["sf1"] = {"queries": sf1_times,
                       "value": round(sum(sf1_times.values()), 3)}
+    if sf10_times:
+        out["sf10"] = {"queries": sf10_times,
+                       "value": round(sum(sf10_times.values()), 3)}
     print(json.dumps(out))
 
     if os.environ.get("SPARK_GRAFT_BENCH_REBASELINE") == "1":
@@ -201,12 +211,12 @@ def main() -> None:
                   f"baseline is defined at sf0.1", file=sys.stderr)
             sys.exit(1)
         new_base = {"sf0.1": times}
-        if sf1_times:
-            new_base["sf1"] = sf1_times
-        else:  # keep the prior sf1 block if this run skipped the tier
-            old = _load_baseline()
-            if "sf1" in old:
-                new_base["sf1"] = old["sf1"]
+        old = _load_baseline()
+        for tier, tier_times in (("sf1", sf1_times), ("sf10", sf10_times)):
+            if tier_times:
+                new_base[tier] = tier_times
+            elif tier in old:  # keep prior block if this run skipped it
+                new_base[tier] = old[tier]
         json.dump(new_base, open(BASELINE_PATH, "w"), indent=1)
         print(f"re-baselined {len(times)} queries -> {BASELINE_PATH}",
               file=sys.stderr)
@@ -215,17 +225,21 @@ def main() -> None:
     # ---- guards -------------------------------------------------------
     failures = []
 
-    # physics guard: sf1 must stay within 2x-linear of the SAME-RUN
-    # sf0.1 time.  Not rebaselineable by design.
-    for name, t1 in sf1_times.items():
-        if name not in times:
-            continue  # sf1-only operator variant, no counterpart
-        limit = SF1_LINEAR_RATIO * times[name] + SF1_LINEAR_FLOOR
-        if t1 > limit:
-            failures.append(
-                f"SF1 SUPERLINEAR: {name} {t1:.2f}s at 10x data > "
-                f"{SF1_LINEAR_RATIO:.0f}x linear of same-run sf0.1 "
-                f"{times[name]:.2f}s (+{SF1_LINEAR_FLOOR}s)")
+    # physics guard: each scale tier must stay within 2x-linear of the
+    # SAME-RUN sf0.1 time.  Not rebaselineable by design.
+    for tier, tier_times, ratio, floor, mult in (
+            ("SF1", sf1_times, SF1_LINEAR_RATIO, SF1_LINEAR_FLOOR, "10x"),
+            ("SF10", sf10_times, SF10_LINEAR_RATIO, SF10_LINEAR_FLOOR,
+             "100x")):
+        for name, t1 in tier_times.items():
+            if name not in times:
+                continue  # tier-only operator variant, no counterpart
+            limit = ratio * times[name] + floor
+            if t1 > limit:
+                failures.append(
+                    f"{tier} SUPERLINEAR: {name} {t1:.2f}s at {mult} data "
+                    f"> {ratio:.0f}x linear of same-run sf0.1 "
+                    f"{times[name]:.2f}s (+{floor}s)")
 
     # regression guards vs the committed baseline
     base = _load_baseline()
@@ -244,13 +258,16 @@ def main() -> None:
             failures.append(
                 f"BENCH REGRESSION (uniform drift): common-query total "
                 f"{t_sum:.2f}s > {TOTAL_RATIO}x baseline {b_sum:.2f}s")
-    if sf1_times and base.get("sf1"):
-        b1 = base["sf1"]
-        bad = {n: (t, b1[n]) for n, t in sf1_times.items()
+    for tier, tier_times in (("sf1", sf1_times), ("sf10", sf10_times)):
+        if not (tier_times and base.get(tier)):
+            continue
+        b1 = base[tier]
+        bad = {n: (t, b1[n]) for n, t in tier_times.items()
                if n in b1 and t > SF1_PER_QUERY_RATIO * b1[n]
                and t > b1[n] + SF1_PER_QUERY_FLOOR}
         if bad:
-            failures.append(f"SF1 REGRESSION (>{SF1_PER_QUERY_RATIO}x + "
+            failures.append(f"{tier.upper()} REGRESSION "
+                            f"(>{SF1_PER_QUERY_RATIO}x + "
                             f"{SF1_PER_QUERY_FLOOR}s vs baseline): {bad}")
 
     if failures:

@@ -63,7 +63,7 @@ def cosine_topk(vectors: DataFrame, id_col: str, vec_col: str,
 
 
 def hyperplane_buckets(vectors: DataFrame, id_col: str, vec_col: str,
-                       n_planes: int = 8, seed: int = 42,
+                       n_planes: int | None = None, seed: int = 42,
                        dim: int | None = None) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector.
 
@@ -72,9 +72,18 @@ def hyperplane_buckets(vectors: DataFrame, id_col: str, vec_col: str,
     ``dim`` when the caller knows it (it almost always does) — the
     fallback ``.first()`` probe runs an eager Spark job during plan
     construction.
+
+    ``n_planes=None`` (the default) sizes the plane count from a corpus
+    count via ``auto_n_planes`` — per-bucket occupancy, and therefore
+    downstream candidate-pair counts, stay constant as N grows.  A
+    frozen plane count at growing N is the measured quadratic
+    (PERF.md round 5); pass an explicit ``n_planes`` only when the
+    caller owns that trade (e.g. a recall target or an oracle pairing).
     """
     import numpy as np
 
+    if n_planes is None:
+        n_planes = auto_n_planes(vectors.count())
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
@@ -128,54 +137,73 @@ def ann_topk_bucketed(vectors: DataFrame, id_col: str, vec_col: str,
                     "neighbor_id", "sim"))
 
 
-def auto_planes(n_vectors: int, dim: int, n_tables: int = 2,
-                target_bucket: int = 128, seed: int = 4242,
-                min_planes: int = 3, max_planes: int = 24):
-    """Hyperplane count sized to the corpus: ``n_planes ≈ log2(N /
-    target_bucket)`` holds expected per-bucket occupancy at
-    ``target_bucket`` as N grows, which keeps LSH candidate pairs — and
-    the verify join behind them — LINEAR in N (the sf1 bench measured
-    the frozen-plane alternative going quadratic; PERF.md round 5).
+def auto_n_planes(n_vectors: int, target_bucket: int = 128,
+                  min_planes: int = 3, max_planes: int = 24) -> int:
+    """``n_planes ≈ log2(N / target_bucket)``: the plane count that
+    holds expected per-bucket occupancy at ``target_bucket`` as N
+    grows, which keeps LSH candidate pairs — and the verify join behind
+    them — LINEAR in N (the sf1 bench measured the frozen-plane
+    alternative going quadratic; PERF.md round 5).
 
     ``target_bucket=128`` is the measured sweet spot at sf1: smaller
     buckets shave the verify join but pay more in per-row plane dots
     (each plane is a dim-literal zip_with fold) — 10 planes ran 1.6×
     SLOWER than 7 at 20k vectors.  Verify-bound workloads (tighter
     thresholds, larger dim) can lower it.
+    """
+    import math
+
+    return int(min(max_planes, max(
+        min_planes, round(math.log2(max(n_vectors, 1) / target_bucket)))))
+
+
+def auto_planes(n_vectors: int, dim: int, n_tables: int = 2,
+                target_bucket: int = 128, seed: int = 4242,
+                min_planes: int = 3, max_planes: int = 24):
+    """Corpus-sized hyperplane normals: ``auto_n_planes`` picks the
+    plane count, a seeded RandomState draws the normals.
 
     Deterministic for (n_vectors-bucket, dim, seed): callers at the same
     scale tier regenerate identical planes.  Returns a (n_tables,
     n_planes, dim) float array for ``embedding_neardup_pairs``.
     """
-    import math
-
     import numpy as np
 
-    n_planes = int(min(max_planes, max(
-        min_planes, round(math.log2(max(n_vectors, 1) / target_bucket)))))
+    n_planes = auto_n_planes(n_vectors, target_bucket, min_planes,
+                             max_planes)
     return np.random.RandomState(seed).randn(n_tables, n_planes, dim)
 
 
 def embedding_neardup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
-                            planes, threshold: float = 0.35,
-                            round_to: int = 6) -> DataFrame:
+                            planes=None, threshold: float = 0.35,
+                            round_to: int = 6, seed: int = 4242,
+                            dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table
     hyperplane-LSH candidates + exact cosine verification.
 
     ``planes`` is a (tables, n_planes, dim) array of hyperplane normals
-    (caller-seeded, broadcast as literals).  Candidates are generated
-    per table with an equi-join on the bucket key — never a corpus cross
-    join — unioned, de-duplicated, then scored exactly and filtered at
-    ``threshold``.
+    (caller-seeded, broadcast as literals).  The DEFAULT ``planes=None``
+    auto-sizes them from the corpus: one ``count()`` (plus a one-row
+    ``first()`` probe when ``dim`` isn't passed) feeds
+    ``auto_planes(N, dim)`` — the log2(N / 128-per-bucket) rule — so
+    per-bucket density, candidate-pair counts, and the verify join stay
+    LINEAR in N.  Candidates are generated per table with an equi-join
+    on the bucket key — never a corpus cross join — unioned,
+    de-duplicated, then scored exactly and filtered at ``threshold``.
 
     SCALE NOTE (measured at sf0.1→sf1, see PERF.md): with the plane
     count FIXED, per-bucket occupancy grows linearly with corpus size,
-    so candidate pairs — and runtime — grow quadratically.  Size
-    ``n_planes`` with the corpus — ``auto_planes(n_vectors, dim)``
-    encodes the measured rule (log2(N / 128/bucket)) — to hold
-    per-bucket density constant; that keeps the candidate count, and
-    the verify join behind it, linear in N.
+    so candidate pairs — and runtime — grow quadratically (12.4× at 10×
+    data for the frozen 3-plane setup).  That is why explicit
+    ``planes`` is now the opt-in: pass it only for oracle pairings or
+    when the caller owns the density trade; the default path is the
+    measured-linear one.
     """
+    if planes is None:
+        n = vectors.count()
+        if dim is None:
+            dim = len(vectors.select(vec_col).first()[0])
+        planes = auto_planes(n, dim, seed=seed)
     n_tables = len(planes)
     v = with_double_vec(vectors, vec_col, "v").select(
         F.col(id_col), "v", _norm("v").alias("nrm"))

@@ -39,8 +39,14 @@ import string
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Bump when the generation logic changes — stale tiers regenerate.
-GEN_VERSION = "sf-scale-v1 factor=10 src=sf0.1"
+#: Bump the prefix when the generation logic changes — stale tiers
+#: regenerate.  The marker embeds the factor so one .benchdata dir can
+#: hold sf1 (factor=10) and sf10 (factor=100) side by side.
+_GEN_PREFIX = "sf-scale-v1"
+
+
+def gen_version(factor: int) -> str:
+    return f"{_GEN_PREFIX} factor={factor} src=sf0.1"
 
 KEY_OFFSET = 10_000_000
 
@@ -71,14 +77,34 @@ _DIGIT = string.digits
 def _cipher(copy: int) -> tuple[str, str]:
     """Per-copy substitution alphabet (identity for copy 0).
 
-    Letter rotation 3·copy mod 26 and digit rotation copy mod 10 are
-    nonzero and pairwise distinct for copy 1..9, so any two copies map
-    the same source word to different words.
-    """
-    rl, rd = (3 * copy) % 26, copy % 10
+    Copies 1..9 use letter rotation 3·copy mod 26 + digit rotation copy
+    mod 10 — nonzero and pairwise distinct in that range (this keeps the
+    sf1/factor=10 tier bit-identical to its round-5 generation).  The
+    rotation family BREAKS beyond copy 9: at copy 26 the letter part is
+    the identity and digits repeat every 10 copies, so two far-apart
+    copies would share near-identical text and the dedup workloads would
+    re-acquire the quadratic duplication artifact the cipher exists to
+    kill.  Copies >= 10 therefore draw a full md5-seeded Fisher-Yates
+    permutation of the 62-char alphabet — deterministic per copy,
+    letter-changing, and pairwise distinct w.h.p. for any factor."""
+    if copy < 10:
+        rl, rd = (3 * copy) % 26, copy % 10
+        return (_LOWER + _UPPER + _DIGIT,
+                _LOWER[rl:] + _LOWER[:rl] + _UPPER[rl:] + _UPPER[:rl]
+                + _DIGIT[rd:] + _DIGIT[:rd])
+    # seeded Fisher-Yates over lower/upper/digits SEPARATELY (case and
+    # char-class structure — token boundaries, number shapes — must be
+    # preserved within a copy, exactly like the rotation family)
+    def perm(chars: str, lane: str) -> str:
+        out = list(chars)
+        for i in range(len(out) - 1, 0, -1):
+            h = hashlib.md5(f"sfcipher:{copy}:{lane}:{i}".encode()).digest()
+            j = int.from_bytes(h[:4], "big") % (i + 1)
+            out[i], out[j] = out[j], out[i]
+        return "".join(out)
+
     return (_LOWER + _UPPER + _DIGIT,
-            _LOWER[rl:] + _LOWER[:rl] + _UPPER[rl:] + _UPPER[:rl]
-            + _DIGIT[rd:] + _DIGIT[:rd])
+            perm(_LOWER, "l") + perm(_UPPER, "u") + perm(_DIGIT, "d"))
 
 
 def _sign_mask(copy: int, dim: int) -> list[float]:
@@ -131,7 +157,7 @@ def generate_tier(spark: SparkSession, src_dir: str, dst_dir: str,
         scaled.write.mode("overwrite").parquet(
             os.path.join(dst_dir, f"{t}.parquet"))
     with open(os.path.join(dst_dir, "GEN_VERSION"), "w") as f:
-        f.write(GEN_VERSION)
+        f.write(gen_version(factor))
 
 
 def _embedding_dim(src_dir: str) -> int:
@@ -148,7 +174,7 @@ def ensure_tier(spark: SparkSession, src_dir: str, dst_dir: str,
     """Generate the scaled tier iff absent or stale.  Returns True if a
     (re)generation ran."""
     marker = os.path.join(dst_dir, "GEN_VERSION")
-    if os.path.exists(marker) and open(marker).read() == GEN_VERSION:
+    if os.path.exists(marker) and open(marker).read() == gen_version(factor):
         return False
     generate_tier(spark, src_dir, dst_dir, factor)
     return True

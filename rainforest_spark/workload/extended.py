@@ -1003,12 +1003,31 @@ def q54(spark, sf):
     # the first-class operator with the frozen q54 planes (the oracle
     # SQL above inlines the same _ND_P literals); scale-sized plane
     # counts are the operator's job — see embedding_neardup_pairs'
-    # docstring and the sf1 bench block
+    # docstring and q54_auto below
     from rainforest_spark.operators.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(T(spark, sf, "embeddings"),
                                    "vec_id", "embedding", _ND_P,
                                    threshold=0.35)
+
+
+# ---------------------------------------------------------------- q54_auto
+# The DEFAULT path of embedding_neardup_pairs: planes=None → corpus
+# count → auto_planes(N, dim) (log2(N/128) rule, seed 4242).  At the
+# driver's correctness tier (sf0.01, N=500 embeddings) the auto sizing
+# lands on the min_planes floor of 3, and RandomState(4242).randn(2,3,64)
+# is bit-identical to the frozen _ND_P above — so the oracle below can
+# inline the same literals and the hash gate verifies the auto path
+# end-to-end (count probe → sizing → bucketing → verify join).  A regen
+# of the embeddings table at a different count would silently break the
+# pairing; tests/test_rows_only_queries.py carries the tripwire.
+@q("q54_auto_embedding_neardup", sql=ORACLES["q54_embedding_neardup"])
+def q54_auto(spark, sf):
+    from rainforest_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(T(spark, sf, "embeddings"),
+                                   "vec_id", "embedding",
+                                   threshold=0.35, dim=_ND_DIM)
 
 
 # ---------------------------------------------------------------- q55

@@ -59,6 +59,15 @@ def test_embedding_neardup_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_embedding_neardup_auto_no_cross_join(spark):
+    """The DEFAULT path (planes=None → count-probe → auto_planes) must
+    produce the same equi-join-only candidate shape as the frozen-plane
+    oracle variant."""
+    p = fmt_plan(spark, "q54_auto_embedding_neardup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_ivf_probe_selection_in_plan():
     """IVF probe selection must stay in the plan (no driver-side
     toPandas/iterrows loop — round-1 VERDICT 'What's wrong' #3)."""

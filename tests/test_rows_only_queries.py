@@ -185,19 +185,45 @@ def test_neardup_clusters_components(spark):
 
 
 def test_documents_text_is_ascii(spark):
-    """The multimodal codec oracles (q49/q70/q71) equate DuckDB's
+    """Every multimodal codec oracle (q49/q70-q74) equates DuckDB's
     ascii(substr(text, i, 1)) with the i-th UTF-8 BYTE — valid only
-    while the driver's documents.text stays pure ASCII.  If a testdata
-    regeneration introduces multibyte characters, fail HERE with a
-    clear message instead of as a mysterious hash mismatch."""
+    while the driver's documents.text stays pure ASCII.  q73 is the
+    sharpest dependency: its WAV encoder narrows (uint16 - 16384) to
+    int16, which would WRAP (not just shift positions) for byte pairs
+    whose high byte >= 128, i.e. the first multibyte character breaks
+    it silently.  If a testdata regeneration introduces multibyte
+    characters, fail HERE with a clear message instead of as a
+    mysterious hash mismatch."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     bad = docs.filter(
         F.octet_length("text") != F.length("text")).count()
     assert bad == 0, (
-        f"{bad} documents contain non-ASCII text — the q49/q70/q71 "
-        f"byte-position oracles need rewriting against UTF-8 bytes")
+        f"{bad} documents contain non-ASCII text — the q49/q70-q74 "
+        f"byte-position oracles need rewriting against UTF-8 bytes "
+        f"(q73's int16 sample narrowing wraps on high bytes >= 0x80)")
+
+
+def test_q54_auto_planes_match_frozen_oracle(spark):
+    """q54_auto's oracle inlines the SAME plane literals as q54 — valid
+    only while auto_planes(count(embeddings@sf0.01)=500, 64) lands on
+    the 3-plane floor with seed 4242 (bit-identical to the frozen
+    _ND_P).  A testdata regeneration at a different embeddings count
+    would re-size the auto path and silently break the pairing; fail
+    HERE with a clear message instead."""
+    import numpy as np
+
+    from rainforest_spark.operators.similarity import auto_planes
+    from rainforest_spark.workload.extended import _ND_P
+
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    auto = auto_planes(n, 64)
+    assert auto.shape == _ND_P.shape, (
+        f"embeddings count {n} auto-sizes to {auto.shape[1]} planes != "
+        f"frozen q54 planes {_ND_P.shape[1]} — re-derive the "
+        f"q54_auto_embedding_neardup oracle literals for the new count")
+    np.testing.assert_array_equal(auto, _ND_P)
 
 
 def test_auto_planes_sizing():

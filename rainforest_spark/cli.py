@@ -106,7 +106,6 @@ def cmd_dataset(args) -> int:
 def cmd_train(args) -> int:
     """RF training + bias correction on a prepared dataset (reference
     user surface: rf training from the interface / ml module)."""
-    import json as _json
     import os
 
     from pyspark.sql import functions as F
@@ -133,7 +132,7 @@ def cmd_train(args) -> int:
         "feature_importances": model.feature_importances(),
     }
     with open(f"{args.output}/model_meta.json", "w") as f:
-        _json.dump(meta, f, indent=1)
+        json.dump(meta, f, indent=1)
     scored = model.transform(df)
     rmse = (scored.agg(F.sqrt(F.avg(F.pow(
         F.col("prediction_bc") - F.col(args.target), 2))))

@@ -161,24 +161,30 @@ def write_gif(matrix: np.ndarray, path: str,
         f.write(encode_gif_bytes(matrix, palette))
 
 
-def decode_gif_frames(buf: bytes,
-                      max_frames: int | None = None
-                      ) -> tuple[list[np.ndarray], bytes]:
-    """GIF bytes → (ALL image-block frames, palette bytes) — the
-    animated-GIF case (GIF89a multi-image streams; graphic-control
-    extensions are skipped like any extension).  Only full-logical-
+def decode_gif_frames_with_palettes(
+        buf: bytes, max_frames: int | None = None
+        ) -> tuple[list[np.ndarray], list[bytes]]:
+    """GIF bytes → (ALL image-block frames of PALETTE INDICES, one
+    palette per frame) — the animated-GIF case (GIF89a multi-image
+    streams; graphic-control extensions are skipped like any
+    extension).  Per GIF89a a local color table applies to ITS image
+    only, so each frame's palette is its local table when present,
+    else the global table (possibly ``b""`` when neither exists —
+    callers that need pixel VALUES must then treat the frame as
+    uninterpretable; see ``index_to_luminance``).  Only full-logical-
     screen frames are supported (the encoders here write no partial
     updates); no interlace."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF file")
     w, h, packed, _, _ = struct.unpack("<HHBBB", buf[6:13])
     pos = 13
-    palette = b""
+    global_palette = b""
     if packed & 0x80:
         n = 3 * (2 << (packed & 0x07))
-        palette = buf[pos:pos + n]
+        global_palette = buf[pos:pos + n]
         pos += n
     frames: list[np.ndarray] = []
+    palettes: list[bytes] = []
     while pos < len(buf):
         block = buf[pos]
         if block == 0x21:               # extension: skip sub-blocks
@@ -190,9 +196,10 @@ def decode_gif_frames(buf: bytes,
             left, top, iw, ih, ipacked = struct.unpack(
                 "<HHHHB", buf[pos + 1:pos + 10])
             pos += 10
+            local_palette = b""
             if ipacked & 0x80:
                 n = 3 * (2 << (ipacked & 0x07))
-                palette = buf[pos:pos + n]
+                local_palette = buf[pos:pos + n]
                 pos += n
             if ipacked & 0x40:
                 raise ValueError("interlaced GIF not supported")
@@ -209,15 +216,50 @@ def decode_gif_frames(buf: bytes,
             pixels = _lzw_decode(bytes(comp), min_code)
             frames.append(np.frombuffer(pixels[:iw * ih],
                                         dtype=np.uint8).reshape(ih, iw))
+            palettes.append(local_palette or global_palette)
             if max_frames and len(frames) >= max_frames:
-                return frames, palette
+                return frames, palettes
         elif block == 0x3B:
             break
         else:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
     if not frames:
         raise ValueError("no image block found")
-    return frames, palette
+    return frames, palettes
+
+
+def index_to_luminance(frame: np.ndarray,
+                       palette: bytes) -> "np.ndarray | None":
+    """Palette-index frame → uint8 luminance plane, THROUGH the palette.
+
+    One vectorized LUT covers every case: per-entry integer ITU-R 601-2
+    (``(R·299 + G·587 + B·114) // 1000`` — the same weights as
+    grid/png.py, exact for r==g==b entries), so the grayscale identity
+    ramp the DN encoders write maps each index to itself (bit-identical
+    to the old index-IS-luminance shortcut) while a foreign color or
+    non-identity palette maps CORRECTLY instead of silently wrong.
+    Returns None when the frame is uninterpretable as pixel values: no
+    palette at all, or an index beyond the declared table."""
+    if not palette:
+        return None
+    pal = np.frombuffer(palette, dtype=np.uint8)
+    pal = pal[:(len(pal) // 3) * 3].reshape(-1, 3).astype(np.int32)
+    if pal.shape[0] == 0 or int(frame.max(initial=0)) >= pal.shape[0]:
+        return None
+    lut = (pal[:, 0] * 299 + pal[:, 1] * 587 + pal[:, 2] * 114) // 1000
+    return lut.astype(np.uint8)[frame]
+
+
+def decode_gif_frames(buf: bytes,
+                      max_frames: int | None = None
+                      ) -> tuple[list[np.ndarray], bytes]:
+    """Back-compat wrapper: (frames of palette indices, ONE palette —
+    the last frame's).  DN-grid readers (grid/io.py) use this: there the
+    index IS the data value and the palette is visualization metadata.
+    Pixel-value consumers (operators/multimodal.py) use
+    ``decode_gif_frames_with_palettes`` + ``index_to_luminance``."""
+    frames, palettes = decode_gif_frames_with_palettes(buf, max_frames)
+    return frames, palettes[-1] if palettes else b""
 
 
 def decode_gif_bytes(buf: bytes) -> tuple[np.ndarray, bytes]:

@@ -263,6 +263,16 @@ def _decode_block(r: _BitReader, dc_tab, ac_tab, pred: int):
 
 
 def _decode_scan(buf, pos, scan, qtables, htables, w, h, restart):
+    if len(scan) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — data
+        # units walk the component in raster order, one 8x8 block per
+        # "MCU", ceil(w/8) per row, REGARDLESS of the declared sampling
+        # factors.  (A grey JPEG declaring e.g. 2x2 sampling would
+        # otherwise be mis-walked in 16x16 MCU order — usually a caught
+        # Huffman error, occasionally silently wrong pixels.)  Forcing
+        # h=v=1 makes the interleaved walk below degenerate to exactly
+        # that raster order.
+        scan = [{**scan[0], "h": 1, "v": 1}]
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     mcux = -(-w // (8 * hmax))

@@ -24,6 +24,7 @@ same either way: bytes cross to Python once per Arrow batch.
 
 from __future__ import annotations
 
+import itertools
 import struct
 from collections.abc import Iterator
 from zlib import error as zlib_error
@@ -141,11 +142,17 @@ def _decode_plane(b: bytes) -> tuple[str, int, int, "np.ndarray | None"]:
     (format, header_width, header_height, plane or None)."""
     fmt, w, h = _parse_image_header(b)
     if fmt == "gif":
-        from rainforest_spark.grid.gif import decode_gif_bytes
+        # indices map THROUGH the frame's palette (local-or-global;
+        # ITU-601 collapse — identity for the grayscale ramp the DN
+        # encoders write, correct for foreign color/non-identity
+        # palettes, None when no palette declares the values)
+        from rainforest_spark.grid.gif import (
+            decode_gif_frames_with_palettes, index_to_luminance,
+        )
 
         try:
-            plane, _ = decode_gif_bytes(b)
-            return fmt, w, h, plane
+            frames, pals = decode_gif_frames_with_palettes(b, max_frames=1)
+            return fmt, w, h, index_to_luminance(frames[0], pals[0])
         except _DECODE_ERRORS:
             return fmt, w, h, None
     if fmt == "png":
@@ -206,8 +213,8 @@ def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
     the format isn't decodable in this environment).  Scalar outputs
     keep the whole result value-hashable — no array cells."""
     from pyspark.sql.types import (
-        BooleanType, DoubleType, IntegerType, StringType, StructField,
-        StructType,
+        BooleanType, DoubleType, IntegerType, LongType, StringType,
+        StructField, StructType,
     )
 
     out_schema = StructType(list(df.schema.fields) + [
@@ -215,7 +222,9 @@ def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("decoded", BooleanType()),
-        StructField("n_px", IntegerType()),
+        # LongType to match sample_frames/decode_audio (sibling stat
+        # schemas) and survive planes >= 2^31 pixels
+        StructField("n_px", LongType()),
         StructField("px_mean", DoubleType()),
         StructField("px_std", DoubleType()),
         StructField("px_min", IntegerType()),
@@ -377,7 +386,9 @@ def sample_frames(df: DataFrame, content_col: str = "content",
         DoubleType, IntegerType, LongType, StructField, StructType,
     )
 
-    from rainforest_spark.grid.gif import decode_gif_frames
+    from rainforest_spark.grid.gif import (
+        decode_gif_frames_with_palettes, index_to_luminance,
+    )
 
     key_fields = [f for f in df.schema.fields if f.name != content_col]
     out_schema = StructType(key_fields + [
@@ -394,17 +405,23 @@ def sample_frames(df: DataFrame, content_col: str = "content",
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
+            # plain zip over the key columns + content — no pandas
+            # row-boxing (iterrows builds a Series per row)
+            keys = (zip(*[pdf[k] for k in key_names]) if key_names
+                    else itertools.repeat(()))
+            for key, b in zip(keys, pdf[content_col]):
                 try:
-                    frames, _ = decode_gif_frames(
-                        bytes(r[content_col] or b""))
+                    frames, pals = decode_gif_frames_with_palettes(
+                        bytes(b or b""))
                 except _DECODE_ERRORS:
                     continue
                 for idx in range(0, len(frames), every):
-                    n, mean, std, mn, mx = _plane_stats(frames[idx])
-                    rows.append(tuple(r[k] for k in key_names)
-                                + (idx, len(frames), n, mean, std,
-                                   mn, mx))
+                    plane = index_to_luminance(frames[idx], pals[idx])
+                    if plane is None:   # no palette declares the values
+                        continue
+                    n, mean, std, mn, mx = _plane_stats(plane)
+                    rows.append(key + (idx, len(frames), n, mean, std,
+                                       mn, mx))
             yield pd.DataFrame(rows, columns=key_names + [
                 "frame_idx", "n_frames", "n_px", "px_mean", "px_std",
                 "px_min", "px_max"])

@@ -348,7 +348,7 @@ WITH ch AS (
   FROM ch GROUP BY doc_id
 )
 SELECT doc_id AS media_id, 'gif' AS format,
-       8 AS width, 8 AS height, 64 AS n_px,
+       8 AS width, 8 AS height, CAST(64 AS BIGINT) AS n_px,
        ROUND(s / 64.0, 6) AS px_mean,
        ROUND(sqrt(GREATEST(s2 / 64.0 - (s / 64.0) * (s / 64.0), 0.0)),
              6) AS px_std,
@@ -398,7 +398,7 @@ agg AS (
          MIN(b) AS mn, MAX(b) AS mx
   FROM px GROUP BY doc_id)
 SELECT doc_id AS media_id, 'gif' AS format,
-       4 AS width, 4 AS height, 16 AS n_px,
+       4 AS width, 4 AS height, CAST(16 AS BIGINT) AS n_px,
        ROUND(s / 16.0, 6) AS px_mean,
        ROUND(sqrt(GREATEST(s2 / 16.0 - (s / 16.0) * (s / 16.0), 0.0)),
              6) AS px_std,
@@ -456,7 +456,7 @@ agg AS (
          MIN(b) AS mn, MAX(b) AS mx
   FROM px GROUP BY doc_id)
 SELECT doc_id AS media_id, 'png' AS format,
-       4 AS width, 4 AS height, 16 AS n_px,
+       4 AS width, 4 AS height, CAST(16 AS BIGINT) AS n_px,
        ROUND(s / 16.0, 6) AS px_mean,
        ROUND(sqrt(GREATEST(s2 / 16.0 - (s / 16.0) * (s / 16.0), 0.0)),
              6) AS px_std,
@@ -506,7 +506,7 @@ agg AS (
          MIN(b) AS mn, MAX(b) AS mx
   FROM px GROUP BY doc_id)
 SELECT doc_id AS media_id, 'jpeg' AS format,
-       32 AS width, 32 AS height, 1024 AS n_px,
+       32 AS width, 32 AS height, CAST(1024 AS BIGINT) AS n_px,
        ROUND(s / 16.0, 6) AS px_mean,
        ROUND(sqrt(GREATEST(s2 / 16.0 - (s / 16.0) * (s / 16.0), 0.0)),
              6) AS px_std,

@@ -94,3 +94,21 @@ def test_multimodal_decodes_jpeg_without_pil(spark):
     assert r.format == "jpeg" and r.decoded
     assert (r.width, r.height, r.n_px) == (16, 16, 256)
     assert abs(r.px_mean - m.mean()) < 3.0   # lossy tolerance
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2.2: a single-component scan is non-interleaved (raster
+    block order, h=v=1) REGARDLESS of declared sampling factors.  A
+    foreign grey JPEG declaring 2x2 sampling must decode identically to
+    the 1x1 stream — before the fix this mis-walked in 16x16 MCU order
+    (usually a caught Huffman error, occasionally wrong pixels)."""
+    rng = np.random.RandomState(7)
+    m = (rng.rand(24, 16) * 255).astype(np.uint8)
+    buf = bytearray(encode_jpeg_bytes(m, quality=95))
+    sof = bytes(buf).find(b"\xff\xc0")
+    assert sof >= 0 and buf[sof + 9] == 1      # one component
+    assert buf[sof + 11] == 0x11               # encoder writes 1x1
+    buf[sof + 11] = 0x22                       # declare 2x2 sampling
+    got = decode_jpeg_bytes(bytes(buf))
+    want = decode_jpeg_bytes(encode_jpeg_bytes(m, quality=95))
+    np.testing.assert_array_equal(got, want)

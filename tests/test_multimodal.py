@@ -225,3 +225,100 @@ def test_truncated_blobs_never_crash(spark):
     assert pixel_histogram_features(df).count() == 5
     sampled = sample_frames(df).toPandas()
     assert set(sampled["media_id"]) == {4}
+
+
+def _raw_gif(global_palette: bytes | None,
+             frames: "list[tuple[np.ndarray, bytes | None]]") -> bytes:
+    """Hand-build a GIF89a stream: optional global color table, one
+    image block per (index-frame, optional LOCAL color table)."""
+    import struct as _struct
+
+    from rainforest_spark.grid.gif import _lzw_encode
+
+    h, w = frames[0][0].shape
+    out = bytearray(b"GIF89a")
+    packed = 0xF7 if global_palette else 0x07
+    out += _struct.pack("<HHBBB", w, h, packed, 0, 0)
+    if global_palette:
+        assert len(global_palette) == 768
+        out += global_palette
+    for m, local in frames:
+        ipacked = 0x87 if local else 0
+        out += _struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, ipacked)
+        if local:
+            assert len(local) == 768
+            out += local
+        out += bytes([8])
+        comp = _lzw_encode(np.ascontiguousarray(m, np.uint8).tobytes(), 8)
+        for i in range(0, len(comp), 255):
+            out += bytes([len(comp[i:i + 255])]) + comp[i:i + 255]
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_color_palette_maps_itu601():
+    """A COLOR palette must map indices through the table (integer
+    ITU-601), not read them as luminance (pre-round-6 silent-wrong)."""
+    from rainforest_spark.operators.multimodal import _decode_plane
+
+    # entry i -> pure red of intensity i: luminance = (i*299)//1000
+    pal = bytes(b for i in range(256) for b in (i, 0, 0))
+    m = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    fmt, w, h, plane = _decode_plane(_raw_gif(pal, [(m, None)]))
+    assert (fmt, w, h) == ("gif", 8, 8)
+    want = (m.astype(np.int64) * 299) // 1000
+    np.testing.assert_array_equal(plane, want.astype(np.uint8))
+
+
+def test_gif_grayscale_identity_palette_unchanged():
+    """The grayscale identity ramp the DN encoders write maps each index
+    to itself — bit-identical to the old index-IS-luminance path (q49's
+    oracle depends on this)."""
+    from rainforest_spark.grid.gif import encode_gif_bytes
+    from rainforest_spark.operators.multimodal import _decode_plane
+
+    m = (np.arange(64).reshape(8, 8) * 4 % 251).astype(np.uint8)
+    _, _, _, plane = _decode_plane(encode_gif_bytes(m))
+    np.testing.assert_array_equal(plane, m)
+
+
+def test_gif_no_palette_is_undecodable():
+    """No global AND no local color table: indices have no defined pixel
+    values — decoded=False, never silently-wrong stats."""
+    from rainforest_spark.operators.multimodal import _decode_plane
+
+    m = np.zeros((4, 4), np.uint8)
+    fmt, _, _, plane = _decode_plane(_raw_gif(None, [(m, None)]))
+    assert fmt == "gif" and plane is None
+
+
+def test_gif_local_palettes_per_frame(spark):
+    """GIF89a local color tables apply to THEIR image only: a 2-frame
+    stream where frame 1 carries a local non-identity grayscale table
+    must map frame 0 through the global table and frame 1 through the
+    local one."""
+    from rainforest_spark.grid.gif import (
+        decode_gif_frames_with_palettes, grayscale_palette,
+        index_to_luminance,
+    )
+    from rainforest_spark.operators.multimodal import sample_frames
+
+    m0 = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    m1 = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    inverted = bytes(b for i in range(256)
+                     for b in (255 - i, 255 - i, 255 - i))
+    buf = _raw_gif(grayscale_palette(), [(m0, None), (m1, inverted)])
+
+    frames, pals = decode_gif_frames_with_palettes(buf)
+    assert len(frames) == 2
+    np.testing.assert_array_equal(index_to_luminance(frames[0], pals[0]), m0)
+    np.testing.assert_array_equal(index_to_luminance(frames[1], pals[1]),
+                                  255 - m1)
+
+    df = spark.createDataFrame([(1, bytearray(buf))],
+                               "media_id bigint, content binary")
+    out = {r.frame_idx: r for r in
+           sample_frames(df, every=1).collect()}
+    assert out[0].px_min == 0 and out[0].px_max == 15
+    assert out[1].px_min == 240 and out[1].px_max == 255

@@ -64,7 +64,8 @@ def ten_minute_aggregate(stream: DataFrame, value_cols: list[str],
 def run_rt_pipeline(spark: SparkSession, source_path: str, schema: str,
                     sink_dir: str, checkpoint_dir: str,
                     lut: DataFrame, value_cols: list[str],
-                    trigger_once: bool = True):
+                    trigger_once: bool = True,
+                    trigger_interval: str = "5 minutes"):
     """T1→T7 wired together; foreachBatch runs the batch grid pipeline
     and writes one parquet per (micro-batch, timestep) — idempotent by
     path, mirroring the reference's file-per-timestamp sink."""
@@ -85,7 +86,7 @@ def run_rt_pipeline(spark: SparkSession, source_path: str, schema: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     else:
-        writer = writer.trigger(processingTime="5 minutes")
+        writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
 
 
@@ -94,7 +95,8 @@ def run_rt_postprocessed(spark: SparkSession, source_path: str, schema: str,
                          lut: DataFrame, cycle_sec: int = 300,
                          alpha: float = 0.5, max_shift: int = 10,
                          nx: int = 710, ny: int = 640,
-                         trigger_once: bool = True):
+                         trigger_once: bool = True,
+                         trigger_interval: str | None = None):
     """The daemon's FULL post-processing chain as one streaming job
     (reference qpe/qpe.py:680-761 inside qpe_rt_daemon.py's cycle loop):
 
@@ -191,7 +193,12 @@ def run_rt_postprocessed(spark: SparkSession, source_path: str, schema: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     else:
-        writer = writer.trigger(processingTime=f"{cycle_sec} seconds")
+        # daemon cadence (micro-batch trigger) and DATA cadence
+        # (cycle_sec, the frame-pairing interval) are separate concerns:
+        # the daemon polls every 5 min in production, but a catch-up or
+        # test run can trigger faster over the same 5-min-spaced frames
+        writer = writer.trigger(
+            processingTime=trigger_interval or f"{cycle_sec} seconds")
     return writer.start()
 
 

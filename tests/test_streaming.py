@@ -368,3 +368,112 @@ def test_streaming_batch_parity_grid_pipeline(spark, tmp_path):
     assert len(got1) == len(want1)
     np.testing.assert_allclose(got1["zh_lin"], want1["zh_lin"],
                                rtol=1e-9, atol=1e-12)
+
+
+def test_processing_time_trigger_converges_to_batch(spark, tmp_path):
+    """run_rt_postprocessed on a TIMED trigger (trigger_once=False, the
+    production daemon mode — the one branch availableNow parity can't
+    cover): files arrive incrementally across real micro-batches, out
+    of order, and the post store must converge to the batch truth —
+    including the late-frame back-fill rewriting an already-published
+    successor partition."""
+    import glob
+    import time
+
+    from rainforest_spark.grid.advection import advect_blend_series
+    from rainforest_spark.grid.lookup import polar_to_cart_lut
+    from rainforest_spark.grid.qpe import (
+        polar_to_grid, rain_rate, temporal_smooth, vertical_composite,
+    )
+    from rainforest_spark.streaming.rt import run_rt_postprocessed
+    from rainforest_spark.testing.fixtures import RADAR_XYZ
+
+    src = str(tmp_path / "pt_src")
+    sink = str(tmp_path / "pt_out")
+    ckpt = str(tmp_path / "pt_ckpt")
+    os.makedirs(src)
+    rng = np.random.RandomState(23)
+    t0 = 1717200000
+
+    def scan_file(ts, name):
+        df = _scan(ts, "A", rng)
+        df["zh_lin"] = 10 ** (0.1 * df["ZH"])
+        df.to_parquet(f"{src}/{name}.parquet", index=False)
+
+    def post_partitions():
+        return sorted(int(p.rsplit("=", 1)[1]) for p in
+                      glob.glob(f"{sink}/post/TIMESTAMP=*"))
+
+    def wait_for(pred, timeout=120, msg=""):
+        t_end = time.time() + timeout
+        while time.time() < t_end:
+            try:
+                if pred():
+                    return
+            except Exception:
+                pass  # transient: sink mid-rewrite
+            time.sleep(1)
+        raise AssertionError(f"timed out waiting for {msg}; "
+                             f"partitions={post_partitions()}")
+
+    lut = polar_to_cart_lut(spark, {"A": RADAR_XYZ["A"]}, sweeps=[1],
+                            n_az=360, n_rng=30)
+    schema = SCHEMA + ", zh_lin double"
+
+    # frames 0,1 exist BEFORE start; 3 and late 2 arrive mid-stream
+    scan_file(t0, "s0")
+    scan_file(t0 + 300, "s1")
+    q = run_rt_postprocessed(spark, src, schema, sink, ckpt, lut,
+                             trigger_once=False,
+                             trigger_interval="1 second")
+    try:
+        wait_for(lambda: post_partitions() == [t0, t0 + 300],
+                 msg="initial frames 0,1")
+        scan_file(t0 + 900, "s3")          # frame 2 skipped (late)
+        wait_for(lambda: t0 + 900 in post_partitions(),
+                 msg="out-of-order frame 3")
+        # frame 3 has no predecessor yet -> advection blend is null
+        f3 = spark.read.parquet(f"{sink}/post") \
+            .filter(F.col("TIMESTAMP") == t0 + 900).toPandas()
+        assert f3["rain_rate_advected"].isna().all()
+
+        scan_file(t0 + 600, "s2")          # the LATE frame
+        wait_for(lambda: t0 + 600 in post_partitions() and
+                 spark.read.parquet(f"{sink}/post")
+                 .filter((F.col("TIMESTAMP") == t0 + 900)
+                         & F.col("rain_rate_advected").isNotNull())
+                 .count() > 0,
+                 msg="late frame 2 + back-filled frame 3")
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    # convergence: identical to the batch chain over the full series
+    comp = rain_rate(vertical_composite(
+        polar_to_grid(spark.read.schema(schema).parquet(src), lut,
+                      ["zh_lin"]), ["zh_lin"], visib_col=None)) \
+        .select("TIMESTAMP", "x_idx", "y_idx", "zh_lin", "w_total",
+                "rain_rate")
+    want_smooth = temporal_smooth(comp, "rain_rate", proxy_col="zh_lin")
+    want_blend = (advect_blend_series(comp, "rain_rate")
+                  .withColumnRenamed("rain_rate", "rain_rate_advected"))
+    want = (want_smooth.join(want_blend,
+                             on=["TIMESTAMP", "x_idx", "y_idx"],
+                             how="left").toPandas()
+            .sort_values(["TIMESTAMP", "x_idx", "y_idx"],
+                         ignore_index=True))
+    got = (spark.read.parquet(f"{sink}/post").toPandas()
+           .sort_values(["TIMESTAMP", "x_idx", "y_idx"],
+                        ignore_index=True)[want.columns])
+    got["TIMESTAMP"] = got["TIMESTAMP"].astype("int64")
+
+    assert sorted(got["TIMESTAMP"].unique()) == [t0 + 300 * i
+                                                 for i in range(4)]
+    pd.testing.assert_frame_equal(
+        got[["TIMESTAMP", "x_idx", "y_idx"]],
+        want[["TIMESTAMP", "x_idx", "y_idx"]])
+    for c in ["rain_rate", "rain_rate_2frame", "disag_ratio",
+              "rain_rate_disag", "rain_rate_advected"]:
+        np.testing.assert_allclose(got[c], want[c],
+                                   rtol=1e-9, atol=1e-12,
+                                   err_msg=c, equal_nan=True)

@@ -127,6 +127,61 @@ SF10_HEADLINE = [
 SF10_LINEAR_RATIO = 2.0 * 100.0
 SF10_LINEAR_FLOOR = 5.0
 
+#: (db, sf_dir) -> bucketed table names, written once per bench process
+_BUCKETED_TABLES: dict = {}
+
+
+def _extra_queries():
+    """Bench-only entries (no oracle pairing — the underlying operator
+    chain is driver-gated as q53_prepare_input; these measure the
+    PHYSICAL-design delta): the same prepare_input over the same
+    fixtures, once from STATION-bucketed tables (Exchange-free
+    sort-merge joins) and once from plain parquet (shuffling SMJ).
+    Broadcast is disabled in both via per-entry confs so the measured
+    plan is the one a 100 TB input takes (at bench SFs every fixture
+    would otherwise broadcast and the comparison would measure
+    nothing).  The bucketed write happens ONCE per (process, tier) —
+    write-time shuffle amortized over repeated reads is the point."""
+    from rainforest_spark.ml.dataset import prepare_input
+    from rainforest_spark.sources.bucketing import (
+        BUCKETED_JOIN_CONFS, bucketed_table, write_training_bucketed,
+    )
+    from rainforest_spark.workload.extended import (
+        q53_fixtures, q53_projection,
+    )
+
+    bkt_base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".benchdata", "bucketed")
+
+    def ensure_bucketed(spark, sf_dir):
+        key = sf_dir.rstrip("/")
+        if key not in _BUCKETED_TABLES:
+            g, r, ref, st, rd = q53_fixtures(spark, sf_dir)
+            suffix = "_" + os.path.basename(key).replace(".", "_")
+            _BUCKETED_TABLES[key] = (
+                write_training_bucketed(
+                    spark, g, r, ref, "bench_bkt",
+                    os.path.join(bkt_base, suffix.strip("_")),
+                    suffix=suffix),
+                (st, rd))
+        return _BUCKETED_TABLES[key]
+
+    def q53_bucketed(spark, sf_dir):
+        (tg, tr, tref), (st, rd) = ensure_bucketed(spark, sf_dir)
+        out = prepare_input(bucketed_table(spark, tg),
+                            bucketed_table(spark, tr),
+                            bucketed_table(spark, tref), st, rd)
+        return q53_projection(out)
+
+    def q53_shuffle(spark, sf_dir):
+        g, r, ref, st, rd = q53_fixtures(spark, sf_dir)
+        return q53_projection(prepare_input(g, r, ref, st, rd))
+
+    q53_bucketed.confs = dict(BUCKETED_JOIN_CONFS)
+    q53_shuffle.confs = dict(BUCKETED_JOIN_CONFS)
+    return {"q53_bucketed_prepare": q53_bucketed,
+            "q53_shuffle_prepare": q53_shuffle}
+
 
 def _load_baseline() -> dict:
     """Committed baseline; legacy flat {query: sec} maps to sf0.1."""
@@ -147,7 +202,20 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     def run(fn, sf_dir):
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # per-entry conf overrides (fn.confs) must surround the ACTION —
+        # Spark plans lazily, so setting them at DataFrame-build time
+        # would not affect the executed plan
+        confs = getattr(fn, "confs", None)
+        saved = {}
+        if confs:
+            saved = {k: spark.conf.get(k) for k in confs}
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
 
     def best_of(fn, sf_dir, reps):
         best = float("inf")
@@ -161,7 +229,11 @@ def main() -> None:
     run(qs["q01_pricing_summary"], SF_DIR)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
-    times = {name: best_of(qs[name], SF_DIR, reps) for name in HEADLINE}
+    extra = _extra_queries()
+    qs = dict(qs)
+    qs.update(extra)
+    names = HEADLINE + sorted(extra)
+    times = {name: best_of(qs[name], SF_DIR, reps) for name in names}
     total = round(sum(times.values()), 3)
 
     # ---- sf1 tier: only in the default sf0.1 run, opt-out-able --------
@@ -174,7 +246,7 @@ def main() -> None:
             print(f"generated sf1 tier -> {SF1_DIR}", file=sys.stderr)
         sf1_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_REPS", "2"))
         sf1_times = {name: best_of(qs[name], SF1_DIR, sf1_reps)
-                     for name in SF1_HEADLINE}
+                     for name in SF1_HEADLINE + sorted(extra)}
 
     # ---- sf10 spot tier: second measured decade, opt-out-able ---------
     sf10_times: dict[str, float] = {}

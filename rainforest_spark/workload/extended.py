@@ -825,6 +825,15 @@ def q53(spark, sf):
     lineitem-derived deterministic tables (see block comment)."""
     from rainforest_spark.ml.dataset import prepare_input
 
+    gauge, radar, reference, stations, radars = q53_fixtures(spark, sf)
+    out = prepare_input(gauge, radar, reference, stations, radars)
+    return q53_projection(out)
+
+
+def q53_fixtures(spark, sf):
+    """q53's lineitem-derived deterministic training fixtures
+    (gauge, radar, reference, stations, radars) — shared with the
+    bucketed bench variant (bench.py q53_bucketed_prepare)."""
     l = T(spark, sf, "lineitem")
     base = l.select(
         (F.col("l_suppkey") % 10).alias("sta"),
@@ -890,7 +899,11 @@ def q53(spark, sf):
         [(k, x, y, 1000.0) for k, (x, y) in _Q53_RD.items()],
         "RADAR string, X_rad double, Y_rad double, Z_rad double")
 
-    out = prepare_input(gauge, radar, reference, stations, radars)
+    return gauge, radar, reference, stations, radars
+
+
+def q53_projection(out):
+    """q53's stable output columns over a prepare_input result."""
     return out.select(
         "STATION", "TIMESTAMP",
         r6(F.col("ZH_mean")).alias("ZH_mean"),

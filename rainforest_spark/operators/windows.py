@@ -59,39 +59,62 @@ def disaggregation_ratio(df: DataFrame, partition_cols: list[str],
 
 def ranged_cumsum(df: DataFrame, order_col: str, weight_col: str,
                   cum_col: str = "__cw",
-                  num_partitions: int | None = None) -> DataFrame:
-    """Globally-ordered cumulative weight sum WITHOUT a single-partition
-    window.
+                  num_partitions: int | None = None,
+                  group_cols: list[str] | None = None,
+                  total_col: str | None = None) -> DataFrame:
+    """Ordered cumulative weight sum WITHOUT a single-partition window —
+    global, or per group when ``group_cols`` is given.
 
-    Range-partition on the order key (equal keys land together), compute
-    a partition-LOCAL ordered cumsum, then add per-partition offsets —
-    a one-row-per-partition table ranked with a tiny window and
-    broadcast back.  Every stage is distributed; the only global
-    structure is the broadcast offset map.
+    Range-partition on (group..., order) (equal keys land together),
+    compute a partition-LOCAL ordered cumsum, then add per-(group,
+    partition) offsets — a tiny offsets table (≈ one row per partition
+    per group-slice it holds) ranked with a small window and broadcast
+    back.  Every stage is distributed; the only global structure is the
+    broadcast offset map.
+
+    The GROUPED form exists because ``Window.partitionBy(group)`` is a
+    scale trap when groups are few and huge: 3 return-flag groups at 10×
+    data serialize the whole sort into 3 tasks (the round-6 sf1 bench
+    measured q34 going 6.4× at 10× data; this path took it back to
+    ~linear).  Intended for FEW large groups — with millions of small
+    groups the offsets table grows to ~one row per group and the plain
+    grouped window is the right plan instead.
+
+    ``total_col`` additionally attaches the (per-group) TOTAL weight to
+    every row, derived from the same tiny offsets table — quantile-style
+    consumers need cw/tw and computing the total separately would cost
+    another full scan of ``df``.
     """
     spark = df.sparkSession
+    g = list(group_cols or [])
     n = num_partitions or spark.sparkContext.defaultParallelism
-    d = (df.repartitionByRange(n, F.col(order_col))
+    d = (df.repartitionByRange(n, *[F.col(c) for c in g + [order_col]])
          .withColumn("__p", F.spark_partition_id()))
-    offs = (d.groupBy("__p").agg(F.sum(weight_col).alias("__pw"))
+    wo = (Window.partitionBy(*g).orderBy("__p") if g
+          else Window.orderBy("__p"))
+    wt = Window.partitionBy(*g) if g else Window.partitionBy()
+    offs = (d.groupBy("__p", *g).agg(F.sum(weight_col).alias("__pw"))
             .withColumn(
                 "__off",
                 F.coalesce(
                     F.sum("__pw").over(
-                        Window.orderBy("__p")
-                        .rowsBetween(Window.unboundedPreceding, -1)),
-                    F.lit(0.0)))
-            .select("__p", "__off"))
-    wl = (Window.partitionBy("__p").orderBy(F.col(order_col))
+                        wo.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0.0))))
+    if total_col:
+        offs = offs.withColumn(total_col, F.sum("__pw").over(wt))
+    offs = offs.select("__p", *g, "__off",
+                       *([total_col] if total_col else []))
+    wl = (Window.partitionBy("__p", *g).orderBy(F.col(order_col))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (d.join(F.broadcast(offs), "__p")
+    return (d.join(F.broadcast(offs), ["__p"] + g)
             .withColumn(cum_col, F.sum(weight_col).over(wl) + F.col("__off"))
             .drop("__p", "__off"))
 
 
 def weighted_quantile(df: DataFrame, group_cols: list[str], value_col: str,
                       weight_col: str, q: float,
-                      out_col: str = "wq") -> DataFrame:
+                      out_col: str = "wq",
+                      ranged: bool = True) -> DataFrame:
     """Weighted quantile via cumulative-weight interpolation.
 
     Reference W10/A13 (common/utils.py:294-369): sort values, cumsum
@@ -99,20 +122,29 @@ def weighted_quantile(df: DataFrame, group_cols: list[str], value_col: str,
     This matches the reference's step-function semantics: the quantile is
     the smallest x whose cumweight/totweight >= q.
 
-    Spark-first: one window (sort within group) + one groupBy — the sort
-    and the aggregation share the partitioning on ``group_cols``.  With
-    NO group columns the cumsum goes through :func:`ranged_cumsum` and
-    the total through a broadcast one-row agg, so nothing funnels into a
-    single partition.
+    Spark-first: the cumsum goes through :func:`ranged_cumsum` (global,
+    or grouped — the default, since the reference's group columns are
+    all low-cardinality: return flags, event types, precip classes) so
+    nothing funnels into one task per group.  ``ranged=False`` switches
+    to the plain grouped window — the right plan when there are MANY
+    small groups (the offsets table of the ranged form would grow to
+    ~one row per group), or when the group count × size already gives
+    enough sort parallelism and the ranged form's ~1s of extra fixed
+    stages (sample + offsets + broadcast) isn't worth it (measured:
+    grid/evaluation.py's 10-group shape stayed sublinear through 100×
+    on the window plan).
     """
-    if group_cols:
+    if group_cols and not ranged:
         ws = (Window.partitionBy(*group_cols).orderBy(F.col(value_col))
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         wt = Window.partitionBy(*group_cols)
         cum = df.withColumn("__cw", F.sum(weight_col).over(ws)) \
                 .withColumn("__tw", F.sum(weight_col).over(wt))
+    elif group_cols:
+        cum = ranged_cumsum(df, value_col, weight_col, "__cw",
+                            group_cols=group_cols, total_col="__tw")
     else:
-        cum = ranged_cumsum(df, value_col, weight_col, "__cw").crossJoin(
-            F.broadcast(df.agg(F.sum(weight_col).alias("__tw"))))
+        cum = ranged_cumsum(df, value_col, weight_col, "__cw",
+                            total_col="__tw")
     hit = cum.filter(F.col("__cw") >= q * F.col("__tw"))
     return hit.groupBy(*group_cols).agg(F.min(value_col).alias(out_col))

@@ -722,7 +722,7 @@ SELECT q16.l_returnflag, ROUND((q84.q84 - q16.q16)/2, 6) AS scatter
 FROM q16 JOIN q84 ON q16.l_returnflag = q84.l_returnflag
 """)
 def q34(spark, sf):
-    from pyspark.sql import Window
+    from rainforest_spark.operators.windows import ranged_cumsum
     l = T(spark, sf, "lineitem")
     d = l.select(
         "l_returnflag",
@@ -730,11 +730,12 @@ def q34(spark, sf):
             (F.col("l_extendedprice") * (1 - F.col("l_discount")) + 1.0)
             / (F.col("l_extendedprice") * 0.95 + 1.0))).alias("db_err"),
         F.col("l_extendedprice").alias("w"))
-    ws = (Window.partitionBy("l_returnflag").orderBy("db_err")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wt = Window.partitionBy("l_returnflag")
-    c = d.withColumn("cw", F.sum("w").over(ws)) \
-         .withColumn("tw", F.sum("w").over(wt))
+    # grouped ranged cumsum, NOT Window.partitionBy(l_returnflag): only
+    # 3 return-flag groups, so a grouped window serializes the whole
+    # sort into 3 tasks — measured 6.4x at 10x data (sf1, round 6)
+    # before this rewrite, ~linear after
+    c = ranged_cumsum(d, "db_err", "w", "cw",
+                      group_cols=["l_returnflag"], total_col="tw")
     # single pass: conditional min for the 84% quantile (same values as
     # the two-groupBy + join formulation, half the shuffles)
     return (c.filter(F.col("cw") >= 0.16 * F.col("tw"))

@@ -129,3 +129,48 @@ def test_hzt_fallback_chain_gapped_hour(spark):
     assert picked == {0: 1, H: 3, 2 * H: 5}
     # every requested hour is covered despite the lead-0 gap
     assert set(picked) == {0, H, 2 * H}
+
+
+@st.composite
+def grouped_cumsum_case(draw):
+    n = draw(st.integers(5, 80))
+    groups = draw(st.lists(st.sampled_from(["a", "b", "c"]),
+                           min_size=n, max_size=n))
+    vals = draw(st.lists(st.integers(-20, 20), min_size=n, max_size=n))
+    wts = draw(st.lists(st.integers(1, 9), min_size=n, max_size=n))
+    return groups, vals, wts
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(case=grouped_cumsum_case())
+def test_grouped_ranged_cumsum_matches_pandas(spark, case):
+    """The grouped ranged cumsum (round-6 q34 scale fix: range-partition
+    on (group, order) + per-(group, partition) offsets, NO per-group
+    window) must equal a per-group sorted cumsum — including duplicate
+    order values, where any tie order is valid but the cumsum at the
+    LAST row of each tie run (the value the quantile filter keys on) is
+    order-independent.  Forced onto many partitions so offsets actually
+    engage."""
+    from rainforest_spark.operators.windows import ranged_cumsum
+
+    groups, vals, wts = case
+    pdf = pd.DataFrame({"g": groups, "x": [float(v) for v in vals],
+                        "w": [float(w) for w in wts]})
+    out = ranged_cumsum(spark.createDataFrame(pdf), "x", "w", "cw",
+                        num_partitions=7, group_cols=["g"],
+                        total_col="tw").toPandas()
+    # per (group, value): the max cumsum over the tie run equals the
+    # pandas groupwise sorted cumsum at the run's end; totals match
+    want = pdf.sort_values(["g", "x"], kind="stable")
+    want["cw"] = want.groupby("g")["w"].cumsum()
+    want_end = want.groupby(["g", "x"], as_index=False).agg(
+        cw=("cw", "max"), n=("cw", "size"))
+    got_end = out.groupby(["g", "x"], as_index=False).agg(
+        cw=("cw", "max"), n=("cw", "size"))
+    pd.testing.assert_frame_equal(
+        got_end.sort_values(["g", "x"], ignore_index=True),
+        want_end.sort_values(["g", "x"], ignore_index=True))
+    tot = pdf.groupby("g")["w"].sum().to_dict()
+    assert {g: tw for g, tw in out[["g", "tw"]].drop_duplicates()
+            .itertuples(index=False)} == tot

@@ -1,0 +1,84 @@
+"""Training-batch assembly operators: sequence packing and
+deterministic dataset splits.
+
+Two ops every large-scale LLM training-data pipeline runs after
+filtering/dedup, expressed engine-portably so they stay inside the
+DuckDB hash gate:
+
+- ``pack_contiguous``: concat-and-chunk sequence packing — documents in
+  a deterministic order are laid head-to-tail on a token tape and cut
+  every ``budget`` tokens; a document's bin is the chunk holding its
+  FIRST token.  This is the streaming-pack semantics production
+  tokenizer pipelines use (no per-bin knapsack state), and the cumsum
+  it needs is integer-exact, so both engines agree bit-for-bit.
+  The reference has no analogue (it is a weather archive, not a
+  training pipeline); the op composes the prompt-level training-data
+  requirement with the repo's distributed cumsum machinery.
+- ``split_assign``: train/val/test assignment by md5-prefix of the id —
+  deterministic, order-free, stable under re-runs and table growth
+  (a document keeps its split forever, the property that matters for
+  contamination control).  Rates quantize to 1/256 via the first two
+  hex chars, which both Spark and DuckDB produce identically.
+
+Scale posture: ``pack_contiguous`` rides :func:`ranged_cumsum` — the
+order-key range partition + per-partition offsets — so there is no
+single-partition window anywhere (the q34 lesson, PERF.md round 6);
+``split_assign`` is a pure per-row expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_contiguous(df: DataFrame, order_col: str, token_col: str,
+                    budget: int,
+                    bin_col: str = "bin_id") -> DataFrame:
+    """Assign each row the bin index of its first token under
+    concat-and-chunk packing with ``budget`` tokens per bin.
+
+    ``bin = floor((cumsum_before_row) / budget)`` where the cumsum runs
+    in ``order_col`` order.  All-integer arithmetic — the result is
+    exactly reproducible on any engine from the same (order, tokens)
+    pairs.  ``order_col`` must be unique (a doc id); token counts must
+    be non-negative.
+    """
+    from rainforest_spark.operators.windows import ranged_cumsum
+
+    d = df.withColumn("__t", F.col(token_col).cast("long"))
+    c = ranged_cumsum(d, order_col, "__t", "__cw")
+    return (c.withColumn(
+        bin_col,
+        F.floor((F.col("__cw").cast("long") - F.col("__t"))
+                / F.lit(int(budget))).cast("long"))
+        .drop("__t", "__cw"))
+
+
+def split_assign(df: DataFrame, id_col: str,
+                 rates: dict[str, float] | None = None,
+                 salt: str = "split-v1",
+                 out_col: str = "split") -> Column | DataFrame:
+    """Deterministic dataset split from the md5 prefix of (salt, id).
+
+    The first two hex chars of ``md5(salt || ':' || id)`` give a uniform
+    integer in [0, 256); cumulative rate thresholds (quantized to
+    1/256) map it to a label.  Changing ``salt`` redraws the whole
+    assignment; adding rows never moves existing ones between splits.
+    """
+    rates = rates or {"train": 0.90, "val": 0.05, "test": 0.05}
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + ":"),
+                       F.col(id_col).cast("string"))), 1, 2),
+        16, 10).cast("int")
+    expr = None
+    acc = 0
+    labels = list(rates)
+    for name in labels[:-1]:
+        acc += int(round(rates[name] * 256))
+        cond = bucket < acc
+        expr = (F.when(cond, name) if expr is None
+                else expr.when(cond, name))
+    expr = (F.lit(labels[-1]) if expr is None
+            else expr.otherwise(labels[-1]))
+    return df.withColumn(out_col, expr)

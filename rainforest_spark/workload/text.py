@@ -317,3 +317,73 @@ FROM r WHERE rank <= 3
 def q69(spark, sf):
     return TA.tfidf_top_terms(T(spark, sf, "documents"), "doc_id",
                               "text", k=3)
+
+
+# ---------------------------------------------------------------- q75
+# Sequence packing (concat-and-chunk): documents ordered by doc_id are
+# laid head-to-tail on a token tape cut every 512 tokens; a document's
+# bin is the chunk holding its first token.  All-integer cumsum (the
+# grouped ranged_cumsum machinery, no single-partition window) — the
+# training-batch assembly step of an LLM data pipeline, exactly
+# reproducible on both engines.
+@q("q75_sequence_packing", sql="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cw
+  FROM t)
+SELECT CAST((cw - n_tokens) // 512 AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+       MIN(doc_id) AS first_doc
+FROM c GROUP BY 1
+""")
+def q75(spark, sf):
+    from rainforest_spark.operators.packing import pack_contiguous
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", TA.token_count("text").cast("long").alias("n_tokens"))
+    packed = pack_contiguous(d, "doc_id", "n_tokens", budget=512)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tok_sum"),
+        F.min("doc_id").alias("first_doc"))
+
+
+# ---------------------------------------------------------------- q76
+# Deterministic train/val/test split: md5('split-v1:' || doc_id) prefix
+# → uniform bucket in [0, 256) → 90/5/5 labels.  Order-free and stable
+# under table growth (a document keeps its split forever — the
+# contamination-control property).  The oracle compares the two-char
+# hex prefix LEXICOGRAPHICALLY ('e6' = 230, 'f3' = 243): monotonic with
+# the numeric bucket for lowercase hex, so both engines agree exactly.
+@q("q76_deterministic_split", sql="""
+WITH s AS (
+  SELECT doc_id, length(text) AS n_chars,
+         substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+  FROM documents)
+SELECT CASE WHEN h < 'e6' THEN 'train'
+            WHEN h < 'f3' THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       MIN(doc_id) AS first_doc
+FROM s GROUP BY 1
+""")
+def q76(spark, sf):
+    from rainforest_spark.operators.packing import split_assign
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars"))
+    s = split_assign(d, "doc_id",
+                     rates={"train": 0.90, "val": 0.05, "test": 0.05},
+                     salt="split-v1")
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.min("doc_id").alias("first_doc"))

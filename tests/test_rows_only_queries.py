@@ -240,3 +240,45 @@ def test_auto_planes_sizing():
     import numpy as np
     np.testing.assert_array_equal(auto_planes(20_000, 64),
                                   auto_planes(20_000, 64))
+
+
+def test_pack_contiguous_matches_pandas(spark):
+    """Concat-and-chunk invariants vs a sequential pandas reference:
+    bin of each doc = floor(cum_tokens_before / budget); bins are
+    monotone in doc order; every bin's FIRST doc starts inside it."""
+    import numpy as np
+    import pandas as pd
+
+    from rainforest_spark.operators.packing import pack_contiguous
+
+    rng = np.random.RandomState(3)
+    toks = rng.randint(0, 300, size=500)
+    pdf = pd.DataFrame({"doc_id": np.arange(500), "n_tokens": toks})
+    out = (pack_contiguous(spark.createDataFrame(pdf), "doc_id",
+                           "n_tokens", budget=512)
+           .toPandas().sort_values("doc_id", ignore_index=True))
+    before = np.concatenate([[0], np.cumsum(toks)[:-1]])
+    np.testing.assert_array_equal(out["bin_id"], before // 512)
+    assert (out["bin_id"].diff().dropna() >= 0).all()
+
+
+def test_split_assign_stable_and_proportional(spark):
+    """Hash split: ~90/5/5 proportions, and assignments NEVER move when
+    the table grows (contamination control) — the first 1000 ids get
+    identical labels whether or not 1000 more exist."""
+    from rainforest_spark.operators.packing import split_assign
+
+    small = spark.range(1000).withColumnRenamed("id", "doc_id")
+    big = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in split_assign(small, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in split_assign(big, "doc_id").collect()}
+    assert all(b[k] == v for k, v in a.items())
+    from collections import Counter
+    c = Counter(b.values())
+    assert 0.85 < c["train"] / 2000 < 0.95
+    assert 0.02 < c["val"] / 2000 < 0.09
+    assert 0.02 < c["test"] / 2000 < 0.09
+    # a different salt redraws
+    c2 = {r.doc_id: r.split
+          for r in split_assign(small, "doc_id", salt="v2").collect()}
+    assert any(c2[k] != a[k] for k in a)

@@ -40,13 +40,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: Bump the prefix when the generation logic changes — stale tiers
-#: regenerate.  The marker embeds the factor so one .benchdata dir can
-#: hold sf1 (factor=10) and sf10 (factor=100) side by side.
+#: regenerate.  The marker embeds the factor (one .benchdata dir holds
+#: sf1/factor=10 and sf10/factor=100 side by side) AND a stat-based
+#: fingerprint of the SOURCE tier: the driver silently regenerates
+#: /root/testdata between rounds, and without the fingerprint a scaled
+#: tier built from the old data would survive the regen — the physics
+#: guard would then compare sf1 times against same-run sf0.1 times on a
+#: different data vintage.
 _GEN_PREFIX = "sf-scale-v1"
 
 
-def gen_version(factor: int) -> str:
-    return f"{_GEN_PREFIX} factor={factor} src=sf0.1"
+def _src_sig(src_dir: str) -> str:
+    """Cheap content fingerprint: md5 over sorted (name, size) of the
+    source parquet files.  Stat-only (no reads); a testdata regeneration
+    that changes any table's bytes is overwhelmingly likely to change a
+    size.  mtimes are deliberately excluded — they churn on every regen
+    even when content is identical."""
+    h = hashlib.md5()
+    for t in TABLES:
+        p = os.path.join(src_dir, f"{t}.parquet")
+        h.update(f"{t}:{os.path.getsize(p) if os.path.exists(p) else -1};"
+                 .encode())
+    return h.hexdigest()[:12]
+
+
+def gen_version(factor: int, src_dir: str | None = None) -> str:
+    sig = f" sig={_src_sig(src_dir)}" if src_dir else ""
+    return f"{_GEN_PREFIX} factor={factor} src=sf0.1{sig}"
 
 KEY_OFFSET = 10_000_000
 
@@ -157,7 +177,7 @@ def generate_tier(spark: SparkSession, src_dir: str, dst_dir: str,
         scaled.write.mode("overwrite").parquet(
             os.path.join(dst_dir, f"{t}.parquet"))
     with open(os.path.join(dst_dir, "GEN_VERSION"), "w") as f:
-        f.write(gen_version(factor))
+        f.write(gen_version(factor, src_dir))
 
 
 def _embedding_dim(src_dir: str) -> int:
@@ -174,7 +194,8 @@ def ensure_tier(spark: SparkSession, src_dir: str, dst_dir: str,
     """Generate the scaled tier iff absent or stale.  Returns True if a
     (re)generation ran."""
     marker = os.path.join(dst_dir, "GEN_VERSION")
-    if os.path.exists(marker) and open(marker).read() == gen_version(factor):
+    if (os.path.exists(marker)
+            and open(marker).read() == gen_version(factor, src_dir)):
         return False
     generate_tier(spark, src_dir, dst_dir, factor)
     return True

@@ -34,6 +34,7 @@ _PRIORITY = [
     # --- round 6: new queries without a driver hash row ---
     "q54_auto_embedding_neardup",
     "q75_sequence_packing", "q76_deterministic_split",
+    "q77_quantized_cosine_topk",
     # --- round 6 stale-row rotation (VERDICT r5 Missing #4): the 8
     # queries whose latest green driver row is r2 re-enter the window
     # for a fresh hash check against the CURRENT testdata (the driver
@@ -59,7 +60,9 @@ _PRIORITY = [
     "q68_neardup_clusters", "q69_tfidf_top_terms",
     # --- proven flagships kept inside the window ---
     "q01_pricing_summary", "q09_broadcast_dim_join", "q12_asof_join",
-    "q13_latest_per_hour", "q14_nearest_centroid", "q16_db_logmean",
+    # q13_latest_per_hour demoted r6 for q77 (r5-green; its W2/S10
+    # operators are exercised by in-window q67's fallback chain)
+    "q14_nearest_centroid", "q16_db_logmean",
     "q17_temporal_multiagg", "q18_weighted_vertical",
     # q24_transfer_function and q37_group_first demoted for the audio /
     # video codec legs (hash-green r2-r4, KD4 golden + pytest keep them

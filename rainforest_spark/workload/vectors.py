@@ -102,3 +102,46 @@ def q51(spark, sf):
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "label", F.col("c_label").alias("pred_label")))
+
+
+# ---------------------------------------------------------------- q77
+# int8-quantized cosine top-3: per-vector symmetric quantization
+# (scale = max|x|/127, floor(x/scale + 0.5)), then cosine over the
+# CODES — the scales cancel, so every dot/norm² is exact integer math
+# (|dot| <= 64·127² ≪ 2⁵³) and the single rounding point is the final
+# division.  The 100 TB path: 4× less data shuffled/held per candidate
+# stage.  Engine-portable by construction — both sides spell the same
+# floor-based rounding and the same expression tree.
+@q("q77_quantized_cosine_topk", sql="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS sc
+  FROM (SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS m FROM v)),
+qz AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(x / sc + 0.5) AS BIGINT)) AS qv
+  FROM s),
+n AS (
+  SELECT vec_id, qv,
+         CAST(list_dot_product(qv, qv) AS DOUBLE) AS n2 FROM qz),
+pairs AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+         ROUND(CAST(list_dot_product(q.qv, t.qv) AS DOUBLE)
+               / (sqrt(q.n2) * sqrt(t.n2)), 6) AS sim
+  FROM n q JOIN n t ON t.vec_id != q.vec_id
+  WHERE q.vec_id < 20),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM pairs)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, sim
+FROM r WHERE rnk <= 3
+""")
+def q77(spark, sf):
+    return SIM.cosine_topk_quantized(T(spark, sf, "embeddings"),
+                                     "vec_id", "embedding",
+                                     F.col("vec_id") < 20, k=3)

@@ -282,3 +282,32 @@ def test_split_assign_stable_and_proportional(spark):
     c2 = {r.doc_id: r.split
           for r in split_assign(small, "doc_id", salt="v2").collect()}
     assert any(c2[k] != a[k] for k in a)
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantization on 64-dim vectors barely moves cosine: recall@3
+    vs the exact fp top-3 must be high, and every reported sim must lie
+    within the quantization error band of the exact sim."""
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.similarity import (
+        cosine_topk, cosine_topk_quantized,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pred = F.col("vec_id") < 20
+    qk = cosine_topk_quantized(emb, "vec_id", "embedding", pred,
+                               k=3).toPandas()
+    ex = cosine_topk(emb, "vec_id", "embedding", pred, k=3).toPandas()
+    exact_pairs = set(map(tuple, ex[["query_id", "neighbor_id"]]
+                          .to_numpy()))
+    hits = sum((q, n) in exact_pairs for q, n in
+               qk[["query_id", "neighbor_id"]].to_numpy())
+    assert hits / len(ex) >= 0.8, f"quantized recall@3 {hits/len(ex)}"
+    # sim error bounded by the int8 step (~1/127 per lane, amplified by
+    # normalization — generous band)
+    full = cosine_topk(emb, "vec_id", "embedding", pred, k=500).toPandas()
+    m = qk.merge(full, on=["query_id", "neighbor_id"],
+                 suffixes=("_q", "_f"))
+    assert len(m) == len(qk)
+    assert (m["sim_q"] - m["sim_f"]).abs().max() < 0.02

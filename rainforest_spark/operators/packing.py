@@ -34,20 +34,25 @@ from pyspark.sql import functions as F
 
 def pack_contiguous(df: DataFrame, order_col: str, token_col: str,
                     budget: int,
-                    bin_col: str = "bin_id") -> DataFrame:
+                    bin_col: str = "bin_id",
+                    group_cols: list[str] | None = None) -> DataFrame:
     """Assign each row the bin index of its first token under
     concat-and-chunk packing with ``budget`` tokens per bin.
 
     ``bin = floor((cumsum_before_row) / budget)`` where the cumsum runs
-    in ``order_col`` order.  All-integer arithmetic — the result is
-    exactly reproducible on any engine from the same (order, tokens)
-    pairs.  ``order_col`` must be unique (a doc id); token counts must
-    be non-negative.
+    in ``order_col`` order — one global tape, or one tape PER GROUP
+    with ``group_cols`` (packing per language/source/shard, the usual
+    mixture-building shape; bin ids are then unique per group, not
+    globally).  All-integer arithmetic — the result is exactly
+    reproducible on any engine from the same (group, order, tokens)
+    rows.  ``order_col`` must be unique within a group; token counts
+    must be non-negative.
     """
     from rainforest_spark.operators.windows import ranged_cumsum
 
     d = df.withColumn("__t", F.col(token_col).cast("long"))
-    c = ranged_cumsum(d, order_col, "__t", "__cw")
+    c = ranged_cumsum(d, order_col, "__t", "__cw",
+                      group_cols=group_cols)
     return (c.withColumn(
         bin_col,
         F.floor((F.col("__cw").cast("long") - F.col("__t"))

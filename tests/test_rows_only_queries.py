@@ -311,3 +311,27 @@ def test_quantized_topk_recall_vs_exact(spark):
                  suffixes=("_q", "_f"))
     assert len(m) == len(qk)
     assert (m["sim_q"] - m["sim_f"]).abs().max() < 0.02
+
+
+def test_pack_contiguous_grouped_per_tape(spark):
+    """group_cols packs one tape per group: each group's bins restart at
+    0 and match the per-group pandas reference."""
+    import numpy as np
+    import pandas as pd
+
+    from rainforest_spark.operators.packing import pack_contiguous
+
+    rng = np.random.RandomState(9)
+    pdf = pd.DataFrame({
+        "lang": np.repeat(["de", "fr", "it"], 200),
+        "doc_id": np.arange(600),
+        "n_tokens": rng.randint(0, 300, size=600)})
+    out = (pack_contiguous(spark.createDataFrame(pdf), "doc_id",
+                           "n_tokens", budget=512, group_cols=["lang"])
+           .toPandas().sort_values("doc_id", ignore_index=True))
+    for lang, grp in pdf.groupby("lang"):
+        g = grp.sort_values("doc_id")
+        before = np.concatenate([[0], np.cumsum(g["n_tokens"])[:-1]])
+        got = out[out["lang"] == lang].sort_values("doc_id")["bin_id"]
+        np.testing.assert_array_equal(got.to_numpy(), before // 512)
+        assert got.iloc[0] == 0

@@ -122,6 +122,11 @@ SF10_HEADLINE = [
     "q45_minhash_lsh",
     "q54_auto_embedding_neardup",
     "q66_qpe_evaluation",
+    # the two whose scale claims were plan-only through round 5: the
+    # Arrow/mapInPandas codec chain (is Python the bottleneck at 100×?)
+    # and the IVF probe/score path
+    "q49_multimodal_decode",
+    "q57_ivf_ann_topk",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0

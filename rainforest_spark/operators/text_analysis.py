@@ -149,3 +149,33 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
             .filter(F.col("rank") <= k)
             .select(id_col, "term", "tfidf",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def chunk_text(df, id_col: str, text_col: str,
+               chunk_chars: int = 512, overlap: int = 64):
+    """Split documents into fixed-size overlapping character windows —
+    the retrieval/embedding preprocessing step (context-window-sized
+    chunks with overlap so no boundary sentence is lost).
+
+    Pure column ops: a ``sequence`` of window starts (stride =
+    chunk_chars - overlap) exploded executor-side, then ``substring`` —
+    no UDF, fan-out stays in the plan.  Emits (id, chunk_idx,
+    chunk_start [1-based], chunk) with the final partial window
+    included; empty/null docs produce one empty chunk at start 1, so no
+    document silently disappears from the corpus.
+    """
+    assert 0 <= overlap < chunk_chars
+    stride = chunk_chars - overlap
+    c = F.col(text_col)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.floor((F.length(F.coalesce(c, F.lit(""))) - 1)
+                           / stride), F.lit(0)).cast("int"))
+    d = df.withColumn("__k", F.explode(starts))
+    return d.select(
+        F.col(id_col),
+        F.col("__k").cast("long").alias("chunk_idx"),
+        (F.col("__k") * stride + 1).cast("long").alias("chunk_start"),
+        F.substring(F.coalesce(c, F.lit("")),
+                    (F.col("__k") * stride + 1).cast("int"),
+                    chunk_chars).alias("chunk"))

@@ -387,3 +387,34 @@ def q76(spark, sf):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars_sum"),
         F.min("doc_id").alias("first_doc"))
+
+
+# ---------------------------------------------------------------- q78
+# Document chunking: fixed 256-char windows with 32-char overlap
+# (stride 224), the retrieval/embedding preprocessing fan-out — pure
+# sequence+explode+substring, no UDF.  Result is per-chunk scalars
+# (lengths + a chunk fingerprint) so the hash gate covers the exact
+# chunk CONTENT without hashing megabytes of text cells twice.
+@q("q78_document_chunking", sql="""
+WITH d AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+k AS (
+  SELECT doc_id, t,
+         UNNEST(generate_series(0,
+             GREATEST(CAST(floor((length(t) - 1) / 224) AS BIGINT), 0)))
+           AS ki
+  FROM d)
+SELECT doc_id, CAST(ki AS BIGINT) AS chunk_idx,
+       CAST(ki * 224 + 1 AS BIGINT) AS chunk_start,
+       CAST(length(substr(t, CAST(ki * 224 + 1 AS INTEGER), 256))
+            AS BIGINT) AS chunk_len,
+       md5(substr(t, CAST(ki * 224 + 1 AS INTEGER), 256)) AS chunk_md5
+FROM k
+""")
+def q78(spark, sf):
+    chunks = TA.chunk_text(T(spark, sf, "documents"), "doc_id", "text",
+                           chunk_chars=256, overlap=32)
+    return chunks.select(
+        "doc_id", "chunk_idx", "chunk_start",
+        F.length("chunk").cast("long").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"))

@@ -335,3 +335,26 @@ def test_pack_contiguous_grouped_per_tape(spark):
         got = out[out["lang"] == lang].sort_values("doc_id")["bin_id"]
         np.testing.assert_array_equal(got.to_numpy(), before // 512)
         assert got.iloc[0] == 0
+
+
+def test_chunk_text_overlap_and_edges(spark):
+    """Chunk windows: stride = chunk - overlap, last partial window
+    kept, consecutive chunks share exactly `overlap` chars, empty and
+    null docs yield one empty chunk (no silent drop)."""
+    import pandas as pd
+
+    from rainforest_spark.operators.text_analysis import chunk_text
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                         "text": ["abcdefghij", "abc", "", None]})
+    out = (chunk_text(spark.createDataFrame(docs), "doc_id", "text",
+                      chunk_chars=6, overlap=2)
+           .toPandas().sort_values(["doc_id", "chunk_idx"],
+                                   ignore_index=True))
+    d1 = out[out.doc_id == 1]["chunk"].tolist()
+    # stride 4: windows [1..6], [5..10], [9..10]
+    assert d1 == ["abcdef", "efghij", "ij"]
+    assert all(a[-2:] == b[:2] for a, b in zip(d1, d1[1:]) if len(b) >= 2)
+    assert out[out.doc_id == 2]["chunk"].tolist() == ["abc"]
+    assert out[out.doc_id == 3]["chunk"].tolist() == [""]
+    assert out[out.doc_id == 4]["chunk"].tolist() == [""]

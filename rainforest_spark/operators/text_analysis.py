@@ -179,3 +179,40 @@ def chunk_text(df, id_col: str, text_col: str,
         F.substring(F.coalesce(c, F.lit("")),
                     (F.col("__k") * stride + 1).cast("int"),
                     chunk_chars).alias("chunk"))
+
+
+#: engine-portable patterns (RE2 ∩ Java regex: no lookarounds)
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def repetition_signals(df, id_col: str, text_col: str, n: int = 5):
+    """Within-document repetition + pattern counts — the Gopher-style
+    quality-filter signals a pretraining pipeline cuts on.
+
+    - ``dup_ngram_ratio``: 1 − distinct/total over word ``n``-grams
+      (NULL when the doc has fewer than ``n`` tokens — short docs are
+      not 'repetitive', they are short).  Heavily repeated boilerplate
+      → ratio near 1.
+    - ``n_emails`` / ``n_urls``: regex match counts (leakage/boilerplate
+      signals).
+    All JVM-side array/regex ops — the n-grams are built with
+    sequence+slice+concat inside one column expression, never exploded.
+    """
+    toks = tokens(text_col)
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ngrams = F.when(total > 0, ngrams).otherwise(F.array())
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.when(total > 0,
+               F.round(1.0 - F.size(F.array_distinct(ngrams))
+                       / total.cast("double"), 6))
+        .alias("dup_ngram_ratio"),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(URL_PATTERN), 0))
+        .cast("long").alias("n_urls"))

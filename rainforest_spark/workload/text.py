@@ -418,3 +418,35 @@ def q78(spark, sf):
         "doc_id", "chunk_idx", "chunk_start",
         F.length("chunk").cast("long").alias("chunk_len"),
         F.md5("chunk").alias("chunk_md5"))
+
+
+# ---------------------------------------------------------------- q79
+# Pretraining quality-filter signals: within-doc duplicate-5-gram ratio
+# (Gopher-style repetition cut) + email/URL match counts — all JVM
+# array/regex column ops, n-grams built in-expression (never exploded).
+@q("q79_quality_signals", sql="""
+WITH w AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, text, t,
+         GREATEST(len(t) - 4, 0) AS total,
+         CASE WHEN len(t) >= 5 THEN
+           list_transform(generate_series(1, len(t) - 4),
+                          i -> array_to_string(t[i:i+4], ' '))
+         ELSE [] END AS ng
+  FROM w)
+SELECT doc_id,
+       CASE WHEN total > 0
+            THEN ROUND(1.0 - len(list_distinct(ng))
+                       / CAST(total AS DOUBLE), 6) END AS dup_ngram_ratio,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+            AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[^\\s]+'))
+            AS BIGINT) AS n_urls
+FROM g
+""")
+def q79(spark, sf):
+    return TA.repetition_signals(T(spark, sf, "documents"),
+                                 "doc_id", "text", n=5)

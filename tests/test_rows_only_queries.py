@@ -358,3 +358,23 @@ def test_chunk_text_overlap_and_edges(spark):
     assert out[out.doc_id == 2]["chunk"].tolist() == ["abc"]
     assert out[out.doc_id == 3]["chunk"].tolist() == [""]
     assert out[out.doc_id == 4]["chunk"].tolist() == [""]
+
+
+def test_repetition_signals_golden(spark):
+    """Repetition ratio: fully repeated text → high ratio; unique text →
+    0; sub-5-token doc → NULL; email/url counters count."""
+    import pandas as pd
+
+    from rainforest_spark.operators.text_analysis import repetition_signals
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [
+        "spam ham " * 20,                       # 40 tokens, 2 distinct 5-grams
+        "one two three four five six seven",    # all distinct
+        "too short",                            # < 5 tokens
+        "mail me at a@b.co or x.y@z.org see https://a.b/c and http://d.e"]})
+    out = repetition_signals(spark.createDataFrame(docs), "doc_id",
+                             "text").toPandas().set_index("doc_id")
+    assert out.loc[1, "dup_ngram_ratio"] > 0.9
+    assert out.loc[2, "dup_ngram_ratio"] == 0.0
+    assert pd.isna(out.loc[3, "dup_ngram_ratio"])
+    assert out.loc[4, "n_emails"] == 2 and out.loc[4, "n_urls"] == 2

@@ -216,3 +216,39 @@ def repetition_signals(df, id_col: str, text_col: str, n: int = 5):
         .cast("long").alias("n_emails"),
         F.size(F.regexp_extract_all(c, F.lit(URL_PATTERN), 0))
         .cast("long").alias("n_urls"))
+
+
+def word_ngrams(text_col, n: int):
+    """Distinct word n-grams of a document as one array column (built
+    in-expression: sequence + slice + concat; empty below n tokens)."""
+    toks = tokens(text_col)
+    total = F.size(toks) - (n - 1)
+    ng = F.transform(
+        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(total > 0, F.array_distinct(ng)).otherwise(F.array())
+
+
+def contamination_overlap(train, eval_docs, id_col: str, text_col: str,
+                          n: int = 8):
+    """Benchmark decontamination: training docs sharing any word
+    ``n``-gram with the eval set, with the shared-gram count.
+
+    The canonical pre-training hygiene pass (eval answers leaking into
+    the corpus).  Shape at 100 TB: explode each side's DISTINCT
+    n-grams, equi-join on the gram — the shuffle key is the gram, never
+    a doc pair, so cost is linear in total grams; the eval side is
+    tiny and its distinct grams broadcast.  Exact string grams keep the
+    op oracle-checkable; swap the join key to ``xxhash64(gram)`` at
+    scale to shuffle 8 bytes instead of ~50 (hash collisions only ADD
+    candidates — re-verify on the string when exactness matters).
+    """
+    from pyspark.sql.functions import broadcast
+
+    tg = train.select(F.col(id_col).alias("train_id"),
+                      F.explode(word_ngrams(text_col, n)).alias("g"))
+    eg = (eval_docs.select(F.explode(word_ngrams(text_col, n)).alias("g"))
+          .distinct())
+    return (tg.join(broadcast(eg), "g")
+            .groupBy("train_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_grams")))

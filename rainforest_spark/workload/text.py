@@ -450,3 +450,34 @@ FROM g
 def q79(spark, sf):
     return TA.repetition_signals(T(spark, sf, "documents"),
                                  "doc_id", "text", n=5)
+
+
+# ---------------------------------------------------------------- q80
+# Benchmark decontamination: docs with doc_id % 20 == 0 play the eval
+# set; every other doc sharing any word 8-gram with it is flagged with
+# its shared-gram count.  Gram-keyed equi-join (never doc×doc) with the
+# tiny eval side broadcast — the canonical pre-training hygiene pass.
+@q("q80_decontamination", sql="""
+WITH g AS (
+  SELECT doc_id, gram
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_distinct(
+             CASE WHEN len(t) >= 8 THEN
+               list_transform(generate_series(1, len(t) - 7),
+                              i -> array_to_string(t[i:i+7], ' '))
+             ELSE [] END)) AS gram
+    FROM (SELECT doc_id,
+                 string_split_regex(trim(text), '\\s+') AS t
+          FROM documents))),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+tr AS (SELECT * FROM g WHERE doc_id % 20 != 0)
+SELECT tr.doc_id AS train_id, COUNT(*) AS n_shared_grams
+FROM tr JOIN ev USING (gram)
+GROUP BY 1
+""")
+def q80(spark, sf):
+    d = T(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    tr = d.filter(F.col("doc_id") % 20 != 0)
+    return TA.contamination_overlap(tr, ev, "doc_id", "text", n=8)

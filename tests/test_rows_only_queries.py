@@ -378,3 +378,25 @@ def test_repetition_signals_golden(spark):
     assert out.loc[2, "dup_ngram_ratio"] == 0.0
     assert pd.isna(out.loc[3, "dup_ngram_ratio"])
     assert out.loc[4, "n_emails"] == 2 and out.loc[4, "n_urls"] == 2
+
+
+def test_contamination_overlap_golden(spark):
+    """A training doc containing a verbatim eval 8-gram is flagged with
+    the right count; disjoint docs are absent."""
+    import pandas as pd
+
+    from rainforest_spark.operators.text_analysis import (
+        contamination_overlap,
+    )
+
+    ev_text = "the capital of france is paris said the guide"   # 9 toks
+    train = pd.DataFrame({"doc_id": [1, 2], "text": [
+        "q: " + ev_text + " indeed",      # contains both eval 8-grams
+        "entirely different words about spark and parquet and shuffles "
+        "and pruning here now"]})
+    ev = pd.DataFrame({"doc_id": [100], "text": [ev_text]})
+    out = contamination_overlap(spark.createDataFrame(train),
+                                spark.createDataFrame(ev),
+                                "doc_id", "text", n=8).toPandas()
+    got = out.set_index("train_id")["n_shared_grams"].to_dict()
+    assert got == {1: 2}

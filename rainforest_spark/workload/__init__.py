@@ -35,6 +35,8 @@ _PRIORITY = [
     "q54_auto_embedding_neardup",
     "q75_sequence_packing", "q76_deterministic_split",
     "q77_quantized_cosine_topk",
+    "q78_document_chunking", "q79_quality_signals",
+    "q80_decontamination",
     # --- round 6 stale-row rotation (VERDICT r5 Missing #4): the 8
     # queries whose latest green driver row is r2 re-enter the window
     # for a fresh hash check against the CURRENT testdata (the driver
@@ -48,13 +50,17 @@ _PRIORITY = [
     "q06_consistency_filter", "q08_segment_exclusion",
     "q15_table_summary", "q28_set_ops",
     # --- unproven by the driver gate as of round 2 ---
-    "q38_left_join_nulls", "q39_argmax_linked_agg",
+    # (q38_left_join_nulls, q55_bucketed_perfscores and
+    # q60_rollup_subtotals were proven r5 and are demoted to admit the
+    # chunking/quality/decontamination trio — J4/A13/rollup stay
+    # pytest-gated via tests/test_oracle_parity.py.)
+    "q39_argmax_linked_agg",
     "q48_energy_distance",
     "q52_grid_composite", "q53_prepare_input",
-    "q54_embedding_neardup", "q55_bucketed_perfscores",
+    "q54_embedding_neardup",
     "q56_polar_grid_sql", "q57_ivf_ann_topk",
     "q58_polar_masks", "q59_simhash_neardup",
-    "q60_rollup_subtotals", "q61_zphi_attenuation",
+    "q61_zphi_attenuation",
     "q62_vpr_correction", "q65_status_noise_mask",
     "q66_qpe_evaluation", "q67_hzt_fallback_chain",
     "q68_neardup_clusters", "q69_tfidf_top_terms",

@@ -1,0 +1,116 @@
+"""Corpus-mixture operators: deterministic weighted sampling and
+per-domain caps.
+
+After dedup/filtering, a training-data pipeline reshapes the corpus:
+down-weight over-represented sources to hit a target domain mixture,
+and cap the number of documents any single domain (web host, source
+shard) may contribute.  Both are expressed as pure column/window logic
+so they run JVM-side and are exactly reproducible on any engine:
+
+- ``weighted_sample``: keep a row iff the md5 of (salt, id) falls under
+  the source's rate threshold.  Like :func:`packing.split_assign` this
+  is order-free and stable — re-running the pipeline, or growing the
+  table, never flips a previous keep/drop decision, and changing the
+  salt redraws the whole sample.  Rates quantize to 1/16^6 (≈6e-8) via
+  the first six hex chars; the threshold comparison is LEXICOGRAPHIC on
+  fixed-width lowercase hex, which is monotonic with the numeric
+  bucket, so Spark and DuckDB (and any engine with md5 + string
+  compare) agree bit-for-bit.
+- ``cap_per_group``: keep at most ``k`` rows per group, chosen by a
+  salted-hash order (a deterministic uniform pick, not "first k by
+  ingest order" which would bias toward old crawls).
+
+Scale posture: ``weighted_sample`` is a per-row expression — no
+shuffle, no join (the rate table is a literal CASE chain, not even a
+broadcast).  ``cap_per_group`` is one shuffle on the group key with a
+per-group TOP-K sort; with many domains (the web-crawl shape) the
+window parallelizes per group.  A single monster group degenerates to
+one task's sort — for the few-huge-groups shape use
+:func:`windows.ranged_cumsum` over (group, hash) and filter rank <= k
+instead (same trade as PERF.md round-6 q34).
+
+No reference analogue (MeteoSwiss/rainforest is a weather archive);
+these compose the prompt-level training-pipeline requirement with the
+repo's determinism policy (workload/__init__.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Hex-prefix width used for rate thresholds: 6 chars = 24 bits.
+_HEX_CHARS = 6
+_BUCKETS = 16 ** _HEX_CHARS
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """The fixed-width lowercase-hex keep threshold for ``rate``.
+
+    A row is kept iff ``md5(salt || ':' || id)[:6] < threshold`` —
+    strict ``<`` on same-length lowercase hex equals the numeric
+    comparison, so the predicate is engine-portable as a plain string
+    compare.  ``rate >= 1`` maps to ``'g'`` which is > every hex char,
+    i.e. keep-all."""
+    thr = int(round(min(max(rate, 0.0), 1.0) * _BUCKETS))
+    if thr >= _BUCKETS:
+        return "g"  # sorts after 'f': keep everything
+    return format(thr, f"0{_HEX_CHARS}x")
+
+
+def sample_hash(id_col: Column | str, salt: str) -> Column:
+    """The 6-hex-char uniform sampling key of (salt, id)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))),
+        1, _HEX_CHARS)
+
+
+def weighted_sample(df: DataFrame, id_col: str,
+                    rates: dict[str, float] | float,
+                    group_col: str | None = None,
+                    default_rate: float = 0.0,
+                    salt: str = "mix-v1") -> DataFrame:
+    """Deterministic Bernoulli(rate) sample, with per-group rates.
+
+    ``rates`` is either one global rate or a ``{group_value: rate}``
+    mapping over ``group_col`` (the domain-mixture shape: each source
+    gets its target retention).  Groups absent from the mapping fall
+    back to ``default_rate`` (0.0 = drop unknown sources, the safe
+    default for a curated mixture).  The decision for a given
+    (salt, id) never changes across runs or as the table grows.
+    """
+    h = sample_hash(id_col, salt)
+    if isinstance(rates, dict):
+        if group_col is None:
+            raise ValueError("per-group rates require group_col")
+        expr: Column | None = None
+        for val, rate in rates.items():
+            cond = F.col(group_col) == val
+            thr = F.lit(rate_threshold_hex(rate))
+            expr = (F.when(cond, thr) if expr is None
+                    else expr.when(cond, thr))
+        thr_col = (expr.otherwise(rate_threshold_hex(default_rate))
+                   if expr is not None
+                   else F.lit(rate_threshold_hex(default_rate)))
+    else:
+        thr_col = F.lit(rate_threshold_hex(float(rates)))
+    return df.filter(h < thr_col)
+
+
+def cap_per_group(df: DataFrame, group_col: str, id_col: str, k: int,
+                  salt: str = "cap-v1",
+                  rank_col: str | None = None) -> DataFrame:
+    """Keep at most ``k`` rows per ``group_col``, picked by salted-hash
+    order (ties broken by id, so the pick is total and reproducible).
+
+    ``rank_col`` optionally exposes the 1-based pick order of the
+    surviving rows (callers that sub-sample further can reuse it).
+    """
+    w = (Window.partitionBy(group_col)
+         .orderBy(sample_hash(id_col, salt), F.col(id_col)))
+    out = (df.withColumn("__rk", F.row_number().over(w))
+           .filter(F.col("__rk") <= int(k)))
+    if rank_col:
+        return out.withColumnRenamed("__rk", rank_col)
+    return out.drop("__rk")

@@ -60,6 +60,46 @@ def pack_contiguous(df: DataFrame, order_col: str, token_col: str,
         .drop("__t", "__cw"))
 
 
+def epoch_shards(df: DataFrame, id_col: str, shard_size: int,
+                 salt: str = "epoch-0",
+                 shard_col: str = "shard_id",
+                 pos_col: str | None = None) -> DataFrame:
+    """Deterministic epoch shuffle + fixed-size sharding.
+
+    Training loaders consume the corpus in a different uniform-random
+    order every epoch, materialized as fixed-size shards.  The order is
+    the salted hash of the id (change ``salt`` per epoch to redraw), the
+    global position is a distributed ordered count over that key, and
+    ``shard = position // shard_size``.  Everything is integer-exact, so
+    the shard assignment is bit-reproducible on any engine from the same
+    (salt, id) pairs — the property that lets a resumed training run
+    rebuild the exact epoch order.
+
+    Scale posture: the ordered count rides :func:`windows.ranged_cumsum`
+    (order-key range partition + broadcast per-partition offsets) — no
+    single-partition window, and the hash order key is uniform by
+    construction so the range partitions are balanced at any corpus
+    size.  ``pos_col`` optionally exposes the 0-based epoch position.
+    """
+    from rainforest_spark.operators.windows import ranged_cumsum
+
+    c = F.col(id_col).cast("string")
+    # md5 order with an id tiebreak appended; zero-padding keeps the
+    # concatenated key's lexicographic order total and engine-portable
+    key = F.concat(F.md5(F.concat(F.lit(salt + ":"), c)),
+                   F.lpad(c, 20, "0"))
+    d = (df.withColumn("__ek", key)
+         .withColumn("__one", F.lit(1).cast("long")))
+    out = (ranged_cumsum(d, "__ek", "__one", "__rn")
+           .withColumn(shard_col,
+                       F.floor((F.col("__rn").cast("long") - 1)
+                               / F.lit(int(shard_size))).cast("long")))
+    if pos_col:
+        out = out.withColumn(pos_col,
+                             F.col("__rn").cast("long") - 1)
+    return out.drop("__ek", "__one", "__rn")
+
+
 def split_assign(df: DataFrame, id_col: str,
                  rates: dict[str, float] | None = None,
                  salt: str = "split-v1",

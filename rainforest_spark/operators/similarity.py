@@ -437,3 +437,52 @@ def cosine_topk_quantized(vectors: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("rnk") <= k)
             .select("query_id", F.col("rnk").cast("long").alias("rnk"),
                     "neighbor_id", "sim"))
+
+
+def jl_signs(in_dim: int, out_dim: int,
+             salt: str = "jl-v1") -> list[list[float]]:
+    """The ±1 Achlioptas/JL projection matrix as plan-time literals.
+
+    Sign (j, i) is the low bit of ``md5(salt:j:i)`` — data-independent,
+    so the whole matrix is computed on the driver and baked into the
+    plan as constants (no broadcast, no join; any engine can rebuild it
+    from (salt, shape) alone, which is what keeps the op oracle-exact).
+    """
+    import hashlib
+
+    return [[1.0 if int(hashlib.md5(f"{salt}:{j}:{i}".encode())
+                        .hexdigest(), 16) & 1 == 0 else -1.0
+             for i in range(in_dim)]
+            for j in range(out_dim)]
+
+
+def jl_project(df: DataFrame, vec_col: str, in_dim: int, out_dim: int,
+               salt: str = "jl-v1", prefix: str = "jl_") -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a ±1 sign matrix:
+    ``y_j = (1/sqrt(out_dim)) * Σ_i s_ji · v_i``.
+
+    The dimension-reduction front end for 100 TB embedding stores:
+    project 768-d vectors to 32–64 d before LSH bucketing / IVF
+    clustering so every downstream shuffle moves ~10× fewer bytes,
+    then re-score survivors on the full vectors.  With ±1 signs the
+    projection preserves pairwise inner products in expectation
+    (E[y·y'] = v·v'), and per-row cost is a pure column expression —
+    whole-stage codegen, no UDF, no shuffle.
+
+    Determinism: each output is a LITERAL left-associated double chain
+    (element i is cast to double, multiplied by ±1.0 — exact — and
+    added in fixed index order), so any engine evaluating the same
+    chain produces bit-identical doubles.
+    """
+    import functools
+
+    signs = jl_signs(in_dim, out_dim, salt)
+    scale = 1.0 / (float(out_dim) ** 0.5)
+    v = F.col(vec_col)
+    outs = []
+    for j, row in enumerate(signs):
+        terms = [F.element_at(v, i + 1).cast("double") * F.lit(s)
+                 for i, s in enumerate(row)]
+        acc = functools.reduce(lambda a, b: a + b, terms)
+        outs.append((acc * F.lit(scale)).alias(f"{prefix}{j}"))
+    return df.select("*", *outs)

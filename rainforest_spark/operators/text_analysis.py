@@ -252,3 +252,61 @@ def contamination_overlap(train, eval_docs, id_col: str, text_col: str,
     return (tg.join(broadcast(eg), "g")
             .groupBy("train_id")
             .agg(F.count(F.lit(1)).alias("n_shared_grams")))
+
+
+def unigram_logprob(df, id_col: str, text_col: str,
+                    vocab_counts=None):
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram MLE — the engine-portable stand-in for the KenLM-perplexity
+    quality filter (CCNet-style): boilerplate and in-distribution text
+    score low, rare-token noise scores high.
+
+    ``vocab_counts`` (term, n_term) defaults to counts over ``df``
+    itself (self-scoring); pass a reference corpus's counts to score
+    against a fixed LM.  Unseen terms then raise — a real pipeline adds
+    smoothing, which would bury the exactness guarantee; self-scoring
+    never sees an unseen term.
+
+    Determinism: each term's −ln p is rounded to 9 decimals and summed
+    as DECIMAL (exact, order-free — a raw double sum would depend on
+    partial-aggregation order).  The 1e-9 grid is ~1e3 coarser than
+    cross-engine libm noise in ``ln``.  The final mean is rounded to 6
+    in EXACT integer arithmetic — the 1e-9-grid sum over an integer
+    token count lands exactly ON the half-micro boundary for some docs
+    (3 of 500 at sf0.01), where Spark's shortest-repr HALF_UP and a
+    double-arithmetic round disagree — so both engines compute
+    ``(2·N + 1000·n) div (2000·n)`` with ``N = sum·1e9`` and divide by
+    1e6 at the very end (one double division, bit-identical).
+
+    Shape at 100 TB: token explode → two groupBys (per-doc tf, corpus
+    vocab) → equi-join on the term.  The vocab is Zipf-small relative
+    to the corpus (AQE broadcasts it when it fits; the join stays an
+    equi-join, never per-row lookups) and the scalar total rides a
+    1-row cross join.
+    """
+    toks = (df.select(F.col(id_col), F.explode(tokens(text_col))
+                      .alias("term"))
+            .filter(F.col("term") != ""))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    if vocab_counts is None:
+        vocab_counts = toks.groupBy("term").agg(
+            F.count(F.lit(1)).alias("n_term"))
+    total = vocab_counts.agg(
+        F.sum("n_term").cast("double").alias("__tot"))
+    # per-term -ln p as integer NANOS: decimal(19,9) * int stays inside
+    # precision 38 so the multiply is exact; everything after this line
+    # is 64-bit integer arithmetic (summing the decimal and scaling the
+    # SUM would clamp precision at decimal(38,9) * int and round)
+    nano = (F.round(-F.log(F.col("n_term") / F.col("__tot")), 9)
+            .cast("decimal(19,9)") * F.lit(1000000000)).cast("long")
+    per_term = (tf.join(vocab_counts, "term").crossJoin(total)
+                .select(F.col(id_col), "tf",
+                        (nano * F.col("tf")).alias("__n9")))
+    agg = per_term.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum("__n9").alias("__n9"))
+    micro = F.expr("(2 * __n9 + 1000 * n_tokens) div (2000 * n_tokens)")
+    return agg.select(
+        F.col(id_col), "n_tokens",
+        (micro.cast("double") / F.lit(1000000.0)).alias("mean_nll"))

@@ -37,6 +37,8 @@ _PRIORITY = [
     "q77_quantized_cosine_topk",
     "q78_document_chunking", "q79_quality_signals",
     "q80_decontamination",
+    "q81_domain_mixture", "q82_domain_cap", "q83_unigram_logprob",
+    "q84_epoch_shard", "q85_jl_projection",
     # --- round 6 stale-row rotation (VERDICT r5 Missing #4): the 8
     # queries whose latest green driver row is r2 re-enter the window
     # for a fresh hash check against the CURRENT testdata (the driver
@@ -52,14 +54,14 @@ _PRIORITY = [
     # --- unproven by the driver gate as of round 2 ---
     # (q38_left_join_nulls, q55_bucketed_perfscores and
     # q60_rollup_subtotals were proven r5 and are demoted to admit the
-    # chunking/quality/decontamination trio — J4/A13/rollup stay
-    # pytest-gated via tests/test_oracle_parity.py.)
-    "q39_argmax_linked_agg",
-    "q48_energy_distance",
-    "q52_grid_composite", "q53_prepare_input",
+    # chunking/quality/decontamination trio; q39, q48, q52, q56 and
+    # q58 — all r5-green — are demoted for the mixture/unigram-LM/
+    # shard/JL batch.  Every demoted operator stays pytest-gated via
+    # tests/test_oracle_parity.py.)
+    "q53_prepare_input",
     "q54_embedding_neardup",
-    "q56_polar_grid_sql", "q57_ivf_ann_topk",
-    "q58_polar_masks", "q59_simhash_neardup",
+    "q57_ivf_ann_topk",
+    "q59_simhash_neardup",
     "q61_zphi_attenuation",
     "q62_vpr_correction", "q65_status_noise_mask",
     "q66_qpe_evaluation", "q67_hzt_fallback_chain",

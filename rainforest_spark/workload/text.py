@@ -481,3 +481,135 @@ def q80(spark, sf):
     ev = d.filter(F.col("doc_id") % 20 == 0)
     tr = d.filter(F.col("doc_id") % 20 != 0)
     return TA.contamination_overlap(tr, ev, "doc_id", "text", n=8)
+
+
+# ---------------------------------------------------------------- q81
+# Domain-mixture sampling: per-source keep rates via the salted-hash
+# Bernoulli (order-free, stable under growth).  The rate CASE chain and
+# its hex thresholds come from ONE Python dict through
+# mixture.rate_threshold_hex, so both engines test the identical
+# lexicographic predicate.
+from rainforest_spark.operators import mixture as MX  # noqa: E402
+
+_MIX_RATES = {f"src{i}": (2 * i + 1) / 20 for i in range(10)}
+_MIX_DEFAULT = 0.5
+_MIX_CASE = ("CASE source " + " ".join(
+    f"WHEN '{s}' THEN '{MX.rate_threshold_hex(r)}'"
+    for s, r in _MIX_RATES.items())
+    + f" ELSE '{MX.rate_threshold_hex(_MIX_DEFAULT)}' END")
+
+
+@q("q81_domain_mixture", sql=f"""
+WITH s AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+         substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 6) AS h
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       MIN(doc_id) AS first_doc
+FROM s WHERE h < {_MIX_CASE}
+GROUP BY 1
+""")
+def q81(spark, sf):
+    d = T(spark, sf, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars"))
+    kept = MX.weighted_sample(d, "doc_id", _MIX_RATES,
+                              group_col="source",
+                              default_rate=_MIX_DEFAULT, salt="mix-v1")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.min("doc_id").alias("first_doc"))
+
+
+# ---------------------------------------------------------------- q82
+# Per-domain cap: at most 10 docs per source, picked by salted-hash
+# order (deterministic uniform pick, not ingest order).
+@q("q82_domain_cap", sql="""
+WITH r AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5('cap-v1:' || CAST(doc_id AS VARCHAR)), 1, 6),
+                    doc_id) AS rk
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       MIN(doc_id) AS first_doc
+FROM r WHERE rk <= 10
+GROUP BY 1
+""")
+def q82(spark, sf):
+    d = T(spark, sf, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars"))
+    kept = MX.cap_per_group(d, "source", "doc_id", k=10, salt="cap-v1")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.min("doc_id").alias("first_doc"))
+
+
+# ---------------------------------------------------------------- q83
+# Unigram-LM quality scoring: per-doc mean negative log-likelihood
+# under the corpus's own unigram MLE (the KenLM-perplexity stand-in).
+# Determinism: per-term -ln p rounded to 1e-9 then DECIMAL-summed
+# (order-free); the mean's round-to-6 happens in exact integer
+# arithmetic because the 1e-9-grid sum over an integer count can land
+# exactly ON the half-micro boundary (3/500 docs at sf0.01), where the
+# engines' double-rounding conventions disagree.
+@q("q83_unigram_logprob", sql="""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+       UNNEST(w) AS t(term)
+  WHERE t.term != ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+voc AS (SELECT term, COUNT(*) AS n_term FROM toks GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_term) AS DOUBLE) AS tot FROM voc),
+per AS (
+  SELECT doc_id, tf,
+         CAST(CAST(ROUND(-ln(n_term / tot), 9) AS DECIMAL(19,9))
+              * 1000000000 AS BIGINT) * tf AS n9
+  FROM tf JOIN voc USING (term) CROSS JOIN tot),
+agg AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(n9) AS BIGINT) AS n9
+  FROM per GROUP BY 1)
+SELECT doc_id, n_tokens,
+       CAST((2 * n9 + 1000 * n_tokens) // (2000 * n_tokens) AS DOUBLE)
+         / 1000000.0 AS mean_nll
+FROM agg
+""")
+def q83(spark, sf):
+    return TA.unigram_logprob(T(spark, sf, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------- q84
+# Epoch shuffle + sharding: salted-hash order, distributed ordered
+# count (ranged_cumsum — no single-partition window), 64-doc shards.
+@q("q84_epoch_shard", sql="""
+WITH s AS (
+  SELECT doc_id, length(text) AS n_chars,
+         md5('epoch-0:' || CAST(doc_id AS VARCHAR))
+           || lpad(CAST(doc_id AS VARCHAR), 20, '0') AS k
+  FROM documents),
+r AS (SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY k) AS rn
+      FROM s)
+SELECT CAST((rn - 1) // 64 AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       MIN(doc_id) AS first_doc
+FROM r GROUP BY 1
+""")
+def q84(spark, sf):
+    from rainforest_spark.operators.packing import epoch_shards
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars"))
+    s = epoch_shards(d, "doc_id", shard_size=64, salt="epoch-0")
+    return s.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.min("doc_id").alias("first_doc"))

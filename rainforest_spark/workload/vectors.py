@@ -145,3 +145,31 @@ def q77(spark, sf):
     return SIM.cosine_topk_quantized(T(spark, sf, "embeddings"),
                                      "vec_id", "embedding",
                                      F.col("vec_id") < 20, k=3)
+
+
+# ---------------------------------------------------------------- q85
+# Johnson-Lindenstrauss ±1 projection (64 -> 4 dims): the
+# dimension-reduction front end for 100 TB embedding stores (project
+# before LSH/IVF so shuffles move ~10x fewer bytes).  The sign matrix
+# is md5-derived at plan time, so the oracle rebuilds the IDENTICAL
+# left-associated double chain — bit-exact, no tolerance.
+def _jl_oracle_sql() -> str:
+    signs = SIM.jl_signs(64, 4, salt="jl-v1")
+    outs = []
+    for j, row in enumerate(signs):
+        terms = " + ".join(
+            f"({s:+.1f}) * CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i, s in enumerate(row))
+        outs.append(f"ROUND(({terms}) * 0.5, 6) AS jl_{j}")
+    return ("SELECT vec_id, " + ", ".join(outs)
+            + " FROM embeddings")
+
+
+@q("q85_jl_projection", sql=_jl_oracle_sql())
+def q85(spark, sf):
+    e = T(spark, sf, "embeddings").select("vec_id", "embedding")
+    p = SIM.jl_project(e, "embedding", in_dim=64, out_dim=4,
+                       salt="jl-v1")
+    return p.select("vec_id",
+                    *[F.round(F.col(f"jl_{j}"), 6).alias(f"jl_{j}")
+                      for j in range(4)])

@@ -1,0 +1,147 @@
+"""Mixture / sampling / sharding / projection operator semantics.
+
+The oracle-parity test covers bit-exactness of q81-q85; these pin the
+OPERATOR-LEVEL properties a pipeline relies on: decision stability
+under growth and re-salting, cap bounds, shard shapes, and the JL
+inner-product preservation that justifies projecting before LSH.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from rainforest_spark.operators.mixture import (
+    cap_per_group, rate_threshold_hex, weighted_sample,
+)
+from rainforest_spark.operators.packing import epoch_shards
+from rainforest_spark.operators.similarity import jl_project, jl_signs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "source").cache())
+
+
+def test_rate_threshold_hex_bounds():
+    assert rate_threshold_hex(0.0) == "000000"
+    assert rate_threshold_hex(1.0) == "g"      # keep-all sentinel
+    assert rate_threshold_hex(2.0) == "g"
+    assert rate_threshold_hex(0.5) == "800000"
+    # monotonic in rate
+    ts = [rate_threshold_hex(r / 20) for r in range(21)]
+    assert ts == sorted(ts)
+
+
+def test_weighted_sample_rate_and_stability(docs):
+    n = docs.count()
+    kept = weighted_sample(docs, "doc_id", 0.5, salt="t-v1")
+    k = kept.count()
+    # binomial(n, .5): allow 5 sigma
+    assert abs(k - 0.5 * n) < 5 * math.sqrt(n * 0.25) + 1
+    # decision stability: the keep-set on a SUBSET of rows is exactly
+    # the intersection (no row's decision depends on other rows)
+    sub = docs.filter(F.col("doc_id") % 3 == 0)
+    kept_sub = set(r.doc_id for r in
+                   weighted_sample(sub, "doc_id", 0.5, salt="t-v1")
+                   .select("doc_id").collect())
+    kept_all = set(r.doc_id for r in kept.select("doc_id").collect())
+    assert kept_sub == {i for i in kept_all if i % 3 == 0}
+    # re-salting redraws: overlap is ~rate^2, not ~rate
+    kept2 = set(r.doc_id for r in
+                weighted_sample(docs, "doc_id", 0.5, salt="t-v2")
+                .select("doc_id").collect())
+    assert kept_all != kept2
+
+
+def test_weighted_sample_per_group_rates(docs):
+    rates = {"src0": 1.0, "src1": 0.0}
+    kept = weighted_sample(docs, "doc_id", rates, group_col="source",
+                           default_rate=0.25, salt="t-v1")
+    by_src = {r.source: r.n for r in
+              kept.groupBy("source").agg(F.count("*").alias("n"))
+              .collect()}
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    assert by_src.get("src0") == n_src0          # rate 1.0 keeps all
+    assert "src1" not in by_src                  # rate 0.0 drops all
+    other = docs.filter(~F.col("source").isin("src0", "src1")).count()
+    kept_other = sum(v for s, v in by_src.items()
+                     if s not in ("src0", "src1"))
+    assert abs(kept_other - 0.25 * other) < 5 * math.sqrt(other * 0.25) + 1
+
+
+def test_cap_per_group(docs):
+    capped = cap_per_group(docs, "source", "doc_id", k=5, salt="c-v1")
+    sizes = capped.groupBy("source").agg(F.count("*").alias("n"))
+    assert sizes.filter(F.col("n") > 5).count() == 0
+    # groups smaller than k keep everything
+    small = (docs.groupBy("source").agg(F.count("*").alias("tot"))
+             .filter(F.col("tot") <= 5))
+    merged = small.join(sizes, "source")
+    assert merged.filter(F.col("n") != F.col("tot")).count() == 0
+    # deterministic pick: same salt -> same rows
+    again = set(r.doc_id for r in
+                cap_per_group(docs, "source", "doc_id", k=5, salt="c-v1")
+                .select("doc_id").collect())
+    assert again == set(r.doc_id for r in
+                        capped.select("doc_id").collect())
+
+
+def test_epoch_shards_shape(docs):
+    n = docs.count()
+    s = epoch_shards(docs, "doc_id", shard_size=64, salt="e-t",
+                     pos_col="pos")
+    rows = s.select("doc_id", "shard_id", "pos").collect()
+    assert len(rows) == n
+    assert sorted(r.pos for r in rows) == list(range(n))
+    # every shard is full except possibly the last
+    from collections import Counter
+    c = Counter(r.shard_id for r in rows)
+    full = {k: v for k, v in c.items() if k < max(c)}
+    assert all(v == 64 for v in full.values())
+    assert c[max(c)] == n - 64 * (len(c) - 1)
+    # shard_id consistent with pos
+    assert all(r.shard_id == r.pos // 64 for r in rows)
+    # a different epoch salt permutes the order
+    s2 = epoch_shards(docs, "doc_id", shard_size=64, salt="e-t2",
+                      pos_col="pos")
+    pos2 = {r.doc_id: r.pos for r in s2.collect()}
+    pos1 = {r.doc_id: r.pos for r in rows}
+    assert pos1 != pos2
+
+
+def test_jl_signs_deterministic():
+    a = jl_signs(8, 3, salt="s1")
+    assert a == jl_signs(8, 3, salt="s1")
+    assert a != jl_signs(8, 3, salt="s2")
+    assert all(v in (1.0, -1.0) for row in a for v in row)
+
+
+def test_jl_inner_product_preservation(spark):
+    """E[y.y'] = v.v' for +-1 JL; with out_dim=16 on unit-ish vectors
+    the per-pair error concentrates — check the mean absolute error
+    over real embedding pairs is small relative to vector norms."""
+    e = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+         .filter(F.col("vec_id") < 40))
+    p = jl_project(e, "embedding", in_dim=64, out_dim=16, salt="jl-t")
+    rows = p.collect()
+    import numpy as np
+    full = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in rows}
+    proj = {r.vec_id: np.array([r[f"jl_{j}"] for j in range(16)])
+            for r in rows}
+    errs, mags = [], []
+    ids = sorted(full)
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        true = float(full[a] @ full[b])
+        est = float(proj[a] @ proj[b])
+        errs.append(abs(est - true))
+        mags.append(np.linalg.norm(full[a]) * np.linalg.norm(full[b]))
+    # JL with k=16: sd of the estimator ~ |a||b|/sqrt(k); the MEAN
+    # error over 20 pairs should sit well under one sd
+    assert sum(errs) / len(errs) < sum(mags) / len(mags) / math.sqrt(16) * 1.5

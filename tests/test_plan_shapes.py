@@ -172,3 +172,33 @@ def test_q57_ivf_codebook_broadcast(spark):
     p = fmt_plan(spark, "q57_ivf_ann_topk")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_q85_jl_projection_zero_exchange(spark):
+    """JL projection is a pure per-row literal chain — any Exchange in
+    the plan means the op stopped being map-only (the whole point of
+    projecting BEFORE the shuffling stages)."""
+    p = fmt_plan(spark, "q85_jl_projection")
+    assert "Exchange" not in p
+    assert "codegen id" in p  # the literal chain stays in codegen
+
+
+def test_q81_mixture_single_agg_exchange(spark):
+    """weighted_sample is a per-row predicate (no rate-table join): the
+    only Exchange the plan may carry is the final groupBy(source)."""
+    p = fmt_plan(spark, "q81_domain_mixture")
+    import re as _re
+    # formatted mode prints each node twice (tree + detail): count the
+    # detail headers
+    assert len(_re.findall(r"\(\d+\) Exchange", p)) <= 1
+    assert "Join" not in p  # the rate CASE chain must not become a join
+
+
+def test_q83_unigram_vocab_join_not_cartesian(spark):
+    """The vocab join must stay an equi-join (broadcast at this SF; the
+    1-row total is the only nested-loop allowed)."""
+    p = fmt_plan(spark, "q83_unigram_logprob")
+    assert "CartesianProduct" not in p
+    # the scalar-total cross join broadcasts one row; the term join
+    # must be hash-based, not nested-loop over the vocab
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p

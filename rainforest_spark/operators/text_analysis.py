@@ -310,3 +310,43 @@ def unigram_logprob(df, id_col: str, text_col: str,
     return agg.select(
         F.col(id_col), "n_tokens",
         (micro.cast("double") / F.lit(1000000.0)).alias("mean_nll"))
+
+
+#: Long digit runs (6+ digits, optional +/spaces/dashes between) —
+#: phone numbers, account ids.  RE2-compatible (no lookaround) so the
+#: same pattern runs on Spark (Java regex) and DuckDB (RE2).
+NUMBER_PATTERN = r"\+?\d(?:[\d -]*\d){5,}"
+
+#: Redaction pass order matters: emails/URLs first (their digits must
+#: not be re-matched as numbers), longest-match families before
+#: substrings.
+PII_PASSES: list[tuple[str, str]] = [
+    (EMAIL_PATTERN, "[EMAIL]"),
+    (URL_PATTERN, "[URL]"),
+    (NUMBER_PATTERN, "[NUM]"),
+]
+
+
+def pii_redact(text: Column | str,
+               passes: list[tuple[str, str]] | None = None) -> Column:
+    """PII scrub (C4/Dolma-style): emails, URLs and long digit runs
+    replaced by typed placeholder tokens, as chained JVM
+    ``regexp_replace`` passes — no UDF, codegen-friendly, and
+    engine-portable (every pattern is RE2-compatible, so an oracle can
+    replay the exact passes)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, token in (passes or PII_PASSES):
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_counts(text: Column | str) -> Column:
+    """Total count of PII matches (all passes) BEFORE redaction."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.lit(0)
+    # count on the progressively redacted text, like the passes do —
+    # an email's digits must not double-count as a number
+    for pat, token in PII_PASSES:
+        out = out + F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        c = F.regexp_replace(c, pat, token)
+    return out.cast("long")

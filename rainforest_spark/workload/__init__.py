@@ -38,7 +38,7 @@ _PRIORITY = [
     "q78_document_chunking", "q79_quality_signals",
     "q80_decontamination",
     "q81_domain_mixture", "q82_domain_cap", "q83_unigram_logprob",
-    "q84_epoch_shard", "q85_jl_projection",
+    "q84_epoch_shard", "q85_jl_projection", "q86_pii_redaction",
     # --- round 6 stale-row rotation (VERDICT r5 Missing #4): the 8
     # queries whose latest green driver row is r2 re-enter the window
     # for a fresh hash check against the CURRENT testdata (the driver
@@ -61,7 +61,8 @@ _PRIORITY = [
     "q53_prepare_input",
     "q54_embedding_neardup",
     "q57_ivf_ann_topk",
-    "q59_simhash_neardup",
+    # q59_simhash_neardup (r5-green; q46 covers the SimHash family in
+    # tests) demoted for q86_pii_redaction
     "q61_zphi_attenuation",
     "q62_vpr_correction", "q65_status_noise_mask",
     "q66_qpe_evaluation", "q67_hzt_fallback_chain",

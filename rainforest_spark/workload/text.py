@@ -613,3 +613,63 @@ def q84(spark, sf):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars_sum"),
         F.min("doc_id").alias("first_doc"))
+
+
+# ---------------------------------------------------------------- q86
+# PII redaction (C4/Dolma-style scrub): emails, URLs, long digit runs
+# -> typed placeholders, as chained regexp_replace passes.  The driver
+# corpus is PII-free word soup, so both engines deterministically
+# append the SAME synthetic contact block to every doc first — the
+# oracle then verifies the scrub does real work (md5 of the redacted
+# text, bit-exact) rather than passing on a no-op.  Patterns are
+# RE2-compatible so Java regex and DuckDB RE2 replace identically.
+@q("q86_pii_redaction", sql="""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or https://ex.org/d/'
+              || CAST(doc_id AS VARCHAR)
+              || ' tel +41 79 ' || CAST(doc_id * 7 + 100000 AS VARCHAR)
+           AS t
+  FROM documents),
+p1 AS (SELECT doc_id, t,
+              len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                AS n_email,
+              regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '[EMAIL]', 'g') AS t1
+       FROM aug),
+p2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t1, 'https?://[^\\s]+')) AS n_url,
+              regexp_replace(t1, 'https?://[^\\s]+', '[URL]', 'g') AS t2
+       FROM p1),
+p3 AS (SELECT doc_id, n_email, n_url,
+              len(regexp_extract_all(t2, '\\+?\\d(?:[\\d -]*\\d){5,}'))
+                AS n_num,
+              regexp_replace(t2, '\\+?\\d(?:[\\d -]*\\d){5,}',
+                             '[NUM]', 'g') AS t3
+       FROM p2)
+SELECT doc_id,
+       CAST(n_email + n_url + n_num AS BIGINT) AS n_pii,
+       md5(t3) AS redacted_md5,
+       CAST(length(t3) AS BIGINT) AS redacted_len
+FROM p3
+""")
+def q86(spark, sf):
+    d = T(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" tel +41 79 "),
+            (F.col("doc_id") * 7 + 100000).cast("string")).alias("t"))
+    red = TA.pii_redact("t")
+    return aug.select(
+        "doc_id",
+        TA.pii_counts("t").alias("n_pii"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_len"))

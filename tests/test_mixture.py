@@ -145,3 +145,33 @@ def test_jl_inner_product_preservation(spark):
     # JL with k=16: sd of the estimator ~ |a||b|/sqrt(k); the MEAN
     # error over 20 pairs should sit well under one sd
     assert sum(errs) / len(errs) < sum(mags) / len(mags) / math.sqrt(16) * 1.5
+
+
+def test_pii_redact_golden(spark):
+    """Positive/tricky redaction cases the PII-free driver corpus can't
+    exercise: adjacent entities, digits inside emails/URLs, short digit
+    runs that must survive, pass ordering."""
+    from rainforest_spark.operators.text_analysis import (
+        pii_counts, pii_redact,
+    )
+    rows = [
+        (1, "mail a.b+c%d@x-y.co.uk now"),
+        (2, "see https://a.b/c?d=12345678 and http://q.r/s#t"),
+        (3, "call +41 79 123 45 67 or 0791234567"),
+        (4, "id 12345 stays, 123456 goes"),          # 5 digits < min
+        (5, "dev123@ex.io pushed to https://git.io/abc123 at 20260101"),
+        (6, ""),
+        (7, "no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {r.i: (r.red, r.n) for r in
+           df.select("i", pii_redact("t").alias("red"),
+                     pii_counts("t").alias("n")).collect()}
+    assert got[1] == ("mail [EMAIL] now", 1)
+    assert got[2] == ("see [URL] and [URL]", 2)
+    assert got[3] == ("call [NUM] or [NUM]", 2)
+    assert got[4] == ("id 12345 stays, [NUM] goes", 1)
+    # email/URL pass first: their digits never double-count as numbers
+    assert got[5] == ("[EMAIL] pushed to [URL] at [NUM]", 3)
+    assert got[6] == ("", 0)
+    assert got[7] == ("no pii at all", 0)

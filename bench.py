@@ -58,6 +58,16 @@ HEADLINE = [
     "q48_energy_distance",
     "q66_qpe_evaluation",
     "q67_hzt_fallback_chain",
+    # round-6 corpus-shaping ops with non-trivial scale shapes: the
+    # token explode + vocab join (q83), the hash-ordered ranged count
+    # (q84), the zero-Exchange literal projection chain (q85), and the
+    # chained-regex scrub (q86).  No committed baseline yet (the guard
+    # skips unknown keys); the same-run sf1/sf10 physics guards apply
+    # from day one.
+    "q83_unigram_logprob",
+    "q84_epoch_shard",
+    "q85_jl_projection",
+    "q86_pii_redaction",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle

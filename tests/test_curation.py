@@ -1,0 +1,96 @@
+"""End-to-end corpus curation: the full chain runs as one plan and the
+output satisfies every stage's invariant simultaneously."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from rainforest_spark.operators.curation import (
+    CurationConfig, curate_corpus,
+)
+from rainforest_spark.operators.text_analysis import (
+    EMAIL_PATTERN, URL_PATTERN, fingerprint, token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def curated(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # synthesize PII + a hard duplicate so those stages do real work
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 50 == 0,
+               F.concat(F.col("text"), F.lit(" mail me: x@example.com")))
+        .otherwise(F.col("text")))
+    clone = (docs.filter(F.col("doc_id") < 5)
+             .withColumn("doc_id", F.col("doc_id") + 100000))
+    docs = docs.unionByName(clone)
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    cfg = CurationConfig(min_tokens=10, max_dup_ngram_ratio=0.5,
+                         mixture_rates={"src0": 0.0},
+                         mixture_default_rate=1.0,
+                         cap_per_source=40, shard_size=32)
+    counts: dict = {}
+    out = curate_corpus(docs, "doc_id", "text", "source",
+                        config=cfg, eval_docs=eval_docs,
+                        stage_counts=counts).cache()
+    return docs, out, counts
+
+
+def test_stage_counts_monotone(curated):
+    docs, out, counts = curated
+    order = ["input", "quality", "redacted", "exact_dedup", "near_dedup",
+             "decontaminated", "mixed", "output"]
+    assert list(counts) == order
+    vals = [counts[s] for s in order]
+    assert vals == sorted(vals, reverse=True)
+    assert counts["output"] == out.count()
+    assert counts["input"] == docs.count()
+    # the synthetic clones guarantee exact-dedup dropped something
+    assert counts["exact_dedup"] < counts["redacted"]
+    # decontamination dropped the eval docs themselves (self-overlap)
+    assert counts["decontaminated"] < counts["near_dedup"]
+
+
+def test_output_invariants(curated):
+    docs, out, counts = curated
+    n = out.count()
+    # no exact duplicates survive
+    assert out.select(fingerprint("text")).distinct().count() == n
+    # PII is gone from the shipped text
+    assert out.filter(
+        F.col("text").rlike(EMAIL_PATTERN)
+        | F.col("text").rlike(URL_PATTERN)).count() == 0
+    # quality floor holds
+    assert out.filter(token_count("text") < 10).count() == 0
+    # mixture dropped src0 entirely
+    assert out.filter(F.col("source") == "src0").count() == 0
+    # per-source cap respected
+    over = (out.groupBy("source").agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 40))
+    assert over.count() == 0
+    # every row has a split; only train rows have shards, and the
+    # train-shard positions are a contiguous 0..k-1 permutation
+    assert out.filter(F.col("split").isNull()).count() == 0
+    train = out.filter(F.col("split") == "train")
+    assert train.filter(F.col("shard_id").isNull()).count() == 0
+    assert (out.filter(F.col("split") != "train")
+            .filter(F.col("shard_id").isNotNull()).count() == 0)
+    pos = sorted(r.epoch_pos for r in train.select("epoch_pos").collect())
+    assert pos == list(range(len(pos)))
+
+
+def test_single_lazy_plan(spark):
+    """Without stage_counts the chain must not trigger ANY job at
+    build time (the whole point of the lazy composition)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = curate_corpus(docs, "doc_id", "text", "source",
+                        config=CurationConfig(mixture_rates=None,
+                                              cap_per_source=None))
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after
+    assert "split" in out.columns and "shard_id" in out.columns

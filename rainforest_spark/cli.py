@@ -9,6 +9,7 @@ Subcommands mirror the reference's user surface:
   dataset  — run the Phase-2 prepare_input pipeline to parquet
   train    — fit the RF QPE model + bias correction, save model + meta
   evaluate — per-model per-bound QPE score tables (10-min + hourly)
+  curate   — corpus-curation chain (quality/PII/dedup/mixture/shards)
 
 Usage: python -m rainforest_spark.cli <subcommand> [args]
 """
@@ -166,6 +167,39 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Full corpus-curation chain to parquet (quality gate → PII scrub
+    → dedup → decontamination → mixture/caps → split + shards), with
+    the per-stage survivor report on stdout."""
+    from rainforest_spark.operators.curation import (
+        CurationConfig, curate_corpus,
+    )
+    from rainforest_spark.session import get_spark
+
+    spark = get_spark("rainforest-curate")
+    docs = spark.read.parquet(args.input)
+    cfg = CurationConfig(
+        min_tokens=args.min_tokens,
+        max_dup_ngram_ratio=args.max_dup_ngram_ratio,
+        redact_pii=not args.no_pii,
+        neardup_threshold=args.neardup_threshold,
+        mixture_rates=(json.loads(args.mixture_rates)
+                       if args.mixture_rates else None),
+        cap_per_source=args.cap_per_source,
+        shard_size=args.shard_size,
+        salt=args.salt)
+    eval_docs = (spark.read.parquet(args.eval_set)
+                 if args.eval_set else None)
+    counts: dict = {}
+    out = curate_corpus(docs, args.id_col, args.text_col,
+                        args.source_col, config=cfg,
+                        eval_docs=eval_docs, stage_counts=counts)
+    (out.write.mode("overwrite")
+        .partitionBy("split").parquet(args.output))
+    print(json.dumps({"output": args.output, "stages": counts}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rainforest-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -211,6 +245,26 @@ def main(argv=None) -> int:
     e.add_argument("stations", help="stations parquet (Abbrev, X, Y)")
     e.add_argument("output", help="scores parquet path")
     e.set_defaults(fn=cmd_evaluate)
+
+    c = sub.add_parser("curate", help="corpus curation chain to parquet")
+    c.add_argument("input", help="documents parquet")
+    c.add_argument("output", help="curated output dir (split-partitioned)")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--source-col", default="source")
+    c.add_argument("--min-tokens", type=int, default=10)
+    c.add_argument("--max-dup-ngram-ratio", type=float, default=0.3)
+    c.add_argument("--no-pii", action="store_true",
+                   help="skip the PII scrub stage")
+    c.add_argument("--neardup-threshold", type=float, default=0.8)
+    c.add_argument("--mixture-rates", default=None,
+                   help='JSON source->rate map, e.g. \'{"web":0.5}\'')
+    c.add_argument("--cap-per-source", type=int, default=None)
+    c.add_argument("--shard-size", type=int, default=1024)
+    c.add_argument("--eval-set", default=None,
+                   help="eval-set parquet for decontamination")
+    c.add_argument("--salt", default="curate-v1")
+    c.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -230,7 +230,7 @@ def word_ngrams(text_col, n: int):
 
 
 def contamination_overlap(train, eval_docs, id_col: str, text_col: str,
-                          n: int = 8):
+                          n: int = 8, hash_grams: bool = False):
     """Benchmark decontamination: training docs sharing any word
     ``n``-gram with the eval set, with the shared-gram count.
 
@@ -238,16 +238,29 @@ def contamination_overlap(train, eval_docs, id_col: str, text_col: str,
     the corpus).  Shape at 100 TB: explode each side's DISTINCT
     n-grams, equi-join on the gram — the shuffle key is the gram, never
     a doc pair, so cost is linear in total grams; the eval side is
-    tiny and its distinct grams broadcast.  Exact string grams keep the
-    op oracle-checkable; swap the join key to ``xxhash64(gram)`` at
-    scale to shuffle 8 bytes instead of ~50 (hash collisions only ADD
-    candidates — re-verify on the string when exactness matters).
+    tiny and its distinct grams broadcast.
+
+    ``hash_grams=True`` joins on ``xxhash64(gram)`` instead of the
+    string: ~8 bytes per key through the exchange instead of ~50 — the
+    scale configuration.  A 64-bit collision can only ADD a flagged
+    doc (one in ~1e19 per cross-pair; for an eval set of 1e6 grams
+    against 1e12 train grams that is still ≪1 expected false flag, and
+    decontamination over-flagging is safe — it drops a clean doc, never
+    keeps a dirty one).  The exact-string default stays the
+    oracle-checkable path.
     """
     from pyspark.sql.functions import broadcast
 
+    # hash INSIDE the n-gram array, before the generator fan-out — the
+    # exploded rows then never materialize the ~50-byte strings at all
+    def grams(c):
+        g = word_ngrams(c, n)
+        return (F.transform(g, lambda x: F.xxhash64(x))
+                if hash_grams else g)
+
     tg = train.select(F.col(id_col).alias("train_id"),
-                      F.explode(word_ngrams(text_col, n)).alias("g"))
-    eg = (eval_docs.select(F.explode(word_ngrams(text_col, n)).alias("g"))
+                      F.explode(grams(text_col)).alias("g"))
+    eg = (eval_docs.select(F.explode(grams(text_col)).alias("g"))
           .distinct())
     return (tg.join(broadcast(eg), "g")
             .groupBy("train_id")

@@ -94,3 +94,46 @@ def test_single_lazy_plan(spark):
     after = tracker.getJobIdsForGroup(None)
     assert before == after
     assert "split" in out.columns and "shard_id" in out.columns
+
+
+def test_contamination_hash_grams_equivalent(spark):
+    """hash_grams=True must flag the same docs with the same counts as
+    the exact-string path on a collision-free corpus."""
+    from rainforest_spark.operators.text_analysis import (
+        contamination_overlap,
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    exact = {r.train_id: r.n_shared_grams for r in
+             contamination_overlap(tr, ev, "doc_id", "text", n=8)
+             .collect()}
+    hashed = {r.train_id: r.n_shared_grams for r in
+              contamination_overlap(tr, ev, "doc_id", "text", n=8,
+                                    hash_grams=True).collect()}
+    assert exact == hashed
+
+
+def test_curate_cli(spark, tmp_path):
+    """The curate subcommand end-to-end: parquet out, stage report on
+    stdout, split partitioning on disk."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    from rainforest_spark.cli import main
+
+    out = str(tmp_path / "curated")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["curate", f"{SF_DIR}/documents.parquet", out,
+                   "--cap-per-source", "40", "--shard-size", "32",
+                   "--mixture-rates", '{"src0": 0.0}'])
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["stages"]["output"] <= rep["stages"]["input"]
+    got = spark.read.parquet(out)
+    assert got.count() == rep["stages"]["output"]
+    assert got.filter(F.col("source") == "src0").count() == 0
+    assert set(r.split for r in got.select("split").distinct().collect()) \
+        <= {"train", "val", "test"}

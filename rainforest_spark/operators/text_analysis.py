@@ -186,6 +186,22 @@ EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_PATTERN = r"https?://[^\s]+"
 
 
+def dup_ngram_ratio(text_col, n: int = 5) -> Column:
+    """1 − distinct/total over word n-grams as one column expression
+    (NULL below ``n`` tokens) — reusable from batch selects and
+    streaming stages alike."""
+    toks = tokens(text_col)
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ngrams = F.when(total > 0, ngrams).otherwise(F.array())
+    return F.when(
+        total > 0,
+        F.round(1.0 - F.size(F.array_distinct(ngrams))
+                / total.cast("double"), 6))
+
+
 def repetition_signals(df, id_col: str, text_col: str, n: int = 5):
     """Within-document repetition + pattern counts — the Gopher-style
     quality-filter signals a pretraining pipeline cuts on.
@@ -199,19 +215,10 @@ def repetition_signals(df, id_col: str, text_col: str, n: int = 5):
     All JVM-side array/regex ops — the n-grams are built with
     sequence+slice+concat inside one column expression, never exploded.
     """
-    toks = tokens(text_col)
-    total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    ngrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    ngrams = F.when(total > 0, ngrams).otherwise(F.array())
     c = F.col(text_col)
     return df.select(
         F.col(id_col),
-        F.when(total > 0,
-               F.round(1.0 - F.size(F.array_distinct(ngrams))
-                       / total.cast("double"), 6))
-        .alias("dup_ngram_ratio"),
+        dup_ngram_ratio(text_col, n).alias("dup_ngram_ratio"),
         F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0))
         .cast("long").alias("n_emails"),
         F.size(F.regexp_extract_all(c, F.lit(URL_PATTERN), 0))

@@ -14,6 +14,16 @@ matches bit-for-bit):
 - Threshold comparisons against aggregated values always compare decimals,
   never raw double sums (a double sum landing exactly on the threshold
   would be engine-order dependent).
+- When a ROUNDED mean of gridded values is emitted (q83): the exact
+  decimal sum over an integer count lands exactly ON the half-way
+  rounding boundary for some groups, where Spark's shortest-repr
+  BigDecimal HALF_UP and DuckDB's double-arithmetic round disagree —
+  scale to integers (nanos) right after the per-element rounding and do
+  the final round-half-up as integer division ``(2N + d) div (2d)`` in
+  BOTH engines.  Also: never scale a SUMMED decimal by 1e9 in Spark
+  (decimal(38,9) × int clamps at precision 38 and rounds) — scale the
+  per-element decimal(19,9) BEFORE the sum, where precision headroom is
+  exact.
 - Timestamps are returned as epoch-second BIGINTs, never raw timestamps.
 - Every ranking window carries a unique tie-breaker column.
 """

@@ -477,3 +477,66 @@ def test_processing_time_trigger_converges_to_batch(spark, tmp_path):
         np.testing.assert_allclose(got[c], want[c],
                                    rtol=1e-9, atol=1e-12,
                                    err_msg=c, equal_nan=True)
+
+
+def test_curate_stream_batch_parity(spark, tmp_path):
+    """Streaming corpus curation ≡ the batch stateless stages + dedup:
+    same admitted fingerprints, same redacted text, duplicate and
+    low-quality docs dropped."""
+    import pandas as pd
+
+    from rainforest_spark.operators import text_analysis as TA
+    from rainforest_spark.streaming.corpus import curate_stream
+
+    src = str(tmp_path / "docs")
+    sink = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+    base = 1717200000
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows1 = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [good + " mail x@example.com",
+                 "too short",                        # < 10 tokens
+                 ("spam spam spam spam spam spam spam spam spam "
+                  "spam spam spam")],               # repetitive
+        "ingest_ts": pd.to_datetime([base, base + 1, base + 2],
+                                    unit="s").astype("datetime64[us]"),
+    })
+    rows2 = pd.DataFrame({
+        "doc_id": [4, 5],
+        "text": [good + " mail y@other.org",  # dup AFTER redaction
+                 good + " fresh content here"],
+        "ingest_ts": pd.to_datetime([base + 10, base + 11],
+                                    unit="s").astype("datetime64[us]"),
+    })
+    rows1.to_parquet(f"{src}/a.parquet", index=False)
+    rows2.to_parquet(f"{src}/b.parquet", index=False)
+
+    schema = ("doc_id bigint, text string, ingest_ts timestamp")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (curate_stream(stream, watermark="10 minutes")
+         .writeStream.outputMode("append")
+         .format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink).toPandas()
+    # doc 2 (short), doc 3 (repetitive) and doc 4 (post-redaction dup
+    # of doc 1) are gone; 1 and 5 survive with PII scrubbed
+    assert sorted(got.doc_id) == [1, 5]
+    t1 = got.set_index("doc_id").text[1]
+    assert "[EMAIL]" in t1 and "example.com" not in t1
+
+    # batch equivalence on the same files (stateless stages + dedup)
+    batch = spark.read.parquet(src)
+    b = (batch.filter(TA.token_count("text") >= 10)
+         .filter(F.coalesce(TA.dup_ngram_ratio("text"), F.lit(0.0))
+                 <= 0.3)
+         .withColumn("text", TA.pii_redact("text"))
+         .withColumn("fingerprint", TA.fingerprint("text"))
+         .dropDuplicates(["fingerprint"]))
+    assert (sorted(r.fingerprint for r in b.collect())
+            == sorted(got.fingerprint))

@@ -486,3 +486,38 @@ def jl_project(df: DataFrame, vec_col: str, in_dim: int, out_dim: int,
         acc = functools.reduce(lambda a, b: a + b, terms)
         outs.append((acc * F.lit(scale)).alias(f"{prefix}{j}"))
     return df.select("*", *outs)
+
+
+def embedding_dedup(vectors: DataFrame, id_col: str, vec_col: str,
+                    planes=None, threshold: float = 0.35,
+                    seed: int = 4242,
+                    dim: int | None = None) -> DataFrame:
+    """Semantic dedup over an embedding column (the SemDeDup shape):
+    near-dup pair generation (LSH candidates + exact cosine ≥
+    ``threshold``), connected components over the pair graph, and a
+    canonical representative (the MIN id) per component.
+
+    Returns one row per INPUT vector: ``(id, cluster_id, keep)`` —
+    singletons are their own cluster with ``keep=true``; within a
+    component only the canonical id keeps.  Filter on ``keep`` to
+    materialize the deduplicated corpus.
+
+    Scale shape: everything rides the two proven pieces — the bucketed
+    pair join (never a corpus cross product) and min-label propagation
+    whose per-round shuffle is keyed on the vertex id over the pair
+    set, which is orders of magnitude smaller than the corpus.  The
+    final label attach is one left join on the id.
+    """
+    from rainforest_spark.operators.dedup import neardup_clusters
+
+    pairs = embedding_neardup_pairs(vectors, id_col, vec_col,
+                                    planes=planes, threshold=threshold,
+                                    seed=seed, dim=dim)
+    labels = neardup_clusters(pairs, out_id="__v",
+                              cluster_col="__cluster")
+    out = (vectors.select(F.col(id_col))
+           .join(labels, F.col(id_col) == F.col("__v"), "left")
+           .select(F.col(id_col),
+                   F.coalesce("__cluster", F.col(id_col))
+                   .alias("cluster_id")))
+    return out.withColumn("keep", F.col(id_col) == F.col("cluster_id"))

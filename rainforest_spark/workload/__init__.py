@@ -49,6 +49,7 @@ _PRIORITY = [
     "q80_decontamination",
     "q81_domain_mixture", "q82_domain_cap", "q83_unigram_logprob",
     "q84_epoch_shard", "q85_jl_projection", "q86_pii_redaction",
+    "q87_embedding_dedup",
     # --- round 6 stale-row rotation (VERDICT r5 Missing #4): the 8
     # queries whose latest green driver row is r2 re-enter the window
     # for a fresh hash check against the CURRENT testdata (the driver
@@ -76,7 +77,9 @@ _PRIORITY = [
     "q61_zphi_attenuation",
     "q62_vpr_correction", "q65_status_noise_mask",
     "q66_qpe_evaluation", "q67_hzt_fallback_chain",
-    "q68_neardup_clusters", "q69_tfidf_top_terms",
+    "q68_neardup_clusters",
+    # q69_tfidf_top_terms (r5-green; the tf/df join machinery is also
+    # exercised by in-window q83) demoted for q87_embedding_dedup
     # --- proven flagships kept inside the window ---
     "q01_pricing_summary", "q09_broadcast_dim_join", "q12_asof_join",
     # q13_latest_per_hour demoted r6 for q77 (r5-green; its W2/S10

@@ -173,3 +173,62 @@ def q85(spark, sf):
     return p.select("vec_id",
                     *[F.round(F.col(f"jl_{j}"), 6).alias(f"jl_{j}")
                       for j in range(4)])
+
+
+# ---------------------------------------------------------------- q87
+# Semantic (embedding) dedup — SemDeDup shape: q54's frozen-plane LSH
+# edges at cosine >= 0.35, connected components (min-label), canonical
+# keep flag, singletons covered.  The oracle replays the identical
+# plane literals and closes the graph with a recursive CTE (the q68
+# pattern on the embedding edge set).
+def _q87_oracle_sql() -> str:
+    from rainforest_spark.workload.extended import (
+        _ND_P, _ND_TABLES, _nd_bucket_sql,
+    )
+    buckets = ",".join(f"({_nd_bucket_sql(t)}) AS b{t}"
+                       for t in range(_ND_TABLES))
+    cand = "\nUNION\n".join(
+        f"SELECT a.vec_id AS id_a, c.vec_id AS id_b "
+        f"FROM b a JOIN b c ON a.b{t} = c.b{t} AND a.vec_id < c.vec_id"
+        for t in range(_ND_TABLES))
+    return f"""
+WITH RECURSIVE
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings),
+b AS (SELECT vec_id, v, nrm, {buckets} FROM v),
+cand AS ({cand}),
+edges AS (
+  SELECT c.id_a, c.id_b FROM cand c
+  JOIN v va ON va.vec_id = c.id_a
+  JOIN v vb ON vb.vec_id = c.id_b
+  WHERE ROUND(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6)
+        >= 0.35),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM edges),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+lab AS (
+  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+  FROM reach GROUP BY src)
+SELECT e.vec_id,
+       COALESCE(lab.cluster_id, e.vec_id) AS cluster_id,
+       (e.vec_id = COALESCE(lab.cluster_id, e.vec_id)) AS keep
+FROM embeddings e LEFT JOIN lab ON lab.vec_id = e.vec_id
+"""
+
+
+@q("q87_embedding_dedup", sql=_q87_oracle_sql())
+def q87(spark, sf):
+    from rainforest_spark.operators.similarity import embedding_dedup
+    from rainforest_spark.workload.extended import _ND_P
+
+    return embedding_dedup(T(spark, sf, "embeddings"),
+                           "vec_id", "embedding", planes=_ND_P,
+                           threshold=0.35)

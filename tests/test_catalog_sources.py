@@ -206,3 +206,44 @@ def test_events_ts_dual_encoding(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got_ns.sort_values("event_id", ignore_index=True),
         got_us.sort_values("event_id", ignore_index=True))
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    """documents -> gzip JSONL shards -> read back: content-identical,
+    shard size bound respected, corrupt lines quarantined not dropped."""
+    import glob
+    import gzip
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.sources.corpus_io import read_jsonl, write_jsonl
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "corpus")
+    write_jsonl(docs, out, records_per_shard=100)
+    parts = glob.glob(f"{out}/*.json.gz")
+    assert parts, "expected gzip shards"
+    for p in parts:
+        with gzip.open(p, "rt") as f:
+            assert sum(1 for _ in f) <= 100
+
+    good, bad = read_jsonl(spark, out)
+    assert bad.count() == 0
+    a = docs.orderBy("doc_id").collect()
+    b = good.orderBy("doc_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+    # corrupt line: quarantined with the raw line, good rows unaffected
+    broken = str(tmp_path / "broken")
+    os.makedirs(broken)
+    with open(f"{broken}/shard0.jsonl", "w") as f:
+        f.write('{"doc_id": 1, "text": "ok", "lang": "en", '
+                '"source": "s", "n_chars": 2}\n')
+        f.write('{"doc_id": oops not json\n')
+    good2, bad2 = read_jsonl(spark, broken)
+    assert good2.count() == 1
+    quarantined = bad2.collect()
+    assert len(quarantined) == 1
+    assert "oops" in quarantined[0].raw_line

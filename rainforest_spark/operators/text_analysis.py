@@ -283,9 +283,10 @@ def unigram_logprob(df, id_col: str, text_col: str,
 
     ``vocab_counts`` (term, n_term) defaults to counts over ``df``
     itself (self-scoring); pass a reference corpus's counts to score
-    against a fixed LM.  Unseen terms then raise — a real pipeline adds
-    smoothing, which would bury the exactness guarantee; self-scoring
-    never sees an unseen term.
+    against a fixed LM.  Terms absent from that vocab are then EXCLUDED
+    from both the sum and ``n_tokens`` (the inner join drops them) — a
+    real pipeline adds smoothing, which would bury the exactness
+    guarantee; self-scoring never sees an unseen term.
 
     Determinism: each term's −ln p is rounded to 9 decimals and summed
     as DECIMAL (exact, order-free — a raw double sum would depend on

@@ -521,3 +521,90 @@ def embedding_dedup(vectors: DataFrame, id_col: str, vec_col: str,
                    F.coalesce("__cluster", F.col(id_col))
                    .alias("cluster_id")))
     return out.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+
+
+def build_ivf_index(vectors: DataFrame, id_col: str, vec_col: str,
+                    path: str, centroid_ids: list[int]) -> None:
+    """Materialize an IVF index as TABLES: ``{path}/codebook`` (list_id,
+    centroid vector, |c|²) and ``{path}/lists`` (the corpus with its
+    list assignment), the latter PARTITIONED BY list_id on disk.
+
+    Build once, probe many: the write pays the assignment cross-product
+    one time, and every subsequent query batch scans ONLY the probed
+    list partitions (static partition pruning — see
+    :func:`ivf_topk_index`).  At 100 TB this converts every ANN batch from
+    a full-corpus scan into ``nprobe/n_lists`` of it.
+    """
+    spark = vectors.sparkSession
+    import pandas as pd
+
+    cmap = spark.createDataFrame(pd.DataFrame({
+        "__list": range(len(sorted(centroid_ids))),
+        "__cid": sorted(centroid_ids)}))
+    v = with_double_vec(vectors, vec_col, "v").select(
+        F.col(id_col).alias("vid"), "v", _dot("v", "v").alias("aa"))
+    cdf = (v.join(broadcast(cmap), F.col("vid") == F.col("__cid"))
+           .select("__list", F.col("v").alias("cv"),
+                   F.col("aa").alias("cc")))
+    (cdf.withColumnRenamed("__list", "list_id")
+        .write.mode("overwrite").parquet(f"{path}/codebook"))
+    d2 = F.round(F.col("aa") - 2 * _dot("v", "cv") + F.col("cc"), 6)
+    assigned = (v.crossJoin(broadcast(cdf)).withColumn("__d2", d2)
+                .groupBy("vid")
+                .agg(F.min(F.struct("__d2", "__list", "aa", "v"))
+                     .alias("m"))
+                .select(F.col("vid").alias(id_col),
+                        F.col("m.v").alias("v"),
+                        F.col("m.aa").alias("aa"),
+                        F.col("m.__list").alias("list_id")))
+    (assigned.repartition("list_id")
+     .write.mode("overwrite").partitionBy("list_id")
+     .parquet(f"{path}/lists"))
+
+
+def ivf_topk_index(spark, path: str, id_col: str,
+                   query_ids: list[int], k: int = 3,
+                   nprobe: int = 4) -> DataFrame:
+    """Probe a persisted IVF index (:func:`build_ivf_index`).
+
+    The probed list ids are computed against the broadcast codebook and
+    collected to the driver — a tiny, bounded set (≤ n_lists ints) —
+    so the list scan filters on LITERALS and Spark prunes the unprobed
+    ``list_id=`` partitions at planning time (plan-asserted in
+    tests/test_ivf_index.py).  Scoring replays ivf_topk_fixed's exact
+    expressions, so results are bit-identical to the in-memory path.
+    """
+    from pyspark.sql import Window
+
+    code = spark.read.parquet(f"{path}/codebook").withColumnRenamed(
+        "list_id", "__list")
+    lists = spark.read.parquet(f"{path}/lists")
+    q = (lists.filter(F.col(id_col).isin(query_ids))
+         .select(F.col(id_col).alias("query_id"),
+                 F.col("v").alias("qv"), F.col("aa").alias("qaa")))
+    qd2 = F.round(F.col("qaa") - 2 * _dot("qv", "cv") + F.col("cc"), 6)
+    pw = Window.partitionBy("query_id").orderBy(F.col("__d2").asc(),
+                                                F.col("__list").asc())
+    probes = (q.crossJoin(broadcast(code)).withColumn("__d2", qd2)
+              .withColumn("__pr", F.row_number().over(pw))
+              .filter(F.col("__pr") <= nprobe)
+              .select("query_id", "__list"))
+    probed_ids = sorted({r["__list"] for r in
+                         probes.select("__list").distinct().collect()})
+    qside = (q.join(broadcast(probes), on="query_id")
+             .withColumn("qn", F.sqrt(F.col("qaa"))))
+    t = (lists.filter(F.col("list_id").isin(probed_ids))
+         .select(F.col(id_col).alias("neighbor_id"),
+                 F.col("list_id").alias("__list"),
+                 F.col("v").alias("tv"),
+                 F.sqrt(F.col("aa")).alias("tn")))
+    pairs = t.join(broadcast(qside), on="__list").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    sim = pairs.withColumn(
+        "sim", F.round(_dot("qv", "tv") / (F.col("qn") * F.col("tn")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (sim.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", F.col("rnk").cast("long").alias("rnk"),
+                    "neighbor_id", "sim"))

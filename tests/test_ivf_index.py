@@ -1,0 +1,59 @@
+"""Persisted IVF index: build-once/probe-many equals the in-memory
+path bit-for-bit, and probing prunes unprobed list partitions."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from rainforest_spark.operators.similarity import (
+    build_ivf_index, ivf_topk_fixed, ivf_topk_index,
+)
+
+CENTROIDS = [3, 57, 111, 222, 333, 404, 449, 480]
+QUERIES = list(range(12))
+
+
+def test_index_results_match_in_memory(spark, tmp_path):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(e, "vec_id", "embedding", idx, CENTROIDS)
+
+    got = (ivf_topk_index(spark, idx, "vec_id", QUERIES, k=3, nprobe=3)
+           .orderBy("query_id", "rnk").collect())
+    want = (ivf_topk_fixed(e, "vec_id", "embedding",
+                           F.col("vec_id").isin(QUERIES), CENTROIDS,
+                           k=3, nprobe=3)
+            .orderBy("query_id", "rnk").collect())
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    assert len(got) == len(QUERIES) * 3
+
+
+def test_index_layout_partitioned_by_list(spark, tmp_path):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(e, "vec_id", "embedding", idx, CENTROIDS)
+    dirs = sorted(glob.glob(f"{idx}/lists/list_id=*"))
+    assert len(dirs) == len(CENTROIDS)
+    # every corpus vector is in exactly one list
+    lists = spark.read.parquet(f"{idx}/lists")
+    assert lists.count() == e.count()
+    assert lists.select("vec_id").distinct().count() == e.count()
+
+
+def test_probe_scan_prunes_partitions(spark, tmp_path):
+    """The probed-list filter must reach the scan as a PartitionFilter
+    over literals — the read-side payoff of the partitioned layout."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(e, "vec_id", "embedding", idx, CENTROIDS)
+    df = ivf_topk_index(spark, idx, "vec_id", QUERIES[:3], k=3, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*list_id[^\]]*IN \(([^)]*)\)",
+                  plan)
+    assert m, f"no list_id partition filter in plan:\n{plan[:2000]}"
+    n_probed = len(m.group(1).split(","))
+    assert n_probed < len(CENTROIDS), "probe scan did not prune any list"

@@ -49,7 +49,7 @@ _PRIORITY = [
     "q80_decontamination",
     "q81_domain_mixture", "q82_domain_cap", "q83_unigram_logprob",
     "q84_epoch_shard", "q85_jl_projection", "q86_pii_redaction",
-    "q87_embedding_dedup",
+    "q87_embedding_dedup", "q88_corpus_stats",
     # --- round 6 stale-row rotation (VERDICT r5 Missing #4): the 8
     # queries whose latest green driver row is r2 re-enter the window
     # for a fresh hash check against the CURRENT testdata (the driver
@@ -77,7 +77,8 @@ _PRIORITY = [
     "q61_zphi_attenuation",
     "q62_vpr_correction", "q65_status_noise_mask",
     "q66_qpe_evaluation", "q67_hzt_fallback_chain",
-    "q68_neardup_clusters",
+    # q68_neardup_clusters (r5-green; the component machinery is
+    # exercised by in-window q87's embedding variant) demoted for q88
     # q69_tfidf_top_terms (r5-green; the tf/df join machinery is also
     # exercised by in-window q83) demoted for q87_embedding_dedup
     # --- proven flagships kept inside the window ---

@@ -673,3 +673,51 @@ def q86(spark, sf):
         TA.pii_counts("t").alias("n_pii"),
         F.md5(red).alias("redacted_md5"),
         F.length(red).cast("long").alias("redacted_len"))
+
+
+# ---------------------------------------------------------------- q88
+# Corpus statistics report: the per-source summary a curation run
+# publishes (doc/lang counts, token mass, discrete char-length
+# quantiles).  Quantiles are rank-based (value at row floor((n-1)q)+1
+# in (n_chars, doc_id) order) — pure integer rank arithmetic, so both
+# engines pick the IDENTICAL element; no interpolation, no approx
+# sketch.  At scale this is one window + one groupBy per source.
+@q("q88_corpus_stats", sql="""
+WITH r AS (
+  SELECT source, lang, doc_id, length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY length(text), doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM documents)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(CASE WHEN rn = (cnt - 1) // 2 + 1
+                     THEN n_chars END) AS BIGINT) AS median_chars,
+       CAST(MAX(CASE WHEN rn = ((cnt - 1) * 9) // 10 + 1
+                     THEN n_chars END) AS BIGINT) AS p90_chars
+FROM r GROUP BY 1
+""")
+def q88(spark, sf):
+    from pyspark.sql import Window
+
+    d = T(spark, sf, "documents").select(
+        "source", "lang", "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        TA.token_count("text").cast("long").alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    r = (d.withColumn("rn", F.row_number().over(w))
+         .withColumn("cnt", F.count(F.lit(1)).over(wc)))
+    med_rn = F.floor((F.col("cnt") - 1) / 2) + 1
+    p90_rn = F.floor((F.col("cnt") - 1) * 9 / 10) + 1
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max(F.when(F.col("rn") == med_rn, F.col("n_chars")))
+        .cast("long").alias("median_chars"),
+        F.max(F.when(F.col("rn") == p90_rn, F.col("n_chars")))
+        .cast("long").alias("p90_chars"))

@@ -64,7 +64,9 @@ def curate_corpus(docs: DataFrame, id_col: str, text_col: str,
     ``eval_docs`` enables the decontamination stage (docs sharing any
     ``decontaminate_ngram``-gram with it are dropped).  Pass a dict as
     ``stage_counts`` to get per-stage survivor counts filled in — each
-    entry costs one count() job; leave it None for the pure lazy chain.
+    entry costs one count() job, and only stages that actually RAN get
+    an entry (a disabled stage's count would just replay the previous
+    one); leave it None for the pure lazy chain.
     """
     cfg = config or CurationConfig()
 
@@ -75,22 +77,20 @@ def curate_corpus(docs: DataFrame, id_col: str, text_col: str,
 
     d = note("input", docs)
 
-    # 1. quality gate: length floor + repetition ceiling (q79 signals)
-    sig = TA.repetition_signals(d, id_col, text_col,
-                                n=5).select(
-        F.col(id_col).alias("__qid"), "dup_ngram_ratio")
-    d = (d.join(sig, d[id_col] == sig["__qid"], "left").drop("__qid")
-         .filter(TA.token_count(text_col) >= cfg.min_tokens)
-         .filter(F.coalesce(F.col("dup_ngram_ratio"), F.lit(0.0))
-                 <= cfg.max_dup_ngram_ratio)
-         .drop("dup_ngram_ratio"))
+    # 1. quality gate: length floor + repetition ceiling — the signals
+    # are per-row column expressions, so the gate is two filters fused
+    # into the scan (no join, no shuffle)
+    d = (d.filter(TA.token_count(text_col) >= cfg.min_tokens)
+         .filter(F.coalesce(TA.dup_ngram_ratio(text_col, n=5),
+                            F.lit(0.0))
+                 <= cfg.max_dup_ngram_ratio))
     d = note("quality", d)
 
     # 2. PII scrub (in place, before any hashing so dedup keys match
     # what ships)
     if cfg.redact_pii:
         d = d.withColumn(text_col, TA.pii_redact(text_col))
-    d = note("redacted", d)
+        d = note("redacted", d)
 
     # 3. exact dedup: keep the canonical (min-id) doc per fingerprint
     groups = (D.exact_dedup_groups(d, id_col, text_col)
@@ -116,7 +116,7 @@ def curate_corpus(docs: DataFrame, id_col: str, text_col: str,
             n=cfg.decontaminate_ngram).select(
             F.col("train_id").alias("__bad"))
         d = d.join(hits, d[id_col] == F.col("__bad"), "anti")
-    d = note("decontaminated", d)
+        d = note("decontaminated", d)
 
     # 6. domain mixture + per-source cap
     if cfg.mixture_rates is not None:
@@ -127,7 +127,8 @@ def curate_corpus(docs: DataFrame, id_col: str, text_col: str,
     if cfg.cap_per_source is not None:
         d = cap_per_group(d, source_col, id_col,
                           k=cfg.cap_per_source, salt=cfg.salt + ":cap")
-    d = note("mixed", d)
+    if cfg.mixture_rates is not None or cfg.cap_per_source is not None:
+        d = note("mixed", d)
 
     # 7. split assignment + epoch sharding (train split only gets
     # shards; val/test keep shard_id null)

@@ -58,12 +58,19 @@ def rate_threshold_hex(rate: float) -> str:
     return format(thr, f"0{_HEX_CHARS}x")
 
 
+def salted_md5(id_col: Column | str, salt: str) -> Column:
+    """``md5(salt || ':' || id)`` — THE deterministic-decision hash
+    convention shared by every sampling/split/shuffle op (mixture,
+    packing.split_assign, packing.epoch_shards).  One spelling, one
+    place: the oracle SQL replays this exact string form, so a drift in
+    any copy would silently fork the determinism contract."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat(F.lit(salt + ":"), c.cast("string")))
+
+
 def sample_hash(id_col: Column | str, salt: str) -> Column:
     """The 6-hex-char uniform sampling key of (salt, id)."""
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.substring(
-        F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))),
-        1, _HEX_CHARS)
+    return F.substring(salted_md5(id_col, salt), 1, _HEX_CHARS)
 
 
 def weighted_sample(df: DataFrame, id_col: str,

@@ -81,13 +81,13 @@ def epoch_shards(df: DataFrame, id_col: str, shard_size: int,
     construction so the range partitions are balanced at any corpus
     size.  ``pos_col`` optionally exposes the 0-based epoch position.
     """
+    from rainforest_spark.operators.mixture import salted_md5
     from rainforest_spark.operators.windows import ranged_cumsum
 
     c = F.col(id_col).cast("string")
     # md5 order with an id tiebreak appended; zero-padding keeps the
     # concatenated key's lexicographic order total and engine-portable
-    key = F.concat(F.md5(F.concat(F.lit(salt + ":"), c)),
-                   F.lpad(c, 20, "0"))
+    key = F.concat(salted_md5(c, salt), F.lpad(c, 20, "0"))
     d = (df.withColumn("__ek", key)
          .withColumn("__one", F.lit(1).cast("long")))
     out = (ranged_cumsum(d, "__ek", "__one", "__rn")
@@ -111,11 +111,11 @@ def split_assign(df: DataFrame, id_col: str,
     1/256) map it to a label.  Changing ``salt`` redraws the whole
     assignment; adding rows never moves existing ones between splits.
     """
+    from rainforest_spark.operators.mixture import salted_md5
+
     rates = rates or {"train": 0.90, "val": 0.05, "test": 0.05}
-    bucket = F.conv(F.substring(
-        F.md5(F.concat(F.lit(salt + ":"),
-                       F.col(id_col).cast("string"))), 1, 2),
-        16, 10).cast("int")
+    bucket = F.conv(F.substring(salted_md5(id_col, salt), 1, 2),
+                    16, 10).cast("int")
     expr = None
     acc = 0
     labels = list(rates)

@@ -562,26 +562,31 @@ def build_ivf_index(vectors: DataFrame, id_col: str, vec_col: str,
      .parquet(f"{path}/lists"))
 
 
-def ivf_topk_index(spark, path: str, id_col: str,
-                   query_ids: list[int], k: int = 3,
+def ivf_topk_index(spark, path: str, queries: DataFrame,
+                   id_col: str, vec_col: str, k: int = 3,
                    nprobe: int = 4) -> DataFrame:
-    """Probe a persisted IVF index (:func:`build_ivf_index`).
+    """Probe a persisted IVF index (:func:`build_ivf_index`) with a
+    batch of query vectors.
 
-    The probed list ids are computed against the broadcast codebook and
-    collected to the driver — a tiny, bounded set (≤ n_lists ints) —
-    so the list scan filters on LITERALS and Spark prunes the unprobed
-    ``list_id=`` partitions at planning time (plan-asserted in
-    tests/test_ivf_index.py).  Scoring replays ivf_topk_fixed's exact
-    expressions, so results are bit-identical to the in-memory path.
+    ``queries`` carries the vectors themselves (the ANN-batch shape —
+    queries are usually NOT index members, and looking vectors up by id
+    would full-scan the index since ``list_id``, not the id, is the
+    partition column).  The probed list ids are computed against the
+    broadcast codebook and collected to the driver — a tiny, bounded
+    set (≤ n_lists ints) — so the ONLY index scan filters on LITERALS
+    and Spark prunes the unprobed ``list_id=`` partitions at planning
+    time (plan-asserted in tests/test_ivf_index.py).  Scoring replays
+    ivf_topk_fixed's exact expressions, so results are bit-identical to
+    the in-memory path.
     """
     from pyspark.sql import Window
 
     code = spark.read.parquet(f"{path}/codebook").withColumnRenamed(
         "list_id", "__list")
     lists = spark.read.parquet(f"{path}/lists")
-    q = (lists.filter(F.col(id_col).isin(query_ids))
-         .select(F.col(id_col).alias("query_id"),
-                 F.col("v").alias("qv"), F.col("aa").alias("qaa")))
+    qv = with_double_vec(queries, vec_col, "qv")
+    q = qv.select(F.col(id_col).alias("query_id"), "qv",
+                  _dot("qv", "qv").alias("qaa"))
     qd2 = F.round(F.col("qaa") - 2 * _dot("qv", "cv") + F.col("cc"), 6)
     pw = Window.partitionBy("query_id").orderBy(F.col("__d2").asc(),
                                                 F.col("__list").asc())

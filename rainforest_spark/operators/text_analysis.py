@@ -160,17 +160,22 @@ def chunk_text(df, id_col: str, text_col: str,
     Pure column ops: a ``sequence`` of window starts (stride =
     chunk_chars - overlap) exploded executor-side, then ``substring`` —
     no UDF, fan-out stays in the plan.  Emits (id, chunk_idx,
-    chunk_start [1-based], chunk) with the final partial window
-    included; empty/null docs produce one empty chunk at start 1, so no
-    document silently disappears from the corpus.
+    chunk_start [1-based], chunk).  The last start is the largest
+    ``k·stride < max(len − overlap, 1)``: a final partial window is
+    kept only when it contributes at least one character BEYOND the
+    previous chunk's tail (a window of ≤ overlap chars is a strict
+    suffix of its predecessor — indexing it would embed duplicate
+    content).  Empty/null docs produce one empty chunk at start 1, so
+    no document silently disappears from the corpus.
     """
     assert 0 <= overlap < chunk_chars
     stride = chunk_chars - overlap
     c = F.col(text_col)
     starts = F.sequence(
         F.lit(0),
-        F.greatest(F.floor((F.length(F.coalesce(c, F.lit(""))) - 1)
-                           / stride), F.lit(0)).cast("int"))
+        F.floor((F.greatest(F.length(F.coalesce(c, F.lit("")))
+                            - overlap, F.lit(1)) - 1)
+                / stride).cast("int"))
     d = df.withColumn("__k", F.explode(starts))
     return d.select(
         F.col(id_col),

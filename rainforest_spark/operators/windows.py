@@ -93,22 +93,35 @@ def ranged_cumsum(df: DataFrame, order_col: str, weight_col: str,
     wo = (Window.partitionBy(*g).orderBy("__p") if g
           else Window.orderBy("__p"))
     wt = Window.partitionBy(*g) if g else Window.partitionBy()
-    offs = (d.groupBy("__p", *g).agg(F.sum(weight_col).alias("__pw"))
-            .withColumn(
-                "__off",
-                F.coalesce(
-                    F.sum("__pw").over(
-                        wo.rowsBetween(Window.unboundedPreceding, -1)),
-                    F.lit(0.0))))
+    offs = d.groupBy("__p", *g).agg(F.sum(weight_col).alias("__pw"))
+    # typed zero keeps integer weights integer end-to-end (packing's
+    # "all-integer arithmetic" contract; a double 0.0 here silently
+    # promoted long cumsums to double, exact only below 2^53)
+    zero = F.lit(0).cast(offs.schema["__pw"].dataType)
+    offs = offs.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__pw").over(
+                wo.rowsBetween(Window.unboundedPreceding, -1)),
+            zero))
     if total_col:
         offs = offs.withColumn(total_col, F.sum("__pw").over(wt))
-    offs = offs.select("__p", *g, "__off",
+    offs = offs.select(F.col("__p").alias("__op"),
+                       *[F.col(c).alias(f"__og_{c}") for c in g],
+                       "__off",
                        *([total_col] if total_col else []))
     wl = (Window.partitionBy("__p", *g).orderBy(F.col(order_col))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (d.join(F.broadcast(offs), ["__p"] + g)
+    # null-SAFE join keys: a NULL group value is a real group (the
+    # plain grouped-window path keeps it), and a name-based equi-join
+    # would silently drop every row of it
+    cond = F.col("__p") == F.col("__op")
+    for c in g:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__og_{c}"))
+    return (d.join(F.broadcast(offs), cond)
             .withColumn(cum_col, F.sum(weight_col).over(wl) + F.col("__off"))
-            .drop("__p", "__off"))
+            .drop("__p", "__op", "__off",
+                  *[f"__og_{c}" for c in g]))
 
 
 def weighted_quantile(df: DataFrame, group_cols: list[str], value_col: str,

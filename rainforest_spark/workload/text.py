@@ -392,7 +392,8 @@ def q76(spark, sf):
 # ---------------------------------------------------------------- q78
 # Document chunking: fixed 256-char windows with 32-char overlap
 # (stride 224), the retrieval/embedding preprocessing fan-out — pure
-# sequence+explode+substring, no UDF.  Result is per-chunk scalars
+# sequence+explode+substring, no UDF.  A trailing window of <= overlap
+# chars is a strict suffix of its predecessor and is not emitted.  Result is per-chunk scalars
 # (lengths + a chunk fingerprint) so the hash gate covers the exact
 # chunk CONTENT without hashing megabytes of text cells twice.
 @q("q78_document_chunking", sql="""
@@ -401,7 +402,8 @@ WITH d AS (
 k AS (
   SELECT doc_id, t,
          UNNEST(generate_series(0,
-             GREATEST(CAST(floor((length(t) - 1) / 224) AS BIGINT), 0)))
+             CAST(floor((GREATEST(length(t) - 32, 1) - 1) / 224)
+                  AS BIGINT)))
            AS ki
   FROM d)
 SELECT doc_id, CAST(ki AS BIGINT) AS chunk_idx,

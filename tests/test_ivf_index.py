@@ -21,7 +21,9 @@ def test_index_results_match_in_memory(spark, tmp_path):
     idx = str(tmp_path / "ivf")
     build_ivf_index(e, "vec_id", "embedding", idx, CENTROIDS)
 
-    got = (ivf_topk_index(spark, idx, "vec_id", QUERIES, k=3, nprobe=3)
+    qdf = e.filter(F.col("vec_id").isin(QUERIES))
+    got = (ivf_topk_index(spark, idx, qdf, "vec_id", "embedding",
+                          k=3, nprobe=3)
            .orderBy("query_id", "rnk").collect())
     want = (ivf_topk_fixed(e, "vec_id", "embedding",
                            F.col("vec_id").isin(QUERIES), CENTROIDS,
@@ -49,7 +51,9 @@ def test_probe_scan_prunes_partitions(spark, tmp_path):
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     idx = str(tmp_path / "ivf")
     build_ivf_index(e, "vec_id", "embedding", idx, CENTROIDS)
-    df = ivf_topk_index(spark, idx, "vec_id", QUERIES[:3], k=3, nprobe=2)
+    qdf = e.filter(F.col("vec_id").isin(QUERIES[:3]))
+    df = ivf_topk_index(spark, idx, qdf, "vec_id", "embedding",
+                        k=3, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     import re
     m = re.search(r"PartitionFilters: \[[^\]]*list_id[^\]]*IN \(([^)]*)\)",

@@ -175,3 +175,28 @@ def test_pii_redact_golden(spark):
     assert got[5] == ("[EMAIL] pushed to [URL] at [NUM]", 3)
     assert got[6] == ("", 0)
     assert got[7] == ("no pii at all", 0)
+
+
+def test_ranged_cumsum_null_group_kept(spark):
+    """A NULL group-key value is a real group: the grouped ranged path
+    must emit exactly what the plain grouped window emits (it used to
+    silently drop NULL-group rows in the offsets equi-join)."""
+    from pyspark.sql import Window
+
+    from rainforest_spark.operators.windows import ranged_cumsum
+
+    rows = [(None, 1, 10), (None, 2, 5), ("a", 3, 7), ("a", 4, 1),
+            (None, 5, 2), ("b", 6, 4)]
+    df = spark.createDataFrame(rows, ["grp", "ord", "w"])
+    got = {(r.grp, r.ord): r.cw for r in
+           ranged_cumsum(df, "ord", "w", "cw", group_cols=["grp"])
+           .collect()}
+    w = (Window.partitionBy("grp").orderBy("ord")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {(r.grp, r.ord): r.cw for r in
+            df.withColumn("cw", F.sum("w").over(w)).collect()}
+    assert got == want
+    assert len(got) == len(rows)
+    # integer weights stay integer (no silent double promotion)
+    out = ranged_cumsum(df, "ord", "w", "cw", group_cols=["grp"])
+    assert dict(out.dtypes)["cw"] == "bigint"

@@ -338,9 +338,10 @@ def test_pack_contiguous_grouped_per_tape(spark):
 
 
 def test_chunk_text_overlap_and_edges(spark):
-    """Chunk windows: stride = chunk - overlap, last partial window
-    kept, consecutive chunks share exactly `overlap` chars, empty and
-    null docs yield one empty chunk (no silent drop)."""
+    """Chunk windows: stride = chunk - overlap, a last partial window
+    is kept only if it adds content beyond the previous tail,
+    consecutive chunks share exactly `overlap` chars, empty and null
+    docs yield one empty chunk (no silent drop)."""
     import pandas as pd
 
     from rainforest_spark.operators.text_analysis import chunk_text
@@ -352,8 +353,9 @@ def test_chunk_text_overlap_and_edges(spark):
            .toPandas().sort_values(["doc_id", "chunk_idx"],
                                    ignore_index=True))
     d1 = out[out.doc_id == 1]["chunk"].tolist()
-    # stride 4: windows [1..6], [5..10], [9..10]
-    assert d1 == ["abcdef", "efghij", "ij"]
+    # stride 4: windows [1..6], [5..10]; a third window [9..10] would
+    # be a strict suffix of [5..10] (<= overlap chars) and is not cut
+    assert d1 == ["abcdef", "efghij"]
     assert all(a[-2:] == b[:2] for a, b in zip(d1, d1[1:]) if len(b) >= 2)
     assert out[out.doc_id == 2]["chunk"].tolist() == ["abc"]
     assert out[out.doc_id == 3]["chunk"].tolist() == [""]

@@ -127,3 +127,38 @@ def split_assign(df: DataFrame, id_col: str,
     expr = (F.lit(labels[-1]) if expr is None
             else expr.otherwise(labels[-1]))
     return df.withColumn(out_col, expr)
+
+
+def materialize_packed(df: DataFrame, order_col: str, token_col: str,
+                       text_col: str, budget: int,
+                       sep: str = " <|eos|> ",
+                       group_cols: list[str] | None = None) -> DataFrame:
+    """Build the actual training tapes: documents are packed with
+    :func:`pack_contiguous`, then each bin's texts are concatenated in
+    tape order with ``sep`` (the EOS boundary marker a tokenizer maps
+    to its document-separator token).
+
+    Returns one row per bin: ``(group..., bin_id, n_docs, tok_sum,
+    tape)``.  Deterministic: within-bin order is ``order_col`` (the
+    same order that defined the tape), so the concatenation — and any
+    hash of it — is exactly reproducible.
+
+    Shuffle shape: pack_contiguous's ranged cumsum, then ONE groupBy on
+    (group, bin).  A bin holds ~``budget`` tokens regardless of corpus
+    size, so rows-per-group is bounded and the collect_list inside the
+    aggregation never skews.
+    """
+    g = list(group_cols or [])
+    packed = pack_contiguous(df, order_col, token_col, budget,
+                             group_cols=g or None)
+    tape = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col(order_col).alias("o"),
+                         F.col(text_col).alias("t")))),
+            lambda s: s.t),
+        sep)
+    return (packed.groupBy(*g, "bin_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col(token_col).cast("long")).alias("tok_sum"),
+                 tape.alias("tape")))

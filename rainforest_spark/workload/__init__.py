@@ -49,7 +49,7 @@ _PRIORITY = [
     "q80_decontamination",
     "q81_domain_mixture", "q82_domain_cap", "q83_unigram_logprob",
     "q84_epoch_shard", "q85_jl_projection", "q86_pii_redaction",
-    "q87_embedding_dedup", "q88_corpus_stats",
+    "q87_embedding_dedup", "q88_corpus_stats", "q89_packed_tapes",
     # --- round 6 stale-row rotation (VERDICT r5 Missing #4): the 8
     # queries whose latest green driver row is r2 re-enter the window
     # for a fresh hash check against the CURRENT testdata (the driver
@@ -75,7 +75,9 @@ _PRIORITY = [
     # q59_simhash_neardup (r5-green; q46 covers the SimHash family in
     # tests) demoted for q86_pii_redaction
     "q61_zphi_attenuation",
-    "q62_vpr_correction", "q65_status_noise_mask",
+    # q62_vpr_correction (r5-green; the XML-curve apply is also pytest
+    # golden-tested) demoted for q89_packed_tapes
+    "q65_status_noise_mask",
     "q66_qpe_evaluation", "q67_hzt_fallback_chain",
     # q68_neardup_clusters (r5-green; the component machinery is
     # exercised by in-window q87's embedding variant) demoted for q88

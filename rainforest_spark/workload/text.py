@@ -723,3 +723,46 @@ def q88(spark, sf):
         .cast("long").alias("median_chars"),
         F.max(F.when(F.col("rn") == p90_rn, F.col("n_chars")))
         .cast("long").alias("p90_chars"))
+
+
+# ---------------------------------------------------------------- q89
+# Packed-tape materialization: the step after q75's bin assignment —
+# each 512-token bin's documents concatenated in tape order with an
+# EOS boundary marker.  The hash gate covers the exact tape CONTENT
+# via md5 (hashing megabytes of tape twice would be the same bytes
+# anyway); within-bin order is doc_id, so both engines agg the
+# identical string.
+@q("q89_packed_tapes", sql="""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, text, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cw
+  FROM t),
+b AS (
+  SELECT CAST((cw - n_tokens) // 512 AS BIGINT) AS bin_id,
+         doc_id, text, n_tokens
+  FROM c)
+SELECT bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+       md5(string_agg(text, ' <|eos|> ' ORDER BY doc_id)) AS tape_md5,
+       CAST(length(string_agg(text, ' <|eos|> ' ORDER BY doc_id))
+            AS BIGINT) AS tape_len
+FROM b GROUP BY 1
+""")
+def q89(spark, sf):
+    from rainforest_spark.operators.packing import materialize_packed
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", "text",
+        TA.token_count("text").cast("long").alias("n_tokens"))
+    tapes = materialize_packed(d, "doc_id", "n_tokens", "text",
+                               budget=512)
+    return tapes.select(
+        "bin_id", "n_docs", "tok_sum",
+        F.md5("tape").alias("tape_md5"),
+        F.length("tape").cast("long").alias("tape_len"))

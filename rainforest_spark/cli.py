@@ -10,6 +10,7 @@ Subcommands mirror the reference's user surface:
   train    — fit the RF QPE model + bias correction, save model + meta
   evaluate — per-model per-bound QPE score tables (10-min + hourly)
   curate   — corpus-curation chain (quality/PII/dedup/mixture/shards)
+  ingest   — JSONL corpus shards -> parquet, with a quarantine report
 
 Usage: python -m rainforest_spark.cli <subcommand> [args]
 """
@@ -200,6 +201,26 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """JSONL shards -> parquet: schema-enforced read, corrupt lines
+    quarantined to a side file, shard-bounded parquet out."""
+    from rainforest_spark.session import get_spark
+    from rainforest_spark.sources.corpus_io import DOC_SCHEMA, read_jsonl
+
+    spark = get_spark("rainforest-ingest")
+    good, bad = read_jsonl(spark, args.input,
+                           schema=args.schema or DOC_SCHEMA)
+    good.write.mode("overwrite").parquet(args.output)
+    n_bad = 0
+    if args.quarantine:
+        bad.write.mode("overwrite").text(args.quarantine)
+        n_bad = spark.read.text(args.quarantine).count()
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"output": args.output, "rows": n,
+                      "quarantined": n_bad}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rainforest-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -265,6 +286,15 @@ def main(argv=None) -> int:
                    help="eval-set parquet for decontamination")
     c.add_argument("--salt", default="curate-v1")
     c.set_defaults(fn=cmd_curate)
+
+    i = sub.add_parser("ingest", help="JSONL shards -> parquet")
+    i.add_argument("input", help="JSONL path/glob (plain or .gz)")
+    i.add_argument("output", help="parquet output dir")
+    i.add_argument("--schema", default=None,
+                   help="DDL schema string (default: documents schema)")
+    i.add_argument("--quarantine", default=None,
+                   help="where to write corrupt raw lines (text)")
+    i.set_defaults(fn=cmd_ingest)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -137,3 +137,27 @@ def test_curate_cli(spark, tmp_path):
     assert got.filter(F.col("source") == "src0").count() == 0
     assert set(r.split for r in got.select("split").distinct().collect()) \
         <= {"train", "val", "test"}
+
+
+def test_ingest_cli(spark, tmp_path):
+    import io
+    import json as _json
+    import os
+    from contextlib import redirect_stdout
+
+    from rainforest_spark.cli import main
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(f"{src}/s0.jsonl", "w") as fh:
+        fh.write('{"doc_id": 1, "text": "hello world", "lang": "en", '
+                 '"source": "s", "n_chars": 11}\n')
+        fh.write('not json at all\n')
+    out, quar = str(tmp_path / "out"), str(tmp_path / "bad")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["ingest", src, out, "--quarantine", quar])
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["rows"] == 1 and rep["quarantined"] == 1
+    assert spark.read.parquet(out).first().text == "hello world"

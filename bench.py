@@ -137,6 +137,9 @@ SF10_HEADLINE = [
     # and the IVF probe/score path
     "q49_multimodal_decode",
     "q57_ivf_ann_topk",
+    # round-6 continuation: the most data-intensive corpus op (token
+    # explode + vocab join) gets its second measured decade too
+    "q83_unigram_logprob",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0

@@ -62,6 +62,45 @@ def cosine_topk(vectors: DataFrame, id_col: str, vec_col: str,
                     "neighbor_id", "sim"))
 
 
+def hard_negatives(vectors: DataFrame, id_col: str, vec_col: str,
+                   query_ids_pred: Column, k: int = 3,
+                   band: tuple = (0.2, 0.8),
+                   round_to: int = 6) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most similar vectors INSIDE a similarity band — similar
+    enough to be informative negatives, below the near-duplicate zone
+    that would poison the loss with false negatives.
+
+    Exactly cosine_topk with the band filter applied BEFORE ranking
+    (the band is on the 6dp-rounded similarity, so the cut itself is
+    engine-exact).  Scale path: swap the scoring backend for the
+    LSH/IVF candidate generators when the corpus outgrows the
+    broadcast — the band filter composes with any of them.
+    """
+    from pyspark.sql import Window
+
+    lo, hi = band
+    v = with_double_vec(vectors, vec_col, "v").select(
+        F.col(id_col), F.col("v"), _norm("v").alias("nrm"))
+    q = v.filter(query_ids_pred).select(
+        F.col(id_col).alias("anchor_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"))
+    t = v.select(F.col(id_col).alias("negative_id"),
+                 F.col("v").alias("tv"), F.col("nrm").alias("tn"))
+    pairs = t.crossJoin(broadcast(q)).filter(
+        F.col("negative_id") != F.col("anchor_id"))
+    sim = (pairs.withColumn(
+        "sim", F.round(_dot("qv", "tv") / (F.col("qn") * F.col("tn")),
+                       round_to))
+        .filter((F.col("sim") >= lo) & (F.col("sim") < hi)))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("negative_id").asc())
+    return (sim.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("anchor_id", F.col("rnk").cast("long").alias("rnk"),
+                    "negative_id", "sim"))
+
+
 def hyperplane_buckets(vectors: DataFrame, id_col: str, vec_col: str,
                        n_planes: int | None = None, seed: int = 42,
                        dim: int | None = None) -> DataFrame:

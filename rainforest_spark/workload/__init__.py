@@ -50,6 +50,7 @@ _PRIORITY = [
     "q81_domain_mixture", "q82_domain_cap", "q83_unigram_logprob",
     "q84_epoch_shard", "q85_jl_projection", "q86_pii_redaction",
     "q87_embedding_dedup", "q88_corpus_stats", "q89_packed_tapes",
+    "q90_hard_negatives",
     # --- round 6 stale-row rotation (VERDICT r5 Missing #4): the 8
     # queries whose latest green driver row is r2 re-enter the window
     # for a fresh hash check against the CURRENT testdata (the driver
@@ -70,7 +71,9 @@ _PRIORITY = [
     # shard/JL batch.  Every demoted operator stays pytest-gated via
     # tests/test_oracle_parity.py.)
     "q53_prepare_input",
-    "q54_embedding_neardup",
+    # q54_embedding_neardup (r5-green frozen-plane oracle variant;
+    # q54_auto in-window exercises the same operator's default path)
+    # demoted for q90_hard_negatives
     "q57_ivf_ann_topk",
     # q59_simhash_neardup (r5-green; q46 covers the SimHash family in
     # tests) demoted for q86_pii_redaction

@@ -232,3 +232,36 @@ def q87(spark, sf):
     return embedding_dedup(T(spark, sf, "embeddings"),
                            "vec_id", "embedding", planes=_ND_P,
                            threshold=0.35)
+
+
+# ---------------------------------------------------------------- q90
+# Hard-negative mining for contrastive training: per anchor (first 20
+# vectors), the top-3 most similar corpus vectors inside the
+# [0.2, 0.8) similarity band — informative negatives below the
+# near-dup zone.  The band cut is on the 6dp-rounded similarity, so
+# both engines cut identically.
+@q("q90_hard_negatives", sql="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings),
+q AS (SELECT vec_id AS anchor_id, v AS qv, nrm AS qn
+      FROM v WHERE vec_id < 20),
+pairs AS (
+  SELECT q.anchor_id, t.vec_id AS negative_id,
+         ROUND(list_dot_product(q.qv, t.v) / (q.qn * t.nrm), 6) AS sim
+  FROM q, v t WHERE t.vec_id != q.anchor_id),
+banded AS (SELECT * FROM pairs WHERE sim >= 0.2 AND sim < 0.8),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY sim DESC, negative_id) AS rnk
+  FROM banded)
+SELECT anchor_id, CAST(rnk AS BIGINT) AS rnk, negative_id, sim
+FROM ranked WHERE rnk <= 3
+""")
+def q90(spark, sf):
+    e = T(spark, sf, "embeddings")
+    return SIM.hard_negatives(e, "vec_id", "embedding",
+                              query_ids_pred=F.col("vec_id") < 20,
+                              k=3, band=(0.2, 0.8))

@@ -200,3 +200,19 @@ def test_ranged_cumsum_null_group_kept(spark):
     # integer weights stay integer (no silent double promotion)
     out = ranged_cumsum(df, "ord", "w", "cw", group_cols=["grp"])
     assert dict(out.dtypes)["cw"] == "bigint"
+
+
+def test_pii_redact_idempotent(spark):
+    """redact(redact(x)) == redact(x): placeholders contain no digits,
+    @ or :// so a second pass never re-matches — the property that
+    makes the scrub safe to re-run over partially-processed data."""
+    from rainforest_spark.operators.text_analysis import pii_redact
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id",
+                    F.concat(F.col("text"),
+                             F.lit(" a@b.co https://x.y/1 +41791234567"))
+                    .alias("t")))
+    once = docs.select("doc_id", pii_redact("t").alias("r1"))
+    twice = once.select("doc_id", pii_redact("r1").alias("r2"), "r1")
+    assert twice.filter(F.col("r1") != F.col("r2")).count() == 0

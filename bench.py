@@ -68,6 +68,11 @@ HEADLINE = [
     "q84_epoch_shard",
     "q85_jl_projection",
     "q86_pii_redaction",
+    # the bigram fan-out + double vocab join (q91) and the hot-gram
+    # join + per-doc sessionization (q92): the two heaviest-shuffle
+    # corpus ops added late in round 6
+    "q91_pmi_bigrams",
+    "q92_repeated_spans",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle

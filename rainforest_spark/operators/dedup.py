@@ -303,3 +303,74 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a",
             f"a component's diameter exceeds max_iter — raise max_iter")
     return labels.select(F.col("v").alias(out_id),
                          F.col("label").alias(cluster_col))
+
+
+def positioned_shingles(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 5) -> DataFrame:
+    """(id, pos, shingle) rows — word ``n``-gram at each 1-based token
+    position of the normalized token sequence.  NOT distinct (unlike
+    ``shingle_table``): positions are the point, a repeated gram in one
+    doc is two rows.  Same staged-array pattern (the lambda must not
+    re-evaluate the split per element)."""
+    words = F.split(normalized_text(text_col), " ")
+    staged = df.select(F.col(id_col), words.alias("__words"))
+    w = F.col("__words")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    mk = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + k + 1)
+                                          for k in range(n)]))
+    shingles = F.when(F.size(w) >= n, mk) \
+        .otherwise(F.array().cast("array<string>"))
+    return staged.select(
+        F.col(id_col), F.posexplode(shingles).alias("__p", "shingle")
+    ).select(F.col(id_col), (F.col("__p") + 1).cast("long").alias("pos"),
+             "shingle")
+
+
+def repeated_spans(df: DataFrame, id_col: str, text_col: str,
+                   n: int = 5, min_docs: int = 2) -> DataFrame:
+    """Cross-document repeated-span detection — the word-granularity
+    analogue of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    maximal token spans whose every ``n``-gram also appears verbatim in
+    at least ``min_docs`` distinct documents, the passages an LLM
+    pipeline trims as boilerplate/licence blocks/quotes.
+
+    Three stages, all linear in total grams:
+    1. positioned ``n``-gram shingles (in-expression fan-out, no join);
+    2. "hot" grams: groupBy(gram) → approx nothing, an EXACT distinct-doc
+       count, filter ≥ ``min_docs``.  The shuffle key is the gram —
+       uniform (md5-able at scale; string kept here for the oracle);
+    3. hit positions join hot grams (equi-join, 1:1 per position), then
+       per-doc merge of overlapping-or-adjacent hits into maximal spans
+       via the classic cummax sessionization (running MAX of span end
+       over preceding rows; a new span starts when the gap exceeds one
+       token).  The window partitions by document — bounded rows, never
+       a global sort.
+
+    Returns (id, span_id, span_start, span_end, span_tokens,
+    n_hot_grams), token positions 1-based inclusive.
+    """
+    from pyspark.sql import Window
+
+    pos = positioned_shingles(df, id_col, text_col, n=n)
+    hot = (pos.groupBy("shingle")
+           .agg(F.countDistinct(id_col).alias("__nd"))
+           .filter(F.col("__nd") >= min_docs)
+           .select("shingle"))
+    hits = pos.join(hot, "shingle").select(F.col(id_col), "pos")
+    w_prev = (Window.partitionBy(id_col).orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy(id_col).orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    prev_end = F.max(F.col("pos") + (n - 1)).over(w_prev)
+    new_span = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0)
+    spanned = hits.withColumn("span_id",
+                              F.sum(new_span).over(w_run).cast("long"))
+    return (spanned.groupBy(id_col, "span_id")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + (n - 1)).alias("span_end"),
+                 (F.max("pos") + (n - 1) - F.min("pos") + 1)
+                 .alias("span_tokens"),
+                 F.count(F.lit(1)).alias("n_hot_grams")))

@@ -652,3 +652,42 @@ def ivf_topk_index(spark, path: str, queries: DataFrame,
             .filter(F.col("rnk") <= k)
             .select("query_id", F.col("rnk").cast("long").alias("rnk"),
                     "neighbor_id", "sim"))
+
+
+def semantic_contamination(train: DataFrame, eval_side: DataFrame,
+                           id_col: str, vec_col: str,
+                           threshold: float = 0.3,
+                           round_to: int = 6) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of the n-gram overlap pass (text_analysis.
+    contamination_overlap): flag training items whose embedding is
+    within ``threshold`` cosine of ANY eval-set item, with the nearest
+    eval neighbour attached.  Catches paraphrased eval leakage that
+    verbatim n-gram matching misses.
+
+    Shape at 100 TB: the eval side is small by construction — it is
+    broadcast, and each train partition computes its max-similarity
+    locally (crossJoin against the broadcast + per-train-row window,
+    no shuffle of the train side beyond the window's partition-local
+    sort over ≤|eval| rows per train id).  Similarity is rounded
+    BEFORE the threshold cut and ranking, so the cut and the
+    nearest-neighbour tie-break (min eval id at equal sim) are
+    engine-exact.
+    """
+    from pyspark.sql import Window
+
+    t = with_double_vec(train, vec_col, "tv").select(
+        F.col(id_col).alias("train_id"), F.col("tv"),
+        _norm("tv").alias("tn"))
+    e = with_double_vec(eval_side, vec_col, "ev").select(
+        F.col(id_col).alias("eval_id"), F.col("ev"),
+        _norm("ev").alias("en"))
+    pairs = t.crossJoin(broadcast(e))
+    sim = pairs.withColumn(
+        "sim", F.round(_dot("tv", "ev") / (F.col("tn") * F.col("en")),
+                       round_to))
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("sim").desc(), F.col("eval_id").asc())
+    return (sim.withColumn("__rnk", F.row_number().over(w))
+            .filter((F.col("__rnk") == 1) & (F.col("sim") >= threshold))
+            .select("train_id", "eval_id", "sim"))

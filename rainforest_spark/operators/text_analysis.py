@@ -338,6 +338,65 @@ def unigram_logprob(df, id_col: str, text_col: str,
         (micro.cast("double") / F.lit(1000000.0)).alias("mean_nll"))
 
 
+def pmi_bigrams(df, id_col: str, text_col: str,
+                min_count: int = 2, k: int = 100):
+    """Collocation extraction: corpus-level pointwise mutual information
+    over adjacent word pairs — the phrase-mining signal a training-data
+    pipeline uses to find multi-word expressions worth preserving as
+    units (and to spot boilerplate n-grams that dominate a crawl).
+
+    PMI(w1, w2) = ln( p(w1 w2) / (p(w1)·p(w2)) ) with p(w1 w2) over the
+    bigram total and p(w) over the token total; pairs below ``min_count``
+    occurrences are cut (singleton pairs have degenerate, noise-maximal
+    PMI), and the global top-``k`` is returned with a (pmi, w1, w2)
+    total order (PMI rounded to 6dp BEFORE ranking so the cut itself is
+    engine-exact).
+
+    Shape at 100 TB: the bigram fan-out happens IN-EXPRESSION
+    (sequence + struct transform, exploded executor-side — never a
+    positions self-join), then two groupBys (pair counts, unigram
+    counts), two vocab-sized equi-joins (Zipf-small right sides — AQE
+    broadcasts them when they fit), two 1-row scalar cross joins, and a
+    distributed TakeOrdered for the top-k.  No UDF anywhere.
+
+    The words array is materialized as a column before the lambda
+    (same no-CSE-across-lambda-scopes pitfall as
+    dedup.shingle_table).
+    """
+    words = tokens(normalized_text(text_col))
+    staged = df.select(F.col(id_col), words.alias("__w"))
+    w = F.col("__w")
+    pair_arr = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(w) - 2),
+                    lambda i: F.struct(F.get(w, i).alias("w1"),
+                                       F.get(w, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = staged.select(F.explode(pair_arr).alias("bg")).select("bg.*")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    uni = (staged.select(F.explode(w).alias("term"))
+           .filter(F.col("term") != "")
+           .groupBy("term").agg(F.count(F.lit(1)).alias("n")))
+    n_tok = uni.agg(F.sum("n").cast("double").alias("__n_tok"))
+    n_big = c12.agg(F.sum("pair_count").cast("double").alias("__n_big"))
+    u1 = uni.select(F.col("term").alias("w1"), F.col("n").alias("__c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("n").alias("__c2"))
+    scored = (c12.filter(F.col("pair_count") >= min_count)
+              .join(u1, "w1").join(u2, "w2")
+              .crossJoin(F.broadcast(n_tok))
+              .crossJoin(F.broadcast(n_big))
+              .withColumn(
+                  "pmi",
+                  F.round(F.log(
+                      (F.col("pair_count") * F.col("__n_tok")
+                       * F.col("__n_tok"))
+                      / (F.col("__n_big") * F.col("__c1")
+                         * F.col("__c2"))), 6)))
+    return (scored
+            .orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)
+            .select("w1", "w2", "pair_count", "pmi"))
+
+
 #: Long digit runs (6+ digits, optional +/spaces/dashes between) —
 #: phone numbers, account ids.  RE2-compatible (no lookaround) so the
 #: same pattern runs on Spark (Java regex) and DuckDB (RE2).

@@ -51,6 +51,15 @@ _PRIORITY = [
     "q84_epoch_shard", "q85_jl_projection", "q86_pii_redaction",
     "q87_embedding_dedup", "q88_corpus_stats", "q89_packed_tapes",
     "q90_hard_negatives",
+    # --- round 6, continued: PMI collocations, cross-doc repeated
+    # spans, embedding-space decontamination.  Admitted by demoting
+    # q50_cosine_topk (r5-green; the exact-cosine machinery is
+    # exercised in-window by q77/q90/q93, which share _dot/_norm and
+    # the (sim DESC, id) ranking), q16_db_logmean (r5-green; F3 is a
+    # two-expression op, pytest-gated) and q65_status_noise_mask
+    # (r5-green; the S13 XML path is golden-tested).
+    "q91_pmi_bigrams", "q92_repeated_spans",
+    "q93_semantic_decontamination",
     # --- round 6 stale-row rotation (VERDICT r5 Missing #4): the 8
     # queries whose latest green driver row is r2 re-enter the window
     # for a fresh hash check against the CURRENT testdata (the driver
@@ -80,7 +89,7 @@ _PRIORITY = [
     "q61_zphi_attenuation",
     # q62_vpr_correction (r5-green; the XML-curve apply is also pytest
     # golden-tested) demoted for q89_packed_tapes
-    "q65_status_noise_mask",
+    # q65_status_noise_mask demoted r6 for q92 (see above)
     "q66_qpe_evaluation", "q67_hzt_fallback_chain",
     # q68_neardup_clusters (r5-green; the component machinery is
     # exercised by in-window q87's embedding variant) demoted for q88
@@ -90,7 +99,8 @@ _PRIORITY = [
     "q01_pricing_summary", "q09_broadcast_dim_join", "q12_asof_join",
     # q13_latest_per_hour demoted r6 for q77 (r5-green; its W2/S10
     # operators are exercised by in-window q67's fallback chain)
-    "q14_nearest_centroid", "q16_db_logmean",
+    "q14_nearest_centroid",
+    # q16_db_logmean demoted r6 for q91 (see above)
     "q17_temporal_multiagg", "q18_weighted_vertical",
     # q24_transfer_function and q37_group_first demoted for the audio /
     # video codec legs (hash-green r2-r4, KD4 golden + pytest keep them
@@ -109,7 +119,7 @@ _PRIORITY = [
     # q51_centroid_classify (r3-green; the J13 operator is exercised by
     # in-window q14) to admit the packing/split pair at exactly 50.
     "q40_fingerprint_dedup", "q45_minhash_lsh",
-    "q50_cosine_topk",
+    # q50_cosine_topk demoted r6 for q93 (see above)
 ]
 
 

@@ -766,3 +766,80 @@ def q89(spark, sf):
         "bin_id", "n_docs", "tok_sum",
         F.md5("tape").alias("tape_md5"),
         F.length("tape").cast("long").alias("tape_len"))
+
+
+# ---------------------------------------------------------------- q91
+# Collocation extraction: corpus-level PMI over adjacent word pairs,
+# min-count cut, global top-100 on (pmi DESC, w1, w2).  Both engines
+# build the ln argument with the identical double expression tree
+# (left-assoc bigint*double products), so the 6dp round is engine-exact.
+@q("q91_pmi_bigrams", sql=f"""
+WITH arr AS (
+  SELECT string_split({_NORM}, ' ') AS w FROM documents),
+bg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM arr, UNNEST(CASE WHEN len(w) >= 2
+                        THEN generate_series(1, len(w) - 1)
+                        ELSE []::BIGINT[] END) AS t(i)),
+c12 AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bg GROUP BY 1, 2),
+uni AS (
+  SELECT u.t AS term, COUNT(*) AS n
+  FROM arr, UNNEST(w) AS u(t) WHERE u.t != '' GROUP BY 1),
+tots AS (
+  SELECT (SELECT CAST(SUM(n) AS DOUBLE) FROM uni) AS n_tok,
+         (SELECT CAST(SUM(pair_count) AS DOUBLE) FROM c12) AS n_big)
+SELECT w1, w2, pair_count,
+       ROUND(ln((pair_count * n_tok * n_tok)
+                / (n_big * u1.n * u2.n)), 6) AS pmi
+FROM c12
+JOIN uni u1 ON c12.w1 = u1.term
+JOIN uni u2 ON c12.w2 = u2.term
+CROSS JOIN tots
+WHERE pair_count >= 2
+ORDER BY pmi DESC, w1, w2 LIMIT 100
+""")
+def q91(spark, sf):
+    return TA.pmi_bigrams(T(spark, sf, "documents"), "doc_id", "text",
+                          min_count=2, k=100)
+
+
+# ---------------------------------------------------------------- q92
+# Cross-document repeated-span detection (word-granularity substring
+# dedup, Lee-et-al-2022-style): maximal token spans of 5-grams that
+# appear verbatim in >= 2 distinct documents, merged per doc by cummax
+# sessionization.  Pure integer output.
+@q("q92_repeated_spans", sql=f"""
+WITH arr AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM arr, UNNEST(CASE WHEN len(w) >= 5
+                        THEN generate_series(1, len(w) - 4)
+                        ELSE []::BIGINT[] END) AS t(i)),
+hot AS (SELECT shingle FROM g GROUP BY shingle
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+h AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (shingle)),
+m AS (
+  SELECT doc_id, pos,
+         MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) + 4 AS prev_end
+  FROM h),
+s AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS span_id
+  FROM m)
+SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 4 - MIN(pos) + 1 AS BIGINT) AS span_tokens,
+       COUNT(*) AS n_hot_grams
+FROM s GROUP BY 1, 2
+""")
+def q92(spark, sf):
+    return D.repeated_spans(T(spark, sf, "documents"), "doc_id", "text",
+                            n=5, min_docs=2)

@@ -265,3 +265,38 @@ def q90(spark, sf):
     return SIM.hard_negatives(e, "vec_id", "embedding",
                               query_ids_pred=F.col("vec_id") < 20,
                               k=3, band=(0.2, 0.8))
+
+
+# ---------------------------------------------------------------- q93
+# Embedding-space benchmark decontamination: training vectors within
+# 0.3 cosine of ANY eval vector (eval = vec_id % 20 == 0), with the
+# nearest eval neighbour.  The semantic complement of q80's verbatim
+# n-gram overlap — catches paraphrased leakage.  Eval side broadcast;
+# per-train nearest via (sim DESC, eval_id) row_number, rounded BEFORE
+# the threshold so the cut is engine-exact.
+@q("q93_semantic_decontamination", sql="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings),
+e AS (SELECT vec_id AS eval_id, v AS ev, nrm AS en
+      FROM v WHERE vec_id % 20 = 0),
+t AS (SELECT vec_id AS train_id, v AS tv, nrm AS tn
+      FROM v WHERE vec_id % 20 != 0),
+p AS (
+  SELECT train_id, eval_id,
+         ROUND(list_dot_product(tv, ev) / (tn * en), 6) AS sim
+  FROM t, e),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY train_id
+                               ORDER BY sim DESC, eval_id) AS rnk
+  FROM p)
+SELECT train_id, eval_id, sim FROM r WHERE rnk = 1 AND sim >= 0.3
+""")
+def q93(spark, sf):
+    e = T(spark, sf, "embeddings")
+    return SIM.semantic_contamination(
+        e.filter(F.col("vec_id") % 20 != 0),
+        e.filter(F.col("vec_id") % 20 == 0),
+        "vec_id", "embedding", threshold=0.3)

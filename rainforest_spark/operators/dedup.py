@@ -374,3 +374,90 @@ def repeated_spans(df: DataFrame, id_col: str, text_col: str,
                  (F.max("pos") + (n - 1) - F.min("pos") + 1)
                  .alias("span_tokens"),
                  F.count(F.lit(1)).alias("n_hot_grams")))
+
+
+def excise_repeated_spans(df: DataFrame, id_col: str, text_col: str,
+                          n: int = 5, min_docs: int = 2) -> DataFrame:
+    """The dedup TRANSFORM that completes ``repeated_spans``'s
+    detection: remove every cross-document repeated span occurrence
+    EXCEPT the one in the lowest-id document containing that gram —
+    keep-first-occurrence substring dedup (Lee et al. 2022) at word
+    granularity.
+
+    Semantics, defined at the gram-hit level so they are set-exact in
+    any engine: a hot gram occurrence (doc, pos) is DROPPED iff the doc
+    is not the MIN doc id over that gram's occurrences; a token is
+    removed iff some dropped occurrence covers its position.  Dropped
+    ranges are merged per doc (cummax sessionization) and each doc's
+    removed-range list rides a doc-keyed 1:1 join as an ARRAY — the
+    keep test is an in-expression ``exists`` over that array, never a
+    token×span fan-out.
+
+    Returns one row per input document: (id, n_tokens_kept,
+    n_tokens_removed, cleaned) with ``cleaned`` the surviving tokens of
+    the NORMALIZED text joined by single spaces (docs with nothing
+    removed pass through; empty docs yield empty cleaned text).
+
+    Shape at 100 TB: the gram table shuffles once on the gram (uniform
+    keys), the min-doc table is gram-keyed and joins 1:1 per
+    occurrence, ranges collapse per doc (bounded rows), and the final
+    pass is one doc-keyed join + groupBy over the token explode.
+    """
+    from pyspark.sql import Window
+
+    pos = positioned_shingles(df, id_col, text_col, n=n)
+    gstat = (pos.groupBy("shingle")
+             .agg(F.countDistinct(id_col).alias("__nd"),
+                  F.min(id_col).alias("__keeper"))
+             .filter(F.col("__nd") >= min_docs)
+             .select("shingle", "__keeper"))
+    dropped = (pos.join(gstat, "shingle")
+               .filter(F.col(id_col) != F.col("__keeper"))
+               .select(F.col(id_col), "pos"))
+    w_prev = (Window.partitionBy(id_col).orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy(id_col).orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    prev_end = F.max(F.col("pos") + (n - 1)).over(w_prev)
+    new_span = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0)
+    ranges = (dropped
+              .withColumn("__sid", F.sum(new_span).over(w_run))
+              .groupBy(id_col, "__sid")
+              .agg(F.min("pos").alias("s"),
+                   (F.max("pos") + (n - 1)).alias("e"))
+              .groupBy(id_col)
+              .agg(F.collect_list(F.struct("s", "e")).alias("__rm")))
+    words = F.split(normalized_text(text_col), " ")
+    toks = (df.select(F.col(id_col), words.alias("__words"))
+            .select(F.col(id_col),
+                    F.posexplode("__words").alias("__p", "tok"))
+            .select(F.col(id_col),
+                    (F.col("__p") + 1).cast("long").alias("tpos"), "tok")
+            .filter(F.col("tok") != ""))
+    rm = F.col("__rm")
+    removed = (rm.isNotNull()
+               & F.exists(rm, lambda r: (F.col("tpos") >= r["s"])
+                          & (F.col("tpos") <= r["e"])))
+    marked = toks.join(ranges, id_col, "left").withColumn(
+        "__gone", removed.cast("int"))
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("__gone") == 0,
+                       F.struct("tpos", "tok")))),
+            lambda x: x["tok"]), " ")
+    out = (marked.groupBy(id_col)
+           .agg(F.sum(F.lit(1) - F.col("__gone")).alias("n_tokens_kept"),
+                F.sum("__gone").alias("n_tokens_removed"),
+                kept_text.alias("cleaned")))
+    # docs whose normalized text has no tokens (empty docs) never reach
+    # the explode — restore them with an empty cleaned string
+    base = df.select(F.col(id_col)).distinct()
+    return (base.join(out, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_tokens_kept", F.lit(0)).cast("long")
+                    .alias("n_tokens_kept"),
+                    F.coalesce("n_tokens_removed", F.lit(0)).cast("long")
+                    .alias("n_tokens_removed"),
+                    F.coalesce("cleaned", F.lit("")).alias("cleaned")))

@@ -397,6 +397,113 @@ def pmi_bigrams(df, id_col: str, text_col: str,
             .select("w1", "w2", "pair_count", "pmi"))
 
 
+def dsir_weights(df, id_col: str, text_col: str, target_pred):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-document
+    log-likelihood ratio between a TARGET domain's unigram LM and the
+    SOURCE (rest-of-corpus) LM — documents scoring high look like the
+    target domain and are up-sampled for domain-adapted pretraining.
+
+    ``target_pred`` is a boolean Column selecting the target rows of
+    ``df``; weights are computed for the complement (the source pool).
+    Terms outside the INTERSECTION of both vocabularies are excluded
+    from the sum and the token count (the inner joins drop them) —
+    the published method hashes into a fixed bucket space so every
+    feature has mass on both sides; restricting to the shared exact
+    vocabulary is the unsmoothed analogue that keeps the result
+    oracle-exact (see q83's rationale).
+
+    Determinism: ln-ratios go through the q83 integer-nanos path —
+    each term's round(ln p_t, 9) − round(ln p_s, 9) is an exact BIGINT
+    of nanos, scaled by tf and summed; the bigint→double conversion
+    and the final /1e9 are IEEE-exact and identical across engines.
+
+    Shape at 100 TB: one token explode feeding a (doc, term) groupBy
+    and two vocab groupBys (target side is filter-pruned at the scan);
+    two Zipf-small equi-joins; two 1-row scalar cross joins.
+    """
+    toks = (df.select(F.col(id_col), target_pred.alias("__is_t"),
+                      F.explode(tokens(normalized_text(text_col)))
+                      .alias("term"))
+            .filter(F.col("term") != ""))
+    tgt = (toks.filter(F.col("__is_t"))
+           .groupBy("term").agg(F.count(F.lit(1)).alias("nt")))
+    src_toks = toks.filter(~F.col("__is_t"))
+    src = src_toks.groupBy("term").agg(F.count(F.lit(1)).alias("ns"))
+    tot_t = tgt.agg(F.sum("nt").cast("double").alias("__tt"))
+    tot_s = src.agg(F.sum("ns").cast("double").alias("__ts"))
+    tf = src_toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+
+    def nanos(c):
+        return (F.round(c, 9).cast("decimal(19,9)")
+                * F.lit(1000000000)).cast("long")
+
+    per = (tf.join(tgt, "term").join(src, "term")
+           .crossJoin(F.broadcast(tot_t)).crossJoin(F.broadcast(tot_s))
+           .select(F.col(id_col), "tf",
+                   ((nanos(F.log(F.col("nt") / F.col("__tt")))
+                     - nanos(F.log(F.col("ns") / F.col("__ts"))))
+                    * F.col("tf")).alias("__n9")))
+    agg = per.groupBy(id_col).agg(
+        F.sum("tf").alias("n_scored_tokens"),
+        F.sum("__n9").alias("__n9"))
+    return agg.select(
+        F.col(id_col), "n_scored_tokens",
+        (F.col("__n9").cast("double") / F.lit(1000000000.0))
+        .alias("log_weight"))
+
+
+def top_terms_vocab(df, text_col: str, k: int = 500):
+    """Top-``k`` corpus terms by frequency with a (count DESC, term)
+    total order — the fixed-size vocabulary a tokenizer-coverage pass
+    tests against.  Returns (term, n) rows."""
+    uni = (df.select(F.explode(tokens(normalized_text(text_col)))
+                     .alias("term"))
+           .filter(F.col("term") != "")
+           .groupBy("term").agg(F.count(F.lit(1)).alias("n")))
+    return (uni.orderBy(F.col("n").desc(), "term").limit(k)
+            .select("term", "n"))
+
+
+def vocab_coverage(df, group_col: str, text_col: str, vocab=None,
+                   vocab_k: int = 500):
+    """Per-group tokenizer-coverage report: total tokens, out-of-vocab
+    tokens, OOV rate against a fixed vocabulary (default: the corpus's
+    own top-``vocab_k`` terms).  The go/no-go check before committing a
+    tokenizer to a corpus — a source with a high OOV rate will fragment
+    into byte-fallback tokens and blow up its effective length.
+
+    Shape at 100 TB: token explode → one groupBy on (group, term) —
+    NOT one row per token through the join — then a vocab-sized
+    left join (broadcast: the vocab is top-k by construction) and a
+    per-group rollup.  OOV rate divides exact integer sums, rounded
+    to 6dp.
+    """
+    toks = (df.select(F.col(group_col),
+                      F.explode(tokens(normalized_text(text_col)))
+                      .alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy(group_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf")))
+    if vocab is None:
+        vocab = top_terms_vocab(df, text_col, k=vocab_k)
+    v = vocab.select("term", F.lit(1).alias("__in_v"))
+    joined = toks.join(F.broadcast(v), "term", "left")
+    agg = (joined.groupBy(group_col)
+           .agg(F.sum("tf").alias("total_tokens"),
+                F.sum(F.when(F.col("__in_v").isNull(), F.col("tf"))
+                      .otherwise(F.lit(0))).alias("oov_tokens")))
+    # exact round-half-up at 6dp in INTEGER arithmetic (q83's trick):
+    # an oov/total ratio can land exactly ON the half-micro boundary
+    # (e.g. 1/16000 = 0.0000625) where the engines' double-rounding
+    # conventions diverge
+    micro = F.expr("(2 * oov_tokens * 1000000 + total_tokens) "
+                   "div (2 * total_tokens)")
+    return agg.withColumn(
+        "oov_rate", micro.cast("double") / F.lit(1000000.0))
+
+
 #: Long digit runs (6+ digits, optional +/spaces/dashes between) —
 #: phone numbers, account ids.  RE2-compatible (no lookaround) so the
 #: same pattern runs on Spark (Java regex) and DuckDB (RE2).

@@ -60,6 +60,13 @@ _PRIORITY = [
     # (r5-green; the S13 XML path is golden-tested).
     "q91_pmi_bigrams", "q92_repeated_spans",
     "q93_semantic_decontamination",
+    # vocab coverage / span excision / DSIR weights — admitted by
+    # demoting q19_hourly_complete (r5-green; the A6/A7 completeness
+    # machinery also runs inside in-window q53), q21_contingency
+    # (r5-green; the scores family keeps q33/q34 in-window) and
+    # q22_sessionization (r5-green + hypothesis-tested; session
+    # windows also covered by the streaming suite).
+    "q94_vocab_coverage", "q95_span_excision", "q96_dsir_weights",
     # --- round 6 stale-row rotation (VERDICT r5 Missing #4): the 8
     # queries whose latest green driver row is r2 re-enter the window
     # for a fresh hash check against the CURRENT testdata (the driver
@@ -105,7 +112,8 @@ _PRIORITY = [
     # q24_transfer_function and q37_group_first demoted for the audio /
     # video codec legs (hash-green r2-r4, KD4 golden + pytest keep them
     # covered)
-    "q19_hourly_complete", "q21_contingency", "q22_sessionization",
+    # q19_hourly_complete, q21_contingency, q22_sessionization demoted
+    # r6 for q94/q95/q96 (see above)
     "q26_sliding_disagg",
     "q27_weighted_quantile", "q33_perfscores",
     "q34_scatter_score", "q35_hourly_interpolation",

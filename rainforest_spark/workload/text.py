@@ -843,3 +843,136 @@ FROM s GROUP BY 1, 2
 def q92(spark, sf):
     return D.repeated_spans(T(spark, sf, "documents"), "doc_id", "text",
                             n=5, min_docs=2)
+
+
+# ---------------------------------------------------------------- q94
+# Tokenizer-coverage report: per-source total/OOV token counts and OOV
+# rate against the corpus's own top-500-term vocabulary.  The OOV rate
+# is exact-integer round-half-up at 6dp (a ratio like 1/16000 lands ON
+# the half-micro boundary where double rounding diverges by engine).
+@q("q94_vocab_coverage", sql=f"""
+WITH toks AS (
+  SELECT source, u.t AS term
+  FROM (SELECT source, string_split({_NORM}, ' ') AS w FROM documents),
+       UNNEST(w) AS u(t) WHERE u.t != ''),
+tf AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+uni AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1),
+voc AS (SELECT term, 1 AS in_v FROM uni ORDER BY n DESC, term LIMIT 500),
+j AS (SELECT tf.source, tf.tf, voc.in_v
+      FROM tf LEFT JOIN voc USING (term)),
+agg AS (
+  SELECT source, CAST(SUM(tf) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN in_v IS NULL THEN tf ELSE 0 END) AS BIGINT)
+           AS oov_tokens
+  FROM j GROUP BY 1)
+SELECT source, total_tokens, oov_tokens,
+       CAST((2 * oov_tokens * 1000000 + total_tokens)
+            // (2 * total_tokens) AS DOUBLE) / 1000000.0 AS oov_rate
+FROM agg
+""")
+def q94(spark, sf):
+    return TA.vocab_coverage(T(spark, sf, "documents"), "source", "text",
+                             vocab_k=500)
+
+
+# ---------------------------------------------------------------- q95
+# Keep-first-occurrence substring dedup (the q92 TRANSFORM): a hot-gram
+# occurrence is dropped iff its doc is not the gram's MIN doc; dropped
+# ranges merge per doc; the cleaned text is the surviving normalized
+# tokens.  The md5 gate covers the exact cleaned CONTENT.
+@q("q95_span_excision", sql=f"""
+WITH arr AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM arr, UNNEST(CASE WHEN len(w) >= 5
+                        THEN generate_series(1, len(w) - 4)
+                        ELSE []::BIGINT[] END) AS t(i)),
+gs AS (SELECT shingle, MIN(doc_id) AS keeper FROM g
+       GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2),
+drp AS (SELECT g.doc_id, g.pos FROM g JOIN gs USING (shingle)
+        WHERE g.doc_id != gs.keeper),
+m AS (
+  SELECT doc_id, pos,
+         MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) + 4 AS prev_end
+  FROM drp),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM m),
+rs AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+       FROM sp GROUP BY doc_id, sid),
+tok AS (
+  SELECT doc_id, i AS tpos, w[i] AS tok
+  FROM arr, UNNEST(generate_series(1, len(w))) AS u(i)
+  WHERE w[i] != ''),
+mk AS (
+  SELECT t.doc_id, t.tpos, t.tok,
+         CASE WHEN EXISTS (SELECT 1 FROM rs
+                           WHERE rs.doc_id = t.doc_id
+                             AND t.tpos BETWEEN rs.s AND rs.e)
+              THEN 1 ELSE 0 END AS gone
+  FROM tok t),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(1 - gone) AS BIGINT) AS n_tokens_kept,
+         CAST(SUM(gone) AS BIGINT) AS n_tokens_removed,
+         COALESCE(string_agg(CASE WHEN gone = 0 THEN tok END, ' '
+                             ORDER BY tpos), '') AS cleaned
+  FROM mk GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens_kept, 0) AS n_tokens_kept,
+       COALESCE(a.n_tokens_removed, 0) AS n_tokens_removed,
+       md5(COALESCE(a.cleaned, '')) AS cleaned_md5,
+       CAST(length(COALESCE(a.cleaned, '')) AS BIGINT) AS cleaned_len
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""")
+def q95(spark, sf):
+    out = D.excise_repeated_spans(T(spark, sf, "documents"),
+                                  "doc_id", "text", n=5, min_docs=2)
+    return out.select(
+        "doc_id", "n_tokens_kept", "n_tokens_removed",
+        F.md5("cleaned").alias("cleaned_md5"),
+        F.length("cleaned").cast("long").alias("cleaned_len"))
+
+
+# ---------------------------------------------------------------- q96
+# DSIR-style importance weights: per-source-pool-document unigram
+# log-likelihood ratio target/source (target = src0 docs), via the
+# q83 integer-nanos path so the sum is order-free and engine-exact.
+@q("q96_dsir_weights", sql=f"""
+WITH toks AS (
+  SELECT doc_id, source = 'src0' AS is_t, t.term
+  FROM (SELECT doc_id, source, string_split({_NORM}, ' ') AS w
+        FROM documents),
+       UNNEST(w) AS t(term)
+  WHERE t.term != ''),
+tgt AS (SELECT term, COUNT(*) AS nt FROM toks WHERE is_t GROUP BY 1),
+src AS (SELECT term, COUNT(*) AS ns FROM toks WHERE NOT is_t GROUP BY 1),
+tt AS (SELECT CAST(SUM(nt) AS DOUBLE) AS tt FROM tgt),
+ts AS (SELECT CAST(SUM(ns) AS DOUBLE) AS ts FROM src),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       WHERE NOT is_t GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, tf,
+         (CAST(CAST(ROUND(ln(nt / tt), 9) AS DECIMAL(19,9))
+               * 1000000000 AS BIGINT)
+          - CAST(CAST(ROUND(ln(ns / ts), 9) AS DECIMAL(19,9))
+                 * 1000000000 AS BIGINT)) * tf AS n9
+  FROM tf JOIN tgt USING (term) JOIN src USING (term)
+  CROSS JOIN tt CROSS JOIN ts)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_scored_tokens,
+       CAST(CAST(SUM(n9) AS BIGINT) AS DOUBLE) / 1000000000.0
+         AS log_weight
+FROM per GROUP BY 1
+""")
+def q96(spark, sf):
+    d = T(spark, sf, "documents")
+    return TA.dsir_weights(d, "doc_id", "text",
+                           target_pred=F.col("source") == "src0")

@@ -73,6 +73,11 @@ HEADLINE = [
     # corpus ops added late in round 6
     "q91_pmi_bigrams",
     "q92_repeated_spans",
+    # keep-first span excision (gram join + per-doc range arrays) and
+    # incremental batch-vs-corpus dedup (two band tables + verified
+    # Jaccard) — the heaviest round-6 corpus transforms
+    "q95_span_excision",
+    "q97_incremental_dedup",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle

@@ -461,3 +461,52 @@ def excise_repeated_spans(df: DataFrame, id_col: str, text_col: str,
                     F.coalesce("n_tokens_removed", F.lit(0)).cast("long")
                     .alias("n_tokens_removed"),
                     F.coalesce("cleaned", F.lit("")).alias("cleaned")))
+
+
+def incremental_neardup(new_df: DataFrame, old_df: DataFrame,
+                        id_col: str, text_col: str,
+                        n: int = 3, num_hashes: int = 16,
+                        band_size: int = 4,
+                        threshold: float = 0.5) -> DataFrame:
+    """Incremental near-dup: a NEW ingest batch checked against the
+    EXISTING corpus without re-deduping the corpus — the shape a daily
+    crawl append actually runs.  Returns (new_id, old_id, jaccard) for
+    verified matches ≥ ``threshold``; an ingest pipeline anti-joins its
+    batch against the new_id column (S6 composes directly).
+
+    Candidates come from a band-table JOIN between the batch's minhash
+    bands and the corpus's — at scale the corpus side is a PERSISTED
+    table (write ``minhash_bands(corpus)`` bucketed by (band_id,
+    band_hash) once per corpus version; the daily cost is then
+    O(batch) band computation + one equi-join that prunes to matching
+    buckets, never O(corpus) recompute).  Exact n-gram Jaccard runs on
+    candidates only, and the batch side of every join is the small
+    side — AQE broadcasts it.
+    """
+    bn = (minhash_bands(new_df, id_col, text_col, n, num_hashes,
+                        band_size)
+          .select(F.col(id_col).alias("new_id"), "band_id", "band_hash"))
+    bo = (minhash_bands(old_df, id_col, text_col, n, num_hashes,
+                        band_size)
+          .select(F.col(id_col).alias("old_id"), "band_id", "band_hash"))
+    cand = (bn.join(bo, ["band_id", "band_hash"])
+            .select("new_id", "old_id").distinct())
+    sh_n = shingle_table(new_df, id_col, text_col, n)
+    sh_o = shingle_table(old_df, id_col, text_col, n)
+    sz_n = (sh_n.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_n"))
+            .select(F.col(id_col).alias("new_id"), "sz_n"))
+    sz_o = (sh_o.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_o"))
+            .select(F.col(id_col).alias("old_id"), "sz_o"))
+    sa = sh_n.select(F.col(id_col).alias("new_id"), "shingle")
+    sb = sh_o.select(F.col(id_col).alias("old_id"), "shingle")
+    inter = (cand.join(sa, "new_id")
+             .join(sb, ["old_id", "shingle"])
+             .groupBy("new_id", "old_id")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    j = (inter.join(sz_n, "new_id").join(sz_o, "old_id")
+         .withColumn("jaccard",
+                     F.col("inter")
+                     / (F.col("sz_n") + F.col("sz_o") - F.col("inter"))))
+    return (j.filter(F.col("jaccard") >= threshold)
+            .select("new_id", "old_id",
+                    F.round("jaccard", 6).alias("jaccard")))

@@ -542,3 +542,108 @@ def pii_counts(text: Column | str) -> Column:
         out = out + F.size(F.regexp_extract_all(c, F.lit(pat), 0))
         c = F.regexp_replace(c, pat, token)
     return out.cast("long")
+
+
+def domain_terms(df, group_col: str, text_col: str,
+                 k: int = 10, prior_mass: float = 100.0):
+    """Domain-characteristic terms via log-odds with an informative
+    Dirichlet prior (Monroe/Colaresi/Quinn 2008, "Fightin' Words") —
+    for each group, the terms most over-represented vs the rest of the
+    corpus, z-scored so rare-but-lopsided terms don't dominate the way
+    they do under raw TF-IDF.
+
+    For term w in group s (y = in-group count, r = rest count, n_s /
+    n_r = group/rest totals, a_w = prior_mass · corpus p(w)):
+
+        delta = ln((y + a_w)/(n_s + a0 − y − a_w))
+              − ln((r + a_w)/(n_r + a0 − r − a_w))
+        z     = delta / sqrt(1/(y + a_w) + 1/(r + a_w))
+
+    z is rounded to 6dp before the per-group top-``k`` rank (term
+    tie-break), so the cut is engine-exact; ln/sqrt noise is ~1e-15,
+    far under the rounding grid.  Only terms PRESENT in the group rank
+    (y > 0) — absent terms have negative z by construction.
+
+    Shape at 100 TB: one token explode feeding (group, term) and term
+    groupBys, a vocab-sized equi-join, broadcast 1-row totals, and a
+    per-group top-k window over that group's own vocab.
+    """
+    from pyspark.sql import Window
+
+    toks = (df.select(F.col(group_col),
+                      F.explode(tokens(normalized_text(text_col)))
+                      .alias("term"))
+            .filter(F.col("term") != ""))
+    yg = toks.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).alias("y"))
+    yw = toks.groupBy("term").agg(F.count(F.lit(1)).alias("yw"))
+    ng = toks.groupBy(group_col).agg(F.count(F.lit(1)).alias("ns"))
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    a0 = F.lit(float(prior_mass))
+    j = (yg.join(yw, "term").join(ng, group_col)
+         .crossJoin(F.broadcast(tot)))
+    aw = a0 * (F.col("yw") / F.col("__n"))
+    r = F.col("yw") - F.col("y")
+    nr = F.col("__n") - F.col("ns")
+    delta = (F.log((F.col("y") + aw)
+                   / (F.col("ns") + a0 - F.col("y") - aw))
+             - F.log((r + aw) / (nr + a0 - r - aw)))
+    var = 1.0 / (F.col("y") + aw) + 1.0 / (r + aw)
+    scored = j.withColumn("z", F.round(delta / F.sqrt(var), 6))
+    w = Window.partitionBy(group_col).orderBy(F.col("z").desc(), "term")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(group_col, F.col("rnk").cast("long").alias("rnk"),
+                    "term", F.col("y").alias("term_count"), "z"))
+
+
+def corpus_drift_jsd(df, group_col: str, text_col: str):
+    """Per-group Jensen-Shannon divergence between the group's unigram
+    distribution and the WHOLE corpus's — the drift/representativeness
+    monitor a pipeline runs per source or per ingest snapshot (JSD in
+    nats; 0 = identical, ln 2 = disjoint support).
+
+    The absent-term tail is folded algebraically instead of building a
+    group×vocab grid: for terms the group lacks (p=0) the contribution
+    is ½·q·ln 2, so
+
+        JSD = ½·Σ_present [p·ln(p/m) + q·ln(q/m)]
+            + ½·ln 2 · (1 − covered_q)
+
+    where covered_q = (Σ_present corpus counts)/n is computed as ONE
+    double division of exact integer sums (a summed-doubles version
+    would be partial-agg-order dependent).  Per-term contributions go
+    through the q83 integer-nanos path, so the whole sum is order-free
+    and engine-exact.
+
+    Shape at 100 TB: two groupBys + one vocab equi-join per group's
+    own vocabulary — never group×vocab.
+    """
+    toks = (df.select(F.col(group_col),
+                      F.explode(tokens(normalized_text(text_col)))
+                      .alias("term"))
+            .filter(F.col("term") != ""))
+    yg = toks.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).alias("y"))
+    yw = toks.groupBy("term").agg(F.count(F.lit(1)).alias("yw"))
+    ng = toks.groupBy(group_col).agg(F.count(F.lit(1)).alias("ns"))
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    j = (yg.join(yw, "term").join(ng, group_col)
+         .crossJoin(F.broadcast(tot)))
+    p = F.col("y") / F.col("ns")
+    q_ = F.col("yw") / F.col("__n")
+    m = (p + q_) / F.lit(2.0)
+    contrib = (p * F.log(p / m) + q_ * F.log(q_ / m)) / F.lit(2.0)
+    nano = (F.round(contrib, 9).cast("decimal(19,9)")
+            * F.lit(1000000000)).cast("long")
+    agg = j.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(nano).alias("__n9"),
+        F.sum("yw").alias("__cov"),
+        F.max("__n").alias("__nn"))
+    tail = (F.lit(0.5) * F.log(F.lit(2.0))
+            * ((F.col("__nn") - F.col("__cov")) / F.col("__nn")))
+    return agg.select(
+        F.col(group_col), "n_terms",
+        F.round(F.col("__n9").cast("double") / F.lit(1000000000.0)
+                + tail, 6).alias("jsd"))

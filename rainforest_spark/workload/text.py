@@ -976,3 +976,130 @@ def q96(spark, sf):
     d = T(spark, sf, "documents")
     return TA.dsir_weights(d, "doc_id", "text",
                            target_pred=F.col("source") == "src0")
+
+
+# ---------------------------------------------------------------- q97
+# Incremental near-dup: the NEW ingest batch (doc_id % 5 == 0) checked
+# against the EXISTING corpus (the rest) — band-table equi-join for
+# candidates, exact Jaccard verification on candidates only.  The
+# daily-append shape: O(batch) work against a persisted corpus band
+# table, never a corpus re-dedup.
+@q("q97_incremental_dedup", sql="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ') AS words
+        FROM documents),
+       UNNEST(generate_series(1, len(words) - 2)) AS u(i)
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || md5(shingle))) AS mh
+  FROM sh, UNNEST(generate_series(0, 15)) AS s(seed)
+  GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band_id,
+         md5(string_agg(mh, '' ORDER BY seed)) AS band_hash
+  FROM mh GROUP BY doc_id, floor(seed / 4)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0),
+inter AS (
+  SELECT c.new_id, c.old_id, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.new_id
+  JOIN sh b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT new_id, old_id,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = new_id
+JOIN sz sb ON sb.doc_id = old_id
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+""")
+def q97(spark, sf):
+    d = T(spark, sf, "documents")
+    return D.incremental_neardup(
+        d.filter(F.col("doc_id") % 5 == 0),
+        d.filter(F.col("doc_id") % 5 != 0),
+        "doc_id", "text", n=3, num_hashes=16, band_size=4, threshold=0.5)
+
+
+# ---------------------------------------------------------------- q98
+# Domain-characteristic terms: log-odds with informative Dirichlet
+# prior (Monroe et al. 2008), z-scored, top-10 per source.  Both
+# engines build the identical double expression tree; z rounds to 6dp
+# BEFORE the (z DESC, term) rank.
+@q("q98_domain_terms", sql=f"""
+WITH toks AS (
+  SELECT source, u.t AS term
+  FROM (SELECT source, string_split({_NORM}, ' ') AS w FROM documents),
+       UNNEST(w) AS u(t) WHERE u.t != ''),
+yg AS (SELECT source, term, COUNT(*) AS y FROM toks GROUP BY 1, 2),
+yw AS (SELECT term, COUNT(*) AS yw FROM toks GROUP BY 1),
+ng AS (SELECT source, COUNT(*) AS ns FROM toks GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+sc AS (
+  SELECT source, term, y,
+         ROUND((ln((y + 100.0 * (yw / n))
+                   / (ns + 100.0 - y - 100.0 * (yw / n)))
+                - ln(((yw - y) + 100.0 * (yw / n))
+                     / ((n - ns) + 100.0 - (yw - y) - 100.0 * (yw / n))))
+               / sqrt(1.0 / (y + 100.0 * (yw / n))
+                      + 1.0 / ((yw - y) + 100.0 * (yw / n))), 6) AS z
+  FROM yg JOIN yw USING (term) JOIN ng USING (source) CROSS JOIN tot),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY z DESC, term) AS rnk
+      FROM sc)
+SELECT source, CAST(rnk AS BIGINT) AS rnk, term,
+       y AS term_count, z
+FROM r WHERE rnk <= 10
+""")
+def q98(spark, sf):
+    return TA.domain_terms(T(spark, sf, "documents"), "source", "text",
+                           k=10, prior_mass=100.0)
+
+
+# ---------------------------------------------------------------- q99
+# Corpus drift: per-source Jensen-Shannon divergence vs the whole
+# corpus's unigram distribution, absent-term tail folded algebraically
+# (integer-sum covered mass), per-term contributions through the q83
+# integer-nanos path.
+@q("q99_corpus_drift", sql=f"""
+WITH toks AS (
+  SELECT source, u.t AS term
+  FROM (SELECT source, string_split({_NORM}, ' ') AS w FROM documents),
+       UNNEST(w) AS u(t) WHERE u.t != ''),
+yg AS (SELECT source, term, COUNT(*) AS y FROM toks GROUP BY 1, 2),
+yw AS (SELECT term, COUNT(*) AS yw FROM toks GROUP BY 1),
+ng AS (SELECT source, COUNT(*) AS ns FROM toks GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+per AS (
+  SELECT source, yw,
+         CAST(CAST(ROUND(
+           ((y / ns) * ln((y / ns)
+                          / (((y / ns) + (yw / n)) / 2.0))
+            + (yw / n) * ln((yw / n)
+                            / (((y / ns) + (yw / n)) / 2.0))) / 2.0,
+           9) AS DECIMAL(19,9)) * 1000000000 AS BIGINT) AS n9,
+         n
+  FROM yg JOIN yw USING (term) JOIN ng USING (source) CROSS JOIN tot),
+agg AS (
+  SELECT source, COUNT(*) AS n_terms,
+         CAST(SUM(n9) AS BIGINT) AS n9,
+         CAST(SUM(yw) AS BIGINT) AS cov,
+         MAX(n) AS nn
+  FROM per GROUP BY 1)
+SELECT source, n_terms,
+       ROUND(CAST(n9 AS DOUBLE) / 1000000000.0
+             + 0.5 * ln(2.0) * ((nn - cov) / nn), 6) AS jsd
+FROM agg
+""")
+def q99(spark, sf):
+    return TA.corpus_drift_jsd(T(spark, sf, "documents"), "source",
+                               "text")

@@ -123,3 +123,93 @@ def test_dsir_sign_direction(spark):
            dsir_weights(d, "doc_id", "text",
                         F.col("source") == "src0").collect()}
     assert out[10] > out[11]
+
+
+# ------------------------------------------------- incremental dedup
+
+def test_incremental_neardup_cross_only(spark):
+    from rainforest_spark.operators.dedup import incremental_neardup
+
+    dup = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    old = _docs(spark, [(0, "s", dup),
+                        (1, "s", "completely different words over here "
+                                 "nothing shared with anything else")])
+    new = _docs(spark, [(100, "s", dup),          # exact dup of old 0
+                        (101, "s", "fresh novel content not seen "
+                                   "before in the corpus at all")])
+    out = incremental_neardup(new, old, "doc_id", "text",
+                              threshold=0.5).collect()
+    assert [(r.new_id, r.old_id, r.jaccard) for r in out] == [(100, 0, 1.0)]
+
+
+def test_incremental_neardup_matches_full_dedup_cross_pairs(spark):
+    """The incremental split finds exactly the full pipeline's verified
+    pairs that cross the old/new boundary."""
+    from rainforest_spark.operators.dedup import (
+        incremental_neardup, minhash_verified_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    full = minhash_verified_pairs(docs, "doc_id", "text",
+                                  threshold=0.5).collect()
+    want = sorted(
+        (max(r.id_a, r.id_b) if (max(r.id_a, r.id_b) % 5 == 0)
+         else min(r.id_a, r.id_b),
+         min(r.id_a, r.id_b) if (max(r.id_a, r.id_b) % 5 == 0)
+         else max(r.id_a, r.id_b))
+        for r in full if (r.id_a % 5 == 0) != (r.id_b % 5 == 0))
+    inc = incremental_neardup(docs.filter(F.col("doc_id") % 5 == 0),
+                              docs.filter(F.col("doc_id") % 5 != 0),
+                              "doc_id", "text", threshold=0.5).collect()
+    got = sorted((r.new_id, r.old_id) for r in inc)
+    assert got == [(a, b) for a, b in want]
+
+
+# ------------------------------------------------------- domain terms
+
+def test_domain_terms_surface_group_specific_tokens(spark):
+    from rainforest_spark.operators.text_analysis import domain_terms
+
+    d = _docs(spark, [
+        (0, "med", "patient dose clinical trial patient dose"),
+        (1, "med", "clinical dose patient symptoms"),
+        (2, "law", "court ruling appeal court statute"),
+        (3, "law", "ruling court appeal verdict"),
+    ])
+    out = domain_terms(d, "source", "text", k=3)
+    top = {}
+    for r in out.collect():
+        top.setdefault(r.source, []).append((r.rnk, r.term, r.z))
+    med_terms = [t for _, t, _ in sorted(top["med"])]
+    law_terms = [t for _, t, _ in sorted(top["law"])]
+    assert "patient" in med_terms and "court" in law_terms
+    assert all(z > 0 for _, _, z in top["med"][:1])
+    assert all(len(v) <= 3 for v in top.values())
+
+
+# ------------------------------------------------------- corpus drift
+
+def test_jsd_zero_for_single_source(spark):
+    from rainforest_spark.operators.text_analysis import corpus_drift_jsd
+
+    d = _docs(spark, [(0, "only", "a b c a b"), (1, "only", "c a b")])
+    out = corpus_drift_jsd(d, "source", "text").collect()
+    assert len(out) == 1 and out[0].jsd == 0.0
+
+
+def test_jsd_orders_by_divergence_and_bounded(spark):
+    import math
+
+    from rainforest_spark.operators.text_analysis import corpus_drift_jsd
+
+    d = _docs(spark, [
+        (0, "mix", "w1 w2 w3 w4 w5 w6 w7 w8"),     # near corpus average
+        (1, "mix", "w1 w2 w3 w4 d1 d2 d3 d4"),
+        (2, "odd", "d1 d2 d3 d4 d1 d2 d3 d4"),      # skewed
+        (3, "alien", "z1 z2 z3 z4 z5 z6 z7 z8"),    # disjoint-ish
+    ])
+    out = {r.source: r.jsd for r in
+           corpus_drift_jsd(d, "source", "text").collect()}
+    assert all(0.0 <= v <= math.log(2) + 1e-9 for v in out.values())
+    assert out["mix"] < out["odd"] < out["alien"]

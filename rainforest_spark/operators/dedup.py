@@ -510,3 +510,44 @@ def incremental_neardup(new_df: DataFrame, old_df: DataFrame,
     return (j.filter(F.col("jaccard") >= threshold)
             .select("new_id", "old_id",
                     F.round("jaccard", 6).alias("jaccard")))
+
+
+def novelty_scores(new_df: DataFrame, old_df: DataFrame,
+                   id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Content-novelty scoring for an ingest batch: per new document,
+    the fraction of its DISTINCT word ``n``-grams never seen in the
+    existing corpus — the curation dial between near-dup rejection
+    (novelty ≈ 0) and valuable new content (novelty ≈ 1), and the
+    aggregate a crawl pipeline tracks per source to detect collapsed
+    feeds re-serving old content.
+
+    Shape at 100 TB: the corpus side collapses to a DISTINCT gram set
+    (persisted and bucketed by gram in production, exactly like q97's
+    band table); the batch's grams left-join it on the gram key —
+    uniform md5-able keys, cost linear in batch grams.  The novelty
+    ratio is exact-integer round-half-up at 6dp (q83's trick).  Docs
+    with fewer than ``n`` tokens have no grams: they surface with
+    ``n_grams = 0`` and NULL novelty rather than disappearing.
+    """
+    sh_new = shingle_table(new_df, id_col, text_col, n)
+    old_grams = (shingle_table(old_df, id_col, text_col, n)
+                 .select("shingle").distinct()
+                 .withColumn("__seen", F.lit(1)))
+    j = sh_new.join(old_grams, "shingle", "left")
+    agg = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+        .alias("n_novel"))
+    micro = F.expr("(2 * n_novel * 1000000 + n_grams) "
+                   "div (2 * n_grams)")
+    scored = agg.select(
+        F.col(id_col), "n_grams", "n_novel",
+        (micro.cast("double") / F.lit(1000000.0)).alias("novelty"))
+    base = new_df.select(F.col(id_col)).distinct()
+    return (base.join(scored, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    .alias("n_novel"),
+                    F.col("novelty")))

@@ -74,6 +74,9 @@ _PRIORITY = [
     # (r5-green; the W5/W6 chain is covered end-to-end by the
     # streaming parity suite).
     "q97_incremental_dedup", "q98_domain_terms", "q99_corpus_drift",
+    # batch novelty scoring — admitted by demoting q12_asof_join
+    # (r5-green; J9 is hypothesis-tested against pandas merge_asof).
+    "q100_novelty_score",
     # --- round 6 stale-row rotation (VERDICT r5 Missing #4): the 8
     # queries whose latest green driver row is r2 re-enter the window
     # for a fresh hash check against the CURRENT testdata (the driver
@@ -110,7 +113,8 @@ _PRIORITY = [
     # q69_tfidf_top_terms (r5-green; the tf/df join machinery is also
     # exercised by in-window q83) demoted for q87_embedding_dedup
     # --- proven flagships kept inside the window ---
-    "q01_pricing_summary", "q09_broadcast_dim_join", "q12_asof_join",
+    "q01_pricing_summary", "q09_broadcast_dim_join",
+    # q12_asof_join demoted r6 for q100 (see above)
     # q13_latest_per_hour demoted r6 for q77 (r5-green; its W2/S10
     # operators are exercised by in-window q67's fallback chain)
     "q14_nearest_centroid",

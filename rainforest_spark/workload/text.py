@@ -1103,3 +1103,43 @@ FROM agg
 def q99(spark, sf):
     return TA.corpus_drift_jsd(T(spark, sf, "documents"), "source",
                                "text")
+
+
+# ---------------------------------------------------------------- q100
+# Batch novelty scoring: per new-batch doc (doc_id % 5 == 0), the
+# fraction of its distinct 3-gram shingles absent from the existing
+# corpus (the rest) — q97's analysis complement.  Exact-integer 6dp
+# round; gram-less docs surface with NULL novelty.
+@q("q100_novelty_score", sql="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ') AS words
+        FROM documents),
+       UNNEST(generate_series(1, len(words) - 2)) AS u(i)
+),
+old_g AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 != 0),
+j AS (
+  SELECT s.doc_id, s.shingle, o.shingle IS NOT NULL AS seen
+  FROM sh s LEFT JOIN old_g o USING (shingle)
+  WHERE s.doc_id % 5 = 0),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM j GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(a.n_grams, 0) AS n_grams,
+       COALESCE(a.n_novel, 0) AS n_novel,
+       CAST((2 * a.n_novel * 1000000 + a.n_grams)
+            // (2 * a.n_grams) AS DOUBLE) / 1000000.0 AS novelty
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN agg a USING (doc_id)
+""")
+def q100(spark, sf):
+    d = T(spark, sf, "documents")
+    return D.novelty_scores(d.filter(F.col("doc_id") % 5 == 0),
+                            d.filter(F.col("doc_id") % 5 != 0),
+                            "doc_id", "text", n=3)

@@ -213,3 +213,27 @@ def test_jsd_orders_by_divergence_and_bounded(spark):
            corpus_drift_jsd(d, "source", "text").collect()}
     assert all(0.0 <= v <= math.log(2) + 1e-9 for v in out.values())
     assert out["mix"] < out["odd"] < out["alien"]
+
+
+# ----------------------------------------------------- novelty scores
+
+def test_novelty_extremes_and_gramless(spark):
+    from rainforest_spark.operators.dedup import novelty_scores
+
+    seen = "k1 k2 k3 k4 k5"
+    old = _docs(spark, [(1, "s", seen)])
+    new = _docs(spark, [
+        (100, "s", seen),                      # fully seen -> 0.0
+        (101, "s", "n1 n2 n3 n4 n5"),          # fully novel -> 1.0
+        (102, "s", seen + " n1 n2"),           # mixed
+        (103, "s", "too short"),               # no 3-grams -> NULL
+    ])
+    out = {r.doc_id: r for r in
+           novelty_scores(new, old, "doc_id", "text", n=3).collect()}
+    assert out[100].novelty == 0.0 and out[100].n_novel == 0
+    assert out[101].novelty == 1.0 and out[101].n_novel == out[101].n_grams
+    # doc 102: grams at pos 1..5: k1k2k3,k2k3k4,k3k4k5 seen; k4k5n1,
+    # k5n1n2 novel -> 2/5
+    assert (out[102].n_grams, out[102].n_novel) == (5, 2)
+    assert out[102].novelty == 0.4
+    assert out[103].n_grams == 0 and out[103].novelty is None

@@ -202,3 +202,42 @@ def test_q83_unigram_vocab_join_not_cartesian(spark):
     # the scalar-total cross join broadcasts one row; the term join
     # must be hash-based, not nested-loop over the vocab
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_round6_corpus_ops_no_cartesian(spark):
+    """q91/q92/q95/q97/q100: every join is a gram/band/vocab equi-join
+    — a CartesianProduct or nested-loop fan-out anywhere in these
+    chains is the 100-TB scale-killer the designs exist to avoid."""
+    for name in ["q91_pmi_bigrams", "q92_repeated_spans",
+                 "q95_span_excision", "q97_incremental_dedup",
+                 "q100_novelty_score"]:
+        p = fmt_plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        if name != "q91_pmi_bigrams":
+            # q91's two 1-row scalar totals (n_tok, n_big) ride intended
+            # broadcast nested loops, like q96's
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_q93_broadcasts_eval_side(spark):
+    """q93's cross join IS the intended broadcast nested loop: the eval
+    side must ride a BroadcastExchange, never a CartesianProduct (which
+    would shuffle the train side)."""
+    p = fmt_plan(spark, "q93_semantic_decontamination")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+
+
+def test_q94_vocab_joins_broadcast(spark):
+    """q94: the top-k vocab is explicitly broadcast; the (group, term)
+    aggregate must not shuffle-join against it."""
+    p = fmt_plan(spark, "q94_vocab_coverage")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q96_dsir_scalar_totals_broadcast(spark):
+    """q96: the two 1-row totals ride broadcast nested loops (1-row
+    build sides); the term joins stay equi-joins."""
+    p = fmt_plan(spark, "q96_dsir_weights")
+    assert "CartesianProduct" not in p

@@ -540,3 +540,46 @@ def test_curate_stream_batch_parity(spark, tmp_path):
          .dropDuplicates(["fingerprint"]))
     assert (sorted(r.fingerprint for r in b.collect())
             == sorted(got.fingerprint))
+
+
+def test_curate_stream_static_corpus_exclusion(spark, tmp_path):
+    """A document whose fingerprint is already in the static corpus
+    store is dropped by the stream-static anti join even though the
+    in-stream dedup state has never seen it."""
+    import pandas as pd
+
+    from rainforest_spark.operators import text_analysis as TA
+    from rainforest_spark.streaming.corpus import curate_stream
+
+    src = str(tmp_path / "docs")
+    sink = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+    base = 1717200000
+    known = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh = "one two three four five six seven eight nine ten eleven"
+    pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [known, fresh],
+        "ingest_ts": pd.to_datetime([base, base + 1],
+                                    unit="s").astype("datetime64[us]"),
+    }).to_parquet(f"{src}/a.parquet", index=False)
+
+    # the corpus already holds `known` (fingerprint of the REDACTED
+    # text, as the store would after its own curation pass)
+    corpus = spark.createDataFrame([(known,)], "text string") \
+        .select(TA.fingerprint("text").alias("fingerprint"))
+
+    schema = "doc_id bigint, text string, ingest_ts timestamp"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (curate_stream(stream, watermark="10 minutes",
+                       known_fingerprints=corpus)
+         .writeStream.outputMode("append")
+         .format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink).toPandas()
+    assert sorted(got.doc_id) == [2]

@@ -11,6 +11,8 @@ Subcommands mirror the reference's user surface:
   evaluate — per-model per-bound QPE score tables (10-min + hourly)
   curate   — corpus-curation chain (quality/PII/dedup/mixture/shards)
   ingest   — JSONL corpus shards -> parquet, with a quarantine report
+  report   — corpus health report (per-source stats, OOV coverage,
+             distribution drift)
 
 Usage: python -m rainforest_spark.cli <subcommand> [args]
 """
@@ -221,6 +223,36 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Corpus health report: per-source stats, tokenizer OOV coverage,
+    and distribution drift vs the corpus — the one-shot summary a
+    curation run publishes alongside its output."""
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.text_analysis import (
+        corpus_drift_jsd, vocab_coverage,
+    )
+    from rainforest_spark.session import get_spark
+
+    spark = get_spark("rainforest-report")
+    docs = spark.read.parquet(args.input)
+    group = args.group_col
+    stats = (docs.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars")))
+    cov = vocab_coverage(docs, group, "text", vocab_k=args.vocab_k)
+    drift = corpus_drift_jsd(docs, group, "text")
+    out = (stats.join(cov.drop("total_tokens"), group)
+           .join(drift, group))
+    if args.output:
+        out.coalesce(1).write.mode("overwrite").parquet(args.output)
+    rows = {r[group]: {k: v for k, v in r.asDict().items() if k != group}
+            for r in out.collect()}
+    print(json.dumps({"groups": len(rows), "report": rows},
+                     default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rainforest-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -286,6 +318,13 @@ def main(argv=None) -> int:
                    help="eval-set parquet for decontamination")
     c.add_argument("--salt", default="curate-v1")
     c.set_defaults(fn=cmd_curate)
+
+    r = sub.add_parser("report", help="corpus health report")
+    r.add_argument("input", help="documents parquet path")
+    r.add_argument("-o", "--output", help="optional parquet output")
+    r.add_argument("--group-col", default="source")
+    r.add_argument("--vocab-k", type=int, default=500)
+    r.set_defaults(fn=cmd_report)
 
     i = sub.add_parser("ingest", help="JSONL shards -> parquet")
     i.add_argument("input", help="JSONL path/glob (plain or .gz)")

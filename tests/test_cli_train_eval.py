@@ -75,3 +75,19 @@ def test_cli_evaluate(spark, tmp_path, capsys):
     assert "RMSE" in scores.columns and "scatter" in scores.columns
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["score_rows"] == len(scores) > 0
+
+
+def test_cli_report(spark, tmp_path, capsys):
+    from rainforest_spark.cli import main
+
+    inp = "/root/testdata/sf0.01/documents.parquet"
+    out = str(tmp_path / "report")
+    assert main(["report", inp, "-o", out, "--vocab-k", "100"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["groups"] >= 2
+    one = next(iter(res["report"].values()))
+    assert {"n_docs", "total_chars", "oov_tokens", "oov_rate",
+            "n_terms", "jsd"} <= set(one)
+    # persisted report matches the printed one
+    saved = spark.read.parquet(out)
+    assert saved.count() == res["groups"]

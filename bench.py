@@ -150,6 +150,10 @@ SF10_HEADLINE = [
     # round-6 continuation: the most data-intensive corpus op (token
     # explode + vocab join) gets its second measured decade too
     "q83_unigram_logprob",
+    # the production incremental-dedup path (batch bands x corpus
+    # bands + verified Jaccard) — its O(batch) claim gets a second
+    # decade too
+    "q97_incremental_dedup",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0

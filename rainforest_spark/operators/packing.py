@@ -162,3 +162,36 @@ def materialize_packed(df: DataFrame, order_col: str, token_col: str,
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.col(token_col).cast("long")).alias("tok_sum"),
                  tape.alias("tape")))
+
+
+def leakage_free_split(df: DataFrame, pairs: DataFrame, id_col: str,
+                       rates: dict[str, float] | None = None,
+                       salt: str = "split-v1",
+                       out_col: str = "split") -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: every near-dup CLUSTER (connected component over
+    ``pairs``) is assigned as a unit, keyed by its canonical (min-id)
+    representative — the step naive per-doc splitting gets wrong, since
+    a test doc's near-twin in train silently inflates eval scores.
+
+    Singletons (docs in no pair) key on their own id, so for a corpus
+    with no near-dups this degrades EXACTLY to ``split_assign`` —
+    adding a pair can only merge assignments, never reshuffle
+    unrelated docs.
+
+    Shape at 100 TB: the pair graph is tiny relative to the corpus;
+    component labels come from min-label propagation
+    (dedup.neardup_clusters), the corpus joins them 1:1 on the doc id,
+    and the split itself is one md5 expression — no extra shuffle
+    beyond the label join.
+    """
+    from rainforest_spark.operators.dedup import neardup_clusters
+
+    clusters = neardup_clusters(pairs, out_id=id_col,
+                                cluster_col="__cl")
+    j = df.join(clusters, id_col, "left")
+    rep = j.withColumn("cluster_rep",
+                       F.coalesce(F.col("__cl"), F.col(id_col))
+                       .cast("long")).drop("__cl")
+    return split_assign(rep, "cluster_rep", rates=rates, salt=salt,
+                        out_col=out_col)

@@ -77,6 +77,10 @@ _PRIORITY = [
     # batch novelty scoring — admitted by demoting q12_asof_join
     # (r5-green; J9 is hypothesis-tested against pandas merge_asof).
     "q100_novelty_score",
+    # leakage-free cluster split — admitted by demoting
+    # q35_hourly_interpolation (r5-green; J10 is golden-tested and the
+    # hourly time-join machinery also runs inside in-window q67).
+    "q101_leakage_free_split",
     # --- round 6 stale-row rotation (VERDICT r5 Missing #4): the 8
     # queries whose latest green driver row is r2 re-enter the window
     # for a fresh hash check against the CURRENT testdata (the driver
@@ -128,7 +132,8 @@ _PRIORITY = [
     # r6 for q94/q95/q96 (see above)
     # q26_sliding_disagg demoted r6 for q99 (see above)
     "q27_weighted_quantile", "q33_perfscores",
-    "q34_scatter_score", "q35_hourly_interpolation",
+    "q34_scatter_score",
+    # q35_hourly_interpolation demoted r6 for q101 (see above)
     "q36_local_supplier_revenue",
     # q41_token_count, q42_quality_score, q43_lang_id (trivial regex
     # aggs, hash-green r2+r4) and q44_ngram_jaccard (exactness oracle

@@ -1143,3 +1143,68 @@ def q100(spark, sf):
     return D.novelty_scores(d.filter(F.col("doc_id") % 5 == 0),
                             d.filter(F.col("doc_id") % 5 != 0),
                             "doc_id", "text", n=3)
+
+
+# ---------------------------------------------------------------- q101
+# Leakage-free dataset split: near-dup clusters (q68's component
+# machinery over the exact-Jaccard pair graph) are split as UNITS via
+# their min-id representative — a test doc's near-twin can never land
+# in train.  Singletons key on their own id, so this degrades exactly
+# to q76's split when no pairs exist.
+@q("q101_leakage_free_split", sql="""
+WITH RECURSIVE
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ') AS words
+        FROM documents),
+       UNNEST(generate_series(1, len(words) - 2)) AS u(i)
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM edges),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+cl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       FROM reach GROUP BY src),
+j AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(cl.cluster_id, d.doc_id) AS BIGINT)
+           AS cluster_rep
+  FROM documents d LEFT JOIN cl USING (doc_id)),
+s AS (
+  SELECT doc_id, cluster_rep,
+         substr(md5('split-v1:' || CAST(cluster_rep AS VARCHAR)),
+                1, 2) AS h
+  FROM j)
+SELECT doc_id, cluster_rep,
+       CASE WHEN h < 'e6' THEN 'train'
+            WHEN h < 'f3' THEN 'val'
+            ELSE 'test' END AS split
+FROM s
+""")
+def q101(spark, sf):
+    from rainforest_spark.operators.dedup import ngram_jaccard_pairs
+    from rainforest_spark.operators.packing import leakage_free_split
+
+    d = T(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    out = leakage_free_split(d.select("doc_id"), pairs, "doc_id",
+                             rates={"train": 0.90, "val": 0.05,
+                                    "test": 0.05}, salt="split-v1")
+    return out.select("doc_id", "cluster_rep", "split")

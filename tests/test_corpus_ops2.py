@@ -237,3 +237,34 @@ def test_novelty_extremes_and_gramless(spark):
     assert (out[102].n_grams, out[102].n_novel) == (5, 2)
     assert out[102].novelty == 0.4
     assert out[103].n_grams == 0 and out[103].novelty is None
+
+
+# ------------------------------------------------ leakage-free split
+
+def test_leakage_free_split_invariants(spark):
+    from rainforest_spark.operators.dedup import ngram_jaccard_pairs
+    from rainforest_spark.operators.packing import (
+        leakage_free_split, split_assign,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text",
+                                n=3, threshold=0.2)
+    out = leakage_free_split(docs.select("doc_id"), pairs, "doc_id")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == docs.count()
+    # 1) no leakage: both ends of every pair share a split
+    for p in pairs.collect():
+        assert rows[p.id_a].split == rows[p.id_b].split, (p.id_a, p.id_b)
+        assert rows[p.id_a].cluster_rep == rows[p.id_b].cluster_rep
+    # 2) singletons get exactly the naive assignment
+    paired = {p.id_a for p in pairs.collect()} | \
+             {p.id_b for p in pairs.collect()}
+    naive = {r.doc_id: r.split
+             for r in split_assign(docs.select("doc_id"),
+                                   "doc_id").collect()}
+    for did, r in rows.items():
+        if did not in paired:
+            assert r.cluster_rep == did
+            assert r.split == naive[did]
+    assert paired, "fixture must contain near-dup pairs"

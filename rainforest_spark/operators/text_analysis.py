@@ -647,3 +647,55 @@ def corpus_drift_jsd(df, group_col: str, text_col: str):
         F.col(group_col), "n_terms",
         F.round(F.col("__n9").cast("double") / F.lit(1000000000.0)
                 + tail, 6).alias("jsd"))
+
+
+def corpus_cardinalities(df, group_col: str, text_col: str,
+                         rsd: float = 0.02, n: int = 3,
+                         exact: bool = False):
+    """Per-group cardinality panel — distinct documents, distinct
+    terms, distinct word ``n``-grams — via HyperLogLog++
+    (``approx_count_distinct``): the sketch path that replaces exact
+    distincts when the vocabulary/gram space no longer fits a shuffle
+    (an exact distinct-gram count at 100 TB shuffles ~10^12 keys; the
+    HLL sketch is a few KB per group and merges map-side, so the whole
+    panel is ONE pass over the token/gram explode with no
+    gram-cardinality shuffle at all).
+
+    ``exact=True`` swaps in countDistinct for small corpora and tests
+    — same output schema, so the two paths are drop-in comparable
+    (the accuracy test pins the sketch's relative error against it).
+    ``rsd`` is the target relative standard deviation (Spark's HLL++
+    parameter; 0.02 ≈ 2 %).
+    """
+    words = tokens(normalized_text(text_col))
+    staged = df.select(F.col(group_col), F.col(text_col),
+                       words.alias("__w"))
+    w = F.col("__w")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(w) - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.get(w, i + k) for k in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = staged.select(
+        F.col(group_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__doc"),
+        F.explode_outer(F.concat(
+            F.transform(F.filter(w, lambda t: t != ""),
+                        lambda t: F.concat(F.lit("t:"), t)),
+            F.transform(grams, lambda g: F.concat(F.lit("g:"), g))))
+        .alias("__k"))
+    is_term = F.col("__k").startswith("t:")
+    is_gram = F.col("__k").startswith("g:")
+
+    def distinct_of(cond, col):
+        c = F.when(cond, F.col(col))
+        return (F.countDistinct(c) if exact
+                else F.approx_count_distinct(c, rsd))
+
+    return exploded.groupBy(group_col).agg(
+        (F.countDistinct("__doc") if exact
+         else F.approx_count_distinct("__doc", rsd))
+        .cast("long").alias("n_docs_distinct"),
+        distinct_of(is_term, "__k").cast("long").alias("n_terms"),
+        distinct_of(is_gram, "__k").cast("long").alias("n_grams"))

@@ -268,3 +268,43 @@ def test_leakage_free_split_invariants(spark):
             assert r.cluster_rep == did
             assert r.split == naive[did]
     assert paired, "fixture must contain near-dup pairs"
+
+
+# --------------------------------------------- HLL cardinality panel
+
+def test_corpus_cardinalities_sketch_vs_exact(spark):
+    """The HLL++ panel tracks the exact distincts within a few rsd —
+    the accuracy contract that lets the sketch replace the exact
+    distinct at 100 TB."""
+    from rainforest_spark.operators.text_analysis import (
+        corpus_cardinalities,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {r.source: r for r in
+             corpus_cardinalities(docs, "source", "text",
+                                  exact=True).collect()}
+    approx = {r.source: r for r in
+              corpus_cardinalities(docs, "source", "text",
+                                   rsd=0.02).collect()}
+    assert set(exact) == set(approx)
+    for src, e in exact.items():
+        a = approx[src]
+        for fld in ("n_docs_distinct", "n_terms", "n_grams"):
+            ev, av = getattr(e, fld), getattr(a, fld)
+            assert ev > 0
+            assert abs(av - ev) <= max(0.08 * ev, 2), \
+                (src, fld, ev, av)
+
+
+def test_corpus_cardinalities_counts_empty_docs(spark):
+    from rainforest_spark.operators.text_analysis import (
+        corpus_cardinalities,
+    )
+
+    d = _docs(spark, [(0, "s", "a b c"), (1, "s", ""), (2, "s", "a b")])
+    out = corpus_cardinalities(d, "source", "text", exact=True) \
+        .collect()[0]
+    # 3 distinct contents (incl. the empty doc), 3 terms, 2 trigrams?
+    # "a b c" has one 3-gram; "a b" none; empty none
+    assert (out.n_docs_distinct, out.n_terms, out.n_grams) == (3, 3, 1)

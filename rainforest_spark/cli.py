@@ -230,7 +230,7 @@ def cmd_report(args) -> int:
     from pyspark.sql import functions as F
 
     from rainforest_spark.operators.text_analysis import (
-        corpus_drift_jsd, vocab_coverage,
+        corpus_cardinalities, corpus_drift_jsd, vocab_coverage,
     )
     from rainforest_spark.session import get_spark
 
@@ -242,8 +242,15 @@ def cmd_report(args) -> int:
         F.sum(F.length("text")).alias("total_chars")))
     cov = vocab_coverage(docs, group, "text", vocab_k=args.vocab_k)
     drift = corpus_drift_jsd(docs, group, "text")
+    # HLL++ sketch panel (distinct docs/terms/grams) — the scale path;
+    # n_terms from the drift join is the group's exact present-vocab
+    # size, the sketch adds content-distinct docs and the gram space
+    card = (corpus_cardinalities(docs, group, "text")
+            .select(group,
+                    F.col("n_docs_distinct"),
+                    F.col("n_grams").alias("approx_ngrams")))
     out = (stats.join(cov.drop("total_tokens"), group)
-           .join(drift, group))
+           .join(drift, group).join(card, group))
     if args.output:
         out.coalesce(1).write.mode("overwrite").parquet(args.output)
     rows = {r[group]: {k: v for k, v in r.asDict().items() if k != group}

@@ -87,7 +87,8 @@ def test_cli_report(spark, tmp_path, capsys):
     assert res["groups"] >= 2
     one = next(iter(res["report"].values()))
     assert {"n_docs", "total_chars", "oov_tokens", "oov_rate",
-            "n_terms", "jsd"} <= set(one)
+            "n_terms", "jsd", "n_docs_distinct",
+            "approx_ngrams"} <= set(one)
     # persisted report matches the printed one
     saved = spark.read.parquet(out)
     assert saved.count() == res["groups"]

@@ -81,6 +81,11 @@ _PRIORITY = [
     # q35_hourly_interpolation (r5-green; J10 is golden-tested and the
     # hourly time-join machinery also runs inside in-window q67).
     "q101_leakage_free_split",
+    # ROUND-7 ROTATION QUEUE (oldest-first, ~8/round): once the r6
+    # window above is hash-proven, swap in the next-stalest rows —
+    # q41/q42/q43/q44 (r2-r4), q29/q30/q32 (r2), q13/q20/q23/q24/q25
+    # (r2-r4) — demoting proven r6 corpus entries whose operator
+    # families keep pytest + sibling-query coverage.
     # --- round 6 stale-row rotation (VERDICT r5 Missing #4): the 8
     # queries whose latest green driver row is r2 re-enter the window
     # for a fresh hash check against the CURRENT testdata (the driver

@@ -78,6 +78,14 @@ HEADLINE = [
     # Jaccard) — the heaviest round-6 corpus transforms
     "q95_span_excision",
     "q97_incremental_dedup",
+    # round-6 continued-2: the tile fan-out + per-source DF join
+    # (q102), the distributed ordered-cumsum budget cut (q105), the
+    # bigram fan-out + triple vocab join (q106) and the 2-iteration
+    # broadcast-scored k-means (q107)
+    "q102_boilerplate_removal",
+    "q105_token_budget",
+    "q106_bigram_logprob",
+    "q107_kmeans_clusters",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle

@@ -551,3 +551,44 @@ def novelty_scores(new_df: DataFrame, old_df: DataFrame,
                     F.coalesce("n_novel", F.lit(0)).cast("long")
                     .alias("n_novel"),
                     F.col("novelty")))
+
+
+def canonical_per_cluster(docs: DataFrame, pairs: DataFrame,
+                          id_col: str, quality_col: str,
+                          id_headroom: int = 10_000_000_000) -> DataFrame:
+    """Canonical-document selection: near-dup clusters (connected
+    components over ``pairs``) each keep their HIGHEST-quality member —
+    the step a production dedup pipeline runs after clustering (the
+    min-id representative of :func:`neardup_clusters` is a stable
+    label; the doc actually kept should be the best one, not the
+    oldest id).
+
+    ``quality_col`` must be a non-negative integer column (e.g. token
+    count); ties break on the SMALLEST id via the exact integer key
+    ``quality * id_headroom - id`` (ids must be < ``id_headroom``, and
+    ``quality * id_headroom`` must stay < 2^63 — both asserted cheaply
+    at plan level by the multiply overflowing into SQL ANSI error).
+
+    Output: ``(id, cluster_rep, canonical_id, is_canonical)`` for every
+    input doc; singletons are their own canonical.
+
+    Shape at 100 TB: label propagation costs O(pairs); the argmax is
+    ONE groupBy on the cluster id; the canonical dim joins back on the
+    same key.
+    """
+    clusters = neardup_clusters(pairs, out_id="__cid",
+                                cluster_col="__cluster")
+    j = (docs.join(clusters, docs[id_col] == clusters["__cid"], "left")
+         .drop("__cid")
+         .withColumn("cluster_rep",
+                     F.coalesce("__cluster", F.col(id_col)).cast("long"))
+         .drop("__cluster"))
+    key = (F.col(quality_col).cast("long") * F.lit(id_headroom)
+           - F.col(id_col))
+    canon = (j.withColumn("__key", key)
+             .groupBy("cluster_rep")
+             .agg(F.max_by(id_col, "__key").alias("canonical_id")))
+    return (j.join(canon, "cluster_rep")
+            .select(F.col(id_col), "cluster_rep", "canonical_id",
+                    (F.col(id_col) == F.col("canonical_id"))
+                    .alias("is_canonical")))

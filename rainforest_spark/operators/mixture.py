@@ -121,3 +121,47 @@ def cap_per_group(df: DataFrame, group_col: str, id_col: str, k: int,
     if rank_col:
         return out.withColumnRenamed("__rk", rank_col)
     return out.drop("__rk")
+
+
+def token_budget_selection(df: DataFrame, id_col: str,
+                           score_micro_col: str, weight_col: str,
+                           budget_num: int, budget_den: int,
+                           id_headroom: int = 10_000_000_000) -> DataFrame:
+    """Quality-ordered corpus selection under a token budget: rank docs
+    best-first and keep them until the running token count reaches
+    ``budget_num/budget_den`` of the corpus total — "take the best N
+    billion tokens", the final cut of a curated pre-training mix.
+
+    Exactness contract (everything is 64-bit integer arithmetic):
+
+    - ``score_micro_col``: integer micro-units quality score in
+      [0, 1e6] (compute it with the round-half-up integer idiom
+      ``(2*v*1e6 + d) div (2*d)`` — never a rounded double);
+    - order: score DESC, id ASC, encoded as the single exact BIGINT key
+      ``(1e6 - score) * id_headroom + id`` so the distributed
+      range-partitioned cumsum (:func:`windows.ranged_cumsum` — no
+      single-partition window) orders on one column;
+    - a doc is selected iff the tokens BEFORE it are under the budget
+      (integer cross-multiply, no FP): the first doc to cross the line
+      is still taken, matching the "complete the budget" convention.
+
+    Output: input ids + ``(score..., cum_before, selected)``.
+
+    Shape at 100 TB: one range-shuffle for the cumsum, a broadcast
+    offsets map, and a scalar total carried by the same offsets table —
+    nothing global except the tiny per-partition offset dim.
+    """
+    from rainforest_spark.operators.windows import ranged_cumsum
+
+    d = df.withColumn(
+        "__ord",
+        (F.lit(1000000) - F.col(score_micro_col)).cast("long")
+        * F.lit(id_headroom) + F.col(id_col))
+    c = ranged_cumsum(d, "__ord", weight_col, cum_col="__cw",
+                      total_col="__tw")
+    before = F.col("__cw") - F.col(weight_col)
+    sel = (before * F.lit(budget_den)
+           < F.col("__tw") * F.lit(budget_num))
+    return (c.withColumn("cum_before", before.cast("long"))
+            .withColumn("selected", sel)
+            .drop("__ord", "__cw", "__tw"))

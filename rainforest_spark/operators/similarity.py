@@ -691,3 +691,116 @@ def semantic_contamination(train: DataFrame, eval_side: DataFrame,
     return (sim.withColumn("__rnk", F.row_number().over(w))
             .filter((F.col("__rnk") == 1) & (F.col("sim") >= threshold))
             .select("train_id", "eval_id", "sim"))
+
+
+def margin_alignment(vectors: DataFrame, id_col: str, vec_col: str,
+                     left_pred: Column, right_pred: Column,
+                     k_margin: int = 4, round_to: int = 6) -> DataFrame:
+    """Margin-based embedding alignment (bitext-mining style): for each
+    LEFT vector, its top-1 RIGHT neighbour by cosine together with the
+    ratio margin ``sim / mean(top-k sims)`` — the standard
+    absolute-threshold killer for parallel-corpus mining (a hub vector
+    that is "close to everything" gets margin ~1 and is rejected; a
+    true translation pair stands out from its neighbourhood).
+
+    Similarity is rounded to ``round_to`` BEFORE ranking (ties break on
+    the neighbour id); the margin divides the top-1 similarity by the
+    mean of the top-``k_margin`` similarities and is rounded after the
+    division.  No margin threshold is applied here — emitting the raw
+    margin keeps the decision cut out of the engine (and a threshold
+    exactly ON a margin value would be engine-order dependent).
+
+    Shape at 100 TB: the LEFT (query) side broadcasts — alignment
+    queries are the smaller corpus by construction; swap the candidate
+    generator for the LSH/IVF paths when both sides are huge (the
+    margin is computed over whatever candidate set ranks).
+    """
+    from pyspark.sql import Window
+
+    v = with_double_vec(vectors, vec_col, "v").select(
+        F.col(id_col), F.col("v"), _norm("v").alias("nrm"))
+    q = v.filter(left_pred).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"))
+    t = v.filter(right_pred).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("tv"),
+        F.col("nrm").alias("tn"))
+    sim = t.crossJoin(broadcast(q)).withColumn(
+        "sim", F.round(_dot("qv", "tv") / (F.col("qn") * F.col("tn")),
+                       round_to))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    top = (sim.withColumn("rnk", F.row_number().over(w))
+           .filter(F.col("rnk") <= k_margin))
+    return (top.groupBy("query_id").agg(
+        F.min_by("neighbor_id", "rnk").alias("match_id"),
+        F.min_by("sim", "rnk").alias("sim"),
+        F.avg("sim").alias("__mean_topk"))
+        .select("query_id", "match_id", "sim",
+                F.round(F.col("sim") / F.col("__mean_topk"), round_to)
+                .alias("margin")))
+
+
+def kmeans_clusters(vectors: DataFrame, id_col: str, vec_col: str,
+                    k: int = 8, n_iter: int = 2,
+                    round_to: int = 6) -> DataFrame:
+    """Fixed-iteration spherical k-means over an embedding column —
+    the topic/quality clustering pass of a corpus pipeline (cluster
+    then sample per cluster for diversity, or drop junk clusters).
+
+    Deterministic by construction, so it is oracle-checkable:
+
+    - init: the ``k`` lowest-id vectors are the seed centroids, cluster
+      index = their id rank (no RNG);
+    - assignment: cosine similarity rounded to ``round_to`` BEFORE the
+      argmax, ties break on the lowest cluster index (the q51 policy,
+      proven hash-exact);
+    - update: per-dimension plain mean of assigned vectors (exact
+      enough: the 6dp rounding grid is ~1e10 coarser than double
+      summation noise on bounded embeddings);
+    - exactly ``n_iter`` assignment rounds — no convergence test, so
+      both engines run the same computation.
+
+    A centroid that loses all members simply disappears from the next
+    round (both engines derive centroids from the assignment table).
+
+    Shape at 100 TB: the centroid table is k x dim (broadcast); each
+    iteration is one broadcast-join scan + one (cluster, dim) groupBy
+    whose output is again k x dim.  Iterations multiply the scan count,
+    not the shuffle size — n_iter stays a small constant.
+    """
+    from pyspark.sql import Window
+
+    v = with_double_vec(vectors, vec_col, "v").select(
+        F.col(id_col).alias("vec_id"), F.col("v"),
+        _norm("v").alias("nrm"))
+    w_init = Window.orderBy("vec_id")
+    cent = (v.orderBy("vec_id").limit(k)
+            .withColumn("cid", F.row_number().over(w_init) - 1)
+            .select("cid", F.col("v").alias("cv")))
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        cn = cent_df.withColumn("cnrm", _norm("cv"))
+        scored = v.crossJoin(broadcast(cn)).withColumn(
+            "sim",
+            F.round(_dot("v", "cv") / (F.col("nrm") * F.col("cnrm")),
+                    round_to))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("sim").desc(), F.col("cid").asc())
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "cid", "sim"))
+
+    for _ in range(n_iter - 1):
+        a = assign(cent)
+        pos = (a.join(v, "vec_id")
+               .select("cid", F.posexplode("v").alias("pos", "x")))
+        cent = (pos.groupBy("cid", "pos").agg(F.avg("x").alias("cx"))
+                .groupBy("cid")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("pos", "cx"))).alias("s"))
+                .select("cid", F.transform("s", lambda e: e["cx"])
+                        .alias("cv")))
+    out = assign(cent)
+    return out.select("vec_id", F.col("cid").cast("long").alias("cluster"),
+                      "sim")

@@ -699,3 +699,146 @@ def corpus_cardinalities(df, group_col: str, text_col: str,
         .cast("long").alias("n_docs_distinct"),
         distinct_of(is_term, "__k").cast("long").alias("n_terms"),
         distinct_of(is_gram, "__k").cast("long").alias("n_grams"))
+
+
+def boilerplate_tiles(df: "DataFrame", id_col: str, text_col: str,
+                      source_col: str, tile: int = 8,
+                      min_docs: int = 2, frac_denom: int = 20):
+    """Per-source boilerplate tile table: the normalized text is cut
+    into NON-overlapping ``tile``-word segments (the last one may be
+    shorter), and a segment is boilerplate within its source when it
+    appears in >= ``min_docs`` distinct documents AND in >=
+    1/``frac_denom`` of the source's documents (integer cross-multiply,
+    no FP threshold).
+
+    The CCNet-style per-domain repeated-content pass (headers, footers,
+    nav chrome repeat across a domain's pages; prose does not).
+    Distinct from :func:`~rainforest_spark.operators.dedup`'s span
+    excision (q95): boilerplate is removed from EVERY occurrence —
+    there is no canonical first keeper.
+
+    Returns ``(source, tile)`` — one row per boilerplate segment.
+    Shape at 100 TB: tile fan-out is ~n_words/tile per doc (an order
+    less than n-gram shingling), one groupBy on (source, tile), and the
+    per-source doc-count dim is tiny and broadcast.
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    n_tiles = F.floor((F.size(toks) + F.lit(tile - 1)) / F.lit(tile))
+    tiles_arr = F.transform(
+        F.sequence(F.lit(0), (n_tiles - 1).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * tile + 1, tile)))
+    t = df.select(F.col(id_col), F.col(source_col),
+                  F.posexplode(tiles_arr).alias("pos", "tile"))
+    srcn = df.groupBy(source_col).agg(
+        F.countDistinct(id_col).alias("__nd"))
+    tdf = t.groupBy(source_col, "tile").agg(
+        F.countDistinct(id_col).alias("__df"))
+    from pyspark.sql.functions import broadcast
+    return (tdf.join(broadcast(srcn), source_col)
+            .filter((F.col("__df") >= min_docs)
+                    & (F.col("__df") * frac_denom >= F.col("__nd")))
+            .select(source_col, "tile"))
+
+
+def remove_boilerplate(df: "DataFrame", id_col: str, text_col: str,
+                       source_col: str, tile: int = 8,
+                       min_docs: int = 2, frac_denom: int = 20):
+    """Strip per-source boilerplate tiles from every document.
+
+    Output: ``(id, n_tiles, n_removed, cleaned_fp)`` where
+    ``cleaned_fp`` is the md5 of the space-joined KEPT tiles in
+    original order ('' when everything was boilerplate) — the
+    downstream dedup key of the cleaned corpus.
+
+    Shape at 100 TB: the boilerplate set is per-source Zipf-small
+    (AQE broadcasts it under the anti-join when it fits); the rebuild
+    is one groupBy on the doc id — the same key the tile fan-out
+    already carries.
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    n_tiles = F.floor((F.size(toks) + F.lit(tile - 1)) / F.lit(tile))
+    tiles_arr = F.transform(
+        F.sequence(F.lit(0), (n_tiles - 1).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * tile + 1, tile)))
+    t = df.select(F.col(id_col), F.col(source_col),
+                  F.posexplode(tiles_arr).alias("pos", "tile"))
+    bp = boilerplate_tiles(df, id_col, text_col, source_col,
+                           tile=tile, min_docs=min_docs,
+                           frac_denom=frac_denom)
+    kept = t.join(bp, [source_col, "tile"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("pos"), F.col("tile")))),
+                lambda s: s["tile"]), " ").alias("__cleaned"))
+    base = df.select(F.col(id_col), n_tiles.cast("int").alias("n_tiles"))
+    return (base.join(agg, id_col, "left")
+            .select(F.col(id_col), "n_tiles",
+                    (F.col("n_tiles") - F.coalesce("__n_kept", F.lit(0)))
+                    .cast("int").alias("n_removed"),
+                    F.md5(F.coalesce("__cleaned", F.lit("")))
+                    .alias("cleaned_fp")))
+
+
+def bigram_logprob(df, id_col: str, text_col: str,
+                   lam: float = 0.75):
+    """Per-document mean negative log-likelihood under an interpolated
+    corpus bigram LM: ``p(w2|w1) = lam*c(w1 w2)/c(w1 .) + (1-lam)*c(w2)/N``
+    — one modeling step past :func:`unigram_logprob` (q83), the
+    fluency-aware variant of the KenLM quality filter (word order now
+    matters: scrambled boilerplate scores differently from fluent
+    repetition even at identical unigram stats).
+
+    ``c(w1 .)`` is the bigram-FIRST count (not the raw unigram count),
+    so the conditional MLE sums to exactly 1 over observed continuations
+    and self-scoring never needs unseen-mass smoothing; the unigram
+    interpolation term uses occurrence counts over all tokens.
+
+    Determinism: identical to q83's policy — each bigram type's -ln p
+    is rounded to 9 decimals and scaled to integer nanos (the
+    decimal(19,9) * int multiply is exact; scaling a SUM would clamp at
+    precision 38), summed exactly, and the final mean is round-half-up
+    in pure integer arithmetic ``(2N + 1000 n) div (2000 n)``.
+
+    Docs with fewer than 2 tokens have no bigrams and are absent from
+    the result (both engines drop them in the inner join).
+
+    Shape at 100 TB: bigram explode -> per-doc tf groupBy + corpus
+    bigram groupBy -> equi-joins on (w1, w2), w1 and w2.  All three
+    count dims are Zipf-small relative to the corpus (AQE broadcasts
+    them when they fit); the scalar N rides a 1-row cross join.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pairs_arr = F.when(
+        n >= 2,
+        F.arrays_zip(F.slice(toks, 1, n - 1).alias("w1"),
+                     F.slice(toks, 2, n - 1).alias("w2"))
+    ).otherwise(F.array())
+    bg = (df.select(F.col(id_col), F.explode(pairs_arr).alias("p"))
+          .select(F.col(id_col), F.col("p.w1").alias("w1"),
+                  F.col("p.w2").alias("w2"))
+          .filter((F.col("w1") != "") & (F.col("w2") != "")))
+    tf = bg.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cs = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cs"))
+    uni = (df.select(F.explode(toks).alias("w2"))
+           .filter(F.col("w2") != ""))
+    cu = uni.groupBy("w2").agg(F.count(F.lit(1)).alias("cu"))
+    total = uni.agg(F.count(F.lit(1)).cast("double").alias("__tot"))
+    p = (F.lit(lam) * (F.col("cb") / F.col("cs"))
+         + F.lit(1.0 - lam) * (F.col("cu") / F.col("__tot")))
+    nano = (F.round(-F.log(p), 9).cast("decimal(19,9)")
+            * F.lit(1000000000)).cast("long")
+    per = (tf.join(cb, ["w1", "w2"]).join(cs, "w1").join(cu, "w2")
+           .crossJoin(total)
+           .select(F.col(id_col), "tf", (nano * F.col("tf")).alias("__n9")))
+    agg = per.groupBy(id_col).agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum("__n9").alias("__n9"))
+    micro = F.expr("(2 * __n9 + 1000 * n_bigrams) div (2000 * n_bigrams)")
+    return agg.select(
+        F.col(id_col), "n_bigrams",
+        (micro.cast("double") / F.lit(1000000.0)).alias("mean_nll"))

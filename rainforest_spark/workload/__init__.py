@@ -81,6 +81,19 @@ _PRIORITY = [
     # q35_hourly_interpolation (r5-green; J10 is golden-tested and the
     # hourly time-join machinery also runs inside in-window q67).
     "q101_leakage_free_split",
+    # --- round 6, continued-2: boilerplate removal, cluster-canonical
+    # selection, margin alignment, token-budget cut, bigram LM,
+    # spherical k-means.  Admitted by demoting six r5-green flagships —
+    # q01_pricing_summary (scan+agg family stays via in-window q15),
+    # q09_broadcast_dim_join (J2; the join surface stays via q53/q67),
+    # q27_weighted_quantile (W10; the ranged-cumsum machinery runs in
+    # in-window q34 and q105), q33_perfscores (A13; q34 stays), q36
+    # (6-table join, benched headline + pytest) and q40 (exact dedup;
+    # the dedup family keeps q97/q102 in-window).  All six stay
+    # pytest-gated via tests/test_oracle_parity.py.
+    "q102_boilerplate_removal", "q103_cluster_canonical",
+    "q104_margin_alignment", "q105_token_budget",
+    "q106_bigram_logprob", "q107_kmeans_clusters",
     # ROUND-7 ROTATION QUEUE (oldest-first, ~8/round): once the r6
     # window above is hash-proven, swap in the next-stalest rows —
     # q41/q42/q43/q44 (r2-r4), q29/q30/q32 (r2), q13/q20/q23/q24/q25
@@ -122,7 +135,8 @@ _PRIORITY = [
     # q69_tfidf_top_terms (r5-green; the tf/df join machinery is also
     # exercised by in-window q83) demoted for q87_embedding_dedup
     # --- proven flagships kept inside the window ---
-    "q01_pricing_summary", "q09_broadcast_dim_join",
+    # q01_pricing_summary, q09_broadcast_dim_join demoted r6 for
+    # q102/q103 (see above)
     # q12_asof_join demoted r6 for q100 (see above)
     # q13_latest_per_hour demoted r6 for q77 (r5-green; its W2/S10
     # operators are exercised by in-window q67's fallback chain)
@@ -136,10 +150,12 @@ _PRIORITY = [
     # q19_hourly_complete, q21_contingency, q22_sessionization demoted
     # r6 for q94/q95/q96 (see above)
     # q26_sliding_disagg demoted r6 for q99 (see above)
-    "q27_weighted_quantile", "q33_perfscores",
+    # q27_weighted_quantile, q33_perfscores demoted r6 for q104/q105
+    # (see above)
     "q34_scatter_score",
     # q35_hourly_interpolation demoted r6 for q101 (see above)
-    "q36_local_supplier_revenue",
+    # q36_local_supplier_revenue, q40_fingerprint_dedup demoted r6 for
+    # q106/q107 (see above)
     # q41_token_count, q42_quality_score, q43_lang_id (trivial regex
     # aggs, hash-green r2+r4) and q44_ngram_jaccard (exactness oracle
     # for the q63 pipeline, hash-green r3/r4) remain demoted — all
@@ -148,7 +164,7 @@ _PRIORITY = [
     # io round-trip tests + the in-window codec family) and
     # q51_centroid_classify (r3-green; the J13 operator is exercised by
     # in-window q14) to admit the packing/split pair at exactly 50.
-    "q40_fingerprint_dedup", "q45_minhash_lsh",
+    "q45_minhash_lsh",
     # q50_cosine_topk demoted r6 for q93 (see above)
 ]
 

@@ -1208,3 +1208,179 @@ def q101(spark, sf):
                              rates={"train": 0.90, "val": 0.05,
                                     "test": 0.05}, salt="split-v1")
     return out.select("doc_id", "cluster_rep", "split")
+
+
+# ---------------------------------------------------------------- q102
+# Per-source boilerplate removal (CCNet-style): non-overlapping 8-word
+# tiles of the normalized text that repeat across >=2 docs AND >=5% of
+# the source's docs are stripped from EVERY occurrence (unlike q95's
+# keep-first span excision); the cleaned text is fingerprinted for the
+# downstream dedup key.  Integer cross-multiplied threshold — no FP.
+@q("q102_boilerplate_removal", sql=f"""
+WITH w AS (SELECT doc_id, source, {_WORDS} AS words FROM documents),
+t AS (
+  SELECT doc_id, source, u.i AS pos,
+         array_to_string(words[8*u.i+1 : 8*u.i+8], ' ') AS tile
+  FROM w, UNNEST(generate_series(
+         0, CAST(floor((len(words) + 7) / 8) AS INT) - 1)) AS u(i)),
+srcn AS (SELECT source, COUNT(DISTINCT doc_id) AS nd
+         FROM documents GROUP BY 1),
+tdf AS (SELECT source, tile, COUNT(DISTINCT doc_id) AS df
+        FROM t GROUP BY 1, 2),
+bp AS (SELECT source, tile FROM tdf JOIN srcn USING (source)
+       WHERE df >= 2 AND df * 20 >= nd),
+kept AS (SELECT t.doc_id, t.pos, t.tile
+         FROM t ANTI JOIN bp
+           ON t.source = bp.source AND t.tile = bp.tile),
+agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+               array_to_string(list(tile ORDER BY pos), ' ') AS cleaned
+        FROM kept GROUP BY 1),
+nt AS (SELECT doc_id, COUNT(*) AS n_tiles FROM t GROUP BY 1)
+SELECT d.doc_id, CAST(nt.n_tiles AS INT) AS n_tiles,
+       CAST(nt.n_tiles - COALESCE(agg.n_kept, 0) AS INT) AS n_removed,
+       md5(COALESCE(agg.cleaned, '')) AS cleaned_fp
+FROM documents d JOIN nt USING (doc_id) LEFT JOIN agg USING (doc_id)
+""")
+def q102(spark, sf):
+    return TA.remove_boilerplate(T(spark, sf, "documents"),
+                                 "doc_id", "text", "source")
+
+
+# ---------------------------------------------------------------- q103
+# Canonical-doc selection per near-dup cluster: q101's component
+# machinery over the exact-Jaccard pair graph, then each cluster keeps
+# its highest-token-count member (smallest id on ties) via one exact
+# integer arg-max key.  Singletons are their own canonical.
+@q("q103_cluster_canonical", sql=f"""
+WITH RECURSIVE
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM (SELECT doc_id, {_WORDS} AS words FROM documents),
+       UNNEST(generate_series(1, len(words) - 2)) AS u(i)
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM edges),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+cl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       FROM reach GROUP BY src),
+j AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_rep,
+         CAST(len({_WORDS}) AS BIGINT) AS q
+  FROM documents d LEFT JOIN cl USING (doc_id)),
+canon AS (
+  SELECT cluster_rep,
+         arg_max(doc_id, q * 10000000000 - doc_id) AS canonical_id
+  FROM j GROUP BY 1)
+SELECT j.doc_id, j.cluster_rep, canon.canonical_id,
+       j.doc_id = canon.canonical_id AS is_canonical
+FROM j JOIN canon USING (cluster_rep)
+""")
+def q103(spark, sf):
+    from rainforest_spark.operators.dedup import (canonical_per_cluster,
+                                                  ngram_jaccard_pairs)
+
+    d = T(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    docs = d.select(
+        "doc_id",
+        F.size(F.split(TA.normalized_text("text"), " ")).alias("__q"))
+    return canonical_per_cluster(docs, pairs, "doc_id", "__q") \
+        .select("doc_id", "cluster_rep", "canonical_id", "is_canonical")
+
+
+# ---------------------------------------------------------------- q105
+# Token-budget curriculum selection: lexical-diversity score in exact
+# integer micro-units, best-first order as ONE exact BIGINT key, and a
+# DISTRIBUTED ordered cumsum (ranged_cumsum, no single-partition
+# window) cut at 60% of the corpus tokens via integer cross-multiply.
+@q("q105_token_budget", sql=f"""
+WITH s AS (
+  SELECT doc_id, len(words) AS n, len(list_distinct(words)) AS d
+  FROM (SELECT doc_id, {_WORDS} AS words FROM documents)),
+k AS (SELECT doc_id, n,
+             (2 * d * 1000000 + n) // (2 * n) AS sm
+      FROM s),
+c AS (SELECT doc_id, n, sm,
+             SUM(n) OVER (ORDER BY (1000000 - sm) * 10000000000 + doc_id)
+               AS cw,
+             SUM(n) OVER () AS total
+      FROM k)
+SELECT doc_id, CAST(sm AS DOUBLE) / 1000000.0 AS score,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(cw - n AS BIGINT) AS cum_before,
+       (cw - n) * 5 < total * 3 AS selected
+FROM c
+""")
+def q105(spark, sf):
+    from rainforest_spark.operators.mixture import token_budget_selection
+
+    d = T(spark, sf, "documents")
+    words = F.split(TA.normalized_text("text"), " ")
+    base = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("__d"))
+    base = base.withColumn(
+        "__sm",
+        F.expr("(2 * __d * 1000000 + n_tokens) div (2 * n_tokens)"))
+    out = token_budget_selection(base, "doc_id", "__sm", "n_tokens",
+                                 budget_num=3, budget_den=5)
+    return out.select(
+        "doc_id",
+        (F.col("__sm").cast("double") / F.lit(1000000.0)).alias("score"),
+        "n_tokens", "cum_before", "selected")
+
+
+# ---------------------------------------------------------------- q106
+# Interpolated bigram-LM quality scoring: one modeling step past q83
+# (word order now matters).  Same exactness policy: per-type -ln p on
+# the 1e-9 grid as integer nanos, exact integer sum, round-half-up
+# mean as pure integer division.
+@q("q106_bigram_logprob", sql="""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+           FROM documents),
+bg AS (
+  SELECT doc_id, words[u.i] AS w1, words[u.i+1] AS w2
+  FROM w, UNNEST(generate_series(1, len(words) - 1)) AS u(i)
+  WHERE words[u.i] != '' AND words[u.i+1] != ''),
+tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+cs AS (SELECT w1, COUNT(*) AS cs FROM bg GROUP BY 1),
+toks AS (
+  SELECT t.term FROM w, UNNEST(words) AS t(term) WHERE t.term != ''),
+cu AS (SELECT term AS w2, COUNT(*) AS cu FROM toks GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tot FROM toks),
+per AS (
+  SELECT doc_id, tf,
+         CAST(CAST(ROUND(-ln(0.75 * (cb / cs) + 0.25 * (cu / tot)), 9)
+                   AS DECIMAL(19,9)) * 1000000000 AS BIGINT) * tf AS n9
+  FROM tf JOIN cb USING (w1, w2) JOIN cs USING (w1) JOIN cu USING (w2)
+  CROSS JOIN tot),
+agg AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         CAST(SUM(n9) AS BIGINT) AS n9
+  FROM per GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       CAST((2 * n9 + 1000 * n_bigrams) // (2000 * n_bigrams) AS DOUBLE)
+         / 1000000.0 AS mean_nll
+FROM agg
+""")
+def q106(spark, sf):
+    return TA.bigram_logprob(T(spark, sf, "documents"), "doc_id", "text")

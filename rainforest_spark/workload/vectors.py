@@ -300,3 +300,89 @@ def q93(spark, sf):
         e.filter(F.col("vec_id") % 20 != 0),
         e.filter(F.col("vec_id") % 20 == 0),
         "vec_id", "embedding", threshold=0.3)
+
+
+# ---------------------------------------------------------------- q104
+# Margin-based embedding alignment (bitext-mining style): even vec_ids
+# query the odd side; top-1 cosine with ratio margin sim/mean(top-4).
+# Similarity rounds BEFORE ranking (ties on neighbor id); the margin
+# rounds after the one division; no threshold is applied in-engine.
+@q("q104_margin_alignment", sql="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+      FROM v WHERE vec_id % 2 = 0),
+c AS (SELECT vec_id AS neighbor_id, v AS tv, nrm AS tn
+      FROM v WHERE vec_id % 2 = 1),
+pairs AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND(list_dot_product(q.qv, c.tv) / (q.qn * c.tn), 6) AS sim
+  FROM q, c),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM pairs),
+top AS (SELECT * FROM ranked WHERE rnk <= 4)
+SELECT query_id,
+       arg_min(neighbor_id, rnk) AS match_id,
+       arg_min(sim, rnk) AS sim,
+       ROUND(arg_min(sim, rnk) / AVG(sim), 6) AS margin
+FROM top GROUP BY query_id
+""")
+def q104(spark, sf):
+    e = T(spark, sf, "embeddings")
+    return SIM.margin_alignment(e, "vec_id", "embedding",
+                                left_pred=F.col("vec_id") % 2 == 0,
+                                right_pred=F.col("vec_id") % 2 == 1,
+                                k_margin=4)
+
+
+# ---------------------------------------------------------------- q107
+# Fixed-iteration spherical k-means (k=8, 2 assignment rounds, seeds =
+# the 8 lowest vec_ids): the corpus topic-clustering pass.  Assignment
+# follows the proven q51 policy (cosine rounded to 6dp BEFORE argmax,
+# ties on the lowest cluster index); centroid update is the per-
+# dimension plain mean of the assigned vectors.
+@q("q107_kmeans_clusters", sql="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 8)),
+cn0 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c0),
+s1 AS (
+  SELECT v.vec_id, cn0.cid,
+         ROUND(list_dot_product(v.v, cn0.cv) / (v.nrm * cn0.cnrm), 6)
+           AS sim
+  FROM v, cn0),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cid) AS rn
+    FROM s1) WHERE rn = 1),
+e1 AS (
+  SELECT a1.cid, u.i AS pos, AVG(v.v[u.i]) AS cx
+  FROM a1 JOIN v USING (vec_id),
+       UNNEST(generate_series(1, len(v.v))) AS u(i)
+  GROUP BY 1, 2),
+c1 AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM e1 GROUP BY cid),
+cn1 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c1),
+s2 AS (
+  SELECT v.vec_id, cn1.cid,
+         ROUND(list_dot_product(v.v, cn1.cv) / (v.nrm * cn1.cnrm), 6)
+           AS sim
+  FROM v, cn1)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cid) AS rn
+  FROM s2) WHERE rn = 1
+""")
+def q107(spark, sf):
+    e = T(spark, sf, "embeddings")
+    return SIM.kmeans_clusters(e, "vec_id", "embedding", k=8, n_iter=2)

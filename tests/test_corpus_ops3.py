@@ -1,0 +1,249 @@
+"""Boilerplate removal, cluster-canonical selection, margin alignment,
+token-budget selection, bigram LM and spherical k-means — hand-computed
+goldens and semantic edge cases (the round-6 continued-2 batch)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from rainforest_spark.operators.dedup import canonical_per_cluster
+from rainforest_spark.operators.mixture import token_budget_selection
+from rainforest_spark.operators.similarity import (
+    kmeans_clusters, margin_alignment,
+)
+from rainforest_spark.operators.text_analysis import (
+    bigram_logprob, remove_boilerplate,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# -------------------------------------------------- boilerplate removal
+
+def test_boilerplate_removed_from_every_occurrence(spark):
+    # tile=2: "a b" appears in 2 of 3 docs of source A -> boilerplate,
+    # stripped from BOTH (no keep-first, unlike span excision)
+    d = _docs(spark, [
+        (0, "A", "a b c d"),
+        (1, "A", "a b x y"),
+        (2, "A", "p q r s"),
+    ])
+    out = {r.doc_id: r for r in
+           remove_boilerplate(d, "doc_id", "text", "source",
+                              tile=2).collect()}
+    assert (out[0].n_tiles, out[0].n_removed) == (2, 1)
+    assert out[0].cleaned_fp == _md5("c d")
+    assert (out[1].n_tiles, out[1].n_removed) == (2, 1)
+    assert out[1].cleaned_fp == _md5("x y")
+    assert (out[2].n_tiles, out[2].n_removed) == (2, 0)
+    assert out[2].cleaned_fp == _md5("p q r s")
+
+
+def test_boilerplate_is_per_source(spark):
+    # the same tile in two DIFFERENT sources never crosses the source
+    # boundary: df is counted within the source
+    d = _docs(spark, [
+        (0, "A", "a b"),
+        (1, "B", "a b"),
+    ])
+    out = {r.doc_id: r for r in
+           remove_boilerplate(d, "doc_id", "text", "source",
+                              tile=2).collect()}
+    assert out[0].n_removed == 0 and out[1].n_removed == 0
+
+
+def test_boilerplate_fully_removed_doc_and_short_tail(spark):
+    # identical docs -> everything boilerplate -> md5('') fingerprint;
+    # 3 words at tile=2 -> 2 tiles, the short tail participates
+    d = _docs(spark, [
+        (0, "A", "z z"),
+        (1, "A", "z z"),
+        (2, "A", "u v w"),
+    ])
+    out = {r.doc_id: r for r in
+           remove_boilerplate(d, "doc_id", "text", "source",
+                              tile=2).collect()}
+    assert out[0].cleaned_fp == _md5("") and out[0].n_removed == 1
+    assert (out[2].n_tiles, out[2].n_removed) == (2, 0)
+    assert out[2].cleaned_fp == _md5("u v w")
+
+
+def test_boilerplate_frac_threshold(spark):
+    # frac_denom=2 (>=50% of the source's docs): a tile in 2 of 5 docs
+    # clears min_docs but NOT the fraction -> kept
+    rows = [(i, "A", f"a b u{i} v{i}") for i in range(2)]
+    rows += [(i + 2, "A", f"p{i} q{i} r{i} s{i}") for i in range(3)]
+    d = _docs(spark, rows)
+    out = {r.doc_id: r for r in
+           remove_boilerplate(d, "doc_id", "text", "source",
+                              tile=2, frac_denom=2).collect()}
+    assert all(r.n_removed == 0 for r in out.values())
+
+
+# ----------------------------------------------- canonical per cluster
+
+def test_canonical_is_highest_quality_member(spark):
+    docs = spark.createDataFrame(
+        [(0, 3), (1, 7), (2, 5), (3, 4)], "doc_id long, q long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], "id_a long, id_b long")
+    out = {r.doc_id: r for r in
+           canonical_per_cluster(docs, pairs, "doc_id", "q").collect()}
+    # cluster {0,1,2}: rep=min id=0, canonical=argmax q -> 1
+    for i in (0, 1, 2):
+        assert out[i].cluster_rep == 0 and out[i].canonical_id == 1
+    assert out[1].is_canonical and not out[0].is_canonical
+    # singleton is its own canonical
+    assert out[3].cluster_rep == 3 and out[3].canonical_id == 3
+    assert out[3].is_canonical
+
+
+def test_canonical_quality_tie_breaks_on_min_id(spark):
+    docs = spark.createDataFrame(
+        [(5, 9), (6, 9)], "doc_id long, q long")
+    pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    out = canonical_per_cluster(docs, pairs, "doc_id", "q").collect()
+    assert all(r.canonical_id == 5 for r in out)
+
+
+# ------------------------------------------------------ margin alignment
+
+def test_margin_alignment_hand_computed(spark):
+    # 2-D unit vectors: query 0 at 0 deg; candidates at 10/60/90 deg.
+    # top-2 margin: sims cos(10)=.984808, cos(60)=.5 -> margin =
+    # .984808 / ((.984808+.5)/2)
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [(0, vec(0)), (1, vec(10)), (3, vec(60)), (5, vec(90))]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = margin_alignment(e, "vec_id", "embedding",
+                           left_pred=F.col("vec_id") % 2 == 0,
+                           right_pred=F.col("vec_id") % 2 == 1,
+                           k_margin=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.query_id == 0 and r.match_id == 1
+    s1, s2 = round(math.cos(math.radians(10)), 6), 0.5
+    assert r.sim == s1
+    assert abs(r.margin - round(s1 / ((s1 + s2) / 2), 6)) < 1e-9
+
+
+def test_margin_hub_vector_scores_low(spark):
+    # a hub: all candidates nearly identical -> margin ~= 1; a distinct
+    # match -> margin well above
+    hub = [(10, [1.0, 0.0])] + [(2 * i + 1, [0.99, 0.14 + 0.001 * i])
+                                for i in range(4)]
+    e = spark.createDataFrame(hub, "vec_id long, embedding array<float>")
+    m_hub = margin_alignment(e, "vec_id", "embedding",
+                             F.col("vec_id") % 2 == 0,
+                             F.col("vec_id") % 2 == 1).collect()[0].margin
+    assert m_hub < 1.001
+
+
+# -------------------------------------------------- token budget cut
+
+def test_token_budget_hand_computed(spark):
+    # scores (micro) order docs 2 > 0 > 1; weights 4,4,2, total 10,
+    # budget 3/5 -> 6: doc2 (before 0) in, doc0 (before 4 < 6) in
+    # (crosses the line and is still taken), doc1 (before 8) out.
+    d = spark.createDataFrame(
+        [(0, 500000, 4), (1, 400000, 2), (2, 600000, 4)],
+        "doc_id long, sm long, w long")
+    out = {r.doc_id: r for r in
+           token_budget_selection(d, "doc_id", "sm", "w",
+                                  budget_num=3, budget_den=5).collect()}
+    assert (out[2].cum_before, out[2].selected) == (0, True)
+    assert (out[0].cum_before, out[0].selected) == (4, True)
+    assert (out[1].cum_before, out[1].selected) == (8, False)
+
+
+def test_token_budget_score_tie_breaks_on_id(spark):
+    d = spark.createDataFrame(
+        [(7, 500000, 3), (3, 500000, 3)], "doc_id long, sm long, w long")
+    out = {r.doc_id: r.cum_before for r in
+           token_budget_selection(d, "doc_id", "sm", "w", 1, 2).collect()}
+    assert out == {3: 0, 7: 3}
+
+
+# ------------------------------------------------------- bigram LM
+
+def test_bigram_logprob_hand_computed(spark):
+    d = _docs(spark, [(0, "s", "a b"), (1, "s", "a b"), (2, "s", "a c"),
+                      (3, "s", "solo")])
+    out = {r.doc_id: r for r in
+           bigram_logprob(d, "doc_id", "text").collect()}
+    # bigrams: (a,b) x2, (a,c) x1; cs(a)=3; unigrams over ALL tokens
+    # incl. the bigram-less doc: a=3 b=2 c=1 solo=1, N=7
+    def nll(cb, cs, cu, n):
+        p = 0.75 * (cb / cs) + 0.25 * (cu / n)
+        n9 = int(round(-math.log(p), 9) * 1e9)
+        return ((2 * n9 + 1000) // 2000) / 1e6
+
+    assert out[0].n_bigrams == 1
+    assert out[0].mean_nll == nll(2, 3, 2, 7)
+    assert out[2].mean_nll == nll(1, 3, 1, 7)
+    assert 3 not in out  # no bigram -> absent, but its token counted
+
+
+def test_bigram_vs_unigram_orders_fluency(spark):
+    # same unigram stats, different order: the corpus-frequent bigram
+    # scores lower NLL than the scrambled one
+    d = _docs(spark, [(0, "s", "x y"), (1, "s", "x y"), (2, "s", "x y"),
+                      (3, "s", "y x"), (4, "s", "y z")])
+    out = {r.doc_id: r.mean_nll for r in
+           bigram_logprob(d, "doc_id", "text").collect()}
+    # p(y|x) = .75*(3/3)+.25*(5/10) -> low NLL; p(x|y) = .75*(1/2)+
+    # .25*(4/10) -> higher (without the "y z" doc cs(y)=1 would make
+    # the scrambled conditional MLE 1.0 as well)
+    assert out[0] < out[3]
+
+
+# ------------------------------------------------------- k-means
+
+def test_kmeans_two_obvious_groups(spark):
+    # two tight direction bundles; seeds (ids 0,1) land one per bundle
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+            (2, [0.99, 0.05]), (3, [0.05, 0.99]),
+            (4, [0.98, 0.08]), (5, [0.03, 0.97])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.cluster for r in
+           kmeans_clusters(e, "vec_id", "embedding", k=2,
+                           n_iter=2).collect()}
+    assert out[0] == out[2] == out[4] == 0
+    assert out[1] == out[3] == out[5] == 1
+
+
+def test_kmeans_empty_cluster_disappears(spark):
+    # both seeds sit in one bundle -> after the first update one
+    # centroid may keep everything; no error, every vector labeled
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.99, 0.0]),
+            (3, [0.98, 0.01])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_clusters(e, "vec_id", "embedding", k=2, n_iter=2)
+    rows_out = out.collect()
+    assert len(rows_out) == 4
+    assert set(r.cluster for r in rows_out) <= {0, 1}
+
+
+def test_kmeans_fixed_iterations_deterministic(spark):
+    rows = [(i, [math.cos(i), math.sin(i)]) for i in range(12)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted((r.vec_id, r.cluster, r.sim) for r in
+               kmeans_clusters(e, "vec_id", "embedding", k=3,
+                               n_iter=2).collect())
+    b = sorted((r.vec_id, r.cluster, r.sim) for r in
+               kmeans_clusters(e, "vec_id", "embedding", k=3,
+                               n_iter=2).collect())
+    assert a == b

@@ -241,3 +241,33 @@ def test_q96_dsir_scalar_totals_broadcast(spark):
     build sides); the term joins stay equi-joins."""
     p = fmt_plan(spark, "q96_dsir_weights")
     assert "CartesianProduct" not in p
+
+
+def test_round6c2_corpus_ops_plan_shapes(spark):
+    """q102/q105/q106: tile/bigram equi-joins only — a CartesianProduct
+    anywhere is the scale-killer.  q106's one scalar total (token N)
+    rides an intended 1-row broadcast nested loop like q83/q91."""
+    for name in ["q102_boilerplate_removal", "q105_token_budget",
+                 "q106_bigram_logprob"]:
+        p = fmt_plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        if name != "q106_bigram_logprob":
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_q105_cumsum_is_range_partitioned(spark):
+    # the ordered cumsum must go through ranged_cumsum's range-shuffle
+    # + per-partition window, never a single-partition global window
+    p = fmt_plan(spark, "q105_token_budget")
+    assert "rangepartitioning" in p.lower(), \
+        "q105 lost the distributed ranged_cumsum path"
+
+
+def test_q104_q107_broadcast_scoring(spark):
+    # margin alignment broadcasts the query side; k-means broadcasts
+    # the k-row centroid table — the scoring scan itself never shuffles
+    for name in ["q104_margin_alignment", "q107_kmeans_clusters"]:
+        p = fmt_plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" in p, name
+        assert "SortMergeJoin" not in p, name

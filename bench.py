@@ -162,6 +162,9 @@ SF10_HEADLINE = [
     # bands + verified Jaccard) — its O(batch) claim gets a second
     # decade too
     "q97_incremental_dedup",
+    # round-6 continued-2: the bigram fan-out is the heaviest new
+    # shuffle (token^2-adjacent key space through three vocab joins)
+    "q106_bigram_logprob",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0

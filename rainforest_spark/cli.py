@@ -186,6 +186,9 @@ def cmd_curate(args) -> int:
         max_dup_ngram_ratio=args.max_dup_ngram_ratio,
         redact_pii=not args.no_pii,
         neardup_threshold=args.neardup_threshold,
+        strip_boilerplate=args.strip_boilerplate,
+        token_budget=(tuple(int(x) for x in args.token_budget.split("/"))
+                      if args.token_budget else None),
         mixture_rates=(json.loads(args.mixture_rates)
                        if args.mixture_rates else None),
         cap_per_source=args.cap_per_source,
@@ -230,7 +233,8 @@ def cmd_report(args) -> int:
     from pyspark.sql import functions as F
 
     from rainforest_spark.operators.text_analysis import (
-        corpus_cardinalities, corpus_drift_jsd, vocab_coverage,
+        corpus_cardinalities, corpus_drift_jsd, heaps_fit, vocab_coverage,
+        zipf_fit,
     )
     from rainforest_spark.session import get_spark
 
@@ -255,7 +259,13 @@ def cmd_report(args) -> int:
         out.coalesce(1).write.mode("overwrite").parquet(args.output)
     rows = {r[group]: {k: v for k, v in r.asDict().items() if k != group}
             for r in out.collect()}
-    print(json.dumps({"groups": len(rows), "report": rows},
+    # corpus-level power-law panel: Zipf slope over the vocab, Heaps
+    # beta over the growth curve — template floods and tokenizer damage
+    # show up here before they show up downstream
+    zipf = zipf_fit(docs, "text").collect()[0].asDict()
+    heaps = heaps_fit(docs, args.id_col, "text").collect()[0].asDict()
+    print(json.dumps({"groups": len(rows), "report": rows,
+                      "zipf": zipf, "heaps": heaps},
                      default=str))
     return 0
 
@@ -317,6 +327,11 @@ def main(argv=None) -> int:
     c.add_argument("--no-pii", action="store_true",
                    help="skip the PII scrub stage")
     c.add_argument("--neardup-threshold", type=float, default=0.8)
+    c.add_argument("--strip-boilerplate", action="store_true",
+                   help="per-source boilerplate tile removal before dedup")
+    c.add_argument("--token-budget", default=None,
+                   help="NUM/DEN fraction of corpus tokens to keep "
+                        "(best-first), e.g. 3/5")
     c.add_argument("--mixture-rates", default=None,
                    help='JSON source->rate map, e.g. \'{"web":0.5}\'')
     c.add_argument("--cap-per-source", type=int, default=None)
@@ -330,6 +345,7 @@ def main(argv=None) -> int:
     r.add_argument("input", help="documents parquet path")
     r.add_argument("-o", "--output", help="optional parquet output")
     r.add_argument("--group-col", default="source")
+    r.add_argument("--id-col", default="doc_id")
     r.add_argument("--vocab-k", type=int, default=500)
     r.set_defaults(fn=cmd_report)
 

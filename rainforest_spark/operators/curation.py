@@ -39,6 +39,9 @@ class CurationConfig:
     min_tokens: int = 10
     max_dup_ngram_ratio: float = 0.3      # Gopher-style repetition cut
     redact_pii: bool = True
+    strip_boilerplate: bool = False       # per-source tile removal
+    boilerplate_tile: int = 8
+    token_budget: tuple | None = None     # (num, den) of corpus tokens
     neardup_threshold: float = 0.8        # exact-verified Jaccard
     neardup_num_hashes: int = 16
     neardup_band_size: int = 4
@@ -92,6 +95,17 @@ def curate_corpus(docs: DataFrame, id_col: str, text_col: str,
         d = d.withColumn(text_col, TA.pii_redact(text_col))
         d = note("redacted", d)
 
+    # 2b. per-source boilerplate strip (optional; before dedup so the
+    # fingerprints key on the prose, not the shared chrome — two docs
+    # differing only in boilerplate become exact dups and collapse).
+    # Docs stripped to nothing are dropped by re-applying the length
+    # floor, which now sees the cleaned text.
+    if cfg.strip_boilerplate:
+        d = TA.strip_boilerplate(d, id_col, text_col, source_col,
+                                 tile=cfg.boilerplate_tile)
+        d = d.filter(TA.token_count(text_col) >= cfg.min_tokens)
+        d = note("boilerplate", d)
+
     # 3. exact dedup: keep the canonical (min-id) doc per fingerprint
     groups = (D.exact_dedup_groups(d, id_col, text_col)
               .select(F.col("canonical_id").alias("__keep")))
@@ -129,6 +143,27 @@ def curate_corpus(docs: DataFrame, id_col: str, text_col: str,
                           k=cfg.cap_per_source, salt=cfg.salt + ":cap")
     if cfg.mixture_rates is not None or cfg.cap_per_source is not None:
         d = note("mixed", d)
+
+    # 6b. token-budget cut (optional): keep the best docs (lexical-
+    # diversity score, exact integer micro-units) until num/den of the
+    # surviving corpus's tokens — the final size cut before splitting,
+    # so train/val/test stay leakage-consistent subsets of ONE pool
+    if cfg.token_budget is not None:
+        from rainforest_spark.operators.mixture import (
+            token_budget_selection,
+        )
+        num, den = cfg.token_budget
+        words = F.split(TA.normalized_text(text_col), " ")
+        scored = (d.withColumn("__ntok", F.size(words).cast("long"))
+                  .withColumn("__ndis",
+                              F.size(F.array_distinct(words)).cast("long"))
+                  .withColumn("__sm", F.expr(
+                      "(2 * __ndis * 1000000 + __ntok) div (2 * __ntok)")))
+        d = (token_budget_selection(scored, id_col, "__sm", "__ntok",
+                                    budget_num=num, budget_den=den)
+             .filter(F.col("selected"))
+             .drop("__ntok", "__ndis", "__sm", "cum_before", "selected"))
+        d = note("budgeted", d)
 
     # 7. split assignment + epoch sharding (train split only gets
     # shards; val/test keep shard_id null)

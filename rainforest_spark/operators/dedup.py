@@ -227,24 +227,38 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
     PARTIAL by construction (documented trade; lower max_hamming or
     accept missed pairs).
     """
+    sig = simhash64(df, id_col, text_col)
+    return hamming_neardup_pairs(sig, id_col, "simhash",
+                                 max_hamming=max_hamming,
+                                 n_bands=n_bands)
+
+
+def hamming_neardup_pairs(sig: DataFrame, id_col: str, sig_col: str,
+                          max_hamming: int = 7,
+                          n_bands: int | None = None) -> DataFrame:
+    """Banded Hamming pairing over ANY 64-bit signature column —
+    the shared engine under SimHash text dedup and perceptual-hash
+    image dedup (operators/multimodal.image_phash).  Same pigeonhole
+    guarantee and band-sizing trade as :func:`simhash_neardup_pairs`.
+    """
     if n_bands is None:
         n_bands = next((b for b in (4, 8, 16) if b > max_hamming), 16)
     assert 64 % n_bands == 0, "n_bands must divide 64"
     width = 64 // n_bands
     mask = (1 << width) - 1
-    sig = simhash64(df, id_col, text_col)
     chunks = [
         F.struct(F.lit(b).alias("band_id"),
-                 F.expr(f"(simhash >> {width * b}) & {mask}").alias("chunk"))
+                 F.expr(f"({sig_col} >> {width * b}) & {mask}")
+                 .alias("chunk"))
         for b in range(n_bands)]
-    banded = sig.select(F.col(id_col), F.col("simhash"),
+    banded = sig.select(F.col(id_col), F.col(sig_col),
                         F.explode(F.array(*chunks)).alias("b")) \
-        .select(id_col, "simhash", F.col("b.band_id").alias("band_id"),
+        .select(id_col, sig_col, F.col("b.band_id").alias("band_id"),
                 F.col("b.chunk").alias("chunk"))
     a = banded.select(F.col(id_col).alias("id_a"),
-                      F.col("simhash").alias("sh_a"), "band_id", "chunk")
+                      F.col(sig_col).alias("sh_a"), "band_id", "chunk")
     b = banded.select(F.col(id_col).alias("id_b"),
-                      F.col("simhash").alias("sh_b"), "band_id", "chunk")
+                      F.col(sig_col).alias("sh_b"), "band_id", "chunk")
     cand = (a.join(b, on=["band_id", "chunk"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "sh_a", "sh_b").distinct())

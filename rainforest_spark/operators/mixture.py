@@ -165,3 +165,46 @@ def token_budget_selection(df: DataFrame, id_col: str,
     return (c.withColumn("cum_before", before.cast("long"))
             .withColumn("selected", sel)
             .drop("__ord", "__cw", "__tw"))
+
+
+def hex_uniform_expr(hex_col_sql: str, n_chars: int = 8) -> str:
+    """SQL fragment (valid in both Spark SQL and DuckDB) turning the
+    first ``n_chars`` hex chars of an md5 into an integer via per-nibble
+    ``instr`` arithmetic — the engine-portable hex->int (neither
+    engine's native conv/from_hex is portable; the nibble sum is, and
+    it is how simhash64 reads its bit votes)."""
+    # CAST each term to BIGINT: in Spark's ANSI mode instr() is a
+    # 32-bit INT and nibble * 16^7 overflows it
+    terms = [
+        f"CAST(instr('0123456789abcdef', substr({hex_col_sql}, {j + 1}, 1))"
+        f" - 1 AS BIGINT) * {16 ** (n_chars - 1 - j)}"
+        for j in range(n_chars)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def weighted_sample_no_replacement(df: DataFrame, id_col: str,
+                                   weight_col: str, m: int,
+                                   salt: str = "es-v1") -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement via exponential
+    keys (Efraimidis-Spirakis 2006): each row draws the deterministic
+    uniform ``u = (h + 0.5) / 2^32`` from md5(salt:id) and competes on
+    ``key = -ln(u) / w`` — the m SMALLEST keys are a true weighted
+    sample without replacement (w_i/sum(w) first-draw marginals,
+    successively renormalized), reproducible on any engine with md5.
+
+    Determinism: ``u`` is exact integer arithmetic; the key is rounded
+    to the 1e-9 grid before ranking (libm ``ln`` is the only
+    cross-engine noise; the grid is ~1e3 coarser) with the id as tie
+    break.  Weights must be positive.
+
+    Shape at 100 TB: per-row expression + global top-m — Spark executes
+    ``orderBy(...).limit(m)`` as per-partition top-m + a single merge
+    of m-row heaps (TakeOrderedAndProject), never a full sort.
+    """
+    u_int = F.expr(hex_uniform_expr(
+        f"md5(concat('{salt}:', cast({id_col} as string)))"))
+    u = (u_int.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    d = df.withColumn("es_key", key)
+    return (d.orderBy(F.col("es_key").asc(), F.col(id_col).asc())
+            .limit(m))

@@ -439,3 +439,171 @@ def frame_sample_plan(df: DataFrame, n_frames_col: str = "n_frames",
     return df.withColumn("frame_idx", F.explode(idx))
 
 
+
+
+def _phash64(plane: "np.ndarray") -> int:
+    """64-bit perceptual hash of a uint8 luminance plane (the classic
+    pHash recipe): nearest-neighbour resample to 32x32, orthonormal
+    2-D DCT-II, take the 8x8 low-frequency block, threshold each
+    coefficient against the median of the 63 AC coefficients.  Pure
+    numpy (two 32x32 matmuls) — deterministic, no image library."""
+    h, w = plane.shape
+    rr = (np.arange(32) * h) // 32
+    cc = (np.arange(32) * w) // 32
+    x = plane[np.ix_(rr, cc)].astype(np.float64)
+    n = 32
+    k = np.arange(n).reshape(-1, 1)
+    i = np.arange(n).reshape(1, -1)
+    basis = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) \
+        * np.sqrt(2.0 / n)
+    basis[0, :] = np.sqrt(1.0 / n)
+    d = basis @ x @ basis.T
+    low = d[:8, :8].ravel()
+    med = float(np.median(low[1:]))
+    bits = low > med
+    v = 0
+    for b in range(64):
+        if bits[b]:
+            v |= (1 << b)
+    if v >= (1 << 63):           # two's-complement into a SQL BIGINT
+        v -= (1 << 64)
+    return v
+
+
+def image_phash(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """REAL perceptual hashing: decode (the q49 codec stack) → pHash.
+
+    Adds ``phash`` (64-bit BIGINT, null when undecodable) and
+    ``decoded``.  The hash is resolution-invariant by construction
+    (everything resamples to 32x32) and robust to re-encoding: the
+    SAME pixels shipped as GIF and PNG hash identically, and small
+    pixel edits flip few bits — which is exactly what the banded
+    Hamming join needs.
+
+    Shape at 100 TB: one zero-Exchange Arrow mapInPandas stage over
+    the binary scan, like decode_image.
+    """
+    from pyspark.sql.types import (
+        BooleanType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType(list(df.schema.fields) + [
+        StructField("decoded", BooleanType()),
+        StructField("phash", LongType()),
+    ])
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dec, ph = [], []
+            for b in pdf[content_col]:
+                plane = _decode_plane(bytes(b or b""))[3]
+                if plane is None or plane.size == 0:
+                    dec.append(False)
+                    ph.append(None)
+                else:
+                    dec.append(True)
+                    ph.append(_phash64(plane))
+            pdf = pdf.copy()
+            pdf["decoded"], pdf["phash"] = dec, ph
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def phash_neardup_pairs(df: DataFrame, id_col: str,
+                        content_col: str = "content",
+                        max_hamming: int = 7,
+                        n_bands: int | None = None) -> DataFrame:
+    """Image near-duplicate pairs: pHash signatures through the SAME
+    banded Hamming join as SimHash text dedup
+    (operators/dedup.hamming_neardup_pairs) — re-encoded, resized and
+    lightly-edited copies of an image pair up; unrelated images don't.
+    Undecodable blobs drop out before banding (a null signature can
+    never pair)."""
+    from rainforest_spark.operators.dedup import hamming_neardup_pairs
+
+    sig = (image_phash(df, content_col)
+           .filter(F.col("phash").isNotNull())
+           .select(F.col(id_col), "phash"))
+    return hamming_neardup_pairs(sig, id_col, "phash",
+                                 max_hamming=max_hamming,
+                                 n_bands=n_bands)
+
+
+def _audio_fp64(arr: "np.ndarray", n_windows: int = 65) -> "int | None":
+    """64-bit audio fingerprint: the energy CONTOUR of the (channel-
+    summed) waveform — bit b is 1 iff window b+1 carries more energy
+    than window b.  Window energies are EXACT integer sums of sample
+    squares over equal-count slices, so the fingerprint is bit-stable
+    across engines and padding-free re-encodes; tempo-preserving noise
+    flips few bits.  None when the clip is shorter than the contour."""
+    flat = arr.astype(np.int64)
+    if flat.ndim > 1:
+        flat = flat.sum(axis=1)
+    n = flat.size
+    if n < n_windows:
+        return None
+    bounds = (np.arange(n_windows + 1) * n) // n_windows
+    sq = np.concatenate([[0], np.cumsum(flat * flat)])
+    e = sq[bounds[1:]] - sq[bounds[:-1]]
+    v = 0
+    for b in range(n_windows - 1):
+        if e[b + 1] > e[b]:
+            v |= (1 << b)
+    if v >= (1 << 63):
+        v -= (1 << 64)
+    return v
+
+
+def audio_fingerprint(df: DataFrame, content_col: str = "content",
+                      n_windows: int = 65) -> DataFrame:
+    """REAL audio fingerprinting: WAV decode (grid/wav.py) → windowed
+    energy contour → 64-bit fingerprint (``n_windows`` = 65 gives 64
+    comparison bits).  Null for non-WAV/too-short clips.  Same
+    zero-Exchange Arrow mapInPandas shape as the other decoders."""
+    from pyspark.sql.types import (
+        BooleanType, LongType, StructField, StructType,
+    )
+
+    from rainforest_spark.grid.wav import decode_wav_bytes
+
+    out_schema = StructType(list(df.schema.fields) + [
+        StructField("decoded", BooleanType()),
+        StructField("audio_fp", LongType()),
+    ])
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dec, fp = [], []
+            for b in pdf[content_col]:
+                try:
+                    arr, _, _ = decode_wav_bytes(bytes(b or b""))
+                    v = _audio_fp64(arr, n_windows)
+                    dec.append(True)
+                    fp.append(v)
+                except _DECODE_ERRORS:
+                    dec.append(False)
+                    fp.append(None)
+            pdf = pdf.copy()
+            pdf["decoded"], pdf["audio_fp"] = dec, fp
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_neardup_pairs(df: DataFrame, id_col: str,
+                        content_col: str = "content",
+                        max_hamming: int = 7,
+                        n_bands: int | None = None) -> DataFrame:
+    """Audio near-duplicate pairs: energy-contour fingerprints through
+    the SAME banded Hamming join as text SimHash and image pHash
+    (dedup.hamming_neardup_pairs) — the third leg of the multimodal
+    dedup family.  Undecodable/short clips drop out before banding."""
+    from rainforest_spark.operators.dedup import hamming_neardup_pairs
+
+    sig = (audio_fingerprint(df, content_col)
+           .filter(F.col("audio_fp").isNotNull())
+           .select(F.col(id_col), "audio_fp"))
+    return hamming_neardup_pairs(sig, id_col, "audio_fp",
+                                 max_hamming=max_hamming,
+                                 n_bands=n_bands)

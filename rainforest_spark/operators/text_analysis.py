@@ -755,6 +755,37 @@ def remove_boilerplate(df: "DataFrame", id_col: str, text_col: str,
     is one groupBy on the doc id — the same key the tile fan-out
     already carries.
     """
+    c = _boilerplate_cleaned(df, id_col, text_col, source_col,
+                             tile=tile, min_docs=min_docs,
+                             frac_denom=frac_denom)
+    return c.select(F.col(id_col), "n_tiles", "n_removed",
+                    F.md5("cleaned").alias("cleaned_fp"))
+
+
+def strip_boilerplate(df: "DataFrame", id_col: str, text_col: str,
+                      source_col: str, tile: int = 8,
+                      min_docs: int = 2, frac_denom: int = 20):
+    """In-place variant for pipeline composition: returns ``df`` with
+    ``text_col`` REPLACED by the boilerplate-stripped text (in
+    normalized space — the tile segmentation is defined on the
+    lowercased whitespace-collapsed form) plus a ``boiler_removed``
+    tile count.  Docs whose every tile was boilerplate survive with
+    empty text — drop them with the pipeline's length floor, not here
+    (curation stages stay single-purpose)."""
+    c = _boilerplate_cleaned(df, id_col, text_col, source_col,
+                             tile=tile, min_docs=min_docs,
+                             frac_denom=frac_denom)
+    return (df.drop(text_col)
+            .join(c.select(F.col(id_col), F.col("cleaned").alias(text_col),
+                           F.col("n_removed").alias("boiler_removed")),
+                  id_col))
+
+
+def _boilerplate_cleaned(df: "DataFrame", id_col: str, text_col: str,
+                         source_col: str, tile: int,
+                         min_docs: int, frac_denom: int):
+    """Shared core: ``(id, n_tiles, n_removed, cleaned)`` with the
+    kept tiles re-joined in original order ('' when all removed)."""
     toks = F.split(normalized_text(text_col), " ")
     n_tiles = F.floor((F.size(toks) + F.lit(tile - 1)) / F.lit(tile))
     tiles_arr = F.transform(
@@ -777,8 +808,7 @@ def remove_boilerplate(df: "DataFrame", id_col: str, text_col: str,
             .select(F.col(id_col), "n_tiles",
                     (F.col("n_tiles") - F.coalesce("__n_kept", F.lit(0)))
                     .cast("int").alias("n_removed"),
-                    F.md5(F.coalesce("__cleaned", F.lit("")))
-                    .alias("cleaned_fp")))
+                    F.coalesce("__cleaned", F.lit("")).alias("cleaned")))
 
 
 def bigram_logprob(df, id_col: str, text_col: str,
@@ -842,3 +872,113 @@ def bigram_logprob(df, id_col: str, text_col: str,
     return agg.select(
         F.col(id_col), "n_bigrams",
         (micro.cast("double") / F.lit(1000000.0)).alias("mean_nll"))
+
+
+def zipf_fit(df, text_col: str, round_to: int = 6):
+    """Corpus power-law (Zipf) fit: least-squares regression of
+    ``ln(term_frequency)`` on ``ln(rank)`` over the whole vocabulary —
+    the corpus-health diagnostic that catches template/boilerplate
+    floods (slope drifts toward 0 over the head) and tokenizer damage
+    (hockey-stick tail) in one scalar pair.
+
+    Distributed as SUFFICIENT STATISTICS: the regression never sees
+    rows — it is five sums (n, Sx, Sy, Sxx, Sxy [, Syy for r2])
+    reduced in one aggregation over the vocab dim.  Exactness: x and y
+    are ln values rounded to the 1e-9 grid as DECIMAL(19,9) (the q83
+    policy — the grid is ~1e3 coarser than libm noise); their products
+    are DECIMAL(38,18) and EXACT, so the partial aggregation across
+    partitions is order-free and both engines produce identical sums.
+    Only the final closed-form division happens in double (one
+    expression, bit-identical), rounded to ``round_to``.
+
+    Rank is assigned over the VOCAB (count DESC, term ASC — total
+    order).  The vocab is Zipf-small relative to the corpus; its
+    single-partition rank window is the same dim-table trade as
+    dense_group_ids (operators/windows.py).
+
+    Returns ONE row: ``(n_terms, zipf_slope, zipf_intercept, r2)``.
+    """
+    from pyspark.sql import Window
+
+    toks = (df.select(F.explode(tokens(text_col)).alias("term"))
+            .filter(F.col("term") != ""))
+    voc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    ranked = voc.withColumn("r", F.row_number().over(w))
+    x = F.round(F.log(F.col("r").cast("double")), 9).cast("decimal(19,9)")
+    y = F.round(F.log(F.col("n").cast("double")), 9).cast("decimal(19,9)")
+    return _ols_loglog(ranked.select(x.alias("x"), y.alias("y")),
+                       "n_terms", "zipf_slope", "zipf_intercept",
+                       round_to)
+
+
+def _ols_loglog(xy, n_name: str, slope_name: str, icept_name: str,
+                round_to: int):
+    """Shared sufficient-statistics least squares over decimal (x, y):
+    five exact decimal sums, closed-form slope/intercept/r2 in one
+    double expression each (bit-identical across engines), rounded."""
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias(n_name),
+        F.countDistinct("y").alias("__dy"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,18)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,18)")).alias("syy"))
+    n = F.col(n_name).cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = cov / vx
+    # the degenerate-variance guard is EXACT (distinct-y count), never
+    # ``vy > 0`` on a double — FP noise makes that engine-dependent
+    # when all y are equal (vy is mathematically 0 but ~1e-13 in one
+    # engine and -1e-14 in the other)
+    return s.select(
+        n_name,
+        F.round(slope, round_to).alias(slope_name),
+        F.round((sy - slope * sx) / n, round_to).alias(icept_name),
+        F.round(F.when(F.col("__dy") > 1, (cov * cov) / (vx * vy))
+                .otherwise(F.lit(None)), round_to).alias("r2"))
+
+
+def heaps_fit(df, id_col: str, text_col: str, round_to: int = 6):
+    """Heaps'-law vocabulary-growth fit: ``ln V(N) ~ ln N`` least
+    squares over the per-document growth curve — the companion
+    diagnostic to :func:`zipf_fit` (β drifting high flags OCR noise /
+    tokenizer damage minting spurious new terms; β collapsing flags a
+    template flood that stops growing vocabulary).
+
+    The curve is built DISTRIBUTED, never by scanning docs in order:
+
+    - ``N(d)``: running token count up to doc ``d`` (in ``id_col``
+      order) via the range-partitioned cumsum (windows.ranged_cumsum);
+    - ``V(d)``: each term charges its FIRST document (min id — one
+      groupBy), per-doc new-term counts then cumsum the same way;
+    - the regression is the shared exact-decimal sufficient-statistics
+      core (``_ols_loglog``) on the q83 1e-9 grid.
+
+    Returns ONE row: ``(n_docs, heaps_beta, heaps_log_k, r2)`` —
+    ``V ≈ exp(heaps_log_k) · N^heaps_beta``.
+    """
+    from rainforest_spark.operators.windows import ranged_cumsum
+
+    toks = (df.select(F.col(id_col).alias("__d"),
+                      F.explode(tokens(text_col)).alias("term"))
+            .filter(F.col("term") != ""))
+    per_doc = toks.groupBy("__d").agg(F.count(F.lit(1)).alias("__nt"))
+    first = (toks.groupBy("term").agg(F.min("__d").alias("__d"))
+             .groupBy("__d").agg(F.count(F.lit(1)).alias("__nv")))
+    g = (per_doc.join(first, "__d", "left")
+         .withColumn("__nv", F.coalesce("__nv", F.lit(0))))
+    g = ranged_cumsum(g, "__d", "__nt", cum_col="__ct")
+    g = ranged_cumsum(g, "__d", "__nv", cum_col="__cv")
+    xy = g.filter(F.col("__cv") > 0).select(
+        F.round(F.log(F.col("__ct").cast("double")), 9)
+        .cast("decimal(19,9)").alias("x"),
+        F.round(F.log(F.col("__cv").cast("double")), 9)
+        .cast("decimal(19,9)").alias("y"))
+    return _ols_loglog(xy, "n_docs", "heaps_beta", "heaps_log_k",
+                       round_to)

@@ -98,7 +98,12 @@ _PRIORITY = [
     # window above is hash-proven, swap in the next-stalest rows —
     # q41/q42/q43/q44 (r2-r4), q29/q30/q32 (r2), q13/q20/q23/q24/q25
     # (r2-r4) — demoting proven r6 corpus entries whose operator
-    # families keep pytest + sibling-query coverage.
+    # families keep pytest + sibling-query coverage.  Also admit the
+    # still-unwindowed r6 additions q108_zipf_fit / q109_heaps_fit
+    # (exact-decimal sufficient-statistics regressions), q110_weighted
+    # _sample (Efraimidis-Spirakis keys) and q111_audio_fingerprint
+    # (integer energy contour) — all pytest-parity-green — ahead of
+    # the stale rows.
     # --- round 6 stale-row rotation (VERDICT r5 Missing #4): the 8
     # queries whose latest green driver row is r2 re-enter the window
     # for a fresh hash check against the CURRENT testdata (the driver

@@ -1731,3 +1731,53 @@ def q66(spark, sf):
         r6(F.col("ref_mean")).alias("ref_mean"),
         r6(F.col("corr_p")).alias("corr_p"),
         r6(F.col("scatter")).alias("scatter"))
+
+
+# ---------------------------------------------------------------- q111
+# Audio fingerprint (energy contour): the q73 synthetic PCM corpus
+# through audio_fingerprint at 16 windows (2 samples each -> 15
+# comparison bits).  Window energies are EXACT integer sums of sample
+# squares, so the fingerprint is bit-stable and the oracle recomputes
+# it from the source bytes with pure integer SQL.
+@q("q111_audio_fingerprint", sql="""
+WITH pos(k) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+                       (8),(9),(10),(11),(12),(13),(14),(15),
+                       (16),(17),(18),(19),(20),(21),(22),(23),
+                       (24),(25),(26),(27),(28),(29),(30),(31)),
+smp AS (
+  SELECT doc_id, k,
+         CASE WHEN 2*k + 1 <= length(text)
+              THEN ascii(substr(text, CAST(2*k + 1 AS INTEGER), 1))
+              ELSE 0 END
+         + 256 * CASE WHEN 2*k + 2 <= length(text)
+              THEN ascii(substr(text, CAST(2*k + 2 AS INTEGER), 1))
+              ELSE 0 END
+         - 16384 AS v
+  FROM documents, pos),
+win AS (
+  SELECT doc_id, k // 2 AS wk, SUM(CAST(v AS BIGINT) * v) AS e
+  FROM smp GROUP BY 1, 2),
+fp AS (
+  SELECT cur.doc_id,
+         SUM(CASE WHEN nxt.e > cur.e
+                  THEN CAST(1 AS BIGINT) << CAST(cur.wk AS INTEGER)
+                  ELSE 0 END) AS audio_fp
+  FROM win cur JOIN win nxt
+    ON cur.doc_id = nxt.doc_id AND nxt.wk = cur.wk + 1
+  GROUP BY 1)
+SELECT doc_id AS media_id, CAST(audio_fp AS BIGINT) AS audio_fp
+FROM fp
+""")
+def q111(spark, sf):
+    import numpy as np
+
+    from rainforest_spark.grid.wav import encode_wav_bytes
+    from rainforest_spark.operators.multimodal import audio_fingerprint
+
+    media = _text_media(
+        spark, sf, "wav",
+        lambda b: encode_wav_bytes(
+            (_pad_bytes(b, 64).view("<u2").astype(np.int32) - 16384)
+            .astype(np.int16)))
+    return (audio_fingerprint(media, n_windows=16)
+            .select("media_id", "audio_fp"))

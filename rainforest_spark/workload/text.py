@@ -1384,3 +1384,124 @@ FROM agg
 """)
 def q106(spark, sf):
     return TA.bigram_logprob(T(spark, sf, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------- q108
+# Corpus Zipf power-law fit: ln(freq) ~ ln(rank) least squares as five
+# EXACT decimal sufficient-statistic sums over the vocab (q83's 1e-9
+# grid policy); only the closed-form division runs in double (one
+# expression, bit-identical), rounded to 6dp.
+@q("q108_zipf_fit", sql="""
+WITH toks AS (
+  SELECT t.term
+  FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+       UNNEST(w) AS t(term)
+  WHERE t.term != ''),
+voc AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS r
+  FROM voc),
+xy AS (
+  SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(19,9)) AS x,
+         CAST(ROUND(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(19,9)) AS y
+  FROM ranked),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         COUNT(DISTINCT y) AS dy,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+  FROM xy)
+SELECT n_terms,
+       ROUND((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+         AS zipf_slope,
+       ROUND((sy - ((n_terms * sxy - sx * sy)
+                    / (n_terms * sxx - sx * sx)) * sx) / n_terms, 6)
+         AS zipf_intercept,
+       ROUND(CASE WHEN dy > 1 THEN
+               (n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
+               / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy))
+             END, 6) AS r2
+FROM s
+""")
+def q108(spark, sf):
+    return TA.zipf_fit(T(spark, sf, "documents"), "text")
+
+
+# ---------------------------------------------------------------- q109
+# Heaps'-law vocabulary-growth fit: per-doc growth curve built with
+# one first-occurrence groupBy + two distributed cumsums, then the
+# shared exact-decimal sufficient-statistics regression (see q108).
+@q("q109_heaps_fit", sql="""
+WITH toks AS (
+  SELECT doc_id AS d, t.term
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+       UNNEST(w) AS t(term)
+  WHERE t.term != ''),
+per_doc AS (SELECT d, COUNT(*) AS nt FROM toks GROUP BY 1),
+firsts AS (SELECT term, MIN(d) AS d FROM toks GROUP BY 1),
+newv AS (SELECT d, COUNT(*) AS nv FROM firsts GROUP BY 1),
+g AS (
+  SELECT p.d, p.nt, COALESCE(n.nv, 0) AS nv
+  FROM per_doc p LEFT JOIN newv n USING (d)),
+c AS (
+  SELECT d, SUM(nt) OVER (ORDER BY d) AS ct,
+         SUM(nv) OVER (ORDER BY d) AS cv
+  FROM g),
+xy AS (
+  SELECT CAST(ROUND(ln(CAST(ct AS DOUBLE)), 9) AS DECIMAL(19,9)) AS x,
+         CAST(ROUND(ln(CAST(cv AS DOUBLE)), 9) AS DECIMAL(19,9)) AS y
+  FROM c WHERE cv > 0),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         COUNT(DISTINCT y) AS dy,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+  FROM xy)
+SELECT n_docs,
+       ROUND((n_docs * sxy - sx * sy) / (n_docs * sxx - sx * sx), 6)
+         AS heaps_beta,
+       ROUND((sy - ((n_docs * sxy - sx * sy)
+                    / (n_docs * sxx - sx * sx)) * sx) / n_docs, 6)
+         AS heaps_log_k,
+       ROUND(CASE WHEN dy > 1 THEN
+               (n_docs * sxy - sx * sy) * (n_docs * sxy - sx * sy)
+               / ((n_docs * sxx - sx * sx) * (n_docs * syy - sy * sy))
+             END, 6) AS r2
+FROM s
+""")
+def q109(spark, sf):
+    return TA.heaps_fit(T(spark, sf, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------- q110
+# Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+# exponential keys): deterministic md5 uniforms via the portable
+# per-nibble hex->int, keys on the 1e-9 grid, global top-m as
+# per-partition heaps + one m-row merge (TakeOrderedAndProject).
+from rainforest_spark.operators.mixture import hex_uniform_expr as _hex_u
+
+_Q110_U = _hex_u("md5(concat('es-v1:', cast(doc_id as string)))")
+
+
+@q("q110_weighted_sample", sql=f"""
+WITH k AS (
+  SELECT doc_id, source, n_chars,
+         ROUND(-ln(({_Q110_U} + 0.5) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 9) AS es_key
+  FROM documents)
+SELECT doc_id, source, n_chars, es_key
+FROM k ORDER BY es_key ASC, doc_id ASC LIMIT 50
+""")
+def q110(spark, sf):
+    from rainforest_spark.operators.mixture import (
+        weighted_sample_no_replacement,
+    )
+
+    d = T(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample_no_replacement(d, "doc_id", "n_chars", m=50)

@@ -89,6 +89,9 @@ def test_cli_report(spark, tmp_path, capsys):
     assert {"n_docs", "total_chars", "oov_tokens", "oov_rate",
             "n_terms", "jsd", "n_docs_distinct",
             "approx_ngrams"} <= set(one)
+    # power-law panel: slope negative (Zipf), beta in (0, 1] (Heaps)
+    assert res["zipf"]["zipf_slope"] < 0
+    assert 0 < res["heaps"]["heaps_beta"] <= 1
     # persisted report matches the printed one
     saved = spark.read.parquet(out)
     assert saved.count() == res["groups"]

@@ -247,3 +247,53 @@ def test_kmeans_fixed_iterations_deterministic(spark):
                kmeans_clusters(e, "vec_id", "embedding", k=3,
                                n_iter=2).collect())
     assert a == b
+
+
+# --------------------------------------------------------- zipf fit
+
+def test_zipf_fit_recovers_power_law(spark):
+    # construct term frequencies following n(r) = 1000 / r exactly:
+    # slope must come out ~ -1 with r2 ~ 1
+    rows = []
+    did = 0
+    for r in range(1, 41):
+        n = max(1, round(1000 / r))
+        rows.append((did, "s", " ".join([f"term{r:03d}"] * n)))
+        did += 1
+    from rainforest_spark.operators.text_analysis import zipf_fit
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = zipf_fit(d, "text").collect()[0]
+    assert out.n_terms == 40
+    assert abs(out.zipf_slope + 1.0) < 0.02
+    assert out.r2 > 0.999
+
+
+def test_zipf_fit_flat_corpus_slope_zero(spark):
+    # equal frequencies: slope 0, r2 null (no variance in y)
+    from rainforest_spark.operators.text_analysis import zipf_fit
+    d = spark.createDataFrame(
+        [(0, "s", "aa bb cc dd aa bb cc dd")],
+        "doc_id long, source string, text string")
+    out = zipf_fit(d, "text").collect()[0]
+    assert out.zipf_slope == 0.0
+    assert out.r2 is None
+
+
+def test_heaps_fit_sublinear_growth(spark):
+    # vocabulary that grows as sqrt(N): beta ~ 0.5.  doc d contributes
+    # 20 tokens; new terms appear so V(d) = ceil(5*sqrt(20d))
+    import math as m
+    rows, vocab = [], 0
+    for d in range(40):
+        n_new_target = int(5 * m.sqrt(20 * (d + 1))) - vocab
+        toks = [f"t{vocab + i}" for i in range(max(n_new_target, 0))]
+        vocab += max(n_new_target, 0)
+        # pad with existing terms to exactly 20 tokens
+        toks += [f"t{i % vocab}" for i in range(20 - len(toks))]
+        rows.append((d, "s", " ".join(toks)))
+    from rainforest_spark.operators.text_analysis import heaps_fit
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = heaps_fit(d, "doc_id", "text").collect()[0]
+    assert out.n_docs == 40
+    assert 0.4 < out.heaps_beta < 0.6
+    assert out.r2 > 0.98

@@ -161,3 +161,54 @@ def test_ingest_cli(spark, tmp_path):
     rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert rep["rows"] == 1 and rep["quarantined"] == 1
     assert spark.read.parquet(out).first().text == "hello world"
+
+
+def test_boilerplate_stage_strips_per_source(spark):
+    # chrome repeats across every s0 doc -> stripped from all of them;
+    # docs whose ENTIRE content is cross-doc repeated (the 10/11 pair
+    # shares its prose too) are stripped to '' and dropped by the
+    # re-applied length floor; the same chrome in a different source
+    # is untouched (per-source DF)
+    chrome = " ".join(f"nav{i}" for i in range(8))
+    base = [(i, "s0", chrome + " " +
+             " ".join(f"w{i} tok{j} unique{i * 37 + j}" for j in range(8)))
+            for i in range(6)]
+    shared_prose = " ".join(f"p{j} q{j} r{j}" for j in range(6))
+    base += [(10, "s0", chrome + " " + shared_prose),
+             (11, "s0", chrome + " " + shared_prose),
+             (20, "s1", chrome + " " +
+              " ".join(f"solo{j}" for j in range(8)))]
+    docs = spark.createDataFrame(
+        base, "doc_id long, source string, text string")
+    cfg = CurationConfig(min_tokens=3, max_dup_ngram_ratio=1.0,
+                         redact_pii=False, strip_boilerplate=True,
+                         neardup_threshold=1.01)
+    counts: dict = {}
+    out = curate_corpus(docs, "doc_id", "text", "source",
+                        config=cfg, stage_counts=counts)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert counts["boilerplate"] == 7      # 6 prose docs + the s1 doc
+    assert 10 not in rows and 11 not in rows
+    assert all("nav0" not in rows[i].text for i in range(6))
+    assert "nav0" in rows[20].text         # other source keeps chrome
+    assert rows[0].boiler_removed == 1
+
+
+def test_budget_stage_keeps_token_fraction(spark):
+    # 8 all-distinct-word docs, 10..17 tokens (ties break on id): the
+    # 1/2 budget of 108 tokens keeps exactly docs 0-4 (cum-before 46 <
+    # 54 at doc4; doc5 sits at 60)
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(f"u{i}w{j}" for j in range(10 + i)))
+         for i in range(8)],
+        "doc_id long, source string, text string")
+    cfg = CurationConfig(min_tokens=1, max_dup_ngram_ratio=1.0,
+                         redact_pii=False, neardup_threshold=1.01,
+                         token_budget=(1, 2))
+    out = curate_corpus(docs, "doc_id", "text", "source", config=cfg)
+    kept = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert kept == [0, 1, 2, 3, 4]
+    kept_tokens = out.select(
+        F.sum(token_count("text"))).collect()[0][0]
+    total = docs.select(F.sum(token_count("text"))).collect()[0][0]
+    assert kept_tokens * 2 >= total        # budget is COVERED

@@ -216,3 +216,42 @@ def test_pii_redact_idempotent(spark):
     once = docs.select("doc_id", pii_redact("t").alias("r1"))
     twice = once.select("doc_id", pii_redact("r1").alias("r2"), "r1")
     assert twice.filter(F.col("r1") != F.col("r2")).count() == 0
+
+
+def test_es_weighted_sample_matches_python_reference(spark):
+    # the whole chain (md5 uniform, exponential key, top-m) is exactly
+    # reproducible in pure python
+    import hashlib
+    import math
+
+    rows = [(i, 1 + (i % 7)) for i in range(200)]
+    ref = []
+    for i, w in rows:
+        h = hashlib.md5(f"es-v1:{i}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 0.5) / 2 ** 32
+        ref.append((round(-math.log(u) / w, 9), i))
+    want = sorted(ref)[:20]
+
+    from rainforest_spark.operators.mixture import (
+        weighted_sample_no_replacement,
+    )
+    d = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sorted((r.es_key, r.doc_id) for r in
+                 weighted_sample_no_replacement(
+                     d, "doc_id", "w", m=20).collect())
+    assert [i for _, i in got] == [i for _, i in want]
+    for (gk, _), (wk, _) in zip(got, want):
+        assert abs(gk - wk) < 2e-9
+
+
+def test_es_weighted_sample_favors_heavy_rows(spark):
+    # one row with overwhelming weight is (essentially) always drawn:
+    # its key is -ln(u)/1e9 ~ 1e-9-scale, below any unit-weight key
+    from rainforest_spark.operators.mixture import (
+        weighted_sample_no_replacement,
+    )
+    rows = [(i, 1) for i in range(100)] + [(999, 10 ** 9)]
+    d = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r.doc_id for r in
+           weighted_sample_no_replacement(d, "doc_id", "w", m=5).collect()}
+    assert 999 in got

@@ -322,3 +322,142 @@ def test_gif_local_palettes_per_frame(spark):
            sample_frames(df, every=1).collect()}
     assert out[0].px_min == 0 and out[0].px_max == 15
     assert out[1].px_min == 240 and out[1].px_max == 255
+
+
+# ---------------------------------------------------------------- phash
+
+def _structured_plane(seed: int, size: int = 48) -> np.ndarray:
+    """Deterministic plane with real 2-D structure (gradient + blocks)
+    so the DCT spectrum is non-trivial."""
+    rng = np.random.RandomState(seed)
+    base = np.add.outer(np.linspace(0, 200, size),
+                        np.linspace(0, 55, size))
+    blocks = rng.randint(0, 80, (6, 6)).repeat(size // 6, 0) \
+        .repeat(size // 6, 1)[:size, :size]
+    return np.clip(base + blocks, 0, 255).astype(np.uint8)
+
+
+def test_phash_invariant_to_container_format(spark):
+    from rainforest_spark.grid.gif import encode_gif_bytes
+    from rainforest_spark.grid.png import encode_png_bytes
+    from rainforest_spark.operators.multimodal import image_phash
+
+    plane = _structured_plane(1)
+    rows = [(0, bytearray(encode_gif_bytes(plane))),
+            (1, bytearray(encode_png_bytes(plane)))]
+    df = spark.createDataFrame(rows, "img_id long, content binary")
+    got = {r.img_id: r.phash for r in image_phash(df).collect()}
+    assert got[0] is not None and got[0] == got[1], \
+        "same pixels in GIF vs PNG must hash identically"
+
+
+def test_phash_resolution_invariant_and_edit_tolerant(spark):
+    from rainforest_spark.grid.gif import encode_gif_bytes
+    from rainforest_spark.operators.multimodal import image_phash
+
+    plane = _structured_plane(2)
+    up = plane.repeat(2, 0).repeat(2, 1)          # 2x NN upscale
+    edited = plane.copy()
+    edited[:4, :4] = 255                           # small local edit
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_gif_bytes(plane))),
+         (1, bytearray(encode_gif_bytes(up))),
+         (2, bytearray(encode_gif_bytes(edited)))],
+        "img_id long, content binary")
+    got = {r.img_id: r.phash for r in image_phash(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got[0], got[1]) <= 2, "2x upscale must barely move phash"
+    assert 0 < ham(got[0], got[2]) <= 10, "small edit flips few bits"
+
+
+def test_phash_neardup_pairs_end_to_end(spark):
+    from rainforest_spark.grid.gif import encode_gif_bytes
+    from rainforest_spark.grid.png import encode_png_bytes
+    from rainforest_spark.operators.multimodal import phash_neardup_pairs
+
+    a = _structured_plane(3)
+    b = _structured_plane(4)                       # unrelated image
+    a_png = encode_png_bytes(a)                    # re-encoded copy
+    rows = [(0, bytearray(encode_gif_bytes(a))),
+            (1, bytearray(a_png)),
+            (2, bytearray(encode_gif_bytes(b))),
+            (3, bytearray(b"not an image at all"))]
+    df = spark.createDataFrame(rows, "img_id long, content binary")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in phash_neardup_pairs(df, "img_id",
+                                          max_hamming=3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0, \
+        "re-encoded copy must pair at hamming 0"
+    assert all(2 not in p and 3 not in p for p in pairs), \
+        "unrelated and undecodable images must not pair"
+
+
+# --------------------------------------------------------- audio fp
+
+def _tone(seed: int, n: int = 400) -> np.ndarray:
+    """Deterministic clip whose ENERGY ENVELOPE depends on the seed —
+    the contour fingerprint sees envelopes, not phases, so distinct
+    test clips must differ there (two clips sharing an envelope
+    rightly collide)."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(n)
+    env = np.abs(np.sin(2 * np.pi * t / (90 + 17 * seed) + seed)) \
+        * np.linspace(1.0, 0.3 + 0.1 * (seed % 5), n)
+    wave = 8000 * env * np.sin(2 * np.pi * t / 50) \
+        + rng.randint(-200, 200, n)
+    return wave.astype(np.int16)
+
+
+def test_audio_fingerprint_exact_and_noise_tolerant(spark):
+    from rainforest_spark.grid.wav import encode_wav_bytes
+    from rainforest_spark.operators.multimodal import audio_fingerprint
+
+    a = _tone(1)
+    noisy = (a.astype(np.int32)
+             + np.random.RandomState(9).randint(-50, 50, a.size)) \
+        .astype(np.int16)
+    rows = [(0, bytearray(encode_wav_bytes(a))),
+            (1, bytearray(encode_wav_bytes(a))),      # exact re-encode
+            (2, bytearray(encode_wav_bytes(noisy))),
+            (3, bytearray(b"not audio"))]
+    df = spark.createDataFrame(rows, "clip_id long, content binary")
+    got = {r.clip_id: r for r in audio_fingerprint(df).collect()}
+    assert got[0].audio_fp == got[1].audio_fp != None  # noqa: E711
+    ham = bin((got[0].audio_fp ^ got[2].audio_fp)
+              & ((1 << 64) - 1)).count("1")
+    assert ham <= 8, "small noise must flip few contour bits"
+    assert not got[3].decoded and got[3].audio_fp is None
+
+
+def test_audio_fingerprint_too_short_is_null(spark):
+    from rainforest_spark.grid.wav import encode_wav_bytes
+    from rainforest_spark.operators.multimodal import audio_fingerprint
+
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_wav_bytes(
+            np.arange(10, dtype=np.int16))))],
+        "clip_id long, content binary")
+    r = audio_fingerprint(df).collect()[0]
+    assert r.decoded and r.audio_fp is None
+
+
+def test_audio_neardup_pairs_end_to_end(spark):
+    from rainforest_spark.grid.wav import encode_wav_bytes
+    from rainforest_spark.operators.multimodal import audio_neardup_pairs
+
+    a, b = _tone(2), _tone(7)
+    noisy = (a.astype(np.int32)
+             + np.random.RandomState(5).randint(-30, 30, a.size)) \
+        .astype(np.int16)
+    rows = [(0, bytearray(encode_wav_bytes(a))),
+            (1, bytearray(encode_wav_bytes(noisy))),
+            (2, bytearray(encode_wav_bytes(b)))]
+    df = spark.createDataFrame(rows, "clip_id long, content binary")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in audio_neardup_pairs(df, "clip_id",
+                                          max_hamming=7).collect()}
+    assert (0, 1) in pairs, "noisy copy must pair"
+    assert all(2 not in p for p in pairs), "unrelated clip must not pair"

@@ -185,7 +185,7 @@ def test_neardup_clusters_components(spark):
 
 
 def test_documents_text_is_ascii(spark):
-    """Every multimodal codec oracle (q49/q70-q74) equates DuckDB's
+    """Every multimodal codec oracle (q49/q70-q74, q111) equates DuckDB's
     ascii(substr(text, i, 1)) with the i-th UTF-8 BYTE — valid only
     while the driver's documents.text stays pure ASCII.  q73 is the
     sharpest dependency: its WAV encoder narrows (uint16 - 16384) to
@@ -200,7 +200,7 @@ def test_documents_text_is_ascii(spark):
     bad = docs.filter(
         F.octet_length("text") != F.length("text")).count()
     assert bad == 0, (
-        f"{bad} documents contain non-ASCII text — the q49/q70-q74 "
+        f"{bad} documents contain non-ASCII text — the q49/q70-q74/q111 "
         f"byte-position oracles need rewriting against UTF-8 bytes "
         f"(q73's int16 sample narrowing wraps on high bytes >= 0x80)")
 

@@ -86,6 +86,13 @@ HEADLINE = [
     "q105_token_budget",
     "q106_bigram_logprob",
     "q107_kmeans_clusters",
+    # continued-3: the vocab-rank + token-explode regression (q108),
+    # the double-cumsum growth curve (q109) and the WAV-encode ->
+    # fingerprint Arrow chain (q111).  No committed baseline yet (the
+    # guard skips unknown keys); same-run physics guards apply.
+    "q108_zipf_fit",
+    "q109_heaps_fit",
+    "q111_audio_fingerprint",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle
@@ -290,6 +297,12 @@ def main() -> None:
         sf1_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_REPS", "2"))
         sf1_times = {name: best_of(qs[name], SF1_DIR, sf1_reps)
                      for name in SF1_HEADLINE + sorted(extra)}
+
+    # drop per-tier JVM residue (cached relations, broadcast cleanup
+    # lag) before the big-tier phase — the accumulated state of ~46
+    # sf0.1+sf1 queries is what pushed an sf10 broadcast build over
+    # the old 8g heap
+    spark.catalog.clearCache()
 
     # ---- sf10 spot tier: second measured decade, opt-out-able ---------
     sf10_times: dict[str, float] = {}

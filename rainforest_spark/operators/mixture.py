@@ -208,3 +208,110 @@ def weighted_sample_no_replacement(df: DataFrame, id_col: str,
     d = df.withColumn("es_key", key)
     return (d.orderBy(F.col("es_key").asc(), F.col(id_col).asc())
             .limit(m))
+
+
+def interleave_sources(df: DataFrame, id_col: str, group_col: str,
+                       salt: str = "interleave-v1",
+                       frac_scale: int = 10 ** 12,
+                       group_headroom: int = 1_000_000) -> DataFrame:
+    """Curriculum interleaving (stride scheduling): order the corpus so
+    every source's documents are spread EVENLY through the epoch instead
+    of clumping — the data-loader property that keeps per-batch domain
+    mixture stable without runtime shuffling.
+
+    The r-th of a source's n docs (r = 1..n, salted-hash order within
+    the source) gets the midpoint fraction ``(2r-1)/(2n)``; sources
+    interleave by fraction.  Exact integer encoding: ``fs = (2r-1) *
+    frac_scale div (2n)`` then ``ord = fs * group_headroom + dense
+    group id`` — one BIGINT, no FP anywhere, collision-free while
+    ``n < frac_scale / group_headroom`` per source (1e6 docs/source at
+    the defaults; raise frac_scale for more).  The global position is
+    the distributed ordered count (ranged_cumsum of weight 1), never a
+    single-partition window.
+
+    Returns the input plus ``(src_rank, position)`` — position is the
+    0-based slot in the interleaved epoch.
+    """
+    from pyspark.sql import Window
+
+    from rainforest_spark.operators.windows import ranged_cumsum
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.col(id_col))
+    d = df.withColumn("src_rank", F.row_number().over(w))
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    from pyspark.sql.functions import broadcast
+    d = d.join(broadcast(n), group_col)
+    gid = Window.orderBy(group_col)
+    gids = (df.select(group_col).distinct()
+            .withColumn("__gid", F.row_number().over(gid) - 1))
+    d = d.join(broadcast(gids), group_col)
+    d = (d.withColumn(
+            "__ord",
+            F.expr(f"(((2 * src_rank - 1) * CAST({frac_scale} AS BIGINT))"
+                   f" div (2 * __n)) * {group_headroom} + __gid"))
+         .withColumn("__one", F.lit(1)))
+    c = ranged_cumsum(d, "__ord", "__one", cum_col="__pos")
+    return (c.withColumn("position", (F.col("__pos") - 1).cast("long"))
+            .drop("__n", "__gid", "__ord", "__one", "__pos"))
+
+
+def weighted_sample_dynamic(df: DataFrame, id_col: str, group_col: str,
+                            rates: DataFrame, rate_col: str = "rate",
+                            salt: str = "dyn-v1") -> DataFrame:
+    """Per-group Bernoulli sampling with RATES COMPUTED AT RUNTIME (a
+    broadcast-joined rates table instead of :func:`weighted_sample`'s
+    literal CASE chain).  Keep rule is the same engine-portable
+    lexicographic hex compare; the threshold is formatted per row with
+    ``format_string('%06x', floor(rate * 16^6))`` — identical double
+    arithmetic in both engines — and a rate >= 1 maps to the sentinel
+    'g' (sorts after every hex digit, so everything keeps).
+    """
+    from pyspark.sql.functions import broadcast
+
+    thr = F.when(
+        F.col(rate_col) >= 1.0, F.lit("g")).otherwise(
+        F.format_string("%06x",
+                        F.floor(F.col(rate_col) * F.lit(float(_BUCKETS)))
+                        .cast("int")))
+    r = rates.select(F.col(group_col), thr.alias("__thr"))
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"),
+                       F.col(id_col).cast("string"))), 1, _HEX_CHARS)
+    return (df.join(broadcast(r), group_col)
+            .filter(h < F.col("__thr"))
+            .drop("__thr"))
+
+
+def rebalance_after_dedup(original: DataFrame, kept: DataFrame,
+                          id_col: str, group_col: str,
+                          salt: str = "rebalance-v1") -> DataFrame:
+    """Dedup-loss rebalancing: deduplication removes MORE from
+    duplicate-heavy sources, silently shifting the domain mixture; this
+    resamples the survivors so per-source proportions return to the
+    ORIGINAL corpus's, using only down-sampling.
+
+    Math: with per-source original counts ``o_s`` and survivor counts
+    ``k_s``, the largest original-proportioned corpus inside the
+    survivors keeps ``rate_s = m * o_s / k_s`` of source ``s`` where
+    ``m = min_t k_t / o_t`` (the worst-hit source binds and keeps
+    everything).  Rates are identical double expressions in any
+    engine; the keep decision is the salted-hash threshold of
+    :func:`weighted_sample_dynamic`.
+
+    Shape at 100 TB: two per-source count aggs (tiny dims), a 1-row
+    min folded into the rates dim, one broadcast join — no extra
+    shuffle over the corpus.
+    """
+    o = original.groupBy(group_col).agg(F.count(F.lit(1)).alias("__o"))
+    k = kept.groupBy(group_col).agg(F.count(F.lit(1)).alias("__k"))
+    j = o.join(k, group_col)
+    m = j.agg(F.min(F.col("__k").cast("double") / F.col("__o"))
+              .alias("__m"))
+    rates = (j.crossJoin(m)
+             .select(F.col(group_col),
+                     (F.col("__m") * F.col("__o") / F.col("__k"))
+                     .alias("rate")))
+    return weighted_sample_dynamic(kept, id_col, group_col, rates,
+                                   salt=salt)

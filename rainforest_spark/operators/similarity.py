@@ -804,3 +804,66 @@ def kmeans_clusters(vectors: DataFrame, id_col: str, vec_col: str,
     out = assign(cent)
     return out.select("vec_id", F.col("cid").cast("long").alias("cluster"),
                       "sim")
+
+
+def farthest_point_sample(vectors: DataFrame, id_col: str, vec_col: str,
+                          k: int, round_to: int = 6) -> DataFrame:
+    """k-center / farthest-point diversity sampling: greedily pick the
+    vector FARTHEST (lowest max-cosine) from everything chosen so far —
+    the classic coreset selector a data pipeline runs to cover the
+    embedding space with k exemplars (complement of near-dup removal:
+    dedup drops redundancy, FPS picks the spanning set).
+
+    Deterministic: the seed is the LOWEST id; each round scores
+    ``sim_to_chosen = max(cosine to any chosen exemplar)`` rounded to
+    ``round_to`` and picks the minimum (ties -> lowest id).  Exactly
+    ``k-1`` distributed rounds.
+
+    Shape at 100 TB: the chosen set is k rows — each round is ONE
+    broadcast-join scan + a 1-row global min (the same argmin shape as
+    TakeOrdered with m=1); rounds multiply scans, not shuffles, so keep
+    k modest (a coreset, not a sample).  The incremental trick keeps
+    each round O(n): only similarity against the NEWEST exemplar is
+    computed, folded into the running max via ``greatest``.
+
+    Returns ``(id, pick_order, sim_at_pick)`` for the k exemplars —
+    ``sim_at_pick`` is the coverage radius when that exemplar was
+    chosen (non-decreasing; a scree curve for choosing k).
+    """
+    from pyspark.sql import Window
+
+    v = with_double_vec(vectors, vec_col, "v").select(
+        F.col(id_col).alias("__vid"), F.col("v"),
+        _norm("v").alias("nrm"))
+    w0 = Window.orderBy("__vid")
+    seed = (v.orderBy("__vid").limit(1)
+            .select(F.col("__vid").alias("__cid"),
+                    F.col("v").alias("cv"), F.col("nrm").alias("cnrm")))
+    state = (v.crossJoin(broadcast(seed))
+             .withColumn("__best",
+                         F.round(_dot("v", "cv")
+                                 / (F.col("nrm") * F.col("cnrm")),
+                                 round_to))
+             .select("__vid", "v", "nrm", "__best"))
+    first = seed.select("__cid").collect()[0][0]
+    out_rows = [(first, 1, None)]
+    state = state.filter(F.col("__vid") != F.lit(first)).localCheckpoint()
+    for rnd in range(2, k + 1):
+        nxt = (state.orderBy(F.col("__best").asc(), F.col("__vid").asc())
+               .limit(1).collect()[0])
+        out_rows.append((nxt["__vid"], rnd, float(nxt["__best"])))
+        chosen = (v.filter(F.col("__vid") == F.lit(nxt["__vid"]))
+                  .select(F.col("v").alias("cv"),
+                          F.col("nrm").alias("cnrm")))
+        state = (state.filter(F.col("__vid") != F.lit(nxt["__vid"]))
+                 .crossJoin(broadcast(chosen))
+                 .withColumn("__best", F.greatest(
+                     "__best",
+                     F.round(_dot("v", "cv")
+                             / (F.col("nrm") * F.col("cnrm")),
+                             round_to)))
+                 .select("__vid", "v", "nrm", "__best")
+                 .localCheckpoint())
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        out_rows, f"{id_col} long, pick_order int, sim_at_pick double")

@@ -49,7 +49,12 @@ def get_spark(app_name: str = "rainforest-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs ALL executor work inside the driver JVM — size
+        # the heap for the box (the round-6 sf10 bench OOMed a
+        # broadcast build at 8g with 125 GB sitting free).  On a real
+        # cluster spark-submit supplies executor/driver memory and
+        # this default is irrelevant.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

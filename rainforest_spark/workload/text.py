@@ -1505,3 +1505,75 @@ def q110(spark, sf):
 
     d = T(spark, sf, "documents").select("doc_id", "source", "n_chars")
     return weighted_sample_no_replacement(d, "doc_id", "n_chars", m=50)
+
+
+# ---------------------------------------------------------------- q112
+# Curriculum source-interleaving (stride scheduling): salted order
+# within source, midpoint fraction (2r-1)/(2n) as ONE exact BIGINT key
+# (integer div, dense group id in the low digits), global position via
+# the distributed ordered count.  No FP anywhere.
+@q("q112_interleave", sql="""
+WITH n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+g AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS gid
+      FROM (SELECT DISTINCT source FROM documents)),
+r AS (SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('interleave-v1:' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS src_rank
+      FROM documents),
+o AS (SELECT r.doc_id, r.source, r.src_rank,
+             ((2*r.src_rank - 1) * CAST(1000000000000 AS BIGINT)
+              // (2*n.n)) * 1000000 + g.gid AS ord
+      FROM r JOIN n USING (source) JOIN g USING (source))
+SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+       CAST(row_number() OVER (ORDER BY ord) - 1 AS BIGINT) AS position
+FROM o
+""")
+def q112(spark, sf):
+    from rainforest_spark.operators.mixture import interleave_sources
+
+    d = T(spark, sf, "documents").select("doc_id", "source")
+    out = interleave_sources(d, "doc_id", "source")
+    return out.select("doc_id", "source",
+                      F.col("src_rank").cast("long").alias("src_rank"),
+                      "position")
+
+
+# ---------------------------------------------------------------- q113
+# Dedup-loss rebalancing: exact dedup keeps min-id docs; survivors are
+# down-sampled back to the ORIGINAL per-source proportions with
+# runtime-computed rates (m * o_s / k_s, m = min survivor ratio) and
+# the engine-portable hex-threshold keep rule ('g' sentinel at rate 1).
+@q("q113_dedup_rebalance", sql=f"""
+WITH kept AS (
+  SELECT doc_id, source FROM documents
+  WHERE doc_id IN (
+    SELECT MIN(doc_id) FROM documents
+    GROUP BY md5({_NORM}))),
+o AS (SELECT source, COUNT(*) AS o FROM documents GROUP BY 1),
+k AS (SELECT source, COUNT(*) AS k FROM kept GROUP BY 1),
+m AS (SELECT MIN(CAST(k AS DOUBLE) / o) AS m FROM o JOIN k USING (source)),
+rates AS (
+  SELECT source,
+         CASE WHEN m.m * o.o / k.k >= 1 THEN 'g'
+              ELSE printf('%06x',
+                          CAST(floor(m.m * o.o / k.k * 16777216)
+                               AS INTEGER))
+         END AS thr
+  FROM o JOIN k USING (source) CROSS JOIN m)
+SELECT kept.doc_id, kept.source
+FROM kept JOIN rates USING (source)
+WHERE substr(md5('rebalance-v1:' || CAST(kept.doc_id AS VARCHAR)), 1, 6)
+      < rates.thr
+""")
+def q113(spark, sf):
+    from rainforest_spark.operators.dedup import exact_dedup_groups
+    from rainforest_spark.operators.mixture import rebalance_after_dedup
+
+    d = T(spark, sf, "documents").select("doc_id", "source", "text")
+    keep_ids = exact_dedup_groups(d, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id"))
+    kept = d.join(keep_ids, "doc_id", "semi").select("doc_id", "source")
+    return rebalance_after_dedup(d.select("doc_id", "source"), kept,
+                                 "doc_id", "source")

@@ -297,3 +297,47 @@ def test_heaps_fit_sublinear_growth(spark):
     assert out.n_docs == 40
     assert 0.4 < out.heaps_beta < 0.6
     assert out.r2 > 0.98
+
+
+# ---------------------------------------------- farthest-point sample
+
+def test_fps_matches_numpy_reference(spark):
+    import numpy as np
+    from rainforest_spark.operators.similarity import farthest_point_sample
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(30, 8).astype(np.float32)
+    rows = [(i, X[i].tolist()) for i in range(30)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted((r.pick_order, r.vec_id) for r in
+                 farthest_point_sample(e, "vec_id", "embedding",
+                                       k=6).collect())
+
+    Xd = X.astype(np.float64)
+    nrm = np.sqrt((Xd * Xd).sum(1))
+    sims = np.round((Xd @ Xd.T) / np.outer(nrm, nrm), 6)
+    chosen = [0]
+    best = sims[:, 0].copy()
+    for _ in range(5):
+        mask = best.copy()
+        mask[chosen] = np.inf                # exclude already-chosen
+        nxt = int(np.argmin(mask))           # first index = lowest id tie
+        chosen.append(nxt)
+        best = np.maximum(best, sims[:, nxt])
+    want = [(o + 1, v) for o, v in enumerate(chosen)]
+    assert got == sorted(want)
+
+
+def test_fps_radius_non_decreasing(spark):
+    import numpy as np
+    from rainforest_spark.operators.similarity import farthest_point_sample
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(6).astype(float).tolist()) for i in range(25)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sorted(farthest_point_sample(e, "vec_id", "embedding",
+                                       k=5).collect(),
+                 key=lambda r: r.pick_order)
+    radii = [r.sim_at_pick for r in out[1:]]
+    assert radii == sorted(radii), \
+        "coverage similarity must be non-decreasing over picks"

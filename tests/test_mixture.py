@@ -255,3 +255,69 @@ def test_es_weighted_sample_favors_heavy_rows(spark):
     got = {r.doc_id for r in
            weighted_sample_no_replacement(d, "doc_id", "w", m=5).collect()}
     assert 999 in got
+
+
+def test_interleave_spreads_sources_evenly(spark):
+    from rainforest_spark.operators.mixture import interleave_sources
+
+    rows = [(i, "A") for i in range(4)] + [(10 + i, "B") for i in range(2)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = interleave_sources(d, "doc_id", "source").collect()
+    by_pos = {r.position: r for r in out}
+    assert sorted(by_pos) == list(range(6)), "positions must be 0..5"
+    # midpoint fractions: A at 1/8,3/8,5/8,7/8; B at 1/4,3/4 ->
+    # interleaved order A B A A B A regardless of the salted order
+    # WITHIN each source
+    assert [by_pos[i].source for i in range(6)] == \
+        ["A", "B", "A", "A", "B", "A"]
+    # src_rank follows the interleave: the B doc at position 1 is B's
+    # first, the one at 4 is B's second
+    assert by_pos[1].src_rank == 1 and by_pos[4].src_rank == 2
+
+
+def test_interleave_deterministic(spark):
+    from rainforest_spark.operators.mixture import interleave_sources
+
+    rows = [(i, f"s{i % 3}") for i in range(30)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted((r.doc_id, r.position) for r in
+               interleave_sources(d, "doc_id", "source").collect())
+    b = sorted((r.doc_id, r.position) for r in
+               interleave_sources(d, "doc_id", "source").collect())
+    assert a == b
+
+
+def test_rebalance_after_dedup_hand_computed(spark):
+    from rainforest_spark.operators.mixture import rebalance_after_dedup
+
+    orig = spark.createDataFrame(
+        [(0, "A"), (1, "A"), (2, "A"), (3, "A"), (10, "B"), (11, "B")],
+        "doc_id long, source string")
+    # dedup removed doc 1 from A (a dup): survivors 3 of 4 in A, 2/2 in B
+    kept = orig.filter(F.col("doc_id") != 1)
+    out = rebalance_after_dedup(orig, kept, "doc_id", "source").collect()
+    a = sorted(r.doc_id for r in out if r.source == "A")
+    b = [r.doc_id for r in out if r.source == "B"]
+    # A is the worst-hit source (m = 3/4): rate_A = 1 -> all survivors
+    assert a == [0, 2, 3]
+    # B resamples at 0.75 -> a salted-hash-determined subset
+    assert set(b) <= {10, 11}
+
+
+def test_rebalance_restores_proportions(spark):
+    from rainforest_spark.operators.mixture import rebalance_after_dedup
+
+    # A: 400 docs, half removed by "dedup"; B: 200 docs intact.
+    # original shares 2:1 -> rebalanced shares must return to ~2:1
+    rows = [(i, "A") for i in range(400)] + \
+        [(1000 + i, "B") for i in range(200)]
+    orig = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = orig.filter((F.col("source") == "B")
+                       | (F.col("doc_id") % 2 == 0))
+    out = rebalance_after_dedup(orig, kept, "doc_id", "source")
+    counts = {r.source: r.n for r in
+              out.groupBy("source").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    # A keeps all 200 survivors (binding source); B targets 100
+    assert counts["A"] == 200
+    assert 80 <= counts["B"] <= 120, counts

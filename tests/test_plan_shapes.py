@@ -271,3 +271,21 @@ def test_q104_q107_broadcast_scoring(spark):
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" in p, name
         assert "SortMergeJoin" not in p, name
+
+
+def test_q110_top_m_never_global_sort(spark):
+    # E-S sampling's global top-m must plan as TakeOrderedAndProject
+    # (per-partition heaps + one merge), never a full Sort + Limit
+    p = fmt_plan(spark, "q110_weighted_sample")
+    assert "TakeOrderedAndProject" in p, \
+        "q110 lost the top-m plan — a global sort at 100 TB"
+
+
+def test_q109_growth_curve_range_partitioned(spark):
+    # both cumsums of the Heaps curve ride ranged_cumsum's
+    # range-shuffle; the only unpartitioned windows are over the tiny
+    # per-partition offsets dims
+    p = fmt_plan(spark, "q109_heaps_fit")
+    assert "rangepartitioning" in p.lower(), \
+        "q109 lost the distributed ranged_cumsum path"
+    assert "CartesianProduct" not in p

@@ -177,3 +177,28 @@ def curate_corpus(docs: DataFrame, id_col: str, text_col: str,
             .withColumn("epoch_pos", F.lit(None).cast("long")))
     out = train.unionByName(rest)
     return note("output", out)
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,
+                text_col: str) -> DataFrame:
+    """Dataset-version diff: classify every document across two corpus
+    snapshots as ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    by content fingerprint — the audit step between dataset releases
+    (what moved, and how much, before a retrain is approved).
+
+    Content equality is the normalized-text md5 (the dedup
+    fingerprint), so whitespace-only edits read as ``unchanged`` —
+    the same equivalence the dedup stages use.
+
+    Shape at 100 TB: one full outer equi-join on the id; fingerprints
+    are computed in the scan projection, so each side is read once and
+    only (id, 16-byte hash) flows through the shuffle.
+    """
+    o = old.select(F.col(id_col), TA.fingerprint(text_col).alias("__fo"))
+    n = new.select(F.col(id_col), TA.fingerprint(text_col).alias("__fn"))
+    j = o.join(n, id_col, "full_outer")
+    status = (F.when(F.col("__fo").isNull(), F.lit("added"))
+              .when(F.col("__fn").isNull(), F.lit("removed"))
+              .when(F.col("__fo") == F.col("__fn"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select(F.col(id_col), status.alias("status"))

@@ -606,3 +606,49 @@ def canonical_per_cluster(docs: DataFrame, pairs: DataFrame,
             .select(F.col(id_col), "cluster_rep", "canonical_id",
                     (F.col(id_col) == F.col("canonical_id"))
                     .alias("is_canonical")))
+
+
+def incremental_hamming_neardup(batch_sig: DataFrame,
+                                corpus_sig: DataFrame,
+                                id_col: str, sig_col: str,
+                                corpus_id_col: str | None = None,
+                                max_hamming: int = 7,
+                                n_bands: int | None = None) -> DataFrame:
+    """Incremental ingest dedup for ANY 64-bit signature (SimHash text,
+    pHash images, audio energy contours): each new batch row pairs
+    against the PERSISTED corpus signature table via the banded
+    Hamming join — cost O(batch), never O(corpus^2), because only band
+    keys present in the batch reach the join.
+
+    Returns ``(batch_id, corpus_id, hamming)``.  The corpus table is a
+    plain (id, sig) parquet the pipeline appends accepted batches to —
+    the same contract as the MinHash ``incremental_neardup`` path.
+    """
+    cid = corpus_id_col or id_col
+    if n_bands is None:
+        n_bands = next((b for b in (4, 8, 16) if b > max_hamming), 16)
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    def banded(df, id_c, sig_c, id_out, sig_out):
+        chunks = [
+            F.struct(F.lit(b).alias("band_id"),
+                     F.expr(f"({sig_c} >> {width * b}) & {mask}")
+                     .alias("chunk"))
+            for b in range(n_bands)]
+        return (df.select(F.col(id_c).alias(id_out),
+                          F.col(sig_c).alias(sig_out),
+                          F.explode(F.array(*chunks)).alias("b"))
+                .select(id_out, sig_out,
+                        F.col("b.band_id").alias("band_id"),
+                        F.col("b.chunk").alias("chunk")))
+
+    a = banded(batch_sig, id_col, sig_col, "batch_id", "sh_a")
+    b = banded(corpus_sig, cid, sig_col, "corpus_id", "sh_b")
+    cand = (a.join(b, on=["band_id", "chunk"])
+            .select("batch_id", "corpus_id", "sh_a", "sh_b").distinct())
+    hamming = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (cand.withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("batch_id", "corpus_id", "hamming"))

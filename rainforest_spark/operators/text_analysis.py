@@ -973,8 +973,10 @@ def heaps_fit(df, id_col: str, text_col: str, round_to: int = 6):
              .groupBy("__d").agg(F.count(F.lit(1)).alias("__nv")))
     g = (per_doc.join(first, "__d", "left")
          .withColumn("__nv", F.coalesce("__nv", F.lit(0))))
-    g = ranged_cumsum(g, "__d", "__nt", cum_col="__ct")
-    g = ranged_cumsum(g, "__d", "__nv", cum_col="__cv")
+    # ONE range shuffle for both running sums (extra_weights folds the
+    # new-term cumsum into the same pass)
+    g = ranged_cumsum(g, "__d", "__nt", cum_col="__ct",
+                      extra_weights={"__nv": "__cv"})
     xy = g.filter(F.col("__cv") > 0).select(
         F.round(F.log(F.col("__ct").cast("double")), 9)
         .cast("decimal(19,9)").alias("x"),

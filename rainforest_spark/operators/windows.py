@@ -61,7 +61,8 @@ def ranged_cumsum(df: DataFrame, order_col: str, weight_col: str,
                   cum_col: str = "__cw",
                   num_partitions: int | None = None,
                   group_cols: list[str] | None = None,
-                  total_col: str | None = None) -> DataFrame:
+                  total_col: str | None = None,
+                  extra_weights: dict[str, str] | None = None) -> DataFrame:
     """Ordered cumulative weight sum WITHOUT a single-partition window —
     global, or per group when ``group_cols`` is given.
 
@@ -84,31 +85,41 @@ def ranged_cumsum(df: DataFrame, order_col: str, weight_col: str,
     every row, derived from the same tiny offsets table — quantile-style
     consumers need cw/tw and computing the total separately would cost
     another full scan of ``df``.
+
+    ``extra_weights`` ({weight_col: cum_col}) folds FURTHER cumulative
+    sums over the SAME ordering into the one pass — each extra weight
+    adds a column to the tiny offsets table and a window sum, never a
+    second range shuffle (heaps_fit needs the token and the new-term
+    cumsums over the same doc order; two calls would double the
+    exchange).
     """
     spark = df.sparkSession
     g = list(group_cols or [])
+    ws = {weight_col: cum_col, **(extra_weights or {})}
     n = num_partitions or spark.sparkContext.defaultParallelism
     d = (df.repartitionByRange(n, *[F.col(c) for c in g + [order_col]])
          .withColumn("__p", F.spark_partition_id()))
     wo = (Window.partitionBy(*g).orderBy("__p") if g
           else Window.orderBy("__p"))
     wt = Window.partitionBy(*g) if g else Window.partitionBy()
-    offs = d.groupBy("__p", *g).agg(F.sum(weight_col).alias("__pw"))
-    # typed zero keeps integer weights integer end-to-end (packing's
-    # "all-integer arithmetic" contract; a double 0.0 here silently
-    # promoted long cumsums to double, exact only below 2^53)
-    zero = F.lit(0).cast(offs.schema["__pw"].dataType)
-    offs = offs.withColumn(
-        "__off",
-        F.coalesce(
-            F.sum("__pw").over(
-                wo.rowsBetween(Window.unboundedPreceding, -1)),
-            zero))
+    offs = d.groupBy("__p", *g).agg(
+        *[F.sum(w).alias(f"__pw_{i}") for i, w in enumerate(ws)])
+    for i, w in enumerate(ws):
+        # typed zero keeps integer weights integer end-to-end (packing's
+        # "all-integer arithmetic" contract; a double 0.0 here silently
+        # promoted long cumsums to double, exact only below 2^53)
+        zero = F.lit(0).cast(offs.schema[f"__pw_{i}"].dataType)
+        offs = offs.withColumn(
+            f"__off_{i}",
+            F.coalesce(
+                F.sum(f"__pw_{i}").over(
+                    wo.rowsBetween(Window.unboundedPreceding, -1)),
+                zero))
     if total_col:
-        offs = offs.withColumn(total_col, F.sum("__pw").over(wt))
+        offs = offs.withColumn(total_col, F.sum("__pw_0").over(wt))
     offs = offs.select(F.col("__p").alias("__op"),
                        *[F.col(c).alias(f"__og_{c}") for c in g],
-                       "__off",
+                       *[f"__off_{i}" for i in range(len(ws))],
                        *([total_col] if total_col else []))
     wl = (Window.partitionBy("__p", *g).orderBy(F.col(order_col))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -118,10 +129,12 @@ def ranged_cumsum(df: DataFrame, order_col: str, weight_col: str,
     cond = F.col("__p") == F.col("__op")
     for c in g:
         cond = cond & F.col(c).eqNullSafe(F.col(f"__og_{c}"))
-    return (d.join(F.broadcast(offs), cond)
-            .withColumn(cum_col, F.sum(weight_col).over(wl) + F.col("__off"))
-            .drop("__p", "__op", "__off",
-                  *[f"__og_{c}" for c in g]))
+    out = d.join(F.broadcast(offs), cond)
+    for i, (w, cc) in enumerate(ws.items()):
+        out = out.withColumn(cc, F.sum(w).over(wl) + F.col(f"__off_{i}"))
+    return out.drop("__p", "__op",
+                    *[f"__off_{i}" for i in range(len(ws))],
+                    *[f"__og_{c}" for c in g])
 
 
 def weighted_quantile(df: DataFrame, group_cols: list[str], value_col: str,

@@ -59,3 +59,76 @@ def curate_stream(stream: DataFrame, text_col: str = "text",
                    "fingerprint", "left_anti")
     return dedup_stream(s, ["fingerprint"], ts_col=ts_col,
                         watermark=watermark)
+
+
+def curate_media_stream(stream: DataFrame, id_col: str = "media_id",
+                        content_col: str = "content",
+                        ts_col: str = "ingest_ts",
+                        corpus_sigs: DataFrame | None = None,
+                        max_hamming: int = 7,
+                        watermark: str = "30 minutes") -> DataFrame:
+    """Streaming MEDIA ingest curation: the image/audio analogue of
+    :func:`curate_stream`.
+
+    Per micro-batch (stateless except the final exact-dup state):
+
+    1. decode + perceptual hash (image_phash — the same Arrow
+       mapInPandas kernel as batch, so stream and batch signatures are
+       bit-identical); undecodable blobs are DROPPED (quarantine
+       belongs to the ingest reader, not the curation gate);
+    2. NEAR-dup exclusion against the accumulated corpus index:
+       vectorized Hamming distance against the corpus signature ARRAY
+       inside the same Arrow kernel (one XOR+popcount sweep per item —
+       numpy, no per-row python).  Structured Streaming cannot
+       anti-join a stream against a stream-derived hit set, and a
+       banded join + per-id aggregation would add a second stateful
+       operator; a signature array is 8 bytes/item, so a 10M-item
+       index is an 80 MB broadcast — for indexes beyond broadcast
+       size, run the banded batch pass
+       (dedup.incremental_hamming_neardup) behind the stream, same as
+       the text path's nightly backstop;
+    3. EXACT-dup dedup within the stream: watermark-bounded state on
+       the full 64-bit signature.
+
+    ``corpus_sigs`` is the persisted (id, phash) table the pipeline
+    appends accepted batches to.
+    """
+    import numpy as np
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    from rainforest_spark.operators.multimodal import image_phash
+    from rainforest_spark.streaming.rt import dedup_stream
+
+    s = (image_phash(stream, content_col)
+         .filter(F.col("phash").isNotNull()))
+    if corpus_sigs is not None:
+        sig_arr = np.array(
+            [r[1] for r in corpus_sigs.select("img_id", "phash").collect()]
+            if "img_id" in corpus_sigs.columns
+            else [r["phash"] for r in corpus_sigs.select("phash").collect()],
+            dtype=np.int64).view(np.uint64)
+
+        out_schema = StructType(list(s.schema.fields)
+                                + [StructField("__corpus_hit", BooleanType())])
+
+        def mark(it):
+            for pdf in it:
+                ph = pdf["phash"].to_numpy(dtype=np.int64).view(np.uint64)
+                if sig_arr.size == 0:
+                    hit = np.zeros(len(pdf), dtype=bool)
+                else:
+                    x = ph[:, None] ^ sig_arr[None, :]
+                    # vectorized popcount via uint8 view + table
+                    tbl = np.array([bin(i).count("1")
+                                    for i in range(256)], dtype=np.uint8)
+                    pc = tbl[x.view(np.uint8)].reshape(len(ph), -1, 8)                         .sum(axis=2).sum(axis=1) if False else                         tbl[x.view(np.uint8)].reshape(x.shape[0],
+                                                      x.shape[1], 8).sum(2)
+                    hit = (pc <= max_hamming).any(axis=1)
+                pdf = pdf.copy()
+                pdf["__corpus_hit"] = hit
+                yield pdf
+
+        s = (s.mapInPandas(mark, schema=out_schema)
+             .filter(~F.col("__corpus_hit")).drop("__corpus_hit"))
+    return dedup_stream(s, ["phash"], ts_col=ts_col,
+                        watermark=watermark)

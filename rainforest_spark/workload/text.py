@@ -1577,3 +1577,38 @@ def q113(spark, sf):
     kept = d.join(keep_ids, "doc_id", "semi").select("doc_id", "source")
     return rebalance_after_dedup(d.select("doc_id", "source"), kept,
                                  "doc_id", "source")
+
+
+# ---------------------------------------------------------------- q114
+# Dataset-version diff: v1 drops every 7th doc (deletions) and v2
+# rewrites every 11th doc's text (edits); every doc classifies as
+# added/removed/changed/unchanged by the normalized-text fingerprint
+# through ONE full outer equi-join on the id.
+@q("q114_corpus_diff", sql=f"""
+WITH v1 AS (
+  SELECT doc_id, md5({_NORM}) AS f FROM documents WHERE doc_id % 7 != 0),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN md5(regexp_replace(lower(trim(text || ' edited')),
+                                      '\\s+', ' ', 'g'))
+              ELSE md5({_NORM}) END AS f
+  FROM documents)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.f IS NULL THEN 'added'
+            WHEN v2.f IS NULL THEN 'removed'
+            WHEN v1.f = v2.f THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+""")
+def q114(spark, sf):
+    from rainforest_spark.operators.curation import corpus_diff
+
+    d = T(spark, sf, "documents")
+    v1 = d.filter(F.col("doc_id") % 7 != 0)
+    v2 = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.col("text"), F.lit(" edited")))
+        .otherwise(F.col("text")))
+    return corpus_diff(v1, v2, "doc_id", "text")

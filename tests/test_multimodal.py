@@ -461,3 +461,30 @@ def test_audio_neardup_pairs_end_to_end(spark):
                                           max_hamming=7).collect()}
     assert (0, 1) in pairs, "noisy copy must pair"
     assert all(2 not in p for p in pairs), "unrelated clip must not pair"
+
+
+def test_incremental_phash_dedup_against_corpus(spark):
+    # a persisted corpus of image signatures; a new batch pairs only
+    # against the corpus (cost O(batch)), catching a re-encoded copy
+    from rainforest_spark.grid.gif import encode_gif_bytes
+    from rainforest_spark.grid.png import encode_png_bytes
+    from rainforest_spark.operators.dedup import incremental_hamming_neardup
+    from rainforest_spark.operators.multimodal import image_phash
+
+    a, b, c = (_structured_plane(s) for s in (21, 22, 23))
+    corpus = spark.createDataFrame(
+        [(100, bytearray(encode_gif_bytes(a))),
+         (101, bytearray(encode_gif_bytes(b)))],
+        "img_id long, content binary")
+    batch = spark.createDataFrame(
+        [(0, bytearray(encode_png_bytes(a))),    # re-encode of corpus 100
+         (1, bytearray(encode_gif_bytes(c)))],   # genuinely new
+        "img_id long, content binary")
+    csig = image_phash(corpus).select("img_id", "phash")
+    bsig = image_phash(batch).select("img_id", "phash")
+    pairs = {(r.batch_id, r.corpus_id): r.hamming
+             for r in incremental_hamming_neardup(
+                 bsig, csig, "img_id", "phash",
+                 max_hamming=3).collect()}
+    assert (0, 100) in pairs and pairs[(0, 100)] == 0
+    assert all(bid != 1 for bid, _ in pairs), "new image must pass clean"

@@ -583,3 +583,63 @@ def test_curate_stream_static_corpus_exclusion(spark, tmp_path):
 
     got = spark.read.parquet(sink).toPandas()
     assert sorted(got.doc_id) == [2]
+
+
+def test_curate_media_stream_parity(spark, tmp_path):
+    """Streaming media curation: undecodable dropped, near-dup of the
+    persisted corpus index dropped (re-encode at hamming 0), exact
+    in-stream dup deduped, fresh image admitted."""
+    import numpy as np
+    import pandas as pd
+
+    from rainforest_spark.grid.gif import encode_gif_bytes
+    from rainforest_spark.grid.png import encode_png_bytes
+    from rainforest_spark.operators.multimodal import image_phash
+    from rainforest_spark.streaming.corpus import curate_media_stream
+    from tests.test_multimodal import _structured_plane
+
+    src = str(tmp_path / "media")
+    sink = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+    base = 1717200000
+
+    known = _structured_plane(31)      # already in the corpus index
+    fresh = _structured_plane(32)
+    fresh2 = _structured_plane(33)
+    rows = pd.DataFrame({
+        "media_id": [1, 2, 3, 4, 5],
+        "content": [encode_png_bytes(known),        # re-encode of known
+                    encode_gif_bytes(fresh),        # new
+                    encode_gif_bytes(fresh),        # exact dup in-stream
+                    b"not an image",                # undecodable
+                    encode_gif_bytes(fresh2)],      # new
+        "ingest_ts": pd.to_datetime(
+            [base + i for i in range(5)],
+            unit="s").astype("datetime64[us]"),
+    })
+    rows.to_parquet(f"{src}/a.parquet", index=False)
+
+    corpus = spark.createDataFrame(
+        [(100, bytearray(encode_gif_bytes(known)))],
+        "img_id long, content binary")
+    corpus_sigs = image_phash(corpus).select("img_id", "phash")
+
+    schema = "media_id bigint, content binary, ingest_ts timestamp"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (curate_media_stream(stream, corpus_sigs=corpus_sigs,
+                             watermark="10 minutes")
+         .writeStream.outputMode("append")
+         .format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink).toPandas()
+    admitted = sorted(got.media_id)
+    # 1 near-dups the corpus, 4 undecodable, exactly ONE of {2, 3}
+    # survives the exact-dup state, 5 is fresh
+    assert 5 in admitted and 1 not in admitted and 4 not in admitted
+    assert len([m for m in admitted if m in (2, 3)]) == 1
+    assert len(admitted) == 2

@@ -195,3 +195,44 @@ def leakage_free_split(df: DataFrame, pairs: DataFrame, id_col: str,
                        .cast("long")).drop("__cl")
     return split_assign(rep, "cluster_rep", rates=rates, salt=salt,
                         out_col=out_col)
+
+
+def length_bucketed_batches(df: DataFrame, id_col: str, len_col: str,
+                            bucket_width: int = 64, batch_size: int = 32,
+                            salt: str = "lenbatch-v1") -> DataFrame:
+    """Length-bucketed batch assembly: group sequences of similar
+    length into fixed-size batches so per-batch padding (to the batch
+    max) is small — the dynamic-batching pass of a training data
+    loader, done offline and deterministically.
+
+    Buckets are ``len div bucket_width``; within a bucket the order is
+    a salted hash (uniform, reproducible), and every ``batch_size``
+    consecutive docs form a batch.  Emits per-batch accounting:
+    ``(bucket, batch_id, n_docs, max_len, sum_len, padding_waste)``
+    with ``padding_waste = n_docs * max_len - sum_len`` — the scree
+    the pipeline reads to tune bucket_width.
+
+    Shape at 100 TB: one window per bucket (buckets are many and
+    balanced by construction — each holds a length band) + one groupBy
+    on (bucket, batch_id).  All integer arithmetic.
+    """
+    from pyspark.sql import Window
+
+    d = df.withColumn("__bucket",
+                      F.expr(f"CAST({len_col} AS BIGINT)"
+                             f" div {bucket_width}"))
+    w = Window.partitionBy("__bucket").orderBy(
+        F.md5(F.concat(F.lit(salt + ":"),
+                       F.col(id_col).cast("string"))),
+        F.col(id_col))
+    d = d.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__batch",
+        F.expr(f"CAST(__rn - 1 AS BIGINT) div {batch_size}")).drop("__rn")
+    return (d.groupBy(F.col("__bucket").alias("bucket"),
+                      F.col("__batch").alias("batch_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.max(len_col).cast("long").alias("max_len"),
+                 F.sum(len_col).cast("long").alias("sum_len"))
+            .withColumn("padding_waste",
+                        F.col("n_docs") * F.col("max_len")
+                        - F.col("sum_len")))

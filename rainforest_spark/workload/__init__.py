@@ -102,9 +102,11 @@ _PRIORITY = [
     # still-unwindowed r6 additions q108_zipf_fit / q109_heaps_fit
     # (exact-decimal sufficient-statistics regressions), q110_weighted
     # _sample (Efraimidis-Spirakis keys), q111_audio_fingerprint
-    # (integer energy contour), q112_interleave (stride scheduling)
-    # and q113_dedup_rebalance (dynamic-rate resampling) — all
-    # pytest-parity-green — ahead of the stale rows.
+    # (integer energy contour), q112_interleave (stride scheduling),
+    # q113_dedup_rebalance (dynamic-rate resampling), q114_corpus_diff,
+    # q116_length_batches, q117_tokenizer_fertility and
+    # q118_masking_plan — all pytest-parity-green — ahead of the
+    # stale rows.
     # --- round 6 stale-row rotation (VERDICT r5 Missing #4): the 8
     # queries whose latest green driver row is r2 re-enter the window
     # for a fresh hash check against the CURRENT testdata (the driver

@@ -1612,3 +1612,122 @@ def q114(spark, sf):
                F.concat(F.col("text"), F.lit(" edited")))
         .otherwise(F.col("text")))
     return corpus_diff(v1, v2, "doc_id", "text")
+
+
+# ---------------------------------------------------------------- q116
+# Length-bucketed batch assembly: width-64 length buckets, salted
+# order, 32-doc batches, per-batch padding-waste accounting.  Pure
+# integer arithmetic end-to-end.
+@q("q116_length_batches", sql=f"""
+WITH l AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents),
+b AS (
+  SELECT doc_id, n_tok, n_tok // 64 AS bucket,
+         (row_number() OVER (
+            PARTITION BY n_tok // 64
+            ORDER BY md5('lenbatch-v1:' || CAST(doc_id AS VARCHAR)),
+                     doc_id) - 1) // 32 AS batch_id
+  FROM l)
+SELECT bucket, batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n_tok) AS BIGINT) AS max_len,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_len,
+       CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT)
+         AS padding_waste
+FROM b GROUP BY 1, 2
+""")
+def q116(spark, sf):
+    from rainforest_spark.operators.packing import length_bucketed_batches
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", TA.token_count("text").cast("long").alias("n_tok"))
+    return length_bucketed_batches(d, "doc_id", "n_tok")
+
+
+# ---------------------------------------------------------------- q117
+# Tokenizer fertility per language: BPE-ish subword count over
+# whitespace word count — the tokenizer-health metric that flags
+# scripts the vocab serves badly.  Integer sums, one rounded division.
+@q("q117_tokenizer_fertility", sql=r"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}'']+|\s'
+         ))) AS BIGINT) AS n_subwords,
+       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         AS n_words,
+       ROUND(CAST(SUM(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}'']+|\s'
+         ))) AS DOUBLE)
+         / SUM(len(string_split_regex(trim(text), '\s+'))), 6)
+         AS fertility
+FROM documents GROUP BY lang
+""")
+def q117(spark, sf):
+    d = T(spark, sf, "documents")
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(TA.bpe_ish_token_count("text")).cast("long")
+        .alias("n_subwords"),
+        F.sum(TA.token_count("text")).cast("long").alias("n_words"))
+    return agg.withColumn(
+        "fertility",
+        F.round(F.col("n_subwords").cast("double") / F.col("n_words"), 6))
+
+
+# ---------------------------------------------------------------- q118
+# Span-corruption masking plan (T5-style prep): deterministic ~15%
+# token masking by salted hash, adjacent masked tokens coalesced into
+# spans via gaps-and-islands; per-doc span accounting with the exact
+# integer round-half-up mean.
+@q("q118_masking_plan", sql="""
+WITH toks AS (
+  SELECT doc_id, u.i AS i
+  FROM (SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+       UNNEST(generate_series(1, len(w))) AS u(i)),
+masked AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+           AS island
+  FROM toks
+  WHERE substr(md5('mask-v1:' || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(i AS VARCHAR)), 1, 6) < '266666'),
+spans AS (
+  SELECT doc_id, island, COUNT(*) AS span_len
+  FROM masked GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(span_len) AS BIGINT) AS n_masked,
+       CAST(MAX(span_len) AS BIGINT) AS max_span,
+       CAST((2 * SUM(span_len) * 1000000 + COUNT(*))
+            // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS mean_span
+FROM spans GROUP BY doc_id
+""")
+def q118(spark, sf):
+    from pyspark.sql import Window
+
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id",
+                    F.posexplode(TA.tokens("text")).alias("p", "__t"))
+    toks = toks.withColumn("i", F.col("p") + 1).drop("p", "__t")
+    h = F.substring(
+        F.md5(F.concat(F.lit("mask-v1:"), F.col("doc_id").cast("string"),
+                       F.lit(":"), F.col("i").cast("string"))), 1, 6)
+    m = toks.filter(h < "266666")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    m = m.withColumn("island", F.col("i") - F.row_number().over(w))
+    spans = m.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("span_len"))
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_len").cast("long").alias("n_masked"),
+        F.max("span_len").cast("long").alias("max_span"))
+    mean = F.expr("(2 * n_masked * 1000000 + n_spans)"
+                  " div (2 * n_spans)")
+    return agg.withColumn(
+        "mean_span", mean.cast("double") / F.lit(1000000.0))

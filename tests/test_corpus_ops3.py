@@ -341,3 +341,50 @@ def test_fps_radius_non_decreasing(spark):
     radii = [r.sim_at_pick for r in out[1:]]
     assert radii == sorted(radii), \
         "coverage similarity must be non-decreasing over picks"
+
+
+# ------------------------------------------------- batching & masking
+
+def test_length_batches_accounting(spark):
+    from rainforest_spark.operators.packing import length_bucketed_batches
+
+    # 5 docs in one bucket (len 10..14, width 64), batch_size 2:
+    # batches of 2,2,1 with exact waste = n*max - sum
+    d = spark.createDataFrame([(i, 10 + i) for i in range(5)],
+                              "doc_id long, n long")
+    out = length_bucketed_batches(d, "doc_id", "n", bucket_width=64,
+                                  batch_size=2).collect()
+    assert sorted(r.n_docs for r in out) == [1, 2, 2]
+    assert all(r.bucket == 0 for r in out)
+    for r in out:
+        assert r.padding_waste == r.n_docs * r.max_len - r.sum_len
+        assert 0 <= r.padding_waste <= r.max_len
+
+
+def test_length_batches_bucket_bound_on_waste(spark):
+    from rainforest_spark.operators.packing import length_bucketed_batches
+
+    # per-doc padding can never exceed bucket_width - 1
+    rows = [(i, 1 + (i * 37) % 500) for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id long, n long")
+    out = length_bucketed_batches(d, "doc_id", "n", bucket_width=32,
+                                  batch_size=8).collect()
+    for r in out:
+        assert r.padding_waste <= (r.n_docs - 1) * 31
+
+
+def test_masking_plan_rate_and_islands(spark):
+    d = spark.createDataFrame(
+        [(i, "s", " ".join(f"w{j}" for j in range(200)))
+         for i in range(5)],
+        "doc_id long, source string, text string")
+    from rainforest_spark.operators import text_analysis as TA
+    toks = d.select("doc_id",
+                    F.posexplode(TA.tokens("text")).alias("p", "t"))
+    h = F.substring(F.md5(F.concat(F.lit("mask-v1:"),
+                                   F.col("doc_id").cast("string"),
+                                   F.lit(":"),
+                                   (F.col("p") + 1).cast("string"))), 1, 6)
+    n_masked = toks.filter(h < "266666").count()
+    # 1000 tokens at 15% -> binomial; 3.5 sigma bounds
+    assert 110 <= n_masked <= 190, n_masked

@@ -261,9 +261,15 @@ def cmd_report(args) -> int:
             for r in out.collect()}
     # corpus-level power-law panel: Zipf slope over the vocab, Heaps
     # beta over the growth curve — template floods and tokenizer damage
-    # show up here before they show up downstream
+    # show up here before they show up downstream.  Heaps needs the id
+    # column (growth curve order); a corpus without it still gets the
+    # rest of the report instead of a crash.
     zipf = zipf_fit(docs, "text").collect()[0].asDict()
-    heaps = heaps_fit(docs, args.id_col, "text").collect()[0].asDict()
+    if args.id_col in docs.columns:
+        heaps = heaps_fit(docs, args.id_col, "text").collect()[0].asDict()
+    else:
+        heaps = {"skipped": f"no column {args.id_col!r} "
+                            f"(set --id-col)"}
     print(json.dumps({"groups": len(rows), "report": rows,
                       "zipf": zipf, "heaps": heaps},
                      default=str))

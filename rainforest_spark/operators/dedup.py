@@ -233,6 +233,34 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
                                  n_bands=n_bands)
 
 
+def _hamming_bands(n_bands: int | None, max_hamming: int) -> int:
+    if n_bands is None:
+        n_bands = next((b for b in (4, 8, 16) if b > max_hamming), 16)
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+    return n_bands
+
+
+def banded_signatures(df: DataFrame, id_col: str, sig_col: str,
+                      n_bands: int, id_out: str,
+                      sig_out: str) -> DataFrame:
+    """Explode a 64-bit signature column into its ``n_bands`` band-key
+    rows ``(id_out, sig_out, band_id, chunk)`` — the shared banding
+    under every Hamming join shape (self-pairing and batch-vs-corpus)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    chunks = [
+        F.struct(F.lit(b).alias("band_id"),
+                 F.expr(f"({sig_col} >> {width * b}) & {mask}")
+                 .alias("chunk"))
+        for b in range(n_bands)]
+    return (df.select(F.col(id_col).alias(id_out),
+                      F.col(sig_col).alias(sig_out),
+                      F.explode(F.array(*chunks)).alias("b"))
+            .select(id_out, sig_out,
+                    F.col("b.band_id").alias("band_id"),
+                    F.col("b.chunk").alias("chunk")))
+
+
 def hamming_neardup_pairs(sig: DataFrame, id_col: str, sig_col: str,
                           max_hamming: int = 7,
                           n_bands: int | None = None) -> DataFrame:
@@ -241,24 +269,9 @@ def hamming_neardup_pairs(sig: DataFrame, id_col: str, sig_col: str,
     image dedup (operators/multimodal.image_phash).  Same pigeonhole
     guarantee and band-sizing trade as :func:`simhash_neardup_pairs`.
     """
-    if n_bands is None:
-        n_bands = next((b for b in (4, 8, 16) if b > max_hamming), 16)
-    assert 64 % n_bands == 0, "n_bands must divide 64"
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    chunks = [
-        F.struct(F.lit(b).alias("band_id"),
-                 F.expr(f"({sig_col} >> {width * b}) & {mask}")
-                 .alias("chunk"))
-        for b in range(n_bands)]
-    banded = sig.select(F.col(id_col), F.col(sig_col),
-                        F.explode(F.array(*chunks)).alias("b")) \
-        .select(id_col, sig_col, F.col("b.band_id").alias("band_id"),
-                F.col("b.chunk").alias("chunk"))
-    a = banded.select(F.col(id_col).alias("id_a"),
-                      F.col(sig_col).alias("sh_a"), "band_id", "chunk")
-    b = banded.select(F.col(id_col).alias("id_b"),
-                      F.col(sig_col).alias("sh_b"), "band_id", "chunk")
+    n_bands = _hamming_bands(n_bands, max_hamming)
+    a = banded_signatures(sig, id_col, sig_col, n_bands, "id_a", "sh_a")
+    b = banded_signatures(sig, id_col, sig_col, n_bands, "id_b", "sh_b")
     cand = (a.join(b, on=["band_id", "chunk"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "sh_a", "sh_b").distinct())
@@ -625,27 +638,11 @@ def incremental_hamming_neardup(batch_sig: DataFrame,
     the same contract as the MinHash ``incremental_neardup`` path.
     """
     cid = corpus_id_col or id_col
-    if n_bands is None:
-        n_bands = next((b for b in (4, 8, 16) if b > max_hamming), 16)
-    assert 64 % n_bands == 0, "n_bands must divide 64"
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-
-    def banded(df, id_c, sig_c, id_out, sig_out):
-        chunks = [
-            F.struct(F.lit(b).alias("band_id"),
-                     F.expr(f"({sig_c} >> {width * b}) & {mask}")
-                     .alias("chunk"))
-            for b in range(n_bands)]
-        return (df.select(F.col(id_c).alias(id_out),
-                          F.col(sig_c).alias(sig_out),
-                          F.explode(F.array(*chunks)).alias("b"))
-                .select(id_out, sig_out,
-                        F.col("b.band_id").alias("band_id"),
-                        F.col("b.chunk").alias("chunk")))
-
-    a = banded(batch_sig, id_col, sig_col, "batch_id", "sh_a")
-    b = banded(corpus_sig, cid, sig_col, "corpus_id", "sh_b")
+    n_bands = _hamming_bands(n_bands, max_hamming)
+    a = banded_signatures(batch_sig, id_col, sig_col, n_bands,
+                          "batch_id", "sh_a")
+    b = banded_signatures(corpus_sig, cid, sig_col, n_bands,
+                          "corpus_id", "sh_b")
     cand = (a.join(b, on=["band_id", "chunk"])
             .select("batch_id", "corpus_id", "sh_a", "sh_b").distinct())
     hamming = F.bit_count(F.expr("sh_a ^ sh_b"))

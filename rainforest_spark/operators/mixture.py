@@ -236,10 +236,19 @@ def interleave_sources(df: DataFrame, id_col: str, group_col: str,
 
     from rainforest_spark.operators.windows import ranged_cumsum
 
-    w = Window.partitionBy(group_col).orderBy(
+    # per-source rank via the GROUPED ranged cumsum, not a
+    # partitionBy(source) window — one monster source would serialize
+    # the whole corpus into one task's sort (this module's own header
+    # trade).  The order key is md5 || zero-padded id (q84's idiom):
+    # one string column, unique, identical ordering to (md5, id).
+    ordc = F.concat(
         F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
-        F.col(id_col))
-    d = df.withColumn("src_rank", F.row_number().over(w))
+        F.lpad(F.col(id_col).cast("string"), 20, "0"))
+    d = (df.withColumn("__sord", ordc).withColumn("__one", F.lit(1)))
+    d = (ranged_cumsum(d, "__sord", "__one", cum_col="src_rank",
+                       group_cols=[group_col])
+         .withColumn("src_rank", F.col("src_rank").cast("int"))
+         .drop("__sord", "__one"))
     n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     from pyspark.sql.functions import broadcast
     d = d.join(broadcast(n), group_col)
@@ -306,7 +315,21 @@ def rebalance_after_dedup(original: DataFrame, kept: DataFrame,
     """
     o = original.groupBy(group_col).agg(F.count(F.lit(1)).alias("__o"))
     k = kept.groupBy(group_col).agg(F.count(F.lit(1)).alias("__k"))
-    j = o.join(k, group_col)
+    # LEFT join + coalesce 0: a source whose every doc was deduped away
+    # must participate (an inner join would silently compute m over the
+    # survivors only and ship a mixture that cannot match the original).
+    # Restoring original proportions by down-sampling is then impossible
+    # (m = 0 -> empty output), so fail loudly instead.
+    j = (o.join(k, group_col, "left")
+         .withColumn("__k", F.coalesce("__k", F.lit(0))))
+    vanished = [r[group_col] for r in
+                j.filter(F.col("__k") == 0).select(group_col).collect()]
+    if vanished:
+        raise ValueError(
+            f"rebalance_after_dedup: sources {sorted(vanished)!r} have "
+            f"zero survivors — the original mixture is unreachable by "
+            f"down-sampling (drop them from `original` to rebalance "
+            f"over the remaining sources deliberately)")
     m = j.agg(F.min(F.col("__k").cast("double") / F.col("__o"))
               .alias("__m"))
     rates = (j.crossJoin(m)

@@ -216,18 +216,24 @@ def length_bucketed_batches(df: DataFrame, id_col: str, len_col: str,
     balanced by construction — each holds a length band) + one groupBy
     on (bucket, batch_id).  All integer arithmetic.
     """
-    from pyspark.sql import Window
+    from rainforest_spark.operators.windows import ranged_cumsum
 
     d = df.withColumn("__bucket",
                       F.expr(f"CAST({len_col} AS BIGINT)"
                              f" div {bucket_width}"))
-    w = Window.partitionBy("__bucket").orderBy(
-        F.md5(F.concat(F.lit(salt + ":"),
-                       F.col(id_col).cast("string"))),
-        F.col(id_col))
-    d = d.withColumn("__rn", F.row_number().over(w)).withColumn(
-        "__batch",
-        F.expr(f"CAST(__rn - 1 AS BIGINT) div {batch_size}")).drop("__rn")
+    # per-bucket rank via the GROUPED ranged cumsum: real corpora
+    # concentrate lengths into few buckets, so a partitionBy(__bucket)
+    # window is the monster-group single-task sort (same fix as
+    # epoch_shards above); order key = md5 || zero-padded id
+    ordc = F.concat(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"))
+    d = d.withColumn("__bord", ordc).withColumn("__one", F.lit(1))
+    d = (ranged_cumsum(d, "__bord", "__one", cum_col="__rn",
+                       group_cols=["__bucket"])
+         .withColumn("__batch",
+                     F.expr(f"CAST(__rn - 1 AS BIGINT) div {batch_size}"))
+         .drop("__bord", "__one", "__rn"))
     return (d.groupBy(F.col("__bucket").alias("bucket"),
                       F.col("__batch").alias("batch_id"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),

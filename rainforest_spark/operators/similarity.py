@@ -830,12 +830,9 @@ def farthest_point_sample(vectors: DataFrame, id_col: str, vec_col: str,
     ``sim_at_pick`` is the coverage radius when that exemplar was
     chosen (non-decreasing; a scree curve for choosing k).
     """
-    from pyspark.sql import Window
-
     v = with_double_vec(vectors, vec_col, "v").select(
         F.col(id_col).alias("__vid"), F.col("v"),
         _norm("v").alias("nrm"))
-    w0 = Window.orderBy("__vid")
     seed = (v.orderBy("__vid").limit(1)
             .select(F.col("__vid").alias("__cid"),
                     F.col("v").alias("cv"), F.col("nrm").alias("cnrm")))
@@ -849,8 +846,12 @@ def farthest_point_sample(vectors: DataFrame, id_col: str, vec_col: str,
     out_rows = [(first, 1, None)]
     state = state.filter(F.col("__vid") != F.lit(first)).localCheckpoint()
     for rnd in range(2, k + 1):
-        nxt = (state.orderBy(F.col("__best").asc(), F.col("__vid").asc())
-               .limit(1).collect()[0])
+        nxt_rows = (state.orderBy(F.col("__best").asc(),
+                                  F.col("__vid").asc())
+                    .limit(1).collect())
+        if not nxt_rows:
+            break                      # k exceeds the corpus: return all
+        nxt = nxt_rows[0]
         out_rows.append((nxt["__vid"], rnd, float(nxt["__best"])))
         chosen = (v.filter(F.col("__vid") == F.lit(nxt["__vid"]))
                   .select(F.col("v").alias("cv"),
@@ -865,5 +866,7 @@ def farthest_point_sample(vectors: DataFrame, id_col: str, vec_col: str,
                  .select("__vid", "v", "nrm", "__best")
                  .localCheckpoint())
     spark = vectors.sparkSession
+    id_type = vectors.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
-        out_rows, f"{id_col} long, pick_order int, sim_at_pick double")
+        out_rows,
+        f"{id_col} {id_type}, pick_order int, sim_at_pick double")

@@ -701,9 +701,23 @@ def corpus_cardinalities(df, group_col: str, text_col: str,
         distinct_of(is_gram, "__k").cast("long").alias("n_grams"))
 
 
+def _tile_table(df: "DataFrame", id_col: str, text_col: str,
+                source_col: str, tile: int):
+    """Non-overlapping ``tile``-word segments of the normalized text as
+    exploded ``(id, source, pos, tile)`` rows (short final tile kept)."""
+    toks = F.split(normalized_text(text_col), " ")
+    n_tiles = F.floor((F.size(toks) + F.lit(tile - 1)) / F.lit(tile))
+    tiles_arr = F.transform(
+        F.sequence(F.lit(0), (n_tiles - 1).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * tile + 1, tile)))
+    return df.select(F.col(id_col), F.col(source_col),
+                     F.posexplode(tiles_arr).alias("pos", "tile"))
+
+
 def boilerplate_tiles(df: "DataFrame", id_col: str, text_col: str,
                       source_col: str, tile: int = 8,
-                      min_docs: int = 2, frac_denom: int = 20):
+                      min_docs: int = 2, frac_denom: int = 20,
+                      tiles: "DataFrame | None" = None):
     """Per-source boilerplate tile table: the normalized text is cut
     into NON-overlapping ``tile``-word segments (the last one may be
     shorter), and a segment is boilerplate within its source when it
@@ -720,15 +734,12 @@ def boilerplate_tiles(df: "DataFrame", id_col: str, text_col: str,
     Returns ``(source, tile)`` — one row per boilerplate segment.
     Shape at 100 TB: tile fan-out is ~n_words/tile per doc (an order
     less than n-gram shingling), one groupBy on (source, tile), and the
-    per-source doc-count dim is tiny and broadcast.
+    per-source doc-count dim is tiny and broadcast.  ``tiles`` (a
+    pre-built :func:`_tile_table`) lets the removal pipeline reuse ONE
+    fan-out for both the counting and the strip side.
     """
-    toks = F.split(normalized_text(text_col), " ")
-    n_tiles = F.floor((F.size(toks) + F.lit(tile - 1)) / F.lit(tile))
-    tiles_arr = F.transform(
-        F.sequence(F.lit(0), (n_tiles - 1).cast("int")),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * tile + 1, tile)))
-    t = df.select(F.col(id_col), F.col(source_col),
-                  F.posexplode(tiles_arr).alias("pos", "tile"))
+    t = tiles if tiles is not None else _tile_table(
+        df, id_col, text_col, source_col, tile)
     srcn = df.groupBy(source_col).agg(
         F.countDistinct(id_col).alias("__nd"))
     tdf = t.groupBy(source_col, "tile").agg(
@@ -785,18 +796,17 @@ def _boilerplate_cleaned(df: "DataFrame", id_col: str, text_col: str,
                          source_col: str, tile: int,
                          min_docs: int, frac_denom: int):
     """Shared core: ``(id, n_tiles, n_removed, cleaned)`` with the
-    kept tiles re-joined in original order ('' when all removed)."""
-    toks = F.split(normalized_text(text_col), " ")
-    n_tiles = F.floor((F.size(toks) + F.lit(tile - 1)) / F.lit(tile))
-    tiles_arr = F.transform(
-        F.sequence(F.lit(0), (n_tiles - 1).cast("int")),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * tile + 1, tile)))
-    t = df.select(F.col(id_col), F.col(source_col),
-                  F.posexplode(tiles_arr).alias("pos", "tile"))
+    kept tiles re-joined in original order ('' when all removed).
+    The tile fan-out — the pipeline's heaviest stage — runs ONCE: the
+    same exploded table feeds the DF counting side and the strip side
+    (Spark shares its exchange via ReusedExchange)."""
+    t = _tile_table(df, id_col, text_col, source_col, tile)
     bp = boilerplate_tiles(df, id_col, text_col, source_col,
                            tile=tile, min_docs=min_docs,
-                           frac_denom=frac_denom)
+                           frac_denom=frac_denom, tiles=t)
     kept = t.join(bp, [source_col, "tile"], "left_anti")
+    toks = F.split(normalized_text(text_col), " ")
+    n_tiles = F.floor((F.size(toks) + F.lit(tile - 1)) / F.lit(tile))
     agg = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n_kept"),
         F.array_join(

@@ -103,10 +103,11 @@ def curate_media_stream(stream: DataFrame, id_col: str = "media_id",
          .filter(F.col("phash").isNotNull()))
     if corpus_sigs is not None:
         sig_arr = np.array(
-            [r[1] for r in corpus_sigs.select("img_id", "phash").collect()]
-            if "img_id" in corpus_sigs.columns
-            else [r["phash"] for r in corpus_sigs.select("phash").collect()],
+            [r["phash"] for r in corpus_sigs.select("phash").collect()],
             dtype=np.int64).view(np.uint64)
+        # 256-entry popcount table, built once per executor task
+        pop_tbl = np.array([bin(i).count("1") for i in range(256)],
+                           dtype=np.uint8)
 
         out_schema = StructType(list(s.schema.fields)
                                 + [StructField("__corpus_hit", BooleanType())])
@@ -114,16 +115,23 @@ def curate_media_stream(stream: DataFrame, id_col: str = "media_id",
         def mark(it):
             for pdf in it:
                 ph = pdf["phash"].to_numpy(dtype=np.int64).view(np.uint64)
-                if sig_arr.size == 0:
-                    hit = np.zeros(len(pdf), dtype=bool)
-                else:
-                    x = ph[:, None] ^ sig_arr[None, :]
-                    # vectorized popcount via uint8 view + table
-                    tbl = np.array([bin(i).count("1")
-                                    for i in range(256)], dtype=np.uint8)
-                    pc = tbl[x.view(np.uint8)].reshape(len(ph), -1, 8)                         .sum(axis=2).sum(axis=1) if False else                         tbl[x.view(np.uint8)].reshape(x.shape[0],
-                                                      x.shape[1], 8).sum(2)
-                    hit = (pc <= max_hamming).any(axis=1)
+                hit = np.zeros(len(pdf), dtype=bool)
+                # TILED sweep: a full batch x index XOR matrix would be
+                # rows*index*8 bytes (an 800 GB allocation at the 10M-sig
+                # index the docstring sizes); 256 x 64k tiles cap the
+                # working set at ~270 MB regardless of either size
+                for i0 in range(0, ph.size, 256):
+                    pi = ph[i0:i0 + 256]
+                    sub = np.zeros(pi.size, dtype=bool)
+                    for j0 in range(0, sig_arr.size, 65536):
+                        blk = sig_arr[j0:j0 + 65536]
+                        x = pi[:, None] ^ blk[None, :]
+                        pc = pop_tbl[x.view(np.uint8)].reshape(
+                            x.shape[0], x.shape[1], 8).sum(2)
+                        sub |= (pc <= max_hamming).any(axis=1)
+                        if sub.all():
+                            break
+                    hit[i0:i0 + 256] = sub
                 pdf = pdf.copy()
                 pdf["__corpus_hit"] = hit
                 yield pdf

@@ -388,3 +388,13 @@ def test_masking_plan_rate_and_islands(spark):
     n_masked = toks.filter(h < "266666").count()
     # 1000 tokens at 15% -> binomial; 3.5 sigma bounds
     assert 110 <= n_masked <= 190, n_masked
+
+
+def test_fps_k_exceeding_corpus_returns_all(spark):
+    from rainforest_spark.operators.similarity import farthest_point_sample
+
+    rows = [(i, [float(i), 1.0]) for i in range(3)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = farthest_point_sample(e, "vec_id", "embedding", k=10).collect()
+    assert sorted(r.vec_id for r in out) == [0, 1, 2]
+    assert sorted(r.pick_order for r in out) == [1, 2, 3]

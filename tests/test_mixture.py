@@ -321,3 +321,15 @@ def test_rebalance_restores_proportions(spark):
     # A keeps all 200 survivors (binding source); B targets 100
     assert counts["A"] == 200
     assert 80 <= counts["B"] <= 120, counts
+
+
+def test_rebalance_raises_on_vanished_source(spark):
+    import pytest
+
+    from rainforest_spark.operators.mixture import rebalance_after_dedup
+
+    orig = spark.createDataFrame(
+        [(0, "A"), (1, "A"), (10, "B")], "doc_id long, source string")
+    kept = orig.filter(F.col("source") != "B")   # B fully deduped away
+    with pytest.raises(ValueError, match="zero survivors"):
+        rebalance_after_dedup(orig, kept, "doc_id", "source")

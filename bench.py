@@ -142,6 +142,15 @@ SF1_LINEAR_RATIO = 2.0 * 10.0
 SF1_LINEAR_FLOOR = 2.0
 SF1_PER_QUERY_RATIO = 1.5
 SF1_PER_QUERY_FLOOR = 2.0
+#: The frozen-plane q54 EXHIBIT is exempt from the tier
+#: baseline-REGRESSION guard (never from the physics guard, which is
+#: its whole point): it is the deliberately pathological anti-pattern
+#: demo whose candidate explosion makes its wall time swing ~3x with
+#: ZERO code change (same-code same-data measurements this round:
+#: 19.9 / 35.7 / 42.2 / 60.9 s at sf1 — PERF.md round-6 continued-4).
+#: Guarding noise would make every future run a coin flip; the
+#: operator's DEFAULT path (q54_auto) stays fully guarded.
+TIER_GUARD_EXEMPT = {"q54_embedding_neardup"}
 
 #: ---- sf10 spot tier (second measured decade) ------------------------
 #: factor=100 off sf0.1 (tools/scale_gen.py — the md5-permutation
@@ -391,7 +400,8 @@ def main() -> None:
             continue
         b1 = base[tier]
         bad = {n: (t, b1[n]) for n, t in tier_times.items()
-               if n in b1 and t > SF1_PER_QUERY_RATIO * b1[n]
+               if n in b1 and n not in TIER_GUARD_EXEMPT
+               and t > SF1_PER_QUERY_RATIO * b1[n]
                and t > b1[n] + SF1_PER_QUERY_FLOOR}
         if bad:
             failures.append(f"{tier.upper()} REGRESSION "

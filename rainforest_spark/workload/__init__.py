@@ -104,6 +104,7 @@ _PRIORITY = [
     # _sample (Efraimidis-Spirakis keys), q111_audio_fingerprint
     # (integer energy contour), q112_interleave (stride scheduling),
     # q113_dedup_rebalance (dynamic-rate resampling), q114_corpus_diff,
+    # q115_duplication_profile,
     # q116_length_batches, q117_tokenizer_fertility and
     # q118_masking_plan — all pytest-parity-green — ahead of the
     # stale rows.

@@ -1731,3 +1731,34 @@ def q118(spark, sf):
                   " div (2 * n_spans)")
     return agg.withColumn(
         "mean_span", mean.cast("double") / F.lit(1000000.0))
+
+
+# ---------------------------------------------------------------- q115
+# Per-source duplication profile: docs vs distinct content
+# fingerprints, the largest duplicate group, and the dup ratio in
+# exact integer micro-units — the corpus-health panel that tells a
+# pipeline WHERE its dedup budget goes before it runs dedup.
+@q("q115_duplication_profile", sql=f"""
+WITH fp AS (
+  SELECT source, md5({_NORM}) AS f FROM documents),
+g AS (SELECT source, f, COUNT(*) AS n FROM fp GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(MAX(n) AS BIGINT) AS max_group,
+       CAST((2 * (SUM(n) - COUNT(*)) * 1000000 + SUM(n))
+            // (2 * SUM(n)) AS DOUBLE) / 1000000.0 AS dup_ratio
+FROM g GROUP BY source
+""")
+def q115(spark, sf):
+    d = T(spark, sf, "documents")
+    g = (d.select("source", TA.fingerprint("text").alias("f"))
+         .groupBy("source", "f").agg(F.count(F.lit(1)).alias("n")))
+    agg = g.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.max("n").cast("long").alias("max_group"))
+    ratio = F.expr("(2 * (n_docs - n_unique) * 1000000 + n_docs)"
+                   " div (2 * n_docs)")
+    return agg.withColumn("dup_ratio",
+                          ratio.cast("double") / F.lit(1000000.0))

@@ -206,6 +206,58 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_media_dedup(args) -> int:
+    """Image near-dup report over a directory of media files: binary
+    scan -> perceptual hash (real decode) -> banded Hamming pairs ->
+    canonical keep list.  Optionally pairs the batch against a
+    persisted corpus signature table instead of itself."""
+    from rainforest_spark.operators.dedup import (
+        hamming_neardup_pairs, incremental_hamming_neardup,
+        neardup_clusters,
+    )
+    from rainforest_spark.operators.multimodal import image_phash
+    from rainforest_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("rainforest-media-dedup")
+    files = (spark.read.format("binaryFile").load(args.input)
+             .select(F.col("path").alias("media_path"), "content"))
+    sig = (image_phash(files)
+           .select("media_path", "decoded", "phash"))
+    n_undecodable = sig.filter(~F.col("decoded")).count()
+    sig = (sig.filter(F.col("phash").isNotNull())
+           .withColumn("media_id",
+                       F.xxhash64("media_path"))).cache()
+    if args.corpus_sigs:
+        corpus = spark.read.parquet(args.corpus_sigs)
+        pairs = incremental_hamming_neardup(
+            sig, corpus, "media_id", "phash",
+            max_hamming=args.max_hamming)
+        n_pairs = pairs.count()
+        flagged = pairs.select("batch_id").distinct().count()
+        report = {"mode": "vs-corpus", "n_pairs": n_pairs,
+                  "n_flagged": flagged}
+    else:
+        pairs = hamming_neardup_pairs(sig, "media_id", "phash",
+                                      max_hamming=args.max_hamming)
+        clusters = neardup_clusters(pairs, out_id="media_id",
+                                    cluster_col="cluster_id")
+        labeled = (sig.join(clusters, "media_id", "left")
+                   .withColumn("keep",
+                               F.coalesce("cluster_id", F.col("media_id"))
+                               == F.col("media_id")))
+        if args.output:
+            (labeled.select("media_path", "phash", "keep")
+             .write.mode("overwrite").parquet(args.output))
+        report = {"mode": "self",
+                  "n_pairs": pairs.count(),
+                  "n_kept": labeled.filter("keep").count()}
+    report.update({"n_files": files.count(),
+                   "n_undecodable": n_undecodable})
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_ingest(args) -> int:
     """JSONL shards -> parquet: schema-enforced read, corrupt lines
     quarantined to a side file, shard-bounded parquet out."""
@@ -363,6 +415,16 @@ def main(argv=None) -> int:
     i.add_argument("--quarantine", default=None,
                    help="where to write corrupt raw lines (text)")
     i.set_defaults(fn=cmd_ingest)
+
+    md = sub.add_parser("media-dedup",
+                        help="image near-dup report (pHash)")
+    md.add_argument("input", help="media dir/glob (binaryFile source)")
+    md.add_argument("-o", "--output", default=None,
+                    help="parquet (media_path, phash, keep)")
+    md.add_argument("--corpus-sigs", default=None,
+                    help="persisted (id, phash) parquet to dedup against")
+    md.add_argument("--max-hamming", type=int, default=7)
+    md.set_defaults(fn=cmd_media_dedup)
 
     args = p.parse_args(argv)
     return args.fn(args)

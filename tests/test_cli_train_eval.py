@@ -95,3 +95,29 @@ def test_cli_report(spark, tmp_path, capsys):
     # persisted report matches the printed one
     saved = spark.read.parquet(out)
     assert saved.count() == res["groups"]
+
+
+def test_cli_media_dedup(spark, tmp_path, capsys):
+    import numpy as np
+
+    from rainforest_spark.cli import main
+    from rainforest_spark.grid.gif import encode_gif_bytes
+    from rainforest_spark.grid.png import encode_png_bytes
+    from tests.test_multimodal import _structured_plane
+
+    media = tmp_path / "media"
+    media.mkdir()
+    a, b = _structured_plane(41), _structured_plane(42)
+    (media / "a.gif").write_bytes(encode_gif_bytes(a))
+    (media / "a_copy.png").write_bytes(encode_png_bytes(a))
+    (media / "b.gif").write_bytes(encode_gif_bytes(b))
+    (media / "junk.bin").write_bytes(b"not an image")
+
+    out = str(tmp_path / "keep")
+    assert main(["media-dedup", str(media), "-o", out]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_files"] == 4 and res["n_undecodable"] == 1
+    assert res["n_pairs"] == 1          # the re-encoded copy
+    assert res["n_kept"] == 2           # one of the copies + b
+    kept = spark.read.parquet(out)
+    assert kept.filter("keep").count() == 2

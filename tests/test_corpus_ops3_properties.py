@@ -147,3 +147,42 @@ def test_kmeans_matches_numpy_reference(spark, vecs):
     for i in got:
         assert got[i][0] == want[i][0], f"vec {i} cluster mismatch"
         assert abs(got[i][1] - want[i][1]) < 2e-6, f"vec {i} sim mismatch"
+
+
+def _bigram_reference(texts, lam=0.75):
+    """Pure-python interpolated bigram LM with the operator's exact
+    integer-nanos policy."""
+    from collections import Counter
+
+    toks = {i: _norm_tokens(t) for i, t in enumerate(texts)}
+    uni = Counter(w for ws in toks.values() for w in ws if w)
+    n_tot = sum(uni.values())
+    bgs = {i: [(a, b) for a, b in zip(ws, ws[1:]) if a and b]
+           for i, ws in toks.items()}
+    cb = Counter(p for ps in bgs.values() for p in ps)
+    cs = Counter(a for ps in bgs.values() for a, _ in ps)
+    out = {}
+    for i, ps in bgs.items():
+        if not ps:
+            continue
+        n9 = 0
+        for p in ps:
+            prob = (lam * cb[p] / cs[p[0]]
+                    + (1 - lam) * uni[p[1]] / n_tot)
+            n9 += int(round(-math.log(prob), 9) * 1e9)
+        n = len(ps)
+        out[i] = (n, ((2 * n9 + 1000 * n) // (2000 * n)) / 1e6)
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_DOC, min_size=1, max_size=10))
+def test_bigram_logprob_matches_reference(spark, docs):
+    from rainforest_spark.operators.text_analysis import bigram_logprob
+
+    rows = [(i, "s", t) for i, t in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.doc_id: (r.n_bigrams, r.mean_nll)
+           for r in bigram_logprob(d, "doc_id", "text").collect()}
+    assert got == _bigram_reference(docs)

@@ -26,6 +26,28 @@ matches bit-for-bit):
   exact.
 - Timestamps are returned as epoch-second BIGINTs, never raw timestamps.
 - Every ranking window carries a unique tie-breaker column.
+
+Round-6 continued additions to the idiom set (all proven hash-exact):
+
+- Regression fits (q108/q109) reduce to SUFFICIENT STATISTICS — five
+  exact decimal(38,18) sums — with the closed-form slope/intercept/r2
+  as one double expression each.  Degenerate-variance guards compare
+  an exact COUNT(DISTINCT y), never ``vy > 0`` on a double (FP noise
+  makes that engine-dependent when the true value is 0).
+- Ordered selections encode multi-key orders as ONE exact BIGINT
+  (q105: (1e6-score)*1e10+id; q112: fraction*1e12 div + dense gid) or
+  one string (md5 || zero-padded id) so the distributed ranged cumsum
+  orders on a single column.
+- Deterministic sampling thresholds stay in md5-hex space: literal
+  rates as 6-hex-char prefixes (lexicographic compare), RUNTIME rates
+  via format_string('%06x', floor(rate*16^6)) with the 'g' sentinel at
+  rate >= 1 (q113); numeric uniforms come from the per-nibble
+  instr-based hex->int (q110 — cast each term to BIGINT: ANSI-mode
+  instr() is 32-bit and nibble*16^7 overflows it).
+- Media fingerprints emitted to the driver hash are EXACT integer
+  functions of the decoded samples (q111's windowed energy contour);
+  DCT-based hashes (pHash) stay pytest-gated — transcendental per-
+  pixel math has no portable SQL form.
 """
 
 from __future__ import annotations

@@ -894,29 +894,39 @@ def zipf_fit(df, text_col: str, round_to: int = 6):
     Distributed as SUFFICIENT STATISTICS: the regression never sees
     rows — it is five sums (n, Sx, Sy, Sxx, Sxy [, Syy for r2])
     reduced in one aggregation over the vocab dim.  Exactness: x and y
-    are ln values rounded to the 1e-9 grid as DECIMAL(19,9) (the q83
-    policy — the grid is ~1e3 coarser than libm noise); their products
-    are DECIMAL(38,18) and EXACT, so the partial aggregation across
-    partitions is order-free and both engines produce identical sums.
-    Only the final closed-form division happens in double (one
-    expression, bit-identical), rounded to ``round_to``.
+    are ln values rounded to the 1e-9 grid as DECIMAL(18,9) — 18, not
+    19: a (19,9)×(19,9) product wants precision 39, which Spark clamps
+    to decimal(38,17) (rounding the 18th fractional digit away) while
+    DuckDB keeps the exact (38,18), so the engines' sums could differ
+    at 1e-18.  At (18,9) the product is decimal(37,18) — EXACT on both
+    engines — and the partial aggregation across partitions is
+    order-free.  Only the final closed-form division happens in double
+    (one expression, bit-identical), rounded to ``round_to``.
 
     Rank is assigned over the VOCAB (count DESC, term ASC — total
-    order).  The vocab is Zipf-small relative to the corpus; its
-    single-partition rank window is the same dim-table trade as
-    dense_group_ids (operators/windows.py).
+    order) DISTRIBUTED: the order is encoded as one range-partitionable
+    struct key ((-n), term) and a unit weight rides
+    :func:`~rainforest_spark.operators.windows.ranged_cumsum` — since
+    terms are unique after the groupBy, the cumulative unit count IS
+    row_number.  Never one task sorting the whole vocabulary: a 100 TB
+    web corpus has 1e8-1e9 distinct tokens (typos, URLs, code), tens of
+    GB that a single-partition ``Window.orderBy`` would funnel through
+    one sort task.
 
     Returns ONE row: ``(n_terms, zipf_slope, zipf_intercept, r2)``.
     """
-    from pyspark.sql import Window
+    from rainforest_spark.operators.windows import ranged_cumsum
 
     toks = (df.select(F.explode(tokens(text_col)).alias("term"))
             .filter(F.col("term") != ""))
     voc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
-    ranked = voc.withColumn("r", F.row_number().over(w))
-    x = F.round(F.log(F.col("r").cast("double")), 9).cast("decimal(19,9)")
-    y = F.round(F.log(F.col("n").cast("double")), 9).cast("decimal(19,9)")
+    ordered = (voc.withColumn("__ord",
+                              F.struct((-F.col("n")).alias("nn"),
+                                       F.col("term").alias("t")))
+               .withColumn("__one", F.lit(1).cast("long")))
+    ranked = ranged_cumsum(ordered, "__ord", "__one", cum_col="r")
+    x = F.round(F.log(F.col("r").cast("double")), 9).cast("decimal(18,9)")
+    y = F.round(F.log(F.col("n").cast("double")), 9).cast("decimal(18,9)")
     return _ols_loglog(ranked.select(x.alias("x"), y.alias("y")),
                        "n_terms", "zipf_slope", "zipf_intercept",
                        round_to)
@@ -926,7 +936,13 @@ def _ols_loglog(xy, n_name: str, slope_name: str, icept_name: str,
                 round_to: int):
     """Shared sufficient-statistics least squares over decimal (x, y):
     five exact decimal sums, closed-form slope/intercept/r2 in one
-    double expression each (bit-identical across engines), rounded."""
+    double expression each (bit-identical across engines), rounded.
+
+    Inputs MUST be DECIMAL(18,9): the (18,9)×(18,9) product is
+    decimal(37,18) — exact on both Spark and DuckDB.  At (19,9) the
+    product precision 39 exceeds 38 and Spark silently rounds to
+    (38,17) while DuckDB computes the exact (38,18), breaking the
+    bit-exact-sums contract at the 1e-18 digit."""
     s = xy.agg(
         F.count(F.lit(1)).cast("long").alias(n_name),
         F.countDistinct("y").alias("__dy"),
@@ -989,8 +1005,8 @@ def heaps_fit(df, id_col: str, text_col: str, round_to: int = 6):
                       extra_weights={"__nv": "__cv"})
     xy = g.filter(F.col("__cv") > 0).select(
         F.round(F.log(F.col("__ct").cast("double")), 9)
-        .cast("decimal(19,9)").alias("x"),
+        .cast("decimal(18,9)").alias("x"),
         F.round(F.log(F.col("__cv").cast("double")), 9)
-        .cast("decimal(19,9)").alias("y"))
+        .cast("decimal(18,9)").alias("y"))
     return _ols_loglog(xy, "n_docs", "heaps_beta", "heaps_log_k",
                        round_to)

@@ -1403,8 +1403,8 @@ ranked AS (
   SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS r
   FROM voc),
 xy AS (
-  SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(19,9)) AS x,
-         CAST(ROUND(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(19,9)) AS y
+  SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+         CAST(ROUND(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
   FROM ranked),
 s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
@@ -1452,8 +1452,8 @@ c AS (
          SUM(nv) OVER (ORDER BY d) AS cv
   FROM g),
 xy AS (
-  SELECT CAST(ROUND(ln(CAST(ct AS DOUBLE)), 9) AS DECIMAL(19,9)) AS x,
-         CAST(ROUND(ln(CAST(cv AS DOUBLE)), 9) AS DECIMAL(19,9)) AS y
+  SELECT CAST(ROUND(ln(CAST(ct AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+         CAST(ROUND(ln(CAST(cv AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
   FROM c WHERE cv > 0),
 s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

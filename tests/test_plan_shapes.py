@@ -281,6 +281,18 @@ def test_q110_top_m_never_global_sort(spark):
         "q110 lost the top-m plan — a global sort at 100 TB"
 
 
+def test_q108_vocab_rank_range_partitioned(spark):
+    # the Zipf vocab rank must ride ranged_cumsum's range-shuffle on
+    # the ((-n), term) struct key — never one task sorting the whole
+    # vocabulary (1e8-1e9 distinct tokens at 100 TB).  The only
+    # unpartitioned window left is over the tiny per-partition offsets
+    # dim (one row per range partition).
+    p = fmt_plan(spark, "q108_zipf_fit")
+    assert "rangepartitioning" in p.lower(), \
+        "q108 lost the distributed vocab-rank path"
+    assert "CartesianProduct" not in p
+
+
 def test_q109_growth_curve_range_partitioned(spark):
     # both cumsums of the Heaps curve ride ranged_cumsum's
     # range-shuffle; the only unpartitioned windows are over the tiny

@@ -230,11 +230,28 @@ def cmd_media_dedup(args) -> int:
                        F.xxhash64("media_path"))).cache()
     if args.corpus_sigs:
         corpus = spark.read.parquet(args.corpus_sigs)
+        # the corpus table carries its own id column (img_id,
+        # media_path, ... — whatever the pipeline persisted); any
+        # non-phash column works as the pair label
+        cid = next(c for c in corpus.columns if c != "phash")
         pairs = incremental_hamming_neardup(
-            sig, corpus, "media_id", "phash",
+            sig, corpus, "media_id", "phash", corpus_id_col=cid,
             max_hamming=args.max_hamming)
         n_pairs = pairs.count()
-        flagged = pairs.select("batch_id").distinct().count()
+        flagged_ids = pairs.select("batch_id").distinct()
+        flagged = flagged_ids.count()
+        if args.output:
+            # per-file flag table: duplicate_of_corpus marks batch
+            # items with a corpus near-match (-o was silently ignored
+            # in this mode before)
+            (sig.join(flagged_ids.withColumnRenamed("batch_id",
+                                                    "media_id")
+                      .withColumn("duplicate_of_corpus", F.lit(True)),
+                      "media_id", "left")
+             .select("media_path", "phash",
+                     F.coalesce("duplicate_of_corpus", F.lit(False))
+                     .alias("duplicate_of_corpus"))
+             .write.mode("overwrite").parquet(args.output))
         report = {"mode": "vs-corpus", "n_pairs": n_pairs,
                   "n_flagged": flagged}
     else:

@@ -51,8 +51,16 @@ def rate_threshold_hex(rate: float) -> str:
     strict ``<`` on same-length lowercase hex equals the numeric
     comparison, so the predicate is engine-portable as a plain string
     compare.  ``rate >= 1`` maps to ``'g'`` which is > every hex char,
-    i.e. keep-all."""
-    thr = int(round(min(max(rate, 0.0), 1.0) * _BUCKETS))
+    i.e. keep-all.
+
+    Rounding is HALF-UP via ``floor(x + 0.5)`` — the SAME convention
+    as :func:`weighted_sample_dynamic`'s runtime-rate threshold, so a
+    given nominal rate selects the identical document set through
+    either sampling API (Python's ``round`` is banker's rounding and
+    would disagree on exact halves)."""
+    import math
+
+    thr = int(math.floor(min(max(rate, 0.0), 1.0) * _BUCKETS + 0.5))
     if thr >= _BUCKETS:
         return "g"  # sorts after 'f': keep everything
     return format(thr, f"0{_HEX_CHARS}x")
@@ -273,17 +281,21 @@ def weighted_sample_dynamic(df: DataFrame, id_col: str, group_col: str,
     broadcast-joined rates table instead of :func:`weighted_sample`'s
     literal CASE chain).  Keep rule is the same engine-portable
     lexicographic hex compare; the threshold is formatted per row with
-    ``format_string('%06x', floor(rate * 16^6))`` — identical double
-    arithmetic in both engines — and a rate >= 1 maps to the sentinel
-    'g' (sorts after every hex digit, so everything keeps).
+    ``format_string('%06x', floor(rate * 16^6 + 0.5))`` — HALF-UP, the
+    same rounding convention as :func:`rate_threshold_hex`, identical
+    double arithmetic in both engines — and a rate >= 1 maps to the
+    sentinel 'g' (sorts after every hex digit, so everything keeps).
+    A sub-1 rate whose half-up rounding still reaches 16^6 also maps
+    to 'g': ``%06x`` would otherwise emit the 7-char '1000000', whose
+    leading '1' sorts BEFORE letter hex digits and silently drops
+    every hash starting a-f.
     """
     from pyspark.sql.functions import broadcast
 
-    thr = F.when(
-        F.col(rate_col) >= 1.0, F.lit("g")).otherwise(
-        F.format_string("%06x",
-                        F.floor(F.col(rate_col) * F.lit(float(_BUCKETS)))
-                        .cast("int")))
+    t = F.floor(F.col(rate_col) * F.lit(float(_BUCKETS)) + F.lit(0.5))
+    thr = (F.when(F.col(rate_col) >= 1.0, F.lit("g"))
+           .when(t >= _BUCKETS, F.lit("g"))
+           .otherwise(F.format_string("%06x", t.cast("int"))))
     r = rates.select(F.col(group_col), thr.alias("__thr"))
     h = F.substring(
         F.md5(F.concat(F.lit(salt + ":"),
@@ -305,13 +317,20 @@ def rebalance_after_dedup(original: DataFrame, kept: DataFrame,
     ``k_s``, the largest original-proportioned corpus inside the
     survivors keeps ``rate_s = m * o_s / k_s`` of source ``s`` where
     ``m = min_t k_t / o_t`` (the worst-hit source binds and keeps
-    everything).  Rates are identical double expressions in any
-    engine; the keep decision is the salted-hash threshold of
+    everything).  The BINDING sources are detected with an EXACT
+    integer cross-multiply (``s`` binds iff ``k_s·o_t <= k_t·o_s`` for
+    all ``t``, products as exact decimals) and get rate 1.0 outright:
+    ``(min_t k_t/o_t)·o_s/k_s`` in double is mathematically 1 for them
+    but FP can land a hair below, missing the 'g' sentinel and
+    silently dropping ~1/16M of a source that must keep everything.
+    Non-binding rates are identical double expressions in any engine;
+    the keep decision is the salted-hash threshold of
     :func:`weighted_sample_dynamic`.
 
-    Shape at 100 TB: two per-source count aggs (tiny dims), a 1-row
-    min folded into the rates dim, one broadcast join — no extra
-    shuffle over the corpus.
+    Shape at 100 TB: two per-source count aggs (tiny dims), the
+    binding check is a self-cross-join of the per-source counts dim
+    (|sources|² tiny rows), one broadcast join — no extra shuffle over
+    the corpus.
     """
     o = original.groupBy(group_col).agg(F.count(F.lit(1)).alias("__o"))
     k = kept.groupBy(group_col).agg(F.count(F.lit(1)).alias("__k"))
@@ -332,9 +351,19 @@ def rebalance_after_dedup(original: DataFrame, kept: DataFrame,
             f"over the remaining sources deliberately)")
     m = j.agg(F.min(F.col("__k").cast("double") / F.col("__o"))
               .alias("__m"))
-    rates = (j.crossJoin(m)
+    # exact binding test: k_s·o_t <= k_t·o_s for all t, products as
+    # decimals (bigint·bigint can overflow at 100 TB corpus counts)
+    other = j.select(F.col("__o").alias("__o2"), F.col("__k").alias("__k2"))
+    kd = F.col("__k").cast("decimal(19,0)")
+    k2d = F.col("__k2").cast("decimal(19,0)")
+    v = (j.crossJoin(other)
+         .groupBy(group_col, "__o", "__k")
+         .agg(F.max((kd * F.col("__o2") > k2d * F.col("__o"))
+                    .cast("int")).alias("__viol")))
+    rates = (v.crossJoin(m)
              .select(F.col(group_col),
-                     (F.col("__m") * F.col("__o") / F.col("__k"))
+                     F.when(F.col("__viol") == 0, F.lit(1.0))
+                     .otherwise(F.col("__m") * F.col("__o") / F.col("__k"))
                      .alias("rate")))
     return weighted_sample_dynamic(kept, id_col, group_col, rates,
                                    salt=salt)

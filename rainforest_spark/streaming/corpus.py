@@ -66,7 +66,8 @@ def curate_media_stream(stream: DataFrame, id_col: str = "media_id",
                         ts_col: str = "ingest_ts",
                         corpus_sigs: DataFrame | None = None,
                         max_hamming: int = 7,
-                        watermark: str = "30 minutes") -> DataFrame:
+                        watermark: str = "30 minutes",
+                        max_corpus_sigs: int = 25_000_000) -> DataFrame:
     """Streaming MEDIA ingest curation: the image/audio analogue of
     :func:`curate_stream`.
 
@@ -83,10 +84,12 @@ def curate_media_stream(stream: DataFrame, id_col: str = "media_id",
        anti-join a stream against a stream-derived hit set, and a
        banded join + per-id aggregation would add a second stateful
        operator; a signature array is 8 bytes/item, so a 10M-item
-       index is an 80 MB broadcast — for indexes beyond broadcast
-       size, run the banded batch pass
-       (dedup.incremental_hamming_neardup) behind the stream, same as
-       the text path's nightly backstop;
+       index is an 80 MB broadcast.  The broadcast bound is ENFORCED:
+       an index past ``max_corpus_sigs`` (default 25M sigs ≈ 200 MB)
+       raises before anything is collected, naming the banded batch
+       pass (dedup.incremental_hamming_neardup) as the scale path —
+       run it behind the stream, same as the text path's nightly
+       backstop;
     3. EXACT-dup dedup within the stream: watermark-bounded state on
        the full 64-bit signature.
 
@@ -102,6 +105,17 @@ def curate_media_stream(stream: DataFrame, id_col: str = "media_id",
     s = (image_phash(stream, content_col)
          .filter(F.col("phash").isNotNull()))
     if corpus_sigs is not None:
+        n_sigs = corpus_sigs.count()
+        if n_sigs > max_corpus_sigs:
+            raise ValueError(
+                f"curate_media_stream: corpus signature index has "
+                f"{n_sigs} rows (> max_corpus_sigs={max_corpus_sigs}, "
+                f"~{8 * n_sigs // 2**20} MB as a driver array) — too "
+                f"large to broadcast into the streaming kernel.  Use "
+                f"the banded batch path "
+                f"(rainforest_spark.operators.dedup."
+                f"incremental_hamming_neardup) behind the stream "
+                f"instead, or raise max_corpus_sigs explicitly.")
         sig_arr = np.array(
             [r["phash"] for r in corpus_sigs.select("phash").collect()],
             dtype=np.int64).view(np.uint64)

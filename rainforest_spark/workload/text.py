@@ -1543,8 +1543,11 @@ def q112(spark, sf):
 # ---------------------------------------------------------------- q113
 # Dedup-loss rebalancing: exact dedup keeps min-id docs; survivors are
 # down-sampled back to the ORIGINAL per-source proportions with
-# runtime-computed rates (m * o_s / k_s, m = min survivor ratio) and
-# the engine-portable hex-threshold keep rule ('g' sentinel at rate 1).
+# runtime-computed rates (m * o_s / k_s, m = min survivor ratio); the
+# binding sources are detected by EXACT decimal cross-multiply
+# (k_a*o_b > k_b*o_a) and pinned to rate 1.0 so FP noise can't miss
+# the 'g' keep-all sentinel; thresholds round HALF-UP (floor(x+0.5)),
+# matching the literal-rate path's convention.
 @q("q113_dedup_rebalance", sql=f"""
 WITH kept AS (
   SELECT doc_id, source FROM documents
@@ -1553,15 +1556,25 @@ WITH kept AS (
     GROUP BY md5({_NORM}))),
 o AS (SELECT source, COUNT(*) AS o FROM documents GROUP BY 1),
 k AS (SELECT source, COUNT(*) AS k FROM kept GROUP BY 1),
-m AS (SELECT MIN(CAST(k AS DOUBLE) / o) AS m FROM o JOIN k USING (source)),
+c AS (SELECT source, o, k FROM o JOIN k USING (source)),
+m AS (SELECT MIN(CAST(k AS DOUBLE) / o) AS m FROM c),
+v AS (SELECT a.source, a.o, a.k,
+             MAX(CASE WHEN CAST(a.k AS DECIMAL(19,0)) * b.o
+                           > CAST(b.k AS DECIMAL(19,0)) * a.o
+                      THEN 1 ELSE 0 END) AS viol
+      FROM c a CROSS JOIN c b GROUP BY 1, 2, 3),
+rr AS (SELECT source,
+              CASE WHEN viol = 0 THEN 1.0
+                   ELSE m.m * v.o / v.k END AS rate
+       FROM v CROSS JOIN m),
 rates AS (
   SELECT source,
-         CASE WHEN m.m * o.o / k.k >= 1 THEN 'g'
+         CASE WHEN rate >= 1 THEN 'g'
+              WHEN floor(rate * 16777216 + 0.5) >= 16777216 THEN 'g'
               ELSE printf('%06x',
-                          CAST(floor(m.m * o.o / k.k * 16777216)
-                               AS INTEGER))
+                          CAST(floor(rate * 16777216 + 0.5) AS INTEGER))
          END AS thr
-  FROM o JOIN k USING (source) CROSS JOIN m)
+  FROM rr)
 SELECT kept.doc_id, kept.source
 FROM kept JOIN rates USING (source)
 WHERE substr(md5('rebalance-v1:' || CAST(kept.doc_id AS VARCHAR)), 1, 6)

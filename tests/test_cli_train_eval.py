@@ -121,3 +121,35 @@ def test_cli_media_dedup(spark, tmp_path, capsys):
     assert res["n_kept"] == 2           # one of the copies + b
     kept = spark.read.parquet(out)
     assert kept.filter("keep").count() == 2
+
+
+def test_cli_media_dedup_corpus_sigs_writes_output(spark, tmp_path,
+                                                   capsys):
+    """--corpus-sigs combined with -o writes the per-file flag table
+    (duplicate_of_corpus) instead of silently ignoring the flag."""
+    from rainforest_spark.cli import main
+    from rainforest_spark.grid.gif import encode_gif_bytes
+    from rainforest_spark.operators.multimodal import image_phash
+    from tests.test_multimodal import _structured_plane
+
+    media = tmp_path / "media"
+    media.mkdir()
+    known, fresh = _structured_plane(51), _structured_plane(52)
+    (media / "known.gif").write_bytes(encode_gif_bytes(known))
+    (media / "fresh.gif").write_bytes(encode_gif_bytes(fresh))
+
+    corpus = spark.createDataFrame(
+        [(9, bytearray(encode_gif_bytes(known)))],
+        "img_id long, content binary")
+    sigs = str(tmp_path / "sigs")
+    image_phash(corpus).select("img_id", "phash") \
+        .write.parquet(sigs)
+
+    out = str(tmp_path / "flags")
+    assert main(["media-dedup", str(media), "--corpus-sigs", sigs,
+                 "-o", out]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["mode"] == "vs-corpus" and res["n_flagged"] == 1
+    flags = {os.path.basename(r.media_path): r.duplicate_of_corpus
+             for r in spark.read.parquet(out).collect()}
+    assert flags == {"known.gif": True, "fresh.gif": False}

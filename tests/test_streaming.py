@@ -643,3 +643,23 @@ def test_curate_media_stream_parity(spark, tmp_path):
     assert 5 in admitted and 1 not in admitted and 4 not in admitted
     assert len([m for m in admitted if m in (2, 3)]) == 1
     assert len(admitted) == 2
+
+
+def test_curate_media_stream_index_bound_enforced(spark, tmp_path):
+    """The corpus-signature broadcast bound is a hard guard: an index
+    past max_corpus_sigs raises (naming the banded batch path) BEFORE
+    any driver collect — a 500M-image corpus must not silently build a
+    4 GB driver array."""
+    import pytest
+
+    from rainforest_spark.streaming.corpus import curate_media_stream
+
+    src = str(tmp_path / "media")
+    os.makedirs(src)
+    schema = "media_id bigint, content binary, ingest_ts timestamp"
+    stream = (spark.readStream.schema(schema).parquet(src))
+    corpus_sigs = spark.range(10).select(
+        F.col("id").alias("img_id"), F.col("id").alias("phash"))
+    with pytest.raises(ValueError, match="incremental_hamming_neardup"):
+        curate_media_stream(stream, corpus_sigs=corpus_sigs,
+                            max_corpus_sigs=5)

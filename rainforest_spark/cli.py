@@ -146,6 +146,44 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_intercompare(args) -> int:
+    """Multi-model K-fold intercomparison (reference user surface:
+    rf.py model_intercomparison + intercomparison_config_example.yml):
+    several RF configs + reference-product columns through the same
+    event CV, one tidy score table out."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.ml.intercomparison import (
+        intercomparison_summary, model_intercomparison,
+    )
+    from rainforest_spark.session import get_spark
+
+    spark = get_spark("rainforest-intercompare")
+    df = spark.read.parquet(args.input)
+    models = json.loads(open(args.config).read()
+                        if os.path.exists(args.config) else args.config)
+    scores = model_intercomparison(
+        df, models,
+        reference_products=(args.reference_products.split(",")
+                            if args.reference_products else []),
+        target=args.target, k=args.k,
+        temp_col=args.temp_col or None)
+    if args.output:
+        scores.write.mode("overwrite").parquet(args.output)
+    summary = intercomparison_summary(scores)
+    head = {f"{r['model']}": round(r["RMSE_mean"], 4)
+            for r in summary.filter(
+                (F.col("timeagg") == "10min")
+                & (F.col("phase") == "all")
+                & (F.col("bound") == "all")).collect()}
+    print(json.dumps({"output": args.output,
+                      "models": sorted(models),
+                      "rmse_10min_all": head}))
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     """QPE-run evaluation: per-model per-bound score tables at 10-min
     and hourly resolution (reference qpe/evaluation.py user surface)."""
@@ -382,6 +420,25 @@ def main(argv=None) -> int:
                         "(default: all numeric non-key columns)")
     t.add_argument("--target", default="target_mmh")
     t.set_defaults(fn=cmd_train)
+
+    ic = sub.add_parser("intercompare",
+                        help="K-fold CV over several RF configs + "
+                             "reference products")
+    ic.add_argument("input", help="prepared dataset parquet "
+                                  "(the `dataset` command's output)")
+    ic.add_argument("config",
+                    help="JSON file or literal: {model: {features: "
+                         "[...], num_trees, max_depth, bc_degree}}")
+    ic.add_argument("-o", "--output", default=None,
+                    help="tidy per-fold score parquet")
+    ic.add_argument("--reference-products", default="",
+                    help="comma-separated df columns scored as-is "
+                         "(RZC, CPC, ...)")
+    ic.add_argument("--target", default="target_mmh")
+    ic.add_argument("--temp-col", default="",
+                    help="temperature column for solid/liquid rows")
+    ic.add_argument("-k", type=int, default=5)
+    ic.set_defaults(fn=cmd_intercompare)
 
     e = sub.add_parser("evaluate", help="QPE-run score tables")
     e.add_argument("grids", help="long grids parquet "

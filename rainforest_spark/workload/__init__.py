@@ -63,140 +63,59 @@ _MODULES = [relational, text, vectors, extended]
 #: first; long-proven trivial entries are demoted past slot 50 (they
 #: remain fully covered by tests/test_oracle_parity.py).
 _PRIORITY = [
-    # --- round 6: new queries without a driver hash row ---
-    "q54_auto_embedding_neardup",
-    "q75_sequence_packing", "q76_deterministic_split",
-    "q77_quantized_cosine_topk",
-    "q78_document_chunking", "q79_quality_signals",
-    "q80_decontamination",
-    "q81_domain_mixture", "q82_domain_cap", "q83_unigram_logprob",
-    "q84_epoch_shard", "q85_jl_projection", "q86_pii_redaction",
-    "q87_embedding_dedup", "q88_corpus_stats", "q89_packed_tapes",
-    "q90_hard_negatives",
-    # --- round 6, continued: PMI collocations, cross-doc repeated
-    # spans, embedding-space decontamination.  Admitted by demoting
-    # q50_cosine_topk (r5-green; the exact-cosine machinery is
-    # exercised in-window by q77/q90/q93, which share _dot/_norm and
-    # the (sim DESC, id) ranking), q16_db_logmean (r5-green; F3 is a
-    # two-expression op, pytest-gated) and q65_status_noise_mask
-    # (r5-green; the S13 XML path is golden-tested).
-    "q91_pmi_bigrams", "q92_repeated_spans",
-    "q93_semantic_decontamination",
-    # vocab coverage / span excision / DSIR weights — admitted by
-    # demoting q19_hourly_complete (r5-green; the A6/A7 completeness
-    # machinery also runs inside in-window q53), q21_contingency
-    # (r5-green; the scores family keeps q33/q34 in-window) and
-    # q22_sessionization (r5-green + hypothesis-tested; session
-    # windows also covered by the streaming suite).
-    "q94_vocab_coverage", "q95_span_excision", "q96_dsir_weights",
-    # incremental dedup / domain terms / corpus drift — admitted by
-    # demoting q17_temporal_multiagg (r5-green; trivial multi-agg,
-    # pytest-gated), q18_weighted_vertical (r5-green; the A5 weighted
-    # machinery also runs inside in-window q53) and q26_sliding_disagg
-    # (r5-green; the W5/W6 chain is covered end-to-end by the
-    # streaming parity suite).
-    "q97_incremental_dedup", "q98_domain_terms", "q99_corpus_drift",
-    # batch novelty scoring — admitted by demoting q12_asof_join
-    # (r5-green; J9 is hypothesis-tested against pandas merge_asof).
-    "q100_novelty_score",
-    # leakage-free cluster split — admitted by demoting
-    # q35_hourly_interpolation (r5-green; J10 is golden-tested and the
-    # hourly time-join machinery also runs inside in-window q67).
-    "q101_leakage_free_split",
-    # --- round 6, continued-2: boilerplate removal, cluster-canonical
-    # selection, margin alignment, token-budget cut, bigram LM,
-    # spherical k-means.  Admitted by demoting six r5-green flagships —
-    # q01_pricing_summary (scan+agg family stays via in-window q15),
-    # q09_broadcast_dim_join (J2; the join surface stays via q53/q67),
-    # q27_weighted_quantile (W10; the ranged-cumsum machinery runs in
-    # in-window q34 and q105), q33_perfscores (A13; q34 stays), q36
-    # (6-table join, benched headline + pytest) and q40 (exact dedup;
-    # the dedup family keeps q97/q102 in-window).  All six stay
-    # pytest-gated via tests/test_oracle_parity.py.
-    "q102_boilerplate_removal", "q103_cluster_canonical",
-    "q104_margin_alignment", "q105_token_budget",
-    "q106_bigram_logprob", "q107_kmeans_clusters",
-    # ROUND-7 ROTATION QUEUE (oldest-first, ~8/round): once the r6
-    # window above is hash-proven, swap in the next-stalest rows —
-    # q41/q42/q43/q44 (r2-r4), q29/q30/q32 (r2), q13/q20/q23/q24/q25
-    # (r2-r4) — demoting proven r6 corpus entries whose operator
-    # families keep pytest + sibling-query coverage.  Also admit the
-    # still-unwindowed r6 additions q108_zipf_fit / q109_heaps_fit
-    # (exact-decimal sufficient-statistics regressions), q110_weighted
-    # _sample (Efraimidis-Spirakis keys), q111_audio_fingerprint
-    # (integer energy contour), q112_interleave (stride scheduling),
-    # q113_dedup_rebalance (dynamic-rate resampling), q114_corpus_diff,
-    # q115_duplication_profile,
-    # q116_length_batches, q117_tokenizer_fertility and
-    # q118_masking_plan — all pytest-parity-green — ahead of the
-    # stale rows.
-    # --- round 6 stale-row rotation (VERDICT r5 Missing #4): the 8
-    # queries whose latest green driver row is r2 re-enter the window
-    # for a fresh hash check against the CURRENT testdata (the driver
-    # regenerates parquet between rounds, so old green rows decay as
-    # evidence).  They displace the r5-proven codec/LSH entries (q46,
-    # q47, q49, q63, q70-q74 — all hash-green r3-r5 and pytest-gated).
-    # Continue ~8/round oldest-first until no row is older than 3
-    # rounds.
-    "q02_time_range_projection", "q03_sentinel_to_null",
-    "q04_threshold_clamp", "q05_dedup_distinct",
-    "q06_consistency_filter", "q08_segment_exclusion",
-    "q15_table_summary", "q28_set_ops",
-    # --- unproven by the driver gate as of round 2 ---
-    # (q38_left_join_nulls, q55_bucketed_perfscores and
-    # q60_rollup_subtotals were proven r5 and are demoted to admit the
-    # chunking/quality/decontamination trio; q39, q48, q52, q56 and
-    # q58 — all r5-green — are demoted for the mixture/unigram-LM/
-    # shard/JL batch.  Every demoted operator stays pytest-gated via
-    # tests/test_oracle_parity.py.)
-    "q53_prepare_input",
-    # q54_embedding_neardup (r5-green frozen-plane oracle variant;
-    # q54_auto in-window exercises the same operator's default path)
-    # demoted for q90_hard_negatives
-    "q57_ivf_ann_topk",
-    # q59_simhash_neardup (r5-green; q46 covers the SimHash family in
-    # tests) demoted for q86_pii_redaction
-    "q61_zphi_attenuation",
-    # q62_vpr_correction (r5-green; the XML-curve apply is also pytest
-    # golden-tested) demoted for q89_packed_tapes
-    # q65_status_noise_mask demoted r6 for q92 (see above)
-    "q66_qpe_evaluation", "q67_hzt_fallback_chain",
-    # q68_neardup_clusters (r5-green; the component machinery is
-    # exercised by in-window q87's embedding variant) demoted for q88
-    # q69_tfidf_top_terms (r5-green; the tf/df join machinery is also
-    # exercised by in-window q83) demoted for q87_embedding_dedup
-    # --- proven flagships kept inside the window ---
-    # q01_pricing_summary, q09_broadcast_dim_join demoted r6 for
-    # q102/q103 (see above)
-    # q12_asof_join demoted r6 for q100 (see above)
-    # q13_latest_per_hour demoted r6 for q77 (r5-green; its W2/S10
-    # operators are exercised by in-window q67's fallback chain)
-    "q14_nearest_centroid",
-    # q16_db_logmean demoted r6 for q91 (see above)
-    # q17_temporal_multiagg, q18_weighted_vertical demoted r6 for
-    # q97/q98 (see above)
-    # q24_transfer_function and q37_group_first demoted for the audio /
-    # video codec legs (hash-green r2-r4, KD4 golden + pytest keep them
-    # covered)
-    # q19_hourly_complete, q21_contingency, q22_sessionization demoted
-    # r6 for q94/q95/q96 (see above)
-    # q26_sliding_disagg demoted r6 for q99 (see above)
-    # q27_weighted_quantile, q33_perfscores demoted r6 for q104/q105
-    # (see above)
-    "q34_scatter_score",
-    # q35_hourly_interpolation demoted r6 for q101 (see above)
-    # q36_local_supplier_revenue, q40_fingerprint_dedup demoted r6 for
-    # q106/q107 (see above)
-    # q41_token_count, q42_quality_score, q43_lang_id (trivial regex
-    # aggs, hash-green r2+r4) and q44_ngram_jaccard (exactness oracle
-    # for the q63 pipeline, hash-green r3/r4) remain demoted — all
-    # pytest-gated via tests/test_oracle_parity.py.  Round 6 also
-    # demotes q31_dn_discretization (r3-green; F6 covered by the grid
-    # io round-trip tests + the in-window codec family) and
-    # q51_centroid_classify (r3-green; the J13 operator is exercised by
-    # in-window q14) to admit the packing/split pair at exactly 50.
-    "q45_minhash_lsh",
-    # q50_cosine_topk demoted r6 for q93 (see above)
+    # =================== ROUND-7 GATE WINDOW (50) ===================
+    # Composition: 12 never-driver-checked entries first, then 12
+    # stale re-checks (latest green row r2-r4 — the driver regenerates
+    # testdata between rounds, so old green rows decay as evidence),
+    # then 26 in-window keepers chosen so every operator family whose
+    # other members were demoted keeps at least one hash-gated
+    # representative.  ALL demoted queries stay exact-parity-gated via
+    # tests/test_oracle_parity.py (the full 120-query local replica of
+    # the driver gate).
+    #
+    # --- never driver-checked: round-6 additions + the bucketed
+    # physical-design variant (driver-hash-proving the Exchange-free
+    # prepare_input path content-identical, VERDICT r6 #7) ---
+    "q108_zipf_fit", "q109_heaps_fit", "q110_weighted_sample",
+    "q111_audio_fingerprint", "q112_interleave",
+    "q113_dedup_rebalance", "q114_corpus_diff",
+    "q115_duplication_profile", "q116_length_batches",
+    "q117_tokenizer_fertility", "q118_masking_plan",
+    "q53_bucketed_prepare",
+    # --- stale re-checks (oldest-first; green r2-r4) ---
+    "q41_token_count", "q42_quality_score", "q43_lang_id",
+    "q44_ngram_jaccard", "q29_string_funcs", "q30_datetime_funcs",
+    "q32_json_extract", "q13_latest_per_hour", "q20_dense_rank",
+    "q23_mode", "q24_transfer_function", "q25_lead_fill",
+    # --- keepers (r6-green; one representative per family) ---
+    # embedding/ANN: q54_auto (LSH default path), q87 (embedding
+    # dedup), q93 (semantic decon), q57 (partition-pruned IVF)
+    "q54_auto_embedding_neardup", "q87_embedding_dedup",
+    "q93_semantic_decontamination", "q57_ivf_ann_topk",
+    # packing/splits: q84 epoch shards, q89 packed tapes, q101 split
+    "q84_epoch_shard", "q89_packed_tapes", "q101_leakage_free_split",
+    # span/dedup family: q92+q95 (repeated spans + excision), q97
+    # (incremental), q102 (boilerplate)
+    "q92_repeated_spans", "q95_span_excision",
+    "q97_incremental_dedup", "q102_boilerplate_removal",
+    # LM/statistics: q96 DSIR, q106 bigram LM, q94 vocab coverage
+    "q96_dsir_weights", "q106_bigram_logprob", "q94_vocab_coverage",
+    # corpus health: q99 drift, q100 novelty, q86 PII, q85 JL
+    "q99_corpus_drift", "q100_novelty_score", "q86_pii_redaction",
+    "q85_jl_projection",
+    # selection: q105 token budget
+    "q105_token_budget",
+    # radar/relational flagships: the Phase-2 pipeline, retrievals,
+    # QPE evaluation, fallback chain, centroids, scores, LSH
+    "q53_prepare_input", "q61_zphi_attenuation", "q66_qpe_evaluation",
+    "q67_hzt_fallback_chain", "q14_nearest_centroid",
+    "q34_scatter_score", "q45_minhash_lsh",
+    # Demotions this round (all were 50/50 green in CORRECTNESS_r06,
+    # all remain pytest-gated): the round-6 corpus batch q75-q83, q88,
+    # q90, q91, q98, q103, q104, q107 (families kept via the keepers
+    # above) and the r6-refreshed relational batch q02-q06, q08, q15,
+    # q28 (trivial scans/filters/set-ops; the scan+agg surface stays
+    # via q34/q53).
 ]
 
 

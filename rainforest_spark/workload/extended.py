@@ -740,7 +740,7 @@ _Q53_RD = {"A": (681201.0, 237604.0), "D": (497057.0, 142408.0),
            "W": (779700.0, 189790.0)}
 
 
-@q("q53_prepare_input", sql=f"""
+_Q53_SQL = f"""
 WITH lkeys AS (
   SELECT l_suppkey % 10 AS sta, l_orderkey % 144 AS slot,
          l_partkey % 5 AS rad, 1 + (l_linenumber % 4) AS sweep,
@@ -819,7 +819,10 @@ SELECT v.station AS STATION, v.ts AS "TIMESTAMP",
        ROUND(alg.rre * 6, 6) AS target_mmh,
        CAST(dense_rank() OVER (ORDER BY v.ts) - 1 AS BIGINT) AS group_id
 FROM vert v JOIN alg ON alg.station = v.station AND alg.ts = v.ts
-""")
+"""
+
+
+@q("q53_prepare_input", sql=_Q53_SQL)
 def q53(spark, sf):
     """prepare_input end-to-end through the driver gate on
     lineitem-derived deterministic tables (see block comment)."""
@@ -900,6 +903,44 @@ def q53_fixtures(spark, sf):
         "RADAR string, X_rad double, Y_rad double, Z_rad double")
 
     return gauge, radar, reference, stations, radars
+
+
+_Q53_BKT_CACHE: dict = {}
+
+
+@q("q53_bucketed_prepare", sql=_Q53_SQL)
+def q53_bucketed(spark, sf):
+    """The SAME prepare_input pipeline as q53, but reading the three
+    training inputs from STATION-bucketed tables (SURVEY §3.2 physical
+    design: write-time shuffle, Exchange-free joins ever after) —
+    driver-hash-verified against the identical oracle, so the bucketed
+    path is proven CONTENT-identical, not just plan-tested
+    (tests/test_bucketing.py holds the zero-Exchange property).  The
+    bucketed write happens once per (process, sf) and is reused."""
+    import os
+
+    from rainforest_spark.ml.dataset import prepare_input
+    from rainforest_spark.sources.bucketing import (
+        bucketed_table, write_training_bucketed,
+    )
+
+    key = sf.rstrip("/")
+    if key not in _Q53_BKT_CACHE:
+        g, r, ref, st, rd = q53_fixtures(spark, sf)
+        suffix = "_gate_" + os.path.basename(key).replace(".", "_")
+        base = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            ".benchdata", "bucketed_gate")
+        tables = write_training_bucketed(
+            spark, g, r, ref, "gate_bkt",
+            os.path.join(base, suffix.strip("_")), suffix=suffix)
+        _Q53_BKT_CACHE[key] = (tables, (st, rd))
+    (tg, tr, tref), (st, rd) = _Q53_BKT_CACHE[key]
+    out = prepare_input(bucketed_table(spark, tg),
+                        bucketed_table(spark, tr),
+                        bucketed_table(spark, tref), st, rd)
+    return q53_projection(out)
 
 
 def q53_projection(out):

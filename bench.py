@@ -93,6 +93,11 @@ HEADLINE = [
     "q108_zipf_fit",
     "q109_heaps_fit",
     "q111_audio_fingerprint",
+    # round-7: contiguous-tape packing joins the headline so its sf10
+    # spot datapoint (VERDICT r6 #5) has same-run sf0.1/sf1
+    # counterparts for the physics guard.  No committed baseline yet;
+    # the guard skips unknown keys.
+    "q89_packed_tapes",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle
@@ -181,6 +186,17 @@ SF10_HEADLINE = [
     # round-6 continued-2: the bigram fan-out is the heaviest new
     # shuffle (token^2-adjacent key space through three vocab joins)
     "q106_bigram_logprob",
+    # round-7: the span family's ~3x/decade at sf1 was the closest
+    # thing to an open scaling question (VERDICT r6 #5) — second
+    # decade for the hot-gram fan-out (q92), the keep-first excision
+    # (q95), the tile fan-out + per-source join (q102), and the
+    # packing pair (hash-ordered ranged count q84, contiguous-tape
+    # cumsum q89)
+    "q92_repeated_spans",
+    "q95_span_excision",
+    "q102_boilerplate_removal",
+    "q84_epoch_shard",
+    "q89_packed_tapes",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0

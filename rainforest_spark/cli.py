@@ -146,6 +146,45 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_db_populate(args) -> int:
+    """Database populate entry point (reference user surface:
+    database/db_populate.py and database_5min/db_populate.py — the
+    latter is the same wiring at ``--window-sec 300``).
+
+    ``-t gauge``: slot-fill (5-min odd-slot lead fill at 300 s,
+    pass-through at 600 s) + daily-partition upsert keyed
+    (STATION, TIMESTAMP).
+    ``-t radar``: temporal aggregation of a neighbourhood-aggregated
+    observation table at the requested cadence + the same upsert.
+    """
+    from rainforest_spark.grid.db_build import (
+        build_gauge_table, temporal_pair_aggregate,
+    )
+    from rainforest_spark.session import get_spark
+    from rainforest_spark.sources.writers import upsert_daily_partition
+    from pyspark.sql import functions as F
+
+    spark = get_spark("rainforest-db-populate")
+    df = spark.read.parquet(args.input)
+    if args.type == "gauge":
+        out = build_gauge_table(df, window_sec=args.window_sec)
+        keys = ["STATION", "TIMESTAMP"]
+    else:
+        variables = sorted({c[:-5] for c in df.columns
+                            if c.endswith("_mean")})
+        out = temporal_pair_aggregate(df, variables,
+                                      window_sec=args.window_sec)
+        out = out.withColumn(
+            "day", F.date_format(F.col("TIMESTAMP").cast("timestamp"),
+                                 "yyyyMMdd"))
+        keys = ["TIMESTAMP", "STATION", "RADAR", "SWEEP", "NX", "NY"]
+    upsert_daily_partition(spark, out, args.output, keys)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"type": args.type, "window_sec": args.window_sec,
+                      "output": args.output, "rows_total": n}))
+    return 0
+
+
 def cmd_intercompare(args) -> int:
     """Multi-model K-fold intercomparison (reference user surface:
     rf.py model_intercomparison + intercomparison_config_example.yml):
@@ -420,6 +459,19 @@ def main(argv=None) -> int:
                         "(default: all numeric non-key columns)")
     t.add_argument("--target", default="target_mmh")
     t.set_defaults(fn=cmd_train)
+
+    dbp = sub.add_parser("db-populate",
+                         help="gauge/radar database upsert (600 s "
+                              "classic, 300 s = 5-min database)")
+    dbp.add_argument("-t", "--type", choices=["gauge", "radar"],
+                     required=True)
+    dbp.add_argument("input", help="input parquet (gauge rows, or a "
+                                   "neighbourhood-aggregated radar "
+                                   "observation table)")
+    dbp.add_argument("output", help="daily-partitioned database path")
+    dbp.add_argument("--window-sec", type=int, default=600,
+                     choices=[300, 600])
+    dbp.set_defaults(fn=cmd_db_populate)
 
     ic = sub.add_parser("intercompare",
                         help="K-fold CV over several RF configs + "

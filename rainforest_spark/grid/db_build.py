@@ -100,6 +100,34 @@ REF_COL_TYPES = {
 }
 
 
+def build_gauge_table(gauge: DataFrame, window_sec: int = 600,
+                      station_col: str = "STATION",
+                      ts_col: str = "TIMESTAMP",
+                      no_fill_cols: tuple[str, ...] = ("RRE005R0",
+                                                       "rre005r0")) -> DataFrame:
+    """Gauge-table preparation for the database populate path.
+
+    At the classic 10-min cadence (``window_sec=600``) rows pass
+    through untouched.  At the 5-MIN cadence (``window_sec=300`` —
+    reference ``database_5min/db_populate.py`` wiring
+    ``retrieve_dwh_data_5min.py:15-69``) NULLs at odd 5-min slots
+    (:05, :15, ...) are filled from the next even slot for every value
+    column EXCEPT the 5-min precip accumulations (the reference's
+    ``assign_even_to_odd`` excludes ``rre005r0``).  A ``day`` column is
+    attached for the daily-partition upsert either way.
+    """
+    if window_sec == 300:
+        from rainforest_spark.operators.windows import fill_odd_slots
+
+        keys = {station_col, ts_col, "day"}
+        vals = [c for c in gauge.columns
+                if c not in keys and c not in no_fill_cols]
+        gauge = fill_odd_slots(gauge, [station_col], ts_col, vals,
+                               slot_sec=300)
+    return gauge.withColumn(
+        "day", F.date_format(F.col(ts_col).cast("timestamp"), "yyyyMMdd"))
+
+
 def reference_layout_columns(radar_variables: list[str],
                              other_variables: list[str] = ("HEIGHT", "VPR"),
                              cosmo_variables: list[str] = (),

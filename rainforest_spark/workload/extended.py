@@ -1054,10 +1054,14 @@ JOIN v vb ON vb.vec_id = c.id_b
 WHERE ROUND(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6) >= 0.35
 """)
 def q54(spark, sf):
-    # the first-class operator with the frozen q54 planes (the oracle
-    # SQL above inlines the same _ND_P literals); scale-sized plane
-    # counts are the operator's job — see embedding_neardup_pairs'
-    # docstring and q54_auto below
+    """FROZEN-PLANE EXHIBIT — not the operator default.  This pins the
+    plane count to the 3-plane _ND_P constant so the oracle SQL can
+    inline the literals; with planes fixed the candidate count grows
+    ~N²/2^planes, which is exactly the scale anti-pattern the default
+    path exists to avoid (its sf1 bench time is an illustration, not a
+    recommendation — see TIER_GUARD_EXEMPT in bench.py).  Users and
+    benchmarks should read q54_auto below: ``planes=None`` auto-sizes
+    to log2(N/128) and stays sublinear per decade."""
     from rainforest_spark.operators.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(T(spark, sf, "embeddings"),

@@ -99,3 +99,65 @@ def test_daily_partition_write(spark, setup, tmp_path):
     upsert_daily_partition(spark, out, path, keys)  # idempotent re-run
     stored = spark.read.parquet(path)
     assert stored.count() == stored.dropDuplicates(keys).count()
+
+
+def test_fill_odd_slots_reference_semantics(spark):
+    """Mirrors database_5min/retrieve_dwh_data_5min.py:15-69: a NULL at
+    an odd 5-min slot takes the value 5 minutes LATER; even-slot nulls
+    stay null; no fill when the +300 s row is missing; the excluded
+    precip column is caller-side (not filled here by construction)."""
+    from rainforest_spark.operators.windows import fill_odd_slots
+
+    t0 = 1717200000  # :00 even slot (t0 % 600 == 0)
+    rows = [
+        # (station, ts, temp): odd slot null -> filled from next even
+        ("A", t0 + 300, None), ("A", t0 + 600, 7.0),
+        # even slot null stays null
+        ("A", t0 + 1200, None), ("A", t0 + 1500, 9.0),
+        # odd slot null with a GAP (next row +600, not +300): no fill
+        ("A", t0 + 2100, None), ("A", t0 + 2700, 11.0),
+        # odd slot with a value: untouched
+        ("B", t0 + 300, 3.0), ("B", t0 + 600, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "STATION string, TIMESTAMP long, "
+                                     "temp double")
+    got = {(r.STATION, r.TIMESTAMP): r.temp
+           for r in fill_odd_slots(df, ["STATION"], "TIMESTAMP",
+                                   ["temp"]).collect()}
+    assert got[("A", t0 + 300)] == 7.0       # filled from +300 s
+    assert got[("A", t0 + 1200)] is None     # even slot never fills
+    assert got[("A", t0 + 2100)] is None     # gap: no fill
+    assert got[("B", t0 + 300)] == 3.0       # value untouched
+
+
+def test_db_populate_cli_5min(spark, tmp_path, capsys):
+    """db-populate -t gauge --window-sec 300: odd-slot fill (precip
+    excluded) + daily-partition upsert; re-running the same batch is
+    idempotent."""
+    import json as _json
+
+    import pandas as pd
+
+    from rainforest_spark.cli import main
+
+    t0 = 1717200000
+    pdf = pd.DataFrame({
+        "STATION": ["A"] * 4,
+        "TIMESTAMP": [t0 + 300, t0 + 600, t0 + 900, t0 + 1200],
+        "TRE200S0": [None, 5.0, None, 6.0],
+        "RRE005R0": [None, 0.2, None, 0.4],
+    })
+    src = tmp_path / "gauge.parquet"
+    pdf.to_parquet(src)
+    out = str(tmp_path / "db")
+    for _ in range(2):  # idempotent upsert
+        assert main(["db-populate", "-t", "gauge", str(src), out,
+                     "--window-sec", "300"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows_total"] == 4
+    got = {r.TIMESTAMP: (r.TRE200S0, r.RRE005R0)
+           for r in spark.read.parquet(out).collect()}
+    assert got[t0 + 300] == (5.0, None)   # temp filled, precip NOT
+    assert got[t0 + 900] == (6.0, None)
+    saved = spark.read.parquet(out)
+    assert "day" in saved.columns

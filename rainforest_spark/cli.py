@@ -146,6 +146,53 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_shell(args) -> int:
+    """Interactive shell (reference user surface: interface.py's
+    prompt-toolkit menu loop, rainforest/interface.py:71-405).  The
+    reference nests db/qpe submenus; here every operation is already a
+    flat subcommand, so the shell is a readline loop that shlex-splits
+    each line and dispatches through the same parser — one cached
+    SparkSession serves the whole session (get_spark reuses the active
+    one), so repeated queries skip the ~8 s JVM start the one-shot CLI
+    pays."""
+    import shlex
+
+    print("rainforest-spark shell — type a subcommand "
+          "(query, qpe, dataset, train, intercompare, evaluate, "
+          "curate, report, ingest, media-dedup, db-populate, bench), "
+          "'help', or 'quit'", file=sys.stderr)
+    rc = 0
+    while True:
+        try:
+            line = input("rainforest> ")
+        except EOFError:
+            break
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line in ("quit", "exit", "q", "e"):
+            break
+        try:
+            argv = shlex.split(line)
+        except ValueError as exc:
+            print(f"parse error: {exc}", file=sys.stderr)
+            rc = 2
+            continue
+        if argv[0] == "shell":
+            print("already in a shell", file=sys.stderr)
+            continue
+        if argv == ["help"]:
+            argv = ["--help"]
+        try:
+            rc = main(argv)
+        except SystemExit as exc:   # argparse error/help: stay alive
+            rc = int(exc.code or 0)
+        except Exception as exc:    # a failed command must not kill
+            print(f"error: {exc}", file=sys.stderr)
+            rc = 1
+    return rc
+
+
 def cmd_db_populate(args) -> int:
     """Database populate entry point (reference user surface:
     database/db_populate.py and database_5min/db_populate.py — the
@@ -459,6 +506,10 @@ def main(argv=None) -> int:
                         "(default: all numeric non-key columns)")
     t.add_argument("--target", default="target_mmh")
     t.set_defaults(fn=cmd_train)
+
+    sh = sub.add_parser("shell",
+                        help="interactive shell over all subcommands")
+    sh.set_defaults(fn=cmd_shell)
 
     dbp = sub.add_parser("db-populate",
                          help="gauge/radar database upsert (600 s "

@@ -649,3 +649,50 @@ def incremental_hamming_neardup(batch_sig: DataFrame,
     return (cand.withColumn("hamming", hamming.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("batch_id", "corpus_id", "hamming"))
+
+
+def group_overlap(df: DataFrame, id_col: str, text_col: str,
+                  group_col: str, n: int = 3) -> DataFrame:
+    """Pairwise cross-slice contamination matrix: for every pair of
+    corpus slices (sources, snapshots, shards) the n-gram Jaccard of
+    their DISTINCT gram sets — the curation dashboard that catches one
+    crawl re-serving another's content, or a "new" source that is a
+    mirror, BEFORE any doc-level dedup runs.
+
+    Returns one row per unordered pair (group_a < group_b):
+    ``(group_a, group_b, n_a, n_b, n_common, jaccard)`` — including
+    zero-overlap pairs (the matrix is complete, built from the tiny
+    group dim).
+
+    Shape at 100 TB: grams collapse to DISTINCT (group, gram) rows
+    first (one groupBy, uniform md5-able keys); the pair counts come
+    from a gram-keyed self equi-join of that collapsed table — a gram
+    shared by g of the G groups fans out g·(g-1)/2 pairs, bounded by
+    the GROUP count (a handful), never by corpus size.  The final
+    matrix assembly is a cross join of the G-row size dim with itself.
+    Jaccard is exact-integer counts through one double division,
+    rounded to 6dp — identical in any engine.
+    """
+    grams = (shingle_table(df, id_col, text_col, n)
+             .join(df.select(id_col, group_col), id_col)
+             .select(F.col(group_col).alias("__g"), "shingle")
+             .distinct())
+    sz = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__sz"))
+    inter = (grams.select(F.col("__g").alias("group_a"), "shingle")
+             .join(grams.select(F.col("__g").alias("group_b"), "shingle"),
+                   "shingle")
+             .filter(F.col("group_a") < F.col("group_b"))
+             .groupBy("group_a", "group_b")
+             .agg(F.count(F.lit(1)).alias("__common")))
+    pairs = (sz.select(F.col("__g").alias("group_a"),
+                       F.col("__sz").alias("n_a"))
+             .crossJoin(sz.select(F.col("__g").alias("group_b"),
+                                  F.col("__sz").alias("n_b")))
+             .filter(F.col("group_a") < F.col("group_b")))
+    out = (pairs.join(inter, ["group_a", "group_b"], "left")
+           .withColumn("n_common", F.coalesce("__common", F.lit(0))))
+    return out.select(
+        "group_a", "group_b", "n_a", "n_b", "n_common",
+        F.round(F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6)
+        .alias("jaccard"))

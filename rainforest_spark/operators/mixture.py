@@ -367,3 +367,50 @@ def rebalance_after_dedup(original: DataFrame, kept: DataFrame,
                      .alias("rate")))
     return weighted_sample_dynamic(kept, id_col, group_col, rates,
                                    salt=salt)
+
+
+def stratified_sample(df: DataFrame, id_col: str, group_col: str,
+                      budget: int, alloc: str = "sqrt",
+                      salt: str = "strat-v1") -> DataFrame:
+    """Deterministic stratified sampling to a TOTAL document budget —
+    the eval/holdout-set construction step: small sources must not
+    vanish, huge sources must not drown the sample.
+
+    ``alloc='sqrt'`` allocates the budget proportional to
+    ``sqrt(n_g)`` (the square-root allocation used for eval suites:
+    between proportional — which mirrors the skew — and equal — which
+    over-weights tiny sources); ``alloc='prop'`` is plain proportional.
+    Per-group keep rates are ``min(1, budget·w_g / (Σw·n_g))`` computed
+    as one double expression over the tiny per-group count dim, and the
+    keep decision is the salted-hash threshold of
+    :func:`weighted_sample_dynamic` — reproducible, join-free over the
+    corpus, identical in any engine.  Exactness: the sqrt weights are
+    rounded to the 1e-9 grid and summed as DECIMAL(19,9) (the q83
+    policy) so ``Σw`` is order-free — a raw double sum would depend on
+    partial-aggregation order across partitions.
+
+    The realized sample size is Binomial around the budget (hash
+    sampling is per-row Bernoulli, the same trade weighted_sample
+    makes); callers needing an exact count compose
+    :func:`cap_per_group` on the result instead.
+
+    Shape at 100 TB: one per-group count agg (tiny dim), rate algebra
+    on that dim, one broadcast join — no shuffle over the corpus.
+    """
+    if alloc not in ("sqrt", "prop"):
+        raise ValueError(f"unknown alloc {alloc!r} (want sqrt|prop)")
+    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w9 = (F.round(F.sqrt(F.col("__n").cast("double")), 9)
+          if alloc == "sqrt" else F.col("__n").cast("double"))
+    cnt = cnt.withColumn("__w", w9.cast("decimal(19,9)"))
+    tot = cnt.agg(F.sum("__w").cast("double").alias("__tw"))
+    rates = (cnt.crossJoin(tot)
+             .select(F.col(group_col),
+                     F.least(
+                         F.lit(1.0),
+                         F.lit(float(budget))
+                         * F.col("__w").cast("double")
+                         / (F.col("__tw") * F.col("__n")))
+                     .alias("rate")))
+    return weighted_sample_dynamic(df, id_col, group_col, rates,
+                                   salt=salt)

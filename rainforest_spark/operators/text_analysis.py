@@ -1010,3 +1010,48 @@ def heaps_fit(df, id_col: str, text_col: str, round_to: int = 6):
         .cast("decimal(18,9)").alias("y"))
     return _ols_loglog(xy, "n_docs", "heaps_beta", "heaps_log_k",
                        round_to)
+
+
+def source_scorecard(df, id_col: str, text_col: str, group_col: str,
+                     lang_col: str | None = None,
+                     round_to: int = 6):
+    """Per-source corpus report card — the one-screen health table a
+    curation pipeline publishes per ingest: document and token volume,
+    exact-duplicate exposure (share of docs whose normalized
+    fingerprint occurs more than once ANYWHERE in the corpus — cross-
+    source copies count, that is the point), mean document length, and
+    language spread.
+
+    Returns one row per source: ``(source, n_docs, n_tokens, dup_docs,
+    dup_rate, mean_tokens[, n_langs])``.
+
+    Shape at 100 TB: one fingerprint groupBy (uniform md5 keys), one
+    fingerprint-keyed equi-join back (AQE-broadcastable per-fingerprint
+    counts are NOT a dim — the join stays a shuffle join on the md5
+    key, perfectly uniform), one grouped aggregation on the source dim.
+    Ratios are exact-integer counts through one double division,
+    rounded — engine-identical.
+    """
+    fp = fingerprint(text_col)
+    d = df.select(F.col(id_col), F.col(group_col).alias("__src"),
+                  *( [F.col(lang_col).alias("__lang")] if lang_col else [] ),
+                  fp.alias("__fp"),
+                  token_count(text_col).alias("__nt"))
+    fpc = d.groupBy("__fp").agg(F.count(F.lit(1)).alias("__fn"))
+    j = d.join(fpc, "__fp")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.sum(F.when(F.col("__fn") > 1, 1).otherwise(0)).alias("dup_docs"),
+    ]
+    if lang_col:
+        aggs.append(F.countDistinct("__lang").alias("n_langs"))
+    out = j.groupBy(F.col("__src").alias(group_col)).agg(*aggs)
+    cols = [group_col, "n_docs", "n_tokens", "dup_docs",
+            F.round(F.col("dup_docs") / F.col("n_docs"), round_to)
+            .alias("dup_rate"),
+            F.round(F.col("n_tokens") / F.col("n_docs"), round_to)
+            .alias("mean_tokens")]
+    if lang_col:
+        cols.append("n_langs")
+    return out.select(*cols)

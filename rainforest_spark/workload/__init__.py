@@ -98,11 +98,17 @@ _PRIORITY = [
     # (incremental), q102 (boilerplate)
     "q92_repeated_spans", "q95_span_excision",
     "q97_incremental_dedup", "q102_boilerplate_removal",
-    # LM/statistics: q96 DSIR, q106 bigram LM, q94 vocab coverage
-    "q96_dsir_weights", "q106_bigram_logprob", "q94_vocab_coverage",
-    # corpus health: q99 drift, q100 novelty, q86 PII, q85 JL
-    "q99_corpus_drift", "q100_novelty_score", "q86_pii_redaction",
-    "q85_jl_projection",
+    # LM/statistics: q96 DSIR, q106 bigram LM
+    "q96_dsir_weights", "q106_bigram_logprob",
+    # corpus health + round-7 additions: source-overlap contamination
+    # matrix, per-source scorecard, stratified eval sampling.  Admitted
+    # by demoting q94_vocab_coverage, q99_corpus_drift and
+    # q100_novelty_score (r6-green; their gram-set join machinery is
+    # exercised in-window by q119/q97, and all three stay pytest-
+    # parity-gated).
+    "q119_source_overlap", "q120_source_scorecard",
+    "q121_stratified_sample",
+    "q86_pii_redaction", "q85_jl_projection",
     # selection: q105 token budget
     "q105_token_budget",
     # radar/relational flagships: the Phase-2 pipeline, retrievals,

@@ -1775,3 +1775,106 @@ def q115(spark, sf):
                    " div (2 * n_docs)")
     return agg.withColumn("dup_ratio",
                           ratio.cast("double") / F.lit(1000000.0))
+
+
+# ---------------------------------------------------------------- q119
+# Pairwise cross-source contamination matrix: 3-gram Jaccard between
+# every pair of sources (complete matrix incl. zero-overlap pairs),
+# exact-integer counts through one rounded double division.
+@q("q119_source_overlap", sql=f"""
+WITH g AS (
+  SELECT DISTINCT source,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM (SELECT source, {_WORDS} AS words FROM documents),
+       UNNEST(generate_series(1, len(words) - 2)) AS u(i)),
+sz AS (SELECT source, COUNT(*) AS sz FROM g GROUP BY 1),
+inter AS (
+  SELECT a.source AS group_a, b.source AS group_b, COUNT(*) AS c
+  FROM g a JOIN g b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a.source AS group_a, b.source AS group_b,
+         a.sz AS n_a, b.sz AS n_b
+  FROM sz a CROSS JOIN sz b WHERE a.source < b.source)
+SELECT p.group_a, p.group_b,
+       CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+       CAST(COALESCE(i.c, 0) AS BIGINT) AS n_common,
+       ROUND(CAST(COALESCE(i.c, 0) AS DOUBLE)
+             / (p.n_a + p.n_b - COALESCE(i.c, 0)), 6) AS jaccard
+FROM pairs p LEFT JOIN inter i USING (group_a, group_b)
+""")
+def q119(spark, sf):
+    out = D.group_overlap(T(spark, sf, "documents"), "doc_id", "text",
+                          "source", n=3)
+    return out.select("group_a", "group_b",
+                      F.col("n_a").cast("long").alias("n_a"),
+                      F.col("n_b").cast("long").alias("n_b"),
+                      F.col("n_common").cast("long").alias("n_common"),
+                      "jaccard")
+
+
+# ---------------------------------------------------------------- q120
+# Per-source corpus report card: volume, exact-dup exposure (corpus-
+# wide fingerprint counts — cross-source copies count), mean length,
+# language spread.
+@q("q120_source_scorecard", sql=f"""
+WITH d AS (
+  SELECT doc_id, source, lang, md5({_NORM}) AS fp,
+         len(string_split_regex(trim(text), '\\s+')) AS nt
+  FROM documents),
+fc AS (SELECT fp, COUNT(*) AS fn FROM d GROUP BY 1)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN fc.fn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_docs,
+       ROUND(CAST(SUM(CASE WHEN fc.fn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_rate,
+       ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM d JOIN fc USING (fp)
+GROUP BY 1
+""")
+def q120(spark, sf):
+    out = TA.source_scorecard(T(spark, sf, "documents"), "doc_id",
+                              "text", "source", lang_col="lang")
+    return out.select("source",
+                      F.col("n_docs").cast("long").alias("n_docs"),
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      F.col("dup_docs").cast("long").alias("dup_docs"),
+                      "dup_rate", "mean_tokens",
+                      F.col("n_langs").cast("long").alias("n_langs"))
+
+
+# ---------------------------------------------------------------- q121
+# Stratified eval-set sampling to a total budget with sqrt allocation:
+# per-source rates over the tiny count dim (1e-9-grid decimal weight
+# sum, q83 policy), keep rule = the unified half-up hex threshold.
+@q("q121_stratified_sample", sql="""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+w AS (SELECT source, n,
+             CAST(ROUND(sqrt(CAST(n AS DOUBLE)), 9) AS DECIMAL(19,9)) AS w9
+      FROM c),
+t AS (SELECT CAST(SUM(w9) AS DOUBLE) AS tw FROM w),
+rates AS (
+  SELECT source,
+         LEAST(1.0, 120.0 * CAST(w9 AS DOUBLE) / (t.tw * n)) AS rate
+  FROM w CROSS JOIN t),
+thr AS (
+  SELECT source,
+         CASE WHEN rate >= 1 THEN 'g'
+              WHEN floor(rate * 16777216 + 0.5) >= 16777216 THEN 'g'
+              ELSE printf('%06x',
+                          CAST(floor(rate * 16777216 + 0.5) AS INTEGER))
+         END AS thr
+  FROM rates)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr USING (source)
+WHERE substr(md5('strat-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 6)
+      < thr.thr
+""")
+def q121(spark, sf):
+    from rainforest_spark.operators.mixture import stratified_sample
+
+    d = T(spark, sf, "documents").select("doc_id", "source")
+    return stratified_sample(d, "doc_id", "source", budget=120)

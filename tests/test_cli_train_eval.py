@@ -153,3 +153,26 @@ def test_cli_media_dedup_corpus_sigs_writes_output(spark, tmp_path,
     flags = {os.path.basename(r.media_path): r.duplicate_of_corpus
              for r in spark.read.parquet(out).collect()}
     assert flags == {"known.gif": True, "fresh.gif": False}
+
+
+def test_cli_shell(spark, tmp_path, capsys, monkeypatch):
+    """The interactive shell dispatches lines through the same parser,
+    survives bad commands and errors, and exits on quit/EOF
+    (reference interface.py menu-loop surface)."""
+    from rainforest_spark.cli import main
+
+    pd.DataFrame({"k": [1, 2, 3]}).to_parquet(tmp_path / "t.parquet")
+    lines = iter([
+        "",                                       # blank: skipped
+        "# a comment",
+        "not-a-command",                          # parse error survives
+        f'query "SELECT COUNT(*) AS n FROM t" '
+        f'-t t={tmp_path / "t.parquet"}',
+        "help",
+        "quit",
+    ])
+    monkeypatch.setattr("builtins.input", lambda _="": next(lines))
+    rc = main(["shell"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"n"' in out or "n" in out  # the query ran and printed

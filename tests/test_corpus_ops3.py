@@ -398,3 +398,71 @@ def test_fps_k_exceeding_corpus_returns_all(spark):
     out = farthest_point_sample(e, "vec_id", "embedding", k=10).collect()
     assert sorted(r.vec_id for r in out) == [0, 1, 2]
     assert sorted(r.pick_order for r in out) == [1, 2, 3]
+
+
+# ------------------------------------------------ round-7 operators
+
+def test_group_overlap_exact_matrix(spark):
+    from rainforest_spark.operators.dedup import group_overlap
+
+    # srcA/srcB share exactly one 3-gram; srcC shares none (complete
+    # matrix must still carry the zero rows)
+    rows = [(0, "A", "a b c d"),        # grams: "a b c", "b c d"
+            (1, "B", "b c d e"),        # grams: "b c d", "c d e"
+            (2, "C", "x y z w")]        # grams: "x y z", "y z w"
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r.group_a, r.group_b): r
+           for r in group_overlap(d, "doc_id", "text", "source",
+                                  n=3).collect()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = got[("A", "B")]
+    assert (ab.n_a, ab.n_b, ab.n_common) == (2, 2, 1)
+    assert ab.jaccard == round(1 / 3, 6)
+    assert got[("A", "C")].n_common == 0
+    assert got[("A", "C")].jaccard == 0.0
+
+
+def test_source_scorecard_cross_source_dups(spark):
+    from rainforest_spark.operators.text_analysis import source_scorecard
+
+    rows = [(0, "A", "en", "same text"), (1, "B", "en", "Same   TEXT"),
+            (2, "A", "de", "unique one here"), (3, "B", "fr", "another")]
+    d = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string")
+    got = {r.source: r for r in
+           source_scorecard(d, "doc_id", "text", "source",
+                            lang_col="lang").collect()}
+    # the normalized fingerprint matches ACROSS sources: both copies
+    # count as duplicate-exposed
+    assert got["A"].dup_docs == 1 and got["B"].dup_docs == 1
+    assert got["A"].n_docs == 2 and got["A"].n_langs == 2
+    assert got["A"].n_tokens == 2 + 3
+    assert got["A"].dup_rate == 0.5
+    assert got["B"].mean_tokens == 1.5
+
+
+def test_stratified_sample_allocation(spark):
+    from rainforest_spark.operators.mixture import stratified_sample
+
+    # 3 sources with counts 900 / 90 / 10; budget 200 with sqrt
+    # allocation keeps the tiny source at a much higher RATE than the
+    # huge one, and the sample is deterministic
+    rows = ([(i, "big") for i in range(900)]
+            + [(1000 + i, "mid") for i in range(90)]
+            + [(2000 + i, "tiny") for i in range(10)])
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(d, "doc_id", "source", budget=200)
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in out.collect())
+    assert a == b                      # deterministic
+    n = {s: 0 for s in ("big", "mid", "tiny")}
+    for r in out.collect():
+        n[r.source] += 1
+    # realized counts are Binomial around the sqrt allocation
+    # (~127/40/13 of 200): tiny keeps everything (rate 1), the big
+    # source keeps well under a fifth of itself
+    assert n["tiny"] == 10
+    assert 0 < n["big"] < 250
+    assert n["big"] / 900 < n["mid"] / 90 < 1.01
+    with __import__("pytest").raises(ValueError):
+        stratified_sample(d, "doc_id", "source", 10, alloc="nope")

@@ -98,6 +98,11 @@ HEADLINE = [
     # counterparts for the physics guard.  No committed baseline yet;
     # the guard skips unknown keys.
     "q89_packed_tapes",
+    # round-7 additions with non-trivial scale shapes: the distinct
+    # (source, gram) self-join contamination matrix and the
+    # posexplode-per-dim centroid cohesion
+    "q119_source_overlap",
+    "q122_label_cohesion",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle

@@ -870,3 +870,62 @@ def farthest_point_sample(vectors: DataFrame, id_col: str, vec_col: str,
     return spark.createDataFrame(
         out_rows,
         f"{id_col} {id_type}, pick_order int, sim_at_pick double")
+
+
+def label_cohesion(vectors: DataFrame, id_col: str, vec_col: str,
+                   label_col: str, round_to: int = 6) -> DataFrame:
+    """Embedding-space health per class/cluster label: each label's
+    centroid cohesion — ``n``, the mean and the minimum cosine of the
+    label's members to their own centroid.  The drift monitor a
+    pipeline runs over embedding versions: a label whose mean cohesion
+    collapses has been polluted (mislabeled ingest) or the encoder
+    changed under it.
+
+    Exactness (both engines bit-identical):
+
+    - centroid: per-(label, dim) component sums on the 1e-9 grid as
+      DECIMAL(19,9) (q83 policy — order-free partial aggregation),
+      centroid component = exact-sum double / n;
+    - per-row cosine: one sequential array fold (zip_with aggregate ≡
+      DuckDB list_dot_product — index order, same doubles);
+    - mean cosine: per-element nanos of (cos+1) (shifted POSITIVE so
+      the exact round-half-up integer division idiom is sign-safe),
+      summed as BIGINT, divided back;
+    - min cosine: min over 6dp-rounded identical doubles.
+
+    Shape at 100 TB: one posexplode groupBy on (label, dim) — |labels|
+    × dim tiny dim out; the centroid table broadcast-joins back; one
+    grouped aggregation.  No pairwise anything.
+    """
+    v = with_double_vec(vectors, vec_col, "__v")
+    comp = v.select(F.col(label_col).alias("__lb"),
+                    F.posexplode("__v").alias("__pos", "__x"))
+    sums = (comp.withColumn("__x9",
+                            F.round("__x", 9).cast("decimal(19,9)"))
+            .groupBy("__lb", "__pos")
+            .agg(F.sum("__x9").alias("__s"),
+                 F.count(F.lit(1)).alias("__n")))
+    cent = (sums.withColumn("__c", F.col("__s").cast("double")
+                            / F.col("__n"))
+            .groupBy("__lb")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__c"))),
+                lambda t: t["__c"]).alias("__cent")))
+    scored = v.join(F.broadcast(cent),
+                    F.col(label_col).eqNullSafe(F.col("__lb")))
+    cos = (_dot("__v", "__cent")
+           / (_norm("__v") * _norm("__cent")))
+    nano = ((F.round(cos, 9) + F.lit(1.0)).cast("decimal(19,9)")
+            * F.lit(1000000000)).cast("long")
+    agg = (scored.select(F.col(label_col), nano.alias("__n9"),
+                         F.round(cos, round_to).alias("__c6"))
+           .groupBy(label_col)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("__n9").alias("__s9"),
+                F.min("__c6").alias("min_cos")))
+    micro = F.expr("(2 * __s9 + 1000 * n) div (2000 * n)")
+    return agg.select(
+        label_col, "n",
+        (micro.cast("double") / F.lit(1000000.0) - F.lit(1.0))
+        .alias("mean_cos"),
+        "min_cos")

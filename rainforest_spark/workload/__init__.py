@@ -108,7 +108,11 @@ _PRIORITY = [
     # parity-gated).
     "q119_source_overlap", "q120_source_scorecard",
     "q121_stratified_sample",
-    "q86_pii_redaction", "q85_jl_projection",
+    # per-label embedding cohesion (round-7) — admitted by demoting
+    # q85_jl_projection (r6-green; the plan-time sign-matrix construct
+    # is bit-exact by design and stays pytest-parity-gated)
+    "q122_label_cohesion",
+    "q86_pii_redaction",
     # selection: q105 token budget
     "q105_token_budget",
     # radar/relational flagships: the Phase-2 pipeline, retrievals,

@@ -386,3 +386,46 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster, sim FROM (
 def q107(spark, sf):
     e = T(spark, sf, "embeddings")
     return SIM.kmeans_clusters(e, "vec_id", "embedding", k=8, n_iter=2)
+
+
+# ---------------------------------------------------------------- q122
+# Per-label embedding cohesion: centroid from 1e-9-grid decimal
+# component sums; per-row cosine as one sequential fold; mean via the
+# sign-safe shifted-nanos integer round; min over 6dp doubles.
+@q("q122_label_cohesion", sql="""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings),
+comp AS (
+  SELECT label, pos,
+         CAST(ROUND(v[pos], 9) AS DECIMAL(19,9)) AS x9
+  FROM v, UNNEST(generate_series(1, len(v))) AS t(pos)),
+sums AS (
+  SELECT label, pos, SUM(x9) AS s, COUNT(*) AS n
+  FROM comp GROUP BY 1, 2),
+cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS c
+  FROM sums GROUP BY 1),
+scored AS (
+  SELECT v.label,
+         list_dot_product(v.v, c.c)
+           / (sqrt(list_dot_product(v.v, v.v))
+              * sqrt(list_dot_product(c.c, c.c))) AS cos
+  FROM v JOIN cent c USING (label)),
+agg AS (
+  SELECT label, COUNT(*) AS n,
+         SUM(CAST(CAST(ROUND(cos, 9) + 1.0 AS DECIMAL(19,9))
+                  * 1000000000 AS BIGINT)) AS s9,
+         MIN(ROUND(cos, 6)) AS min_cos
+  FROM scored GROUP BY 1)
+SELECT label, CAST(n AS BIGINT) AS n,
+       CAST((2 * s9 + 1000 * n) // (2000 * n) AS DOUBLE) / 1000000.0
+         - 1.0 AS mean_cos,
+       min_cos
+FROM agg
+""")
+def q122(spark, sf):
+    e = T(spark, sf, "embeddings")
+    out = SIM.label_cohesion(e, "vec_id", "embedding", "label")
+    return out.select("label", F.col("n").cast("long").alias("n"),
+                      "mean_cos", "min_cos")

@@ -466,3 +466,21 @@ def test_stratified_sample_allocation(spark):
     assert n["big"] / 900 < n["mid"] / 90 < 1.01
     with __import__("pytest").raises(ValueError):
         stratified_sample(d, "doc_id", "source", 10, alloc="nope")
+
+
+def test_label_cohesion_geometry(spark):
+    """Known geometry: a tight label (identical vectors -> cohesion 1)
+    vs a spread label (two orthogonal vectors -> cos to the mean
+    direction = cos 45deg ~ 0.7071)."""
+    from rainforest_spark.operators.similarity import label_cohesion
+
+    rows = [(0, 1, [1.0, 0.0]), (1, 1, [1.0, 0.0]),
+            (2, 2, [1.0, 0.0]), (3, 2, [0.0, 1.0])]
+    d = spark.createDataFrame(rows,
+                              "vec_id long, label int, embedding array<float>")
+    got = {r.label: r for r in
+           label_cohesion(d, "vec_id", "embedding", "label").collect()}
+    assert got[1].n == 2 and got[1].mean_cos == 1.0 and got[1].min_cos == 1.0
+    assert got[2].n == 2
+    assert abs(got[2].mean_cos - 0.707107) < 1e-6
+    assert abs(got[2].min_cos - 0.707107) < 1e-6

@@ -301,3 +301,18 @@ def test_q109_growth_curve_range_partitioned(spark):
     assert "rangepartitioning" in p.lower(), \
         "q109 lost the distributed ranged_cumsum path"
     assert "CartesianProduct" not in p
+
+
+def test_round7_corpus_ops_plan_shapes(spark):
+    # q119: the gram self-join must be an EQUI-join (SMJ/SHJ/BHJ on the
+    # shingle key) — the only CartesianProduct allowed is the tiny GxG
+    # source-dim pair matrix; q120/q122 never cross-join anything and
+    # broadcast their dim back.
+    p = fmt_plan(spark, "q119_source_overlap")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+            or "BroadcastHashJoin" in p)
+    for name in ["q120_source_scorecard", "q122_label_cohesion"]:
+        p = fmt_plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastHashJoin" in p, name

@@ -665,10 +665,14 @@ def group_overlap(df: DataFrame, id_col: str, text_col: str,
     group dim).
 
     Shape at 100 TB: grams collapse to DISTINCT (group, gram) rows
-    first (one groupBy, uniform md5-able keys); the pair counts come
-    from a gram-keyed self equi-join of that collapsed table — a gram
-    shared by g of the G groups fans out g·(g-1)/2 pairs, bounded by
-    the GROUP count (a handful), never by corpus size.  The final
+    first (one groupBy, uniform md5-able keys), then ONE gram-keyed
+    aggregation folds each gram's member groups into a sorted set
+    (size ≤ G, the group count — a handful); pair counts and per-group
+    sizes both explode out of that per-gram set, so the corpus-scale
+    work (scan → shingle explode → two distincts → gram shuffle) sits
+    under a single Exchange that Spark REUSES across the two branches
+    — a naive gram self-join re-ran the whole shingle pipeline four
+    times (once per join side and twice for the size dim).  The final
     matrix assembly is a cross join of the G-row size dim with itself.
     Jaccard is exact-integer counts through one double division,
     rounded to 6dp — identical in any engine.
@@ -677,13 +681,30 @@ def group_overlap(df: DataFrame, id_col: str, text_col: str,
              .join(df.select(id_col, group_col), id_col)
              .select(F.col(group_col).alias("__g"), "shingle")
              .distinct())
-    sz = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__sz"))
-    inter = (grams.select(F.col("__g").alias("group_a"), "shingle")
-             .join(grams.select(F.col("__g").alias("group_b"), "shingle"),
-                   "shingle")
-             .filter(F.col("group_a") < F.col("group_b"))
-             .groupBy("group_a", "group_b")
-             .agg(F.count(F.lit(1)).alias("__common")))
+    bg = grams.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("__g")).alias("__gs"))
+    # ONE explode emits singles (gb NULL → per-group gram counts) and
+    # ordered pairs (→ pair intersections) together, so both outputs
+    # filter the SAME aggregated table and the whole corpus-scale
+    # subtree is shared (identical branches → exchange reuse)
+    # nullif(g, g) = NULL of the group's own type; the pair branch is
+    # gated on size >= 2 because Spark's sequence(0, -1) would DESCEND
+    items = F.expr(
+        "concat(transform(__gs, g -> struct(g AS ga, "
+        "nullif(g, g) AS gb)), "
+        "CASE WHEN size(__gs) >= 2 THEN "
+        "flatten(transform(sequence(0, size(__gs) - 2), j -> "
+        "transform(sequence(j + 1, size(__gs) - 1), i -> "
+        "struct(__gs[j] AS ga, __gs[i] AS gb)))) "
+        "ELSE array() END)")
+    counts = (bg.select(F.explode(items).alias("__p"))
+              .groupBy(F.col("__p.ga").alias("group_a"),
+                       F.col("__p.gb").alias("group_b"))
+              .agg(F.count(F.lit(1)).alias("__common")))
+    sz = (counts.filter(F.col("group_b").isNull())
+          .select(F.col("group_a").alias("__g"),
+                  F.col("__common").alias("__sz")))
+    inter = counts.filter(F.col("group_b").isNotNull())
     pairs = (sz.select(F.col("__g").alias("group_a"),
                        F.col("__sz").alias("n_a"))
              .crossJoin(sz.select(F.col("__g").alias("group_b"),

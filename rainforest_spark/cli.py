@@ -146,6 +146,30 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_quality(args) -> int:
+    """Model-based quality gate: fit the LogisticRegression quality
+    classifier on a labeled seed parquet (text + 0/1 label), score a
+    corpus, optionally cut at a threshold."""
+    from rainforest_spark.ml.quality import QualityClassifier, quality_filter
+    from rainforest_spark.session import get_spark
+
+    spark = get_spark("rainforest-quality")
+    seed = spark.read.parquet(args.seed)
+    clf = QualityClassifier(text_col=args.text_col,
+                            label_col=args.label_col).fit(seed)
+    docs = spark.read.parquet(args.input)
+    if args.threshold is not None:
+        out = quality_filter(docs, clf, args.threshold)
+    else:
+        out = clf.transform(docs)
+    out.write.mode("overwrite").parquet(args.output)
+    n_in, n_out = docs.count(), out.count()
+    print(json.dumps({"output": args.output, "n_in": n_in,
+                      "n_out": n_out,
+                      "threshold": args.threshold}))
+    return 0
+
+
 def cmd_shell(args) -> int:
     """Interactive shell (reference user surface: interface.py's
     prompt-toolkit menu loop, rainforest/interface.py:71-405).  The
@@ -506,6 +530,18 @@ def main(argv=None) -> int:
                         "(default: all numeric non-key columns)")
     t.add_argument("--target", default="target_mmh")
     t.set_defaults(fn=cmd_train)
+
+    ql = sub.add_parser("quality",
+                        help="fit + apply the trainable quality gate")
+    ql.add_argument("input", help="corpus parquet to score")
+    ql.add_argument("--seed", required=True,
+                    help="labeled seed parquet (text + 0/1 label)")
+    ql.add_argument("-o", "--output", required=True)
+    ql.add_argument("--threshold", type=float, default=None,
+                    help="cut at this probability (default: score only)")
+    ql.add_argument("--text-col", default="text")
+    ql.add_argument("--label-col", default="label")
+    ql.set_defaults(fn=cmd_quality)
 
     sh = sub.add_parser("shell",
                         help="interactive shell over all subcommands")

@@ -176,3 +176,34 @@ def test_cli_shell(spark, tmp_path, capsys, monkeypatch):
     assert rc == 0
     out = capsys.readouterr().out
     assert '"n"' in out or "n" in out  # the query ran and printed
+
+
+def test_cli_quality_gate(spark, tmp_path, capsys):
+    import json as _json
+    import random
+
+    from rainforest_spark.cli import main
+
+    rng = random.Random(5)
+    words = ["clean", "plain", "text", "with", "common", "words", "and",
+             "usual", "structure", "here"]
+    seed = ([(i, " ".join(rng.choices(words, k=25)), 1)
+             for i in range(80)]
+            + [(100 + i, " ".join("".join(rng.choices("0123456789#$%", k=8))
+                                  for _ in range(25)), 0)
+               for i in range(80)])
+    pd.DataFrame(seed, columns=["doc_id", "text", "label"]).to_parquet(
+        tmp_path / "seed.parquet")
+    corpus = [(500, " ".join(rng.choices(words, k=25))),
+              (501, " ".join("".join(rng.choices("0123456789#$%", k=8))
+                             for _ in range(25)))]
+    pd.DataFrame(corpus, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "corpus.parquet")
+    out = str(tmp_path / "scored")
+    assert main(["quality", str(tmp_path / "corpus.parquet"),
+                 "--seed", str(tmp_path / "seed.parquet"),
+                 "-o", out, "--threshold", "0.5"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_in"] == 2 and res["n_out"] == 1
+    kept = spark.read.parquet(out)
+    assert [r.doc_id for r in kept.collect()] == [500]

@@ -183,3 +183,40 @@ def test_intercompare_cli(spark, tmp_path, capsys):
     assert res["rmse_10min_all"]["RF"] <= res["rmse_10min_all"]["RZC"]
     saved = spark.read.parquet(out)
     assert saved.filter("bound = 'all'").count() > 0
+
+
+def test_quality_classifier_separates(spark):
+    """The trainable quality gate must separate clean prose from
+    digit/punct-heavy junk it was seeded on, score unseen docs
+    sensibly, and keep scoring map-only (no Exchange in the plan)."""
+    import random
+
+    from rainforest_spark.ml.quality import QualityClassifier, quality_filter
+
+    rng = random.Random(7)
+    words = ["the", "model", "reads", "clean", "text", "with", "normal",
+             "structure", "and", "plain", "words", "of", "varied",
+             "length", "sentences"]
+    good = [(i, " ".join(rng.choices(words, k=30)), 1)
+            for i in range(120)]
+    junk = [(1000 + i,
+             " ".join("".join(rng.choices("0123456789$#@!%", k=9))
+                      for _ in range(30)), 0)
+            for i in range(120)]
+    d = spark.createDataFrame(good + junk,
+                              "doc_id long, text string, label int")
+    train = d.filter("doc_id % 3 != 0")
+    test = d.filter("doc_id % 3 = 0")
+    clf = QualityClassifier().fit(train)
+    scored = clf.transform(test)
+    rows = scored.join(d.select("doc_id", "label"), "doc_id").collect()
+    good_p = [r.quality_prob for r in rows if r.label == 1]
+    junk_p = [r.quality_prob for r in rows if r.label == 0]
+    assert min(good_p) > max(junk_p), "classifier failed to separate"
+    kept = quality_filter(test.select("doc_id", "text"), clf, 0.5)
+    assert kept.count() == len(good_p)
+    assert "quality_prob" in kept.columns
+    # scoring is map-only: no shuffle in the transform plan
+    p = clf.transform(test.select("doc_id", "text"))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in p

@@ -717,3 +717,52 @@ def group_overlap(df: DataFrame, id_col: str, text_col: str,
         F.round(F.col("n_common")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6)
         .alias("jaccard"))
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup: document A is (near-)contained in
+    B when ``|shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ threshold``
+    — the quote/excerpt/boilerplate-wrapper case symmetric Jaccard
+    systematically misses (a 100-word doc fully embedded in a
+    10 000-word doc has Jaccard ≈ 0.01 but containment 1.0).
+
+    Returns ``(contained_id, container_id, containment)`` oriented
+    small→large (ties break on id), one row per direction that clears
+    the threshold.
+
+    Shape at 100 TB: candidates come from the shared-gram equi-join of
+    the distinct shingle table (the q44 machinery — a pair must share
+    ≥1 gram to have containment > 0, so no all-pairs anywhere); the
+    intersection count is one grouped aggregation over candidate
+    pairs; sizes broadcast off the per-doc gram-count dim.  Note
+    MinHash banding is NOT used here by design: minhashes estimate
+    Jaccard, and a contained-but-small doc's band signature diverges
+    from its container's, so banded candidates would silently lose
+    exactly the pairs this operator exists to find.  Containment is an
+    exact integer ratio through one rounded double division.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.select(F.col(id_col).alias("__ida"), "shingle")
+    b = sh.select(F.col(id_col).alias("__idb"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("__ida") != F.col("__idb"))
+             .groupBy("__ida", "__idb")
+             .agg(F.count(F.lit(1)).alias("__inter")))
+    j = (inter
+         .join(sz.select(F.col(id_col).alias("__ida"),
+                         F.col("__sz").alias("__sza")), "__ida")
+         .join(sz.select(F.col(id_col).alias("__idb"),
+                         F.col("__sz").alias("__szb")), "__idb"))
+    # orient small -> large: A is the contained side
+    oriented = j.filter(
+        (F.col("__sza") < F.col("__szb"))
+        | ((F.col("__sza") == F.col("__szb"))
+           & (F.col("__ida") < F.col("__idb"))))
+    cont = F.round(F.col("__inter") / F.col("__sza"), 6)
+    return (oriented.withColumn("containment", cont)
+            .filter(F.col("containment") >= threshold)
+            .select(F.col("__ida").alias("contained_id"),
+                    F.col("__idb").alias("container_id"),
+                    "containment"))

@@ -98,8 +98,10 @@ _PRIORITY = [
     # (incremental), q102 (boilerplate)
     "q92_repeated_spans", "q95_span_excision",
     "q97_incremental_dedup", "q102_boilerplate_removal",
-    # LM/statistics: q96 DSIR, q106 bigram LM
-    "q96_dsir_weights", "q106_bigram_logprob",
+    # LM/statistics: q106 bigram LM (q96_dsir_weights r6-green demoted
+    # for q123 containment — the unigram-LLR machinery stays covered by
+    # in-window q106/q108 and the pytest parity gate)
+    "q106_bigram_logprob", "q123_containment_pairs",
     # corpus health + round-7 additions: source-overlap contamination
     # matrix, per-source scorecard, stratified eval sampling.  Admitted
     # by demoting q94_vocab_coverage, q99_corpus_drift and

@@ -1878,3 +1878,36 @@ def q121(spark, sf):
 
     d = T(spark, sf, "documents").select("doc_id", "source")
     return stratified_sample(d, "doc_id", "source", budget=120)
+
+
+# ---------------------------------------------------------------- q123
+# Asymmetric containment dedup (quote/excerpt case): shared-gram
+# candidates, |A∩B|/|A| oriented small->large, exact-integer ratio.
+@q("q123_containment_pairs", sql="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ') AS words
+        FROM documents),
+       UNNEST(generate_series(1, len(words) - 2)) AS u(i)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY 1, 2),
+o AS (
+  SELECT ida, idb, i, sa.sz AS sza
+  FROM inter
+  JOIN sz sa ON sa.doc_id = ida
+  JOIN sz sb ON sb.doc_id = idb
+  WHERE sa.sz < sb.sz OR (sa.sz = sb.sz AND ida < idb))
+SELECT ida AS contained_id, idb AS container_id,
+       ROUND(CAST(i AS DOUBLE) / sza, 6) AS containment
+FROM o
+WHERE ROUND(CAST(i AS DOUBLE) / sza, 6) >= 0.5
+""")
+def q123(spark, sf):
+    return D.containment_pairs(T(spark, sf, "documents"), "doc_id",
+                               "text", n=3, threshold=0.5)

@@ -484,3 +484,24 @@ def test_label_cohesion_geometry(spark):
     assert got[2].n == 2
     assert abs(got[2].mean_cos - 0.707107) < 1e-6
     assert abs(got[2].min_cos - 0.707107) < 1e-6
+
+
+def test_containment_pairs_excerpt_case(spark):
+    """A short doc fully embedded in a long one: Jaccard is tiny but
+    containment is 1.0; orientation is small->large; a below-threshold
+    overlap pair is excluded."""
+    from rainforest_spark.operators.dedup import containment_pairs, \
+        ngram_jaccard_pairs
+
+    body = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(20, 28))   # 8 words inside
+    rows = [(0, body), (1, quote), (2, "x y z q r s t u v")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.contained_id, r.container_id): r.containment
+           for r in containment_pairs(d, "doc_id", "text",
+                                      threshold=0.8).collect()}
+    assert got == {(1, 0): 1.0}
+    # and symmetric Jaccard misses it at any usable threshold
+    jac = ngram_jaccard_pairs(d, "doc_id", "text",
+                              threshold=0.3).collect()
+    assert not any({r.id_a, r.id_b} == {0, 1} for r in jac)

@@ -316,3 +316,40 @@ def test_round7_corpus_ops_plan_shapes(spark):
         p = fmt_plan(spark, name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastHashJoin" in p, name
+
+
+#: Queries whose plans INTENTIONALLY contain a BroadcastNestedLoopJoin
+#: (a tiny broadcast side — 1-row totals, k-row centroid/query/vocab
+#: dims — where a nested-loop against a handful of rows is the right
+#: plan) or a CartesianProduct over a bounded dim (q119's GxG source
+#: matrix).  Everything else in the registry must stay free of both:
+#: an unlisted cartesian is the canonical 100-TB scale-killer.
+_CROSS_JOIN_WHITELIST = {
+    "q104_margin_alignment", "q106_bigram_logprob",
+    "q107_kmeans_clusters", "q113_dedup_rebalance",
+    "q119_source_overlap", "q121_stratified_sample",
+    "q14_nearest_centroid", "q28_set_ops", "q31_dn_discretization",
+    "q50_cosine_topk", "q51_centroid_classify", "q57_ivf_ann_topk",
+    "q58_polar_masks", "q62_vpr_correction", "q66_qpe_evaluation",
+    "q69_tfidf_top_terms", "q77_quantized_cosine_topk",
+    "q83_unigram_logprob", "q90_hard_negatives", "q91_pmi_bigrams",
+    "q93_semantic_decontamination", "q96_dsir_weights",
+    "q98_domain_terms", "q99_corpus_drift",
+}
+
+
+def test_registry_wide_no_unlisted_cross_join(spark):
+    """Registry-wide lint: no query outside the documented whitelist
+    may plan a CartesianProduct or BroadcastNestedLoopJoin.  Catches a
+    future operator (or a Catalyst behavior change) silently degrading
+    an equi-join into an all-pairs plan anywhere in the surface."""
+    offenders = {}
+    for name, fn in all_queries().items():
+        if name in _CROSS_JOIN_WHITELIST:
+            continue
+        p = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        marks = [m for m in ("CartesianProduct", "BroadcastNestedLoopJoin")
+                 if m in p]
+        if marks:
+            offenders[name] = marks
+    assert not offenders, offenders

@@ -112,10 +112,14 @@ def model_intercomparison(df: DataFrame,
                           bounds: tuple[float, ...] = (0.0, 2.0, 10.0, 100.0),
                           k: int = 5, gap_hours: float = 12.0,
                           seed: int = 42,
-                          min_ref: float = 0.1) -> DataFrame:
+                          min_ref: float = 0.1,
+                          station_scores: bool = False) -> DataFrame:
     """Run the K-fold event-CV intercomparison; returns ONE tidy score
-    DataFrame with columns ``(model, fold, timeagg, phase, bound, N,
-    RMSE, logBias, est_mean, ref_mean, corr_p)``.
+    DataFrame with columns ``(model, fold, timeagg, phase, bound,
+    station, N, RMSE, logBias, est_mean, ref_mean, corr_p)`` —
+    ``station`` is NULL on the nationwide rows; ``station_scores=True``
+    (reference ml/rf.py:1169-1331) additionally emits per-station rows
+    for the 'all' phase at both time aggregations.
 
     ``models`` maps model name → :class:`ModelSpec` (or its dict form);
     ``reference_products`` are COLUMN NAMES of ``df`` carrying each
@@ -180,13 +184,29 @@ def model_intercomparison(df: DataFrame,
                         F.lit(fold).alias("fold"),
                         F.lit(timeagg).alias("timeagg"),
                         F.lit(phase).alias("phase"),
-                        "bound", "N", "RMSE", "logBias",
+                        "bound",
+                        F.lit(None).cast("string").alias("station"),
+                        "N", "RMSE", "logBias",
+                        "est_mean", "ref_mean", "corr_p"))
+                if station_scores and station_col:
+                    rows = _score_pass(view, "__est", "__ref", bounds,
+                                       min_ref, [station_col])
+                    out_parts.append(rows.select(
+                        F.lit(name).alias("model"),
+                        F.lit(fold).alias("fold"),
+                        F.lit(timeagg).alias("timeagg"),
+                        F.lit("all").alias("phase"),
+                        "bound",
+                        F.col(station_col).cast("string")
+                        .alias("station"),
+                        "N", "RMSE", "logBias",
                         "est_mean", "ref_mean", "corr_p"))
     folded.unpersist()
     if not out_parts:
         schema = ("model string, fold int, timeagg string, phase string, "
-                  "bound string, N long, RMSE double, logBias double, "
-                  "est_mean double, ref_mean double, corr_p double")
+                  "bound string, station string, N long, RMSE double, "
+                  "logBias double, est_mean double, ref_mean double, "
+                  "corr_p double")
         return spark.createDataFrame([], schema)
     out = out_parts[0]
     for p in out_parts[1:]:
@@ -205,5 +225,7 @@ def intercomparison_summary(scores: DataFrame) -> DataFrame:
                  F.min(m).alias(f"{m}_min"),
                  F.max(m).alias(f"{m}_max")]
     aggs.append(F.sum("N").alias("N_total"))
-    return (scores.groupBy("model", "timeagg", "phase", "bound")
-            .agg(*aggs))
+    keys = ["model", "timeagg", "phase", "bound"]
+    if "station" in scores.columns:
+        keys.append("station")
+    return scores.groupBy(*keys).agg(*aggs)

@@ -220,3 +220,26 @@ def test_quality_classifier_separates(spark):
     p = clf.transform(test.select("doc_id", "text"))._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in p
+
+
+def test_intercomparison_station_scores(spark, comparable):
+    """station_scores=True adds per-station 'all'-phase rows
+    (reference ml/rf.py:1169+); nationwide rows carry NULL station."""
+    from rainforest_spark.ml.intercomparison import model_intercomparison
+
+    scores = model_intercomparison(
+        comparable, {"RF": {"features": FEATURES, "num_trees": 5,
+                            "max_depth": 8}},
+        reference_products=["RZC"], k=2, station_scores=True).cache()
+    nat = scores.filter("station IS NULL")
+    per = scores.filter("station IS NOT NULL")
+    assert nat.count() > 0 and per.count() > 0
+    assert {r.phase for r in per.select("phase").distinct().collect()} \
+        == {"all"}
+    # every station that appears got scored for both models
+    st_models = {(r.station, r.model) for r in
+                 per.select("station", "model").distinct().collect()}
+    stations = {s for s, _ in st_models}
+    assert all((s, m) in st_models for s in stations
+               for m in ("RF", "RZC"))
+    scores.unpersist()

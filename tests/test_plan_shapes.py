@@ -304,18 +304,23 @@ def test_q109_growth_curve_range_partitioned(spark):
 
 
 def test_round7_corpus_ops_plan_shapes(spark):
-    # q119: the gram self-join must be an EQUI-join (SMJ/SHJ/BHJ on the
-    # shingle key) — the only CartesianProduct allowed is the tiny GxG
-    # source-dim pair matrix; q120/q122 never cross-join anything and
-    # broadcast their dim back.
+    # q119: the gram aggregation path must keep an EQUI-join (the join
+    # of grams to the source dim); the GxG pair-matrix cross join is
+    # bounded by construction (either CartesianProduct or a tiny-side
+    # BroadcastNestedLoopJoin depending on size estimation — both fine,
+    # whitelisted in the registry lint).  q120's fingerprint join is a
+    # DELIBERATE shuffle join at scale (uniform md5 keys, not a dim) —
+    # assert only that nothing degrades to an all-pairs plan.  q122's
+    # centroid join is an explicit broadcast hint.
     p = fmt_plan(spark, "q119_source_overlap")
-    assert "BroadcastNestedLoopJoin" not in p
     assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
             or "BroadcastHashJoin" in p)
-    for name in ["q120_source_scorecard", "q122_label_cohesion"]:
-        p = fmt_plan(spark, name)
-        assert "CartesianProduct" not in p, name
-        assert "BroadcastHashJoin" in p, name
+    p = fmt_plan(spark, "q120_source_scorecard")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    p = fmt_plan(spark, "q122_label_cohesion")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # the explicit F.broadcast hint
 
 
 #: Queries whose plans INTENTIONALLY contain a BroadcastNestedLoopJoin

@@ -48,6 +48,29 @@ Round-6 continued additions to the idiom set (all proven hash-exact):
   functions of the decoded samples (q111's windowed energy contour);
   DCT-based hashes (pHash) stay pytest-gated — transcendental per-
   pixel math has no portable SQL form.
+
+Round-7 additions to the idiom set (all proven hash-exact):
+
+- Decimal PRODUCTS cap the operand precision at (18,9): a
+  (19,9)×(19,9) product wants precision 39, which Spark clamps to
+  (38,17) — silently rounding the 18th fractional digit — while
+  DuckDB keeps the exact (38,18).  At (18,9) the product is (37,18),
+  exact on both engines (q108/q109's sufficient-statistic sums).
+- Distributed RANK over a multi-key order: encode the order as ONE
+  range-partitionable struct key ((-count), term) and cumsum a unit
+  weight through ranged_cumsum — row_number without a single-
+  partition window (q108's vocab rank).
+- Possibly-NEGATIVE rounded means shift per-element nanos by +1
+  before the exact integer round-half-up division and subtract the
+  shift after — Spark's `div` truncates toward zero while DuckDB's
+  `//` floors, so they only agree on non-negative numerators (q122's
+  mean cosine).
+- Runtime sampling rates round HALF-UP (floor(x·16^6 + 0.5)) in both
+  the literal and dynamic threshold builders, keep-all decisions come
+  from EXACT integer/decimal cross-multiplies (never a double landing
+  on 1.0), and non-integer rate WEIGHTS (sqrt allocations) are rounded
+  to the 1e-9 grid and summed as DECIMAL(19,9) before the double
+  division (q113, q121).
 """
 
 from __future__ import annotations

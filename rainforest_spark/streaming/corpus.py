@@ -154,3 +154,44 @@ def curate_media_stream(stream: DataFrame, id_col: str = "media_id",
              .filter(~F.col("__corpus_hit")).drop("__corpus_hit"))
     return dedup_stream(s, ["phash"], ts_col=ts_col,
                         watermark=watermark)
+
+
+def ingest_metrics_stream(stream: DataFrame, text_col: str = "text",
+                          source_col: str = "source",
+                          ts_col: str = "ingest_ts",
+                          window: str = "10 minutes",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Streaming ingest monitoring: per (event-time window, source)
+    volume and quality aggregates — the dashboard feed a crawl
+    pipeline watches to catch a source going dark, flooding, or
+    degrading (token mass collapsing, exact-dup share spiking) while
+    the data is still arriving.
+
+    Emitted per closed window: ``n_docs``, ``n_tokens``,
+    ``n_distinct_docs`` (exact-dup exposure within the window via the
+    per-(window, fingerprint) pre-aggregation — streaming forbids
+    COUNT(DISTINCT), so distinctness is a two-level windowed
+    aggregation, both levels watermark-bounded), and ``mean_tokens``.
+
+    Scale shape: both aggregation levels key on (window, source
+    [, fingerprint]) — uniform md5-able state keys, bounded by the
+    watermark; nothing global.  Append-mode safe (rows emit once per
+    closed window).
+    """
+    win = F.window(F.col(ts_col), window)
+    base = (stream.withWatermark(ts_col, watermark)
+            .select(win.alias("w"), F.col(source_col).alias("source"),
+                    TA.token_count(text_col).alias("__nt"),
+                    TA.fingerprint(text_col).alias("__fp")))
+    per_fp = (base.groupBy("w", "source", "__fp")
+              .agg(F.count(F.lit(1)).alias("__n"),
+                   F.sum("__nt").alias("__t")))
+    out = (per_fp.groupBy("w", "source")
+           .agg(F.sum("__n").alias("n_docs"),
+                F.sum("__t").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_distinct_docs")))
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "source", "n_docs", "n_tokens", "n_distinct_docs",
+        (F.col("n_tokens") / F.col("n_docs")).alias("mean_tokens"))

@@ -663,3 +663,55 @@ def test_curate_media_stream_index_bound_enforced(spark, tmp_path):
     with pytest.raises(ValueError, match="incremental_hamming_neardup"):
         curate_media_stream(stream, corpus_sigs=corpus_sigs,
                             max_corpus_sigs=5)
+
+
+def test_ingest_metrics_stream_matches_batch(spark, tmp_path):
+    """Windowed per-source ingest metrics: the streaming two-level
+    aggregation (distinctness without COUNT(DISTINCT)) must equal the
+    batch groupBy over the same closed windows."""
+    import pandas as pd
+
+    from rainforest_spark.streaming.corpus import ingest_metrics_stream
+
+    src = str(tmp_path / "docs")
+    sink = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+    base = 1717200000
+    # the final "Z" row only advances the watermark so the earlier
+    # windows CLOSE and append-mode emits them; its own window stays
+    # open and must not appear in the sink
+    rows = pd.DataFrame({
+        "doc_id": range(7),
+        "source": ["A", "A", "A", "B", "B", "B", "Z"],
+        "text": ["one two three", "one two three",   # exact dup in A
+                 "four five", "six seven eight nine",
+                 "ten", "ten",                        # exact dup in B
+                 "closer"],
+        "ingest_ts": pd.to_datetime(
+            [base, base + 60, base + 120, base + 60, base + 700,
+             base + 760, base + 2400], unit="s").astype("datetime64[us]"),
+    })
+    rows.to_parquet(f"{src}/a.parquet", index=False)
+
+    stream = (spark.readStream
+              .schema("doc_id bigint, source string, text string, "
+                      "ingest_ts timestamp")
+              .parquet(src))
+    q = (ingest_metrics_stream(stream, window="10 minutes",
+                               watermark="1 minute")
+         .writeStream.outputMode("append")
+         .format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.source, int(r.window_start.timestamp())):
+           (r.n_docs, r.n_tokens, r.n_distinct_docs, r.mean_tokens)
+           for r in spark.read.parquet(sink).collect()}
+    w0 = base - base % 600
+    w1 = w0 + 600
+    assert got[("A", w0)] == (3, 8, 2, 8 / 3)   # dup pair collapses to 2
+    assert got[("B", w0)] == (1, 4, 1, 4.0)
+    assert got[("B", w1)] == (2, 2, 1, 1.0)
+    assert not any(s == "Z" for s, _ in got)    # open window not emitted

@@ -202,6 +202,10 @@ SF10_HEADLINE = [
     "q102_boilerplate_removal",
     "q84_epoch_shard",
     "q89_packed_tapes",
+    # round-7 additions get their second decade from day one: the
+    # AQE-reused gram matrix and the per-dim centroid agg
+    "q119_source_overlap",
+    "q122_label_cohesion",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0

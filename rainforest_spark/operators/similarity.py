@@ -929,3 +929,90 @@ def label_cohesion(vectors: DataFrame, id_col: str, vec_col: str,
         (micro.cast("double") / F.lit(1000000.0) - F.lit(1.0))
         .alias("mean_cos"),
         "min_cos")
+
+
+def embedding_novelty(batch: DataFrame, corpus: DataFrame,
+                      id_col: str, vec_col: str, planes=None,
+                      round_to: int = 6, seed: int = 4242,
+                      dim: int | None = None,
+                      corpus_id_col: str | None = None) -> DataFrame:
+    """Semantic novelty of an ingest batch against the PERSISTED
+    corpus: per batch vector, ``1 − max(0, cos)`` over its LSH-
+    candidate corpus neighbours — the embedding-space analogue of the
+    n-gram :func:`~rainforest_spark.operators.dedup.novelty_scores`
+    (novelty ≈ 0: semantically re-served content; ≈ 1 or NULL —
+    no candidate at all: genuinely new).
+
+    Returns ``(batch_id, max_sim, novelty)``; batch vectors with no
+    bucket-sharing corpus neighbour keep a NULL ``max_sim``/``novelty``
+    rather than disappearing (the ingest-gate join is LEFT from the
+    batch).
+
+    Exactness: per-pair cosine is the sequential fold, rounded at
+    ``round_to`` BEFORE the max (max over identical rounded doubles is
+    engine-free); novelty is arithmetic on the already-rounded max.
+
+    Shape at 100 TB: the corpus side's buckets are computed from the
+    SAME broadcast plane literals as the batch (at scale: persist the
+    corpus bucket table once per corpus version, exactly like q97's
+    band table); candidates come from per-table bucket equi-joins with
+    the small batch side — cost O(batch × bucket density), never
+    O(corpus).  ``planes=None`` auto-sizes off the CORPUS count so
+    bucket density holds as the corpus grows.
+    """
+    cid = corpus_id_col or id_col
+    if planes is None:
+        n = corpus.count()
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        planes = auto_planes(n, dim, seed=seed)
+    n_tables = len(planes)
+
+    def prep(df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        v = with_double_vec(df, vec_col, "v")
+        return v.select(F.col(idc).alias(out_id), "v",
+                        _norm("v").alias("nrm"))
+
+    def bucket_col(t: int) -> Column:
+        b = F.lit(0)
+        for p, row in enumerate(planes[t]):
+            arr = F.array(*[F.lit(float(x)) for x in row])
+            dot = F.aggregate(F.zip_with(F.col("v"), arr,
+                                         lambda x, y: x * y),
+                              F.lit(0.0), lambda acc, x: acc + x)
+            b = b + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return b
+
+    bb = prep(batch, id_col, "batch_id")
+    cb = prep(corpus, cid, "corpus_id")
+    bb = bb.select("batch_id", "v", "nrm",
+                   *[bucket_col(t).alias(f"b{t}") for t in range(n_tables)])
+    cb = cb.select("corpus_id", "v", "nrm",
+                   *[bucket_col(t).alias(f"b{t}") for t in range(n_tables)])
+    cand = None
+    for t in range(n_tables):
+        a = bb.select("batch_id", F.col(f"b{t}").alias("__bk"))
+        c = cb.select("corpus_id", F.col(f"b{t}").alias("__bk"))
+        p_t = a.join(c, "__bk").select("batch_id", "corpus_id")
+        cand = p_t if cand is None else cand.unionByName(p_t)
+    cand = cand.distinct()
+    va = bb.select("batch_id", F.col("v").alias("va"),
+                   F.col("nrm").alias("na"))
+    vb = cb.select("corpus_id", F.col("v").alias("vb"),
+                   F.col("nrm").alias("nb"))
+    sims = (cand.join(va, "batch_id").join(vb, "corpus_id")
+            .withColumn("__s", F.round(
+                F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), "
+                       "CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+                / (F.col("na") * F.col("nb")), round_to)))
+    mx = sims.groupBy("batch_id").agg(F.max("__s").alias("max_sim"))
+    # explicit NULL guard: greatest() SKIPS nulls in both engines, so
+    # without it a no-candidate row would read as novelty 1.0 instead
+    # of "no evidence"
+    nov = F.when(F.col("max_sim").isNull(), F.lit(None).cast("double")) \
+        .otherwise(F.round(
+            F.lit(1.0) - F.greatest(F.col("max_sim"), F.lit(0.0)),
+            round_to))
+    return (batch.select(F.col(id_col).alias("batch_id")).distinct()
+            .join(mx, "batch_id", "left")
+            .select("batch_id", "max_sim", nov.alias("novelty")))

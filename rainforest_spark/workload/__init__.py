@@ -114,7 +114,10 @@ _PRIORITY = [
     # embedding/ANN: q54_auto (LSH default path), q87 (embedding
     # dedup), q93 (semantic decon), q57 (partition-pruned IVF)
     "q54_auto_embedding_neardup", "q87_embedding_dedup",
-    "q93_semantic_decontamination", "q57_ivf_ann_topk",
+    # q57_ivf_ann_topk (r6-green; the IVF family keeps its three-tier
+    # bench datapoints + partition-pruning plan tests) demoted for the
+    # round-7 embedding-novelty operator
+    "q93_semantic_decontamination", "q124_embedding_novelty",
     # packing/splits: q84 epoch shards, q89 packed tapes, q101 split
     "q84_epoch_shard", "q89_packed_tapes", "q101_leakage_free_split",
     # span/dedup family: q92+q95 (repeated spans + excision), q97

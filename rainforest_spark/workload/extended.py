@@ -1826,3 +1826,49 @@ def q111(spark, sf):
             .astype(np.int16)))
     return (audio_fingerprint(media, n_windows=16)
             .select("media_id", "audio_fp"))
+
+
+# ---------------------------------------------------------------- q124
+# Embedding-space batch novelty vs the persisted corpus: LSH-candidate
+# max cosine per batch vector (frozen q54 planes for the oracle
+# pairing; the operator default auto-sizes), rounded BEFORE the max;
+# no-candidate rows keep NULL novelty via the explicit guard
+# (greatest() skips NULLs in both engines).
+@q("q124_embedding_novelty", sql="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings),
+b AS (
+  SELECT vec_id, v, nrm, """ + ",".join(
+    f"({_nd_bucket_sql(t)}) AS b{t}" for t in range(_ND_TABLES)) + """
+  FROM v),
+bt AS (SELECT * FROM b WHERE vec_id % 5 = 0),
+cp AS (SELECT * FROM b WHERE vec_id % 5 != 0),
+cand AS (""" + "\nUNION\n".join(
+    f"SELECT bt.vec_id AS batch_id, cp.vec_id AS corpus_id "
+    f"FROM bt JOIN cp ON bt.b{t} = cp.b{t}"
+    for t in range(_ND_TABLES)) + """),
+s AS (
+  SELECT c.batch_id,
+         MAX(ROUND(list_dot_product(a.v, d.v) / (a.nrm * d.nrm), 6))
+           AS max_sim
+  FROM cand c
+  JOIN v a ON a.vec_id = c.batch_id
+  JOIN v d ON d.vec_id = c.corpus_id
+  GROUP BY 1)
+SELECT t.vec_id AS batch_id, s.max_sim,
+       CASE WHEN s.max_sim IS NULL THEN NULL
+            ELSE ROUND(1.0 - GREATEST(s.max_sim, 0.0), 6) END AS novelty
+FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 5 = 0) t
+LEFT JOIN s ON s.batch_id = t.vec_id
+""")
+def q124(spark, sf):
+    from rainforest_spark.operators.similarity import embedding_novelty
+
+    e = T(spark, sf, "embeddings")
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    return embedding_novelty(batch, corpus, "vec_id", "embedding",
+                             planes=_ND_P)

@@ -505,3 +505,39 @@ def test_containment_pairs_excerpt_case(spark):
     jac = ngram_jaccard_pairs(d, "doc_id", "text",
                               threshold=0.3).collect()
     assert not any({r.id_a, r.id_b} == {0, 1} for r in jac)
+
+
+def test_embedding_novelty_semantics(spark):
+    """Known geometry: a batch vector near a corpus vector scores low
+    novelty; an isolated batch vector with no bucket-sharing corpus
+    neighbour keeps NULL (not 1.0 — 'no evidence' is not 'novel')."""
+    import numpy as np
+
+    from rainforest_spark.operators.similarity import embedding_novelty
+
+    planes = np.random.RandomState(1).randn(1, 2, 4)
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.9, 0.1, 0.0, 0.0]
+    corpus = spark.createDataFrame([(100, base)],
+                                   "vec_id long, embedding array<float>")
+    # brute-force an isolated vector landing in a different bucket
+    def bucket(v):
+        return sum((1 << p) for p in range(2)
+                   if planes[0][p] @ np.array(v) > 0)
+    cand = None
+    rng = np.random.RandomState(2)
+    for _ in range(200):
+        v = rng.randn(4).tolist()
+        if bucket(v) != bucket(base):
+            cand = v
+            break
+    assert cand is not None
+    batch = spark.createDataFrame(
+        [(0, near), (1, cand)], "vec_id long, embedding array<float>")
+    got = {r.batch_id: (r.max_sim, r.novelty) for r in
+           embedding_novelty(batch, corpus, "vec_id", "embedding",
+                             planes=planes).collect()}
+    assert len(got) == 2
+    sim, nov = got[0]
+    assert sim is not None and sim > 0.98 and nov < 0.02
+    assert got[1] == (None, None)

@@ -9,6 +9,8 @@ Subcommands mirror the reference's user surface:
   dataset  — run the Phase-2 prepare_input pipeline to parquet
   train    — fit the RF QPE model + bias correction, save model + meta
   evaluate — per-model per-bound QPE score tables (10-min + hourly)
+  plot     — evaluation figures (score panels, density scatter, QPE
+             map, station map) as SVG/PNG without matplotlib
   curate   — corpus-curation chain (quality/PII/dedup/mixture/shards)
   ingest   — JSONL corpus shards -> parquet, with a quarantine report
   report   — corpus health report (per-source stats, OOV coverage,
@@ -318,6 +320,58 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_plot(args) -> int:
+    """Figure rendering over engine-reduced plot data (reference
+    common/graphics.py qpe_plot / score_plot / qpe_scatterplot +
+    performance/eval_plot.py plotModelMapsSubplots; matplotlib-free —
+    own SVG writer + the repo's PNG codec).
+
+    kinds:
+      scores   — score parquet (evaluate/intercompare output) → bar
+                 panels per intensity bound (SVG)
+      scatter  — (model, est, ref) parquet → density panels via the
+                 distributed 2-D binning job (SVG)
+      qpe-map  — composite grid parquet (x_idx, y_idx, value) → color-
+                 mapped precipitation raster (PNG, own encoder)
+      stations — per-station score parquet + station dim → score map
+                 (SVG)
+    """
+    from rainforest_spark.plots import (render_qpe_png, scatter_density,
+                                        score_panel, station_score_map,
+                                        svg_scatter_density,
+                                        svg_score_panels, svg_station_map)
+    from rainforest_spark.session import get_spark
+
+    spark = get_spark("rainforest-plot")
+    df = spark.read.parquet(args.input)
+    if args.kind == "scores":
+        rows = score_panel(df).collect()  # models × bounds × scores
+        svg_score_panels(rows, title=args.title, path=args.output)
+    elif args.kind == "scatter":
+        lo, hi, nb = args.lo, args.hi, args.bins
+        cells = scatter_density(df, args.est_col, args.ref_col, lo, hi,
+                                nb, model_col=None).collect()
+        svg_scatter_density(cells, lo, hi, nb, title=args.title,
+                            path=args.output)
+    elif args.kind == "qpe-map":
+        import numpy as np
+        pts = df.select("x_idx", "y_idx", args.value_col).collect()
+        h = max(r["y_idx"] for r in pts) + 1
+        w = max(r["x_idx"] for r in pts) + 1
+        grid = np.full((h, w), float("nan"))
+        for r in pts:
+            grid[r["y_idx"], r["x_idx"]] = r[args.value_col]
+        render_qpe_png(grid[::-1], path=args.output,
+                       upscale=args.upscale)
+    else:  # stations
+        coords = spark.read.parquet(args.stations)
+        rows = station_score_map(df, coords, args.score).collect()
+        svg_station_map(rows, args.score, title=args.title,
+                        path=args.output)
+    print(json.dumps({"kind": args.kind, "output": args.output}))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Full corpus-curation chain to parquet (quality gate → PII scrub
     → dedup → decontamination → mixture/caps → split + shards), with
@@ -586,6 +640,26 @@ def main(argv=None) -> int:
     e.add_argument("stations", help="stations parquet (Abbrev, X, Y)")
     e.add_argument("output", help="scores parquet path")
     e.set_defaults(fn=cmd_evaluate)
+
+    pl = sub.add_parser("plot", help="render evaluation figures "
+                        "(SVG/PNG, matplotlib-free)")
+    pl.add_argument("kind",
+                    choices=["scores", "scatter", "qpe-map", "stations"])
+    pl.add_argument("input", help="input parquet (scores / pairs / "
+                    "grid / station scores)")
+    pl.add_argument("output", help="output .svg or .png path")
+    pl.add_argument("--title", default="")
+    pl.add_argument("--est-col", default="est_mmh")
+    pl.add_argument("--ref-col", default="ref_mmh")
+    pl.add_argument("--value-col", default="value")
+    pl.add_argument("--score", default="RMSE")
+    pl.add_argument("--stations", default=None,
+                    help="station dim parquet (stations kind)")
+    pl.add_argument("--lo", type=float, default=0.0)
+    pl.add_argument("--hi", type=float, default=100.0)
+    pl.add_argument("--bins", type=int, default=60)
+    pl.add_argument("--upscale", type=int, default=1)
+    pl.set_defaults(fn=cmd_plot)
 
     c = sub.add_parser("curate", help="corpus curation chain to parquet")
     c.add_argument("input", help="documents parquet")

@@ -1872,3 +1872,45 @@ def q124(spark, sf):
     corpus = e.filter(F.col("vec_id") % 5 != 0)
     return embedding_novelty(batch, corpus, "vec_id", "embedding",
                              planes=_ND_P)
+
+
+# ---------------------------------------------------------------- q125
+# Plot-data job behind the qpe_scatterplot density panel
+# (graphics.py:301): distributed 2-D binning of (reference, estimate)
+# pairs per model.  The "estimate" here is a synthetic per-cohort
+# multiplicative bias over the events fixture — the binning operator is
+# what's under test.  Bin index = floor((v-lo)/step) on doubles (one
+# IEEE expression, engine-identical), counts integer, log10 display
+# column rounded at 6.
+@q("q125_scatter_density", sql="""
+WITH pairs AS (
+  SELECT event_type AS model, value AS ref,
+         value * (1.0 + (CAST(user_id % 5 AS DOUBLE) - 2.0) / 10.0)
+           AS est
+  FROM events),
+b AS (
+  SELECT model,
+         CAST(FLOOR((ref - 0.0) / 8.0) AS BIGINT) AS xbin,
+         CAST(FLOOR((est - 0.0) / 8.0) AS BIGINT) AS ybin
+  FROM pairs
+  WHERE ref >= 0.0 AND ref < 480.0 AND est >= 0.0 AND est < 480.0)
+SELECT model, xbin, ybin,
+       ROUND(CAST(xbin AS DOUBLE) * 8.0 + 0.0, 9) AS x_lo,
+       ROUND(CAST(ybin AS DOUBLE) * 8.0 + 0.0, 9) AS y_lo,
+       COUNT(*) AS n,
+       ROUND(LOG10(CAST(COUNT(*) AS DOUBLE)), 6) AS log10_n
+FROM b GROUP BY 1, 2, 3
+""")
+def q125(spark, sf):
+    from rainforest_spark.plots.data import scatter_density
+
+    e = T(spark, sf, "events")
+    pairs = e.select(
+        F.col("event_type").alias("model"),
+        F.col("value").alias("ref"),
+        (F.col("value")
+         * (F.lit(1.0) + ((F.col("user_id") % 5).cast("double")
+                          - F.lit(2.0)) / F.lit(10.0))).alias("est"))
+    return scatter_density(pairs, "est", "ref", lo=0.0, hi=480.0,
+                           n_bins=60, model_col="model",
+                           log_counts=True)

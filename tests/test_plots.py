@@ -1,0 +1,216 @@
+"""Plotting layer (reference common/graphics.py, performance/
+eval_plot.py): engine-side plot-data jobs + zero-dep SVG/PNG renderers.
+"""
+
+import math
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rainforest_spark.plots import (qpe_colormap, render_qpe_png,
+                                    scatter_density, score_panel,
+                                    station_score_map,
+                                    svg_scatter_density,
+                                    svg_score_panels, svg_station_map)
+
+
+# ------------------------------------------------------------ colormap
+def test_qpe_colormap_anchors():
+    """Reference QPE scale semantics (graphics.py:61-101): white below
+    vmin, purple at the linear-segment midpoint, green at the
+    transition, red at vmax, grey for NaN."""
+    v = np.array([0.0, 0.02, (0.04 + 10.0) / 2, 10.0, 120.0, np.nan])
+    rgb = qpe_colormap(v, vmin=0.04, vmax=120.0, transition=10.0)
+    assert rgb.shape == (6, 3)
+    assert tuple(rgb[0]) == (255, 255, 255)       # zero: white
+    assert tuple(rgb[1]) == (255, 255, 255)       # below vmin: white
+    assert tuple(rgb[2]) == (122, 1, 119)         # t=0.25: purple
+    assert tuple(rgb[3]) == (67, 222, 139)        # transition: green
+    assert tuple(rgb[4]) == (252, 45, 45)         # vmax: red
+    assert tuple(rgb[5]) == (180, 180, 180)       # NaN: grey
+
+
+def test_qpe_colormap_linear_then_log():
+    """Below the transition the ramp position is linear in v; above it
+    is linear in log10(v) (graphics.py:83 docstring)."""
+    def pos(v):
+        rgb = qpe_colormap(np.array([v]), 0.04, 120.0, 10.0)[0]
+        # invert via the blue channel on the purple→blue segment and
+        # the green→red half: just check monotone + midpoint algebra
+        return rgb
+
+    # linear: value midway between vmin and transition hits t=0.25
+    assert tuple(pos((0.04 + 10.0) / 2)) == (122, 1, 119)
+    # log: value at sqrt(10*120) (log-midpoint) hits t=0.75 → yellow
+    assert tuple(pos(math.sqrt(10.0 * 120.0))) == (245, 245, 45)
+
+
+def test_render_qpe_png_roundtrip(tmp_path):
+    """The rendered map decodes with the repo's own PNG decoder; the
+    decoder collapses RGB to ITU-601 luminance, so assert the decoded
+    luminance equals the formula applied to the colormap output."""
+    from rainforest_spark.grid.png import decode_png_bytes
+
+    grid = np.array([[0.0, 5.0], [50.0, float("nan")]])
+    p = tmp_path / "qpe.png"
+    buf = render_qpe_png(grid, str(p), upscale=3)
+    assert p.read_bytes() == buf
+    lum = decode_png_bytes(buf)
+    assert lum.shape == (6, 6)
+    rgb = qpe_colormap(grid)
+    want = ((rgb[..., 0].astype(int) * 299 + rgb[..., 1].astype(int) * 587
+             + rgb[..., 2].astype(int) * 114) // 1000)
+    assert np.array_equal(lum, np.repeat(np.repeat(want, 3, 0), 3, 1))
+
+
+# ------------------------------------------------------ data: binning
+def test_scatter_density_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    ref = rng.uniform(0, 20, 500)
+    est = ref * rng.uniform(0.5, 1.5, 500)
+    df = spark.createDataFrame(
+        [(float(r), float(e)) for r, e in zip(ref, est)],
+        "ref double, est double")
+    got = scatter_density(df, "est", "ref", lo=0.0, hi=20.0,
+                          n_bins=10).collect()
+    h, _, _ = np.histogram2d(ref, est, bins=10, range=[[0, 20], [0, 20]])
+    # numpy's last bin is closed [*, 20]; drop the boundary pairs it
+    # counts that the half-open engine job excludes
+    mask = (ref < 20) & (est < 20)
+    h, _, _ = np.histogram2d(ref[mask], est[mask], bins=10,
+                             range=[[0, 20], [0, 20]])
+    want = {(x, y): int(h[x, y]) for x in range(10) for y in range(10)
+            if h[x, y] > 0}
+    assert {(r["xbin"], r["ybin"]): r["n"] for r in got} == want
+    # cell lower edges are on the step grid
+    assert all(r["x_lo"] == r["xbin"] * 2.0 for r in got)
+
+
+def test_scatter_density_per_model_and_log(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0)] * 10 + [("b", 5.0, 5.0)],
+        "model string, ref double, est double")
+    got = {(r["model"], r["xbin"], r["ybin"]): (r["n"], r["log10_n"])
+           for r in scatter_density(df, "est", "ref", 0.0, 10.0, 10,
+                                    model_col="model",
+                                    log_counts=True).collect()}
+    assert got[("a", 1, 1)] == (10, 1.0)
+    assert got[("b", 5, 5)] == (1, 0.0)
+
+
+# -------------------------------------------------------- data: melt
+def test_score_panel_melt(spark):
+    scores = spark.createDataFrame(
+        [("RF", "all", 100, 1.5, -0.2), ("RZC", "all", 100, 2.0, 0.4)],
+        "model string, bound string, N long, RMSE double, "
+        "logBias double")
+    rows = score_panel(scores).collect()
+    got = {(r["model"], r["score"]): r["value"] for r in rows}
+    assert got == {("RF", "RMSE"): 1.5, ("RF", "logBias"): -0.2,
+                   ("RZC", "RMSE"): 2.0, ("RZC", "logBias"): 0.4}
+    assert all(r["N"] == 100 for r in rows)  # N kept, not melted
+
+
+def test_station_score_map_join(spark):
+    ss = spark.createDataFrame(
+        [("RF", "OTL", 1.2), ("RF", None, 9.9)],
+        "model string, station string, RMSE double")
+    coords = spark.createDataFrame([("OTL", 700.0, 120.0)],
+                                   "station string, X double, Y double")
+    rows = station_score_map(ss, coords, "RMSE").collect()
+    assert len(rows) == 1  # nationwide NULL-station row excluded
+    r = rows[0]
+    assert (r["model"], r["station"], r["X"], r["Y"], r["value"]) == \
+        ("RF", "OTL", 700.0, 120.0, 1.2)
+
+
+# ---------------------------------------------------------- renderers
+def _parse(svg: str) -> ET.Element:
+    return ET.fromstring(svg)
+
+
+def test_svg_score_panels_structure(tmp_path):
+    rows = [{"model": m, "bound": b, "score": s, "value": v}
+            for m in ("RF", "RZC") for b in ("all", "0.0-2.0")
+            for s, v in (("RMSE", 1.0), ("logBias", -0.3))]
+    p = tmp_path / "scores.svg"
+    svg = svg_score_panels(rows, title="demo & co", path=str(p))
+    root = _parse(p.read_text())
+    ns = "{http://www.w3.org/2000/svg}"
+    bars = [e for e in root.iter(f"{ns}rect")]
+    # 2 panel frames + 2 models × 2 bounds × 2 scores bars + 2 legend
+    assert len(bars) == 2 + 8 + 2
+    texts = [e.text for e in root.iter(f"{ns}text")]
+    assert "demo & co" in texts and "RMSE" in texts
+
+
+def test_svg_scatter_density_structure(tmp_path):
+    cells = [{"xbin": 0, "ybin": 0, "n": 10},
+             {"xbin": 5, "ybin": 5, "n": 1}]
+    svg = svg_scatter_density(cells, 0.0, 20.0, 10,
+                              path=str(tmp_path / "s.svg"))
+    root = _parse(svg)
+    ns = "{http://www.w3.org/2000/svg}"
+    # frame + 2 cells; one red 1:1 diagonal
+    assert len(list(root.iter(f"{ns}rect"))) == 3
+    lines = list(root.iter(f"{ns}line"))
+    assert any(e.get("stroke") == "red" for e in lines)
+
+
+def test_svg_station_map_structure():
+    rows = [{"model": "RF", "station": "OTL", "X": 700.0, "Y": 120.0,
+             "value": 1.0},
+            {"model": "RZC", "station": "OTL", "X": 700.0, "Y": 120.0,
+             "value": -1.0}]
+    svg = svg_station_map(rows, "BIAS",
+                          border=[(690.0, 110.0), (710.0, 130.0)])
+    root = _parse(svg)
+    ns = "{http://www.w3.org/2000/svg}"
+    assert len(list(root.iter(f"{ns}circle"))) == 2   # one per panel
+    assert len(list(root.iter(f"{ns}polyline"))) == 2  # border per panel
+
+
+def test_svg_empty_inputs_render():
+    """Degenerate inputs must still produce parseable documents."""
+    _parse(svg_score_panels([]))
+    _parse(svg_scatter_density([], 0.0, 1.0, 4))
+    _parse(svg_station_map([], "RMSE"))
+
+
+# --------------------------------------------------------------- CLI
+def test_cli_plot_end_to_end(spark, tmp_path):
+    """plot scores + plot qpe-map from parquet inputs (the evaluate →
+    plot user chain)."""
+    import subprocess
+    import sys
+
+    scores = spark.createDataFrame(
+        [("RF", "all", 50, 1.5, -0.2), ("RZC", "all", 50, 2.0, 0.4)],
+        "model string, bound string, N long, RMSE double, "
+        "logBias double")
+    sp = tmp_path / "scores_pq"
+    scores.write.parquet(str(sp))
+    grid = spark.createDataFrame(
+        [(x, y, float(x + y)) for x in range(4) for y in range(3)],
+        "x_idx int, y_idx int, value double")
+    gp = tmp_path / "grid_pq"
+    grid.write.parquet(str(gp))
+
+    out1 = tmp_path / "scores.svg"
+    r1 = subprocess.run(
+        [sys.executable, "-m", "rainforest_spark.cli", "plot", "scores",
+         str(sp), str(out1), "--title", "t"],
+        capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    _parse(out1.read_text())
+
+    out2 = tmp_path / "map.png"
+    r2 = subprocess.run(
+        [sys.executable, "-m", "rainforest_spark.cli", "plot",
+         "qpe-map", str(gp), str(out2), "--upscale", "2"],
+        capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    from rainforest_spark.grid.png import decode_png_bytes
+    assert decode_png_bytes(out2.read_bytes()).shape == (6, 8)

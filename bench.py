@@ -103,6 +103,18 @@ HEADLINE = [
     # posexplode-per-dim centroid cohesion
     "q119_source_overlap",
     "q122_label_cohesion",
+    # round-7 late additions: the distributed 2-D density binning
+    # behind the plotting layer.  (Embedding novelty is benched as the
+    # bench-only q124_auto_novelty extra — the ORACLE-paired q124 pins
+    # the frozen 3-plane _ND_P for DuckDB pairing, which is the q54
+    # candidate-explosion exhibit shape and must not run at the tiers:
+    # at sf10 its candidate count is ~1e10 pairs.)  No committed
+    # baseline yet (the guard skips unknown keys); same-run sf1
+    # physics guards apply.
+    "q125_scatter_density",
+    # CCNet perplexity buckets: q83's LM pass + the grouped ranged
+    # rank over per-language (mean_nll, doc) order
+    "q126_perplexity_buckets",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle
@@ -206,6 +218,14 @@ SF10_HEADLINE = [
     # AQE-reused gram matrix and the per-dim centroid agg
     "q119_source_overlap",
     "q122_label_cohesion",
+    # late round-7: the batch-vs-corpus novelty candidate join scales
+    # with bucket density like the q54 family — second decade from day
+    # one, on the operator's AUTO-plane default (the frozen-plane
+    # oracle pairing would candidate-explode here)
+    "q124_auto_novelty",
+    # the grouped ranged rank (few-huge-groups: per-language) on top
+    # of the q83 LM pass whose own second decade is measured above
+    "q126_perplexity_buckets",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0
@@ -261,10 +281,25 @@ def _extra_queries():
         g, r, ref, st, rd = q53_fixtures(spark, sf_dir)
         return q53_projection(prepare_input(g, r, ref, st, rd))
 
+    def q124_auto(spark, sf_dir):
+        # the embedding-novelty OPERATOR DEFAULT (auto-sized planes off
+        # the corpus count — log2(N/128) keeps bucket density flat as
+        # the corpus grows); the oracle-paired q124 pins the frozen
+        # 3-plane _ND_P for DuckDB pairing and is a candidate-explosion
+        # exhibit at the tiers, exactly like frozen-plane q54
+        from pyspark.sql import functions as F
+
+        from rainforest_spark.operators.similarity import embedding_novelty
+        e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        batch = e.filter(F.col("vec_id") % 5 == 0)
+        corpus = e.filter(F.col("vec_id") % 5 != 0)
+        return embedding_novelty(batch, corpus, "vec_id", "embedding")
+
     q53_bucketed.confs = dict(BUCKETED_JOIN_CONFS)
     q53_shuffle.confs = dict(BUCKETED_JOIN_CONFS)
     return {"q53_bucketed_prepare": q53_bucketed,
-            "q53_shuffle_prepare": q53_shuffle}
+            "q53_shuffle_prepare": q53_shuffle,
+            "q124_auto_novelty": q124_auto}
 
 
 def _load_baseline() -> dict:

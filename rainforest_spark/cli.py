@@ -363,6 +363,22 @@ def cmd_plot(args) -> int:
             grid[r["y_idx"], r["x_idx"]] = r[args.value_col]
         render_qpe_png(grid[::-1], path=args.output,
                        upscale=args.upscale)
+    elif args.kind == "qpe-movie":
+        import numpy as np
+
+        from rainforest_spark.plots import render_qpe_gif
+        pts = df.select(args.ts_col, "x_idx", "y_idx",
+                        args.value_col).collect()
+        h = max(r["y_idx"] for r in pts) + 1
+        w = max(r["x_idx"] for r in pts) + 1
+        frames = []
+        for ts in sorted({r[args.ts_col] for r in pts}):
+            g = np.full((h, w), float("nan"))
+            for r in pts:
+                if r[args.ts_col] == ts:
+                    g[r["y_idx"], r["x_idx"]] = r[args.value_col]
+            frames.append(g[::-1])
+        render_qpe_gif(frames, path=args.output, upscale=args.upscale)
     else:  # stations
         coords = spark.read.parquet(args.stations)
         rows = station_score_map(df, coords, args.score).collect()
@@ -643,8 +659,8 @@ def main(argv=None) -> int:
 
     pl = sub.add_parser("plot", help="render evaluation figures "
                         "(SVG/PNG, matplotlib-free)")
-    pl.add_argument("kind",
-                    choices=["scores", "scatter", "qpe-map", "stations"])
+    pl.add_argument("kind", choices=["scores", "scatter", "qpe-map",
+                                     "qpe-movie", "stations"])
     pl.add_argument("input", help="input parquet (scores / pairs / "
                     "grid / station scores)")
     pl.add_argument("output", help="output .svg or .png path")
@@ -652,6 +668,7 @@ def main(argv=None) -> int:
     pl.add_argument("--est-col", default="est_mmh")
     pl.add_argument("--ref-col", default="ref_mmh")
     pl.add_argument("--value-col", default="value")
+    pl.add_argument("--ts-col", default="timestep")
     pl.add_argument("--score", default="RMSE")
     pl.add_argument("--stations", default=None,
                     help="station dim parquet (stations kind)")

@@ -1055,3 +1055,142 @@ def source_scorecard(df, id_col: str, text_col: str, group_col: str,
     if lang_col:
         cols.append("n_langs")
     return out.select(*cols)
+
+
+def perplexity_buckets(df, id_col: str, text_col: str, lang_col: str,
+                       n_buckets: int = 3, vocab_counts=None):
+    """CCNet-style per-language perplexity bucketing (Wenzek 2020
+    §4.3): score every document with the unigram-LM mean NLL
+    (:func:`unigram_logprob` — the KenLM stand-in) and cut each
+    language into ``n_buckets`` equal-count rank buckets; CCNet's
+    head/middle/tail is ``n_buckets=3``, where bucket 0 (*head*, lowest
+    perplexity) is the cleanest slice and pipelines typically keep
+    head+middle.
+
+    Returns ``(id, lang, n_tokens, mean_nll, bucket, label)``; label is
+    head/middle/tail for the 3-bucket case, ``b<i>`` otherwise.
+
+    Exactness: mean_nll carries q83's integer-nanos guarantee; rank
+    order is the total order (mean_nll, id) and the bucket index is
+    pure integer arithmetic ``((rank−1)·k) div count`` — both engines
+    pick identical buckets.
+
+    Shape at 100 TB: languages are the canonical FEW-HUGE-GROUPS case
+    (one language can be half the corpus), exactly what the grouped
+    :func:`~rainforest_spark.operators.windows.ranged_cumsum` exists
+    for — a ``Window.partitionBy(lang)`` rank would serialize each
+    language into one sort task.  The per-language doc counts ride the
+    same pass (``total_col``); no second scan.
+    """
+    from rainforest_spark.operators.windows import ranged_cumsum
+
+    scores = unigram_logprob(df, id_col, text_col, vocab_counts)
+    j = scores.join(df.select(id_col, lang_col), id_col)
+    ordered = (j.withColumn("__ord", F.struct(
+                    F.col("mean_nll").alias("s"),
+                    F.col(id_col).alias("i")))
+               .withColumn("__one", F.lit(1).cast("long")))
+    ranked = ranged_cumsum(ordered, "__ord", "__one", cum_col="rn",
+                           group_cols=[lang_col], total_col="cnt")
+    bucket = F.expr(f"((rn - 1) * {int(n_buckets)}) div cnt").cast("int")
+    if n_buckets == 3:
+        label = (F.when(F.col("bucket") == 0, "head")
+                 .when(F.col("bucket") == 1, "middle")
+                 .otherwise("tail"))
+    else:
+        label = F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    return (ranked.withColumn("bucket", bucket)
+            .select(F.col(id_col), F.col(lang_col), "n_tokens",
+                    "mean_nll", "bucket", label.alias("label")))
+
+
+def bm25_topk(df, id_col: str, text_col: str, queries,
+              k: int = 10, k1: float = 1.25, b: float = 0.75,
+              round_to: int = 6):
+    """Okapi BM25 retrieval over the corpus: top-``k`` documents per
+    query (Robertson/Sparck-Jones; the Lucene ``ln(1 + (N−df+0.5)/
+    (df+0.5))`` IDF form, so scores stay positive) — the
+    retrieval-based curation primitive (targeted corpus audits,
+    "find training docs about X", retrieval-augmented dedup review).
+
+    ``queries``: list of ``(query_id, query_text)`` or a 2-col
+    DataFrame.  Query terms are DISTINCT per query (standard for short
+    queries); terms share :func:`tokens`' whitespace policy with the
+    LM family.
+
+    Returns ``(query_id, rnk, doc_id-as-id_col, score)``.
+
+    Exactness: IDF is rounded to the 1e-9 grid straight after the
+    ``ln`` (libm last-ulp differences are the only cross-engine hazard
+    — everything else is a rational expression over the integers tf,
+    dl, df, N and S=Σdl that both engines evaluate identically);
+    per-term contributions become integer NANOS (the q83 idiom) and
+    the round to ``round_to`` is HALF-UP in pure BIGINT arithmetic
+    before ranking, so top-k ties break on the doc id
+    deterministically.  The defaults are DYADIC (k1=1.25, b=0.75) so
+    every derived constant (k1+1=2.25, 1−b=0.25) is an exactly
+    representable double an oracle can spell as a literal.
+
+    Shape at 100 TB: per-doc tf is the q83 token pass; the query-term
+    table is tiny and BROADCAST onto it (gram equi-join — only docs
+    sharing a query term survive); df/N/S are 1-row aggregates riding
+    cross joins.  The final top-k window partitions by query_id —
+    fine for interactive query batches (the q50 idiom); a
+    thousand-query batch with broad terms wants the per-partition-heap
+    top-k of ``weighted_sample_no_replacement`` instead.
+    """
+    from pyspark.sql.functions import broadcast
+
+    if not hasattr(queries, "columns"):
+        queries = df.sparkSession.createDataFrame(
+            list(queries), "query_id long, qtext string")
+    else:
+        qa, qb = queries.columns[:2]
+        queries = queries.select(F.col(qa).alias("query_id"),
+                                 F.col(qb).alias("qtext"))
+    qterms = (queries.select("query_id",
+                             F.explode(tokens("qtext")).alias("term"))
+              .filter(F.col("term") != "").distinct())
+
+    toks = (df.select(F.col(id_col), F.explode(tokens(text_col))
+                      .alias("term"))
+            .filter(F.col("term") != ""))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("N"),
+                   F.sum("dl").alias("S"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    m = (tf.join(broadcast(qterms), "term")
+         .join(dl, id_col).join(broadcast(dfreq.join(
+             broadcast(qterms).select("term").distinct(), "term")),
+             "term")
+         .crossJoin(broadcast(stats)))
+    idf = F.round(F.log(
+        F.lit(1.0) + (F.col("N") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))), 9)
+    tfpart = (F.col("tf") * F.lit(k1 + 1.0)
+              / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                 + F.lit(b) * F.col("dl") * F.col("N") / F.col("S"))))
+    # integer-nanos contributions (q83 idiom): the 1e-9-grid sum can
+    # land exactly ON a half-micro boundary where the engines' double
+    # rounding conventions disagree — so the round-to-6 is HALF-UP in
+    # pure BIGINT arithmetic (scores are positive) and only the final
+    # division happens in double
+    contrib = (F.round(idf * tfpart, 9).cast("decimal(19,9)")
+               * F.lit(1000000000)).cast("long")
+    dv = 10 ** (9 - round_to)
+    scored = (m.select("query_id", F.col(id_col), contrib.alias("__n9"))
+              .groupBy("query_id", id_col)
+              .agg(F.sum("__n9").alias("__n9"))
+              .select("query_id", id_col,
+                      (F.expr(f"(__n9 + {dv // 2}) div {dv}")
+                       .cast("double") / F.lit(float(10 ** round_to)))
+                      .alias("score")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", F.col("rnk").cast("long").alias("rnk"),
+                    F.col(id_col), "score"))

@@ -13,13 +13,16 @@ that is the part that must be distributed, so here it is.
 
 from rainforest_spark.plots.data import (scatter_density, score_panel,
                                          station_score_map)
-from rainforest_spark.plots.render import (qpe_colormap, render_qpe_png,
+from rainforest_spark.plots.render import (qpe_colormap, qpe_gif_palette,
+                                           qpe_value_to_index,
+                                           render_qpe_gif, render_qpe_png,
                                            svg_scatter_density,
                                            svg_score_panels,
                                            svg_station_map)
 
 __all__ = [
     "scatter_density", "score_panel", "station_score_map",
-    "qpe_colormap", "render_qpe_png", "svg_scatter_density",
+    "qpe_colormap", "qpe_gif_palette", "qpe_value_to_index",
+    "render_qpe_gif", "render_qpe_png", "svg_scatter_density",
     "svg_score_panels", "svg_station_map",
 ]

@@ -278,3 +278,61 @@ def svg_station_map(rows, score: str, title: str = "", size: int = 420,
         with open(path, "w") as f:
             f.write(out)
     return out
+
+
+# ------------------------------------------------------- animated QPE
+def qpe_gif_palette() -> bytes:
+    """256-RGB-triple GIF palette for the QPE ramp: index 0 = below
+    vmin (white), 1 = NaN/no-data (grey), 2..255 = the colormap at
+    t = (i−2)/253.  The QPE colormap is one-dimensional, so a palette
+    GIF loses nothing beyond the 254-step discretization — the same
+    trade the reference's operational RZC products make by shipping
+    DN-coded GIFs."""
+    idx = np.arange(256, dtype=np.float64)
+    t = np.clip((idx - 2.0) / 253.0, 0.0, 1.0)
+    pal = np.empty((256, 3), dtype=np.uint8)
+    for ch in range(3):
+        pal[:, ch] = np.clip(np.rint(
+            np.interp(t, _QPE_POS, _QPE_COLORS[:, ch])), 0, 255)
+    pal[0] = (255, 255, 255)
+    pal[1] = (180, 180, 180)
+    return pal.tobytes()
+
+
+def qpe_value_to_index(values: np.ndarray, vmin: float = 0.04,
+                       vmax: float = 120.0,
+                       transition: float = 10.0) -> np.ndarray:
+    """float mm/h → uint8 palette index under the same linear-below /
+    log-above scale as :func:`qpe_colormap` (0 below vmin, 1 NaN)."""
+    v = np.asarray(values, dtype=np.float64)
+    t = np.zeros(v.shape, dtype=np.float64)
+    low = (v >= vmin) & (v <= transition)
+    t[low] = 0.5 * (v[low] - vmin) / (transition - vmin)
+    high = v > transition
+    vh = np.minimum(v[high], vmax)
+    t[high] = 0.5 + 0.5 * (np.log10(vh) - math.log10(transition)) \
+        / (math.log10(vmax) - math.log10(transition))
+    idx = (np.rint(t * 253.0) + 2.0).astype(np.uint8)
+    idx[v < vmin] = 0
+    idx[~np.isfinite(v)] = 1
+    return idx
+
+
+def render_qpe_gif(frames, path: str | None = None, vmin: float = 0.04,
+                   vmax: float = 120.0, transition: float = 10.0,
+                   upscale: int = 1) -> bytes:
+    """QPE time series (list of 2-D grids, or a (t, h, w) array) →
+    animated GIF89a via the repo's own encoder — the matplotlib-free
+    counterpart of `eval_plot.py:276` ``plotQPEMaps``' per-timestep
+    map sequence."""
+    from rainforest_spark.grid.gif import encode_gif_frames
+    seq = [qpe_value_to_index(f, vmin, vmax, transition)
+           for f in (frames if isinstance(frames, list) else list(frames))]
+    if upscale > 1:
+        seq = [np.repeat(np.repeat(f, upscale, 0), upscale, 1)
+               for f in seq]
+    buf = encode_gif_frames(seq, qpe_gif_palette())
+    if path:
+        with open(path, "wb") as f:
+            f.write(buf)
+    return buf

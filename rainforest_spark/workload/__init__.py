@@ -116,13 +116,18 @@ _PRIORITY = [
     "q54_auto_embedding_neardup", "q87_embedding_dedup",
     # q57_ivf_ann_topk (r6-green; the IVF family keeps its three-tier
     # bench datapoints + partition-pruning plan tests) demoted for the
-    # round-7 embedding-novelty operator
-    "q93_semantic_decontamination", "q124_embedding_novelty",
+    # round-7 embedding-novelty operator; q93_semantic_decontamination
+    # (r6-green) demoted for the late-round CCNet perplexity-bucket
+    # operator — the embedding family keeps q54_auto + q87 + q124
+    # in-window
+    "q124_embedding_novelty", "q126_perplexity_buckets",
     # packing/splits: q84 epoch shards, q89 packed tapes, q101 split
     "q84_epoch_shard", "q89_packed_tapes", "q101_leakage_free_split",
-    # span/dedup family: q92+q95 (repeated spans + excision), q97
-    # (incremental), q102 (boilerplate)
-    "q92_repeated_spans", "q95_span_excision",
+    # span/dedup family: q95 (span excision exercises the q92
+    # detection pipeline end-to-end; q92 r6-green demoted for the
+    # late-round BM25 retrieval operator), q97 (incremental), q102
+    # (boilerplate)
+    "q95_span_excision", "q127_bm25_topk",
     "q97_incremental_dedup", "q102_boilerplate_removal",
     # LM/statistics: q106 bigram LM (q96_dsir_weights r6-green demoted
     # for q123 containment — the unigram-LLR machinery stays covered by
@@ -141,8 +146,11 @@ _PRIORITY = [
     # is bit-exact by design and stays pytest-parity-gated)
     "q122_label_cohesion",
     "q86_pii_redaction",
-    # selection: q105 token budget
-    "q105_token_budget",
+    # plot-data binning behind the round-7 plotting layer (admitted by
+    # demoting q105_token_budget, r6-green — the mixture/selection
+    # family keeps q110/q112/q113/q121 in-window and q105 stays
+    # pytest-parity-gated)
+    "q125_scatter_density",
     # radar/relational flagships: the Phase-2 pipeline, retrievals,
     # QPE evaluation, fallback chain, centroids, scores, LSH
     "q53_prepare_input", "q61_zphi_attenuation", "q66_qpe_evaluation",

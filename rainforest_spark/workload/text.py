@@ -1911,3 +1911,113 @@ WHERE ROUND(CAST(i AS DOUBLE) / sza, 6) >= 0.5
 def q123(spark, sf):
     return D.containment_pairs(T(spark, sf, "documents"), "doc_id",
                                "text", n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------- q126
+# CCNet-style per-language perplexity bucketing: q83's unigram-LM mean
+# NLL, ranked per language on (mean_nll, doc_id), cut into equal-count
+# head/middle/tail by exact integer rank arithmetic ((rn-1)*3) div cnt.
+# The Spark side ranks via the grouped ranged_cumsum (languages = few
+# huge groups), the oracle via a plain window — same total order.
+@q("q126_perplexity_buckets", sql="""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+       UNNEST(w) AS t(term)
+  WHERE t.term != ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+voc AS (SELECT term, COUNT(*) AS n_term FROM toks GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_term) AS DOUBLE) AS tot FROM voc),
+per AS (
+  SELECT doc_id, tf,
+         CAST(CAST(ROUND(-ln(n_term / tot), 9) AS DECIMAL(19,9))
+              * 1000000000 AS BIGINT) * tf AS n9
+  FROM tf JOIN voc USING (term) CROSS JOIN tot),
+agg AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(n9) AS BIGINT) AS n9
+  FROM per GROUP BY 1),
+l AS (
+  SELECT a.doc_id, d.lang, a.n_tokens,
+         CAST((2 * n9 + 1000 * n_tokens) // (2000 * n_tokens) AS DOUBLE)
+           / 1000000.0 AS mean_nll
+  FROM agg a JOIN documents d USING (doc_id)),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY mean_nll, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM l)
+SELECT doc_id, lang, n_tokens, mean_nll,
+       CAST(((rn - 1) * 3) // cnt AS INTEGER) AS bucket,
+       CASE ((rn - 1) * 3) // cnt
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS label
+FROM r
+""")
+def q126(spark, sf):
+    return TA.perplexity_buckets(T(spark, sf, "documents"), "doc_id",
+                                 "text", "lang")
+
+
+# ---------------------------------------------------------------- q127
+# Okapi BM25 retrieval: top-10 docs per query over the corpus.  The
+# whole score is a rational expression over the integers (tf, dl, df,
+# N, S) except the IDF ln, which both sides round to 1e-9 immediately;
+# contributions ride q83's integer-nanos sum and the round-to-6 is
+# half-up BIGINT arithmetic.  Constants are dyadic (k1=1.25, b=0.75 →
+# 2.25/0.25 literals, exact doubles on both engines; the SQL CASTs
+# them to DOUBLE so DuckDB cannot route the arithmetic through its
+# exact-DECIMAL literal type, which would diverge from Spark's double
+# expression tree).
+@q("q127_bm25_topk", sql="""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+       UNNEST(w) AS t(term)
+  WHERE t.term != ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT COUNT(*) AS N, CAST(SUM(dl) AS BIGINT) AS S FROM dl),
+qq(query_id, qtext) AS (
+  VALUES (CAST(0 AS BIGINT), 'spark window join'),
+         (CAST(1 AS BIGINT), 'hash table scan'),
+         (CAST(2 AS BIGINT), 'customer stream value')),
+qt AS (
+  SELECT DISTINCT query_id, t.term
+  FROM (SELECT query_id,
+               string_split_regex(trim(qtext), '\\s+') AS w FROM qq),
+       UNNEST(w) AS t(term)
+  WHERE t.term != ''),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+m AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(CAST(ROUND(
+           ROUND(ln(CAST(1.0 AS DOUBLE)
+                    + (N - df + CAST(0.5 AS DOUBLE))
+                      / (df + CAST(0.5 AS DOUBLE))), 9)
+           * (tf * CAST(2.25 AS DOUBLE)
+              / (tf + CAST(1.25 AS DOUBLE)
+                      * (CAST(0.25 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * dl * N / S))), 9)
+         AS DECIMAL(19,9)) * 1000000000 AS BIGINT) AS n9
+  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+       JOIN dfq USING (term) CROSS JOIN st),
+sc AS (
+  SELECT query_id, doc_id,
+         CAST((SUM(n9) + 500) // 1000 AS DOUBLE) / 1000000.0 AS score
+  FROM m GROUP BY 1, 2),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS rnk
+  FROM sc)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score
+FROM r WHERE rnk <= 10
+""")
+def q127(spark, sf):
+    return TA.bm25_topk(
+        T(spark, sf, "documents"), "doc_id", "text",
+        [(0, "spark window join"), (1, "hash table scan"),
+         (2, "customer stream value")])

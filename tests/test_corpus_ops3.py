@@ -541,3 +541,88 @@ def test_embedding_novelty_semantics(spark):
     sim, nov = got[0]
     assert sim is not None and sim > 0.98 and nov < 0.02
     assert got[1] == (None, None)
+
+
+def test_perplexity_buckets_semantics(spark):
+    """CCNet head/middle/tail: per-language equal-count cuts; fluent
+    in-distribution text ranks head (low NLL), rare-token noise tail;
+    languages bucket independently."""
+    from rainforest_spark.operators.text_analysis import (
+        perplexity_buckets,
+    )
+
+    common = "the cat sat on the mat"
+    docs = [(i, "en", common) for i in range(4)]          # low NLL
+    docs += [(10 + i, "en", f"zq{i}x wv{i}j qq{i}") for i in range(4)]
+    docs += [(20 + i, "de", common) for i in range(3)]    # other lang
+    df = spark.createDataFrame(docs, "doc_id long, lang string, "
+                                     "text string")
+    out = perplexity_buckets(df, "doc_id", "text", "lang")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 11
+    # en: 8 docs -> buckets sizes ~ceil thirds via integer cut
+    en_buckets = [rows[i].bucket for i in range(4)]
+    assert all(b == 0 for b in en_buckets[:2])  # common text is head
+    assert all(rows[10 + i].bucket == 2 for i in range(2, 4))
+    # de has its own independent 3-cut over 3 docs: one per bucket
+    assert sorted(rows[20 + i].bucket for i in range(3)) == [0, 1, 2]
+    assert rows[20 + 0].label in ("head", "middle", "tail")
+    # per-language bucket sizes differ by at most 1 (equal-count cut)
+    from collections import Counter
+    for lang in ("en", "de"):
+        sizes = Counter(r.bucket for r in rows.values()
+                        if r.lang == lang)
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_perplexity_buckets_n2_labels(spark):
+    from rainforest_spark.operators.text_analysis import (
+        perplexity_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en", "a b " + ("a" if i % 2 else "zzq")) for i in range(4)],
+        "doc_id long, lang string, text string")
+    out = perplexity_buckets(df, "doc_id", "text", "lang", n_buckets=2)
+    labels = {r.label for r in out.collect()}
+    assert labels == {"b0", "b1"}
+
+
+def test_bm25_topk_semantics(spark):
+    """Retrieval ordering: higher tf wins at equal length, shorter doc
+    wins at equal tf, non-matching docs absent; hand-computed score."""
+    import math
+
+    from rainforest_spark.operators.text_analysis import bm25_topk
+
+    docs = [(0, "spark spark join"),     # tf(spark)=2, dl=3
+            (1, "spark data model"),     # tf=1, dl=3
+            (2, "spark a b c d e f g"),  # tf=1, dl=8 (longer -> lower)
+            (3, "no match here at all")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = bm25_topk(df, "doc_id", "text", [(0, "spark")], k=10)
+    rows = {r.doc_id: (r.rnk, r.score) for r in got.collect()}
+    assert set(rows) == {0, 1, 2}          # doc 3 never matches
+    assert rows[0][0] == 1                 # tf=2 ranks first
+    assert rows[1][0] == 2                 # shorter beats longer
+    assert rows[2][0] == 3
+    # hand-computed for doc 1: N=4, df=3, S=3+3+8+5=19, dl=3
+    idf = round(math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5)), 9)
+    tfp = 1 * 2.25 / (1 + 1.25 * (0.25 + 0.75 * 3 * 4 / 19))
+    n9 = int(round(round(idf * tfp, 9) * 1e9))
+    want = ((n9 + 500) // 1000) / 1e6
+    assert rows[1][1] == want
+
+
+def test_bm25_topk_dataframe_queries_and_k(spark):
+    from rainforest_spark.operators.text_analysis import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "common term " + ("extra" if i % 2 else "word"))
+         for i in range(6)], "doc_id long, text string")
+    qdf = spark.createDataFrame([(7, "common")], "qid long, qt string")
+    got = bm25_topk(df, "doc_id", "text", qdf, k=4).collect()
+    assert len(got) == 4                    # k enforced
+    assert {r.query_id for r in got} == {7}
+    assert [r.rnk for r in sorted(got, key=lambda r: r.rnk)] == \
+        [1, 2, 3, 4]

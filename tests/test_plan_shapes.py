@@ -358,3 +358,24 @@ def test_registry_wide_no_unlisted_cross_join(spark):
         if marks:
             offenders[name] = marks
     assert not offenders, offenders
+
+
+def test_q126_language_rank_range_partitioned(spark):
+    # CCNet buckets rank per LANGUAGE — the canonical few-huge-groups
+    # window trap (one language can be half a 100 TB corpus); the rank
+    # must ride the grouped ranged_cumsum range shuffle, not a
+    # Window.partitionBy(lang) sort that serializes each language into
+    # one task.
+    p = fmt_plan(spark, "q126_perplexity_buckets")
+    assert "rangepartitioning" in p.lower(), \
+        "q126 lost the grouped ranged-rank path"
+
+
+def test_q125_density_binning_aggregates(spark):
+    # the scatter-density job must be a plain hash aggregation on the
+    # bin keys (map-side partial counts) — no window, no join, no
+    # cartesian anywhere in the binning path
+    p = fmt_plan(spark, "q125_scatter_density")
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+    assert "Window" not in p

@@ -214,3 +214,64 @@ def test_cli_plot_end_to_end(spark, tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     from rainforest_spark.grid.png import decode_png_bytes
     assert decode_png_bytes(out2.read_bytes()).shape == (6, 8)
+
+
+# ------------------------------------------------------- animated QPE
+def test_qpe_gif_palette_and_index():
+    from rainforest_spark.plots import qpe_gif_palette, qpe_value_to_index
+
+    pal = qpe_gif_palette()
+    assert len(pal) == 768
+    assert pal[0:3] == b"\xff\xff\xff"          # index 0: white
+    assert pal[3:6] == b"\xb4\xb4\xb4"          # index 1: no-data grey
+    assert pal[765:768] == bytes((252, 45, 45))  # index 255: red
+    v = np.array([0.0, 0.02, 0.04, 5.0, 10.0, 60.0, 120.0, np.nan])
+    idx = qpe_value_to_index(v)
+    assert idx[0] == 0 and idx[1] == 0          # below vmin
+    assert idx[7] == 1                          # NaN
+    assert idx[2] == 2                          # vmin -> ramp start
+    assert idx[6] == 255                        # vmax -> ramp end
+    assert list(idx[2:7]) == sorted(idx[2:7])   # monotone in value
+
+
+def test_render_qpe_gif_roundtrip(tmp_path):
+    """Animated QPE maps (eval_plot.py:276 plotQPEMaps counterpart)
+    round-trip through the repo's own GIF89a decoder: per-frame palette
+    indices equal the direct discretization, palette preserved."""
+    from rainforest_spark.grid.gif import decode_gif_frames_with_palettes
+    from rainforest_spark.plots import (qpe_gif_palette,
+                                        qpe_value_to_index,
+                                        render_qpe_gif)
+
+    f0 = np.array([[0.0, 1.0], [20.0, float("nan")]])
+    f1 = np.array([[2.0, 0.0], [0.0, 80.0]])
+    p = tmp_path / "movie.gif"
+    buf = render_qpe_gif([f0, f1], str(p))
+    assert p.read_bytes() == buf
+    frames, pals = decode_gif_frames_with_palettes(buf)
+    assert len(frames) == 2
+    assert all(pal == qpe_gif_palette() for pal in pals)
+    assert np.array_equal(frames[0], qpe_value_to_index(f0))
+    assert np.array_equal(frames[1], qpe_value_to_index(f1))
+
+
+def test_cli_plot_qpe_movie(spark, tmp_path):
+    import subprocess
+    import sys
+
+    grid = spark.createDataFrame(
+        [(t, x, y, float(t * 10 + x)) for t in range(3)
+         for x in range(3) for y in range(2)],
+        "timestep int, x_idx int, y_idx int, value double")
+    gp = tmp_path / "grids_pq"
+    grid.write.parquet(str(gp))
+    out = tmp_path / "movie.gif"
+    r = subprocess.run(
+        [sys.executable, "-m", "rainforest_spark.cli", "plot",
+         "qpe-movie", str(gp), str(out)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    from rainforest_spark.grid.gif import decode_gif_frames
+    frames, _pal = decode_gif_frames(out.read_bytes())
+    assert len(frames) == 3                 # one frame per timestep
+    assert frames[0].shape == (2, 3)        # (h, w) logical screen

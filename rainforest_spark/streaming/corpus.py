@@ -195,3 +195,128 @@ def ingest_metrics_stream(stream: DataFrame, text_col: str = "text",
         F.col("w.end").alias("window_end"),
         "source", "n_docs", "n_tokens", "n_distinct_docs",
         (F.col("n_tokens") / F.col("n_docs")).alias("mean_tokens"))
+
+
+def novelty_stream(stream: DataFrame, corpus: DataFrame,
+                   id_col: str = "doc_id", vec_col: str = "embedding",
+                   planes=None, min_novelty: float | None = None,
+                   round_to: int = 6, seed: int = 4242,
+                   max_corpus_vecs: int = 2_000_000) -> DataFrame:
+    """Streaming SEMANTIC-novelty gate: the stream-side counterpart of
+    :func:`~rainforest_spark.operators.similarity.embedding_novelty`
+    — per arriving vector, ``1 − max(0, cos)`` over its LSH-candidate
+    corpus neighbours, appended as ``(max_sim, novelty)`` columns
+    (NULL when no corpus bucket is shared: "no evidence", not
+    "novel").  ``min_novelty`` additionally FILTERS: rows whose
+    novelty is below it (semantically re-served content) are dropped;
+    NULL-novelty rows pass the gate.
+
+    Batch ≡ stream EXACTLY: the kernel reproduces the batch operator's
+    arithmetic bit-for-bit —
+
+    - dot products and norms accumulate with a vectorized SEQUENTIAL
+      fold (one ``+=`` per dimension, the same per-element add order
+      as SQL ``aggregate(zip_with(...))``; a numpy ``dot`` would use
+      pairwise/SIMD summation and drift in the last ulp);
+    - bucket sign bits come from the same sequential-fold plane dots;
+    - per-candidate cosines round HALF-UP on the shortest decimal
+      repr BEFORE the max (``Decimal(repr(x))`` — the same convention
+      as Spark's ``round(double)``), novelty rounds the same way.
+
+    Structured-Streaming legality: a per-row max over a stream-static
+    join would need a stateful aggregation; instead the corpus index
+    (vectors + norms + per-table bucket lists) is a bounded BROADCAST
+    into a stateless Arrow kernel — the ``curate_media_stream``
+    pattern, with the same ENFORCED bound: past ``max_corpus_vecs``
+    (default 2M ≈ 1 GB at 64-dim float64) this raises and names the
+    batch path.  ``planes=None`` auto-sizes off the corpus count.
+    """
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from rainforest_spark.operators.similarity import auto_planes
+
+    n = corpus.count()
+    if n > max_corpus_vecs:
+        raise ValueError(
+            f"novelty_stream: corpus index has {n} vectors "
+            f"(> max_corpus_vecs={max_corpus_vecs}) — too large to "
+            f"broadcast into the streaming kernel.  Run the batch "
+            f"path (rainforest_spark.operators.similarity."
+            f"embedding_novelty) behind the stream instead, or raise "
+            f"max_corpus_vecs explicitly.")
+    rows = corpus.select(vec_col).collect()
+    C = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    dim = C.shape[1] if C.size else 0
+    if planes is None:
+        planes = auto_planes(n, dim, seed=seed)
+    P = np.asarray(planes, dtype=np.float64)
+
+    def fold_dot(A, B):
+        # vectorized SEQUENTIAL fold: element k is added in order, so
+        # every output matches SQL aggregate()'s left fold bitwise
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for k in range(A.shape[1]):
+            acc = acc + A[:, k] * B[:, k]
+        return acc
+
+    def buckets_of(M):
+        # (rows, tables) int bucket ids from sequential-fold sign bits
+        out = np.zeros((M.shape[0], P.shape[0]), dtype=np.int64)
+        for t in range(P.shape[0]):
+            for p in range(P.shape[1]):
+                d = fold_dot(M, np.broadcast_to(P[t, p], M.shape))
+                out[:, t] |= (d > 0).astype(np.int64) << p
+        return out
+
+    c_norm = np.sqrt(fold_dot(C, C)) if C.size else np.zeros(0)
+    c_bkt = buckets_of(C) if C.size else np.zeros((0, P.shape[0]),
+                                                  dtype=np.int64)
+    index = {}
+    for t in range(P.shape[0]):
+        for i, b in enumerate(c_bkt[:, t]):
+            index.setdefault((t, int(b)), []).append(i)
+    index = {k: np.array(v, dtype=np.int64) for k, v in index.items()}
+
+    quantum = Decimal(1).scaleb(-round_to)
+
+    def r_half_up(x):
+        return float(Decimal(repr(float(x)))
+                     .quantize(quantum, rounding=ROUND_HALF_UP))
+
+    out_schema = StructType(list(stream.schema.fields)
+                            + [StructField("max_sim", DoubleType()),
+                               StructField("novelty", DoubleType())])
+
+    def score(it):
+        for pdf in it:
+            X = np.array([list(v) for v in pdf[vec_col]],
+                         dtype=np.float64)
+            ms = np.full(len(pdf), np.nan)
+            if len(pdf) and C.size:
+                x_norm = np.sqrt(fold_dot(X, X))
+                x_bkt = buckets_of(X)
+                for i in range(len(pdf)):
+                    cand = [index.get((t, int(x_bkt[i, t])))
+                            for t in range(P.shape[0])]
+                    cand = [c for c in cand if c is not None]
+                    if not cand:
+                        continue
+                    idx = np.unique(np.concatenate(cand))
+                    D = C[idx]
+                    dots = fold_dot(D, np.broadcast_to(X[i], D.shape))
+                    sims = dots / (x_norm[i] * c_norm[idx])
+                    ms[i] = max(r_half_up(s) for s in sims)
+            pdf = pdf.copy()
+            pdf["max_sim"] = [None if np.isnan(v) else v for v in ms]
+            pdf["novelty"] = [None if np.isnan(v)
+                              else r_half_up(1.0 - max(v, 0.0))
+                              for v in ms]
+            yield pdf
+
+    out = stream.mapInPandas(score, schema=out_schema)
+    if min_novelty is not None:
+        out = out.filter(F.col("novelty").isNull()
+                         | (F.col("novelty") >= min_novelty))
+    return out

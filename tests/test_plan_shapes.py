@@ -340,6 +340,10 @@ _CROSS_JOIN_WHITELIST = {
     "q83_unigram_logprob", "q90_hard_negatives", "q91_pmi_bigrams",
     "q93_semantic_decontamination", "q96_dsir_weights",
     "q98_domain_terms", "q99_corpus_drift",
+    # q126/q127 ride the q83 LM machinery (whitelisted above): the
+    # 1-row corpus-total (q126) / 1-row (N, S) stats (q127) broadcast-
+    # nested-loop onto the per-doc table — bounded by construction
+    "q126_perplexity_buckets", "q127_bm25_topk",
 }
 
 

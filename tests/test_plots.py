@@ -275,3 +275,30 @@ def test_cli_plot_qpe_movie(spark, tmp_path):
     frames, _pal = decode_gif_frames(out.read_bytes())
     assert len(frames) == 3                 # one frame per timestep
     assert frames[0].shape == (2, 3)        # (h, w) logical screen
+
+
+# --------------------------------------------- crossval-stats parity
+def test_score_panel_over_intercomparison_shape(spark, tmp_path):
+    """The reference's plot_crossval_stats (graphics.py:424) bar-plots
+    the nested intercomparison dict; here the tidy intercomparison
+    table melts through score_panel and renders — the same figure
+    content from the engine-shaped data, no nested-dict reshaping."""
+    rows = [(m, f, ta, ph, b, 100, rmse, lb)
+            for m in ("RF", "RZC") for f in (0, 1)
+            for ta, ph in (("10min", "all"), ("60min", "liquid"))
+            for b, rmse, lb in (("all", 1.5, -0.2), ("0.0-2.0", 0.8, 0.1))]
+    sc = spark.createDataFrame(
+        rows, "model string, fold int, timeagg string, phase string, "
+              "bound string, N long, RMSE double, logBias double")
+    long = score_panel(sc)
+    # every passthrough key survives the melt; scores go long
+    assert {"model", "fold", "timeagg", "phase", "bound", "N",
+            "score", "value"} <= set(long.columns)
+    got = long.filter(
+        (F.col("timeagg") == "10min") & (F.col("fold") == 0)).collect()
+    assert {r["score"] for r in got} == {"RMSE", "logBias"}
+    # one slice renders directly
+    svg = svg_score_panels([r.asDict() for r in got],
+                           title="crossval 10min fold 0",
+                           path=str(tmp_path / "cv.svg"))
+    _parse(svg)

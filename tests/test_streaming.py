@@ -715,3 +715,90 @@ def test_ingest_metrics_stream_matches_batch(spark, tmp_path):
     assert got[("B", w0)] == (1, 4, 1, 4.0)
     assert got[("B", w1)] == (2, 2, 1, 1.0)
     assert not any(s == "Z" for s, _ in got)    # open window not emitted
+
+
+def test_novelty_stream_batch_parity(spark, tmp_path):
+    """Streaming semantic-novelty gate ≡ the batch embedding_novelty
+    operator, bit-for-bit (sequential-fold kernel + shortest-repr
+    half-up rounding): same (max_sim, novelty) per id, NULLs where no
+    corpus bucket is shared."""
+    import numpy as np
+    import pandas as pd
+
+    from rainforest_spark.operators.similarity import embedding_novelty
+    from rainforest_spark.streaming.corpus import novelty_stream
+
+    rng = np.random.RandomState(11)
+    corpus_v = rng.randn(100, 16).astype(np.float32)
+    batch_v = np.vstack([corpus_v[:10] + rng.randn(10, 16).astype(
+        np.float32) * 0.05, rng.randn(30, 16).astype(np.float32)])
+    corpus = spark.createDataFrame(
+        [(1000 + i, v.tolist()) for i, v in enumerate(corpus_v)],
+        "vec_id long, embedding array<float>")
+    batch = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(batch_v)],
+        "vec_id long, embedding array<float>")
+
+    want = {r["batch_id"]: (r["max_sim"], r["novelty"])
+            for r in embedding_novelty(batch, corpus, "vec_id",
+                                       "embedding").collect()}
+
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    os.makedirs(src)
+    pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                  "embedding": [v for v in batch_v]}
+                 ).to_parquet(f"{src}/b.parquet", index=False)
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .parquet(src))
+    q = (novelty_stream(stream, corpus, "vec_id", "embedding")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    got = {r["vec_id"]: (r["max_sim"], r["novelty"])
+           for r in out.collect()}
+    assert len(got) == 40
+    assert got == want
+    # the perturbed copies score as re-served content
+    assert all(got[i][1] is not None and got[i][1] < 0.01
+               for i in range(10))
+
+    # gate pass: min_novelty drops exactly the re-served rows
+    # (NULL-novelty rows — no evidence — must pass the gate)
+    sink2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    q2 = (novelty_stream(stream, corpus, "vec_id", "embedding",
+                         min_novelty=0.05)
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", sink2).option("checkpointLocation", ckpt2)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    kept = {r["vec_id"] for r in spark.read.parquet(sink2).collect()}
+    want_kept = {i for i, (ms, nov) in got.items()
+                 if nov is None or nov >= 0.05}
+    assert kept == want_kept
+    assert kept.isdisjoint(set(range(10)))
+
+
+def test_novelty_stream_gate_and_guard(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from rainforest_spark.streaming.corpus import novelty_stream
+
+    rng = np.random.RandomState(3)
+    corpus = spark.createDataFrame(
+        [(i, rng.randn(8).astype(np.float32).tolist())
+         for i in range(50)], "vec_id long, embedding array<float>")
+    src = tmp_path / "src"
+    os.makedirs(src)
+    pd.DataFrame({"vec_id": np.int64([0]),
+                  "embedding": [rng.randn(8).astype(np.float32)]}
+                 ).to_parquet(f"{src}/a.parquet", index=False)
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .parquet(str(src)))
+    with pytest.raises(ValueError, match="embedding_novelty"):
+        novelty_stream(stream, corpus, max_corpus_vecs=10)

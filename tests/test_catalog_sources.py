@@ -247,3 +247,19 @@ def test_jsonl_round_trip(spark, tmp_path):
     quarantined = bad2.collect()
     assert len(quarantined) == 1
     assert "oops" in quarantined[0].raw_line
+
+
+def test_artifact_store_local_first(tmp_path):
+    """S5/S18 artifact fallback (reference object_storage.check_file):
+    local files resolve without any cloud config; a missing file with
+    no fallback raises with the configuration recipe."""
+    import pytest
+
+    from rainforest_spark.sources.object_storage import ArtifactStore
+
+    store = ArtifactStore()
+    p = tmp_path / "model_meta.json"
+    p.write_text("{}")
+    assert store.check_file(str(p)) == str(p)
+    with pytest.raises(FileNotFoundError, match="fallback is unavail"):
+        store.check_file(str(tmp_path / "absent.bin"))

@@ -302,3 +302,43 @@ def test_score_panel_over_intercomparison_shape(spark, tmp_path):
                            title="crossval 10min fold 0",
                            path=str(tmp_path / "cv.svg"))
     _parse(svg)
+
+
+def test_cli_plot_scatter_and_stations(spark, tmp_path):
+    import subprocess
+    import sys
+
+    pairs = spark.createDataFrame(
+        [(float(i % 7), float((i % 7) * 1.1)) for i in range(200)],
+        "ref_mmh double, est_mmh double")
+    pp = tmp_path / "pairs_pq"
+    pairs.write.parquet(str(pp))
+    out1 = tmp_path / "scatter.svg"
+    r1 = subprocess.run(
+        [sys.executable, "-m", "rainforest_spark.cli", "plot",
+         "scatter", str(pp), str(out1), "--lo", "0", "--hi", "10",
+         "--bins", "20"],
+        capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    _parse(out1.read_text())
+
+    ss = spark.createDataFrame(
+        [("RF", "OTL", 1.2), ("RF", "GVE", 0.8)],
+        "model string, station string, RMSE double")
+    sp = tmp_path / "ss_pq"
+    ss.write.parquet(str(sp))
+    coords = spark.createDataFrame(
+        [("OTL", 700.0, 120.0), ("GVE", 500.0, 110.0)],
+        "station string, X double, Y double")
+    cp = tmp_path / "coords_pq"
+    coords.write.parquet(str(cp))
+    out2 = tmp_path / "stations.svg"
+    r2 = subprocess.run(
+        [sys.executable, "-m", "rainforest_spark.cli", "plot",
+         "stations", str(sp), str(out2), "--stations", str(cp),
+         "--score", "RMSE"],
+        capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    root = _parse(out2.read_text())
+    ns = "{http://www.w3.org/2000/svg}"
+    assert len(list(root.iter(f"{ns}circle"))) == 2

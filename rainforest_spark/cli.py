@@ -371,12 +371,14 @@ def cmd_plot(args) -> int:
                         args.value_col).collect()
         h = max(r["y_idx"] for r in pts) + 1
         w = max(r["x_idx"] for r in pts) + 1
+        by_ts: dict = {}
+        for r in pts:
+            by_ts.setdefault(r[args.ts_col], []).append(r)
         frames = []
-        for ts in sorted({r[args.ts_col] for r in pts}):
+        for ts in sorted(by_ts):
             g = np.full((h, w), float("nan"))
-            for r in pts:
-                if r[args.ts_col] == ts:
-                    g[r["y_idx"], r["x_idx"]] = r[args.value_col]
+            for r in by_ts[ts]:
+                g[r["y_idx"], r["x_idx"]] = r[args.value_col]
             frames.append(g[::-1])
         render_qpe_gif(frames, path=args.output, upscale=args.upscale)
     else:  # stations

@@ -278,6 +278,10 @@ def novelty_stream(stream: DataFrame, corpus: DataFrame,
         for i, b in enumerate(c_bkt[:, t]):
             index.setdefault((t, int(b)), []).append(i)
     index = {k: np.array(v, dtype=np.int64) for k, v in index.items()}
+    # a REAL SparkContext broadcast, not a task-closure capture: the
+    # index is shipped once per executor — at the 2M-vector bound a
+    # closure capture would re-pickle ~1 GB into every task binary
+    bc = stream.sparkSession.sparkContext.broadcast((C, c_norm, index))
 
     quantum = Decimal(1).scaleb(-round_to)
 
@@ -290,23 +294,24 @@ def novelty_stream(stream: DataFrame, corpus: DataFrame,
                                StructField("novelty", DoubleType())])
 
     def score(it):
+        Cb, c_normb, indexb = bc.value
         for pdf in it:
             X = np.array([list(v) for v in pdf[vec_col]],
                          dtype=np.float64)
             ms = np.full(len(pdf), np.nan)
-            if len(pdf) and C.size:
+            if len(pdf) and Cb.size:
                 x_norm = np.sqrt(fold_dot(X, X))
                 x_bkt = buckets_of(X)
                 for i in range(len(pdf)):
-                    cand = [index.get((t, int(x_bkt[i, t])))
+                    cand = [indexb.get((t, int(x_bkt[i, t])))
                             for t in range(P.shape[0])]
                     cand = [c for c in cand if c is not None]
                     if not cand:
                         continue
                     idx = np.unique(np.concatenate(cand))
-                    D = C[idx]
+                    D = Cb[idx]
                     dots = fold_dot(D, np.broadcast_to(X[i], D.shape))
-                    sims = dots / (x_norm[i] * c_norm[idx])
+                    sims = dots / (x_norm[i] * c_normb[idx])
                     ms[i] = max(r_half_up(s) for s in sims)
             pdf = pdf.copy()
             pdf["max_sim"] = [None if np.isnan(v) else v for v in ms]

@@ -119,6 +119,10 @@ def curate_media_stream(stream: DataFrame, id_col: str = "media_id",
         sig_arr = np.array(
             [r["phash"] for r in corpus_sigs.select("phash").collect()],
             dtype=np.int64).view(np.uint64)
+        # a REAL SparkContext broadcast, not a task-closure capture:
+        # at the 25M-sig bound a closure would re-pickle ~200 MB into
+        # every task binary; the broadcast ships once per executor
+        bc_sigs = stream.sparkSession.sparkContext.broadcast(sig_arr)
         # 256-entry popcount table, built once per executor task
         pop_tbl = np.array([bin(i).count("1") for i in range(256)],
                            dtype=np.uint8)
@@ -127,6 +131,7 @@ def curate_media_stream(stream: DataFrame, id_col: str = "media_id",
                                 + [StructField("__corpus_hit", BooleanType())])
 
         def mark(it):
+            sig_arr = bc_sigs.value
             for pdf in it:
                 ph = pdf["phash"].to_numpy(dtype=np.int64).view(np.uint64)
                 hit = np.zeros(len(pdf), dtype=bool)

@@ -587,17 +587,48 @@ def build_ivf_index(vectors: DataFrame, id_col: str, vec_col: str,
                    F.col("aa").alias("cc")))
     (cdf.withColumnRenamed("__list", "list_id")
         .write.mode("overwrite").parquet(f"{path}/codebook"))
-    d2 = F.round(F.col("aa") - 2 * _dot("v", "cv") + F.col("cc"), 6)
-    assigned = (v.crossJoin(broadcast(cdf)).withColumn("__d2", d2)
-                .groupBy("vid")
-                .agg(F.min(F.struct("__d2", "__list", "aa", "v"))
-                     .alias("m"))
-                .select(F.col("vid").alias(id_col),
-                        F.col("m.v").alias("v"),
-                        F.col("m.aa").alias("aa"),
-                        F.col("m.__list").alias("list_id")))
-    (assigned.repartition("list_id")
+    (_ivf_assign(v, cdf, id_col).repartition("list_id")
      .write.mode("overwrite").partitionBy("list_id")
+     .parquet(f"{path}/lists"))
+
+
+def _ivf_assign(v: DataFrame, cdf: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-centroid list assignment shared by index build and
+    append: rounded squared distance, argmin tie-broken on list id."""
+    d2 = F.round(F.col("aa") - 2 * _dot("v", "cv") + F.col("cc"), 6)
+    return (v.crossJoin(broadcast(cdf)).withColumn("__d2", d2)
+            .groupBy("vid")
+            .agg(F.min(F.struct("__d2", "__list", "aa", "v"))
+                 .alias("m"))
+            .select(F.col("vid").alias(id_col),
+                    F.col("m.v").alias("v"),
+                    F.col("m.aa").alias("aa"),
+                    F.col("m.__list").alias("list_id")))
+
+
+def ivf_append(spark, path: str, vectors: DataFrame, id_col: str,
+               vec_col: str) -> None:
+    """Append NEW vectors to a persisted IVF index
+    (:func:`build_ivf_index`) without refitting: assign against the
+    frozen codebook with the exact build-time expressions (so an
+    appended vector lands in the list a fresh build over the union
+    would give it, bit-for-bit) and parquet-APPEND into the
+    ``list_id``-partitioned store — only the touched partitions gain
+    files; probes (:func:`ivf_topk_index`) see the new rows with
+    partition pruning intact and zero index rewrite.
+
+    The ingest path for a continuously-growing 100 TB embedding store:
+    appends are O(batch); rebuild (refit centroids) only when drift
+    degrades recall — the codebook stays frozen here by design, the
+    same trade every production IVF store makes between index
+    freshness and assignment quality.
+    """
+    code = spark.read.parquet(f"{path}/codebook")
+    cdf = code.select(F.col("list_id").alias("__list"), "cv", "cc")
+    v = with_double_vec(vectors, vec_col, "v").select(
+        F.col(id_col).alias("vid"), "v", _dot("v", "v").alias("aa"))
+    (_ivf_assign(v, cdf, id_col).repartition("list_id")
+     .write.mode("append").partitionBy("list_id")
      .parquet(f"{path}/lists"))
 
 

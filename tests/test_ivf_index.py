@@ -61,3 +61,36 @@ def test_probe_scan_prunes_partitions(spark, tmp_path):
     assert m, f"no list_id partition filter in plan:\n{plan[:2000]}"
     n_probed = len(m.group(1).split(","))
     assert n_probed < len(CENTROIDS), "probe scan did not prune any list"
+
+
+def test_ivf_append_equals_fresh_build(spark, tmp_path):
+    """Appending a batch against the frozen codebook lands every vector
+    in the list a fresh build over the union gives it, and probes see
+    the appended rows bit-identically to the full rebuild."""
+    from rainforest_spark.operators.similarity import ivf_append
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    old = e.filter(F.col("vec_id") % 7 != 0)
+    new = e.filter(F.col("vec_id") % 7 == 0)
+
+    inc = str(tmp_path / "inc")
+    build_ivf_index(old, "vec_id", "embedding", inc, CENTROIDS)
+    ivf_append(spark, inc, new, "vec_id", "embedding")
+
+    full = str(tmp_path / "full")
+    build_ivf_index(e, "vec_id", "embedding", full, CENTROIDS)
+
+    la = (spark.read.parquet(f"{inc}/lists")
+          .select("vec_id", "list_id").orderBy("vec_id").collect())
+    lb = (spark.read.parquet(f"{full}/lists")
+          .select("vec_id", "list_id").orderBy("vec_id").collect())
+    assert [r.asDict() for r in la] == [r.asDict() for r in lb]
+
+    qdf = e.filter(F.col("vec_id").isin(QUERIES))
+    got = (ivf_topk_index(spark, inc, qdf, "vec_id", "embedding",
+                          k=3, nprobe=3)
+           .orderBy("query_id", "rnk").collect())
+    want = (ivf_topk_index(spark, full, qdf, "vec_id", "embedding",
+                           k=3, nprobe=3)
+            .orderBy("query_id", "rnk").collect())
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]

@@ -11,6 +11,7 @@ that survives 100 TB (no read-modify-write of the whole table).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_query_result(df: DataFrame, output_file: str) -> None:
@@ -76,3 +77,53 @@ def append_run_summary(spark: SparkSession, path: str, day: str, t0: int,
         row, "day string, t0 long, t1 long, n_steps long, n_rows long, "
              "task string")
     df.write.mode("append").parquet(path)
+
+
+def compact_partitions(spark: SparkSession, path: str,
+                       partition_col: str = "day",
+                       target_file_mb: int = 128,
+                       min_files: int = 4,
+                       partitions: list | None = None) -> dict:
+    """Small-file compaction for a partitioned parquet table — the
+    maintenance pass every long-lived upsert store needs
+    (:func:`upsert_daily_partition` and :func:`~rainforest_spark.
+    operators.similarity.ivf_append` both accumulate one file set per
+    write; at 100 TB a year of 5-min upserts is millions of KB-files
+    whose open/footer cost dominates scans).
+
+    Per partition: if it holds ≥ ``min_files`` data files, rewrite it
+    as ``ceil(bytes / target_file_mb)`` files via a dynamic partition
+    overwrite — only rewritten partitions are touched, readers of
+    other partitions are unaffected (same guarantee as the upsert).
+    ``partitions`` limits the sweep (e.g. yesterday only, after the
+    daily ingest); default sweeps every partition that needs it.
+
+    Returns ``{partition_value: n_files_before}`` for the rewritten
+    partitions.  File listing happens driver-side on the partition
+    DIRECTORIES (a bounded metadata walk), never through the data.
+    """
+    import glob as _glob
+    import math
+    import os
+
+    todo = {}
+    for pdir in sorted(_glob.glob(os.path.join(path, f"{partition_col}=*"))):
+        val = os.path.basename(pdir).split("=", 1)[1]
+        if partitions is not None and val not in {str(p) for p in partitions}:
+            continue
+        files = [f for f in _glob.glob(os.path.join(pdir, "*"))
+                 if not os.path.basename(f).startswith(("_", "."))]
+        if len(files) >= min_files:
+            todo[val] = (len(files), sum(os.path.getsize(f) for f in files))
+    if not todo:
+        return {}
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    table = spark.read.parquet(path)
+    for val, (n, nbytes) in todo.items():
+        n_out = max(1, math.ceil(nbytes / (target_file_mb * 2**20)))
+        part = table.filter(
+            F.col(partition_col).cast("string") == val)
+        (part.repartition(n_out)
+         .write.mode("overwrite").partitionBy(partition_col)
+         .parquet(path))
+    return {val: n for val, (n, _) in todo.items()}

@@ -263,3 +263,45 @@ def test_artifact_store_local_first(tmp_path):
     assert store.check_file(str(p)) == str(p)
     with pytest.raises(FileNotFoundError, match="fallback is unavail"):
         store.check_file(str(tmp_path / "absent.bin"))
+
+
+def test_compact_partitions(spark, tmp_path):
+    """Small-file maintenance: a fragmented partition collapses to one
+    file with identical content; partitions under min_files and
+    partitions outside the requested sweep are untouched."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.sources.writers import compact_partitions
+
+    path = str(tmp_path / "store")
+    # 6 fragmented APPEND writes into day A (the ivf_append-style
+    # accumulation pattern), one into day B
+    for i in range(6):
+        (spark.createDataFrame([(i, "A", float(i))],
+                               "k long, day string, v double")
+         .coalesce(1).write.mode("append").partitionBy("day")
+         .parquet(path))
+    (spark.createDataFrame([(99, "B", 9.9)],
+                           "k long, day string, v double")
+     .coalesce(1).write.mode("append").partitionBy("day")
+     .parquet(path))
+
+    def nfiles(day):
+        return len([f for f in glob.glob(f"{path}/day={day}/*")
+                    if not os.path.basename(f).startswith(("_", "."))])
+
+    before = spark.read.parquet(path).orderBy("k").collect()
+    assert nfiles("A") >= 4
+    done = compact_partitions(spark, path, "day", min_files=4)
+    assert set(done) == {"A"} and done["A"] >= 4
+    assert nfiles("A") == 1                      # tiny bytes -> 1 file
+    after = spark.read.parquet(path).orderBy("k").collect()
+    assert [r.asDict() for r in before] == [r.asDict() for r in after]
+    # idempotent: nothing left to do
+    assert compact_partitions(spark, path, "day", min_files=4) == {}
+    # scoped sweep only touches the requested partitions
+    assert compact_partitions(spark, path, "day", min_files=1,
+                              partitions=["B"]) == {"B": 1}

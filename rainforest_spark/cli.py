@@ -495,6 +495,42 @@ def cmd_media_dedup(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Small-file compaction sweep over a partitioned parquet store
+    (the upsert / ivf_append maintenance pass)."""
+    from rainforest_spark.session import get_spark
+    from rainforest_spark.sources.writers import compact_partitions
+
+    spark = get_spark("rainforest-compact")
+    done = compact_partitions(
+        spark, args.path, partition_col=args.partition_col,
+        target_file_mb=args.target_file_mb, min_files=args.min_files,
+        partitions=args.partitions.split(",") if args.partitions else None)
+    print(json.dumps({"path": args.path, "rewritten": done}))
+    return 0
+
+
+def cmd_novelty(args) -> int:
+    """Batch semantic novelty of an ingest batch vs the persisted
+    corpus (embedding-space analogue of the n-gram novelty report)."""
+    from rainforest_spark.operators.similarity import embedding_novelty
+    from rainforest_spark.session import get_spark
+
+    spark = get_spark("rainforest-novelty")
+    batch = spark.read.parquet(args.batch)
+    corpus = spark.read.parquet(args.corpus)
+    out = embedding_novelty(batch, corpus, args.id_col, args.vec_col)
+    if args.min_novelty is not None:
+        from pyspark.sql import functions as F
+        out = out.filter(F.col("novelty").isNull()
+                         | (F.col("novelty") >= args.min_novelty))
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"output": args.output, "rows": n,
+                      "min_novelty": args.min_novelty}))
+    return 0
+
+
 def cmd_ingest(args) -> int:
     """JSONL shards -> parquet: schema-enforced read, corrupt lines
     quarantined to a side file, shard-bounded parquet out."""
@@ -712,6 +748,27 @@ def main(argv=None) -> int:
     r.add_argument("--id-col", default="doc_id")
     r.add_argument("--vocab-k", type=int, default=500)
     r.set_defaults(fn=cmd_report)
+
+    cp = sub.add_parser("compact", help="small-file compaction sweep "
+                        "over a partitioned parquet store")
+    cp.add_argument("path")
+    cp.add_argument("--partition-col", default="day")
+    cp.add_argument("--target-file-mb", type=int, default=128)
+    cp.add_argument("--min-files", type=int, default=4)
+    cp.add_argument("--partitions", default=None,
+                    help="comma-separated partition values to sweep")
+    cp.set_defaults(fn=cmd_compact)
+
+    nv = sub.add_parser("novelty", help="semantic novelty of a batch "
+                        "vs the persisted corpus (embeddings)")
+    nv.add_argument("batch", help="batch parquet (id + vector col)")
+    nv.add_argument("corpus", help="corpus parquet (same schema)")
+    nv.add_argument("output")
+    nv.add_argument("--id-col", default="vec_id")
+    nv.add_argument("--vec-col", default="embedding")
+    nv.add_argument("--min-novelty", type=float, default=None,
+                    help="drop rows below this novelty (NULLs pass)")
+    nv.set_defaults(fn=cmd_novelty)
 
     i = sub.add_parser("ingest", help="JSONL shards -> parquet")
     i.add_argument("input", help="JSONL path/glob (plain or .gz)")

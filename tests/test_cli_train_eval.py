@@ -207,3 +207,54 @@ def test_cli_quality_gate(spark, tmp_path, capsys):
     assert res["n_in"] == 2 and res["n_out"] == 1
     kept = spark.read.parquet(out)
     assert [r.doc_id for r in kept.collect()] == [500]
+
+
+def test_cli_compact_and_novelty(spark, tmp_path):
+    import glob
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    # compact: fragment one partition with three appends, sweep it
+    store = str(tmp_path / "store")
+    for i in range(3):
+        (spark.createDataFrame([(i, "A", float(i))],
+                               "k long, day string, v double")
+         .coalesce(1).write.mode("append").partitionBy("day")
+         .parquet(store))
+    r = subprocess.run(
+        [sys.executable, "-m", "rainforest_spark.cli", "compact",
+         store, "--min-files", "2"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["rewritten"] == {"A": 3}
+    files = [f for f in glob.glob(f"{store}/day=A/*")
+             if not os.path.basename(f).startswith(("_", "."))]
+    assert len(files) == 1
+
+    # novelty: batch member identical to a corpus vector -> dropped by
+    # the gate; an orthogonal vector survives
+    base = [1.0, 0.0, 0.0, 0.0]
+    rng = np.random.RandomState(5)
+    corpus_rows = [(100 + i, (np.array(base) + rng.randn(4) * 0.01)
+                    .astype(np.float32).tolist()) for i in range(20)]
+    spark.createDataFrame(corpus_rows,
+                          "vec_id long, embedding array<float>") \
+        .write.parquet(str(tmp_path / "corpus"))
+    spark.createDataFrame(
+        [(0, [float(x) for x in base]), (1, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>") \
+        .write.parquet(str(tmp_path / "batch"))
+    out = str(tmp_path / "novel")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "rainforest_spark.cli", "novelty",
+         str(tmp_path / "batch"), str(tmp_path / "corpus"), out,
+         "--min-novelty", "0.1"],
+        capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    kept = {r["batch_id"] for r in spark.read.parquet(out).collect()}
+    assert 0 not in kept          # re-served content gated out

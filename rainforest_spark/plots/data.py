@@ -43,6 +43,9 @@ def scatter_density(df: DataFrame, est_col: str, ref_col: str,
     map-side partial counts — the classic full-reduction aggregation;
     output is ≤ n_bins² rows per model regardless of input size.
     """
+    if not (hi > lo) or n_bins < 1:
+        raise ValueError(f"need hi > lo and n_bins >= 1 "
+                         f"(got lo={lo}, hi={hi}, n_bins={n_bins})")
     step = (hi - lo) / n_bins
     keys = ([model_col] if model_col else [])
     x, y = F.col(ref_col), F.col(est_col)
@@ -86,6 +89,9 @@ def score_panel(scores: DataFrame, score_cols: list[str] | None = None,
         score_cols = [c for c in scores.columns
                       if c not in passthrough
                       and isinstance(scores.schema[c].dataType, NumericType)]
+    if not score_cols:
+        raise ValueError("score_panel: no numeric score columns to melt "
+                         f"(columns: {scores.columns})")
     stack = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in score_cols)
     return scores.selectExpr(
         *passthrough,

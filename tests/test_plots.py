@@ -342,3 +342,13 @@ def test_cli_plot_scatter_and_stations(spark, tmp_path):
     root = _parse(out2.read_text())
     ns = "{http://www.w3.org/2000/svg}"
     assert len(list(root.iter(f"{ns}circle"))) == 2
+
+
+def test_data_api_input_validation(spark):
+    df = spark.createDataFrame([(1.0, 1.0)], "ref double, est double")
+    with pytest.raises(ValueError, match="hi > lo"):
+        scatter_density(df, "est", "ref", lo=5.0, hi=5.0, n_bins=10)
+    only_keys = spark.createDataFrame([("RF", "all")],
+                                      "model string, bound string")
+    with pytest.raises(ValueError, match="no numeric score columns"):
+        score_panel(only_keys)

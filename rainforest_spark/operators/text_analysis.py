@@ -1194,3 +1194,97 @@ def bm25_topk(df, id_col: str, text_col: str, queries,
             .filter(F.col("rnk") <= k)
             .select("query_id", F.col("rnk").cast("long").alias("rnk"),
                     F.col(id_col), "score"))
+
+
+def length_histogram(df, group_col: str, text_col: str,
+                     bin_width: int = 64, round_to: int = 6):
+    """Per-group token-length histogram — the sequence-length
+    diagnostic behind packing/batching decisions (how much of source X
+    is sub-context-length?).  Returns ``(group, len_lo, n_docs,
+    share)``; ``len_lo`` the inclusive lower edge of the
+    ``bin_width``-token bin, ``share`` the in-group fraction.
+
+    Exactness: bins and counts are pure integer arithmetic; the share
+    is one double division of two BIGINTs, rounded.
+
+    Shape at 100 TB: one map-side token count, one groupBy on the
+    (group, bin) key, one broadcast-size per-group total join.
+    """
+    d = df.select(F.col(group_col).alias("__g"),
+                  token_count(text_col).alias("__n"))
+    binned = d.groupBy(
+        "__g", (F.floor(F.col("__n") / bin_width) * bin_width)
+        .cast("long").alias("len_lo")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    totals = binned.groupBy("__g").agg(F.sum("n_docs").alias("__tot"))
+    return (binned.join(totals, "__g")
+            .select(F.col("__g").alias(group_col), "len_lo", "n_docs",
+                    F.round(F.col("n_docs") / F.col("__tot"), round_to)
+                    .alias("share")))
+
+
+def source_concentration(df, group_col: str, text_col: str,
+                         round_to: int = 6):
+    """Corpus-concentration diagnostic: sources ranked by token mass
+    with cumulative (Lorenz) shares, plus the per-row Gini coefficient
+    of the whole distribution — catches a mixture silently collapsing
+    onto one crawl.  Returns ``(group, n_tokens, rank, cum_share,
+    gini)`` with rank 1 = largest source.
+
+    Exactness: token masses are exact BIGINTs; cumulative sums and the
+    Gini numerator ``2·Σ(i·xᵢ) − (n+1)·Σx`` (x ascending) stay integer;
+    each result is one double division, rounded.
+
+    Shape at 100 TB: the heavy pass is the per-source token groupBy;
+    everything after runs on the SOURCE DIM (hundreds of rows — the
+    window is bounded by the dim, not the data).
+    """
+    from pyspark.sql import Window
+
+    mass = (df.select(F.col(group_col).alias("__g"),
+                      token_count(text_col).alias("__n"))
+            .groupBy("__g").agg(F.sum("__n").alias("n_tokens")))
+    wd = Window.orderBy(F.col("n_tokens").desc(), F.col("__g").asc())
+    wa = Window.orderBy(F.col("n_tokens").asc(), F.col("__g").desc())
+    wall = Window.partitionBy()
+    ranked = (mass
+              .withColumn("rank", F.row_number().over(wd))
+              .withColumn("__i", F.row_number().over(wa))
+              .withColumn("__cum", F.sum("n_tokens").over(
+                  wd.rowsBetween(Window.unboundedPreceding, 0)))
+              .withColumn("__tot", F.sum("n_tokens").over(wall))
+              .withColumn("__cnt", F.count(F.lit(1)).over(wall))
+              .withColumn("__wsum", F.sum(F.col("__i").cast("long")
+                                          * F.col("n_tokens")).over(wall)))
+    gini = ((F.lit(2) * F.col("__wsum")
+             - (F.col("__cnt") + 1) * F.col("__tot")).cast("double")
+            / (F.col("__cnt") * F.col("__tot")).cast("double"))
+    return ranked.select(
+        F.col("__g").alias(group_col), "n_tokens",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("__cum").cast("double")
+                / F.col("__tot").cast("double"), round_to)
+        .alias("cum_share"),
+        F.round(gini, round_to).alias("gini"))
+
+
+def type_token_ratio(df, group_col: str, text_col: str,
+                     round_to: int = 6):
+    """Per-group lexical richness: distinct terms over total tokens —
+    low TTR flags templated/boilerplate-heavy sources.  Returns
+    ``(group, n_tokens, n_types, ttr)``.
+
+    Shape at 100 TB: one (group, term) distinct + two grouped counts;
+    the ratio is one rounded double division of exact BIGINTs.
+    """
+    toks = (df.select(F.col(group_col).alias("__g"),
+                      F.explode(tokens(text_col)).alias("term"))
+            .filter(F.col("term") != ""))
+    per = toks.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("n_types"))
+    return per.select(
+        F.col("__g").alias(group_col), "n_tokens",
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(F.col("n_types") / F.col("n_tokens"), round_to)
+        .alias("ttr"))

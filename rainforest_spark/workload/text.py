@@ -2021,3 +2021,81 @@ def q127(spark, sf):
         T(spark, sf, "documents"), "doc_id", "text",
         [(0, "spark window join"), (1, "hash table scan"),
          (2, "customer stream value")])
+
+
+# ---------------------------------------------------------------- q128
+# Per-source token-length histogram (64-token bins): integer bin keys
+# and counts; the in-group share is one double division of BIGINTs.
+@q("q128_length_histogram", sql="""
+WITH d AS (
+  SELECT source AS g,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n
+  FROM documents),
+b AS (
+  SELECT g, CAST((n // 64) * 64 AS BIGINT) AS len_lo,
+         COUNT(*) AS n_docs
+  FROM d GROUP BY 1, 2),
+t AS (SELECT g, CAST(SUM(n_docs) AS BIGINT) AS tot FROM b GROUP BY 1)
+SELECT b.g AS source, b.len_lo, b.n_docs,
+       ROUND(b.n_docs / t.tot, 6) AS share
+FROM b JOIN t USING (g)
+""")
+def q128(spark, sf):
+    return TA.length_histogram(T(spark, sf, "documents"), "source",
+                               "text", bin_width=64)
+
+
+# ---------------------------------------------------------------- q129
+# Source-concentration diagnostic: token-mass ranks, Lorenz cumulative
+# shares and the Gini coefficient — all windows run on the SOURCE DIM
+# (bounded), masses/cumsums/Gini numerator stay integer, one rounded
+# double division each.
+@q("q129_source_concentration", sql="""
+WITH m AS (
+  SELECT source AS g,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+r AS (
+  SELECT g, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens DESC, g) AS rank,
+         ROW_NUMBER() OVER (ORDER BY n_tokens ASC, g DESC) AS i,
+         SUM(n_tokens) OVER (ORDER BY n_tokens DESC, g
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM m),
+s AS (
+  SELECT *, SUM(n_tokens) OVER () AS tot, COUNT(*) OVER () AS cnt,
+         SUM(CAST(i AS BIGINT) * n_tokens) OVER () AS wsum
+  FROM r)
+SELECT g AS source, n_tokens, CAST(rank AS BIGINT) AS rank,
+       ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+         AS cum_share,
+       ROUND(CAST(2 * wsum - (cnt + 1) * tot AS DOUBLE)
+             / CAST(cnt * tot AS DOUBLE), 6) AS gini
+FROM s
+""")
+def q129(spark, sf):
+    return TA.source_concentration(T(spark, sf, "documents"), "source",
+                                   "text")
+
+
+# ---------------------------------------------------------------- q130
+# Per-source type-token ratio: lexical-richness diagnostic; distinct
+# terms and token totals are exact integers through one rounded
+# division.
+@q("q130_type_token_ratio", sql="""
+WITH toks AS (
+  SELECT source AS g, t.term
+  FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+       UNNEST(w) AS t(term)
+  WHERE t.term != '')
+SELECT g AS source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT term) AS BIGINT) AS n_types,
+       ROUND(COUNT(DISTINCT term) / COUNT(*), 6) AS ttr
+FROM toks GROUP BY 1
+""")
+def q130(spark, sf):
+    return TA.type_token_ratio(T(spark, sf, "documents"), "source",
+                               "text")

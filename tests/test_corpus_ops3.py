@@ -626,3 +626,50 @@ def test_bm25_topk_dataframe_queries_and_k(spark):
     assert {r.query_id for r in got} == {7}
     assert [r.rnk for r in sorted(got, key=lambda r: r.rnk)] == \
         [1, 2, 3, 4]
+
+
+def test_length_histogram_golden(spark):
+    from rainforest_spark.operators.text_analysis import length_histogram
+
+    df = spark.createDataFrame(
+        [("s0", "a b c"), ("s0", " ".join(["w"] * 70)),
+         ("s0", "x y"), ("s1", "q")],
+        "source string, text string")
+    got = {(r.source, r.len_lo): (r.n_docs, r.share)
+           for r in length_histogram(df, "source", "text",
+                                     bin_width=64).collect()}
+    assert got == {("s0", 0): (2, round(2 / 3, 6)),
+                   ("s0", 64): (1, round(1 / 3, 6)),
+                   ("s1", 0): (1, 1.0)}
+
+
+def test_source_concentration_golden(spark):
+    from rainforest_spark.operators.text_analysis import (
+        source_concentration,
+    )
+
+    df = spark.createDataFrame(
+        [("a", " ".join(["w"] * 10)), ("b", " ".join(["w"] * 30)),
+         ("c", " ".join(["w"] * 60))], "source string, text string")
+    rows = {r.source: r for r in
+            source_concentration(df, "source", "text").collect()}
+    # masses 10/30/60: Gini = (2*(1*10+2*30+3*60) - 4*100)/(3*100)
+    assert rows["c"].rank == 1 and rows["c"].cum_share == 0.6
+    assert rows["b"].rank == 2 and rows["b"].cum_share == 0.9
+    assert rows["a"].rank == 3 and rows["a"].cum_share == 1.0
+    assert all(r.gini == round(1 / 3, 6) for r in rows.values())
+    # perfectly equal corpus -> Gini 0
+    eq = spark.createDataFrame(
+        [(s, "w w") for s in "abc"], "source string, text string")
+    assert all(r.gini == 0.0 for r in
+               source_concentration(eq, "source", "text").collect())
+
+
+def test_type_token_ratio_golden(spark):
+    from rainforest_spark.operators.text_analysis import type_token_ratio
+
+    df = spark.createDataFrame(
+        [("s0", "a a b"), ("s1", "x y z")], "source string, text string")
+    got = {r.source: (r.n_tokens, r.n_types, r.ttr)
+           for r in type_token_ratio(df, "source", "text").collect()}
+    assert got == {"s0": (3, 2, round(2 / 3, 6)), "s1": (3, 3, 1.0)}

@@ -558,7 +558,8 @@ def cmd_report(args) -> int:
     from pyspark.sql import functions as F
 
     from rainforest_spark.operators.text_analysis import (
-        corpus_cardinalities, corpus_drift_jsd, heaps_fit, vocab_coverage,
+        corpus_cardinalities, corpus_drift_jsd, heaps_fit,
+        source_concentration, type_token_ratio, vocab_coverage,
         zipf_fit,
     )
     from rainforest_spark.session import get_spark
@@ -578,8 +579,15 @@ def cmd_report(args) -> int:
             .select(group,
                     F.col("n_docs_distinct"),
                     F.col("n_grams").alias("approx_ngrams")))
+    # distribution panel: token-mass concentration (Lorenz rank +
+    # cumulative share + corpus Gini) and lexical richness per group
+    conc = source_concentration(docs, group, "text").select(
+        group, F.col("rank").alias("mass_rank"), "cum_share", "gini")
+    ttr = type_token_ratio(docs, group, "text").select(
+        group, F.col("ttr"))
     out = (stats.join(cov.drop("total_tokens"), group)
-           .join(drift, group).join(card, group))
+           .join(drift, group).join(card, group)
+           .join(conc, group).join(ttr, group))
     if args.output:
         out.coalesce(1).write.mode("overwrite").parquet(args.output)
     rows = {r[group]: {k: v for k, v in r.asDict().items() if k != group}

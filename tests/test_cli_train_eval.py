@@ -87,8 +87,9 @@ def test_cli_report(spark, tmp_path, capsys):
     assert res["groups"] >= 2
     one = next(iter(res["report"].values()))
     assert {"n_docs", "total_chars", "oov_tokens", "oov_rate",
-            "n_terms", "jsd", "n_docs_distinct",
-            "approx_ngrams"} <= set(one)
+            "n_terms", "jsd", "n_docs_distinct", "approx_ngrams",
+            "mass_rank", "cum_share", "gini", "ttr"} <= set(one)
+    assert 0.0 <= one["ttr"] <= 1.0
     # power-law panel: slope negative (Zipf), beta in (0, 1] (Heaps)
     assert res["zipf"]["zipf_slope"] < 0
     assert 0 < res["heaps"]["heaps_beta"] <= 1

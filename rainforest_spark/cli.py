@@ -531,6 +531,35 @@ def cmd_novelty(args) -> int:
     return 0
 
 
+def cmd_storage(args) -> int:
+    """Object-storage interaction (reference common/interact_cloud.py):
+    list / download / upload against the artifact bucket.  Requires
+    boto3 + RAINFOREST_S3_ENDPOINT + AWS credentials in the env;
+    errors out with the recipe otherwise."""
+    from rainforest_spark.sources.object_storage import ArtifactStore
+
+    store = ArtifactStore(bucket=args.bucket)
+    if args.action == "check":
+        print(json.dumps({"file": store.check_file(args.name)}))
+        return 0
+    if not store.available:
+        print("object storage not configured: install boto3 and set "
+              "RAINFOREST_S3_ENDPOINT / AWS_ACCESS_KEY_ID / "
+              "AWS_SECRET_ACCESS_KEY", file=sys.stderr)
+        return 1
+    if args.action == "list":
+        print(json.dumps({"files": store.list_files()}))
+    elif args.action == "upload":
+        store.upload_file(args.name)
+        print(json.dumps({"uploaded": args.name}))
+    else:  # download
+        import os
+        store.check_file(os.path.join(args.outputfolder or ".",
+                                      os.path.basename(args.name)))
+        print(json.dumps({"downloaded": args.name}))
+    return 0
+
+
 def cmd_ingest(args) -> int:
     """JSONL shards -> parquet: schema-enforced read, corrupt lines
     quarantined to a side file, shard-bounded parquet out."""
@@ -777,6 +806,15 @@ def main(argv=None) -> int:
     nv.add_argument("--min-novelty", type=float, default=None,
                     help="drop rows below this novelty (NULLs pass)")
     nv.set_defaults(fn=cmd_novelty)
+
+    st = sub.add_parser("storage", help="object-storage list/upload/"
+                        "download (boto3- and env-gated)")
+    st.add_argument("action",
+                    choices=["list", "upload", "download", "check"])
+    st.add_argument("name", nargs="?", default=None)
+    st.add_argument("-b", "--bucket", default="rainforest")
+    st.add_argument("-o", "--outputfolder", default=".")
+    st.set_defaults(fn=cmd_storage)
 
     i = sub.add_parser("ingest", help="JSONL shards -> parquet")
     i.add_argument("input", help="JSONL path/glob (plain or .gz)")

@@ -305,3 +305,19 @@ def test_compact_partitions(spark, tmp_path):
     # scoped sweep only touches the requested partitions
     assert compact_partitions(spark, path, "day", min_files=1,
                               partitions=["B"]) == {"B": 1}
+
+
+def test_cli_storage_gated(tmp_path, capsys):
+    """storage CLI: 'check' resolves local files without cloud config;
+    cloud actions error with the configuration recipe (boto3 absent)."""
+    import json as _json
+
+    from rainforest_spark.cli import main
+
+    p = tmp_path / "artifact.bin"
+    p.write_bytes(b"x")
+    assert main(["storage", "check", str(p)]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["file"] == str(p)
+    assert main(["storage", "list"]) == 1
+    assert "not configured" in capsys.readouterr().err

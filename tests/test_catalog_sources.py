@@ -321,3 +321,63 @@ def test_cli_storage_gated(tmp_path, capsys):
     assert out["file"] == str(p)
     assert main(["storage", "list"]) == 1
     assert "not configured" in capsys.readouterr().err
+
+
+def test_dwh_rest_source(spark):
+    """S7 REST gauge retrieval: serve the reference's pipe-delimited
+    wire format from a local stdlib server; the parsed frame gets the
+    datetime rename, numeric coercion and NA-sentinel NULLs, and lifts
+    into Spark."""
+    import http.server
+    import threading
+
+    import numpy as np
+
+    from rainforest_spark.sources.rest import (fetch_dwh_series,
+                                               read_dwh_rest)
+
+    body = (b"station|termin|rre150z0|tre200s0\n"
+            b"stn termin rre150z0 tre200s0\n"
+            b"\n"
+            b"OTL | 202406011210 | 0.5 | 18.3\n"
+            b"OTL | 202406011220 | 10000000.00 | 18.1\n")
+
+    class H(http.server.BaseHTTPRequestHandler):
+        seen = {}
+
+        def do_GET(self):
+            H.seen["path"] = self.path
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/api/v1"
+        pdf = fetch_dwh_series(url, station="OTL",
+                               time_range=("202406011200",
+                                           "202406011230"),
+                               variables=["rre150z0", "tre200s0"])
+        assert "locationIds=nat_abbr%2COTL" in H.seen["path"]
+        assert list(pdf.columns) == ["stn", "datetime", "rre150z0",
+                                     "tre200s0"]
+        assert str(pdf["datetime"].iloc[0]) == "2024-06-01 12:10:00"
+        assert np.isnan(pdf["rre150z0"].iloc[1])   # NA sentinel
+        df = read_dwh_rest(spark, url, station="OTL")
+        assert df.count() == 2
+        assert df.filter("rre150z0 IS NULL").count() == 1
+    finally:
+        srv.shutdown()
+
+
+def test_dwh_rest_requires_endpoint():
+    import pytest
+
+    from rainforest_spark.sources.rest import fetch_dwh_series
+
+    with pytest.raises(ValueError, match="RAINFOREST_JRETRIEVE_URL"):
+        fetch_dwh_series(None, station="OTL")

@@ -187,8 +187,12 @@ def test_bigram_logprob_hand_computed(spark):
     # bigrams: (a,b) x2, (a,c) x1; cs(a)=3; unigrams over ALL tokens
     # incl. the bigram-less doc: a=3 b=2 c=1 solo=1, N=7
     def nll(cb, cs, cu, n):
+        from decimal import Decimal
+
         p = 0.75 * (cb / cs) + 0.25 * (cu / n)
-        n9 = int(round(-math.log(p), 9) * 1e9)
+        # exact decimal scaling — int(round(x,9)*1e9) truncates when
+        # the double product lands at N-eps (see the properties file)
+        n9 = int(Decimal(repr(round(-math.log(p), 9))) * 1000000000)
         return ((2 * n9 + 1000) // 2000) / 1e6
 
     assert out[0].n_bigrams == 1

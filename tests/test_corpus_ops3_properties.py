@@ -169,7 +169,13 @@ def _bigram_reference(texts, lam=0.75):
         for p in ps:
             prob = (lam * cb[p] / cs[p[0]]
                     + (1 - lam) * uni[p[1]] / n_tot)
-            n9 += int(round(-math.log(prob), 9) * 1e9)
+            # exact decimal scaling of the 9-dp value: the operator
+            # (and the DuckDB oracle) scale DECIMAL(19,9)*1e9 exactly,
+            # while int(round(x,9)*1e9) TRUNCATES when the double
+            # product lands at N-eps (hypothesis found
+            # -ln(p)=1.028483699 -> 1028483698.9999999 -> ...698)
+            n9 += int(Decimal(repr(round(-math.log(prob), 9)))
+                      * 1000000000)
         n = len(ps)
         out[i] = (n, ((2 * n9 + 1000 * n) // (2000 * n)) / 1e6)
     return out

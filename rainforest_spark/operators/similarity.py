@@ -786,9 +786,11 @@ def kmeans_clusters(vectors: DataFrame, id_col: str, vec_col: str,
     - assignment: cosine similarity rounded to ``round_to`` BEFORE the
       argmax, ties break on the lowest cluster index (the q51 policy,
       proven hash-exact);
-    - update: per-dimension plain mean of assigned vectors (exact
-      enough: the 6dp rounding grid is ~1e10 coarser than double
-      summation noise on bounded embeddings);
+    - update: per-dimension mean from 1e-9-grid DECIMAL component sums
+      (the q122 centroid policy) — a raw double ``avg`` is partial-
+      aggregation-order dependent, and deep property fuzzing showed
+      the noise CAN push a rounded similarity across the 6dp grid and
+      flip an assignment between runs;
     - exactly ``n_iter`` assignment rounds — no convergence test, so
       both engines run the same computation.
 
@@ -826,7 +828,9 @@ def kmeans_clusters(vectors: DataFrame, id_col: str, vec_col: str,
         a = assign(cent)
         pos = (a.join(v, "vec_id")
                .select("cid", F.posexplode("v").alias("pos", "x")))
-        cent = (pos.groupBy("cid", "pos").agg(F.avg("x").alias("cx"))
+        cent = (pos.groupBy("cid", "pos")
+                .agg((F.sum(F.round("x", 9).cast("decimal(19,9)"))
+                      .cast("double") / F.count(F.lit(1))).alias("cx"))
                 .groupBy("cid")
                 .agg(F.array_sort(F.collect_list(
                     F.struct("pos", "cx"))).alias("s"))

@@ -367,7 +367,9 @@ a1 AS (
                                  ORDER BY sim DESC, cid) AS rn
     FROM s1) WHERE rn = 1),
 e1 AS (
-  SELECT a1.cid, u.i AS pos, AVG(v.v[u.i]) AS cx
+  SELECT a1.cid, u.i AS pos,
+         CAST(SUM(CAST(ROUND(v.v[u.i], 9) AS DECIMAL(19,9)))
+              AS DOUBLE) / COUNT(*) AS cx
   FROM a1 JOIN v USING (vec_id),
        UNNEST(generate_series(1, len(v.v))) AS u(i)
   GROUP BY 1, 2),

@@ -104,10 +104,19 @@ def _kmeans_reference(vecs, k, n_iter):
     assign = {}
     for it in range(n_iter):
         if it > 0:
+            def r9(x):
+                return Decimal(repr(float(x))).quantize(
+                    Decimal("0.000000001"), rounding=ROUND_HALF_UP)
+
             new = {}
             for c in sorted(set(assign.values())):
                 members = [X[i] for i in ids if assign[i] == c]
-                new[c] = np.mean(np.stack(members), axis=0)
+                # the operator's exact-centroid policy: 1e-9-grid
+                # decimal component sums, one double division
+                new[c] = np.array(
+                    [float(sum(r9(m[d]) for m in members))
+                     / len(members)
+                     for d in range(len(members[0]))])
             cents = new
         assign = {}
         sims = {}

@@ -345,7 +345,9 @@ def q104(spark, sf):
 # the 8 lowest vec_ids): the corpus topic-clustering pass.  Assignment
 # follows the proven q51 policy (cosine rounded to 6dp BEFORE argmax,
 # ties on the lowest cluster index); centroid update is the per-
-# dimension plain mean of the assigned vectors.
+# dimension mean from floor(x*1e9 + 0.5) integer-nanos BIGINT sums
+# (order-free partial aggregation, IEEE-identical on both engines,
+# no BigDecimal — see kmeans_clusters docstring).
 @q("q107_kmeans_clusters", sql="""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -368,8 +370,9 @@ a1 AS (
     FROM s1) WHERE rn = 1),
 e1 AS (
   SELECT a1.cid, u.i AS pos,
-         CAST(SUM(CAST(ROUND(v.v[u.i], 9) AS DECIMAL(19,9)))
-              AS DOUBLE) / COUNT(*) AS cx
+         CAST(SUM(CAST(FLOOR(v.v[u.i] * 1000000000.0 + 0.5)
+                       AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / COUNT(*) AS cx
   FROM a1 JOIN v USING (vec_id),
        UNNEST(generate_series(1, len(v.v))) AS u(i)
   GROUP BY 1, 2),
@@ -431,3 +434,4 @@ def q122(spark, sf):
     out = SIM.label_cohesion(e, "vec_id", "embedding", "label")
     return out.select("label", F.col("n").cast("long").alias("n"),
                       "mean_cos", "min_cos")
+

@@ -104,18 +104,17 @@ def _kmeans_reference(vecs, k, n_iter):
     assign = {}
     for it in range(n_iter):
         if it > 0:
-            def r9(x):
-                return Decimal(repr(float(x))).quantize(
-                    Decimal("0.000000001"), rounding=ROUND_HALF_UP)
+            def nano(x):
+                return math.floor(float(x) * 1000000000.0 + 0.5)
 
             new = {}
             for c in sorted(set(assign.values())):
                 members = [X[i] for i in ids if assign[i] == c]
-                # the operator's exact-centroid policy: 1e-9-grid
-                # decimal component sums, one double division
+                # the operator's exact-centroid policy: floor-nanos
+                # integer sums, (sum/1e9)/n double divisions
                 new[c] = np.array(
-                    [float(sum(r9(m[d]) for m in members))
-                     / len(members)
+                    [float(sum(nano(m[d]) for m in members))
+                     / 1000000000.0 / len(members)
                      for d in range(len(members[0]))])
             cents = new
         assign = {}

@@ -414,3 +414,84 @@ def stratified_sample(df: DataFrame, id_col: str, group_col: str,
                      .alias("rate")))
     return weighted_sample_dynamic(df, id_col, group_col, rates,
                                    salt=salt)
+
+
+def temperature_allocation(df: DataFrame, group_col: str, budget: int,
+                           alpha: float = 0.25) -> DataFrame:
+    """Temperature-scaled mixture quotas: allocate an EXACT total
+    document budget across sources proportional to ``n_g^alpha`` — the
+    multilingual/domain rebalancing rule (mT5/XLM-R style alpha
+    sampling: alpha=1 mirrors the corpus skew, alpha->0 approaches
+    uniform; 0.2-0.5 is the usual band).  Unlike
+    :func:`stratified_sample` (per-row Bernoulli, Binomial realized
+    size) this emits integer per-group QUOTAS that sum to ``budget``
+    exactly — the contract a fixed-size training-mix spec needs; feed
+    the quota into :func:`cap_per_group` to materialize the pick.
+
+    ``alpha`` must be ``1/2**m`` (0.5, 0.25, 0.125, ...): ``n^alpha``
+    is then an m-fold ``sqrt`` chain, and IEEE-754 sqrt is correctly
+    rounded on every engine — the weights are bit-identical in Spark,
+    DuckDB and numpy with NO transcendental grid at all.  The weights
+    become integer nanos (``floor(w*1e9 + 0.5)`` — pure double ops,
+    engine-identical) and everything after is integer arithmetic:
+
+    - base quota ``(nano_g * budget) div T`` with ``T = sum(nano)``,
+      products in DECIMAL(38,0) so a trillion-doc source times a
+      billion-doc budget cannot overflow BIGINT;
+    - the leftover ``budget - sum(base)`` (< #groups) goes to the
+      largest remainders, ties on the group name ascending — the
+      classic largest-remainder method, wholly deterministic.
+
+    Output: ``(group, n_docs, weight, alloc)``; ``weight`` is the
+    rounded share ``nano/T``, ``sum(alloc) == budget`` exactly and
+    ``alloc`` never exceeds... note it MAY exceed ``n_docs`` when a
+    tiny source's temperature share outruns its actual size — callers
+    wanting attainable quotas cap at ``least(alloc, n_docs)`` (kept
+    raw here so the quota table states the *target* mixture).
+
+    Shape at 100 TB: one per-group count over the corpus (map-side
+    combine, uniform), then ALL arithmetic — including the
+    largest-remainder rank window — runs on the per-group dim table
+    (|sources|, bounded small); nothing re-touches the corpus.
+    """
+    m = 0
+    a = alpha
+    while a < 1.0 - 1e-12 and m < 12:
+        a *= 2.0
+        m += 1
+    if abs(a - 1.0) > 1e-12 or m == 0:
+        raise ValueError(
+            f"alpha={alpha!r} is not 1/2**m (0.5, 0.25, ...); the "
+            "sqrt-chain exactness contract needs a dyadic reciprocal")
+    w = F.col("__n").cast("double")
+    for _ in range(m):
+        w = F.sqrt(w)
+    cnt = (df.groupBy(F.col(group_col).alias("grp"))
+           .agg(F.count(F.lit(1)).alias("__n"))
+           .withColumn("__nano",
+                       F.floor(w * F.lit(1000000000.0) + F.lit(0.5))))
+    tot = cnt.agg(F.sum("__nano").alias("__t"))
+    d = (cnt.crossJoin(F.broadcast(tot))
+         .withColumn("__prod", F.col("__nano").cast("decimal(38,0)")
+                     * F.lit(int(budget)).cast("decimal(38,0)"))
+         .withColumn("__base", F.expr("__prod div __t"))
+         .withColumn("__rem", F.col("__prod")
+                     - F.col("__base").cast("decimal(38,0)")
+                     * F.col("__t").cast("decimal(38,0)")))
+    # deficit + remainder rank live on the per-group dim table —
+    # bounded by |sources|, so the no-partition window is safe here
+    # (same bounded-dim argument as q129's Lorenz ranks)
+    short = d.agg((F.lit(int(budget))
+                   - F.sum("__base")).alias("__short"))
+    rw = Window.orderBy(F.col("__rem").desc(), F.col("grp").asc())
+    out = (d.crossJoin(F.broadcast(short))
+           .withColumn("__rr", F.row_number().over(rw))
+           .select(F.col("grp").alias(group_col),
+                   F.col("__n").alias("n_docs"),
+                   F.round(F.col("__nano").cast("double")
+                           / F.col("__t").cast("double"), 6)
+                   .alias("weight"),
+                   (F.col("__base")
+                    + F.when(F.col("__rr") <= F.col("__short"), 1)
+                    .otherwise(0)).cast("long").alias("alloc")))
+    return out

@@ -1060,3 +1060,55 @@ def embedding_novelty(batch: DataFrame, corpus: DataFrame,
             .join(mx, "batch_id", "left")
             .select("batch_id", "max_sim", nov.alias("novelty")))
 
+
+def rrf_fusion(rankings: list, query_col: str = "query_id",
+               item_col: str = "item_id", rank_col: str = "rnk",
+               k_const: int = 60, k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval lists (Cormack &
+    Clarke 2009): ``score(item) = Σ_lists 1/(k_const + rank)`` — the
+    standard hybrid-search combiner (BM25 + dense cosine is the
+    canonical pair) a retrieval-curation pipeline uses so neither
+    retriever's score scale has to be calibrated against the other's.
+
+    Inputs: DataFrames each holding ``(query_col, item_col,
+    rank_col)`` — typically the top-k outputs of
+    :func:`~rainforest_spark.operators.text_analysis.bm25_topk` and
+    :func:`cosine_topk`.  An item absent from a list simply
+    contributes 0 for that list.
+
+    Exactness: every contribution is ``1/(k_const + r)`` — one double
+    division of integers — and the fused score is a FIXED left-to-right
+    sum over the (ordered, small) list slots, not an aggregation, so
+    partial-agg order cannot perturb it; both engines evaluate the
+    identical tree.  Ties rank on the item id ascending.
+
+    Shape at 100 TB: the inputs are already top-k lists — a few rows
+    per query by construction — so the outer joins and the final
+    per-query rank window run on k·|queries| rows, never the corpus;
+    the heavy lifting happened inside the retrievers.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fusion needs at least one ranked list")
+    norm = [r.select(F.col(query_col).alias("__q"),
+                     F.col(item_col).alias("__i"),
+                     F.col(rank_col).alias(f"__r{j}"))
+            for j, r in enumerate(rankings)]
+    joined = reduce(lambda a, b: a.join(b, ["__q", "__i"], "full_outer"),
+                    norm)
+    contrib = [F.coalesce(F.lit(1.0)
+                          / (F.lit(float(k_const)) + F.col(f"__r{j}")),
+                          F.lit(0.0))
+               for j in range(len(norm))]
+    score = reduce(lambda a, b: a + b, contrib)
+    w = Window.partitionBy("__q").orderBy(
+        F.col("rrf_score").desc(), F.col("__i").asc())
+    return (joined.withColumn("rrf_score", score)
+            .withColumn("fused_rnk", F.row_number().over(w))
+            .filter(F.col("fused_rnk") <= k)
+            .select(F.col("__q").alias(query_col),
+                    F.col("fused_rnk").cast("long").alias("fused_rnk"),
+                    F.col("__i").alias(item_col), "rrf_score"))

@@ -1288,3 +1288,56 @@ def type_token_ratio(df, group_col: str, text_col: str,
         F.col("n_types").cast("long").alias("n_types"),
         F.round(F.col("n_types") / F.col("n_tokens"), round_to)
         .alias("ttr"))
+
+
+def relative_quality_filter(df, id_col: str, text_col: str,
+                            group_col: str, keep_num: int = 1,
+                            keep_den: int = 2):
+    """Per-source RELATIVE quality filtering: keep the top
+    ``keep_num/keep_den`` fraction of each source's documents by a
+    heuristic quality score — the Gopher-style rule applied per domain
+    rather than globally, so a clean-but-small source is not wiped out
+    by a corpus-wide threshold tuned on web text (and a noisy giant
+    cannot dominate just because its median clears a global bar).
+
+    Score: ``stopword_ratio − punct_ratio − digit_ratio`` (higher is
+    better; the q42 feature set) computed as raw double ratios of
+    integer counts — both engines evaluate the identical expression
+    tree, so the per-source rank order ``(score DESC, id ASC)`` is
+    bit-deterministic without any grid.  The kept count is
+    ``ceil(n_g·keep_num/keep_den)`` in pure integer arithmetic.
+
+    Returns only the kept rows: ``(id, group, quality, rnk,
+    n_group)``; ``quality`` is the 6dp-rounded score (display
+    rounding — ranking used the raw double).
+
+    Shape at 100 TB: sources are the few-huge-groups case (one crawl
+    can be half the corpus), so the per-source rank rides the grouped
+    :func:`~rainforest_spark.operators.windows.ranged_cumsum` —
+    a ``Window.partitionBy(source)`` would serialize each source into
+    a single sort task (the q34/q126 lesson).  One score scan, one
+    range shuffle; nothing else touches the corpus.
+    """
+    from rainforest_spark.operators.windows import ranged_cumsum
+
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = token_count(t)
+    score = (stopword_count(t, LANG_STOPWORDS["en"]) / n_tok
+             - F.regexp_count(t, F.lit(r"[^\w\s]")) / n_chars
+             - F.regexp_count(t, F.lit(r"[0-9]")) / n_chars)
+    scored = df.select(F.col(id_col), F.col(group_col),
+                       score.alias("__q"))
+    ordered = (scored.withColumn("__ord", F.struct(
+                    (-F.col("__q")).alias("s"),
+                    F.col(id_col).alias("i")))
+               .withColumn("__one", F.lit(1).cast("long")))
+    ranked = ranged_cumsum(ordered, "__ord", "__one", cum_col="rnk",
+                           group_cols=[group_col], total_col="n_group")
+    keep = F.expr(f"(n_group * {int(keep_num)} + {int(keep_den)} - 1) "
+                  f"div {int(keep_den)}")
+    return (ranked.filter(F.col("rnk") <= keep)
+            .select(F.col(id_col), F.col(group_col),
+                    F.round("__q", 6).alias("quality"),
+                    F.col("rnk").cast("long").alias("rnk"),
+                    F.col("n_group").cast("long").alias("n_group")))

@@ -2099,3 +2099,82 @@ FROM toks GROUP BY 1
 def q130(spark, sf):
     return TA.type_token_ratio(T(spark, sf, "documents"), "source",
                                "text")
+
+
+# ---------------------------------------------------------------- q131
+# Temperature-scaled mixture quotas (alpha=0.25 over languages): the
+# mT5/XLM-R alpha-sampling rule with an EXACT largest-remainder integer
+# allocation.  n^0.25 is a 2-fold IEEE sqrt chain (correctly rounded on
+# every engine — no transcendental grid); weights become floor-nanos
+# BIGINTs, quotas are pure integer arithmetic in HUGEINT/DECIMAL(38,0),
+# and the leftover goes to the largest remainders (ties on the group
+# ascending).  sum(alloc) == 1000 exactly on both engines.
+from rainforest_spark.operators import mixture as MIX  # noqa: E402
+
+
+@q("q131_temperature_mixture", sql="""
+WITH c AS (
+  SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1),
+w AS (
+  SELECT grp, n,
+         CAST(FLOOR(sqrt(sqrt(CAST(n AS DOUBLE))) * 1000000000.0 + 0.5)
+              AS BIGINT) AS nano
+  FROM c),
+t AS (SELECT CAST(SUM(nano) AS BIGINT) AS tt FROM w),
+d AS (
+  SELECT grp, n, nano, tt,
+         CAST(nano AS HUGEINT) * 1000 AS prod,
+         (CAST(nano AS HUGEINT) * 1000) // tt AS base
+  FROM w CROSS JOIN t),
+d2 AS (
+  SELECT *, prod - base * tt AS rem,
+         1000 - SUM(base) OVER () AS short,
+         ROW_NUMBER() OVER (ORDER BY prod - base * tt DESC, grp)
+           AS rr
+  FROM d)
+SELECT grp AS lang, n AS n_docs,
+       ROUND(CAST(nano AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS weight,
+       CAST(base + CASE WHEN rr <= short THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM d2
+""")
+def q131(spark, sf):
+    return MIX.temperature_allocation(T(spark, sf, "documents"),
+                                      "lang", budget=1000, alpha=0.25)
+
+
+# ---------------------------------------------------------------- q132
+# Per-source RELATIVE quality filter: keep each source's top half by
+# the q42 quality score (stopword − punct − digit ratios, raw-double
+# identical trees; rank order (score DESC, doc ASC) bit-deterministic).
+# The Spark side ranks via the grouped ranged_cumsum (few huge
+# sources); the oracle states the same rank as a plain partitioned
+# window.  Kept count = ceil(n/2) in integer arithmetic.
+_SW = ",".join(f"'{w}'" for w in TA.LANG_STOPWORDS["en"])
+
+
+@q("q132_relative_quality", sql=f"""
+WITH s AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter({_WORDS}, t -> t IN ({_SW})))
+              AS DOUBLE)
+           / len(string_split_regex(trim(text), '\\s+'))
+         - CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+           / length(text)
+         - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+           / length(text) AS q
+  FROM documents),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY q DESC, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n_group
+  FROM s)
+SELECT doc_id, source, ROUND(q, 6) AS quality,
+       CAST(rnk AS BIGINT) AS rnk, CAST(n_group AS BIGINT) AS n_group
+FROM r WHERE rnk <= (n_group + 1) // 2
+""")
+def q132(spark, sf):
+    return TA.relative_quality_filter(T(spark, sf, "documents"),
+                                      "doc_id", "text", "source")

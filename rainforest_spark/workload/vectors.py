@@ -435,3 +435,108 @@ def q122(spark, sf):
     return out.select("label", F.col("n").cast("long").alias("n"),
                       "mean_cos", "min_cos")
 
+
+# ---------------------------------------------------------------- q133
+# Hybrid retrieval: reciprocal-rank fusion of BM25 (q127 machinery,
+# lexical) and brute-force cosine (q50 machinery, dense) top-10 lists
+# for queries 0/1/2 (text query i paired with query vector i).  Every
+# contribution is 1/(60+rank) — one double division of integers, both
+# literals CAST to DOUBLE so DuckDB cannot route them through its
+# exact-DECIMAL type — and the fused score is a fixed two-term sum,
+# not an aggregation, so there is no partial-agg order to perturb.
+# Fused ties rank on doc_id ascending.
+@q("q133_hybrid_rrf", sql="""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+       UNNEST(w) AS t(term)
+  WHERE t.term != ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT COUNT(*) AS N, CAST(SUM(dl) AS BIGINT) AS S FROM dl),
+qq(query_id, qtext) AS (
+  VALUES (CAST(0 AS BIGINT), 'spark window join'),
+         (CAST(1 AS BIGINT), 'hash table scan'),
+         (CAST(2 AS BIGINT), 'customer stream value')),
+qt AS (
+  SELECT DISTINCT query_id, t.term
+  FROM (SELECT query_id,
+               string_split_regex(trim(qtext), '\\s+') AS w FROM qq),
+       UNNEST(w) AS t(term)
+  WHERE t.term != ''),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+m AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(CAST(ROUND(
+           ROUND(ln(CAST(1.0 AS DOUBLE)
+                    + (N - df + CAST(0.5 AS DOUBLE))
+                      / (df + CAST(0.5 AS DOUBLE))), 9)
+           * (tf * CAST(2.25 AS DOUBLE)
+              / (tf + CAST(1.25 AS DOUBLE)
+                      * (CAST(0.25 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * dl * N / S))), 9)
+         AS DECIMAL(19,9)) * 1000000000 AS BIGINT) AS n9
+  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+       JOIN dfq USING (term) CROSS JOIN st),
+sc AS (
+  SELECT query_id, doc_id,
+         CAST((SUM(n9) + 500) // 1000 AS DOUBLE) / 1000000.0 AS score
+  FROM m GROUP BY 1, 2),
+bm AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rnk
+    FROM sc) WHERE rnk <= 10),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings),
+qv AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+       FROM v WHERE vec_id < 3),
+cpairs AS (
+  SELECT qv.query_id, t.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qv.qv, t.v) / (qv.qn * t.nrm), 6)
+           AS sim
+  FROM qv, v t WHERE t.vec_id != qv.query_id),
+cr AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM cpairs) WHERE rnk <= 10),
+f AS (
+  SELECT COALESCE(bm.query_id, cr.query_id) AS query_id,
+         COALESCE(bm.doc_id, cr.neighbor_id) AS doc_id,
+         COALESCE(CAST(1.0 AS DOUBLE)
+                  / (CAST(60.0 AS DOUBLE) + bm.rnk),
+                  CAST(0.0 AS DOUBLE))
+         + COALESCE(CAST(1.0 AS DOUBLE)
+                    / (CAST(60.0 AS DOUBLE) + cr.rnk),
+                    CAST(0.0 AS DOUBLE)) AS rrf_score
+  FROM bm FULL OUTER JOIN cr
+    ON bm.query_id = cr.query_id AND bm.doc_id = cr.neighbor_id)
+SELECT query_id, CAST(fused_rnk AS BIGINT) AS fused_rnk, doc_id,
+       rrf_score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id)
+        AS fused_rnk FROM f)
+WHERE fused_rnk <= 10
+""")
+def q133(spark, sf):
+    from rainforest_spark.operators import text_analysis as TA
+    bm = TA.bm25_topk(
+        T(spark, sf, "documents"), "doc_id", "text",
+        [(0, "spark window join"), (1, "hash table scan"),
+         (2, "customer stream value")], k=10)
+    cos = SIM.cosine_topk(T(spark, sf, "embeddings"), "vec_id",
+                          "embedding",
+                          query_ids_pred=F.col("vec_id") < 3, k=10)
+    return SIM.rrf_fusion(
+        [bm.select("query_id", F.col("doc_id"), "rnk"),
+         cos.select("query_id", F.col("neighbor_id").alias("doc_id"),
+                    "rnk")],
+        query_col="query_id", item_col="doc_id", rank_col="rnk",
+        k_const=60, k=10)

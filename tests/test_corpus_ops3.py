@@ -677,3 +677,79 @@ def test_type_token_ratio_golden(spark):
     got = {r.source: (r.n_tokens, r.n_types, r.ttr)
            for r in type_token_ratio(df, "source", "text").collect()}
     assert got == {"s0": (3, 2, round(2 / 3, 6)), "s1": (3, 3, 1.0)}
+
+
+def test_rrf_fusion_golden(spark):
+    from rainforest_spark.operators.similarity import rrf_fusion
+
+    # query 0: item 10 is #1 lexically, #3 densely; item 11 only dense
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 12, 2), (1, 20, 1)],
+        "query_id long, item_id long, rnk long")
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 10, 3), (1, 20, 2)],
+        "query_id long, item_id long, rnk long")
+    got = {(r.query_id, r.item_id): (r.fused_rnk, r.rrf_score)
+           for r in rrf_fusion([a, b], item_col="item_id",
+                               k_const=60, k=10).collect()}
+    exp = {
+        (0, 10): 1.0 / 61 + 1.0 / 63,   # both lists
+        (0, 11): 1.0 / 61,              # dense only
+        (0, 12): 1.0 / 62,              # lexical only
+        (1, 20): 1.0 / 61 + 1.0 / 62,
+    }
+    order0 = sorted([k for k in exp if k[0] == 0],
+                    key=lambda k: (-exp[k], k[1]))
+    for rnk, key in enumerate(order0, 1):
+        assert got[key] == (rnk, exp[key]), key
+    assert got[(1, 20)] == (1, exp[(1, 20)])
+
+
+def test_rrf_fusion_single_list_and_empty_error(spark):
+    import pytest
+
+    from rainforest_spark.operators.similarity import rrf_fusion
+
+    a = spark.createDataFrame([(0, 10, 1), (0, 11, 2)],
+                              "query_id long, item_id long, rnk long")
+    got = [(r.item_id, r.fused_rnk)
+           for r in rrf_fusion([a], item_col="item_id", k=1).collect()]
+    assert got == [(10, 1)]
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fusion([], item_col="item_id")
+
+
+def test_relative_quality_filter_reference(spark):
+    from rainforest_spark.operators.text_analysis import (
+        LANG_STOPWORDS, relative_quality_filter)
+
+    docs = [
+        # (id, source, text) — source A: 3 docs, keep ceil(3/2)=2
+        (0, "A", "the cat and the dog"),
+        (1, "A", "1234 5678 !!!"),
+        (2, "A", "plain words without stopwords"),
+        (10, "B", "of mice and men"),
+        (11, "B", "zz9 %% ##"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    sw = set(LANG_STOPWORDS["en"])
+
+    def score(text):
+        toks = text.strip().split()
+        n_sw = sum(1 for t in toks if t.lower() in sw)
+        import re
+        punct = len(re.findall(r"[^\w\s]", text))
+        digit = len(re.findall(r"[0-9]", text))
+        return n_sw / len(toks) - punct / len(text) - digit / len(text)
+
+    exp = {}
+    for src, n_keep in (("A", 2), ("B", 1)):
+        grp = sorted((d for d in docs if d[1] == src),
+                     key=lambda d: (-score(d[2]), d[0]))
+        for rnk, d in enumerate(grp[:n_keep], 1):
+            exp[d[0]] = (src, round(score(d[2]), 6), rnk, len(grp))
+
+    got = {r.doc_id: (r.source, r.quality, r.rnk, r.n_group)
+           for r in relative_quality_filter(
+               df, "doc_id", "text", "source").collect()}
+    assert got == exp

@@ -333,3 +333,49 @@ def test_rebalance_raises_on_vanished_source(spark):
     kept = orig.filter(F.col("source") != "B")   # B fully deduped away
     with pytest.raises(ValueError, match="zero survivors"):
         rebalance_after_dedup(orig, kept, "doc_id", "source")
+
+
+def test_temperature_allocation_exact_budget_and_python_reference(spark):
+    import math
+
+    from rainforest_spark.operators.mixture import temperature_allocation
+
+    # skewed sources: 1000 / 100 / 10 / 3 docs
+    rows = ([(i, "web") for i in range(1000)]
+            + [(2000 + i, "books") for i in range(100)]
+            + [(3000 + i, "code") for i in range(10)]
+            + [(4000 + i, "law") for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r.source: r for r in
+           temperature_allocation(df, "source", budget=777,
+                                  alpha=0.25).collect()}
+
+    # python reference: sqrt-chain weights, floor-nanos, LRM
+    counts = {"web": 1000, "books": 100, "code": 10, "law": 3}
+    nano = {g: math.floor(math.sqrt(math.sqrt(float(n)))
+                          * 1000000000.0 + 0.5)
+            for g, n in counts.items()}
+    T = sum(nano.values())
+    base = {g: (nano[g] * 777) // T for g in counts}
+    rem = {g: nano[g] * 777 - base[g] * T for g in counts}
+    short = 777 - sum(base.values())
+    order = sorted(counts, key=lambda g: (-rem[g], g))
+    alloc = dict(base)
+    for g in order[:short]:
+        alloc[g] += 1
+
+    assert sum(r.alloc for r in out.values()) == 777
+    for g in counts:
+        assert out[g].alloc == alloc[g], (g, out[g].alloc, alloc[g])
+        assert out[g].n_docs == counts[g]
+        assert abs(out[g].weight - nano[g] / T) < 1.5e-6
+
+
+def test_temperature_allocation_rejects_non_dyadic_alpha(spark):
+    import pytest
+
+    from rainforest_spark.operators.mixture import temperature_allocation
+
+    df = spark.createDataFrame([(0, "A")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="1/2"):
+        temperature_allocation(df, "source", budget=10, alpha=0.3)

@@ -344,6 +344,11 @@ _CROSS_JOIN_WHITELIST = {
     # 1-row corpus-total (q126) / 1-row (N, S) stats (q127) broadcast-
     # nested-loop onto the per-doc table — bounded by construction
     "q126_perplexity_buckets", "q127_bm25_topk",
+    # q131: 1-row nano-total and 1-row deficit broadcast onto the
+    # per-group dim (|sources| rows); q133 rides the q127 BM25 + q50
+    # broadcast-cosine machinery — the fusion itself joins two top-k
+    # lists (k·|queries| rows, bounded by construction)
+    "q131_temperature_mixture", "q133_hybrid_rrf",
 }
 
 

@@ -105,11 +105,20 @@ _PRIORITY = [
     "q115_duplication_profile", "q116_length_batches",
     "q117_tokenizer_fertility", "q118_masking_plan",
     "q53_bucketed_prepare",
-    # --- stale re-checks (oldest-first; green r2-r4) ---
-    "q41_token_count", "q42_quality_score", "q43_lang_id",
-    "q44_ngram_jaccard", "q29_string_funcs", "q30_datetime_funcs",
-    "q32_json_extract", "q13_latest_per_hour", "q20_dense_rank",
-    "q23_mode", "q24_transfer_function", "q25_lead_fill",
+    # --- stale re-checks (oldest-first; green r2-r4).  Six of the
+    # original twelve (q42, q29, q30, q32, q20, q23 — trivial scalar/
+    # window entries, and q42's feature expressions are now hash-
+    # verified transitively through in-window q132) were demoted for
+    # the six late-round-7 additions below; all six stay pytest-
+    # parity-gated ---
+    "q41_token_count", "q43_lang_id", "q44_ngram_jaccard",
+    "q13_latest_per_hour", "q24_transfer_function", "q25_lead_fill",
+    # --- late round-7 additions (never driver-checked): corpus
+    # distribution diagnostics + temperature quotas + per-source
+    # relative quality + hybrid RRF retrieval ---
+    "q128_length_histogram", "q129_source_concentration",
+    "q130_type_token_ratio", "q131_temperature_mixture",
+    "q132_relative_quality", "q133_hybrid_rrf",
     # --- keepers (r6-green; one representative per family) ---
     # embedding/ANN: q54_auto (LSH default path), q87 (embedding
     # dedup), q93 (semantic decon), q57 (partition-pruned IVF)

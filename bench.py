@@ -115,6 +115,15 @@ HEADLINE = [
     # CCNet perplexity buckets: q83's LM pass + the grouped ranged
     # rank over per-language (mean_nll, doc) order
     "q126_perplexity_buckets",
+    # round-7 continued: the BM25 corpus pass + top-k fusion (q133
+    # rides the q127 token-explode machinery over the whole corpus),
+    # and the per-source grouped ranged-rank quality cut (q132).
+    # q131's post-count work is all on the per-group dim — benched for
+    # the count-agg scan it rides.  No committed baseline yet (the
+    # guard skips unknown keys); same-run physics guards apply.
+    "q131_temperature_mixture",
+    "q132_relative_quality",
+    "q133_hybrid_rrf",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle

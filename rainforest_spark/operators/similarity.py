@@ -926,14 +926,17 @@ def label_cohesion(vectors: DataFrame, id_col: str, vec_col: str,
 
     Exactness (both engines bit-identical):
 
-    - centroid: per-(label, dim) component sums on the 1e-9 grid as
-      DECIMAL(19,9) (q83 policy — order-free partial aggregation),
-      centroid component = exact-sum double / n;
+    - centroid: per-(label, dim) component sums as floor-nanos
+      BIGINTs (``floor(x*1e9 + 0.5)`` — pure double ops + floor→long,
+      IEEE-identical everywhere, order-free partial aggregation, and
+      NO per-element BigDecimal: the ROUND-based decimal formulation
+      measured ~2x on the kmeans sibling at sf1), centroid component
+      = (sum/1e9)/n in two double divisions;
     - per-row cosine: one sequential array fold (zip_with aggregate ≡
       DuckDB list_dot_product — index order, same doubles);
-    - mean cosine: per-element nanos of (cos+1) (shifted POSITIVE so
-      the exact round-half-up integer division idiom is sign-safe),
-      summed as BIGINT, divided back;
+    - mean cosine: per-element floor-nanos of (cos+1) (shifted
+      POSITIVE so the exact round-half-up integer division idiom is
+      sign-safe), summed as BIGINT, divided back;
     - min cosine: min over 6dp-rounded identical doubles.
 
     Shape at 100 TB: one posexplode groupBy on (label, dim) — |labels|
@@ -944,11 +947,13 @@ def label_cohesion(vectors: DataFrame, id_col: str, vec_col: str,
     comp = v.select(F.col(label_col).alias("__lb"),
                     F.posexplode("__v").alias("__pos", "__x"))
     sums = (comp.withColumn("__x9",
-                            F.round("__x", 9).cast("decimal(19,9)"))
+                            F.floor(F.col("__x") * F.lit(1000000000.0)
+                                    + F.lit(0.5)))
             .groupBy("__lb", "__pos")
             .agg(F.sum("__x9").alias("__s"),
                  F.count(F.lit(1)).alias("__n")))
-    cent = (sums.withColumn("__c", F.col("__s").cast("double")
+    cent = (sums.withColumn("__c", (F.col("__s").cast("double")
+                                    / F.lit(1000000000.0))
                             / F.col("__n"))
             .groupBy("__lb")
             .agg(F.transform(
@@ -958,8 +963,8 @@ def label_cohesion(vectors: DataFrame, id_col: str, vec_col: str,
                     F.col(label_col).eqNullSafe(F.col("__lb")))
     cos = (_dot("__v", "__cent")
            / (_norm("__v") * _norm("__cent")))
-    nano = ((F.round(cos, 9) + F.lit(1.0)).cast("decimal(19,9)")
-            * F.lit(1000000000)).cast("long")
+    nano = F.floor((cos + F.lit(1.0)) * F.lit(1000000000.0)
+                   + F.lit(0.5))
     agg = (scored.select(F.col(label_col), nano.alias("__n9"),
                          F.round(cos, round_to).alias("__c6"))
            .groupBy(label_col)

@@ -308,7 +308,9 @@ def unigram_logprob(df, id_col: str, text_col: str,
     vocab) → equi-join on the term.  The vocab is Zipf-small relative
     to the corpus (AQE broadcasts it when it fits; the join stays an
     equi-join, never per-row lookups) and the scalar total rides a
-    1-row cross join.
+    1-row cross join — against the VOCAB side, so the per-term nanos
+    (a BigDecimal round each) are computed once per TERM before the
+    join, never once per (doc, term) row of the corpus.
     """
     toks = (df.select(F.col(id_col), F.explode(tokens(text_col))
                       .alias("term"))
@@ -326,9 +328,11 @@ def unigram_logprob(df, id_col: str, text_col: str,
     # SUM would clamp precision at decimal(38,9) * int and round)
     nano = (F.round(-F.log(F.col("n_term") / F.col("__tot")), 9)
             .cast("decimal(19,9)") * F.lit(1000000000)).cast("long")
-    per_term = (tf.join(vocab_counts, "term").crossJoin(total)
+    vocab_nano = (vocab_counts.crossJoin(total)
+                  .select("term", nano.alias("__nano")))
+    per_term = (tf.join(vocab_nano, "term")
                 .select(F.col(id_col), "tf",
-                        (nano * F.col("tf")).alias("__n9")))
+                        (F.col("__nano") * F.col("tf")).alias("__n9")))
     agg = per_term.groupBy(id_col).agg(
         F.sum("tf").alias("n_tokens"),
         F.sum("__n9").alias("__n9"))
@@ -439,6 +443,11 @@ def dsir_weights(df, id_col: str, text_col: str, target_pred):
         return (F.round(c, 9).cast("decimal(19,9)")
                 * F.lit(1000000000)).cast("long")
 
+    # NOTE: deliberately NOT pre-joined into one vocab_nano table —
+    # a joined vocab side must finish its own broadcast-build chain
+    # before the tf probe starts (the q106 A/B measured that serial
+    # cascade at 2.3x the parallel shape); here tgt/src/totals all
+    # build their broadcasts CONCURRENTLY while tf streams once
     per = (tf.join(tgt, "term").join(src, "term")
            .crossJoin(F.broadcast(tot_t)).crossJoin(F.broadcast(tot_s))
            .select(F.col(id_col), "tf",
@@ -872,6 +881,12 @@ def bigram_logprob(df, id_col: str, text_col: str,
          + F.lit(1.0 - lam) * (F.col("cu") / F.col("__tot")))
     nano = (F.round(-F.log(p), 9).cast("decimal(19,9)")
             * F.lit(1000000000)).cast("long")
+    # NOTE: deliberately NOT pre-joined into a (w1, w2) vocab_nano
+    # table: that shape chains cb <- cs/cu/total broadcast builds
+    # SERIALLY before the tf probe can start — measured 2.3x slower at
+    # sf1 than this one, where cb/cs/cu/total broadcasts all build
+    # concurrently while tf streams once (the per-row BigDecimal round
+    # it would save is far cheaper than the lost overlap)
     per = (tf.join(cb, ["w1", "w2"]).join(cs, "w1").join(cu, "w2")
            .crossJoin(total)
            .select(F.col(id_col), "tf", (nano * F.col("tf")).alias("__n9")))
@@ -1161,14 +1176,17 @@ def bm25_topk(df, id_col: str, text_col: str, queries,
                    F.sum("dl").alias("S"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
+    # the 9dp IDF round (a BigDecimal op) is computed ONCE per query
+    # term on the tiny dfreq dim, not per (query, term, doc) match row
+    dfq = (dfreq.join(broadcast(qterms).select("term").distinct(),
+                      "term")
+           .crossJoin(broadcast(stats))
+           .select("term", F.round(F.log(
+               F.lit(1.0) + (F.col("N") - F.col("df") + F.lit(0.5))
+               / (F.col("df") + F.lit(0.5))), 9).alias("__idf9")))
     m = (tf.join(broadcast(qterms), "term")
-         .join(dl, id_col).join(broadcast(dfreq.join(
-             broadcast(qterms).select("term").distinct(), "term")),
-             "term")
+         .join(dl, id_col).join(broadcast(dfq), "term")
          .crossJoin(broadcast(stats)))
-    idf = F.round(F.log(
-        F.lit(1.0) + (F.col("N") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))), 9)
     tfpart = (F.col("tf") * F.lit(k1 + 1.0)
               / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
                  + F.lit(b) * F.col("dl") * F.col("N") / F.col("S"))))
@@ -1177,7 +1195,8 @@ def bm25_topk(df, id_col: str, text_col: str, queries,
     # rounding conventions disagree — so the round-to-6 is HALF-UP in
     # pure BIGINT arithmetic (scores are positive) and only the final
     # division happens in double
-    contrib = (F.round(idf * tfpart, 9).cast("decimal(19,9)")
+    contrib = (F.round(F.col("__idf9") * tfpart, 9)
+               .cast("decimal(19,9)")
                * F.lit(1000000000)).cast("long")
     dv = 10 ** (9 - round_to)
     scored = (m.select("query_id", F.col(id_col), contrib.alias("__n9"))

@@ -394,22 +394,24 @@ def q107(spark, sf):
 
 
 # ---------------------------------------------------------------- q122
-# Per-label embedding cohesion: centroid from 1e-9-grid decimal
-# component sums; per-row cosine as one sequential fold; mean via the
-# sign-safe shifted-nanos integer round; min over 6dp doubles.
+# Per-label embedding cohesion: centroid from floor(x*1e9 + 0.5)
+# integer-nanos BIGINT sums (no per-element BigDecimal); per-row
+# cosine as one sequential fold; mean via the sign-safe shifted
+# floor-nanos integer round; min over 6dp doubles.
 @q("q122_label_cohesion", sql="""
 WITH v AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings),
 comp AS (
   SELECT label, pos,
-         CAST(ROUND(v[pos], 9) AS DECIMAL(19,9)) AS x9
+         CAST(FLOOR(v[pos] * 1000000000.0 + 0.5) AS BIGINT) AS x9
   FROM v, UNNEST(generate_series(1, len(v))) AS t(pos)),
 sums AS (
   SELECT label, pos, SUM(x9) AS s, COUNT(*) AS n
   FROM comp GROUP BY 1, 2),
 cent AS (
-  SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS c
+  SELECT label,
+         list(CAST(s AS DOUBLE) / 1000000000.0 / n ORDER BY pos) AS c
   FROM sums GROUP BY 1),
 scored AS (
   SELECT v.label,
@@ -419,8 +421,8 @@ scored AS (
   FROM v JOIN cent c USING (label)),
 agg AS (
   SELECT label, COUNT(*) AS n,
-         SUM(CAST(CAST(ROUND(cos, 9) + 1.0 AS DECIMAL(19,9))
-                  * 1000000000 AS BIGINT)) AS s9,
+         SUM(CAST(FLOOR((cos + CAST(1.0 AS DOUBLE)) * 1000000000.0
+                        + 0.5) AS BIGINT)) AS s9,
          MIN(ROUND(cos, 6)) AS min_cos
   FROM scored GROUP BY 1)
 SELECT label, CAST(n AS BIGINT) AS n,

@@ -71,6 +71,28 @@ Round-7 additions to the idiom set (all proven hash-exact):
   on 1.0), and non-integer rate WEIGHTS (sqrt allocations) are rounded
   to the 1e-9 grid and summed as DECIMAL(19,9) before the double
   division (q113, q121).
+
+Round-7 continued (late-round, all proven hash-exact):
+
+- HOT-PATH order-free sums quantize with ``floor(x*1e9 + 0.5)`` cast
+  to BIGINT — pure double ops + floor, IEEE-identical in Spark/
+  DuckDB/Python, with NO per-element BigDecimal (per-row
+  ``ROUND(x, 9)``/decimal casts measured ~2x whole-query time on the
+  kmeans/cohesion centroid updates at sf1).  Keep the
+  round-then-decimal idiom only on dim-sized tables (vocab nanos),
+  and project those onto the DIM side of the join so they run once
+  per term, not once per corpus row (q83) — but do NOT pre-join a
+  MULTI-join vocab side into one nano table: that serializes its
+  broadcast-build chain ahead of the fact probe (measured 2.3x on
+  q106; flat joins let every vocab broadcast build concurrently).
+- ``alpha = 1/2^m`` power weights run as iterated IEEE ``sqrt`` —
+  correctly rounded on every engine, NO transcendental grid at all;
+  integer quota arithmetic stays in DECIMAL(38,0)/HUGEINT with
+  largest-remainder leftovers ranked on the bounded group dim (q131).
+- Rank-fusion scores are FIXED left-to-right sums of ``1/(k + rank)``
+  double divisions over integer ranks — spelled with CAST(... AS
+  DOUBLE) literals in the oracle so DuckDB cannot route them through
+  exact DECIMAL (q133, the q127 rule).
 """
 
 from __future__ import annotations

@@ -124,6 +124,11 @@ HEADLINE = [
     "q131_temperature_mixture",
     "q132_relative_quality",
     "q133_hybrid_rrf",
+    # round-7 continued-2: MassiveText paragraph dedup — one
+    # map-side-combined groupBy(para) + para-keyed join back + id-keyed
+    # reassembly.  No committed baseline yet (guard skips unknown
+    # keys); same-run physics guards apply.
+    "q134_paragraph_dedup",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle
@@ -235,6 +240,10 @@ SF10_HEADLINE = [
     # the grouped ranged rank (few-huge-groups: per-language) on top
     # of the q83 LM pass whose own second decade is measured above
     "q126_perplexity_buckets",
+    # round-7 continued-2: paragraph dedup's boilerplate-skew claim
+    # (map-side combine on the hot paragraph) gets its second decade
+    # from day one
+    "q134_paragraph_dedup",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0

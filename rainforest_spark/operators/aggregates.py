@@ -157,3 +157,71 @@ def deterministic_mode(df: DataFrame, group_cols: list[str],
     return (counted.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(*group_cols, F.col(value_col).alias(f"{value_col}_mode")))
+
+
+def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
+           stages: list[str], within_sec: int | None = None) -> DataFrame:
+    """Ordered-funnel aggregation: per user, the earliest chain of
+    ``stages`` events in order (classic conversion-funnel analytics —
+    no reference counterpart; events-table extra alongside A15
+    sessionization).  An event advances the funnel iff its type is the
+    NEXT unreached stage and its timestamp is >= the previous stage's
+    chosen time (same-timestamp advances allowed, resolved in stage
+    order); with ``within_sec`` the whole chain must complete within
+    that many seconds of the stage-1 time.
+
+    Output: one row per user that entered the funnel (has a stage-1
+    event): ``(user, stage_reached, t_entry, t_convert)`` —
+    ``t_convert`` is the final-stage time when all stages were
+    reached, else NULL.
+
+    Shape at 100 TB: ONE user-keyed shuffle.  Events are pre-filtered
+    to the k stage types (pushed to the scan), collected per user
+    (bounded by a user's own event count), sorted in-expression, and
+    folded with the higher-order ``aggregate`` — all JVM-side codegen,
+    no window, no self-join per stage (the k-1 self-join formulation
+    shuffles k times and breaks under hot users; the fold shuffles
+    once and a hot user costs one task's local sort).  Timestamps fold
+    as exact epoch-micros BIGINTs.
+    """
+    k = len(stages)
+    if k < 1:
+        raise ValueError("funnel needs at least one stage")
+    smap = F.create_map(*[x for i, s in enumerate(stages)
+                          for x in (F.lit(s), F.lit(i))])
+    evs = (df.filter(F.col(type_col).isin(stages))
+           .select(F.col(user_col).alias("__u"),
+                   (F.unix_micros(F.col(ts_col))).alias("__uts"),
+                   smap[F.col(type_col)].alias("__si")))
+    per_user = evs.groupBy("__u").agg(
+        F.array_sort(F.collect_list(F.struct("__uts", "__si")))
+        .alias("__evs"))
+
+    if within_sec is None:
+        def within_ok(acc, e):
+            return F.lit(True)
+    else:
+        lim = int(within_sec) * 1_000_000
+
+        def within_ok(acc, e):
+            return F.when(F.size(acc) == 0, F.lit(True)).otherwise(
+                e["__uts"] - F.element_at(acc, 1) <= F.lit(lim))
+
+    def step(acc, e):
+        adv = (e["__si"] == F.size(acc)) & within_ok(acc, e)
+        return F.when(adv, F.concat(acc, F.array(e["__uts"]))) \
+                .otherwise(acc)
+
+    times = F.aggregate(F.col("__evs"),
+                        F.array().cast("array<bigint>"), step)
+    out = (per_user.withColumn("__t", times)
+           .withColumn("stage_reached", F.size("__t").cast("int"))
+           .filter(F.col("stage_reached") >= 1)
+           .select(F.col("__u").alias(user_col), "stage_reached",
+                   F.timestamp_micros(F.element_at("__t", 1))
+                   .alias("t_entry"),
+                   F.timestamp_micros(
+                       F.when(F.size("__t") == k,
+                              F.element_at("__t", k)))
+                   .alias("t_convert")))
+    return out

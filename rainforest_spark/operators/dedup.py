@@ -766,3 +766,81 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
             .select(F.col("__ida").alias("contained_id"),
                     F.col("__idb").alias("container_id"),
                     "containment"))
+
+
+def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
+                    sep: str | None = None, block_words: int = 12,
+                    join_with: str | None = None) -> DataFrame:
+    """Cross-document paragraph-level dedup with reassembly — the
+    MassiveText/Gopher curation step (Rae et al. 2021, appendix A.2.3;
+    also RefinedWeb, Penedo et al. 2023): every distinct paragraph
+    keeps exactly its corpus-wide FIRST occurrence (lexicographic
+    ``(id, position)``) and every other instance — across documents
+    *and* repeats inside one document — is dropped; each document is
+    then reassembled from its surviving paragraphs in original order.
+    No counterpart in the reference engine (LLM-pipeline extra).
+
+    ``sep`` — paragraph boundary regex for real corpora (e.g.
+    ``'\\n\\n+'``).  ``sep=None`` falls back to non-overlapping
+    ``block_words``-word blocks of the normalized token stream, the
+    delimiter-free proxy used on the synthetic documents table.
+
+    Returns one row per input document: ``id_col``, ``n_paras``
+    (BIGINT instances before dedup), ``n_kept`` (BIGINT survivors),
+    ``cleaned`` (the reassembled text, ``''`` when nothing survives).
+
+    Shape at 100 TB: two uniform shuffles and nothing else.  The
+    first-occurrence table is ``groupBy(para).agg(min(struct(id,pos)))``
+    — a partial-aggregating hash agg, so a boilerplate paragraph
+    occurring in 10^8 documents is combined map-side and never
+    concentrates on one reducer (this is why the keeper is computed
+    with groupBy+join rather than a ``min() over (partition by para)``
+    window, which has no map-side combine and would serialize the hot
+    paragraph into a single task).  The join back to instances is a
+    para-keyed equi-join whose both sides AQE co-partitions with the
+    agg's exchange; reassembly is one id-keyed groupBy (bounded rows
+    per doc).  No global windows, no fan-out beyond one row per
+    paragraph instance.
+    """
+    words = F.filter(F.split(normalized_text(text_col), " "),
+                     lambda w: w != "")
+    if sep is not None:
+        paras = F.filter(F.transform(F.split(F.col(text_col), sep),
+                                     lambda p: F.trim(p)),
+                         lambda p: p != "")
+    else:
+        bw = int(block_words)
+        nb = F.ceil(F.size(words) / F.lit(float(bw))).cast("int")
+        paras = F.when(
+            nb > 0,
+            F.transform(F.sequence(F.lit(0), nb - F.lit(1)),
+                        lambda i: F.array_join(
+                            F.slice(words, i * bw + 1, F.lit(bw)), " "))
+        ).otherwise(F.array().cast("array<string>"))
+    joiner = join_with if join_with is not None else (
+        " " if sep is None else "\n\n")
+
+    inst = df.select(F.col(id_col).alias("__id"),
+                     F.posexplode(paras).alias("blk", "para"))
+    firsts = inst.groupBy("para").agg(
+        F.min(F.struct("__id", "blk")).alias("__first"))
+    kept = (inst.join(firsts, "para")
+            .filter((F.col("__first.__id") == F.col("__id"))
+                    & (F.col("__first.blk") == F.col("blk"))))
+    kept_agg = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("blk", "para"))),
+                        lambda x: x["para"]),
+            joiner).alias("cleaned"))
+    totals = inst.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"))
+    return (df.select(id_col)
+            .join(totals.withColumnRenamed("__id", id_col), id_col, "left")
+            .join(kept_agg.withColumnRenamed("__id", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_paras", F.lit(0)).cast("long")
+                    .alias("n_paras"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("cleaned", F.lit("")).alias("cleaned")))

@@ -141,6 +141,10 @@ _PRIORITY = [
     "q128_length_histogram", "q129_source_concentration",
     "q130_type_token_ratio", "q131_temperature_mixture",
     "q132_relative_quality", "q133_hybrid_rrf",
+    # --- round-7 continued: MassiveText paragraph-level dedup with
+    # reassembly (admitted by demoting q84_epoch_shard, r6-green — the
+    # packing family keeps q89/q101/q116 in-window) ---
+    "q134_paragraph_dedup",
     # --- keepers (r6-green; one representative per family) ---
     # embedding/ANN: q54_auto (LSH default path), q87 (embedding
     # dedup), q93 (semantic decon), q57 (partition-pruned IVF)
@@ -152,8 +156,9 @@ _PRIORITY = [
     # operator — the embedding family keeps q54_auto + q87 + q124
     # in-window
     "q124_embedding_novelty", "q126_perplexity_buckets",
-    # packing/splits: q84 epoch shards, q89 packed tapes, q101 split
-    "q84_epoch_shard", "q89_packed_tapes", "q101_leakage_free_split",
+    # packing/splits: q89 packed tapes, q101 split (q84_epoch_shard
+    # r6-green, demoted for q134 — pytest-parity-gated)
+    "q89_packed_tapes", "q101_leakage_free_split",
     # span/dedup family: q95 (span excision exercises the q92
     # detection pipeline end-to-end; q92 r6-green demoted for the
     # late-round BM25 retrieval operator), q97 (incremental), q102

@@ -745,3 +745,38 @@ def q34(spark, sf):
                               F.col("db_err"))).alias("q84"))
             .select("l_returnflag",
                     r6((F.col("q84") - F.col("q16")) / 2).alias("scatter")))
+
+
+# ---------------------------------------------------------------- q135
+# Ordered conversion funnel over the events stream (view -> click ->
+# purchase): per user the earliest in-order chain, one user-keyed
+# shuffle via the higher-order fold (operators/aggregates.funnel).
+# Pure timestamp/integer arithmetic — engine-exact by construction.
+# The DuckDB oracle is the closed form: t_i = min ts of stage-i events
+# at or after t_{i-1} (same-timestamp advances resolve in stage order
+# on both paths — see the operator docstring).
+@q("q135_funnel", sql="""
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+SELECT s1.user_id,
+       CAST(1 + CAST(t2 IS NOT NULL AS INT)
+              + CAST(t3 IS NOT NULL AS INT) AS INT) AS stage_reached,
+       epoch_us(t1) AS t_entry_us,
+       epoch_us(t3) AS t_convert_us
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+""")
+def q135(spark, sf):
+    from rainforest_spark.operators.aggregates import funnel
+    out = funnel(T(spark, sf, "events"), "user_id", "ts",
+                 "event_type", ["view", "click", "purchase"])
+    # timestamps ride the gate as exact epoch-micros BIGINTs (the q12
+    # convention: the compare harness is unit-agnostic on integers)
+    return out.select("user_id", "stage_reached",
+                      F.unix_micros("t_entry").alias("t_entry_us"),
+                      F.unix_micros("t_convert").alias("t_convert_us"))

@@ -2178,3 +2178,51 @@ FROM r WHERE rnk <= (n_group + 1) // 2
 def q132(spark, sf):
     return TA.relative_quality_filter(T(spark, sf, "documents"),
                                       "doc_id", "text", "source")
+
+
+# ---------------------------------------------------------------- q134
+# Paragraph-level cross-document dedup with reassembly (MassiveText
+# A.2.3): paragraphs = non-overlapping 12-word blocks of the
+# normalized token stream (delimiter-free proxy — the operator takes a
+# separator regex on real corpora); each distinct paragraph keeps its
+# corpus-wide first occurrence by (doc_id, block), every other
+# instance is dropped, and documents are reassembled in order.  The
+# md5 gate covers the exact reassembled CONTENT.  Pure integer/string
+# arithmetic — no floats anywhere, so hash parity is structural.
+@q("q134_paragraph_dedup", sql=f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM}, ' '), x -> x <> '') AS w
+  FROM documents),
+p AS (
+  SELECT doc_id, i AS blk,
+         array_to_string(w[(i*12+1):(i*12+12)], ' ') AS para
+  FROM arr,
+       UNNEST(CASE WHEN len(w) > 0
+                   THEN generate_series(0, (len(w) + 11) // 12 - 1)
+                   ELSE []::BIGINT[] END) AS t(i)),
+f AS (SELECT para, MIN(doc_id * 1048576 + blk) AS fk
+      FROM p GROUP BY 1),
+k AS (SELECT p.doc_id, p.blk, p.para
+      FROM p JOIN f USING (para)
+      WHERE p.doc_id * 1048576 + p.blk = f.fk),
+a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(para, ' ' ORDER BY blk) AS cleaned
+      FROM k GROUP BY 1),
+np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras
+       FROM p GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(np.n_paras, 0) AS n_paras,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       md5(COALESCE(a.cleaned, '')) AS cleaned_md5,
+       CAST(length(COALESCE(a.cleaned, '')) AS BIGINT) AS cleaned_len
+FROM documents d
+LEFT JOIN np USING (doc_id) LEFT JOIN a USING (doc_id)
+""")
+def q134(spark, sf):
+    out = D.paragraph_dedup(T(spark, sf, "documents"),
+                            "doc_id", "text", block_words=12)
+    return out.select(
+        "doc_id", "n_paras", "n_kept",
+        F.md5("cleaned").alias("cleaned_md5"),
+        F.length("cleaned").cast("long").alias("cleaned_len"))

@@ -824,20 +824,25 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
                      F.posexplode(paras).alias("blk", "para"))
     firsts = inst.groupBy("para").agg(
         F.min(F.struct("__id", "blk")).alias("__first"))
-    kept = (inst.join(firsts, "para")
-            .filter((F.col("__first.__id") == F.col("__id"))
-                    & (F.col("__first.blk") == F.col("blk"))))
-    kept_agg = kept.groupBy("__id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    # flag every instance instead of filtering: totals and survivors
+    # then come out of ONE id-keyed aggregation (collect_list skips the
+    # NULLs the non-keepers produce), not two groupBys + two joins
+    flagged = (inst.join(firsts, "para")
+               .withColumn("__keep",
+                           (F.col("__first.__id") == F.col("__id"))
+                           & (F.col("__first.blk") == F.col("blk"))))
+    agg = flagged.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+        .cast("long").alias("n_kept"),
         F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("blk", "para"))),
-                        lambda x: x["para"]),
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("__keep"), F.struct("blk", "para")))),
+                lambda x: x["para"]),
             joiner).alias("cleaned"))
-    totals = inst.groupBy("__id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_paras"))
     return (df.select(id_col)
-            .join(totals.withColumnRenamed("__id", id_col), id_col, "left")
-            .join(kept_agg.withColumnRenamed("__id", id_col), id_col, "left")
+            .join(agg.withColumnRenamed("__id", id_col), id_col, "left")
             .select(id_col,
                     F.coalesce("n_paras", F.lit(0)).cast("long")
                     .alias("n_paras"),

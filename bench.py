@@ -126,9 +126,11 @@ HEADLINE = [
     "q133_hybrid_rrf",
     # round-7 continued-2: MassiveText paragraph dedup — one
     # map-side-combined groupBy(para) + para-keyed join back + id-keyed
-    # reassembly.  No committed baseline yet (guard skips unknown
-    # keys); same-run physics guards apply.
+    # reassembly — and the single-shuffle funnel fold over events.
+    # No committed baselines yet (guard skips unknown keys); same-run
+    # physics guards apply.
     "q134_paragraph_dedup",
+    "q135_funnel",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle

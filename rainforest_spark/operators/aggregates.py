@@ -225,3 +225,70 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
                               F.element_at("__t", k)))
                    .alias("t_convert")))
     return out
+
+
+def retention_cohorts(df: DataFrame, user_col: str, ts_col: str,
+                      period_sec: int = 604_800) -> DataFrame:
+    """Cohort retention matrix (classic product-analytics rollup — no
+    reference counterpart; events-table extra alongside :func:`funnel`):
+    each user's cohort is the period of their FIRST event; the output
+    counts, for every ``(cohort, offset)``, the users from that cohort
+    active ``offset`` periods later.
+
+    Output: ``(cohort_period, period_offset, n_users)`` — epoch-period
+    indices as exact BIGINTs (UTC fixed-width periods, default weekly).
+
+    Shape at 100 TB: ONE user-keyed shuffle — per user the first
+    period and the distinct-period set come out of a single partial-
+    aggregating groupBy (collect_set combines map-side; its size is
+    bounded by the calendar, not the event count: a user active every
+    week for 20 years is ~1 000 entries) — then one (cohort, offset)-
+    keyed count whose key space is offsets², tiny.  No joins, no
+    windows, nothing driver-side.
+    """
+    period = F.floor(
+        (F.col(ts_col).cast("timestamp").cast("double"))
+        / F.lit(float(period_sec))).cast("long")
+    per_user = (df.select(F.col(user_col).alias("__u"),
+                          period.alias("__p"))
+                .groupBy("__u")
+                .agg(F.min("__p").alias("__cohort"),
+                     F.collect_set("__p").alias("__ps")))
+    return (per_user
+            .select("__cohort", F.explode("__ps").alias("__p"))
+            .groupBy(F.col("__cohort").alias("cohort_period"),
+                     (F.col("__p") - F.col("__cohort"))
+                     .alias("period_offset"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users")))
+
+
+def transition_matrix(df: DataFrame, user_col: str, ts_col: str,
+                      type_col: str,
+                      tie_col: str | None = None) -> DataFrame:
+    """Per-user event-transition counts (first-order Markov matrix over
+    the event-type alphabet — sequence-analytics extra alongside
+    :func:`funnel` / :func:`retention_cohorts`): order each user's
+    stream by ``(ts, tie_col)`` and count every adjacent
+    ``from -> to`` pair across all users.
+
+    ``tie_col`` (a unique column, e.g. the event id) makes the order —
+    and therefore the counts under same-timestamp ties — deterministic
+    and engine-portable; without it, ties of DIFFERENT types at one
+    timestamp make the matrix order-dependent.
+
+    Output: ``(from_type, to_type, n)`` with exact BIGINT counts.
+
+    Shape at 100 TB: one user-keyed window (``lead`` over
+    ``partitionBy(user)`` — millions of user partitions, each a few
+    rows, uniform) followed by a count whose key space is the squared
+    type alphabet, tiny.  No joins, no collect.
+    """
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(F.col(user_col)).orderBy(*order)
+    return (df.select(F.col(user_col), F.col(ts_col),
+                      *( [F.col(tie_col)] if tie_col else [] ),
+                      F.col(type_col).alias("from_type"))
+            .withColumn("to_type", F.lead("from_type").over(w))
+            .filter(F.col("to_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))

@@ -143,8 +143,12 @@ _PRIORITY = [
     "q132_relative_quality", "q133_hybrid_rrf",
     # --- round-7 continued: MassiveText paragraph-level dedup with
     # reassembly (admitted by demoting q84_epoch_shard, r6-green — the
-    # packing family keeps q89/q101/q116 in-window) ---
-    "q134_paragraph_dedup",
+    # packing family keeps q89/q101/q116 in-window), the single-shuffle
+    # conversion funnel and the cohort-retention rollup over events
+    # (admitted by demoting q86_pii_redaction and
+    # q67_hzt_fallback_chain, both r6-green and pytest-parity-gated;
+    # the radar chain keeps q53/q61/q66 + q14/q34 in-window) ---
+    "q134_paragraph_dedup", "q135_funnel", "q136_retention_cohorts",
     # --- keepers (r6-green; one representative per family) ---
     # embedding/ANN: q54_auto (LSH default path), q87 (embedding
     # dedup), q93 (semantic decon), q57 (partition-pruned IVF)
@@ -181,7 +185,6 @@ _PRIORITY = [
     # q85_jl_projection (r6-green; the plan-time sign-matrix construct
     # is bit-exact by design and stays pytest-parity-gated)
     "q122_label_cohesion",
-    "q86_pii_redaction",
     # plot-data binning behind the round-7 plotting layer (admitted by
     # demoting q105_token_budget, r6-green — the mixture/selection
     # family keeps q110/q112/q113/q121 in-window and q105 stays
@@ -190,7 +193,7 @@ _PRIORITY = [
     # radar/relational flagships: the Phase-2 pipeline, retrievals,
     # QPE evaluation, fallback chain, centroids, scores, LSH
     "q53_prepare_input", "q61_zphi_attenuation", "q66_qpe_evaluation",
-    "q67_hzt_fallback_chain", "q14_nearest_centroid",
+    "q14_nearest_centroid",
     "q34_scatter_score", "q45_minhash_lsh",
     # Demotions this round (all were 50/50 green in CORRECTNESS_r06,
     # all remain pytest-gated): the round-6 corpus batch q75-q83, q88,

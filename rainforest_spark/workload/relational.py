@@ -780,3 +780,46 @@ def q135(spark, sf):
     return out.select("user_id", "stage_reached",
                       F.unix_micros("t_entry").alias("t_entry_us"),
                       F.unix_micros("t_convert").alias("t_convert_us"))
+
+
+# ---------------------------------------------------------------- q136
+# Weekly cohort retention matrix over the events stream: cohort = the
+# user's first active epoch-week; count users per (cohort, offset).
+# One user-keyed shuffle (min + collect_set in a single partial agg),
+# one bounded (cohort, offset) count.  Pure integer arithmetic.
+@q("q136_retention_cohorts", sql="""
+WITH wk AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+  FROM events),
+c AS (SELECT user_id, MIN(wk) AS cohort FROM wk GROUP BY 1)
+SELECT c.cohort AS cohort_period,
+       w.wk - c.cohort AS period_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM wk w JOIN c USING (user_id)
+GROUP BY 1, 2
+""")
+def q136(spark, sf):
+    from rainforest_spark.operators.aggregates import retention_cohorts
+    return retention_cohorts(T(spark, sf, "events"), "user_id", "ts")
+
+
+# ---------------------------------------------------------------- q137
+# First-order event-transition matrix per user stream: one user-keyed
+# lead window ordered by (ts, event_id) — the unique tie-break makes
+# same-timestamp ordering engine-portable — then a type-alphabet²
+# count.  Exact integers.
+@q("q137_transition_matrix", sql="""
+SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events)
+WHERE to_type IS NOT NULL
+GROUP BY 1, 2
+""")
+def q137(spark, sf):
+    from rainforest_spark.operators.aggregates import transition_matrix
+    return transition_matrix(T(spark, sf, "events"), "user_id", "ts",
+                             "event_type", tie_col="event_id")

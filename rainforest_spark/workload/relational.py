@@ -823,3 +823,67 @@ def q137(spark, sf):
     from rainforest_spark.operators.aggregates import transition_matrix
     return transition_matrix(T(spark, sf, "events"), "user_id", "ts",
                              "event_type", tie_col="event_id")
+
+
+# ---------------------------------------------------------------- q138
+# Conversion-latency quantiles per weekly cohort: the funnel's
+# converters ranked by (latency, user) through the GROUPED
+# ranged_cumsum (cohorts are few and huge — the q34/q126 pattern; a
+# plain partitionBy(cohort) window would serialize into one task per
+# cohort), then lower-median and p90 by conditional-min rank
+# arithmetic.  All-integer (epoch-micros diffs div to whole seconds);
+# `div`/`//` agree on the non-negative operands.
+@q("q138_conversion_latency", sql="""
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1),
+conv AS (
+  SELECT s1.user_id,
+         epoch_us(t1) // 604800000000 AS cohort_period,
+         (epoch_us(t3) - epoch_us(t1)) // 1000000 AS lat
+  FROM s1 JOIN s3 USING (user_id)),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY cohort_period
+                            ORDER BY lat, user_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY cohort_period) AS n
+  FROM conv)
+SELECT cohort_period,
+       CAST(MAX(n) AS BIGINT) AS n_converters,
+       CAST(MIN(CASE WHEN rnk >= (n + 1) // 2 THEN lat END)
+            AS BIGINT) AS median_latency_s,
+       CAST(MIN(CASE WHEN rnk >= (9 * n + 9) // 10 THEN lat END)
+            AS BIGINT) AS p90_latency_s
+FROM r GROUP BY 1
+""")
+def q138(spark, sf):
+    from rainforest_spark.operators.aggregates import funnel
+    from rainforest_spark.operators.windows import ranged_cumsum
+    f = funnel(T(spark, sf, "events"), "user_id", "ts", "event_type",
+               ["view", "click", "purchase"])
+    conv = (f.filter(F.col("stage_reached") == 3)
+            .select("user_id",
+                    F.unix_micros("t_entry").alias("eus"),
+                    F.unix_micros("t_convert").alias("cus"))
+            .select("user_id",
+                    F.expr("eus div 604800000000").alias("cohort_period"),
+                    F.expr("(cus - eus) div 1000000").alias("lat")))
+    keyed = (conv
+             .withColumn("__key", F.col("lat") * F.lit(10_000_000_000)
+                         + F.col("user_id"))
+             .withColumn("__one", F.lit(1).cast("long")))
+    r = ranged_cumsum(keyed, "__key", "__one", cum_col="rnk",
+                      group_cols=["cohort_period"], total_col="n")
+    return (r.groupBy("cohort_period").agg(
+        F.max("n").cast("long").alias("n_converters"),
+        F.min(F.when(F.col("rnk") >= F.expr("(n + 1) div 2"),
+                     F.col("lat"))).cast("long")
+        .alias("median_latency_s"),
+        F.min(F.when(F.col("rnk") >= F.expr("(9 * n + 9) div 10"),
+                     F.col("lat"))).cast("long")
+        .alias("p90_latency_s")))

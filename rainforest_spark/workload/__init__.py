@@ -133,7 +133,7 @@ _PRIORITY = [
     # verified transitively through in-window q132) were demoted for
     # the six late-round-7 additions below; all six stay pytest-
     # parity-gated ---
-    "q41_token_count", "q43_lang_id", "q44_ngram_jaccard",
+    "q44_ngram_jaccard",
     "q13_latest_per_hour", "q24_transfer_function", "q25_lead_fill",
     # --- late round-7 additions (never driver-checked): corpus
     # distribution diagnostics + temperature quotas + per-source
@@ -149,6 +149,12 @@ _PRIORITY = [
     # q67_hzt_fallback_chain, both r6-green and pytest-parity-gated;
     # the radar chain keeps q53/q61/q66 + q14/q34 in-window) ---
     "q134_paragraph_dedup", "q135_funnel", "q136_retention_cohorts",
+    # --- round-7 continued: event-transition matrix + conversion-
+    # latency quantiles (admitted by demoting the stale re-checks
+    # q41_token_count and q43_lang_id — their expression trees are
+    # hash-verified transitively through in-window q117/q132/q120,
+    # and both stay pytest-parity-gated) ---
+    "q137_transition_matrix", "q138_conversion_latency",
     # --- keepers (r6-green; one representative per family) ---
     # embedding/ANN: q54_auto (LSH default path), q87 (embedding
     # dedup), q93 (semantic decon), q57 (partition-pruned IVF)

@@ -173,3 +173,44 @@ def interpolate_hourly_to_subhourly(hourly: DataFrame, key_cols: list[str],
                                + (F.col("__v1") - F.col(value_col)) * frac)
                         .otherwise(F.col(value_col)))
             .drop("__v1", "k"))
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  point_us_col: str, start_us_col: str, end_us_col: str,
+                  bucket_sec: int = 600) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi-key, via time-bucket
+    expansion (J-family extension; the reference's point-in-window
+    lookups all ride an equi-key — this is the keyless case Spark has
+    no range-join rule for).
+
+    A raw ``p.ts BETWEEN i.s AND i.e`` join with no equality conjunct
+    plans as BroadcastNestedLoopJoin — O(|P|·|I|) and driver-bound.
+    The scale-out form: explode every interval into the epoch buckets
+    it covers (``sequence`` fanned out executor-side), bucket each
+    point ONCE, equi-join on the bucket id, then filter exact
+    containment.  A (point, interval) pair can only meet in the
+    point's single bucket, so the join emits each qualifying pair
+    exactly once — no post-join dedup.
+
+    Cost model: shuffle |P| + Σ_i ceil(len_i / bucket) rows on the
+    bucket key; pick ``bucket_sec`` near the median interval length so
+    the interval fan-out stays O(|I|).  Calendar-skewed buckets (a
+    flash-crowd hour) are AQE skew-join territory — the key is already
+    fine-grained, no salting layer needed.
+
+    Timestamps are epoch-microsecond BIGINTs end-to-end (integer
+    bucket division + integer containment compare — engine-exact).
+    Column names must be disjoint; both sides' columns survive.
+    """
+    step = int(bucket_sec) * 1_000_000
+    exploded = intervals.withColumn(
+        "__bkt",
+        F.explode(F.sequence(
+            F.expr(f"CAST({start_us_col} AS BIGINT) div {step}"),
+            F.expr(f"CAST({end_us_col} AS BIGINT) div {step}"))))
+    pointed = points.withColumn(
+        "__bkt", F.expr(f"CAST({point_us_col} AS BIGINT) div {step}"))
+    return (pointed.join(exploded, "__bkt")
+            .filter(F.col(point_us_col).between(F.col(start_us_col),
+                                                F.col(end_us_col)))
+            .drop("__bkt"))

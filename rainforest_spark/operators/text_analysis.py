@@ -1360,3 +1360,67 @@ def relative_quality_filter(df, id_col: str, text_col: str,
                     F.round("__q", 6).alias("quality"),
                     F.col("rnk").cast("long").alias("rnk"),
                     F.col("n_group").cast("long").alias("n_group")))
+
+
+def textrank_keywords(df, id_col: str, text_col: str,
+                      iterations: int = 4, k: int = 50):
+    """TextRank keyword extraction: PageRank over the adjacent-term
+    co-occurrence graph (Mihalcea & Tarau 2004), the unsupervised
+    keyphrase signal a curation pipeline uses to label/route corpus
+    slices.  Graph: undirected edges between adjacent tokens (both
+    directions materialized), weight = co-occurrence count; rank
+    update r'(v) = 0.15 + 0.85·Σ_u r(u)·w_uv/W_u with damping 17/20.
+
+    EXACT-INTEGER iteration (the engine's oracle-parity policy for
+    iterative algorithms): ranks live as BIGINT nanos (r₀ = 1e9);
+    damping is ``(r·17) div 20``; the per-edge share uses the
+    quotient/remainder split  ``(a div W)·w + ((a mod W)·w) div W``
+    = floor(a·w/W)  — keeping every intermediate under 2⁶³ (the
+    remainder term is < W·w) while Spark's ``div`` and DuckDB's ``//``
+    agree bit-for-bit on the non-negative operands.  No FP enters
+    until the final reporting division.
+
+    Shape at 100 TB: the edge table (vocab × avg-degree, Zipf-small
+    next to the corpus) is built from ONE in-expression bigram
+    fan-out + one groupBy, persisted, and each of the ``iterations``
+    rounds is one equi-join (ranks ⋈ edges on src — AQE broadcasts
+    the rank dim when it fits) + one groupBy(dst).  Linear DAG depth,
+    no driver-side loop over data.  Terms never adjacent to another
+    term (single-token documents) have no edges and drop out, as in
+    the reference formulation.  Beyond ~10⁹-token vocabularies the
+    BIGINT headroom argument in the docstring body needs the
+    DECIMAL(38,0) variant of the share split.
+    """
+    words = tokens(normalized_text(text_col))
+    staged = df.select(F.col(id_col), words.alias("__w"))
+    w = F.col("__w")
+    pair_arr = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(w) - 2),
+                    lambda i: F.struct(F.get(w, i).alias("w1"),
+                                       F.get(w, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (staged.select(F.explode(pair_arr).alias("bg")).select("bg.*")
+          .filter((F.col("w1") != F.col("w2"))
+                  & (F.col("w1") != "") & (F.col("w2") != "")))
+    both = (bg.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+            .unionAll(bg.select(F.col("w2").alias("src"),
+                                F.col("w1").alias("dst"))))
+    edges = both.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("wt"))
+    deg = edges.groupBy("src").agg(F.sum("wt").alias("W"))
+    ew = edges.join(deg, "src").persist()
+    ranks = deg.select(F.col("src").alias("term"),
+                       F.lit(1_000_000_000).cast("long").alias("r"))
+    for _ in range(int(iterations)):
+        j = ew.join(ranks, ew["src"] == ranks["term"])
+        contrib = F.expr("((r * 17) div 20 div W) * wt"
+                         " + ((((r * 17) div 20) % W) * wt) div W")
+        ranks = (j.groupBy("dst")
+                 .agg((F.lit(150_000_000)
+                       + F.sum(contrib)).cast("long").alias("r"))
+                 .withColumnRenamed("dst", "term"))
+    return (ranks
+            .orderBy(F.col("r").desc(), F.col("term")).limit(int(k))
+            .select(F.col("term"),
+                    F.col("r").alias("rank_nanos"),
+                    F.round(F.col("r") / F.lit(1e9), 6).alias("score")))

@@ -201,3 +201,89 @@ def weighted_quantile(df: DataFrame, group_cols: list[str], value_col: str,
                             total_col="__tw")
     hit = cum.filter(F.col("__cw") >= q * F.col("__tw"))
     return hit.groupBy(*group_cols).agg(F.min(value_col).alias(out_col))
+
+
+def rolling_zscore(df: DataFrame, partition_cols: list[str], ts_col: str,
+                   value_col: str, tie_col: str,
+                   window_rows: int = 10, z_thresh: int = 3) -> DataFrame:
+    """Rolling-window anomaly detection: flag a reading whose deviation
+    from its trailing ``window_rows`` mean exceeds ``z_thresh`` sample
+    standard deviations (W-family extension — the per-series QC check a
+    telemetry/training-data pipeline runs before admitting a stream).
+
+    Exactness: the value is quantized ONCE to integer nanos
+    (``floor(v·1e9 + 0.5)`` — the hot-path idiom), and the flag decision
+    is a PURE-INTEGER inequality — with S = Σx, Q = Σx² over the trailing
+    window, ``|x−μ| > z·σ`` squares to
+
+        (n·x − S)² · (n−1)  >  z² · n · (n·Q − S²)
+
+    so no engine's FP rounding can flip a row.  Q rides DECIMAL (nanos²
+    overflows BIGINT); Spark's decimal partial-agg and DuckDB's sequential
+    sum are both exact.  The reported z itself is one double expression
+    tree off the same exact integers, rounded 6dp.
+
+    Emits ONLY full windows (cnt == window_rows) with positive variance.
+
+    Shape at 100 TB: one shuffle on the series key; windows are ROWS-
+    bounded (state = ``window_rows`` rows per task, no unbounded
+    growth).  Millions of small series — the plain grouped window is
+    the right plan (ranged_cumsum is for the few-huge-groups case).
+    """
+    n = int(window_rows)
+    w = (Window.partitionBy(*partition_cols)
+         .orderBy(F.col(ts_col), F.col(tie_col))
+         .rowsBetween(-(n - 1), 0))
+    vn = F.floor(F.col(value_col) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    d = (df.withColumn("__vn", vn)
+         .withColumn("__s", F.sum("__vn").over(w))
+         .withColumn("__q", F.sum(F.col("__vn").cast("decimal(18,0)")
+                                  * F.col("__vn").cast("decimal(18,0)"))
+                     .over(w))
+         .withColumn("__cnt", F.count(F.lit(1)).over(w)))
+    dev = (F.col("__cnt") * F.col("__vn") - F.col("__s"))
+    var_num = (F.col("__cnt") * F.col("__q")
+               - F.col("__s").cast("decimal(18,0)")
+               * F.col("__s").cast("decimal(18,0)"))
+    flagged = (d.filter(F.col("__cnt") == n)
+               .withColumn("__dev", dev)
+               .withColumn("__vnum", var_num)
+               .filter(F.col("__vnum") > 0)
+               .filter(F.col("__dev").cast("decimal(18,0)")
+                       * F.col("__dev").cast("decimal(18,0)")
+                       * F.lit(n - 1)
+                       > F.lit(int(z_thresh) ** 2) * F.lit(n)
+                       * F.col("__vnum")))
+    z = ((F.col("__dev").cast("double") / F.lit(n))
+         / F.sqrt(F.col("__vnum").cast("double") / F.lit(n * (n - 1))))
+    return (flagged.withColumn("zscore", F.round(z, 6))
+            .drop("__vn", "__s", "__q", "__cnt", "__dev", "__vnum"))
+
+
+def attribute_intervals(df: DataFrame, key_cols: list[str], ts_col: str,
+                        attr_col: str, tie_col: str) -> DataFrame:
+    """SCD-2 validity intervals: collapse a keyed change log into
+    ``[valid_from, valid_to)`` rows, one per run of equal ``attr_col``
+    values (W-family extension — the slowly-changing-dimension build a
+    warehouse load runs over every entity history).
+
+    Two windows over ONE shuffle on the entity key: ``lag`` marks run
+    starts (gaps-and-islands), then ``lead`` over the surviving change
+    rows closes each interval; the current version keeps a NULL
+    ``valid_to`` and ``version`` numbers the runs.  Ordering ties break
+    on ``tie_col`` so same-timestamp writes are engine-portable.
+
+    Shape at 100 TB: entity keys are many and histories short — the
+    grouped window is the right plan; state is one row of lag/lead per
+    task.  Pure string/integer comparisons, engine-exact.
+    """
+    w = (Window.partitionBy(*key_cols)
+         .orderBy(F.col(ts_col), F.col(tie_col)))
+    changed = (df.withColumn("__prev", F.lag(F.col(attr_col)).over(w))
+               .filter(F.col("__prev").isNull()
+                       | ~F.col("__prev").eqNullSafe(F.col(attr_col))))
+    return (changed
+            .withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", F.lead(F.col(ts_col)).over(w))
+            .withColumn("version", F.row_number().over(w))
+            .drop("__prev"))

@@ -133,8 +133,11 @@ _PRIORITY = [
     # verified transitively through in-window q132) were demoted for
     # the six late-round-7 additions below; all six stay pytest-
     # parity-gated ---
-    "q44_ngram_jaccard",
-    "q13_latest_per_hour", "q24_transfer_function", "q25_lead_fill",
+    # (the remaining r2-r4 stale re-checks — q44, q13, q24, q25 — and
+    # the r6-green q14 were demoted for the five new operators below;
+    # all five stay pytest-parity-gated, and their families keep
+    # in-window representatives: dedup via q45/q97/q123, the radar
+    # chain via q53/q61/q66, ranking via q34)
     # --- late round-7 additions (never driver-checked): corpus
     # distribution diagnostics + temperature quotas + per-source
     # relative quality + hybrid RRF retrieval ---
@@ -155,6 +158,12 @@ _PRIORITY = [
     # hash-verified transitively through in-window q117/q132/q120,
     # and both stay pytest-parity-gated) ---
     "q137_transition_matrix", "q138_conversion_latency",
+    # --- round-7 continued: keyless point-in-interval join (time-
+    # bucket expansion), pure-integer rolling z-score anomaly gate,
+    # hierarchical ROLLUP report, exact-integer TextRank keyword
+    # PageRank, SCD-2 validity intervals ---
+    "q139_interval_join", "q140_rolling_zscore", "q141_rollup_report",
+    "q142_textrank_keywords", "q143_scd2_intervals",
     # --- keepers (r6-green; one representative per family) ---
     # embedding/ANN: q54_auto (LSH default path), q87 (embedding
     # dedup), q93 (semantic decon), q57 (partition-pruned IVF)
@@ -199,7 +208,6 @@ _PRIORITY = [
     # radar/relational flagships: the Phase-2 pipeline, retrievals,
     # QPE evaluation, fallback chain, centroids, scores, LSH
     "q53_prepare_input", "q61_zphi_attenuation", "q66_qpe_evaluation",
-    "q14_nearest_centroid",
     "q34_scatter_score", "q45_minhash_lsh",
     # Demotions this round (all were 50/50 green in CORRECTNESS_r06,
     # all remain pytest-gated): the round-6 corpus batch q75-q83, q88,

@@ -887,3 +887,166 @@ def q138(spark, sf):
         F.min(F.when(F.col("rnk") >= F.expr("(9 * n + 9) div 10"),
                      F.col("lat"))).cast("long")
         .alias("p90_latency_s")))
+
+
+# ---------------------------------------------------------------- q139
+# Keyless point-in-interval join (J-family extension): ±5-min incident
+# windows around per-user error bursts (30-min-gap sessionization),
+# then EVERY click — any user — counted into every window it falls in.
+# No equi-key exists, so Spark would plan a BroadcastNestedLoopJoin;
+# operators/joins.interval_join rewrites it as a time-bucket-expansion
+# equi-join (sequence-exploded interval buckets ⋈ bucketed points +
+# exact containment filter).  All-integer epoch-micros arithmetic.
+# DuckDB's native IEJoin range join is the oracle.
+@q("q139_interval_join", sql="""
+WITH err AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events WHERE event_type = 'error'),
+g AS (
+  SELECT *, CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY ts)
+                      > 1800
+                 OR LAG(sec) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+            THEN 1 ELSE 0 END AS brk
+  FROM err),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM g),
+iv AS (
+  SELECT user_id, session_id,
+         MIN(us) - 300000000 AS start_us,
+         MAX(us) + 300000000 AS end_us
+  FROM s GROUP BY 1, 2),
+clk AS (SELECT epoch_us(ts) AS cus FROM events
+        WHERE event_type = 'click')
+SELECT iv.user_id, iv.start_us, iv.end_us,
+       CAST(COUNT(clk.cus) AS BIGINT) AS n_clicks
+FROM iv LEFT JOIN clk ON clk.cus BETWEEN iv.start_us AND iv.end_us
+GROUP BY 1, 2, 3
+""")
+def q139(spark, sf):
+    from rainforest_spark.operators.aggregates import sessionize
+    from rainforest_spark.operators.joins import interval_join
+    e = T(spark, sf, "events")
+    err = e.filter(F.col("event_type") == "error")
+    iv = (sessionize(err, ["user_id"], "ts", 1800)
+          .withColumn("us", F.unix_micros("ts"))
+          .groupBy("user_id", "session_id")
+          .agg((F.min("us") - 300_000_000).alias("start_us"),
+               (F.max("us") + 300_000_000).alias("end_us")))
+    clk = (e.filter(F.col("event_type") == "click")
+           .select(F.unix_micros("ts").alias("cus")))
+    matched = interval_join(clk, iv, "cus", "start_us", "end_us",
+                            bucket_sec=600)
+    cnt = (matched.groupBy("user_id", "session_id")
+           .agg(F.count(F.lit(1)).alias("__n")))
+    return (iv.join(cnt, ["user_id", "session_id"], "left")
+            .select("user_id", "start_us", "end_us",
+                    F.coalesce(F.col("__n"), F.lit(0)).cast("long")
+                    .alias("n_clicks")))
+
+
+# ---------------------------------------------------------------- q140
+# Rolling z-score anomaly detection (W-family extension): per-user
+# trailing-10 window, flag |x − μ| > 2σ with the PURE-INTEGER squared
+# inequality (n·x−S)²·(n−1) > z²·n·(n·Q−S²) — no FP in the decision
+# (operators/windows.rolling_zscore).  Emitted z is one shared double
+# expression tree off the exact integers, rounded 6dp.
+@q("q140_rolling_zscore", sql="""
+WITH b AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(floor(value * 1e9 + 0.5) AS BIGINT) AS vn
+  FROM events),
+wnd AS (
+  SELECT *, SUM(vn) OVER w AS s,
+         SUM(CAST(vn AS HUGEINT) * CAST(vn AS HUGEINT)) OVER w AS q,
+         COUNT(*) OVER w AS cnt
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+f AS (
+  SELECT *, cnt * vn - s AS dev,
+         cnt * q - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS vnum
+  FROM wnd WHERE cnt = 10)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+       ROUND((CAST(dev AS DOUBLE) / 10)
+             / sqrt(CAST(vnum AS DOUBLE) / 90), 6) AS zscore
+FROM f
+WHERE vnum > 0
+  AND CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT) * 9
+      > 4 * 10 * vnum
+""")
+def q140(spark, sf):
+    from rainforest_spark.operators.windows import rolling_zscore
+    e = T(spark, sf, "events")
+    out = rolling_zscore(e, ["user_id"], "ts", "value",
+                         tie_col="event_id", window_rows=10, z_thresh=2)
+    return out.select("event_id", "user_id",
+                      F.unix_micros("ts").alias("ts_us"),
+                      "value", "zscore")
+
+
+# ---------------------------------------------------------------- q141
+# Hierarchical ROLLUP revenue report (A-family extension): grand total
+# → per-status → per-(status, priority), grouping id spelled as the
+# explicit 2·g(status)+g(priority) in BOTH engines.  Decimal-exact
+# revenue sums (order-independent partial agg).
+@q("q141_rollup_report", sql="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority)
+            AS BIGINT) AS gid,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def q141(spark, sf):
+    o = T(spark, sf, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg((2 * F.grouping("o_orderstatus")
+                  + F.grouping("o_orderpriority")).cast("long")
+                 .alias("gid"),
+                 sum_dec("o_totalprice").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+# ---------------------------------------------------------------- q143
+# SCD-2 validity intervals (W-family extension): each customer's order-
+# priority history collapsed to [valid_from, valid_to) runs via gaps-
+# and-islands (operators/windows.attribute_intervals); the open run
+# carries NULL valid_to.  (o_orderdate, o_orderkey) ordering makes
+# same-day writes engine-portable.  Pure string/integer arithmetic.
+@q("q143_scd2_intervals", sql="""
+WITH c AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+         LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+             AS prev
+  FROM orders),
+ch AS (SELECT * FROM c WHERE prev IS NULL OR prev != o_orderpriority)
+SELECT o_custkey, o_orderpriority,
+       epoch_us(o_orderdate) AS valid_from_us,
+       epoch_us(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey))
+           AS valid_to_us,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey)
+            AS BIGINT) AS version
+FROM ch
+""")
+def q143(spark, sf):
+    from rainforest_spark.operators.windows import attribute_intervals
+    o = T(spark, sf, "orders")
+    out = attribute_intervals(o, ["o_custkey"], "o_orderdate",
+                              "o_orderpriority", tie_col="o_orderkey")
+    # o_orderdate ships TIMESTAMP_NTZ; session tz is UTC so the cast
+    # to TIMESTAMP is the identity (the epoch_s convention)
+    return out.select(
+        "o_custkey", "o_orderpriority",
+        F.unix_micros(F.col("valid_from").cast("timestamp"))
+        .alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp"))
+        .alias("valid_to_us"),
+        F.col("version").cast("long").alias("version"))

@@ -2226,3 +2226,52 @@ def q134(spark, sf):
         "doc_id", "n_paras", "n_kept",
         F.md5("cleaned").alias("cleaned_md5"),
         F.length("cleaned").cast("long").alias("cleaned_len"))
+
+
+# ---------------------------------------------------------------- q142
+# TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+# the adjacent-term co-occurrence graph in EXACT-INTEGER nano-ranks —
+# damping (r·17) div 20, per-edge share by the quotient/remainder
+# split floor(a·w/W) = (a div W)·w + ((a mod W)·w) div W, so Spark's
+# `div` and DuckDB's `//` agree bit-for-bit across all 4 unrolled
+# iterations (operators/text_analysis.textrank_keywords).  Top-50 on
+# (rank DESC, term).
+_TR_ITER = """
+r{n} AS (
+  SELECT ew.dst AS term,
+         150000000 + SUM( ((r.r * 17) // 20 // ew.W) * ew.wt
+                        + ((((r.r * 17) // 20) % ew.W) * ew.wt) // ew.W )
+             AS r
+  FROM ew JOIN r{p} r ON ew.src = r.term GROUP BY 1)"""
+
+
+@q("q142_textrank_keywords", sql=f"""
+WITH arr AS (
+  SELECT string_split({_NORM}, ' ') AS w FROM documents),
+bg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM arr, UNNEST(CASE WHEN len(w) >= 2
+                        THEN generate_series(1, len(w) - 1)
+                        ELSE []::BIGINT[] END) AS t(i)),
+e0 AS (SELECT w1, w2 FROM bg
+       WHERE w1 != w2 AND w1 != '' AND w2 != ''),
+ed AS (SELECT src, dst, COUNT(*) AS wt FROM (
+         SELECT w1 AS src, w2 AS dst FROM e0
+         UNION ALL
+         SELECT w2 AS src, w1 AS dst FROM e0)
+       GROUP BY 1, 2),
+dg AS (SELECT src, SUM(wt) AS W FROM ed GROUP BY 1),
+ew AS (SELECT ed.src, ed.dst, ed.wt, dg.W FROM ed JOIN dg USING (src)),
+r0 AS (SELECT src AS term, CAST(1000000000 AS BIGINT) AS r FROM dg),
+{_TR_ITER.format(n=1, p=0)},
+{_TR_ITER.format(n=2, p=1)},
+{_TR_ITER.format(n=3, p=2)},
+{_TR_ITER.format(n=4, p=3)}
+SELECT term, CAST(r AS BIGINT) AS rank_nanos,
+       ROUND(CAST(r AS DOUBLE) / 1e9, 6) AS score
+FROM r4
+ORDER BY r DESC, term LIMIT 50
+""")
+def q142(spark, sf):
+    return TA.textrank_keywords(T(spark, sf, "documents"),
+                                "doc_id", "text", iterations=4, k=50)

@@ -131,6 +131,16 @@ HEADLINE = [
     # physics guards apply.
     "q134_paragraph_dedup",
     "q135_funnel",
+    # round-7 continued-3: the keyless bucket-expansion interval join
+    # (sessionize + sequence fan-out + bucket equi-join), the trailing-
+    # window integer z-score gate, the 4-iteration exact-integer
+    # TextRank join chain, and the two-window SCD-2 build.  No
+    # committed baselines yet (guard skips unknown keys); same-run
+    # physics guards apply.
+    "q139_interval_join",
+    "q140_rolling_zscore",
+    "q142_textrank_keywords",
+    "q143_scd2_intervals",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle
@@ -246,6 +256,10 @@ SF10_HEADLINE = [
     # (map-side combine on the hot paragraph) gets its second decade
     # from day one
     "q134_paragraph_dedup",
+    # round-7 continued-3: the bucket-expansion interval join — its
+    # fan-out claim (|P| + Σ ceil(len/bucket) through the shuffle,
+    # never |P|·|I|) gets a second decade from day one
+    "q139_interval_join",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0

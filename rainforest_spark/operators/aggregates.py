@@ -292,3 +292,50 @@ def transition_matrix(df: DataFrame, user_col: str, ts_col: str,
             .filter(F.col("to_type").isNotNull())
             .groupBy("from_type", "to_type")
             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def time_weighted_mean(df: DataFrame, key_cols: list[str], ts_col: str,
+                       value_col: str, tie_col: str) -> DataFrame:
+    """Time-weighted mean per series (A-family extension): each
+    observation's value is held until the next observation, so the mean
+    weights every sample by the microseconds it was in force — the
+    irregular-sampling average (TWAP) that a plain ``avg`` gets wrong.
+
+    Exactness: values quantize to nanos (``floor(x·1e9 + 0.5)`` — the
+    hot-path idiom), hold times are exact epoch-microsecond deltas from
+    one ``lead`` over the series key, and the per-row products ride
+    DECIMAL(38,0) (nanos ≤ ~1e12 × delta ≤ ~1e12 overflows BIGINT but
+    is exact at (38,0); decimal addition is order-independent, so the
+    32-partition partial agg matches a sequential scan bit-for-bit).
+    The mean rounds to micros with the exact integer round-half
+    division ``(2·Σvn·Δ + 1000·ΣΔ) div (2000·ΣΔ)`` — the q83 idiom, so
+    a quotient landing exactly ON the half-way 6dp boundary rounds
+    identically on both engines — then divides by the exact double
+    ``1e6`` once.  The last observation of each series has no successor
+    and drops out (no hold time), matching the closed-interval TWAP
+    convention.
+
+    Shape at 100 TB: one shuffle on the series key shared by the
+    ``lead`` window and the groupBy (many small series — the uniform
+    grouped-window case); partial aggregation absorbs the row count
+    before the exchange.  No joins, no collect.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col),
+                                              F.col(tie_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    vn = F.floor(F.col(value_col) * 1e9 + F.lit(0.5)).cast("long")
+    held = (df.withColumn("__us", us)
+            .withColumn("__vn", vn)
+            .withColumn("__dus", F.lead("__us").over(w) - F.col("__us"))
+            .filter(F.col("__dus").isNotNull()))
+    prod = (F.col("__vn").cast("decimal(19,0)")
+            * F.col("__dus").cast("decimal(19,0)"))
+    micro = F.expr("(2*__sp + 1000*__sd"
+                   " - pmod(2*__sp + 1000*__sd, 2000*__sd))"
+                   " div (2000*__sd)")
+    return (held.groupBy(*key_cols)
+            .agg(F.sum(prod).alias("__sp"),
+                 F.sum(F.col("__dus").cast("decimal(19,0)")).alias("__sd"),
+                 F.count(F.lit(1)).cast("long").alias("n_holds"))
+            .select(*key_cols, "n_holds",
+                    (micro.cast("double") / F.lit(1e6)).alias("tw_mean")))

@@ -214,3 +214,50 @@ def interval_join(points: DataFrame, intervals: DataFrame,
             .filter(F.col(point_us_col).between(F.col(start_us_col),
                                                 F.col(end_us_col)))
             .drop("__bkt"))
+
+
+def fuzzy_match(df: DataFrame, id_col: str, text_col: str,
+                block_cols: list[str | Column], max_dist: int,
+                keep_cols: list[str] | None = None) -> DataFrame:
+    """Blocked fuzzy self-join: near-duplicate ``text_col`` pairs under
+    Levenshtein edit distance <= ``max_dist`` (entity-resolution
+    extension of the J-family; the reference's joins are all exact-key
+    — this is the record-linkage case).
+
+    An unblocked fuzzy join is the all-pairs O(N²) trap, so candidates
+    come ONLY from an equi-join on ``block_cols`` (classic ER blocking:
+    length bucket, first/last token, phonetic key, ...).  The edit
+    distance runs as a residual filter on the equi-join — Spark plans a
+    shuffled hash join on the block key, never a cartesian — and uses
+    the thresholded ``levenshtein(l, r, max_dist)`` form so the JVM
+    abandons each comparison after ``max_dist`` diagonal bands
+    (O(d·min(|a|,|b|)) per pair instead of O(|a|·|b|)).
+
+    Cost model: pair count is Σ_b n_b² over block sizes — the operator
+    is exactly as good as its blocking key.  At corpus scale pick
+    composite keys whose cardinality GROWS with N (token + length +
+    category), and let AQE's skew-join split the inevitable hot block;
+    a block key whose cardinality is fixed degrades to quadratic and
+    should be re-cut, not salted (salting a fuzzy block loses recall).
+
+    Output: one row per unordered candidate pair (``id_a < id_b``) with
+    both texts and the exact integer ``dist`` — exact across engines
+    (Levenshtein is pure integer DP).
+    """
+    keep = keep_cols or []
+    blocks = [b if isinstance(b, Column) else F.col(b) for b in block_cols]
+    sides = []
+    for tag in ("a", "b"):
+        side = df.select(
+            F.col(id_col).alias(f"id_{tag}"),
+            F.col(text_col).alias(f"text_{tag}"),
+            *[F.col(c).alias(f"{c}_{tag}") for c in keep],
+            *[b.alias(f"__blk{i}") for i, b in enumerate(blocks)])
+        sides.append(side)
+    on = [f"__blk{i}" for i in range(len(blocks))]
+    d = F.levenshtein(F.col("text_a"), F.col("text_b"), int(max_dist))
+    return (sides[0].join(sides[1], on)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("dist", d)
+            .filter(F.col("dist") >= 0)
+            .drop(*on))

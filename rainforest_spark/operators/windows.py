@@ -287,3 +287,52 @@ def attribute_intervals(df: DataFrame, key_cols: list[str], ts_col: str,
             .withColumn("valid_to", F.lead(F.col(ts_col)).over(w))
             .withColumn("version", F.row_number().over(w))
             .drop("__prev"))
+
+
+def dyadic_ewma(df: DataFrame, partition_cols: list[str], ts_col: str,
+                value_col: str, tie_col: str, depth: int = 8) -> DataFrame:
+    """Exponentially weighted moving average with dyadic decay
+    (W-family extension): trailing-``depth`` EWMA with α = 1/2, the
+    geometric tail past the window folded into the oldest term so the
+    weights sum to exactly 1:
+
+        y_t · 2^(depth-1) = Σ_{k=0}^{depth-2} x_{t-k} · 2^(depth-2-k)
+                            + x_{t-(depth-1)}
+
+    Everything through the 6dp rounding is pure integer arithmetic on
+    nano-quantized values (``floor(x·1e9 + 0.5)``), and every weight is
+    a power of two — so the smoothed value is ONE exact BIGINT, and the
+    emitted ``ewma`` rounds it to micros with the exact integer
+    round-half division ``(2N + d) div (2d)`` (the q83 idiom — a dyadic
+    quotient lands exactly ON the half-way 6dp boundary whenever
+    ``y·1e6`` is an odd multiple of ``2^(depth-2)·1e9``, where Spark's
+    BigDecimal HALF_UP and DuckDB's double round disagree; spelled via
+    the ``pmod`` floor-div identity so negative series round
+    half-toward-+∞ identically on both engines).  Rows whose trailing
+    window is not yet full are dropped (the unbiased startup
+    convention).
+
+    Implementation is ``depth`` frameless ``lag`` taps over ONE window
+    spec — one shuffle and one sort on the series key, state per task
+    is ``depth`` rows.  Shape at 100 TB: many small series (the uniform
+    grouped-window case); ``depth`` is a constant, never a per-row
+    fan-out.
+    """
+    if depth < 2:
+        raise ValueError("depth must be >= 2")
+    w = Window.partitionBy(*partition_cols).orderBy(F.col(ts_col),
+                                                    F.col(tie_col))
+    vn = F.floor(F.col(value_col) * 1e9 + F.lit(0.5)).cast("long")
+    out = df.withColumn("__vn", vn)
+    acc = F.col("__vn") * F.lit(2 ** (depth - 2))
+    for k in range(1, depth):
+        wt = 2 ** (depth - 2 - k) if k < depth - 1 else 1
+        acc = acc + F.lag("__vn", k).over(w) * F.lit(wt)
+    d1000 = (2 ** (depth - 1)) * 1000
+    micro = F.expr(f"(2*__y + {d1000} - pmod(2*__y + {d1000}, {2 * d1000}))"
+                   f" div {2 * d1000}")
+    return (out.withColumn("__oldest", F.lag("__vn", depth - 1).over(w))
+            .withColumn("__y", acc)
+            .filter(F.col("__oldest").isNotNull())
+            .withColumn("ewma", micro.cast("double") / F.lit(1e6))
+            .drop("__vn", "__oldest", "__y"))

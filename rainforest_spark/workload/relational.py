@@ -1050,3 +1050,95 @@ def q143(spark, sf):
         F.unix_micros(F.col("valid_to").cast("timestamp"))
         .alias("valid_to_us"),
         F.col("version").cast("long").alias("version"))
+
+
+# ---------------------------------------------------------------- q144
+# Blocked fuzzy entity matching (J-family extension): near-duplicate
+# part names under Levenshtein <= 4, candidates ONLY from the
+# (noun-token, p_size) blocking equi-join (operators/joins.fuzzy_match)
+# — never all-pairs.  Edit distance is pure integer DP, exact across
+# engines; Spark additionally early-abandons via the thresholded
+# levenshtein(l, r, d) form.
+@q("q144_fuzzy_match", sql="""
+WITH s AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS noun, p_size
+  FROM part)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS text_a, b.p_name AS text_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM s a JOIN s b ON a.noun = b.noun AND a.p_size = b.p_size
+WHERE a.p_partkey < b.p_partkey
+  AND levenshtein(a.p_name, b.p_name) <= 4
+""")
+def q144(spark, sf):
+    p = T(spark, sf, "part")
+    noun = F.element_at(F.split(F.col("p_name"), " "), 2)
+    return J.fuzzy_match(p, "p_partkey", "p_name",
+                         [noun, "p_size"], max_dist=4) \
+        .select("id_a", "id_b", "text_a", "text_b",
+                F.col("dist").cast("int").alias("dist"))
+
+
+# ---------------------------------------------------------------- q145
+# Time-weighted mean (TWAP) per user series (A-family extension): each
+# value held until the user's next event; exact nanos x micros products
+# ride DECIMAL(38,0)/HUGEINT so the 32-partition partial agg matches
+# DuckDB's sequential scan bit-for-bit
+# (operators/aggregates.time_weighted_mean).
+@q("q145_time_weighted_mean", sql="""
+WITH b AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(floor(value * 1e9 + 0.5) AS BIGINT) AS vn
+  FROM events),
+h AS (
+  SELECT user_id, vn,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             - us AS dus
+  FROM b),
+g AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_holds,
+         SUM(CAST(vn AS HUGEINT) * dus) AS sp,
+         SUM(CAST(dus AS HUGEINT)) AS sd
+  FROM h WHERE dus IS NOT NULL
+  GROUP BY user_id)
+SELECT user_id, n_holds,
+       CAST((2*sp + 1000*sd) // (2000*sd) AS DOUBLE) / 1e6 AS tw_mean
+FROM g
+""")
+def q145(spark, sf):
+    e = T(spark, sf, "events")
+    return A.time_weighted_mean(e, ["user_id"], "ts", "value",
+                                tie_col="event_id") \
+        .select("user_id", "n_holds", "tw_mean")
+
+
+# ---------------------------------------------------------------- q146
+# Dyadic-decay EWMA smoothing (W-family extension): trailing-8 EWMA
+# with alpha = 1/2, geometric tail folded into the oldest tap so the
+# power-of-two weights sum to exactly 1; the smoothed value is ONE
+# exact BIGINT over the dyadic constant 128e9
+# (operators/windows.dyadic_ewma).
+@q("q146_dyadic_ewma", sql="""
+WITH b AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(floor(value * 1e9 + 0.5) AS BIGINT) AS vn
+  FROM events),
+l AS (
+  SELECT *, LAG(vn, 1) OVER w AS v1, LAG(vn, 2) OVER w AS v2,
+         LAG(vn, 3) OVER w AS v3, LAG(vn, 4) OVER w AS v4,
+         LAG(vn, 5) OVER w AS v5, LAG(vn, 6) OVER w AS v6,
+         LAG(vn, 7) OVER w AS v7
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+       CAST((2 * (vn * 64 + v1 * 32 + v2 * 16 + v3 * 8 + v4 * 4
+                  + v5 * 2 + v6 + v7) + 128000) // 256000 AS DOUBLE)
+           / 1e6 AS ewma
+FROM l WHERE v7 IS NOT NULL
+""")
+def q146(spark, sf):
+    e = T(spark, sf, "events")
+    out = W.dyadic_ewma(e, ["user_id"], "ts", "value",
+                        tie_col="event_id", depth=8)
+    return out.select("event_id", "user_id",
+                      F.unix_micros("ts").alias("ts_us"), "value", "ewma")

@@ -193,3 +193,121 @@ def test_textrank_single_token_docs_drop_out(spark):
     terms = {r["term"] for r in
              textrank_keywords(df, "doc_id", "text", k=10).collect()}
     assert terms == {"pair", "term"}
+
+
+# -------------------------------------------------- fuzzy match (q144)
+
+def test_fuzzy_match_golden(spark):
+    from rainforest_spark.operators.joins import fuzzy_match
+    df = spark.createDataFrame(
+        [(1, "red widget", 5), (2, "ted widget", 5),   # dist 1, same block
+         (3, "red widget", 7),                          # other size block
+         (4, "blue widget", 5),                         # dist 3 from id 1
+         (5, "red gizmo", 5)],                          # other noun block
+        "id long, name string, size int")
+    noun = F.element_at(F.split("name", " "), 2)
+    rows = {(r["id_a"], r["id_b"]): r["dist"]
+            for r in fuzzy_match(df, "id", "name", [noun, "size"],
+                                 max_dist=3).collect()}
+    # blocking excludes (1,3) [size] and (1,5)/(2,5)/(4,5) [noun];
+    # lev(red,blue)=4 keeps (1,4)/(2,4) out at max_dist=3
+    assert rows == {(1, 2): 1}
+    rows4 = {(r["id_a"], r["id_b"]): r["dist"]
+             for r in fuzzy_match(df, "id", "name", [noun, "size"],
+                                  max_dist=4).collect()}
+    assert rows4 == {(1, 2): 1, (1, 4): 4, (2, 4): 4}
+
+
+def test_fuzzy_match_threshold_and_ordering(spark):
+    from rainforest_spark.operators.joins import fuzzy_match
+    df = spark.createDataFrame(
+        [(1, "aaaa", 1), (2, "bbbb", 1)], "id long, name string, size int")
+    assert fuzzy_match(df, "id", "name", ["size"], max_dist=3).count() == 0
+    got = fuzzy_match(df, "id", "name", ["size"], max_dist=4).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in got] == [(1, 2, 4)]
+
+
+def test_fuzzy_match_plans_as_equi_join(spark):
+    from rainforest_spark.operators.joins import fuzzy_match
+    df = spark.createDataFrame(
+        [(1, "aaaa", 1)], "id long, name string, size int")
+    plan = fuzzy_match(df, "id", "name", ["size"], max_dist=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------- time-weighted mean (q145)
+
+def test_time_weighted_mean_golden(spark):
+    from rainforest_spark.operators.aggregates import time_weighted_mean
+    # value 10 held 3 us, value 20 held 1 us -> (30+20)/4 = 12.5
+    df = spark.createDataFrame(
+        [(1, 0, 10.0, 1), (1, 3, 20.0, 2), (1, 4, 99.0, 3)],
+        "k long, us long, v double, id long") \
+        .withColumn("ts", F.timestamp_micros("us"))
+    out = time_weighted_mean(df, ["k"], "ts", "v", tie_col="id").collect()
+    assert len(out) == 1
+    assert out[0]["n_holds"] == 2
+    assert out[0]["tw_mean"] == 12.5
+
+
+def test_time_weighted_mean_last_obs_dropped_per_key(spark):
+    from rainforest_spark.operators.aggregates import time_weighted_mean
+    df = spark.createDataFrame(
+        [(1, 0, 5.0, 1), (1, 10, 7.0, 2),
+         (2, 0, 42.0, 3)],                     # single obs: no hold at all
+        "k long, us long, v double, id long") \
+        .withColumn("ts", F.timestamp_micros("us"))
+    got = {r["k"]: (r["n_holds"], r["tw_mean"])
+           for r in time_weighted_mean(df, ["k"], "ts", "v",
+                                       tie_col="id").collect()}
+    assert got == {1: (1, 5.0)}
+
+
+# ------------------------------------------------- dyadic EWMA (q146)
+
+def test_dyadic_ewma_matches_python_reference(spark):
+    from rainforest_spark.operators.windows import dyadic_ewma
+    import random
+    rng = random.Random(11)
+    vals = [round(rng.uniform(0, 500), 2) for _ in range(40)]
+    df = spark.createDataFrame(
+        [(1, i, v, i) for i, v in enumerate(vals)],
+        "k long, us long, v double, id long") \
+        .withColumn("ts", F.timestamp_micros("us"))
+    out = {r["us"]: r["ewma"]
+           for r in dyadic_ewma(df, ["k"], "ts", "v", tie_col="id",
+                                depth=8).collect()}
+    assert len(out) == 40 - 7
+    for t in range(7, 40):
+        vn = [int((v * 1e9) + 0.5) for v in vals]   # floor(x*1e9+.5), x>=0
+        y = (vn[t] * 64 + vn[t-1] * 32 + vn[t-2] * 16 + vn[t-3] * 8
+             + vn[t-4] * 4 + vn[t-5] * 2 + vn[t-6] + vn[t-7])
+        micro = (2 * y + 128_000) // 256_000
+        assert out[t] == micro / 1e6, t
+
+
+def test_dyadic_ewma_halfway_boundary_exact(spark):
+    from rainforest_spark.operators.windows import dyadic_ewma
+    # eight equal values v = 5e-7: vn = 500, y = 64000, and the exact
+    # quotient 64000/128e9 = 0.0000005 lands exactly ON the half-way
+    # 6dp boundary — the integer (2y+128000)//256000 = 1 rounds it
+    # half-up to 1e-6 identically on both engines (a double ROUND
+    # would be engine-dependent here; that was the q146 parity bug).
+    df = spark.createDataFrame(
+        [(1, i, 0.0000005, i) for i in range(8)],
+        "k long, us long, v double, id long") \
+        .withColumn("ts", F.timestamp_micros("us"))
+    out = dyadic_ewma(df, ["k"], "ts", "v", tie_col="id", depth=8).collect()
+    assert len(out) == 1 and out[0]["ewma"] == 1e-06
+
+
+def test_dyadic_ewma_constant_series_identity(spark):
+    from rainforest_spark.operators.windows import dyadic_ewma
+    df = spark.createDataFrame(
+        [(1, i, 123.456789, i) for i in range(10)],
+        "k long, us long, v double, id long") \
+        .withColumn("ts", F.timestamp_micros("us"))
+    out = dyadic_ewma(df, ["k"], "ts", "v", tie_col="id", depth=8).collect()
+    assert all(r["ewma"] == 123.456789 for r in out) and len(out) == 3

@@ -339,3 +339,142 @@ def time_weighted_mean(df: DataFrame, key_cols: list[str], ts_col: str,
                  F.count(F.lit(1)).cast("long").alias("n_holds"))
             .select(*key_cols, "n_holds",
                     (micro.cast("double") / F.lit(1e6)).alias("tw_mean")))
+
+
+def winsorized_stats(df: DataFrame, group_cols: list[str],
+                     value_col: str, tie_col: str,
+                     lo_pct: int = 5, hi_pct: int = 95) -> DataFrame:
+    """Per-group winsorized mean of an INTEGER-valued column (robust
+    A-family extension): clamp each group's values at its nearest-rank
+    ``lo_pct``/``hi_pct`` percentiles, then average — the outlier-proof
+    location estimate a corpus health report wants for skewed
+    length/score columns.
+
+    Percentiles use the nearest-rank definition ``k = ceil(p·n/100)``
+    = ``(p·n + 99) div 100`` — pure integer arithmetic, and the value
+    AT a rank is well-defined under ties, so the bounds are exact on
+    both engines.  The clamped mean rounds to micros with the exact
+    integer round-half division (the q83 idiom), sums riding
+    DECIMAL(38,0).
+
+    Groups are the FEW-HUGE case (sources): the per-group rank rides
+    the grouped :func:`~rainforest_spark.operators.windows.
+    ranged_cumsum` — a ``Window.partitionBy(source)`` would serialize
+    each source into one sort task (the q34/q126 lesson).  One range
+    shuffle for ranks; the bounds table is group-dim-sized and
+    broadcast back; one groupBy computes the clamped sums.
+    """
+    from rainforest_spark.operators.windows import ranged_cumsum
+
+    v = F.col(value_col).cast("long")
+    base = df.select(*group_cols, v.alias("__v"), F.col(tie_col))
+    ordered = (base.withColumn("__ord", F.struct(
+                    F.col("__v").alias("v"), F.col(tie_col).alias("i")))
+               .withColumn("__one", F.lit(1).cast("long")))
+    ranked = ranged_cumsum(ordered, "__ord", "__one", cum_col="__rnk",
+                           group_cols=group_cols, total_col="__n")
+    klo = F.expr(f"(__n * {int(lo_pct)} + 99) div 100")
+    khi = F.expr(f"(__n * {int(hi_pct)} + 99) div 100")
+    bounds = (ranked.filter((F.col("__rnk") == klo)
+                            | (F.col("__rnk") == khi))
+              .groupBy(*group_cols)
+              .agg(F.max(F.when(F.col("__rnk") == klo, F.col("__v")))
+                   .alias("lo"),
+                   F.max(F.when(F.col("__rnk") == khi, F.col("__v")))
+                   .alias("hi")))
+    # nearest-rank at tiny n can make klo == khi; hi falls back to lo
+    bounds = bounds.withColumn("hi", F.coalesce("hi", "lo"))
+    clamped = (base.join(F.broadcast(bounds), group_cols)
+               .withColumn("__c", F.least(F.greatest(F.col("__v"),
+                                                     F.col("lo")),
+                                          F.col("hi"))))
+    micro = F.expr("(2000000*__s + __cnt - pmod(2000000*__s + __cnt,"
+                   " 2*__cnt)) div (2*__cnt)")
+    return (clamped.groupBy(*group_cols)
+            .agg(F.sum(F.col("__c").cast("decimal(38,0)")).alias("__s"),
+                 F.count(F.lit(1)).cast("long").alias("__cnt"),
+                 F.first("lo").alias("lo"), F.first("hi").alias("hi"))
+            .select(*group_cols, F.col("__cnt").alias("n"), "lo", "hi",
+                    (micro.cast("double") / F.lit(1e6)).alias("w_mean")))
+
+
+def mad_profile(df: DataFrame, group_cols: list[str], value_col: str,
+                mad_mult: int = 3) -> DataFrame:
+    """Median / MAD robust profile per group with an outlier count
+    (A-family extension): lower median, lower-median absolute
+    deviation, and how many of the group's values sit more than
+    ``mad_mult``·MAD from the median — the robust anomaly summary that
+    a mean/stddev profile gets wrong on heavy-tailed series.
+
+    Single-pass shape for MANY SMALL groups (users, sensors): ONE
+    groupBy collects each group's nano-quantized values, and the
+    median → deviations → MAD → outlier-count chain runs entirely in
+    array expressions (``array_sort`` + ``element_at`` +
+    higher-order ``transform``/``filter``) — no second shuffle, no
+    self-join, no windows.  State per group is its value list; for
+    few-huge groups use :func:`winsorized_stats`'s ranged-rank shape
+    instead (a 10⁸-row group's array does not belong on one executor).
+
+    Lower medians (rank ``(n+1) div 2``) keep every statistic an
+    EXACT BIGINT; the two emitted doubles are single divisions by
+    1e9.
+    """
+    vn = F.floor(F.col(value_col) * 1e9 + F.lit(0.5)).cast("long")
+    g = (df.withColumn("__vn", vn)
+         .groupBy(*group_cols)
+         .agg(F.sort_array(F.collect_list("__vn")).alias("__a")))
+    mid = F.expr("(size(__a) + 1) div 2").cast("int")
+    g = (g.withColumn("__n", F.size("__a"))
+         .withColumn("__med", F.element_at("__a", mid)))
+    devs = F.sort_array(F.transform("__a",
+                                    lambda x: F.abs(x - F.col("__med"))))
+    g = (g.withColumn("__devs", devs)
+         .withColumn("__mad", F.element_at("__devs", mid)))
+    out_n = F.size(F.filter("__devs",
+                            lambda d: d > F.lit(int(mad_mult))
+                            * F.col("__mad")))
+    return g.select(*group_cols, F.col("__n").cast("long").alias("n"),
+                    (F.col("__med").cast("double") / F.lit(1e9))
+                    .alias("median"),
+                    (F.col("__mad").cast("double") / F.lit(1e9))
+                    .alias("mad"),
+                    out_n.cast("long").alias("n_outliers"))
+
+
+def session_paths(df: DataFrame, user_col: str, ts_col: str,
+                  type_col: str, tie_col: str, gap_sec: int = 1800,
+                  max_len: int = 8, min_count: int = 1) -> DataFrame:
+    """Frequent session paths (sequence-analytics extension alongside
+    :func:`funnel` / :func:`transition_matrix`): sessionize each user's
+    stream, spell out every session's first ``max_len`` event types as
+    one ``a>b>c`` path string, and count sessions per path.
+
+    Ordering inside a session is ``(ts, tie_col)`` — collected as
+    structs and ``array_sort``-ed (a bare ``collect_list`` order is
+    partial-agg-dependent; the sort makes it deterministic and
+    engine-portable, the q135 idiom).  Counts are exact BIGINTs; no
+    doubles anywhere.
+
+    Shape at 100 TB: sessionization's user-keyed window and the
+    (user, session) groupBy share one shuffle; the path table then
+    aggregates on the path string — skew there mirrors real behavioral
+    concentration (the hot path IS the common journey) and map-side
+    partial aggregation absorbs it.  ``max_len`` bounds every array
+    and string.
+    """
+    from pyspark.sql import Window as _W
+
+    s = sessionize(df, [user_col], ts_col, gap_sec)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per = (s.withColumn("__us", us)
+           .groupBy(user_col, "session_id")
+           .agg(F.array_sort(F.collect_list(F.struct(
+               F.col("__us").alias("u"), F.col(tie_col).alias("i"),
+               F.col(type_col).alias("t")))).alias("__evs")))
+    path = F.array_join(
+        F.transform(F.slice("__evs", 1, int(max_len)), lambda e: e["t"]),
+        ">")
+    return (per.select(path.alias("path"))
+            .groupBy("path")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+            .filter(F.col("n_sessions") >= int(min_count)))

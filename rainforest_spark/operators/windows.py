@@ -336,3 +336,42 @@ def dyadic_ewma(df: DataFrame, partition_cols: list[str], ts_col: str,
             .filter(F.col("__oldest").isNotNull())
             .withColumn("ewma", micro.cast("double") / F.lit(1e6))
             .drop("__vn", "__oldest", "__y"))
+
+
+def cusum_changepoints(df: DataFrame, partition_cols: list[str],
+                       ts_col: str, value_col: str, tie_col: str,
+                       k: float, h: float) -> DataFrame:
+    """One-sided (upper) CUSUM drift detector per series (W-family
+    extension): flag the rows where the cumulative positive drift above
+    the allowance ``k`` exceeds the decision threshold ``h`` (Page
+    1954).  The textbook recursion ``S_t = max(0, S_{t-1} + x_t − k)``
+    is not window-expressible, but its closed form is:
+
+        S_t = P_t − min(0, min_{j<=t} P_j),   P_t = Σ_{i<=t} (x_i − k)
+
+    — a running sum and a running min over ONE ordered window spec, so
+    the whole detector is two window expressions over a single shuffle
+    and sort on the series key (many small series — the uniform
+    grouped-window case; state per task is one running pair).
+
+    Exactness: values and the constants quantize to nanos
+    (``floor(x·1e9 + 0.5)``), so ``P`` and ``S`` are exact BIGINTs and
+    the ``S > h`` decision is a pure integer compare — no FP anywhere
+    in the detection path.  The emitted ``cusum`` is the single double
+    division ``S_nanos / 1e9``, identical across engines.  Pick ``k``
+    and ``h`` on the 1e-9 grid (dyadic constants are natural choices).
+    """
+    w = (Window.partitionBy(*partition_cols)
+         .orderBy(F.col(ts_col), F.col(tie_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    kn = int(round(k * 1e9))
+    hn = int(round(h * 1e9))
+    vn = F.floor(F.col(value_col) * 1e9 + F.lit(0.5)).cast("long")
+    out = (df.withColumn("__d", vn - F.lit(kn))
+           .withColumn("__p", F.sum("__d").over(w))
+           .withColumn("__m", F.least(F.lit(0).cast("long"),
+                                      F.min("__p").over(w)))
+           .withColumn("__s", F.col("__p") - F.col("__m")))
+    return (out.filter(F.col("__s") > F.lit(hn))
+            .withColumn("cusum", F.col("__s").cast("double") / F.lit(1e9))
+            .drop("__d", "__p", "__m", "__s"))

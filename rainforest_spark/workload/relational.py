@@ -1142,3 +1142,137 @@ def q146(spark, sf):
                         tie_col="event_id", depth=8)
     return out.select("event_id", "user_id",
                       F.unix_micros("ts").alias("ts_us"), "value", "ewma")
+
+
+# ---------------------------------------------------------------- q147
+# One-sided CUSUM drift detection (W-family extension): S_t = P_t −
+# min(0, running-min P_t) over exact nanos — the max(0, ...) recursion
+# in closed window form; the S > h decision is a pure integer compare
+# (operators/windows.cusum_changepoints).  k = 64, h = 512 (dyadic).
+@q("q147_cusum_changepoints", sql="""
+WITH b AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(floor(value * 1e9 + 0.5) AS BIGINT) - 64000000000 AS d
+  FROM events),
+c1 AS (
+  SELECT *, SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS p
+  FROM b),
+c2 AS (
+  SELECT *, LEAST(CAST(0 AS HUGEINT),
+                  MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING)) AS m
+  FROM c1)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+       CAST(p - m AS DOUBLE) / 1e9 AS cusum
+FROM c2 WHERE p - m > 512000000000
+""")
+def q147(spark, sf):
+    e = T(spark, sf, "events")
+    out = W.cusum_changepoints(e, ["user_id"], "ts", "value",
+                               tie_col="event_id", k=64.0, h=512.0)
+    return out.select("event_id", "user_id",
+                      F.unix_micros("ts").alias("ts_us"), "value", "cusum")
+
+
+# ---------------------------------------------------------------- q148
+# Winsorized per-source length stats (robust A-family extension):
+# nearest-rank p05/p95 bounds via the grouped ranged_cumsum rank
+# (sources are few-huge groups), clamp, exact integer round-half mean
+# (operators/aggregates.winsorized_stats).
+@q("q148_winsorized_stats", sql="""
+WITH r AS (
+  SELECT source, n_chars AS v, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+bd AS (
+  SELECT source,
+         MAX(CASE WHEN rnk = (n * 5 + 99) // 100 THEN v END) AS lo,
+         MAX(CASE WHEN rnk = (n * 95 + 99) // 100 THEN v END) AS hi0
+  FROM r GROUP BY source),
+b2 AS (SELECT source, lo, COALESCE(hi0, lo) AS hi FROM bd),
+c AS (
+  SELECT d.source, LEAST(GREATEST(d.n_chars, b.lo), b.hi) AS cv
+  FROM documents d JOIN b2 b USING (source)),
+g AS (SELECT source, SUM(CAST(cv AS HUGEINT)) AS s,
+             COUNT(*) AS cnt
+      FROM c GROUP BY source)
+SELECT g.source, CAST(cnt AS BIGINT) AS n, b.lo, b.hi,
+       CAST((2000000 * s + cnt) // (2 * cnt) AS DOUBLE) / 1e6 AS w_mean
+FROM g JOIN b2 b USING (source)
+""")
+def q148(spark, sf):
+    d = T(spark, sf, "documents")
+    return A.winsorized_stats(d, ["source"], "n_chars", tie_col="doc_id")
+
+
+# ---------------------------------------------------------------- q149
+# Median/MAD robust profile with outlier counts per user (A-family
+# extension): single groupBy collects nano values; median → deviations
+# → MAD → outlier count all in array expressions — one shuffle, no
+# joins (operators/aggregates.mad_profile).  Lower medians keep every
+# statistic an exact BIGINT.
+@q("q149_mad_profile", sql="""
+WITH b AS (SELECT user_id, CAST(floor(value * 1e9 + 0.5) AS BIGINT) AS vn
+           FROM events),
+a AS (SELECT user_id, list_sort(list(vn)) AS arr FROM b GROUP BY user_id),
+m AS (SELECT user_id, arr, len(arr) AS n,
+             arr[CAST((len(arr) + 1) // 2 AS BIGINT)] AS med
+      FROM a),
+d AS (SELECT user_id, n, med,
+             list_sort(list_transform(arr, x -> abs(x - med))) AS devs
+      FROM m),
+f AS (SELECT user_id, n, med, devs,
+             devs[CAST((n + 1) // 2 AS BIGINT)] AS mad
+      FROM d)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(med AS DOUBLE) / 1e9 AS median,
+       CAST(mad AS DOUBLE) / 1e9 AS mad,
+       CAST(len(list_filter(devs, x -> x > 3 * mad)) AS BIGINT)
+           AS n_outliers
+FROM f
+""")
+def q149(spark, sf):
+    e = T(spark, sf, "events")
+    return A.mad_profile(e, ["user_id"], "value", mad_mult=3)
+
+
+# ---------------------------------------------------------------- q150
+# Frequent session paths (sequence-analytics extension): 30-min
+# sessions, each spelled as its first-8 event-type chain, counted per
+# path (operators/aggregates.session_paths).  Struct-sorted collection
+# makes the order engine-portable (the q135 idiom); exact counts.
+@q("q150_session_paths", sql="""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+g AS (
+  SELECT *, CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id
+                                           ORDER BY ts) > 1800
+                 OR LAG(sec) OVER (PARTITION BY user_id ORDER BY ts)
+                    IS NULL
+            THEN 1 ELSE 0 END AS brk
+  FROM e),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM g),
+r AS (
+  SELECT user_id, session_id, event_type, us, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                            ORDER BY us, event_id) AS rn
+  FROM s),
+p AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY us, event_id) AS path
+  FROM r WHERE rn <= 8 GROUP BY 1, 2)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path
+""")
+def q150(spark, sf):
+    e = T(spark, sf, "events")
+    return A.session_paths(e, "user_id", "ts", "event_type",
+                           tie_col="event_id", gap_sec=1800, max_len=8)

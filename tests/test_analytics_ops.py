@@ -311,3 +311,123 @@ def test_dyadic_ewma_constant_series_identity(spark):
         .withColumn("ts", F.timestamp_micros("us"))
     out = dyadic_ewma(df, ["k"], "ts", "v", tie_col="id", depth=8).collect()
     assert all(r["ewma"] == 123.456789 for r in out) and len(out) == 3
+
+
+# ------------------------------------------------------- CUSUM (q147)
+
+def test_cusum_matches_python_recursion(spark):
+    from rainforest_spark.operators.windows import cusum_changepoints
+    import random
+    rng = random.Random(3)
+    vals = [round(rng.uniform(0, 200), 2) for _ in range(60)]
+    df = spark.createDataFrame(
+        [(1, i, v, i) for i, v in enumerate(vals)],
+        "k long, us long, v double, id long") \
+        .withColumn("ts", F.timestamp_micros("us"))
+    k, h = 64.0, 128.0
+    got = {r["us"]: r["cusum"]
+           for r in cusum_changepoints(df, ["k"], "ts", "v", tie_col="id",
+                                       k=k, h=h).collect()}
+    # reference: the textbook recursion in exact integers
+    s, kn, hn = 0, 64_000_000_000, 128_000_000_000
+    want = {}
+    for i, v in enumerate(vals):
+        s = max(0, s + int(v * 1e9 + 0.5) - kn)
+        if s > hn:
+            want[i] = s / 1e9
+    assert got == want and len(want) > 0
+
+
+def test_cusum_resets_after_drop(spark):
+    from rainforest_spark.operators.windows import cusum_changepoints
+    vals = [100.0, 100.0, 0.0, 0.0, 0.0, 100.0]    # burst, quiet, single
+    df = spark.createDataFrame(
+        [(1, i, v, i) for i, v in enumerate(vals)],
+        "k long, us long, v double, id long") \
+        .withColumn("ts", F.timestamp_micros("us"))
+    out = {r["us"]: r["cusum"]
+           for r in cusum_changepoints(df, ["k"], "ts", "v", tie_col="id",
+                                       k=50.0, h=40.0).collect()}
+    # S: 50, 100, 50, 0, 0, 50 -> flags at t=0,1,2,5
+    assert out == {0: 50.0, 1: 100.0, 2: 50.0, 5: 50.0}
+
+
+# -------------------------------------------- winsorized stats (q148)
+
+def test_winsorized_stats_golden(spark):
+    from rainforest_spark.operators.aggregates import winsorized_stats
+    # 20 values 1..20: p05 rank = ceil(1) = 1 -> lo=1;
+    # p95 rank = ceil(19) = 19 -> hi=19; clamped sum = 209, mean 10.45
+    df = spark.createDataFrame(
+        [("a", i, i) for i in range(1, 21)], "g string, v long, id long")
+    out = winsorized_stats(df, ["g"], "v", tie_col="id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n"], r["lo"], r["hi"]) == (20, 1, 19)
+    assert r["w_mean"] == (sum(min(max(v, 1), 19)
+                               for v in range(1, 21)) / 20)
+
+
+def test_winsorized_stats_clamps_outliers(spark):
+    from rainforest_spark.operators.aggregates import winsorized_stats
+    vals = [10] * 98 + [1_000_000, -1_000_000]
+    df = spark.createDataFrame(
+        [("a", v, i) for i, v in enumerate(vals)],
+        "g string, v long, id long")
+    r = winsorized_stats(df, ["g"], "v", tie_col="id").collect()[0]
+    # ranks: lo = ceil(5) = 5 -> 10; hi = ceil(95) = 95 -> 10
+    assert (r["lo"], r["hi"], r["w_mean"]) == (10, 10, 10.0)
+
+
+# --------------------------------------------------- MAD profile (q149)
+
+def test_mad_profile_golden(spark):
+    from rainforest_spark.operators.aggregates import mad_profile
+    # values: 1..9 and a wild 1000 -> n=10, lower median = 5,
+    # devs sorted: |1-5|..|1000-5| -> [0,1,1,2,2,3,3,4,4,995],
+    # lower MAD (rank 5) = 2; outliers: dev > 6 -> just 1000
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    df = spark.createDataFrame([(1, v) for v in vals], "k long, v double")
+    r = mad_profile(df, ["k"], "v", mad_mult=3).collect()[0]
+    assert (r["n"], r["median"], r["mad"], r["n_outliers"]) == (10, 5.0, 2.0, 1)
+
+
+def test_mad_profile_constant_series(spark):
+    from rainforest_spark.operators.aggregates import mad_profile
+    df = spark.createDataFrame([(1, 7.5)] * 5, "k long, v double")
+    r = mad_profile(df, ["k"], "v").collect()[0]
+    assert (r["median"], r["mad"], r["n_outliers"]) == (7.5, 0.0, 0)
+
+
+# ------------------------------------------------- session paths (q150)
+
+def test_session_paths_golden(spark):
+    from rainforest_spark.operators.aggregates import session_paths
+    rows = []
+    # user 1: two sessions with the same path a>b ; user 2: one c
+    for uid, base in [(1, 0), (1, 10_000), (2, 0)]:
+        rows.append((uid, base * 1_000_000, "a" if uid == 1 else "c",
+                     len(rows)))
+        if uid == 1:
+            rows.append((uid, (base + 60) * 1_000_000, "b", len(rows)))
+    df = spark.createDataFrame(
+        rows, "user_id long, us long, event_type string, event_id long") \
+        .withColumn("ts", F.timestamp_micros("us"))
+    got = {r["path"]: r["n_sessions"]
+           for r in session_paths(df, "user_id", "ts", "event_type",
+                                  tie_col="event_id",
+                                  gap_sec=1800).collect()}
+    assert got == {"a>b": 2, "c": 1}
+
+
+def test_session_paths_truncates_and_ties(spark):
+    from rainforest_spark.operators.aggregates import session_paths
+    # 10 same-ts events, tie order by event_id; max_len=3 truncates
+    rows = [(1, 0, t, i) for i, t in enumerate("abcdefghij")]
+    df = spark.createDataFrame(
+        rows, "user_id long, us long, event_type string, event_id long") \
+        .withColumn("ts", F.timestamp_micros("us"))
+    got = session_paths(df, "user_id", "ts", "event_type",
+                        tie_col="event_id", gap_sec=60,
+                        max_len=3).collect()
+    assert [(r["path"], r["n_sessions"]) for r in got] == [("a>b>c", 1)]

@@ -478,3 +478,84 @@ def session_paths(df: DataFrame, user_col: str, ts_col: str,
             .groupBy("path")
             .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
             .filter(F.col("n_sessions") >= int(min_count)))
+
+
+def rolling_distinct(df: DataFrame, ts_col: str, id_col: str,
+                     window_days: int = 7,
+                     grain_sec: int = 86400) -> DataFrame:
+    """Trailing-N-day distinct-entity count per day (rolling active
+    users — the classic engagement metric): for every day ``d``, how
+    many distinct ids appeared in ``[d − N + 1, d]``.
+
+    Scale shape: rolling DISTINCT does not decompose into window sums,
+    and the naive per-day self-join re-scans the fact N times.  The
+    scale-out form is BOUNDED FAN-OUT: dedup to (id, day) first (map-
+    side combine absorbs the raw event volume), explode each active
+    day into the ≤ N target days it contributes to, then exact
+    two-stage count-distinct per target day.  Shuffle volume is
+    N·|id-days| — a constant multiple of the deduped activity table,
+    independent of raw event count.  (At extreme N, swap the exact
+    count for an HLL sketch union — ``approx_count_distinct`` — same
+    fan-out shape.)
+
+    Day arithmetic is integer ``epoch div grain``; counts are exact
+    BIGINTs.  Emits every day any trailing window covers, including
+    the ``N−1`` tail days after the last event (their windows are
+    still well-defined).
+    """
+    day = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+                 f" div 1000000 div {int(grain_sec)}")
+    ud = df.select(day.alias("__d"), F.col(id_col)).distinct()
+    fan = ud.withColumn(
+        "day", F.explode(F.sequence(
+            F.col("__d"), F.col("__d") + F.lit(int(window_days) - 1))))
+    return (fan.groupBy("day")
+            .agg(F.countDistinct(id_col).cast("long").alias("n_active")))
+
+
+def survival_curve(df: DataFrame, duration_col: str,
+                   event_col: str) -> DataFrame:
+    """Kaplan-Meier survival estimate over integer durations (A-family
+    extension): input is ONE ROW PER SUBJECT with a non-negative
+    integer ``duration`` (days until event or censoring) and
+    ``event`` ∈ {0, 1} (1 = the event happened at ``duration``,
+    0 = censored there).  Output per distinct event-or-censor time:
+    at-risk count ``n_t``, events ``d_t``, censored ``c_t``, and the
+    KM product-limit estimate ``survival``.
+
+    Exactness: ``n_t``/``d_t``/``c_t`` are exact BIGINTs (at-risk =
+    total − prefix-sum of earlier departures); the survival product is
+    a SEQUENTIAL LEFT FOLD over the duration-ordered factors
+    ``(n_t − d_t)/n_t`` — Spark's ``aggregate`` over an ordered
+    window-collected array and DuckDB's ``list_reduce`` multiply in
+    the same order, so the doubles agree bit-for-bit (the q133
+    fixed-order rule; a product re-associated by partial aggregation
+    would not).
+
+    Scale shape: one groupBy on the duration collapses subjects to the
+    duration DIM (bounded by the time alphabet — days of a study
+    horizon), and every window after that runs on dim-sized data (the
+    q129 bounded-dim precedent).  The subject table is touched once.
+    """
+    per_t = (df.groupBy(F.col(duration_col).cast("long").alias("t"))
+             .agg(F.sum(F.col(event_col).cast("long")).alias("d"),
+                  F.sum(F.lit(1) - F.col(event_col).cast("long"))
+                  .alias("c"),
+                  F.count(F.lit(1)).cast("long").alias("m")))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    total = Window.partitionBy()
+    out = (per_t
+           .withColumn("__N", F.sum("m").over(total))
+           .withColumn("__gone",
+                       F.coalesce(F.sum("m").over(wprev),
+                                  F.lit(0).cast("long")))
+           .withColumn("n_risk", F.col("__N") - F.col("__gone"))
+           .withColumn("__f", (F.col("n_risk") - F.col("d"))
+                       .cast("double") / F.col("n_risk").cast("double"))
+           .withColumn("__fs", F.collect_list("__f").over(w))
+           .withColumn("survival",
+                       F.aggregate("__fs", F.lit(1.0).cast("double"),
+                                   lambda acc, x: acc * x)))
+    return out.select("t", "n_risk", "d", "c", "survival")

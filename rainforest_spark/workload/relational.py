@@ -1276,3 +1276,185 @@ def q150(spark, sf):
     e = T(spark, sf, "events")
     return A.session_paths(e, "user_id", "ts", "event_type",
                            tie_col="event_id", gap_sec=1800, max_len=8)
+
+
+# ---------------------------------------------------------------- q151
+# 7-day rolling active users (A-family extension): rolling DISTINCT
+# via bounded fan-out — dedup to (user, day), explode each active day
+# into the <= 7 target days it contributes to, exact two-stage
+# count-distinct per day (operators/aggregates.rolling_distinct).
+@q("q151_rolling_active", sql="""
+WITH ud AS (
+  SELECT DISTINCT epoch_us(ts) // 1000000 // 86400 AS d, user_id
+  FROM events),
+fan AS (
+  SELECT user_id, d + k.k AS day
+  FROM ud, UNNEST(generate_series(0, 6)) AS k(k))
+SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM fan GROUP BY day
+""")
+def q151(spark, sf):
+    e = T(spark, sf, "events")
+    return A.rolling_distinct(e, "ts", "user_id", window_days=7)
+
+
+# ---------------------------------------------------------------- q152
+# Kaplan-Meier conversion survival (A-family extension): subjects =
+# signed-up users; event = first purchase at/after first signup,
+# censoring at the user's last event.  Exact integer risk/event
+# counts; the KM product is a SEQUENTIAL left fold over the ordered
+# factors — Spark aggregate() over a window-collected array, DuckDB
+# list_reduce — so the doubles agree bit-for-bit (the q133 fixed-order
+# rule) (operators/aggregates.survival_curve).
+@q("q152_survival_curve", sql="""
+WITH u AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+t0 AS (SELECT user_id, MIN(us) AS t0 FROM u
+       WHERE event_type = 'signup' GROUP BY user_id),
+ag AS (
+  SELECT u.user_id, ANY_VALUE(t0.t0) AS t0,
+         MIN(CASE WHEN u.event_type = 'purchase' AND u.us >= t0.t0
+                  THEN u.us END) AS tp,
+         MAX(u.us) AS tl
+  FROM u JOIN t0 USING (user_id) GROUP BY u.user_id),
+subj AS (
+  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+              ELSE (tl - t0) // 86400000000 END AS t,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM ag),
+per_t AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+                 CAST(SUM(1 - ev) AS BIGINT) AS c,
+                 CAST(COUNT(*) AS BIGINT) AS m
+          FROM subj GROUP BY t),
+w AS (SELECT *,
+        CAST(SUM(m) OVER () AS BIGINT)
+          - CAST(COALESCE(SUM(m) OVER (ORDER BY t ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS n_risk
+      FROM per_t),
+f AS (SELECT *, CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+             AS fct
+      FROM w),
+l AS (SELECT *, list(fct) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS fs
+      FROM f)
+SELECT t, n_risk, d, c,
+       list_reduce(fs, (a, b) -> a * b) AS survival
+FROM l
+""")
+def q152(spark, sf):
+    e = T(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = e.select("user_id", "event_type", us.alias("us"))
+    t0 = (u.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("us").alias("t0")))
+    ag = (u.join(t0, "user_id")
+          .groupBy("user_id")
+          .agg(F.any_value("t0").alias("t0"),
+               F.min(F.when((F.col("event_type") == "purchase")
+                            & (F.col("us") >= F.col("t0")), F.col("us")))
+               .alias("tp"),
+               F.max("us").alias("tl")))
+    subj = ag.select(
+        F.when(F.col("tp").isNotNull(),
+               F.expr("(tp - t0) div 86400000000"))
+        .otherwise(F.expr("(tl - t0) div 86400000000")).alias("duration"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("event"))
+    return A.survival_curve(subj, "duration", "event")
+
+
+# ---------------------------------------------------------------- q153
+# Functional-dependency audit (data-quality family,
+# operators/quality.fd_violations): custkeys whose orders carry more
+# than one distinct priority — witnesses that custkey -> priority does
+# not hold.  One groupBy; exact two-stage count-distinct.
+@q("q153_fd_violations", sql="""
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_rhs
+FROM orders GROUP BY o_custkey
+HAVING COUNT(DISTINCT o_orderpriority) > 1
+""")
+def q153(spark, sf):
+    from rainforest_spark.operators.quality import fd_violations
+    o = T(spark, sf, "orders")
+    return fd_violations(o, ["o_custkey"], ["o_orderpriority"])
+
+
+# ---------------------------------------------------------------- q154
+# Referential-integrity audit (data-quality family,
+# operators/quality.integrity_audit): orphan/null-FK counts for the
+# four fact->dim relations, each ONE left join + ONE aggregate.
+@q("q154_integrity_audit", sql="""
+SELECT 'orders->customer' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_fk,
+       CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND pk IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM orders LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p
+  ON o_custkey = p.pk
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN l_orderkey IS NOT NULL AND pk IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey AS pk FROM orders) p
+  ON l_orderkey = p.pk
+UNION ALL
+SELECT 'lineitem->part',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN l_partkey IS NOT NULL AND pk IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey AS pk FROM part) p
+  ON l_partkey = p.pk
+UNION ALL
+SELECT 'lineitem->supplier',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN l_suppkey IS NOT NULL AND pk IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey AS pk FROM supplier) p
+  ON l_suppkey = p.pk
+""")
+def q154(spark, sf):
+    from rainforest_spark.operators.quality import integrity_audit
+    o = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem")
+    return integrity_audit([
+        ("orders->customer", o, ["o_custkey"],
+         T(spark, sf, "customer"), ["c_custkey"]),
+        ("lineitem->orders", li, ["l_orderkey"], o, ["o_orderkey"]),
+        ("lineitem->part", li, ["l_partkey"],
+         T(spark, sf, "part"), ["p_partkey"]),
+        ("lineitem->supplier", li, ["l_suppkey"],
+         T(spark, sf, "supplier"), ["s_suppkey"]),
+    ])
+
+
+# ---------------------------------------------------------------- q155
+# Benford first-digit profile (data-quality family,
+# operators/quality.benford_profile): integer-string digit extraction
+# (no log10 in the digit path), exact counts + round-half shares; the
+# Benford expectation is a per-dim-row transcendental rounded 6dp,
+# never aggregated.
+@q("q155_benford_profile", sql="""
+WITH d AS (
+  SELECT regexp_extract(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
+                             AS VARCHAR), '^[1-9]') AS digit
+  FROM orders),
+c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d WHERE digit != '' GROUP BY digit),
+t AS (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS tt FROM c)
+SELECT digit, n,
+       CAST((2000000 * n + tt) // (2 * tt) AS DOUBLE) / 1e6 AS share,
+       ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford
+FROM t
+""")
+def q155(spark, sf):
+    from rainforest_spark.operators.quality import benford_profile
+    o = T(spark, sf, "orders")
+    return benford_profile(o, "o_totalprice")

@@ -431,3 +431,110 @@ def test_session_paths_truncates_and_ties(spark):
                         tie_col="event_id", gap_sec=60,
                         max_len=3).collect()
     assert [(r["path"], r["n_sessions"]) for r in got] == [("a>b>c", 1)]
+
+
+# --------------------------------------------- rolling distinct (q151)
+
+def test_rolling_distinct_matches_brute_force(spark):
+    from rainforest_spark.operators.aggregates import rolling_distinct
+    import random
+    rng = random.Random(5)
+    rows = [(rng.randrange(1, 8),
+             rng.randrange(0, 30) * 86_400_000_000 + 12_345)
+            for _ in range(200)]
+    df = spark.createDataFrame(rows, "uid long, us long") \
+        .withColumn("ts", F.timestamp_micros("us"))
+    got = {r["day"]: r["n_active"]
+           for r in rolling_distinct(df, "ts", "uid",
+                                     window_days=7).collect()}
+    days = {us // 86_400_000_000 for _, us in rows}
+    want = {}
+    for d in range(min(days), max(days) + 7):
+        act = {u for u, us in rows
+               if d - 6 <= us // 86_400_000_000 <= d}
+        if act:
+            want[d] = len(act)
+    assert got == want
+
+
+def test_rolling_distinct_dedups_within_day(spark):
+    from rainforest_spark.operators.aggregates import rolling_distinct
+    rows = [(1, 100), (1, 200), (1, 300)]   # one user, thrice, same day
+    df = spark.createDataFrame(rows, "uid long, us long") \
+        .withColumn("ts", F.timestamp_micros("us"))
+    out = {r["day"]: r["n_active"]
+           for r in rolling_distinct(df, "ts", "uid",
+                                     window_days=2).collect()}
+    assert out == {0: 1, 1: 1}
+
+
+# ---------------------------------------------- survival curve (q152)
+
+def test_survival_curve_matches_lifelines_formula(spark):
+    from rainforest_spark.operators.aggregates import survival_curve
+    # durations/events: classic hand example
+    subj = [(6, 1), (6, 1), (6, 0), (7, 1), (10, 0), (13, 1), (16, 1)]
+    df = spark.createDataFrame(subj, "duration long, event int")
+    got = {r["t"]: r for r in survival_curve(df, "duration",
+                                             "event").collect()}
+    # manual KM
+    s, want = 1.0, {}
+    n = len(subj)
+    from collections import Counter
+    de = Counter(t for t, e in subj if e == 1)
+    ce = Counter(t for t, e in subj if e == 0)
+    gone = 0
+    for t in sorted({t for t, _ in subj}):
+        n_risk = n - gone
+        d = de.get(t, 0)
+        s *= (n_risk - d) / n_risk
+        want[t] = (n_risk, d, ce.get(t, 0), s)
+        gone += d + ce.get(t, 0)
+    for t, r in got.items():
+        nr, d, c, s = want[t]
+        assert (r["n_risk"], r["d"], r["c"]) == (nr, d, c)
+        assert r["survival"] == pytest.approx(s, abs=1e-12)
+    assert set(got) == set(want)
+
+
+def test_survival_curve_all_censored_stays_flat(spark):
+    from rainforest_spark.operators.aggregates import survival_curve
+    df = spark.createDataFrame([(3, 0), (5, 0)], "duration long, event int")
+    out = survival_curve(df, "duration", "event").collect()
+    assert all(r["survival"] == 1.0 for r in out)
+
+
+# -------------------------------------------------- quality ops (q153-5)
+
+def test_fd_violations_golden(spark):
+    from rainforest_spark.operators.quality import fd_violations
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "x"), (3, "z")],
+        "k long, v string")
+    out = {r["k"]: (r["n_rows"], r["n_rhs"])
+           for r in fd_violations(df, ["k"], ["v"]).collect()}
+    assert out == {1: (2, 2)}
+
+
+def test_integrity_audit_golden(spark):
+    from rainforest_spark.operators.quality import integrity_audit
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 99)], "id long, fk long")
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = integrity_audit([("c->p", child, ["fk"], parent, ["pk"])]) \
+        .collect()[0]
+    assert (r["relation"], r["n_child"], r["n_null_fk"],
+            r["n_orphans"]) == ("c->p", 4, 1, 1)
+
+
+def test_benford_profile_golden(spark):
+    from rainforest_spark.operators.quality import benford_profile
+    # 1xx values: digit 1 x3, digit 9 x1, plus a sub-1 dropout
+    df = spark.createDataFrame(
+        [(123.4,), (150.0,), (199.99,), (900.1,), (0.5,)], "v double")
+    out = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+    assert set(out) == {"1", "9"}
+    assert out["1"]["n"] == 3 and out["9"]["n"] == 1
+    assert out["1"]["share"] == 0.75 and out["9"]["share"] == 0.25
+    import math
+    assert out["1"]["benford"] == round(math.log10(2.0), 6)

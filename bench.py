@@ -141,6 +141,15 @@ HEADLINE = [
     "q140_rolling_zscore",
     "q142_textrank_keywords",
     "q143_scd2_intervals",
+    # round-7 continued-4: the blocked fuzzy self-join (candidate cost
+    # rides the blocking key), the grouped-ranged-rank winsorized
+    # stats, the struct-sorted session-path miner, and the bounded-
+    # fan-out rolling distinct.  No committed baselines yet (guard
+    # skips unknown keys); same-run physics guards apply.
+    "q144_fuzzy_match",
+    "q148_winsorized_stats",
+    "q150_session_paths",
+    "q151_rolling_active",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle
@@ -260,6 +269,10 @@ SF10_HEADLINE = [
     # fan-out claim (|P| + Σ ceil(len/bucket) through the shuffle,
     # never |P|·|I|) gets a second decade from day one
     "q139_interval_join",
+    # round-7 continued-4: rolling distinct actives — the bounded
+    # N·|id-days| fan-out claim (shuffle independent of raw event
+    # count) gets its second decade from day one
+    "q151_rolling_active",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0

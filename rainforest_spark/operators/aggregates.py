@@ -559,3 +559,69 @@ def survival_curve(df: DataFrame, duration_col: str,
                        F.aggregate("__fs", F.lit(1.0).cast("double"),
                                    lambda acc, x: acc * x)))
     return out.select("t", "n_risk", "d", "c", "survival")
+
+
+def co_occurrence(df: DataFrame, basket_col: str, item_col: str,
+                  min_support: int = 2,
+                  max_basket: int | None = None) -> DataFrame:
+    """Market-basket co-occurrence with confidence and lift (A-family
+    extension; the recommender / affinity building block): for every
+    unordered item pair appearing together in >= ``min_support``
+    baskets, the pair count, each item's basket count, and the exact
+    6dp confidence ``P(b|a)`` and lift ``P(ab)/(P(a)·P(b))``.
+
+    Scale shape: dedup to (basket, item) first (map-side combine),
+    then the pair fan-out is a SELF-EQUI-JOIN on the basket key with
+    ``item_a < item_b`` — C(n,2) per basket, governed by basket size,
+    never by corpus size.  ``max_basket`` drops pathological mega-
+    baskets (a single basket of 10⁵ items would fan to 5·10⁹ pairs);
+    dropped baskets are counted in a side column on every output row
+    so the cap is never silent.  Item counts join back on the item
+    key; the ratio arithmetic rides DECIMAL(38,0) integer cross-
+    multiplies with round-half division — no double division chains.
+
+    Confidence is oriented a→b with ``item_a < item_b`` (emit both
+    directions by unioning the swap if needed).
+    """
+    ub = df.select(F.col(basket_col).alias("__b"),
+                   F.col(item_col).alias("__i")).distinct()
+    n_dropped = 0
+    if max_basket is not None:
+        sizes = ub.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+        n_dropped = sizes.filter(F.col("__sz") > int(max_basket)).count()
+        ub = ub.join(sizes.filter(F.col("__sz") <= int(max_basket))
+                     .select("__b"), "__b")
+    # one-row aggregate (the catalog.py:57 bounded-collect precedent)
+    n_baskets = ub.select("__b").distinct().count()
+    item_n = ub.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
+    a = ub.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = ub.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pairs = (a.join(b, "__b")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+             .filter(F.col("n_pair") >= int(min_support)))
+    pairs = (pairs
+             .join(item_n.select(F.col("__i").alias("item_a"),
+                                 F.col("__ni").alias("n_a")), "item_a")
+             .join(item_n.select(F.col("__i").alias("item_b"),
+                                 F.col("__ni").alias("n_b")), "item_b")
+             .withColumn("__p", F.col("n_pair").cast("decimal(38,0)"))
+             .withColumn("__da", F.col("n_a").cast("decimal(38,0)"))
+             .withColumn("__num",
+                         F.expr("1000000 * __p") *
+                         F.lit(int(n_baskets)).cast("decimal(38,0)"))
+             .withColumn("__den",
+                         F.col("n_a").cast("decimal(38,0)")
+                         * F.col("n_b").cast("decimal(38,0)")))
+    conf = F.expr("(2000000*__p + __da - pmod(2000000*__p + __da,"
+                  " 2*__da)) div (2*__da)")
+    lift = F.expr("(2*__num + __den - pmod(2*__num + __den, 2*__den))"
+                  " div (2*__den)")
+    return (pairs.select(
+        "item_a", "item_b", "n_pair",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (conf.cast("double") / F.lit(1e6)).alias("confidence"),
+        (lift.cast("double") / F.lit(1e6)).alias("lift"),
+        F.lit(int(n_dropped)).cast("long").alias("n_baskets_dropped")))

@@ -113,3 +113,50 @@ def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
             .select("digit", "n",
                     (share.cast("double") / F.lit(1e6)).alias("share"),
                     expected.alias("benford")))
+
+
+def cadence_gaps(df: DataFrame, key_cols: list[str], ts_col: str,
+                 grain_sec: int = 86400) -> DataFrame:
+    """Activity-cadence gap audit per series (data-quality family): at
+    the chosen grain (days by default), infer each series' modal
+    inter-activity gap, derive how many grain slots its span SHOULD
+    contain at that cadence, and report the missing count — the
+    missing-data profile an ingest health check wants ("this feed
+    skipped 12 of its expected 90 days").
+
+    All integer: slots are ``epoch div grain``; the modal gap takes
+    the SMALLEST most-frequent delta (the deterministic-mode
+    tie-break); expected = ``span div modal + 1``; missing is clamped
+    at 0 for series denser than their modal cadence.  Series with a
+    single active slot have no deltas and drop out.
+
+    Shape at 100 TB: dedup to (key, slot) with map-side combine, one
+    key-ordered window for deltas, one (key, delta) count, one
+    deterministic-mode row_number on the per-key delta dim — every
+    window is keyed by the series (many small series).
+    """
+    from pyspark.sql import Window
+
+    slot = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+                  f" div 1000000 div {int(grain_sec)}")
+    ks = df.select(*key_cols, slot.alias("__s")).distinct()
+    w = Window.partitionBy(*key_cols).orderBy("__s")
+    deltas = (ks.withColumn("__d", F.col("__s") - F.lag("__s").over(w))
+              .filter(F.col("__d").isNotNull()))
+    dc = (deltas.groupBy(*key_cols, "__d")
+          .agg(F.count(F.lit(1)).alias("__c")))
+    wm = Window.partitionBy(*key_cols).orderBy(F.col("__c").desc(),
+                                               F.col("__d").asc())
+    modal = (dc.withColumn("__rn", F.row_number().over(wm))
+             .filter(F.col("__rn") == 1)
+             .select(*key_cols, F.col("__d").alias("modal_gap")))
+    spans = ks.groupBy(*key_cols).agg(
+        F.min("__s").alias("__lo"), F.max("__s").alias("__hi"),
+        F.count(F.lit(1)).cast("long").alias("n_active"))
+    out = spans.join(modal, key_cols)
+    expected = F.expr("(__hi - __lo) div modal_gap + 1")
+    return out.select(
+        *key_cols, "n_active", F.col("modal_gap").cast("long"),
+        expected.cast("long").alias("n_expected"),
+        F.greatest(expected - F.col("n_active"),
+                   F.lit(0)).cast("long").alias("n_missing"))

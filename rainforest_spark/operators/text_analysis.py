@@ -1424,3 +1424,51 @@ def textrank_keywords(df, id_col: str, text_col: str,
             .select(F.col("term"),
                     F.col("r").alias("rank_nanos"),
                     F.round(F.col("r") / F.lit(1e9), 6).alias("score")))
+
+
+def inverted_index(df, id_col: str, text_col: str,
+                   k_postings: int = 3):
+    """Inverted-index construction (retrieval-infrastructure extension
+    alongside :func:`bm25_topk`): per term, the document frequency,
+    total term frequency, and the top-``k`` postings by
+    ``(tf DESC, id ASC)`` spelled as an ``id:tf,id:tf`` string — the
+    index build a search/RAG pipeline runs over the corpus before
+    query time.
+
+    The posting rank is a window keyed BY TERM — millions of small
+    groups, the uniform grouped-window case (per-term posting lists
+    are Zipf-long only for stopword-class terms, which AQE's skew
+    split handles; contrast the q108 vocab-wide rank, which must ride
+    ``ranged_cumsum``).  The string assembly is ``array_join`` over a
+    ``slice`` of the already-ordered collected structs.  Everything is
+    exact integers/strings.
+
+    Shape at 100 TB: token explode → one (doc, term) groupBy → one
+    term-keyed window + one term groupBy.  ``k_postings`` bounds
+    output arrays; no doubles anywhere.
+    """
+    t = (df.select(F.col(id_col).alias("__id"),
+                   F.explode(tokens(text_col)).alias("term"))
+         .filter(F.col("term") != ""))
+    tf = (t.groupBy("term", "__id")
+          .agg(F.count(F.lit(1)).cast("long").alias("__tf")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("term").orderBy(F.col("__tf").desc(),
+                                           F.col("__id").asc())
+    ranked = tf.withColumn("__rn", F.row_number().over(w))
+    top = (ranked.filter(F.col("__rn") <= int(k_postings))
+           .groupBy("term")
+           .agg(F.array_join(
+               F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("__rn").alias("r"),
+                                F.col("__id").alias("i"),
+                                F.col("__tf").alias("f")))),
+                   lambda s: F.concat_ws(":", s["i"].cast("string"),
+                                         s["f"].cast("string"))),
+               ",").alias("postings")))
+    stats = (tf.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                  F.sum("__tf").cast("long").alias("tf_total")))
+    return stats.join(top, "term").select("term", "df", "tf_total",
+                                          "postings")

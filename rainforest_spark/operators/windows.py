@@ -375,3 +375,33 @@ def cusum_changepoints(df: DataFrame, partition_cols: list[str],
     return (out.filter(F.col("__s") > F.lit(hn))
             .withColumn("cusum", F.col("__s").cast("double") / F.lit(1e9))
             .drop("__d", "__p", "__m", "__s"))
+
+
+def percentile_rank(df: DataFrame, order_col: str | Column,
+                    tie_col: str, out_prefix: str = "pct"
+                    ) -> DataFrame:
+    """Global percentile rank WITHOUT a single-partition window (W-family
+    extension; the calibration primitive behind cross-source score
+    normalization): each row gets its exact BIGINT rank under
+    ``(order, tie)`` and the percentile ``(rank − 1)/(N − 1)`` as ONE
+    double division (deterministic — both operands exact integers).
+
+    The rank rides :func:`ranged_cumsum` on a ``(order, tie)`` struct
+    key — range-partitioned rank, no global sort into one task (the
+    q108 vocab-rank idiom).  Single-row inputs emit percentile 0.
+    """
+    key = F.col(order_col) if isinstance(order_col, str) else order_col
+    ordered = (df.withColumn("__ord", F.struct(key.alias("v"),
+                                               F.col(tie_col).alias("i")))
+               .withColumn("__one", F.lit(1).cast("long")))
+    ranked = ranged_cumsum(ordered, "__ord", "__one",
+                           cum_col=f"{out_prefix}_rank",
+                           total_col="__n")
+    pct = F.when(F.col("__n") > 1,
+                 (F.col(f"{out_prefix}_rank") - 1).cast("double")
+                 / (F.col("__n") - 1).cast("double")) \
+        .otherwise(F.lit(0.0))
+    return (ranked.withColumn(f"{out_prefix}_rank",
+                              F.col(f"{out_prefix}_rank").cast("long"))
+            .withColumn(out_prefix, pct)
+            .drop("__ord", "__one", "__n"))

@@ -162,59 +162,33 @@ _PRIORITY = [
     # bucket expansion), pure-integer rolling z-score anomaly gate,
     # hierarchical ROLLUP report, exact-integer TextRank keyword
     # PageRank, SCD-2 validity intervals ---
-    "q139_interval_join", "q140_rolling_zscore", "q141_rollup_report",
+    "q139_interval_join", "q140_rolling_zscore",
     "q142_textrank_keywords", "q143_scd2_intervals",
-    # --- keepers (r6-green; one representative per family) ---
-    # embedding/ANN: q54_auto (LSH default path), q87 (embedding
-    # dedup), q93 (semantic decon), q57 (partition-pruned IVF)
-    "q54_auto_embedding_neardup", "q87_embedding_dedup",
-    # q57_ivf_ann_topk (r6-green; the IVF family keeps its three-tier
-    # bench datapoints + partition-pruning plan tests) demoted for the
-    # round-7 embedding-novelty operator; q93_semantic_decontamination
-    # (r6-green) demoted for the late-round CCNet perplexity-bucket
-    # operator — the embedding family keeps q54_auto + q87 + q124
-    # in-window
+    # --- round-7 embedding / retrieval / corpus-health additions
+    # (never driver-checked) ---
     "q124_embedding_novelty", "q126_perplexity_buckets",
-    # packing/splits: q89 packed tapes, q101 split (q84_epoch_shard
-    # r6-green, demoted for q134 — pytest-parity-gated)
-    "q89_packed_tapes", "q101_leakage_free_split",
-    # span/dedup family: q95 (span excision exercises the q92
-    # detection pipeline end-to-end; q92 r6-green demoted for the
-    # late-round BM25 retrieval operator), q97 (incremental), q102
-    # (boilerplate)
-    "q95_span_excision", "q127_bm25_topk",
-    "q97_incremental_dedup", "q102_boilerplate_removal",
-    # LM/statistics: q106 bigram LM (q96_dsir_weights r6-green demoted
-    # for q123 containment — the unigram-LLR machinery stays covered by
-    # in-window q106/q108 and the pytest parity gate)
-    "q106_bigram_logprob", "q123_containment_pairs",
-    # corpus health + round-7 additions: source-overlap contamination
-    # matrix, per-source scorecard, stratified eval sampling.  Admitted
-    # by demoting q94_vocab_coverage, q99_corpus_drift and
-    # q100_novelty_score (r6-green; their gram-set join machinery is
-    # exercised in-window by q119/q97, and all three stay pytest-
-    # parity-gated).
+    "q127_bm25_topk", "q123_containment_pairs",
     "q119_source_overlap", "q120_source_scorecard",
-    "q121_stratified_sample",
-    # per-label embedding cohesion (round-7) — admitted by demoting
-    # q85_jl_projection (r6-green; the plan-time sign-matrix construct
-    # is bit-exact by design and stays pytest-parity-gated)
-    "q122_label_cohesion",
-    # plot-data binning behind the round-7 plotting layer (admitted by
-    # demoting q105_token_budget, r6-green — the mixture/selection
-    # family keeps q110/q112/q113/q121 in-window and q105 stays
-    # pytest-parity-gated)
+    "q121_stratified_sample", "q122_label_cohesion",
     "q125_scatter_density",
-    # radar/relational flagships: the Phase-2 pipeline, retrievals,
-    # QPE evaluation, fallback chain, centroids, scores, LSH
-    "q53_prepare_input", "q61_zphi_attenuation", "q66_qpe_evaluation",
-    "q34_scatter_score", "q45_minhash_lsh",
-    # Demotions this round (all were 50/50 green in CORRECTNESS_r06,
-    # all remain pytest-gated): the round-6 corpus batch q75-q83, q88,
-    # q90, q91, q98, q103, q104, q107 (families kept via the keepers
-    # above) and the r6-refreshed relational batch q02-q06, q08, q15,
-    # q28 (trivial scans/filters/set-ops; the scan+agg surface stays
-    # via q34/q53).
+    # --- round-7 continued-4 (never driver-checked): blocked fuzzy
+    # entity matching, exact TWAP, dyadic EWMA, CUSUM drift, winsorized
+    # stats, MAD profile, session paths, rolling actives, Kaplan-Meier
+    # survival, and the data-quality family (FD audit, referential
+    # integrity, Benford) ---
+    "q144_fuzzy_match", "q145_time_weighted_mean", "q146_dyadic_ewma",
+    "q147_cusum_changepoints", "q148_winsorized_stats",
+    "q149_mad_profile", "q150_session_paths", "q151_rolling_active",
+    "q152_survival_curve", "q153_fd_violations", "q154_integrity_audit",
+    "q155_benford_profile", "q156_market_basket", "q157_percentile_rank",
+    # 53 registered queries lack ANY driver CORRECTNESS row but only
+    # 50 fit; this window carries the 50 above.  Left for the round-8
+    # rotation: q141_rollup_report (its ROLLUP machinery is driver-
+    # verified via q60), q158_cadence_gaps, q159_inverted_index — all
+    # exact-parity-gated via tests/test_oracle_parity.py.  The
+    # r6-green keepers rotated out (q54_auto, q87, q89, q95, q97,
+    # q101, q102, q106, q53_prepare_input, q61, q66, q34, q45) also
+    # stay pytest-gated and keep their bench-tier datapoints.
 ]
 
 

@@ -1458,3 +1458,122 @@ def q155(spark, sf):
     from rainforest_spark.operators.quality import benford_profile
     o = T(spark, sf, "orders")
     return benford_profile(o, "o_totalprice")
+
+
+# ---------------------------------------------------------------- q156
+# Market-basket co-occurrence with confidence/lift (A-family
+# extension, operators/aggregates.co_occurrence): parts co-ordered in
+# the same order, support >= 2; pair fan-out governed by basket size
+# via the basket-key self-equi-join, ratios as exact decimal
+# cross-multiplies with round-half division.
+@q("q156_market_basket", sql="""
+WITH ub AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT b) AS N FROM ub),
+it AS (SELECT i, COUNT(*) AS ni FROM ub GROUP BY i),
+p AS (
+  SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_pair
+  FROM ub a JOIN ub b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+j AS (SELECT p.*, ia.ni AS n_a, ib.ni AS n_b, nb.N AS N
+      FROM p JOIN it ia ON p.item_a = ia.i
+             JOIN it ib ON p.item_b = ib.i CROSS JOIN nb)
+SELECT item_a, item_b, CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST((2000000 * n_pair + n_a) // (2 * n_a) AS DOUBLE) / 1e6
+           AS confidence,
+       CAST((2 * (1000000 * CAST(n_pair AS HUGEINT) * N)
+             + CAST(n_a AS HUGEINT) * n_b)
+            // (2 * CAST(n_a AS HUGEINT) * n_b) AS DOUBLE) / 1e6
+           AS lift,
+       CAST(0 AS BIGINT) AS n_baskets_dropped
+FROM j
+""")
+def q156(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return A.co_occurrence(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+# ---------------------------------------------------------------- q157
+# Global percentile-rank calibration (W-family extension,
+# operators/windows.percentile_rank): exact BIGINT rank via
+# ranged_cumsum on the (n_chars, doc_id) struct key — no
+# single-partition sort — and (rank-1)/(N-1) as one double division.
+@q("q157_percentile_rank", sql="""
+SELECT doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+           AS pct_rank,
+       CASE WHEN COUNT(*) OVER () > 1
+            THEN CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1
+                      AS DOUBLE) / CAST(COUNT(*) OVER () - 1 AS DOUBLE)
+            ELSE 0.0 END AS pct
+FROM documents
+""")
+def q157(spark, sf):
+    d = T(spark, sf, "documents")
+    out = W.percentile_rank(d, "n_chars", tie_col="doc_id")
+    return out.select("doc_id", "n_chars", "pct_rank", "pct")
+
+
+# ---------------------------------------------------------------- q158
+# Activity-cadence gap audit (data-quality family,
+# operators/quality.cadence_gaps): per-user modal day-gap, expected
+# slot count at that cadence, missing-day count — all integer.
+@q("q158_cadence_gaps", sql="""
+WITH ks AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 1000000 // 86400 AS s
+            FROM events),
+d AS (SELECT user_id, s - LAG(s) OVER (PARTITION BY user_id ORDER BY s)
+             AS dd
+      FROM ks),
+dn AS (SELECT user_id, dd, COUNT(*) AS c FROM d
+       WHERE dd IS NOT NULL GROUP BY 1, 2),
+m AS (SELECT user_id, dd AS modal_gap
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY c DESC, dd ASC) AS rn FROM dn)
+      WHERE rn = 1),
+sp AS (SELECT user_id, MIN(s) AS lo, MAX(s) AS hi,
+              CAST(COUNT(*) AS BIGINT) AS n_active
+       FROM ks GROUP BY user_id)
+SELECT sp.user_id, n_active, CAST(modal_gap AS BIGINT) AS modal_gap,
+       CAST((hi - lo) // modal_gap + 1 AS BIGINT) AS n_expected,
+       CAST(GREATEST((hi - lo) // modal_gap + 1 - n_active, 0)
+            AS BIGINT) AS n_missing
+FROM sp JOIN m USING (user_id)
+""")
+def q158(spark, sf):
+    from rainforest_spark.operators.quality import cadence_gaps
+    e = T(spark, sf, "events")
+    return cadence_gaps(e, ["user_id"], "ts", grain_sec=86400)
+
+
+# ---------------------------------------------------------------- q159
+# Inverted-index build (retrieval infra,
+# operators/text_analysis.inverted_index): per term df / total tf /
+# top-3 postings by (tf DESC, id ASC) as an id:tf string.  Term-keyed
+# window (many small groups); exact integers and strings only.
+@q("q159_inverted_index", sql="""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+       UNNEST(w) AS t(term)
+  WHERE t.term != ''),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                                   ORDER BY tf DESC, doc_id) AS rn
+      FROM tf),
+top AS (SELECT term,
+               string_agg(doc_id || ':' || tf, ',' ORDER BY rn)
+                   AS postings
+        FROM r WHERE rn <= 3 GROUP BY term),
+st AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+              CAST(SUM(tf) AS BIGINT) AS tf_total
+       FROM tf GROUP BY term)
+SELECT st.term, df, tf_total, postings
+FROM st JOIN top USING (term)
+""")
+def q159(spark, sf):
+    from rainforest_spark.operators.text_analysis import inverted_index
+    d = T(spark, sf, "documents")
+    return inverted_index(d, "doc_id", "text", k_postings=3)

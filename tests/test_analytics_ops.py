@@ -538,3 +538,107 @@ def test_benford_profile_golden(spark):
     assert out["1"]["share"] == 0.75 and out["9"]["share"] == 0.25
     import math
     assert out["1"]["benford"] == round(math.log10(2.0), 6)
+
+
+# ------------------------------------------------ market basket (q156)
+
+def test_co_occurrence_golden(spark):
+    from rainforest_spark.operators.aggregates import co_occurrence
+    rows = [(1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"),
+            (4, "c")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {(r["item_a"], r["item_b"]): r
+           for r in co_occurrence(df, "b", "i", min_support=2).collect()}
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    # a in 3 baskets, b in 3, pair in 3, N=4
+    assert (r["n_pair"], r["n_a"], r["n_b"]) == (3, 3, 3)
+    assert r["confidence"] == 1.0
+    # lift = 3*4/(3*3) = 4/3 -> 1.333333 (round-half of 1333333.33)
+    assert r["lift"] == 1.333333
+    assert r["n_baskets_dropped"] == 0
+
+
+def test_co_occurrence_max_basket_cap_is_loud(spark):
+    from rainforest_spark.operators.aggregates import co_occurrence
+    rows = [(1, str(i)) for i in range(10)] + [(2, "1"), (2, "2"),
+                                               (3, "1"), (3, "2")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = co_occurrence(df, "b", "i", min_support=2,
+                        max_basket=5).collect()
+    assert all(r["n_baskets_dropped"] == 1 for r in out)
+    pairs = {(r["item_a"], r["item_b"]) for r in out}
+    assert pairs == {("1", "2")}   # the mega-basket no longer pairs
+
+
+def test_co_occurrence_dedups_repeat_lines(spark):
+    from rainforest_spark.operators.aggregates import co_occurrence
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = co_occurrence(df, "b", "i", min_support=2).collect()
+    assert [(r["n_pair"], r["n_a"]) for r in out] == [(2, 2)]
+
+
+# --------------------------------------------- percentile rank (q157)
+
+def test_percentile_rank_uniform(spark):
+    from rainforest_spark.operators.windows import percentile_rank
+    df = spark.createDataFrame([(i, i * 10) for i in range(1, 6)],
+                               "id long, v long")
+    out = {r["id"]: (r["pct_rank"], r["pct"])
+           for r in percentile_rank(df, "v", tie_col="id").collect()}
+    assert out == {1: (1, 0.0), 2: (2, 0.25), 3: (3, 0.5),
+                   4: (4, 0.75), 5: (5, 1.0)}
+
+
+def test_percentile_rank_single_row(spark):
+    from rainforest_spark.operators.windows import percentile_rank
+    df = spark.createDataFrame([(1, 42)], "id long, v long")
+    r = percentile_rank(df, "v", tie_col="id").collect()[0]
+    assert (r["pct_rank"], r["pct"]) == (1, 0.0)
+
+
+# ----------------------------------------------- cadence gaps (q158)
+
+def test_cadence_gaps_golden(spark):
+    from rainforest_spark.operators.quality import cadence_gaps
+    # daily feed, days 0,1,2,5,6 -> modal gap 1, expected 7, missing 2
+    days = [0, 1, 2, 5, 6]
+    df = spark.createDataFrame(
+        [(1, d * 86_400_000_000 + 7) for d in days], "k long, us long") \
+        .withColumn("ts", F.timestamp_micros("us"))
+    r = cadence_gaps(df, ["k"], "ts").collect()[0]
+    assert (r["n_active"], r["modal_gap"], r["n_expected"],
+            r["n_missing"]) == (5, 1, 7, 2)
+
+
+def test_cadence_gaps_single_slot_drops_out(spark):
+    from rainforest_spark.operators.quality import cadence_gaps
+    df = spark.createDataFrame([(1, 123)], "k long, us long") \
+        .withColumn("ts", F.timestamp_micros("us"))
+    assert cadence_gaps(df, ["k"], "ts").count() == 0
+
+
+# --------------------------------------------- inverted index (q159)
+
+def test_inverted_index_golden(spark):
+    from rainforest_spark.operators.text_analysis import inverted_index
+    docs = [(1, "apple banana apple"), (2, "banana"), (3, "apple pear")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["term"]: r for r in inverted_index(df, "doc_id", "text",
+                                                k_postings=2).collect()}
+    assert out["apple"]["df"] == 2 and out["apple"]["tf_total"] == 3
+    # tf desc then id asc: doc 1 (tf 2) before doc 3 (tf 1)
+    assert out["apple"]["postings"] == "1:2,3:1"
+    assert out["banana"]["postings"] == "1:1,2:1"
+    assert out["pear"]["postings"] == "3:1"
+
+
+def test_inverted_index_k_caps_postings(spark):
+    from rainforest_spark.operators.text_analysis import inverted_index
+    df = spark.createDataFrame([(i, "x") for i in range(10)],
+                               "doc_id long, text string")
+    r = inverted_index(df, "doc_id", "text", k_postings=3).collect()[0]
+    assert r["df"] == 10 and r["postings"] == "0:1,1:1,2:1"

@@ -1,0 +1,397 @@
+"""Rank statistics and experimentation operators (extension family).
+
+The reference engine stops at verification scores (perfscores,
+contingency tables — ``common/utils.py`` / ``performance/``); a
+training-data pipeline additionally needs the *comparative* statistics:
+does a quality score separate good from bad sources (AUC), did a
+curation change shift the length distribution (KS), is a filter's
+effect real (chi-square), how do score columns co-move (Spearman), and
+which accounts/users matter (RFM).  Everything here follows the
+workload exactness policy: ranks are exact BIGINTs from
+:func:`~rainforest_spark.operators.windows.ranged_cumsum` (never a
+single-partition window), ratio outputs are round-half-up integer
+divisions on exact DECIMAL(38,0) cross-multiplies, and the few double
+expressions are fixed trees evaluated identically by any IEEE-754
+engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rainforest_spark.operators.windows import ranged_cumsum
+
+__all__ = [
+    "spearman_corr", "rank_auc", "ks_2sample", "ab_contrast",
+    "rfm_segments", "last_touch_attribution", "lead_lag_corr",
+]
+
+
+def _rank(df: DataFrame, value_col: str, tie_col: str,
+          out_col: str) -> DataFrame:
+    """Exact global BIGINT rank under (value, tie) via ranged_cumsum —
+    the q108 vocab-rank idiom (range-partitioned, no global sort into
+    one task)."""
+    keyed = (df.withColumn("__ord", F.struct(
+                 F.col(value_col).alias("v"), F.col(tie_col).alias("i")))
+             .withColumn("__one", F.lit(1).cast("long")))
+    return ranged_cumsum(keyed, "__ord", "__one",
+                         cum_col=out_col).drop("__ord", "__one")
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str,
+                  tie_col: str) -> DataFrame:
+    """Global Spearman rank correlation of two columns — EXACT.
+
+    Both rankings are deterministic row_number ranks under
+    ``(value, tie)`` (the policy's unique-tie-breaker rule; with
+    continuous-ish data this matches the classic statistic, and with
+    ties it is still a well-defined, engine-portable quantity).  The
+    sufficient statistic ``S = Σ(rank_x − rank_y)²`` accumulates as
+    DECIMAL(38,0) (order-free, exact to n ≈ 2·10¹² rows); the closed
+    form ``ρ = 1 − 6S/(n(n²−1))`` lands as ONE round-half-up integer
+    micro-division plus a final double subtraction.
+
+    Shape at 100 TB: two range-partitioned rank passes over (value,
+    tie) struct keys, one equi-join on the unique tie key, one
+    order-free aggregate.  No global window anywhere.
+
+    Returns one row: ``n`` (BIGINT), ``spearman_rho`` (DOUBLE, 6dp).
+    """
+    base = df.select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"),
+                     F.col(tie_col).alias("__t"))
+    rx = _rank(base.select("__x", "__t"), "__x", "__t", "__rx") \
+        .select("__t", "__rx")
+    ry = _rank(base.select("__y", "__t"), "__y", "__t", "__ry") \
+        .select("__t", "__ry")
+    j = rx.join(ry, "__t")
+    d = F.col("__rx") - F.col("__ry")
+    # (18,0)x(18,0) -> decimal(37,0): exact product on both engines
+    d2 = d.cast("decimal(18,0)") * d.cast("decimal(18,0)")
+    agg = j.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(d2.cast("decimal(38,0)")).alias("__s"))
+    agg = agg.withColumn(
+        "__dn", (F.col("n").cast("decimal(18,0)")
+                 * (F.col("n").cast("decimal(18,0)")
+                    * F.col("n").cast("decimal(18,0)")
+                    - F.lit(1))).cast("decimal(38,0)"))
+    micros = F.expr("(12000000 * __s + __dn - pmod(12000000 * __s + __dn,"
+                    " 2 * __dn)) div (2 * __dn)")
+    return agg.select(
+        "n",
+        (F.lit(1.0) - micros.cast("double") / F.lit(1e6))
+        .alias("spearman_rho"))
+
+
+def rank_auc(df: DataFrame, score_col: str, label_col: str | Column,
+             tie_col: str) -> DataFrame:
+    """Mann-Whitney U / ROC-AUC of a score against a binary label —
+    the quality-classifier evaluation a curation pipeline runs before
+    trusting a filter.  EXACT: combined ranks are deterministic
+    BIGINTs under ``(score, tie)``; ``U = R₁ − n₁(n₁+1)/2`` and
+    ``AUC = U/(n₁n₀)`` via round-half-up integer micro-division.
+
+    Shape at 100 TB: one range-partitioned rank pass + one order-free
+    aggregate.  Returns one row: ``n_pos``, ``n_neg``, ``u_stat``
+    (BIGINTs) and ``auc`` (DOUBLE, 6dp).
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(F.col(score_col).alias("__v"),
+                     lab.cast("long").alias("__l"),
+                     F.col(tie_col).alias("__t"))
+    ranked = _rank(base, "__v", "__t", "__r")
+    agg = ranked.agg(
+        F.sum("__l").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("__l")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("__l") == 1, F.col("__r"))
+              .otherwise(F.lit(0)).cast("decimal(38,0)")).alias("__rs"))
+    u = F.expr("CAST(__rs - (CAST(n_pos AS DECIMAL(18,0))"
+               " * (CAST(n_pos AS DECIMAL(18,0)) + 1)) div 2"
+               " AS DECIMAL(38,0))")
+    agg = agg.withColumn("__u", u).withColumn(
+        "__nn", (F.col("n_pos").cast("decimal(18,0)")
+                 * F.col("n_neg").cast("decimal(18,0)"))
+        .cast("decimal(38,0)"))
+    micros = F.expr("(2000000 * __u + __nn - pmod(2000000 * __u + __nn,"
+                    " 2 * __nn)) div (2 * __nn)")
+    return agg.select(
+        "n_pos", "n_neg", F.col("__u").cast("long").alias("u_stat"),
+        (micros.cast("double") / F.lit(1e6)).alias("auc"))
+
+
+def ks_2sample(df: DataFrame, value_col: str, group_col: str | Column,
+               ) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic — did a pipeline change
+    shift a distribution?  EXACT: collapse to per-distinct-value counts
+    first (so ECDFs are evaluated at value boundaries, never inside a
+    tie cluster), cumsum BOTH group counts in ONE
+    :func:`ranged_cumsum` pass over the value order, and take
+    ``D = max |c₁n₀ − c₀n₁| / (n₁n₀)`` with exact BIGINT
+    cross-multiplies and a round-half-up micro-division.
+
+    ``group_col`` must be a boolean/0-1 column (group membership).
+
+    Shape at 100 TB: one groupBy on the value (map-side combine; output
+    is the distinct-value dim), one range-partitioned cumsum, one
+    TakeOrdered(1) for the argmax row — no single-partition window, no
+    driver loop.  Returns one row: ``n_a``, ``n_b``, ``ks_d`` (DOUBLE,
+    6dp), ``ks_at`` (the smallest value attaining the supremum).
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    per_v = (df.select(F.col(value_col).alias("__v"),
+                       g.cast("long").alias("__g"))
+             .groupBy("__v")
+             .agg(F.sum("__g").cast("long").alias("__ca"),
+                  F.sum(F.lit(1) - F.col("__g")).cast("long")
+                  .alias("__cb")))
+    cum = ranged_cumsum(per_v, "__v", "__ca", cum_col="__fa",
+                        extra_weights={"__cb": "__fb"})
+    totals = per_v.agg(F.sum("__ca").alias("na"),
+                       F.sum("__cb").alias("nb")).collect()[0]
+    n_a, n_b = int(totals["na"]), int(totals["nb"])
+    diff = F.abs(F.col("__fa") * F.lit(n_b) - F.col("__fb") * F.lit(n_a))
+    top = (cum.withColumn("__diff", diff.cast("long"))
+           .orderBy(F.col("__diff").desc(), F.col("__v").asc())
+           .limit(1))
+    micros = F.expr(f"(2000000 * __diff + {n_a}::BIGINT * {n_b}"
+                    f" - pmod(2000000 * __diff + {n_a}::BIGINT * {n_b},"
+                    f" 2 * {n_a}::BIGINT * {n_b}))"
+                    f" div (2 * {n_a}::BIGINT * {n_b})")
+    return top.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        (micros.cast("double") / F.lit(1e6)).alias("ks_d"),
+        F.col("__v").alias("ks_at"))
+
+
+def ab_contrast(df: DataFrame, unit_col: str, arm_col: str | Column,
+                outcome_col: str | Column) -> DataFrame:
+    """Two-proportion A/B contrast with EXACT lift and chi-square — the
+    "is this filter/change doing anything" gate.  Units (users, docs)
+    collapse to one row each with a 0/1 arm and a 0/1 outcome
+    (``max`` over their events); the 2×2 counts then give
+
+    - conversion rates and lift by round-half-up integer
+      micro-division on exact cross-multiplies, and
+    - the chi-square statistic ``N(ad−bc)²/((a+b)(c+d)(a+c)(b+d))``
+      as ONE fixed double expression over exactly-converted integers
+      (identical IEEE tree on both engines), rounded to 6dp.
+
+    Shape at 100 TB: one unit groupBy (map-side combine) + one global
+    aggregate.  Returns one row: ``n_t, conv_t, n_c, conv_c, rate_t,
+    rate_c, lift, chi2``.
+    """
+    arm = F.col(arm_col) if isinstance(arm_col, str) else arm_col
+    out = F.col(outcome_col) if isinstance(outcome_col, str) \
+        else outcome_col
+    per_unit = (df.groupBy(F.col(unit_col).alias("__u"))
+                .agg(F.max(arm.cast("long")).alias("__a"),
+                     F.max(out.cast("long")).alias("__o")))
+    agg = per_unit.agg(
+        F.sum("__a").cast("long").alias("n_t"),
+        F.sum(F.col("__a") * F.col("__o")).cast("long").alias("conv_t"),
+        F.sum(F.lit(1) - F.col("__a")).cast("long").alias("n_c"),
+        F.sum((F.lit(1) - F.col("__a")) * F.col("__o")).cast("long")
+        .alias("conv_c"))
+
+    def _ratio6(num: str, den: str) -> Column:
+        return (F.expr(f"(2000000 * CAST({num} AS DECIMAL(38,0))"
+                       f" + CAST({den} AS DECIMAL(38,0))"
+                       f" - pmod(2000000 * CAST({num} AS DECIMAL(38,0))"
+                       f" + CAST({den} AS DECIMAL(38,0)),"
+                       f" 2 * CAST({den} AS DECIMAL(38,0))))"
+                       f" div (2 * CAST({den} AS DECIMAL(38,0)))")
+                .cast("double") / F.lit(1e6))
+
+    # a=conv_t b=n_t-conv_t c=conv_c d=n_c-conv_c; all exact BIGINTs,
+    # converted once to double -> one fixed IEEE expression tree.  A
+    # degenerate margin (nobody or everybody converts, or an empty
+    # arm) leaves chi2 undefined -> NULL, not a divide-by-zero.
+    chi2 = F.expr(
+        "CASE WHEN n_t > 0 AND n_c > 0 AND conv_t + conv_c > 0"
+        "          AND n_t + n_c - conv_t - conv_c > 0 THEN"
+        " ROUND(CAST(n_t + n_c AS DOUBLE)"
+        " * CAST(conv_t * (n_c - conv_c) - conv_c * (n_t - conv_t)"
+        "        AS DOUBLE)"
+        " * CAST(conv_t * (n_c - conv_c) - conv_c * (n_t - conv_t)"
+        "        AS DOUBLE)"
+        " / (CAST(n_t AS DOUBLE) * CAST(n_c AS DOUBLE)"
+        "    * CAST(conv_t + conv_c AS DOUBLE)"
+        "    * CAST(n_t + n_c - conv_t - conv_c AS DOUBLE)), 6)"
+        " END")
+    lift_num = "CAST(conv_t AS DECIMAL(18,0)) * CAST(n_c AS DECIMAL(18,0))"
+    lift_den = "CAST(conv_c AS DECIMAL(18,0)) * CAST(n_t AS DECIMAL(18,0))"
+    lift = F.when(
+        F.col("conv_c") > 0,
+        F.expr(f"(2000000 * ({lift_num}) + ({lift_den})"
+               f" - pmod(2000000 * ({lift_num}) + ({lift_den}),"
+               f" 2 * ({lift_den}))) div (2 * ({lift_den}))")
+        .cast("double") / F.lit(1e6))
+    return agg.select(
+        "n_t", "conv_t", "n_c", "conv_c",
+        _ratio6("conv_t", "n_t").alias("rate_t"),
+        _ratio6("conv_c", "n_c").alias("rate_c"),
+        lift.alias("lift"), chi2.alias("chi2"))
+
+
+def rfm_segments(df: DataFrame, unit_col: str, ts_col: str,
+                 value_col: str, n_buckets: int = 5) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    entity-scoring rollup.  Per unit: days since last activity
+    (exact integer epoch-day arithmetic against the global max),
+    activity count, and DECIMAL(18,4) value sum; each dimension then
+    gets an exact percentile bucket 1..n via the range-partitioned
+    rank (``(rank−1)·n div (N−1)`` capped — pure integer, no double
+    boundary) and the three digits concat into a segment code.
+
+    Recency is inverted (most recent → highest score) so 'n n n' is
+    the best segment, matching the marketing convention.
+
+    Shape at 100 TB: one unit groupBy over the fact table, then three
+    ranged rank passes + equi-joins on the (much smaller) unit dim.
+    """
+    ep = F.floor(F.col(ts_col).cast("timestamp").cast("double")) \
+        .cast("long")
+    per_u = (df.groupBy(F.col(unit_col).alias("unit"))
+             .agg(F.max(ep).alias("__last"),
+                  F.count(F.lit(1)).cast("long").alias("frequency"),
+                  F.sum(F.col(value_col).cast("decimal(18,4)"))
+                  .alias("__m")))
+    g_max = per_u.agg(F.max("__last").alias("m")).collect()[0]["m"]
+    per_u = (per_u
+             .withColumn("recency_days",
+                         F.expr(f"({int(g_max)} - __last) div 86400")
+                         .cast("long"))
+             .withColumn("monetary", F.col("__m").cast("double")))
+
+    nb = int(n_buckets)
+
+    def _bucket(src: DataFrame, order: Column, out: str,
+                invert: bool = False) -> DataFrame:
+        keyed = (src.withColumn("__ord", F.struct(
+                     order.alias("v"), F.col("unit").alias("i")))
+                 .withColumn("__one", F.lit(1).cast("long")))
+        ranked = ranged_cumsum(keyed, "__ord", "__one", cum_col="__r",
+                               total_col="__n")
+        b = F.when(F.col("__n") > 1,
+                   F.expr(f"((__r - 1) * {nb}) div (__n - 1)")) \
+            .otherwise(F.lit(0))
+        b = F.least(b, F.lit(nb - 1)).cast("int")
+        b = (F.lit(nb) - b) if invert else (b + 1)
+        return ranked.withColumn(out, b.cast("int")) \
+            .drop("__ord", "__one", "__r", "__n")
+
+    scored = _bucket(per_u, F.col("recency_days"), "r_score",
+                     invert=True)
+    scored = _bucket(scored, F.col("frequency"), "f_score")
+    scored = _bucket(scored, F.col("__m"), "m_score")
+    return scored.select(
+        "unit", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+        F.concat_ws("-", F.col("r_score").cast("string"),
+                    F.col("f_score").cast("string"),
+                    F.col("m_score").cast("string")).alias("segment"))
+
+
+def lead_lag_corr(df: DataFrame, ts_col: str, a_col: str | Column,
+                  b_col: str | Column, max_lag: int = 3,
+                  grain_sec: int = 86400) -> DataFrame:
+    """Lead-lag cross-correlation of two event streams — does series A
+    (e.g. clicks) LEAD series B (purchases), and by how many days?
+    Both series aggregate to exact BIGINT counts per time slot; for
+    each lag ℓ ∈ [−max_lag, +max_lag], Pearson r between A(t) and
+    B(t+ℓ) over the slots where both exist.
+
+    Exactness: the five sufficient statistics are exact integer sums;
+    r is ONE fixed IEEE double tree over their exact double
+    conversions (products/sqrt are correctly rounded and engine-
+    identical), rounded to 6dp; zero-variance slices are detected with
+    exact integer compares (n·Sxx = Sx², never a double ≈ 0) → NULL.
+
+    Shape at 100 TB: the fact table collapses to the slot dim (one
+    groupBy, map-side combine); the lag fan-out (explode over 2ℓ+1
+    lags) and self-join run on slot-dim rows only.
+
+    Returns one row per lag: ``lag, n_slots, r``.
+    """
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    slot = F.expr(f"CAST(floor(CAST(CAST({ts_col} AS TIMESTAMP)"
+                  f" AS DOUBLE)) AS BIGINT) div {int(grain_sec)}")
+    per_slot = (df.groupBy(slot.alias("__s"))
+                .agg(F.sum(a.cast("long")).alias("__a"),
+                     F.sum(b.cast("long")).alias("__b")))
+    lags = F.explode(F.sequence(F.lit(-int(max_lag)),
+                                F.lit(int(max_lag)))).alias("lag")
+    la = per_slot.select("__s", "__a").select(F.col("__s"), "__a", lags)
+    pair = (la.withColumn("__st", F.col("__s") + F.col("lag"))
+            .join(per_slot.select(F.col("__s").alias("__st"),
+                                  F.col("__b")), "__st"))
+    agg = (pair.groupBy("lag")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_slots"),
+                F.sum("__a").cast("long").alias("__sx"),
+                F.sum("__b").cast("long").alias("__sy"),
+                F.sum(F.col("__a") * F.col("__a")).cast("long")
+                .alias("__sxx"),
+                F.sum(F.col("__b") * F.col("__b")).cast("long")
+                .alias("__syy"),
+                F.sum(F.col("__a") * F.col("__b")).cast("long")
+                .alias("__sxy")))
+    r = F.expr(
+        "CASE WHEN n_slots > 1"
+        " AND n_slots * __sxx != __sx * __sx"
+        " AND n_slots * __syy != __sy * __sy THEN"
+        " ROUND(CAST(n_slots * __sxy - __sx * __sy AS DOUBLE)"
+        " / (SQRT(CAST(n_slots * __sxx - __sx * __sx AS DOUBLE))"
+        "    * SQRT(CAST(n_slots * __syy - __sy * __sy AS DOUBLE))),"
+        " 6) END")
+    return agg.select(F.col("lag").cast("int").alias("lag"),
+                      "n_slots", r.alias("r")).orderBy("lag")
+
+
+def last_touch_attribution(df: DataFrame, unit_col: str, ts_col: str,
+                           tie_col: str, type_col: str,
+                           conversion_type: str,
+                           touch_types: list[str],
+                           value_col: str,
+                           lookback_sec: int = 7 * 86400) -> DataFrame:
+    """Last-touch conversion attribution — credit each conversion event
+    to the most recent preceding touch event of the same unit within a
+    lookback window, else to ``'direct'``; roll up conversion count and
+    DECIMAL(18,4) revenue per credited channel.
+
+    One unit-keyed window pass: ``last(touch_struct, ignoreNulls)``
+    over ``(ts, tie)`` order carries the latest touch forward, and the
+    lookback comparison is exact integer epoch-seconds.  Conversions
+    never attribute to themselves or later events (strict preceding
+    rows via ``rowsBetween(unboundedPreceding, -1)``).
+
+    Shape at 100 TB: one keyed window over many small unit groups +
+    one channel groupBy (channel dim is tiny).
+    """
+    from pyspark.sql import Window
+
+    ep = F.floor(F.col(ts_col).cast("timestamp").cast("double")) \
+        .cast("long")
+    base = df.select(F.col(unit_col).alias("__u"), ep.alias("__s"),
+                     F.col(tie_col).alias("__i"),
+                     F.col(type_col).alias("__ty"),
+                     F.col(value_col).alias("__val"))
+    touch = F.when(F.col("__ty").isin(*touch_types),
+                   F.struct(F.col("__s").alias("s"),
+                            F.col("__ty").alias("ty")))
+    w = (Window.partitionBy("__u").orderBy("__s", "__i")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    carried = (base.withColumn("__lt", F.last(touch, ignorenulls=True)
+                               .over(w))
+               .filter(F.col("__ty") == conversion_type))
+    channel = F.when(
+        F.col("__lt").isNotNull()
+        & (F.col("__s") - F.col("__lt.s") <= F.lit(int(lookback_sec))),
+        F.col("__lt.ty")).otherwise(F.lit("direct"))
+    return (carried.withColumn("channel", channel)
+            .groupBy("channel")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"),
+                 F.sum(F.col("__val").cast("decimal(18,4)"))
+                 .cast("double").alias("revenue")))

@@ -84,6 +84,116 @@ def disaggregation_ratio(df: DataFrame, partition_cols: list[str],
         out_col, F.when(mean2 > 0, F.col(proxy_col) / mean2).otherwise(None))
 
 
+_BOUNDS_SAMPLE_MOD = 4096      # hash-sieve 1/4096 of rows for bounds
+_BOUNDS_SAMPLE_CAP = 65536     # max sampled keys collected to driver
+
+
+def _py_comparable(v):
+    """Row/struct → tuple so driver-side sorting matches Spark's
+    field-by-field struct ordering."""
+    from pyspark.sql import Row
+    if isinstance(v, Row):
+        return tuple(_py_comparable(x) for x in v)
+    return v
+
+
+def _lit_of(v, dt):
+    """Literal Column of a collected value, cast to the exact key type
+    (struct literals rebuilt field by field)."""
+    from pyspark.sql.types import StructType
+    if isinstance(dt, StructType):
+        return F.struct(*[_lit_of(v[i], f.dataType).alias(f.name)
+                          for i, f in enumerate(dt.fields)])
+    return F.lit(v).cast(dt)
+
+
+#: Job group the bounds-sampling collects run under — the ONLY jobs a
+#: plan BUILD may trigger (tests/test_curation.py asserts exactly this;
+#: the group also names the jobs in the Spark UI).
+BOUNDS_JOB_GROUP = "ranged-cumsum-bounds"
+
+
+def _field_not_null(col: Column, dt) -> Column:
+    """No field of the key is NULL (recursing into nested structs).
+    NULL-field keys are excluded from the bounds sample: as bound
+    LITERALS their comparisons would yield NULL and poison the CASE
+    tree, and the driver-side sort cannot order None against values.
+    As data they are safe — their comparisons fall through to
+    partition 0 (see :func:`_bsearch_partition`)."""
+    from pyspark.sql.types import StructType
+    if isinstance(dt, StructType):
+        cond = F.lit(True)
+        for f in dt.fields:
+            cond = cond & _field_not_null(col.getField(f.name),
+                                          f.dataType)
+        return cond
+    return col.isNotNull()
+
+
+def _range_bounds(df: DataFrame, key: Column, key_type, n: int) -> list:
+    """n−1 ascending cut points for the partition-label expression.
+
+    One bounded driver collect of a hash sample (xxhash64 sieve, then
+    an independent-hash TakeOrdered cap, so driver memory is bounded at
+    any input size).  Bounds only steer BALANCE — any ascending cut
+    values give a CORRECT cumsum, so sampling noise is harmless; what
+    matters for correctness is that the label assignment itself is a
+    pure per-row expression (recomputation-safe), which this enables.
+
+    The collects run under :data:`BOUNDS_JOB_GROUP` so callers (and the
+    curation laziness test) can attribute build-time jobs to this
+    bounded, column-pruned sample scan.
+    """
+    if n <= 1:
+        return []
+    sc = df.sparkSession.sparkContext
+    keys = (df.select(key.alias("__k"))
+            .where(_field_not_null(F.col("__k"), key_type)))
+    h2 = F.xxhash64(F.col("__k"), F.lit(7))
+    prev = sc.getLocalProperty("spark.jobGroup.id")
+    sc.setJobGroup(BOUNDS_JOB_GROUP,
+                   "ranged_cumsum partition-bound sampling")
+    try:
+        samp = (keys.where(F.pmod(F.xxhash64(F.col("__k")),
+                                  F.lit(_BOUNDS_SAMPLE_MOD)) == 0)
+                .orderBy(h2).limit(_BOUNDS_SAMPLE_CAP).collect())
+        if len(samp) < 4 * n:
+            # the 1/4096 sieve is too coarse for this input — take rows
+            # directly (only reachable when N is ~< 16k·n, so the
+            # TakeOrdered cap keeps this bounded too)
+            samp = keys.orderBy(h2).limit(_BOUNDS_SAMPLE_CAP).collect()
+    finally:
+        if prev is not None:
+            sc.setJobGroup(prev, "")
+        else:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+    rows = sorted((r["__k"] for r in samp), key=_py_comparable)
+    if not rows:
+        return []
+    return [rows[(i * len(rows)) // n] for i in range(1, n)
+            if (i * len(rows)) // n < len(rows)]
+
+
+def _bsearch_partition(key: Column, bounds: list, key_type) -> Column:
+    """``bisect_left(bounds, key)`` as a log-depth CASE tree: the count
+    of bounds strictly below the key, ~log₂(P) comparisons per row.
+    Equal keys always land in the same partition; NULL keys (struct
+    comparisons yield NULL) fall through every branch to partition 0,
+    matching nulls-first sort order."""
+    if not bounds:
+        return F.lit(0)
+    lits = [_lit_of(b, key_type) for b in bounds]
+
+    def rec(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (F.when(key > lits[mid], rec(mid + 1, hi))
+                .otherwise(rec(lo, mid)))
+
+    return rec(0, len(bounds))
+
+
 def ranged_cumsum(df: DataFrame, order_col: str, weight_col: str,
                   cum_col: str = "__cw",
                   num_partitions: int | None = None,
@@ -119,13 +229,32 @@ def ranged_cumsum(df: DataFrame, order_col: str, weight_col: str,
     second range shuffle (heaps_fit needs the token and the new-term
     cumsums over the same doc order; two calls would double the
     exchange).
+
+    Partition labels are EXPLICIT literal range bounds (hash-sampled
+    once, collected bounded, assigned with a deterministic
+    binary-search expression) — NOT ``repartitionByRange`` +
+    ``spark_partition_id()``.  The offsets branch and the main branch
+    each recompute the input; ``repartitionByRange`` draws NEW random
+    range-bound samples per physical computation (exchange reuse does
+    not dedupe the two branches once column pruning makes their scans
+    differ), so partition ids silently disagree between the branches
+    and the offsets corrupt the cumsum (observed: ~87% of global ranks
+    wrong on a 10k-row double key, varying run to run).  A per-row
+    deterministic label expression is recomputation-safe by
+    construction, and drops the double exchange (range + window hash)
+    to a single window hash exchange.  NaN order keys are unsupported
+    (they would label into partition 0 but sort last).
     """
     spark = df.sparkSession
     g = list(group_cols or [])
     ws = {weight_col: cum_col, **(extra_weights or {})}
     n = num_partitions or spark.sparkContext.defaultParallelism
-    d = (df.repartitionByRange(n, *[F.col(c) for c in g + [order_col]])
-         .withColumn("__p", F.spark_partition_id()))
+    key = (F.struct(*[F.col(c).alias(f"g{i}") for i, c in enumerate(g)],
+                    F.col(order_col).alias("o"))
+           if g else F.col(order_col))
+    key_type = (df.select(key.alias("__k")).schema["__k"].dataType)
+    bounds = _range_bounds(df, key, key_type, n)
+    d = df.withColumn("__p", _bsearch_partition(key, bounds, key_type))
     wo = (Window.partitionBy(*g).orderBy("__p") if g
           else Window.orderBy("__p"))
     wt = Window.partitionBy(*g) if g else Window.partitionBy()

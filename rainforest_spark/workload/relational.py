@@ -1577,3 +1577,330 @@ def q159(spark, sf):
     from rainforest_spark.operators.text_analysis import inverted_index
     d = T(spark, sf, "documents")
     return inverted_index(d, "doc_id", "text", k_postings=3)
+
+
+# ---------------------------------------------------------------- q160
+# Global Spearman rank correlation (stats family,
+# operators/stats.spearman_corr): two range-partitioned exact ranks
+# joined on the unique event key, sum of squared rank gaps as
+# DECIMAL(38,0)/HUGEINT, closed form via one round-half-up integer
+# micro-division — no single-partition window.
+@q("q160_spearman_corr", sql="""
+WITH b AS (SELECT value AS x,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS y,
+                  event_id AS t FROM events),
+rx AS (SELECT t, ROW_NUMBER() OVER (ORDER BY x, t) AS rx FROM b),
+ry AS (SELECT t, ROW_NUMBER() OVER (ORDER BY y, t) AS ry FROM b),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS s
+      FROM rx JOIN ry USING (t)),
+d AS (SELECT n, s,
+             CAST(n AS HUGEINT) * n * n - n AS dn FROM s)
+SELECT n,
+       1.0 - CAST((12000000 * s + dn
+                   - (12000000 * s + dn) % (2 * dn))
+                  // (2 * dn) AS DOUBLE) / 1e6 AS spearman_rho
+FROM d
+""")
+def q160(spark, sf):
+    from rainforest_spark.operators.stats import spearman_corr
+    e = T(spark, sf, "events").select(
+        F.col("value").alias("__x"), epoch_s("ts").alias("__y"),
+        F.col("event_id").alias("__t"))
+    return spearman_corr(e, "__x", "__y", "__t")
+
+
+# ---------------------------------------------------------------- q161
+# Mann-Whitney U / ROC-AUC contrast (stats family,
+# operators/stats.rank_auc): does o_totalprice separate finished from
+# open orders?  One ranged rank pass, exact U and 6dp AUC via integer
+# cross-multiplies.
+@q("q161_auc_contrast", sql="""
+WITH b AS (SELECT o_totalprice AS v,
+                  CAST(o_orderstatus = 'F' AS BIGINT) AS l,
+                  o_orderkey AS t
+           FROM orders WHERE o_orderstatus IN ('F', 'O')),
+r AS (SELECT l, ROW_NUMBER() OVER (ORDER BY v, t) AS r FROM b),
+a AS (SELECT CAST(SUM(l) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - l) AS BIGINT) AS n_neg,
+             SUM(CASE WHEN l = 1 THEN CAST(r AS HUGEINT)
+                      ELSE 0 END) AS rs
+      FROM r),
+u AS (SELECT n_pos, n_neg,
+             rs - (CAST(n_pos AS HUGEINT) * (n_pos + 1)) // 2 AS u,
+             CAST(n_pos AS HUGEINT) * n_neg AS nn
+      FROM a)
+SELECT n_pos, n_neg, CAST(u AS BIGINT) AS u_stat,
+       CAST((2000000 * u + nn - (2000000 * u + nn) % (2 * nn))
+            // (2 * nn) AS DOUBLE) / 1e6 AS auc
+FROM u
+""")
+def q161(spark, sf):
+    from rainforest_spark.operators.stats import rank_auc
+    o = T(spark, sf, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O"))
+    return rank_auc(o, "o_totalprice",
+                    (F.col("o_orderstatus") == "F"), "o_orderkey")
+
+
+# ---------------------------------------------------------------- q162
+# Two-sample KS statistic (stats family, operators/stats.ks_2sample):
+# click-vs-view value distributions; per-distinct-value counts, BOTH
+# group ECDFs in one ranged_cumsum pass, exact sup via BIGINT
+# cross-multiplies + TakeOrdered(1).
+@q("q162_ks_statistic", sql="""
+WITH pv AS (SELECT value AS v,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS ca,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS cb
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY value),
+c AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS fa,
+             SUM(cb) OVER (ORDER BY v) AS fb FROM pv),
+t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM pv),
+d AS (SELECT v, ABS(fa * nb - fb * na) AS diff, na, nb FROM c, t),
+m AS (SELECT * FROM d ORDER BY diff DESC, v ASC LIMIT 1)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST((2000000 * diff + na * nb
+             - (2000000 * diff + na * nb) % (2 * na * nb))
+            // (2 * na * nb) AS DOUBLE) / 1e6 AS ks_d,
+       v AS ks_at
+FROM m
+""")
+def q162(spark, sf):
+    from rainforest_spark.operators.stats import ks_2sample
+    e = T(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view"))
+    return ks_2sample(e, "value", (F.col("event_type") == "click"))
+
+
+# ---------------------------------------------------------------- q163
+# A/B two-proportion contrast (stats family,
+# operators/stats.ab_contrast): odd-user arm vs even-user arm,
+# conversion = more purchases than errors; exact 2x2 counts, 6dp
+# rates/lift via round-half-up cross-multiplies, chi-square as one
+# fixed IEEE double tree over exact integers.
+@q("q163_ab_contrast", sql="""
+WITH pu AS (SELECT user_id,
+                   MAX(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                       AS a,
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END)
+                           > SUM(CASE WHEN event_type = 'error'
+                                      THEN 1 ELSE 0 END)
+                        THEN 1 ELSE 0 END AS o
+            FROM events GROUP BY user_id),
+ag AS (SELECT CAST(SUM(a) AS BIGINT) AS n_t,
+              CAST(SUM(a * o) AS BIGINT) AS conv_t,
+              CAST(SUM(1 - a) AS BIGINT) AS n_c,
+              CAST(SUM((1 - a) * o) AS BIGINT) AS conv_c
+       FROM pu)
+SELECT n_t, conv_t, n_c, conv_c,
+       CAST((2000000 * CAST(conv_t AS HUGEINT) + n_t
+             - (2000000 * CAST(conv_t AS HUGEINT) + n_t) % (2 * n_t))
+            // (2 * n_t) AS DOUBLE) / 1e6 AS rate_t,
+       CAST((2000000 * CAST(conv_c AS HUGEINT) + n_c
+             - (2000000 * CAST(conv_c AS HUGEINT) + n_c) % (2 * n_c))
+            // (2 * n_c) AS DOUBLE) / 1e6 AS rate_c,
+       CASE WHEN conv_c > 0 THEN
+         CAST((2000000 * (CAST(conv_t AS HUGEINT) * n_c)
+               + (CAST(conv_c AS HUGEINT) * n_t)
+               - (2000000 * (CAST(conv_t AS HUGEINT) * n_c)
+                  + (CAST(conv_c AS HUGEINT) * n_t))
+                 % (2 * (CAST(conv_c AS HUGEINT) * n_t)))
+              // (2 * (CAST(conv_c AS HUGEINT) * n_t)) AS DOUBLE) / 1e6
+       END AS lift,
+       CASE WHEN n_t > 0 AND n_c > 0 AND conv_t + conv_c > 0
+                 AND n_t + n_c - conv_t - conv_c > 0 THEN
+         ROUND(CAST(n_t + n_c AS DOUBLE)
+               * CAST(conv_t * (n_c - conv_c)
+                      - conv_c * (n_t - conv_t) AS DOUBLE)
+               * CAST(conv_t * (n_c - conv_c)
+                      - conv_c * (n_t - conv_t) AS DOUBLE)
+               / (CAST(n_t AS DOUBLE) * CAST(n_c AS DOUBLE)
+                  * CAST(conv_t + conv_c AS DOUBLE)
+                  * CAST(n_t + n_c - conv_t - conv_c AS DOUBLE)), 6)
+       END AS chi2
+FROM ag
+""")
+def q163(spark, sf):
+    from rainforest_spark.operators.stats import ab_contrast
+    e = T(spark, sf, "events")
+    # per-user outcome "more purchases than errors" computed first (a
+    # unit-level outcome ab_contrast's row-level max cannot express);
+    # ab_contrast's per-unit groupBy then passes through 1 row/user
+    pu = (e.groupBy("user_id")
+          .agg((F.sum(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0))
+                > F.sum(F.when(F.col("event_type") == "error", 1)
+                        .otherwise(0))).alias("__conv")))
+    return ab_contrast(pu, "user_id",
+                       (F.pmod(F.col("user_id"), F.lit(2)) == 1),
+                       "__conv")
+
+
+# ---------------------------------------------------------------- q164
+# RFM segmentation (stats family, operators/stats.rfm_segments):
+# per-user recency/frequency/monetary with exact integer quintile
+# buckets from ranged ranks ((rank-1)*5 div (N-1), no double
+# boundaries) and the marketing 'r-f-m' segment code.
+@q("q164_rfm_segments", sql="""
+WITH pu AS (SELECT user_id AS unit,
+                   MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   SUM(CAST(value AS DECIMAL(18,4))) AS m
+            FROM events GROUP BY user_id),
+g AS (SELECT MAX(last_s) AS gm FROM pu),
+e AS (SELECT unit, (gm - last_s) // 86400 AS recency_days, frequency,
+             m, CAST(m AS DOUBLE) AS monetary,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM pu, g),
+r AS (SELECT e.*,
+             ROW_NUMBER() OVER (ORDER BY recency_days, unit) AS rr,
+             ROW_NUMBER() OVER (ORDER BY frequency, unit) AS rf,
+             ROW_NUMBER() OVER (ORDER BY m, unit) AS rm
+      FROM e),
+sc AS (SELECT unit, CAST(recency_days AS BIGINT) AS recency_days,
+              frequency, monetary,
+              CAST(5 - (CASE WHEN n > 1
+                             THEN LEAST(((rr - 1) * 5) // (n - 1), 4)
+                             ELSE 0 END) AS INT) AS r_score,
+              CAST((CASE WHEN n > 1
+                         THEN LEAST(((rf - 1) * 5) // (n - 1), 4)
+                         ELSE 0 END) + 1 AS INT) AS f_score,
+              CAST((CASE WHEN n > 1
+                         THEN LEAST(((rm - 1) * 5) // (n - 1), 4)
+                         ELSE 0 END) + 1 AS INT) AS m_score
+       FROM r)
+SELECT *, r_score || '-' || f_score || '-' || m_score AS segment
+FROM sc
+""")
+def q164(spark, sf):
+    from rainforest_spark.operators.stats import rfm_segments
+    e = T(spark, sf, "events")
+    return rfm_segments(e, "user_id", "ts", "value", n_buckets=5)
+
+
+# ---------------------------------------------------------------- q165
+# Last-touch conversion attribution (stats family,
+# operators/stats.last_touch_attribution): purchases credited to the
+# latest preceding click/view/signup within 7 days via one user-keyed
+# last(ignoreNulls) window; 'direct' otherwise; DECIMAL(18,4) revenue
+# rollup per channel.
+@q("q165_attribution", sql="""
+WITH b AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                  event_id AS i, event_type AS ty, value
+           FROM events),
+c AS (SELECT u, s, i, ty, value,
+             LAST_VALUE(CASE WHEN ty IN ('click', 'view', 'signup')
+                             THEN {'s': s, 'ty': ty} END IGNORE NULLS)
+                 OVER (PARTITION BY u ORDER BY s, i
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS lt
+      FROM b),
+p AS (SELECT CASE WHEN lt IS NOT NULL AND s - lt.s <= 604800
+                  THEN lt.ty ELSE 'direct' END AS channel, value
+      FROM c WHERE ty = 'purchase')
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM p GROUP BY channel
+""")
+def q165(spark, sf):
+    from rainforest_spark.operators.stats import last_touch_attribution
+    e = T(spark, sf, "events")
+    return last_touch_attribution(
+        e, "user_id", "ts", "event_id", "event_type",
+        conversion_type="purchase",
+        touch_types=["click", "view", "signup"], value_col="value",
+        lookback_sec=7 * 86400)
+
+
+# ---------------------------------------------------------------- q166
+# Triangle census over the co-purchase graph (graph family,
+# operators/graph.triangle_census): edges = part pairs co-ordered in
+# >= 2 orders (the q156 machinery); degree-oriented wedge join — every
+# out-neighborhood O(sqrt m), hub-safe — exact triangle/wedge counts
+# and the 6dp global clustering coefficient.
+@q("q166_triangle_census", sql="""
+WITH ub AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+            FROM lineitem),
+ed AS (SELECT a.i AS u, b.i AS v
+       FROM ub a JOIN ub b ON a.bk = b.bk AND a.i < b.i
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sym AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+e AS (SELECT s.u, s.v, dv.d AS dv
+      FROM sym s JOIN deg du ON s.u = du.u JOIN deg dv ON s.v = dv.u
+      WHERE du.d < dv.d OR (du.d = dv.d AND s.u < s.v)),
+w AS (SELECT w1.u, w1.v AS y, w2.v AS z
+      FROM e w1 JOIN e w2 ON w1.u = w2.u
+      WHERE w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v)),
+tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        FROM w JOIN e ON w.y = e.u AND w.z = e.v),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+              CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+              CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+       FROM deg)
+SELECT n_nodes, n_edges, t AS n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0 THEN
+         CAST((6000000 * CAST(t AS HUGEINT) + n_wedges
+               - (6000000 * CAST(t AS HUGEINT) + n_wedges)
+                 % (2 * n_wedges))
+              // (2 * n_wedges) AS DOUBLE) / 1e6
+       END AS clustering_coeff
+FROM st, tri
+""")
+def q166(spark, sf):
+    from rainforest_spark.operators.graph import triangle_census
+    li = T(spark, sf, "lineitem")
+    ub = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a = ub.select("bk", F.col("i").alias("pa"))
+    b = ub.select("bk", F.col("i").alias("pb"))
+    ed = (a.join(b, "bk").filter(F.col("pa") < F.col("pb"))
+          .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("n"))
+          .filter(F.col("n") >= 2))
+    return triangle_census(ed, "pa", "pb")
+
+
+# ---------------------------------------------------------------- q167
+# Lead-lag cross-correlation (stats family,
+# operators/stats.lead_lag_corr): daily click counts vs purchase
+# counts at lags -3..+3; exact integer sufficient statistics, Pearson
+# as one fixed IEEE tree, zero-variance by exact integer compare.
+@q("q167_lead_lag", sql="""
+WITH ps AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS s,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS b
+            FROM events GROUP BY 1),
+lg AS (SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3))
+       t(lag)),
+pr AS (SELECT lg.lag, p1.a, p2.b
+       FROM ps p1 CROSS JOIN lg JOIN ps p2 ON p2.s = p1.s + lg.lag),
+ag AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_slots,
+              CAST(SUM(a) AS BIGINT) AS sx,
+              CAST(SUM(b) AS BIGINT) AS sy,
+              CAST(SUM(a * a) AS BIGINT) AS sxx,
+              CAST(SUM(b * b) AS BIGINT) AS syy,
+              CAST(SUM(a * b) AS BIGINT) AS sxy
+       FROM pr GROUP BY lag)
+SELECT CAST(lag AS INT) AS lag, n_slots,
+       CASE WHEN n_slots > 1 AND n_slots * sxx != sx * sx
+                 AND n_slots * syy != sy * sy THEN
+         ROUND(CAST(n_slots * sxy - sx * sy AS DOUBLE)
+               / (SQRT(CAST(n_slots * sxx - sx * sx AS DOUBLE))
+                  * SQRT(CAST(n_slots * syy - sy * sy AS DOUBLE))), 6)
+       END AS r
+FROM ag
+""")
+def q167(spark, sf):
+    from rainforest_spark.operators.stats import lead_lag_corr
+    e = T(spark, sf, "events")
+    return lead_lag_corr(
+        e, "ts",
+        F.when(F.col("event_type") == "click", 1).otherwise(0),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0),
+        max_lag=3, grain_sec=86400)

@@ -256,10 +256,13 @@ def test_round6c2_corpus_ops_plan_shapes(spark):
 
 
 def test_q105_cumsum_is_range_partitioned(spark):
-    # the ordered cumsum must go through ranged_cumsum's range-shuffle
-    # + per-partition window, never a single-partition global window
+    # the ordered cumsum must go through ranged_cumsum's distributed
+    # path — explicit range-bound labels (__p) + a __p-partitioned
+    # window — never a single-partition global window.  Since the
+    # round-7 determinism fix the label is a per-row expression, so
+    # the plan marker is the __p hash exchange, not rangepartitioning.
     p = fmt_plan(spark, "q105_token_budget")
-    assert "rangepartitioning" in p.lower(), \
+    assert "hashpartitioning(__p" in p, \
         "q105 lost the distributed ranged_cumsum path"
 
 
@@ -282,23 +285,23 @@ def test_q110_top_m_never_global_sort(spark):
 
 
 def test_q108_vocab_rank_range_partitioned(spark):
-    # the Zipf vocab rank must ride ranged_cumsum's range-shuffle on
-    # the ((-n), term) struct key — never one task sorting the whole
-    # vocabulary (1e8-1e9 distinct tokens at 100 TB).  The only
+    # the Zipf vocab rank must ride ranged_cumsum's distributed path
+    # on the ((-n), term) struct key — never one task sorting the
+    # whole vocabulary (1e8-1e9 distinct tokens at 100 TB).  The only
     # unpartitioned window left is over the tiny per-partition offsets
     # dim (one row per range partition).
     p = fmt_plan(spark, "q108_zipf_fit")
-    assert "rangepartitioning" in p.lower(), \
+    assert "hashpartitioning(__p" in p, \
         "q108 lost the distributed vocab-rank path"
     assert "CartesianProduct" not in p
 
 
 def test_q109_growth_curve_range_partitioned(spark):
-    # both cumsums of the Heaps curve ride ranged_cumsum's
-    # range-shuffle; the only unpartitioned windows are over the tiny
-    # per-partition offsets dims
+    # both cumsums of the Heaps curve ride ranged_cumsum's distributed
+    # __p-labeled path; the only unpartitioned windows are over the
+    # tiny per-partition offsets dims
     p = fmt_plan(spark, "q109_heaps_fit")
-    assert "rangepartitioning" in p.lower(), \
+    assert "hashpartitioning(__p" in p, \
         "q109 lost the distributed ranged_cumsum path"
     assert "CartesianProduct" not in p
 
@@ -349,6 +352,10 @@ _CROSS_JOIN_WHITELIST = {
     # broadcast-cosine machinery — the fusion itself joins two top-k
     # lists (k·|queries| rows, bounded by construction)
     "q131_temperature_mixture", "q133_hybrid_rrf",
+    # q166: the 1-row degree-census aggregate broadcast-cross-joins the
+    # 1-row triangle count — both sides single-row by construction
+    # (operators/graph.py triangle_census)
+    "q166_triangle_census",
 }
 
 
@@ -376,7 +383,7 @@ def test_q126_language_rank_range_partitioned(spark):
     # Window.partitionBy(lang) sort that serializes each language into
     # one task.
     p = fmt_plan(spark, "q126_perplexity_buckets")
-    assert "rangepartitioning" in p.lower(), \
+    assert "hashpartitioning(__p" in p, \
         "q126 lost the grouped ranged-rank path"
 
 

@@ -1,0 +1,344 @@
+"""Tests for the rank-statistics / experimentation family
+(operators/stats.py) and the ranged_cumsum determinism regression the
+family's rank machinery exposed."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from rainforest_spark.operators.stats import (
+    ab_contrast, ks_2sample, last_touch_attribution, rank_auc,
+    rfm_segments, spearman_corr, _rank,
+)
+from rainforest_spark.operators.windows import ranged_cumsum
+
+
+# ------------------------------------------- ranged_cumsum determinism
+
+def test_ranged_rank_consistent_on_large_double_keys(spark):
+    """Regression: with repartitionByRange + spark_partition_id, the
+    offsets branch and the main branch each drew SEPARATE random
+    range-bound samples (no exchange reuse once column pruning
+    differs), so ~87% of ranks were wrong on a >sample-size double-key
+    input, varying run to run.  The literal-bounds rewrite must give
+    exact 1..N ranks on every run."""
+    rng = random.Random(11)
+    rows = [(rng.random() * 1e5, i) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "v double, i long")
+    for _ in range(2):
+        got = _rank(df, "v", "i", "r").toPandas() \
+            .sort_values(["v", "i"], ignore_index=True)
+        assert (got["r"] == got.index + 1).all()
+
+
+def test_ranged_cumsum_null_order_keys(spark):
+    """NULL order keys must rank FIRST within their group (Spark's
+    NULLS FIRST ascending order): the bounds sample excludes
+    null-field keys and their comparisons fall through the CASE tree
+    to partition 0 — the lowest label — so the global order is kept."""
+    rng = random.Random(5)
+    rows = [(("a" if i % 3 else "b"),
+             (None if i % 17 == 0 else rng.randrange(10**6)), 1)
+            for i in range(5_000)]
+    df = spark.createDataFrame(rows, "g string, o bigint, w long")
+    out = ranged_cumsum(df, "o", "w", cum_col="c", group_cols=["g"],
+                        num_partitions=8).toPandas()
+    for g, grp in out.groupby("g"):
+        n_null = int(grp["o"].isna().sum())
+        # null-order rows take exactly the ranks 1..n_null
+        assert (sorted(grp.loc[grp["o"].isna(), "c"])
+                == list(range(1, n_null + 1)))
+        nn = grp.dropna(subset=["o"]).sort_values(["o", "c"],
+                                                  ignore_index=True)
+        assert (nn["c"] == nn.index + 1 + n_null).all()
+
+
+def test_ranged_cumsum_grouped_large_input(spark):
+    rng = random.Random(13)
+    rows = [(rng.choice("abc"), rng.randrange(10**9), 1)
+            for _ in range(15_000)]
+    df = spark.createDataFrame(rows, "g string, k long, w long")
+    out = ranged_cumsum(df, "k", "w", cum_col="c", group_cols=["g"],
+                        total_col="t").toPandas()
+    for g, grp in out.groupby("g"):
+        grp = grp.sort_values(["k", "c"], ignore_index=True)
+        assert (grp["c"] == grp.index + 1).all()
+        assert (grp["t"] == len(grp)).all()
+
+
+# -------------------------------------------------------- spearman
+
+def _spearman_ref(xs, ys):
+    def ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+        r = [0] * len(vals)
+        for pos, i in enumerate(order):
+            r[i] = pos + 1
+        return r
+    rx, ry = ranks(xs), ranks(ys)
+    n = len(xs)
+    s = sum((a - b) ** 2 for a, b in zip(rx, ry))
+    return 1.0 - round(6 * s * 1e6 / (n * (n * n - 1))) / 1e6
+
+
+def test_spearman_matches_reference(spark):
+    rng = random.Random(3)
+    xs = [rng.random() for _ in range(500)]
+    ys = [x * 2 + rng.random() * 0.5 for x in xs]
+    df = spark.createDataFrame(
+        [(x, y, i) for i, (x, y) in enumerate(zip(xs, ys))],
+        "x double, y double, i long")
+    row = spearman_corr(df, "x", "y", "i").collect()[0]
+    assert row["n"] == 500
+    assert abs(row["spearman_rho"] - _spearman_ref(xs, ys)) < 2e-6
+    assert row["spearman_rho"] > 0.8  # strongly monotone by design
+
+
+def test_spearman_perfect_and_inverse(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(i) * 3 + 1, i) for i in range(50)],
+        "x double, y double, i long")
+    assert spearman_corr(df, "x", "y", "i").collect()[0][
+        "spearman_rho"] == pytest.approx(1.0, abs=1e-6)
+    df2 = spark.createDataFrame(
+        [(float(i), float(-i), i) for i in range(50)],
+        "x double, y double, i long")
+    assert spearman_corr(df2, "x", "y", "i").collect()[0][
+        "spearman_rho"] == pytest.approx(-1.0, abs=1e-6)
+
+
+# ------------------------------------------------------------- auc
+
+def test_rank_auc_matches_brute_force(spark):
+    rng = random.Random(5)
+    rows = [(rng.random() + (0.3 if rng.random() < 0.5 else 0.0), i)
+            for i in range(400)]
+    data = [(v, 1 if v > 0.8 else 0, i) for v, i in rows]
+    df = spark.createDataFrame(data, "v double, l int, i long")
+    row = rank_auc(df, "v", "l", "i").collect()[0]
+    pos = [v for v, l, _ in data if l == 1]
+    neg = [v for v, l, _ in data if l == 0]
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    # row_number tie-break by id: ties split by id order; with distinct
+    # doubles ties are absent and AUC is the exact win fraction
+    assert ties == 0
+    want = round(wins * 1e6 / (len(pos) * len(neg))) / 1e6
+    assert row["auc"] == pytest.approx(want, abs=1e-9)
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+
+
+def test_rank_auc_separable_is_one(spark):
+    data = [(float(i), 1 if i >= 50 else 0, i) for i in range(100)]
+    df = spark.createDataFrame(data, "v double, l int, i long")
+    assert rank_auc(df, "v", "l", "i").collect()[0]["auc"] == 1.0
+
+
+# -------------------------------------------------------------- ks
+
+def _ks_ref(a, b):
+    vals = sorted(set(a) | set(b))
+    na, nb, best = len(a), len(b), 0
+    for v in vals:
+        fa = sum(1 for x in a if x <= v)
+        fb = sum(1 for x in b if x <= v)
+        best = max(best, abs(fa * nb - fb * na))
+    return best / (na * nb)
+
+
+def test_ks_matches_brute_force(spark):
+    rng = random.Random(9)
+    a = [rng.gauss(0, 1) for _ in range(300)]
+    b = [rng.gauss(0.5, 1.2) for _ in range(200)]
+    rows = [(v, 1) for v in a] + [(v, 0) for v in b]
+    df = spark.createDataFrame(rows, "v double, g int")
+    row = ks_2sample(df, "v", (F.col("g") == 1)).collect()[0]
+    want = _ks_ref(a, b)
+    assert row["n_a"] == 300 and row["n_b"] == 200
+    assert abs(row["ks_d"] - want) < 2e-6
+
+
+def test_ks_identical_samples_zero(spark):
+    vals = [float(i % 17) for i in range(200)]
+    rows = [(v, i % 2) for i, v in enumerate(vals)]
+    # both groups see the same multiset of values
+    df = spark.createDataFrame(
+        [(v, 1) for v in vals] + [(v, 0) for v in vals],
+        "v double, g int")
+    assert ks_2sample(df, "v", (F.col("g") == 1)) \
+        .collect()[0]["ks_d"] == 0.0
+
+
+# -------------------------------------------------------------- a/b
+
+def test_ab_contrast_counts_and_chi2(spark):
+    # arm 1: 30 of 100 convert; arm 0: 10 of 100 convert
+    rows = ([(i, 1, 1 if i < 30 else 0) for i in range(100)]
+            + [(1000 + i, 0, 1 if i < 10 else 0) for i in range(100)])
+    df = spark.createDataFrame(rows, "u long, a int, o int")
+    row = ab_contrast(df, "u", "a", "o").collect()[0]
+    assert (row["n_t"], row["conv_t"], row["n_c"], row["conv_c"]) \
+        == (100, 30, 100, 10)
+    assert row["rate_t"] == 0.3 and row["rate_c"] == 0.1
+    assert row["lift"] == 3.0
+    # scipy-free reference: chi2 = N(ad-bc)^2 / row/col products
+    want = 200 * (30 * 90 - 10 * 70) ** 2 / (100 * 100 * 40 * 160)
+    assert row["chi2"] == pytest.approx(want, abs=1e-6)
+
+
+def test_ab_contrast_degenerate_margin_is_null(spark):
+    rows = [(i, i % 2, 1) for i in range(50)]  # everyone converts
+    df = spark.createDataFrame(rows, "u long, a int, o int")
+    row = ab_contrast(df, "u", "a", "o").collect()[0]
+    assert row["chi2"] is None
+
+
+# -------------------------------------------------------------- rfm
+
+def test_rfm_segments_shape_and_extremes(spark):
+    base = 1_700_000_000
+    rows = []
+    for u in range(20):
+        for k in range(u + 1):  # user u has u+1 events
+            rows.append((u, base + u * 86_400 + k, float(u) * 10))
+    df = spark.createDataFrame(rows, "u long, sec long, val double") \
+        .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    out = {r["unit"]: r for r in
+           rfm_segments(df, "u", "ts", "val").collect()}
+    assert len(out) == 20
+    # user 19: most recent, most frequent, highest value -> 5-5-5
+    assert out[19]["segment"] == "5-5-5"
+    assert out[0]["recency_days"] == 19
+    assert out[0]["segment"] == "1-1-1"
+    for r in out.values():
+        assert 1 <= r["r_score"] <= 5
+        assert r["segment"] == \
+            f'{r["r_score"]}-{r["f_score"]}-{r["m_score"]}'
+
+
+# ------------------------------------------------------ attribution
+
+def test_last_touch_attribution_golden(spark):
+    base = 1_700_000_000
+    rows = [
+        # u1: click then purchase within window -> click
+        (1, base, 1, "click", 0.0),
+        (1, base + 100, 2, "purchase", 10.0),
+        # u1: second purchase still credits the same click
+        (1, base + 200, 3, "purchase", 5.0),
+        # u2: view 8 days before purchase -> outside window -> direct
+        (2, base, 4, "view", 0.0),
+        (2, base + 8 * 86_400, 5, "purchase", 7.0),
+        # u3: purchase with no preceding touch -> direct
+        (3, base, 6, "purchase", 1.0),
+        # u4: view then click -> last touch wins
+        (4, base, 7, "view", 0.0),
+        (4, base + 10, 8, "click", 0.0),
+        (4, base + 20, 9, "purchase", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "u long, sec long, i long,"
+                               " ty string, val double") \
+        .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    got = {r["channel"]: (r["n_conversions"], r["revenue"])
+           for r in last_touch_attribution(
+               df, "u", "ts", "i", "ty", "purchase",
+               ["click", "view"], "val").collect()}
+    assert got == {"click": (3, 17.0), "direct": (2, 8.0)}
+
+
+def test_attribution_conversion_never_self_credits(spark):
+    # purchase at the same timestamp as a touch with a smaller tie id
+    # credits it; a purchase alone never credits itself
+    df = spark.createDataFrame(
+        [(1, 100, 1, "purchase", 3.0), (1, 100, 2, "purchase", 4.0)],
+        "u long, sec long, i long, ty string, val double") \
+        .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    got = last_touch_attribution(df, "u", "ts", "i", "ty", "purchase",
+                                 ["click"], "val").collect()
+    assert {r["channel"] for r in got} == {"direct"}
+
+
+# ----------------------------------------------------------- lead-lag
+
+def test_lead_lag_detects_shift(spark):
+    # series B = series A shifted +2 slots: r at lag +2 must be ~1
+    base = 1_700_000_000
+    rows = []
+    import random as _r
+    rng = _r.Random(21)
+    counts = [rng.randrange(1, 50) for _ in range(30)]
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((base + d * 86_400, "a"))
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((base + (d + 2) * 86_400, "b"))
+    df = spark.createDataFrame(rows, "sec long, k string") \
+        .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    from rainforest_spark.operators.stats import lead_lag_corr
+    out = {r["lag"]: r for r in lead_lag_corr(
+        df, "ts", F.when(F.col("k") == "a", 1).otherwise(0),
+        F.when(F.col("k") == "b", 1).otherwise(0)).collect()}
+    assert out[2]["r"] == pytest.approx(1.0, abs=1e-6)
+    # slots 0..31 all exist (zero-count sides included); lag +2 pairs
+    # s in 0..29, lag -3 pairs s in 3..31
+    assert out[2]["n_slots"] == 30
+    assert out[-3]["n_slots"] == 29
+
+
+# ----------------------------------------------------------- triangles
+
+def _tri_ref(edges):
+    adj = {}
+    es = set()
+    for u, v in edges:
+        if u == v:
+            continue
+        a, b = min(u, v), max(u, v)
+        if (a, b) in es:
+            continue
+        es.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = 0
+    for a, b in es:
+        tri += len(adj[a] & adj[b])
+    tri //= 3
+    wed = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    return len(adj), len(es), tri, wed
+
+
+def test_triangle_census_matches_brute_force(spark):
+    import random as _r
+    rng = _r.Random(31)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(400)]
+    from rainforest_spark.operators.graph import triangle_census
+    df = spark.createDataFrame(edges, "s long, t long")
+    row = triangle_census(df, "s", "t").collect()[0]
+    n, m, tri, wed = _tri_ref(edges)
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"],
+            row["n_wedges"]) == (n, m, tri, wed)
+    assert row["clustering_coeff"] == pytest.approx(
+        3 * tri / wed, abs=1e-6)
+
+
+def test_triangle_census_known_graphs(spark):
+    from rainforest_spark.operators.graph import triangle_census
+    # K4: 4 triangles, 12 wedges, coeff 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    row = triangle_census(
+        spark.createDataFrame(k4, "s long, t long"), "s", "t") \
+        .collect()[0]
+    assert (row["n_triangles"], row["n_wedges"]) == (4, 12)
+    assert row["clustering_coeff"] == 1.0
+    # star graph: no triangles, C(5,2) wedges at the hub
+    star = [(0, i) for i in range(1, 6)]
+    row = triangle_census(
+        spark.createDataFrame(star, "s long, t long"), "s", "t") \
+        .collect()[0]
+    assert (row["n_triangles"], row["n_wedges"]) == (0, 10)
+    assert row["clustering_coeff"] == 0.0

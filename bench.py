@@ -150,6 +150,22 @@ HEADLINE = [
     "q148_winsorized_stats",
     "q150_session_paths",
     "q151_rolling_active",
+    # round-7 continued-5: the basket self-equi-join pair counts
+    # (q156), the double ranged-rank + tie equi-join Spearman (q160),
+    # the triple ranged-rank RFM rollup (q164), the degree-oriented
+    # wedge build (q166), the per-lag slot self-joins (q167), the
+    # single-groupBy OHLC bars (q169), the grouped+global rank map
+    # (q170) and the 9-cell spatial candidate join (q171).  No
+    # committed baselines yet (guard skips unknown keys); same-run
+    # physics guards apply.
+    "q156_market_basket",
+    "q160_spearman_corr",
+    "q164_rfm_segments",
+    "q166_triangle_census",
+    "q167_lead_lag",
+    "q169_ohlc_bars",
+    "q170_quantile_normalize",
+    "q171_nearest_site",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle
@@ -273,6 +289,12 @@ SF10_HEADLINE = [
     # N·|id-days| fan-out claim (shuffle independent of raw event
     # count) gets its second decade from day one
     "q151_rolling_active",
+    # round-7 continued-5: the √m-bounded wedge fan-out of the
+    # triangle census (does degree orientation hold the candidate
+    # count on a 100× co-purchase graph?) and the quantile-normalize
+    # rank map (two ranged passes + a rank equi-join at 100×)
+    "q166_triangle_census",
+    "q170_quantile_normalize",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0

@@ -625,3 +625,55 @@ def co_occurrence(df: DataFrame, basket_col: str, item_col: str,
         (conf.cast("double") / F.lit(1e6)).alias("confidence"),
         (lift.cast("double") / F.lit(1e6)).alias("lift"),
         F.lit(int(n_dropped)).cast("long").alias("n_baskets_dropped")))
+
+
+def ohlc(df: DataFrame, key_cols: list[str], ts_col: str,
+         value_col: str, tie_col: str, bucket_sec: int) -> DataFrame:
+    """Open/high/low/close resampling of an observation series into
+    fixed time buckets — the downsampling step any metering, pricing,
+    or sensor series needs before charting or joining at a coarser
+    cadence (the reference's temporal aggregation A3 keeps means; OHLC
+    keeps the endpoints and extremes).
+
+    EXACT: open/close are lexicographic struct-min/max over
+    ``(epoch, tie, value)`` (A18's group-wise-first idiom — the unique
+    tie key makes them engine-portable under same-timestamp ties);
+    high/low are plain min/max; the mean quantizes per element with
+    ``floor(v·1e9 + 0.5)`` and divides the exact sum once as a
+    round-half-AWAY-FROM-ZERO integer micro-division on the absolute
+    value (both engines' integer div truncates toward zero on
+    non-negative operands, so magnitude+sign is the portable form for
+    possibly-negative sums).
+
+    Shape at 100 TB: ONE map-side-combined groupBy((key, bucket)) over
+    the scan — no window, no join, no second pass.
+    """
+    epoch = F.floor(F.col(ts_col).cast("timestamp").cast("double")) \
+        .cast("long")
+    b = (df.withColumn("__e", epoch)
+         .withColumn("__b", F.expr(f"__e div {int(bucket_sec)}")))
+    first = F.min(F.struct(F.col("__e"), F.col(tie_col).alias("t"),
+                           F.col(value_col).alias("v"))).alias("__f")
+    last = F.max(F.struct(F.col("__e"), F.col(tie_col).alias("t"),
+                          F.col(value_col).alias("v"))).alias("__l")
+    nano = F.floor(F.col(value_col) * F.lit(1e9) + F.lit(0.5)) \
+        .cast("decimal(38,0)")
+    out = (b.groupBy(*key_cols, "__b")
+           .agg(first, last,
+                F.max(value_col).alias("high"),
+                F.min(value_col).alias("low"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(nano).alias("__sn")))
+    # micros = round-half-away-from-zero(|S| / (1000 n)) with the sign
+    # reapplied — (2A + d) div (2d) is round-half-up for A >= 0
+    mean = F.expr(
+        "CAST((CASE WHEN __sn < 0 THEN -1 ELSE 1 END)"
+        " * ((2 * abs(__sn) + 1000 * n"
+        "     - pmod(2 * abs(__sn) + 1000 * n, 2000 * n))"
+        "    div (2000 * n)) AS DOUBLE) / 1e6")
+    return out.select(
+        *key_cols,
+        (F.col("__b") * F.lit(int(bucket_sec))).alias("bucket_start"),
+        F.col("__f.v").alias("open"), F.col("high"), F.col("low"),
+        F.col("__l.v").alias("close"), F.col("n"),
+        mean.alias("mean_value"))

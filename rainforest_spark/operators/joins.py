@@ -261,3 +261,70 @@ def fuzzy_match(df: DataFrame, id_col: str, text_col: str,
             .withColumn("dist", d)
             .filter(F.col("dist") >= 0)
             .drop(*on))
+
+
+def nearest_site(points: DataFrame, sites: DataFrame,
+                 point_x: str, point_y: str, site_x: str, site_y: str,
+                 point_keys: list[str], site_keys: list[str],
+                 cell: int) -> DataFrame:
+    """Bounded-radius nearest-neighbor join on integer planar
+    coordinates — the generic form of the reference's station→pixel /
+    nearest-gate lookups (grid/lookup.py builds a precomputed LUT for a
+    FIXED grid; this operator handles arbitrary point/site sets).
+
+    Grid-bucketing: each site is replicated into its 3×3 neighborhood
+    of ``cell``-sized grid cells by exploding a 9-element literal array
+    (no join, no shuffle on the site side); points join their single
+    cell by EXACT equi-key.  Any site within ``cell`` of a point is
+    guaranteed to share one of the 9 cells, so the result is the true
+    nearest site whenever one exists within ``cell`` — points with no
+    site that close keep NULL site columns (a LEFT join, never a
+    silent drop).  Sites farther than ``cell`` may be missed: this is
+    the bounded-radius contract every distributed spatial join makes —
+    an UNBOUNDED nearest-neighbor degenerates to all-pairs.
+
+    EXACT: coordinates are NON-NEGATIVE BIGINTs (< 2³¹, so the squared
+    distance stays in BIGINT; ``div`` truncates toward zero, which
+    equals floor only for non-negative operands — shift negative
+    spaces before calling), squared Euclidean distance is exact
+    integer arithmetic, and the argmin is a lexicographic struct-min
+    over ``(d², site_keys...)`` — deterministic under distance ties.
+
+    Shape at 100 TB: site replication is ×9 on the (small) site dim;
+    the candidate join is a shuffle-on-cell equi-join (or a broadcast
+    when the replicated dim fits); one map-side-combined groupBy on the
+    point key takes the argmin.  Cell size trades replica count
+    against candidates per cell — at uniform density choose
+    ``cell ≈ √(area/|sites|)`` so both are O(1) per point.
+    """
+    c = int(cell)
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    reps = (sites.withColumn("__o", F.explode(offs))
+            .select(*site_keys,
+                    F.col(site_x).alias("__sx"),
+                    F.col(site_y).alias("__sy"),
+                    (F.expr(f"{site_x} div {c}") + F.col("__o.dx"))
+                    .alias("__cx"),
+                    (F.expr(f"{site_y} div {c}") + F.col("__o.dy"))
+                    .alias("__cy")))
+    p = points.select(*point_keys,
+                      F.col(point_x).alias("__px"),
+                      F.col(point_y).alias("__py"),
+                      F.expr(f"{point_x} div {c}").alias("__cx"),
+                      F.expr(f"{point_y} div {c}").alias("__cy"))
+    d2 = ((F.col("__px") - F.col("__sx")) * (F.col("__px") - F.col("__sx"))
+          + (F.col("__py") - F.col("__sy"))
+          * (F.col("__py") - F.col("__sy")))
+    cand = (p.join(reps, ["__cx", "__cy"])
+            .filter(d2 <= F.lit(c * c).cast("long"))
+            .withColumn("__d2", d2))
+    best = (cand.groupBy(*point_keys)
+            .agg(F.min(F.struct(F.col("__d2").alias("d2"),
+                                *[F.col(k) for k in site_keys]))
+                 .alias("__b"))
+            .select(*point_keys,
+                    *[F.col(f"__b.{k}").alias(k) for k in site_keys],
+                    F.col("__b.d2").alias("dist_sq")))
+    return (points.select(*point_keys, point_x, point_y)
+            .join(best, point_keys, "left"))

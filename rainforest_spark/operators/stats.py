@@ -25,6 +25,7 @@ from rainforest_spark.operators.windows import ranged_cumsum
 __all__ = [
     "spearman_corr", "rank_auc", "ks_2sample", "ab_contrast",
     "rfm_segments", "last_touch_attribution", "lead_lag_corr",
+    "psi_profile", "quantile_normalize",
 ]
 
 
@@ -395,3 +396,118 @@ def last_touch_attribution(df: DataFrame, unit_col: str, ts_col: str,
             .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"),
                  F.sum(F.col("__val").cast("decimal(18,4)"))
                  .cast("double").alias("revenue")))
+
+
+def psi_profile(df: DataFrame, value_col: str, split_col: str | Column,
+                lo: float, width: float, n_bins: int) -> DataFrame:
+    """Population stability index between two snapshots of a numeric
+    column — the standard drift monitor a curation pipeline runs when a
+    filter, mixture, or upstream source changes (complements
+    ``corpus_drift_jsd``, which compares TERM distributions; PSI
+    compares a binned NUMERIC feature).
+
+    ``split_col`` is boolean/0-1: 1 = expected (baseline) snapshot,
+    0 = actual.  Values bin into ``n_bins`` fixed-width bins from
+    ``lo`` (floor((v−lo)/width)); underflow clamps to bin −1, overflow
+    to bin ``n_bins`` — rows are never silently dropped.
+
+    Exactness: bin counts are exact BIGINTs; each bin's PSI term
+    ``(p−q)·ln(p/q)`` is ONE fixed double tree over exact integers
+    ``(c_e·T_a − c_a·T_e)/(T_e·T_a) · ln((c_e·T_a)/(c_a·T_e))``,
+    rounded to the 1e-9 grid (terms are ≥ 0, so ``floor(x·1e9 + 0.5)``
+    is round-half-up); the total is the exact BIGINT nano sum over the
+    bin dim divided once by 1e9.  Bins where either snapshot is empty
+    get a NULL term and are excluded from the total (reported, never
+    smoothed away silently).
+
+    Shape at 100 TB: one map-side-combined groupBy(bin) over the scan;
+    everything after runs on the ≤ n_bins+2-row bin dim (the one
+    unpartitioned window is over that dim — the "per-dim-row-only"
+    policy).  Returns one row per occupied bin: ``bin``,
+    ``n_expected``, ``n_actual``, ``psi_term`` (DOUBLE, 1e-9 grid),
+    ``psi_total`` (DOUBLE, same on every row).
+    """
+    from pyspark.sql import Window
+    s = F.col(split_col) if isinstance(split_col, str) else split_col
+    raw = F.floor((F.col(value_col) - F.lit(float(lo)))
+                  / F.lit(float(width))).cast("long")
+    bin_ = F.least(F.greatest(raw, F.lit(-1)), F.lit(int(n_bins)))
+    per_bin = (df.select(bin_.alias("bin"), s.cast("long").alias("__e"))
+               .groupBy("bin")
+               .agg(F.sum("__e").cast("long").alias("n_expected"),
+                    F.sum(F.lit(1) - F.col("__e")).cast("long")
+                    .alias("n_actual")))
+    wt = Window.partitionBy()          # bin dim only: <= n_bins+2 rows
+    d = (per_bin
+         .withColumn("__te", F.sum("n_expected").over(wt))
+         .withColumn("__ta", F.sum("n_actual").over(wt)))
+    # one fixed IEEE double tree over exact BIGINTs (both engines parse
+    # the same shape); NULL when either side of the bin is empty
+    term = F.when(
+        (F.col("n_expected") > 0) & (F.col("n_actual") > 0),
+        (F.col("n_expected").cast("double") / F.col("__te").cast("double")
+         - F.col("n_actual").cast("double") / F.col("__ta").cast("double"))
+        * F.log((F.col("n_expected").cast("double")
+                 * F.col("__ta").cast("double"))
+                / (F.col("n_actual").cast("double")
+                   * F.col("__te").cast("double"))))
+    d = d.withColumn("__nano",
+                     F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long"))
+    d = d.withColumn("__tot", F.sum("__nano").over(wt))
+    return d.select(
+        "bin", "n_expected", "n_actual",
+        (F.col("__nano").cast("double") / F.lit(1e9)).alias("psi_term"),
+        (F.col("__tot").cast("double") / F.lit(1e9)).alias("psi_total"))
+
+
+def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
+                       tie_col: str, out_col: str = "normalized",
+                       ) -> DataFrame:
+    """Map every group's value distribution onto the GLOBAL
+    distribution by rank — quantile normalization, the cross-source
+    score calibration step before per-source quality scores can share
+    one threshold (a "0.8" from a lenient scorer and a strict one mean
+    different things; after normalization both are the global value at
+    the same quantile).
+
+    EXACT: within-group rank r (1..N_g) and global rank (1..N) are
+    deterministic BIGINTs under ``(value, tie)`` via two
+    range-partitioned :func:`ranged_cumsum` passes; the target global
+    rank is the pure-integer round-half map
+    ``(2(r−1)(N−1) + (N_g−1)) div (2(N_g−1)) + 1`` (singleton groups
+    map to the global median rank ``(N+1) div 2``), and the normalized
+    value is the input value AT that rank — joined exactly, never
+    interpolated in doubles.
+
+    Shape at 100 TB: one grouped + one global ranked pass, then ONE
+    equi-join on the integer target rank (uniform by construction —
+    every global rank is hit O(|groups|) times).  No global window.
+
+    Returns ``tie_col``, ``group_col``, ``value_col``, ``out_col``.
+    """
+    base = df.select(F.col(group_col).alias("__g"),
+                     F.col(value_col).alias("__v"),
+                     F.col(tie_col).alias("__t"))
+    n_total = base.count()
+    # global rank -> value lookup
+    glob = (_rank(base.select("__v", "__t"), "__v", "__t", "__gr")
+            .select(F.col("__gr").alias("__tgt"),
+                    F.col("__v").alias("__nv")))
+    # within-group rank + group size in one pass
+    keyed = (base.withColumn("__ord", F.struct(
+                 F.col("__v").alias("v"), F.col("__t").alias("i")))
+             .withColumn("__one", F.lit(1).cast("long")))
+    grp = ranged_cumsum(keyed, "__ord", "__one", cum_col="__r",
+                        group_cols=["__g"], total_col="__ng") \
+        .drop("__ord", "__one")
+    tgt = F.when(
+        F.col("__ng") > 1,
+        F.expr(f"(2 * (__r - 1) * ({n_total} - 1) + (__ng - 1))"
+               f" div (2 * (__ng - 1)) + 1")
+    ).otherwise(F.lit((n_total + 1) // 2).cast("long"))
+    out = (grp.withColumn("__tgt", tgt.cast("long"))
+           .join(glob, "__tgt"))
+    return out.select(F.col("__t").alias(tie_col),
+                      F.col("__g").alias(group_col),
+                      F.col("__v").alias(value_col),
+                      F.col("__nv").alias(out_col))

@@ -1904,3 +1904,154 @@ def q167(spark, sf):
         F.when(F.col("event_type") == "click", 1).otherwise(0),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0),
         max_lag=3, grain_sec=86400)
+
+
+# ---------------------------------------------------------------- q168
+# Population-stability-index drift profile (stats family,
+# operators/stats.psi_profile): view-vs-click value distributions over
+# 10 fixed bins; exact BIGINT bin counts, per-bin (p-q)ln(p/q) as one
+# fixed IEEE tree rounded to the 1e-9 grid, total as the exact nano
+# sum over the bin dim.
+@q("q168_psi_drift", sql="""
+WITH b AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 48.0) AS BIGINT),
+                        -1), 10) AS bin,
+         CAST(event_type = 'view' AS BIGINT) AS e
+  FROM events WHERE event_type IN ('view', 'click')),
+pb AS (SELECT bin, CAST(SUM(e) AS BIGINT) AS n_expected,
+              CAST(SUM(1 - e) AS BIGINT) AS n_actual
+       FROM b GROUP BY bin),
+t AS (SELECT CAST(SUM(n_expected) AS BIGINT) AS te,
+             CAST(SUM(n_actual) AS BIGINT) AS ta FROM pb),
+d AS (SELECT bin, n_expected, n_actual,
+             CASE WHEN n_expected > 0 AND n_actual > 0 THEN
+               CAST(FLOOR((CAST(n_expected AS DOUBLE) / CAST(te AS DOUBLE)
+                     - CAST(n_actual AS DOUBLE) / CAST(ta AS DOUBLE))
+                 * LN((CAST(n_expected AS DOUBLE) * CAST(ta AS DOUBLE))
+                     / (CAST(n_actual AS DOUBLE) * CAST(te AS DOUBLE)))
+                 * 1e9 + 0.5) AS BIGINT) END AS nano
+      FROM pb, t)
+SELECT bin, n_expected, n_actual,
+       CAST(nano AS DOUBLE) / 1e9 AS psi_term,
+       CAST(SUM(nano) OVER () AS DOUBLE) / 1e9 AS psi_total
+FROM d
+""")
+def q168(spark, sf):
+    from rainforest_spark.operators.stats import psi_profile
+    e = T(spark, sf, "events").filter(
+        F.col("event_type").isin("view", "click"))
+    return psi_profile(e, "value", (F.col("event_type") == "view"),
+                       lo=0.0, width=48.0, n_bins=10)
+
+
+# ---------------------------------------------------------------- q169
+# OHLC resampling (aggregates.ohlc): 6-hour bars of event values per
+# type; open/close via lexicographic struct-min/max on (epoch,
+# event_id, value), exact floor-nano mean with sign-safe round-half-
+# away-from-zero — ONE map-side-combined groupBy, no window over data.
+@q("q169_ohlc_bars", sql="""
+WITH b AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+                  event_id AS t, value AS v,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bk
+           FROM events),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY event_type, bk
+                           ORDER BY e, t, v) AS rf,
+        row_number() OVER (PARTITION BY event_type, bk
+                           ORDER BY e DESC, t DESC, v DESC) AS rl
+      FROM b),
+a AS (SELECT event_type, bk,
+             SUM(CAST(FLOOR(v * 1e9 + 0.5) AS BIGINT)) AS sn,
+             MAX(v) AS high, MIN(v) AS low,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2),
+f AS (SELECT event_type, bk, v AS open FROM r WHERE rf = 1),
+l AS (SELECT event_type, bk, v AS close FROM r WHERE rl = 1)
+SELECT a.event_type, bk * 21600 AS bucket_start, open, high, low,
+       close, n,
+       CAST((CASE WHEN sn < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(sn) + 1000 * n
+                - (2 * abs(sn) + 1000 * n) % (2000 * n))
+               // (2000 * n)) AS DOUBLE) / 1e6 AS mean_value
+FROM a JOIN f USING (event_type, bk) JOIN l USING (event_type, bk)
+""")
+def q169(spark, sf):
+    return A.ohlc(T(spark, sf, "events"), ["event_type"], "ts",
+                  "value", "event_id", bucket_sec=21600)
+
+
+# ---------------------------------------------------------------- q170
+# Cross-source quantile normalization (stats family,
+# operators/stats.quantile_normalize): per-source document lengths
+# calibrated onto the global length distribution — exact integer rank
+# mapping through two ranged passes + one rank equi-join.
+@q("q170_quantile_normalize", sql="""
+WITH b AS (SELECT source AS g, n_chars AS v, doc_id AS t
+           FROM documents),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM b),
+gl AS (SELECT t, v, row_number() OVER (ORDER BY v, t) AS gr FROM b),
+gr AS (SELECT g, v, t,
+              row_number() OVER (PARTITION BY g ORDER BY v, t) AS r,
+              COUNT(*) OVER (PARTITION BY g) AS ng
+       FROM b),
+tg AS (SELECT g, v, t,
+              CASE WHEN ng > 1 THEN
+                (2 * (r - 1) * (nt - 1) + (ng - 1))
+                  // (2 * (ng - 1)) + 1
+              ELSE (nt + 1) // 2 END AS tgt
+       FROM gr, n)
+SELECT tg.t AS doc_id, tg.g AS source, tg.v AS n_chars,
+       gl.v AS normalized
+FROM tg JOIN gl ON gl.gr = tg.tgt
+""")
+def q170(spark, sf):
+    from rainforest_spark.operators.stats import quantile_normalize
+    return quantile_normalize(T(spark, sf, "documents"),
+                              "source", "n_chars", "doc_id")
+
+
+# ---------------------------------------------------------------- q171
+# Grid-bucketed bounded-radius nearest-neighbor join (J-family
+# extension, operators/joins.nearest_site): customers to their nearest
+# supplier in a derived integer coordinate space — 9-cell replication
+# of the site dim + ONE cell equi-join, exact integer distances,
+# LEFT-join NULLs for out-of-radius points.
+@q("q171_nearest_site", sql="""
+WITH p AS (SELECT c_custkey,
+                  (c_custkey * 2654435761) % 1000000 AS px,
+                  (c_custkey * 998244353) % 1000000 AS py
+           FROM customer),
+s AS (SELECT s_suppkey,
+             (s_suppkey * 2654435761) % 1000000 AS sx,
+             (s_suppkey * 998244353) % 1000000 AS sy
+      FROM supplier),
+cand AS (SELECT p.c_custkey, s.s_suppkey,
+                (px - sx) * (px - sx) + (py - sy) * (py - sy) AS d2
+         FROM p JOIN s
+           ON abs(px // 125000 - sx // 125000) <= 1
+          AND abs(py // 125000 - sy // 125000) <= 1
+         WHERE (px - sx) * (px - sx) + (py - sy) * (py - sy)
+               <= 15625000000),
+best AS (SELECT c_custkey, s_suppkey, d2,
+                row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY d2, s_suppkey) AS rn
+         FROM cand)
+SELECT p.c_custkey, p.px, p.py, b.s_suppkey, b.d2 AS dist_sq
+FROM p LEFT JOIN (SELECT c_custkey, s_suppkey, d2 FROM best
+                  WHERE rn = 1) b USING (c_custkey)
+""")
+def q171(spark, sf):
+    pts = T(spark, sf, "customer").select(
+        "c_custkey",
+        F.pmod(F.col("c_custkey") * F.lit(2654435761), F.lit(1000000))
+        .alias("px"),
+        F.pmod(F.col("c_custkey") * F.lit(998244353), F.lit(1000000))
+        .alias("py"))
+    sites = T(spark, sf, "supplier").select(
+        "s_suppkey",
+        F.pmod(F.col("s_suppkey") * F.lit(2654435761), F.lit(1000000))
+        .alias("sx"),
+        F.pmod(F.col("s_suppkey") * F.lit(998244353), F.lit(1000000))
+        .alias("sy"))
+    return J.nearest_site(pts, sites, "px", "py", "sx", "sy",
+                          ["c_custkey"], ["s_suppkey"], cell=125000)

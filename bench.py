@@ -166,6 +166,11 @@ HEADLINE = [
     "q169_ohlc_bars",
     "q170_quantile_normalize",
     "q171_nearest_site",
+    # round-7 continued-6: the 32-term Morton interleave groupBy
+    # (whole-stage-codegen bit math throughput) and the seasonal
+    # baseline build + broadcast-back join
+    "q173_zorder_cells",
+    "q174_seasonal_anomaly",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["triangle_census"]
+__all__ = ["triangle_census", "component_census"]
 
 
 def triangle_census(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -89,3 +89,24 @@ def triangle_census(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return out.select(
         "n_nodes", "n_edges", F.col("t").alias("n_triangles"),
         "n_wedges", coeff.alias("clustering_coeff"))
+
+
+def component_census(edges: DataFrame, src: str, dst: str,
+                     max_iter: int = 25) -> DataFrame:
+    """Connected-component census of an undirected graph: per-node
+    min-id component labels (the dedup family's
+    ``neardup_clusters`` machinery on an arbitrary edge list) rolled
+    up to one row per component — ``component_id`` (the min node id),
+    ``n_nodes``.  Isolated nodes never reach the edge list and are the
+    caller's to count; the census covers every node WITH an edge.
+
+    Shape at 100 TB: O(diameter) rounds of one vertex-keyed shuffle
+    each (checkpointed lineage), then ONE map-side-combined groupBy on
+    the label.
+    """
+    from rainforest_spark.operators.dedup import neardup_clusters
+    labels = neardup_clusters(edges, src, dst, out_id="v",
+                              cluster_col="component_id",
+                              max_iter=max_iter)
+    return (labels.groupBy("component_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))

@@ -25,7 +25,7 @@ from rainforest_spark.operators.windows import ranged_cumsum
 __all__ = [
     "spearman_corr", "rank_auc", "ks_2sample", "ab_contrast",
     "rfm_segments", "last_touch_attribution", "lead_lag_corr",
-    "psi_profile", "quantile_normalize",
+    "psi_profile", "quantile_normalize", "seasonal_anomaly",
 ]
 
 
@@ -511,3 +511,59 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
                       F.col("__g").alias(group_col),
                       F.col("__v").alias(value_col),
                       F.col("__nv").alias(out_col))
+
+
+def seasonal_anomaly(df: DataFrame, key_cols: list[str], ts_col: str,
+                     value_col: str, period_sec: int, slot_sec: int,
+                     z: int = 3) -> DataFrame:
+    """Seasonal-baseline anomaly gate: each observation is compared to
+    the mean/variance of its OWN seasonal slot (hour-of-day,
+    slot-of-week, ...) — the deviation monitor for any metric with a
+    daily/weekly shape, where a global z-score (q140's rolling gate is
+    the trend-following counterpart) would flag every rush hour.
+
+    ``slot = (epoch mod period_sec) div slot_sec``.  The decision is
+    the PURE-INTEGER inequality of the rolling z-score gate
+    (``(n·x − S)²·(n−1) > z²·n·(n·Q − S²)``) over micro-quantized
+    values (``floor(v·1e6 + 0.5)``), so no FP enters the flag;
+    the reported baseline mean is the exact round-half-away-from-zero
+    micro-division.  The baseline INCLUDES the observation itself
+    (population baseline — leave-one-out would need a per-row
+    subtraction that changes nothing at seasonal-slot counts).
+
+    Bounds: micros ≤ ~5·10⁸ keep ``(n·x−S)²·(n−1)`` inside
+    DECIMAL(38,0)/HUGEINT for n ≲ 10⁶ rows per (key, slot) — beyond
+    that, coarsen ``slot_sec`` (same trade as q140's trailing window).
+
+    Shape at 100 TB: ONE map-side-combined groupBy((key, slot)) builds
+    the baseline dim (|keys|·period/slot rows), joined back broadcast/
+    equi — no window over the data, no self-join.
+    """
+    epoch = F.floor(F.col(ts_col).cast("timestamp").cast("double")) \
+        .cast("long")
+    mic = F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5)) \
+        .cast("long")
+    d = (df.withColumn("__slot", F.expr(
+            f"pmod(floor(cast(cast({ts_col} as timestamp) as double)),"
+            f" {int(period_sec)}) div {int(slot_sec)}").cast("long"))
+         .withColumn("__m", mic))
+    base = (d.groupBy(*key_cols, "__slot")
+            .agg(F.count(F.lit(1)).cast("long").alias("__n"),
+                 F.sum(F.col("__m").cast("decimal(38,0)")).alias("__s"),
+                 F.sum((F.col("__m").cast("decimal(19,0)")
+                        * F.col("__m").cast("decimal(19,0)"))
+                       .cast("decimal(38,0)")).alias("__q")))
+    j = d.join(F.broadcast(base), [*key_cols, "__slot"])
+    dev = F.col("__n") * F.col("__m").cast("decimal(38,0)") - F.col("__s")
+    lhs = dev * dev * (F.col("__n") - 1)
+    rhs = (F.lit(int(z) * int(z)) * F.col("__n")
+           * (F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")))
+    flag = F.when(F.col("__n") >= 2, lhs > rhs).otherwise(F.lit(False))
+    mean = F.expr(
+        "CAST((CASE WHEN __s < 0 THEN -1 ELSE 1 END)"
+        " * ((2 * abs(__s) + __n - pmod(2 * abs(__s) + __n, 2 * __n))"
+        "    div (2 * __n)) AS DOUBLE) / 1e6")
+    return j.select(
+        *key_cols, F.col(ts_col), F.col(value_col),
+        F.col("__slot").alias("slot"), F.col("__n").alias("slot_n"),
+        mean.alias("slot_mean"), flag.alias("is_anomaly"))

@@ -2055,3 +2055,113 @@ def q171(spark, sf):
         .alias("sy"))
     return J.nearest_site(pts, sites, "px", "py", "sx", "sy",
                           ["c_custkey"], ["s_suppkey"], cell=125000)
+
+
+# ---------------------------------------------------------------- q172
+# Connected-component census of the co-purchase graph (graph family,
+# operators/graph.component_census over the q68-proven min-label
+# propagation): component = min part id, size per component.  Oracle:
+# recursive transitive closure (the q68 pattern) + census rollup.
+@q("q172_component_census", sql="""
+WITH RECURSIVE
+ol AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+ed AS (SELECT a.i AS pa, b.i AS pb
+       FROM ol a JOIN ol b ON a.bk = b.bk AND a.i < b.i
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sym AS (SELECT pa AS src, pb AS dst FROM ed
+        UNION ALL SELECT pb, pa FROM ed),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+lab AS (SELECT src AS v, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src)
+SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM lab GROUP BY component_id
+""")
+def q172(spark, sf):
+    from rainforest_spark.operators.graph import component_census
+    ol = (T(spark, sf, "lineitem")
+          .select(F.col("l_orderkey").alias("bk"),
+                  F.col("l_partkey").alias("i")).distinct())
+    a = ol.select("bk", F.col("i").alias("pa"))
+    b = ol.select("bk", F.col("i").alias("pb"))
+    ed = (a.join(b, "bk").filter(F.col("pa") < F.col("pb"))
+          .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("n"))
+          .filter(F.col("n") >= 2))
+    return component_census(ed, "pa", "pb")
+
+
+# ---------------------------------------------------------------- q173
+# Z-order layout cells (sources/layout.zorder_key): Morton interleave
+# of (user_id low 16 bits, clamped value centi-units) — the exact
+# integer bit math behind zorder_write's clustering, hash-proven
+# cross-engine; per-256th-cell counts and z-extents.
+@q("q173_zorder_cells", sql=None)  # SQL attached below (generated)
+def q173(spark, sf):
+    from rainforest_spark.sources.layout import zorder_key
+    e = T(spark, sf, "events").select(
+        F.expr("user_id % 65536").alias("__x"),
+        F.expr("least(greatest(CAST(floor(value * 100) AS BIGINT),"
+               " 0), 65535)").alias("__y"))
+    z = zorder_key(["__x", "__y"], bits=16)
+    return (e.withColumn("__z", z)
+            .select(F.expr("__z >> 24").alias("cell"), "__z")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min("__z").alias("z_lo"), F.max("__z").alias("z_hi")))
+
+
+def _q173_sql():
+    from rainforest_spark.sources.layout import zorder_sql
+    z = zorder_sql(["__x", "__y"], bits=16)
+    return f"""
+WITH b AS (SELECT user_id % 65536 AS __x,
+                  LEAST(GREATEST(CAST(FLOOR(value * 100) AS BIGINT),
+                                 0), 65535) AS __y
+           FROM events),
+zv AS (SELECT {z} AS __z FROM b)
+SELECT __z >> 24 AS cell, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(__z) AS z_lo, MAX(__z) AS z_hi
+FROM zv GROUP BY 1
+"""
+
+
+ORACLES["q173_zorder_cells"] = _q173_sql()
+
+
+# ---------------------------------------------------------------- q174
+# Seasonal-baseline anomaly gate (stats family,
+# operators/stats.seasonal_anomaly): hour-of-day baselines per event
+# type; pure-integer z-inequality over micro-quantized values, exact
+# sign-safe baseline means, ONE groupBy + one broadcast join back.
+@q("q174_seasonal_anomaly", sql="""
+WITH b AS (SELECT event_type AS k,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ep, value AS v,
+                  (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600
+                    AS slot,
+                  CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS m
+           FROM events),
+base AS (SELECT k, slot, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(m) AS HUGEINT) AS s,
+                SUM(CAST(m AS HUGEINT) * m) AS q
+         FROM b GROUP BY 1, 2)
+SELECT b.k AS event_type, b.ep AS ts_epoch, b.v AS value, b.slot,
+       n AS slot_n,
+       CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(s) + n - (2 * abs(s) + n) % (2 * n))
+               // (2 * n)) AS DOUBLE) / 1e6 AS slot_mean,
+       CASE WHEN n >= 2 THEN
+         (n * CAST(m AS HUGEINT) - s) * (n * CAST(m AS HUGEINT) - s)
+           * (n - 1) > 9 * n * (n * q - s * s)
+       ELSE FALSE END AS is_anomaly
+FROM b JOIN base ON base.k = b.k AND base.slot = b.slot
+""")
+def q174(spark, sf):
+    from rainforest_spark.operators.stats import seasonal_anomaly
+    out = seasonal_anomaly(T(spark, sf, "events"), ["event_type"],
+                           "ts", "value", period_sec=86400,
+                           slot_sec=3600, z=3)
+    return out.select("event_type", epoch_s("ts").alias("ts_epoch"),
+                      "value", "slot", "slot_n", "slot_mean",
+                      "is_anomaly")

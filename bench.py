@@ -171,6 +171,12 @@ HEADLINE = [
     # baseline build + broadcast-back join
     "q173_zorder_cells",
     "q174_seasonal_anomaly",
+    # round-7 continued-7: the unit-keyed range-window touch collect +
+    # explode (q175), the slot-dim shifted self-join (q176) and the
+    # grouped ranged-rank band pick (q177)
+    "q175_linear_attribution",
+    "q176_seasonal_naive_error",
+    "q177_latency_bands",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle

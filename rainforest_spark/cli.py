@@ -510,6 +510,27 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_zorder(args) -> int:
+    """Rewrite a parquet table clustered on the Z-order of the given
+    integer columns (sources/layout.zorder_write) and report the
+    resulting per-column clustering overlap."""
+    from rainforest_spark.session import get_spark
+    from rainforest_spark.sources.layout import (
+        clustering_overlap, layout_report, zorder_write,
+    )
+
+    spark = get_spark("rainforest-zorder")
+    cols = args.columns.split(",")
+    df = spark.read.parquet(args.input)
+    zorder_write(df, args.output, cols, num_files=args.num_files,
+                 bits=args.bits)
+    rep = layout_report(spark, args.output, cols)
+    overlap = {c: round(clustering_overlap(rep, c), 3) for c in cols}
+    print(json.dumps({"output": args.output, "files": rep.count(),
+                      "columns": cols, "overlap": overlap}))
+    return 0
+
+
 def cmd_novelty(args) -> int:
     """Batch semantic novelty of an ingest batch vs the persisted
     corpus (embedding-space analogue of the n-gram novelty report)."""
@@ -795,6 +816,16 @@ def main(argv=None) -> int:
     cp.add_argument("--partitions", default=None,
                     help="comma-separated partition values to sweep")
     cp.set_defaults(fn=cmd_compact)
+
+    zo = sub.add_parser("zorder", help="rewrite a parquet table "
+                        "Z-order-clustered on integer columns")
+    zo.add_argument("input")
+    zo.add_argument("output")
+    zo.add_argument("-c", "--columns", required=True,
+                    help="comma-separated integer columns to interleave")
+    zo.add_argument("-n", "--num-files", type=int, default=16)
+    zo.add_argument("--bits", type=int, default=16)
+    zo.set_defaults(fn=cmd_zorder)
 
     nv = sub.add_parser("novelty", help="semantic novelty of a batch "
                         "vs the persisted corpus (embeddings)")

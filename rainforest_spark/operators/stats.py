@@ -26,6 +26,7 @@ __all__ = [
     "spearman_corr", "rank_auc", "ks_2sample", "ab_contrast",
     "rfm_segments", "last_touch_attribution", "lead_lag_corr",
     "psi_profile", "quantile_normalize", "seasonal_anomaly",
+    "linear_attribution", "seasonal_naive_error", "latency_bands",
 ]
 
 
@@ -567,3 +568,165 @@ def seasonal_anomaly(df: DataFrame, key_cols: list[str], ts_col: str,
         *key_cols, F.col(ts_col), F.col(value_col),
         F.col("__slot").alias("slot"), F.col("__n").alias("slot_n"),
         mean.alias("slot_mean"), flag.alias("is_anomaly"))
+
+
+def linear_attribution(df: DataFrame, unit_col: str, ts_col: str,
+                       tie_col: str, type_col: str, value_col: str,
+                       touch_types: list[str], conversion_type: str,
+                       lookback_sec: int) -> DataFrame:
+    """Multi-touch LINEAR attribution: each conversion's value is split
+    EQUALLY across every touch inside the lookback window (the
+    single-winner counterpart is :func:`last_touch_attribution`).
+    Conversions with no in-window touch credit ``direct`` in full.
+
+    EXACT: the conversion value quantizes to micros
+    (``floor(v·1e6 + 0.5)``); each of the k touches gets
+    ``micros div k`` and the REMAINDER goes to the earliest touch
+    (min ``(epoch, tie)`` — deterministic under same-second ties), so
+    per-channel credit sums are exact integers that reconstruct every
+    conversion exactly.
+
+    Shape at 100 TB: one unit-keyed shuffle shared by the range window
+    (``collect_list`` over ``[−lookback, −1)`` seconds — state bounded
+    by per-unit activity inside the lookback, the same bound
+    ``last_touch_attribution`` carries) and nothing else; the explode
+    fans out conversions × their touches, bounded by the same window.
+    """
+    from pyspark.sql import Window
+    epoch = F.floor(F.col(ts_col).cast("timestamp").cast("double")) \
+        .cast("long")
+    base = df.select(F.col(unit_col).alias("__u"), epoch.alias("__s"),
+                     F.col(tie_col).alias("__i"),
+                     F.col(type_col).alias("__ty"),
+                     F.col(value_col).alias("__val"))
+    touch = F.when(F.col("__ty").isin(*touch_types),
+                   F.struct(F.col("__s").alias("s"),
+                            F.col("__i").alias("i"),
+                            F.col("__ty").alias("ty")))
+    w = (Window.partitionBy("__u").orderBy("__s")
+         .rangeBetween(-int(lookback_sec), -1))
+    conv = (base.withColumn("__ts", F.collect_list(touch).over(w))
+            .filter(F.col("__ty") == conversion_type))
+    vm = F.floor(F.col("__val") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    k = F.size("__ts").cast("long")
+    conv = (conv.withColumn("__vm", vm).withColumn("__k", k)
+            .withColumn("__base", F.expr(
+                "CASE WHEN __k > 0 THEN __vm div __k ELSE 0 END"))
+            .withColumn("__rem", F.expr(
+                "CASE WHEN __k > 0 THEN __vm - __k * (__vm div __k)"
+                " ELSE 0 END"))
+            .withColumn("__first", F.array_min("__ts")))
+    credited = (conv.filter(F.col("__k") > 0)
+                .select("__u", "__vm", "__base", "__rem", "__first",
+                        F.explode("__ts").alias("__t"))
+                .select(F.col("__t.ty").alias("channel"),
+                        (F.col("__base")
+                         + F.when((F.col("__t.s") == F.col("__first.s"))
+                                  & (F.col("__t.i") == F.col("__first.i")),
+                                  F.col("__rem")).otherwise(F.lit(0)))
+                        .alias("__credit"),
+                        F.lit(0).alias("__conv")))
+    direct = (conv.filter(F.col("__k") == 0)
+              .select(F.lit("direct").alias("channel"),
+                      F.col("__vm").alias("__credit"),
+                      F.lit(1).alias("__conv")))
+    n_conv_per_channel = (conv.filter(F.col("__k") > 0)
+                          .select(F.explode("__ts").alias("__t"))
+                          .groupBy(F.col("__t.ty").alias("channel"))
+                          .agg(F.count(F.lit(1)).cast("long")
+                               .alias("n_touches")))
+    credit = (credited.unionByName(direct)
+              .groupBy("channel")
+              .agg(F.sum(F.col("__credit").cast("decimal(38,0)"))
+                   .alias("__cm"),
+                   F.sum("__conv").cast("long").alias("n_direct"))
+              .join(n_conv_per_channel, "channel", "left"))
+    return credit.select(
+        "channel",
+        F.coalesce("n_touches", F.lit(0).cast("long")).alias("n_touches"),
+        "n_direct",
+        (F.col("__cm").cast("double") / F.lit(1e6)).alias("credit"))
+
+
+def seasonal_naive_error(df: DataFrame, key_cols: list[str],
+                         ts_col: str, value_col: str, slot_sec: int,
+                         period_slots: int) -> DataFrame:
+    """Seasonal-naive forecast backtest: forecast(slot) =
+    actual(slot − period), scored with WAPE = Σ|a−f| / Σ|a| — the
+    sanity baseline every forecasting effort must beat, and the
+    cheapest drift monitor for strongly periodic volume metrics.
+
+    EXACT: per-slot actuals are micro-quantized sums
+    (``floor(v·1e6 + 0.5)`` per element, exact integer totals), the
+    self-join is on the pure-integer shifted slot index, the absolute
+    errors are exact integers, and WAPE is one round-half-up integer
+    micro-division.  Slots with no prior-period counterpart drop out
+    (scored slots only — reported via ``n_slots``).
+
+    Shape at 100 TB: ONE map-side-combined groupBy((key, slot))
+    collapses the raw rows to the slot dim; the shifted self-join and
+    the final key rollup run on that dim.  No window over data rows.
+    """
+    epoch = F.floor(F.col(ts_col).cast("timestamp").cast("double")) \
+        .cast("long")
+    mic = F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5)) \
+        .cast("long")
+    slots = (df.withColumn("__slot", F.expr(
+                f"floor(cast(cast({ts_col} as timestamp) as double))"
+                f" div {int(slot_sec)}").cast("long"))
+             .withColumn("__m", mic)
+             .groupBy(*key_cols, "__slot")
+             .agg(F.sum(F.col("__m").cast("decimal(38,0)"))
+                  .alias("__a")))
+    prior = slots.select(
+        *key_cols, (F.col("__slot") + F.lit(int(period_slots)))
+        .alias("__slot"), F.col("__a").alias("__f"))
+    j = slots.join(prior, [*key_cols, "__slot"])
+    agg = (j.groupBy(*key_cols)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_slots"),
+                F.sum(F.abs(F.col("__a") - F.col("__f"))).alias("__e"),
+                F.sum(F.abs(F.col("__a"))).alias("__t")))
+    wape = F.expr("CASE WHEN __t > 0 THEN"
+                  " CAST((2000000 * __e + __t"
+                  "       - pmod(2000000 * __e + __t, 2 * __t))"
+                  "      div (2 * __t) AS DOUBLE) / 1e6 END")
+    return agg.select(*key_cols, "n_slots", wape.alias("wape"))
+
+
+def latency_bands(df: DataFrame, group_cols: list[str], value_col: str,
+                  tie_col: str,
+                  bands: list[tuple[int, int, int]] = ((50, 100, 1),
+                                                       (95, 100, 2),
+                                                       (99, 100, 3)),
+                  ) -> DataFrame:
+    """Nearest-rank percentile bands per group (p50/p95/p99 by
+    default) — the latency/SLO dashboard rollup.  EXACT: within-group
+    ranks are deterministic BIGINTs under ``(value, tie)`` via the
+    grouped :func:`ranged_cumsum`; each band's target rank is the
+    pure-integer ``ceil(p·n) = (num·n + den − 1) div den``; the band
+    value is the input value AT that rank, picked with a conditional
+    ``max`` in the same group rollup — never interpolated.
+
+    ``bands`` entries are ``(numerator, denominator, ordinal)`` —
+    ordinals name the output columns ``p<numerator>``.
+
+    Shape at 100 TB: one grouped ranked pass + ONE groupBy.  Group
+    count is unbounded (offsets dim grows ~1 row per group); for
+    MILLIONS of tiny groups a plain grouped window is the better plan
+    — same trade documented on ranged_cumsum.
+    """
+    base = df.select(*[F.col(c) for c in group_cols],
+                     F.col(value_col).alias("__v"),
+                     F.col(tie_col).alias("__t"))
+    keyed = (base.withColumn("__ord", F.struct(
+                 F.col("__v").alias("v"), F.col("__t").alias("i")))
+             .withColumn("__one", F.lit(1).cast("long")))
+    ranked = ranged_cumsum(keyed, "__ord", "__one", cum_col="__r",
+                           group_cols=list(group_cols),
+                           total_col="__n")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for num, den, _ in bands:
+        tgt = F.expr(f"({num} * __n + {den} - 1) div {den}")
+        aggs.append(F.max(F.when(F.col("__r") == tgt, F.col("__v")))
+                    .alias(f"p{num}"))
+    return ranked.groupBy(*group_cols).agg(*aggs)

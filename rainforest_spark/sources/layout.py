@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "zorder_write", "zorder_sql"]
+__all__ = ["zorder_key", "zorder_write", "zorder_sql",
+           "layout_report", "clustering_overlap"]
 
 
 def _terms(cols: list[str], bits: int) -> list[str]:
@@ -67,3 +68,39 @@ def zorder_write(df: DataFrame, path: str, cols: list[str],
        .sortWithinPartitions("__z")
        .drop("__z")
        .write.mode("overwrite").parquet(path))
+
+
+def layout_report(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file layout statistics for a parquet directory: row count
+    and min/max extents of ``cols`` per file — the observability side
+    of :func:`zorder_write` (tight, disjoint extents = scans prune;
+    full-range extents on every file = every filter reads everything).
+
+    Shape: one column-pruned scan + a groupBy on the file-name dim.
+    """
+    df = spark.read.parquet(path).withColumn("__f", F.input_file_name())
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return df.groupBy(F.col("__f").alias("file")).agg(*aggs)
+
+
+def clustering_overlap(report: DataFrame, col: str) -> float:
+    """Average number of OTHER files whose ``[min, max]`` extent on
+    ``col`` overlaps each file's — 0 is perfect clustering (every
+    filter value hits one file), n_files−1 is no clustering at all.
+    Runs a self-join on the per-file dim (bounded: one row per file).
+    """
+    a = report.select(F.col(f"{col}_min").alias("alo"),
+                      F.col(f"{col}_max").alias("ahi"),
+                      F.col("file").alias("af"))
+    b = report.select(F.col(f"{col}_min").alias("blo"),
+                      F.col(f"{col}_max").alias("bhi"),
+                      F.col("file").alias("bf"))
+    pairs = (a.crossJoin(b)
+             .filter((F.col("af") != F.col("bf"))
+                     & (F.col("alo") <= F.col("bhi"))
+                     & (F.col("blo") <= F.col("ahi")))
+             .count())
+    n = report.count()
+    return pairs / n if n else 0.0

@@ -2165,3 +2165,102 @@ def q174(spark, sf):
     return out.select("event_type", epoch_s("ts").alias("ts_epoch"),
                       "value", "slot", "slot_n", "slot_mean",
                       "is_anomaly")
+
+
+# ---------------------------------------------------------------- q175
+# Linear multi-touch attribution (stats family,
+# operators/stats.linear_attribution): purchase value split equally
+# across click/view touches in the prior 7 days, remainder to the
+# earliest touch (exact micro reconstruction); 'direct' otherwise.
+@q("q175_linear_attribution", sql="""
+WITH b AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                  event_id AS i, event_type AS ty, value FROM events),
+conv AS (SELECT u, s, i,
+                CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS vm
+         FROM b WHERE ty = 'purchase'),
+tch AS (SELECT u, s, i, ty FROM b WHERE ty IN ('click', 'view')),
+pair AS (SELECT c.u, c.s AS cs, c.i AS ci, c.vm,
+                t.s AS es, t.i AS ei, t.ty
+         FROM conv c JOIN tch t
+           ON t.u = c.u AND t.s >= c.s - 604800 AND t.s <= c.s - 1),
+kk AS (SELECT u, cs, ci, vm, CAST(COUNT(*) AS BIGINT) AS k,
+              MIN({'s': es, 'i': ei}) AS first
+       FROM pair GROUP BY 1, 2, 3, 4),
+credited AS (SELECT p.ty AS channel,
+                    (kk.vm // kk.k)
+                    + CASE WHEN p.es = kk.first.s AND p.ei = kk.first.i
+                           THEN kk.vm - kk.k * (kk.vm // kk.k)
+                           ELSE 0 END AS credit,
+                    0 AS dc
+             FROM pair p JOIN kk
+               ON p.u = kk.u AND p.cs = kk.cs AND p.ci = kk.ci),
+direct AS (SELECT 'direct' AS channel, vm AS credit, 1 AS dc
+           FROM conv c WHERE NOT EXISTS (
+             SELECT 1 FROM tch t WHERE t.u = c.u
+               AND t.s >= c.s - 604800 AND t.s <= c.s - 1)),
+tc AS (SELECT ty AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches
+       FROM pair GROUP BY 1),
+allc AS (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+SELECT a.channel, COALESCE(tc.n_touches, 0) AS n_touches,
+       CAST(SUM(dc) AS BIGINT) AS n_direct,
+       CAST(SUM(CAST(credit AS HUGEINT)) AS DOUBLE) / 1e6 AS credit
+FROM allc a LEFT JOIN tc USING (channel)
+GROUP BY 1, 2
+""")
+def q175(spark, sf):
+    from rainforest_spark.operators.stats import linear_attribution
+    return linear_attribution(
+        T(spark, sf, "events"), "user_id", "ts", "event_id",
+        "event_type", "value", touch_types=["click", "view"],
+        conversion_type="purchase", lookback_sec=604800)
+
+
+# ---------------------------------------------------------------- q176
+# Seasonal-naive forecast backtest (stats family,
+# operators/stats.seasonal_naive_error): 6-hour volume slots per event
+# type, forecast = same slot yesterday, exact integer WAPE.
+@q("q176_seasonal_naive_error", sql="""
+WITH s AS (SELECT event_type AS k,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS slot,
+                  SUM(CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT)) AS a
+           FROM events GROUP BY 1, 2),
+j AS (SELECT cur.k, cur.a, prv.a AS f
+      FROM s cur JOIN s prv
+        ON prv.k = cur.k AND prv.slot = cur.slot - 4),
+ag AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_slots,
+              SUM(ABS(a - f)) AS e, SUM(ABS(a)) AS t
+       FROM j GROUP BY k)
+SELECT k AS event_type, n_slots,
+       CASE WHEN t > 0 THEN
+         CAST((2000000 * e + t - (2000000 * e + t) % (2 * t))
+              // (2 * t) AS DOUBLE) / 1e6 END AS wape
+FROM ag
+""")
+def q176(spark, sf):
+    from rainforest_spark.operators.stats import seasonal_naive_error
+    return seasonal_naive_error(T(spark, sf, "events"),
+                                ["event_type"], "ts", "value",
+                                slot_sec=21600, period_slots=4)
+
+
+# ---------------------------------------------------------------- q177
+# Nearest-rank latency bands (stats family,
+# operators/stats.latency_bands): p50/p95/p99 of event value per type
+# — grouped ranged rank (few huge groups), pure-integer ceil targets,
+# values picked AT the rank, never interpolated.
+@q("q177_latency_bands", sql="""
+WITH b AS (SELECT event_type AS g, value AS v, event_id AS t
+           FROM events),
+r AS (SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v, t) AS r,
+             COUNT(*) OVER (PARTITION BY g) AS n FROM b)
+SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(CASE WHEN r = (50 * n + 99) // 100 THEN v END) AS p50,
+       MAX(CASE WHEN r = (95 * n + 99) // 100 THEN v END) AS p95,
+       MAX(CASE WHEN r = (99 * n + 99) // 100 THEN v END) AS p99
+FROM r GROUP BY g
+""")
+def q177(spark, sf):
+    from rainforest_spark.operators.stats import latency_bands
+    return latency_bands(T(spark, sf, "events"), ["event_type"],
+                         "value", "event_id")

@@ -177,6 +177,10 @@ HEADLINE = [
     "q175_linear_attribution",
     "q176_seasonal_naive_error",
     "q177_latency_bands",
+    # round-7 continued-8: the skyline dim + ranged running-min +
+    # join-back (q178) and the group-dim jackknife rollup (q179)
+    "q178_pareto_frontier",
+    "q179_jackknife_mean",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle

@@ -547,11 +547,11 @@ def survival_curve(df: DataFrame, duration_col: str,
     wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     total = Window.partitionBy()
     out = (per_t
-           .withColumn("__N", F.sum("m").over(total))
+           .withColumn("__tm", F.sum("m").over(total))
            .withColumn("__gone",
                        F.coalesce(F.sum("m").over(wprev),
                                   F.lit(0).cast("long")))
-           .withColumn("n_risk", F.col("__N") - F.col("__gone"))
+           .withColumn("n_risk", F.col("__tm") - F.col("__gone"))
            .withColumn("__f", (F.col("n_risk") - F.col("d"))
                        .cast("double") / F.col("n_risk").cast("double"))
            .withColumn("__fs", F.collect_list("__f").over(w))

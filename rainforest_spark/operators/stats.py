@@ -20,13 +20,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rainforest_spark.operators.windows import ranged_cumsum
+from rainforest_spark.operators.windows import ranged_cummin, ranged_cumsum
 
 __all__ = [
     "spearman_corr", "rank_auc", "ks_2sample", "ab_contrast",
     "rfm_segments", "last_touch_attribution", "lead_lag_corr",
     "psi_profile", "quantile_normalize", "seasonal_anomaly",
     "linear_attribution", "seasonal_naive_error", "latency_bands",
+    "pareto_frontier", "jackknife_mean",
 ]
 
 
@@ -730,3 +731,84 @@ def latency_bands(df: DataFrame, group_cols: list[str], value_col: str,
         aggs.append(F.max(F.when(F.col("__r") == tgt, F.col("__v")))
                     .alias(f"p{num}"))
     return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def pareto_frontier(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D skyline: the rows NOT dominated by any other row, where q
+    dominates p iff ``q.x <= p.x AND q.y <= p.y`` with at least one
+    strict (minimize both) — the multi-objective shortlist query
+    ("smallest AND cheapest", "fastest AND most accurate").  Duplicate
+    frontier points all survive (neither dominates the other).
+
+    Distributed shape: collapse to the per-distinct-x dim (ONE
+    map-side-combined groupBy: x → min y), run the strictly-preceding
+    running min over x through :func:`ranged_cummin` (range-labeled,
+    no single-partition window), keep x's whose best y beats every
+    smaller x's best, and join the survivors back — a skyline in two
+    shuffles + one equi-join, never a self-join over the data.
+
+    EXACT: comparisons only — no arithmetic touches the values.
+    """
+    dim = df.groupBy(F.col(x_col).alias("__x")) \
+        .agg(F.min(y_col).alias("__miny"))
+    dim = ranged_cummin(dim, "__x", "__miny", cum_col="__cm",
+                        prev_col="__mp")
+    keep = (dim.filter(F.col("__mp").isNull()
+                       | (F.col("__mp") > F.col("__miny")))
+            .select("__x", "__miny"))
+    cond = (df[x_col] == F.col("__x")) & (df[y_col] == F.col("__miny"))
+    return df.join(keep, cond, "inner").drop("__x", "__miny")
+
+
+def jackknife_mean(df: DataFrame, group_col: str, value_col: str,
+                   ) -> DataFrame:
+    """Leave-one-group-out (delete-a-group jackknife) mean with its
+    standard error — the error bar a corpus-level average needs when
+    observations CLUSTER by source (independent-row SEs are too tight
+    when whole sources move together).
+
+    EXACT: per-group sums/counts are exact integers; each
+    leave-one-out mean is ONE round-half-up micro-division of
+    ``(S − s_g) / (N − n_g)``; the deviation sum of squares runs in
+    exact micro² decimals over the group dim (the per-dim-row-only
+    window policy — ≤ |groups| rows), and only the final
+    ``(G−1)·ΣD²/G³`` division and square root are doubles, rounded to
+    6dp.
+
+    Shape at 100 TB: ONE map-side-combined groupBy to the group dim;
+    everything else on that dim.  Returns one row per group:
+    ``group, n, loo_mean`` plus the same ``jk_se`` on every row.
+    """
+    from pyspark.sql import Window
+    mic = F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5)) \
+        .cast("long")
+    # internal column names must never differ only by CASE: the driver
+    # runs a vanilla (case-INSENSITIVE) session where withColumn with
+    # an upper-cased twin of an existing name silently REPLACES it
+    # (tests/test_plan_shapes.py lints the whole package for this)
+    per = (df.select(F.col(group_col).alias("grp"), mic.alias("__m"))
+           .groupBy("grp")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("__m").cast("decimal(38,0)")).alias("__s")))
+    wt = Window.partitionBy()              # group dim only
+    per = (per.withColumn("__tn", F.sum("n").over(wt))
+           .withColumn("__tsum", F.sum("__s").over(wt))
+           .withColumn("__ng", F.count(F.lit(1)).over(wt)))
+    # leave-one-out mean in micros: round-half-up of (S-s)/(N-n)
+    loo = F.expr("(2 * (__tsum - __s) + (__tn - n)"
+                 " - pmod(2 * (__tsum - __s) + (__tn - n),"
+                 " 2 * (__tn - n))) div (2 * (__tn - n))")
+    per = per.withColumn("__loo", loo.cast("decimal(38,0)"))
+    per = per.withColumn("__sl", F.sum("__loo").over(wt))
+    # deviation scaled by G to stay integer: G*loo_g - sum(loo)
+    dev = F.expr("CAST(__ng AS DECIMAL(38,0)) * __loo - __sl")
+    per = per.withColumn("__d2", (dev * dev).cast("decimal(38,0)"))
+    per = per.withColumn("__sd2", F.sum("__d2").over(wt))
+    se = F.round(F.sqrt(
+        F.col("__sd2").cast("double") * (F.col("__ng") - 1).cast("double")
+        / (F.col("__ng").cast("double") * F.col("__ng").cast("double")
+           * F.col("__ng").cast("double")) / F.lit(1e12)), 6)
+    return per.select(
+        F.col("grp").alias(group_col), "n",
+        (F.col("__loo").cast("double") / F.lit(1e6)).alias("loo_mean"),
+        se.alias("jk_se"))

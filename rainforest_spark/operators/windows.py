@@ -293,6 +293,68 @@ def ranged_cumsum(df: DataFrame, order_col: str, weight_col: str,
                     *[f"__og_{c}" for c in g])
 
 
+def ranged_cummin(df: DataFrame, order_col: str, value_col: str,
+                  cum_col: str = "__cm",
+                  prev_col: str | None = None,
+                  num_partitions: int | None = None,
+                  group_cols: list[str] | None = None) -> DataFrame:
+    """Ordered running MINIMUM without a single-partition window — the
+    min-aggregation sibling of :func:`ranged_cumsum`, sharing its
+    deterministic literal-bounds partition labels.
+
+    ``cum_col`` is ``min(value over rows with order <= this row's)``
+    (per group when ``group_cols`` is given; ties included).
+    ``prev_col`` additionally emits the strictly-preceding running min
+    (``min over rows BEFORE this one`` — the "best seen before me"
+    value skyline/frontier consumers need; NULL for the first row).
+    It requires DISTINCT order values (per group): with ties, a
+    rows-frame's notion of "before" is engine- and run-dependent —
+    collapse to a per-order-value dim first (the pareto_frontier
+    pattern), which is also what makes the semantics well defined.
+
+    Shape: identical to ranged_cumsum — one window hash exchange on
+    (__p, group), a tiny per-partition offsets dim, a broadcast join.
+    """
+    spark = df.sparkSession
+    g = list(group_cols or [])
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    key = (F.struct(*[F.col(c).alias(f"g{i}") for i, c in enumerate(g)],
+                    F.col(order_col).alias("o"))
+           if g else F.col(order_col))
+    key_type = (df.select(key.alias("__k")).schema["__k"].dataType)
+    bounds = _range_bounds(df, key, key_type, n)
+    d = df.withColumn("__p", _bsearch_partition(key, bounds, key_type))
+    wo = (Window.partitionBy(*g).orderBy("__p") if g
+          else Window.orderBy("__p"))
+    offs = (d.groupBy("__p", *g)
+            .agg(F.min(value_col).alias("__pm"))
+            .withColumn("__off", F.min("__pm").over(
+                wo.rowsBetween(Window.unboundedPreceding, -1))))
+    offs = offs.select(F.col("__p").alias("__op"),
+                       *[F.col(c).alias(f"__og_{c}") for c in g],
+                       "__off")
+    wl = (Window.partitionBy("__p", *g).orderBy(F.col(order_col))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wprev = (Window.partitionBy("__p", *g).orderBy(F.col(order_col))
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cond = F.col("__p") == F.col("__op")
+    for c in g:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__og_{c}"))
+    out = (d.join(F.broadcast(offs), cond)
+           .withColumn(cum_col, F.least(
+               F.min(value_col).over(wl),
+               F.coalesce(F.col("__off"),
+                          F.min(value_col).over(wl)))))
+    if prev_col:
+        local_prev = F.min(value_col).over(wprev)
+        out = out.withColumn(prev_col, F.when(
+            F.col("__off").isNotNull() | local_prev.isNotNull(),
+            F.least(F.coalesce(local_prev, F.col("__off")),
+                    F.coalesce(F.col("__off"), local_prev))))
+    return out.drop("__p", "__op", "__off",
+                    *[f"__og_{c}" for c in g])
+
+
 def weighted_quantile(df: DataFrame, group_cols: list[str], value_col: str,
                       weight_col: str, q: float,
                       out_col: str = "wq",

@@ -2264,3 +2264,63 @@ def q177(spark, sf):
     from rainforest_spark.operators.stats import latency_bands
     return latency_bands(T(spark, sf, "events"), ["event_type"],
                          "value", "event_id")
+
+
+# ---------------------------------------------------------------- q178
+# 2-D Pareto frontier / skyline (stats family,
+# operators/stats.pareto_frontier over windows.ranged_cummin): the
+# smallest-AND-cheapest parts — per-distinct-size min price, strictly-
+# preceding running min over size, survivors joined back.  Two
+# shuffles + one equi-join; no self-join over the data.
+@q("q178_pareto_frontier", sql="""
+WITH b AS (SELECT p_partkey, p_size, p_retailprice FROM part),
+d AS (SELECT p_size AS x, MIN(p_retailprice) AS miny
+      FROM b GROUP BY 1),
+m AS (SELECT x, miny,
+             MIN(miny) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING) AS mp
+      FROM d),
+k AS (SELECT x, miny FROM m WHERE mp IS NULL OR mp > miny)
+SELECT b.p_partkey, b.p_size, b.p_retailprice
+FROM b JOIN k ON b.p_size = k.x AND b.p_retailprice = k.miny
+""")
+def q178(spark, sf):
+    from rainforest_spark.operators.stats import pareto_frontier
+    p = T(spark, sf, "part").select("p_partkey", "p_size",
+                                    "p_retailprice")
+    return pareto_frontier(p, "p_size", "p_retailprice")
+
+
+# ---------------------------------------------------------------- q179
+# Delete-a-group jackknife mean (stats family,
+# operators/stats.jackknife_mean): corpus mean document length with a
+# cluster-robust standard error over sources; exact micro LOO means,
+# exact micro^2 deviation sums on the group dim, one double sqrt.
+@q("q179_jackknife_mean", sql="""
+WITH per AS (SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+                    SUM(CAST(FLOOR(n_chars * 1e6 + 0.5) AS HUGEINT))
+                      AS s
+             FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, SUM(s) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS g FROM per),
+loo AS (SELECT grp, n,
+               (2 * (ss - s) + (nn - n)
+                - (2 * (ss - s) + (nn - n)) % (2 * (nn - n)))
+                 // (2 * (nn - n)) AS lm, g
+        FROM per, t),
+agg AS (SELECT SUM(lm) AS sl FROM loo),
+dev AS (SELECT grp, n, lm, g,
+               (g * lm - sl) * (g * lm - sl) AS d2
+        FROM loo, agg),
+sd AS (SELECT SUM(d2) AS sd2 FROM dev)
+SELECT grp AS source, n,
+       CAST(lm AS DOUBLE) / 1e6 AS loo_mean,
+       ROUND(SQRT(CAST(sd2 AS DOUBLE) * CAST(g - 1 AS DOUBLE)
+                  / (CAST(g AS DOUBLE) * CAST(g AS DOUBLE)
+                     * CAST(g AS DOUBLE)) / 1e12), 6) AS jk_se
+FROM dev, sd
+""")
+def q179(spark, sf):
+    from rainforest_spark.operators.stats import jackknife_mean
+    return jackknife_mean(T(spark, sf, "documents"), "source",
+                          "n_chars")

@@ -395,3 +395,31 @@ def test_q125_density_binning_aggregates(spark):
     assert "CartesianProduct" not in p
     assert "HashAggregate" in p
     assert "Window" not in p
+
+
+def test_no_case_twin_internal_column_names():
+    """Source lint: no file may use two internal (``__``-prefixed)
+    column names differing only by case.  The tuned session sets
+    spark.sql.caseSensitive=true, but the DRIVER runs a vanilla
+    (case-INSENSITIVE) session where ``withColumn("__S", ...)``
+    silently REPLACES an existing ``__s`` — q179's jackknife returned
+    all-zero LOO means on the vanilla probe exactly this way."""
+    import collections
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "rainforest_spark")
+    offenders = []
+    for path in glob.glob(f"{root}/**/*.py", recursive=True):
+        with open(path) as fh:
+            names = set(re.findall(r"__[A-Za-z]\w*", fh.read()))
+        lower = collections.defaultdict(set)
+        for n in names:
+            lower[n.lower()].add(n)
+        for twins in lower.values():
+            if len(twins) > 1:
+                offenders.append((os.path.relpath(path, root),
+                                  sorted(twins)))
+    assert not offenders, offenders

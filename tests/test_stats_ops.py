@@ -342,3 +342,96 @@ def test_triangle_census_known_graphs(spark):
         .collect()[0]
     assert (row["n_triangles"], row["n_wedges"]) == (0, 10)
     assert row["clustering_coeff"] == 0.0
+
+
+# ----------------------------------------------------- ranged_cummin
+
+def test_ranged_cummin_matches_brute_force(spark):
+    from rainforest_spark.operators.windows import ranged_cummin
+    rng = random.Random(21)
+    rows = [(i, rng.randrange(10**6), rng.randrange(-500, 500))
+            for i in range(8_000)]
+    df = spark.createDataFrame(rows, "i long, o long, v long")
+    # distinct order keys for prev_col determinism: collapse first
+    dim = df.groupBy("o").agg(F.min("v").alias("v"))
+    out = {r["o"]: (r["c"], r["p"]) for r in
+           ranged_cummin(dim, "o", "v", cum_col="c", prev_col="p",
+                         num_partitions=8).collect()}
+    ref = sorted(((o, v) for o, v in
+                  ((r["o"], r["v"]) for r in dim.collect())))
+    run = None
+    for o, v in ref:
+        c, p = out[o]
+        assert p == run, o
+        run = v if run is None else min(run, v)
+        assert c == run, o
+
+
+def test_ranged_cummin_grouped(spark):
+    from rainforest_spark.operators.windows import ranged_cummin
+    rng = random.Random(22)
+    rows = [(rng.choice("ab"), i, rng.randrange(-100, 100))
+            for i in range(2_000)]
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    out = ranged_cummin(df, "o", "v", cum_col="c", group_cols=["g"],
+                        num_partitions=8).toPandas()
+    for g, grp in out.groupby("g"):
+        grp = grp.sort_values("o", ignore_index=True)
+        assert (grp["c"] == grp["v"].cummin()).all(), g
+
+
+# ---------------------------------------------------- pareto frontier
+
+def test_pareto_frontier_matches_brute_force(spark):
+    from rainforest_spark.operators.stats import pareto_frontier
+    rng = random.Random(23)
+    rows = [(i, rng.randrange(50), rng.randrange(1000))
+            for i in range(3_000)]
+    df = spark.createDataFrame(rows, "i long, x long, y long")
+    got = sorted(r["i"] for r in
+                 pareto_frontier(df, "x", "y").collect())
+    want = sorted(
+        i for i, x, y in rows
+        if not any((qx <= x and qy <= y and (qx < x or qy < y))
+                   for _, qx, qy in rows))
+    assert got == want
+
+
+def test_pareto_frontier_keeps_duplicate_points(spark):
+    from rainforest_spark.operators.stats import pareto_frontier
+    df = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 5), (3, 2, 9)], "i long, x long, y long")
+    got = sorted(r["i"] for r in
+                 pareto_frontier(df, "x", "y").collect())
+    assert got == [1, 2]   # the two equal points survive, (2,9) is
+    # dominated by (1,5)
+
+
+# ------------------------------------------------------- jackknife
+
+def test_jackknife_mean_matches_python_reference(spark):
+    from rainforest_spark.operators.stats import jackknife_mean
+    rng = random.Random(24)
+    rows = [(rng.choice("abcde"), float(rng.randrange(100, 5000)))
+            for _ in range(1_000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in
+           jackknife_mean(df, "g", "v").collect()}
+    import collections
+    by = collections.defaultdict(list)
+    for g, v in rows:
+        by[g].append(int(v * 1e6))     # values integral at 1e6 scale
+    N = sum(len(v) for v in by.values())
+    S = sum(sum(v) for v in by.values())
+    G = len(by)
+    loos = {}
+    for g, vs in by.items():
+        num, den = S - sum(vs), N - len(vs)
+        loos[g] = (2 * num + den - (2 * num + den) % (2 * den)) \
+            // (2 * den)
+    sl = sum(loos.values())
+    sd2 = sum((G * lm - sl) ** 2 for lm in loos.values())
+    se = round(math.sqrt(sd2 * (G - 1) / G ** 3 / 1e12), 6)
+    for g, lm in loos.items():
+        assert out[g]["loo_mean"] == lm / 1e6
+        assert out[g]["jk_se"] == se

@@ -181,6 +181,10 @@ HEADLINE = [
     # join-back (q178) and the group-dim jackknife rollup (q179)
     "q178_pareto_frontier",
     "q179_jackknife_mean",
+    # round-7 continued-9: the basket pair fan-out + per-item window
+    # (q180) and the match-only token explode (q181)
+    "q180_item_similarity",
+    "q181_concordance",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle

@@ -677,3 +677,55 @@ def ohlc(df: DataFrame, key_cols: list[str], ts_col: str,
         F.col("__f.v").alias("open"), F.col("high"), F.col("low"),
         F.col("__l.v").alias("close"), F.col("n"),
         mean.alias("mean_value"))
+
+
+def item_similarity_topk(df: DataFrame, basket_col: str, item_col: str,
+                         k: int = 3, min_support: int = 2,
+                         ) -> DataFrame:
+    """Item-item cosine similarity over co-occurrence counts with a
+    per-item top-k — the "customers also bought" neighborhood table
+    (the scoring step after :func:`co_occurrence`'s pair counts).
+
+    ``cos(a,b) = n_ab / sqrt(n_a · n_b)`` — counts are exact BIGINTs,
+    the product is an exact integer, the IEEE sqrt is correctly
+    rounded on every engine, and the score ROUNDS TO 6dp BEFORE
+    ranking (the q69 rule) with the neighbor id as tie-break so both
+    engines rank identically.
+
+    Scale shape: the pair build is co_occurrence's basket-keyed
+    self-equi-join; both directions union (symmetric neighborhoods);
+    the per-item top-k is a grouped window over MANY SMALL groups
+    (items), the case where a plain grouped window is the right plan.
+    """
+    from pyspark.sql import Window
+    ub = df.select(F.col(basket_col).alias("__b"),
+                   F.col(item_col).alias("__i")).distinct()
+    item_n = ub.groupBy("__i").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("__ni"))
+    a = ub.select(F.col("__b"), F.col("__i").alias("item"))
+    b = ub.select(F.col("__b"), F.col("__i").alias("neighbor"))
+    pairs = (a.join(b, "__b")
+             .filter(F.col("item") < F.col("neighbor"))
+             .groupBy("item", "neighbor")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+             .filter(F.col("n_pair") >= int(min_support)))
+    sym = pairs.unionByName(
+        pairs.select(F.col("neighbor").alias("item"),
+                     F.col("item").alias("neighbor"), "n_pair"))
+    sym = (sym
+           .join(item_n.select(F.col("__i").alias("item"),
+                               F.col("__ni").alias("n_item")), "item")
+           .join(item_n.select(F.col("__i").alias("neighbor"),
+                               F.col("__ni").alias("n_neighbor")),
+                 "neighbor"))
+    score = F.round(
+        F.col("n_pair").cast("double")
+        / F.sqrt((F.col("n_item") * F.col("n_neighbor")).cast("double")),
+        6)
+    w = Window.partitionBy("item").orderBy(F.col("cosine").desc(),
+                                           F.col("neighbor").asc())
+    out = (sym.withColumn("cosine", score)
+           .withColumn("rank", F.row_number().over(w).cast("long"))
+           .filter(F.col("rank") <= int(k)))
+    return out.select("item", "neighbor", "n_pair", "n_item",
+                      "n_neighbor", "cosine", "rank")

@@ -1472,3 +1472,44 @@ def inverted_index(df, id_col: str, text_col: str,
                   F.sum("__tf").cast("long").alias("tf_total")))
     return stats.join(top, "term").select("term", "df", "tf_total",
                                           "postings")
+
+
+def concordance(df: DataFrame, id_col: str, text_col: str, term: str,
+                context: int = 3) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance: every occurrence of
+    ``term`` in the normalized token stream with ``context`` words of
+    left/right context — the qualitative-inspection view behind every
+    "show me how this token is actually used" question a corpus
+    curator asks (and the spot-check UI for PII/decontamination hits).
+
+    EXACT: pure string/array expressions over the shared
+    ``normalized_text`` tokenization; positions are 1-based token
+    indices.
+
+    Shape at 100 TB: one scan, one posexplode bounded by matches only
+    (the token array is filtered to the term BEFORE exploding), no
+    shuffle at all until the caller aggregates.
+    """
+    words = F.split(normalized_text(text_col), " ")
+    staged = df.select(F.col(id_col), words.alias("__words"))
+    w = F.col("__words")
+    # positions (1-based) where the term occurs — explode matches only
+    pos = F.filter(
+        F.transform(F.sequence(F.lit(1), F.size(w)),
+                    lambda i: F.when(F.element_at(w, i) == term, i)
+                    .otherwise(F.lit(None))),
+        lambda x: x.isNotNull())
+    out = staged.select(F.col(id_col), w.alias("__ws"),
+                        F.explode(pos).alias("pos"))
+    c = int(context)
+    left = F.concat_ws(" ", F.slice(
+        F.col("__ws"), F.greatest(F.col("pos") - c, F.lit(1)),
+        F.least(F.lit(c), F.col("pos") - 1)))
+    right = F.concat_ws(" ", F.when(
+        F.col("pos") < F.size("__ws"),
+        F.slice(F.col("__ws"), F.col("pos") + 1,
+                F.least(F.lit(c), F.size("__ws") - F.col("pos"))))
+        .otherwise(F.array().cast("array<string>")))
+    return out.select(F.col(id_col), F.col("pos").cast("long").alias("pos"),
+                      left.alias("left_context"),
+                      right.alias("right_context"))

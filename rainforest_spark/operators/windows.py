@@ -84,7 +84,12 @@ def disaggregation_ratio(df: DataFrame, partition_cols: list[str],
         out_col, F.when(mean2 > 0, F.col(proxy_col) / mean2).otherwise(None))
 
 
-_BOUNDS_SAMPLE_MOD = 4096      # hash-sieve 1/4096 of rows for bounds
+#: hash-sieve 1/512 of rows for bounds: small enough that the
+#: TakeOrdered cap heap sees ~0.2% of a 100 TB scan, large enough that
+#: inputs >~16k rows clear the fallback threshold in ONE job (the
+#: 1/4096 sieve re-collected on every sub-512k-row input — two driver
+#: jobs per cumsum at the sf0.1 bench tier)
+_BOUNDS_SAMPLE_MOD = 512
 _BOUNDS_SAMPLE_CAP = 65536     # max sampled keys collected to driver
 
 
@@ -157,10 +162,12 @@ def _range_bounds(df: DataFrame, key: Column, key_type, n: int) -> list:
         samp = (keys.where(F.pmod(F.xxhash64(F.col("__k")),
                                   F.lit(_BOUNDS_SAMPLE_MOD)) == 0)
                 .orderBy(h2).limit(_BOUNDS_SAMPLE_CAP).collect())
-        if len(samp) < 4 * n:
-            # the 1/4096 sieve is too coarse for this input — take rows
-            # directly (only reachable when N is ~< 16k·n, so the
-            # TakeOrdered cap keeps this bounded too)
+        if len(samp) < n:
+            # the 1/512 sieve is too coarse for this input — take rows
+            # directly (only reachable when N is ~< 512·n, so the
+            # TakeOrdered cap keeps this bounded too).  Bounds only
+            # steer balance, so a thin sample is fine as long as it
+            # can cut n ranges at all.
             samp = keys.orderBy(h2).limit(_BOUNDS_SAMPLE_CAP).collect()
     finally:
         if prev is not None:

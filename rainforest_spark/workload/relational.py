@@ -2324,3 +2324,35 @@ def q179(spark, sf):
     from rainforest_spark.operators.stats import jackknife_mean
     return jackknife_mean(T(spark, sf, "documents"), "source",
                           "n_chars")
+
+
+# ---------------------------------------------------------------- q180
+# Item-item cosine neighborhoods (aggregates.item_similarity_topk):
+# "also bought" top-3 per part from co-purchase counts; score rounds
+# to 6dp BEFORE ranking (q69 rule) with the neighbor tie-break.
+@q("q180_item_similarity", sql="""
+WITH ub AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem),
+itn AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ni FROM ub GROUP BY i),
+p AS (SELECT a.i AS item, b.i AS neighbor,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM ub a JOIN ub b ON a.b = b.b AND a.i < b.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sym AS (SELECT item, neighbor, n_pair FROM p
+        UNION ALL SELECT neighbor, item, n_pair FROM p),
+sc AS (SELECT s.item, s.neighbor, s.n_pair,
+              na.ni AS n_item, nb.ni AS n_neighbor,
+              ROUND(CAST(s.n_pair AS DOUBLE)
+                    / SQRT(CAST(na.ni * nb.ni AS DOUBLE)), 6) AS cosine
+       FROM sym s JOIN itn na ON na.i = s.item
+                  JOIN itn nb ON nb.i = s.neighbor),
+r AS (SELECT *, row_number() OVER (PARTITION BY item
+                ORDER BY cosine DESC, neighbor ASC) AS rnk FROM sc)
+SELECT item, neighbor, n_pair, n_item, n_neighbor, cosine,
+       CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= 3
+""")
+def q180(spark, sf):
+    l = T(spark, sf, "lineitem")
+    return A.item_similarity_topk(l, "l_orderkey", "l_partkey",
+                                  k=3, min_support=2)

@@ -2275,3 +2275,29 @@ ORDER BY r DESC, term LIMIT 50
 def q142(spark, sf):
     return TA.textrank_keywords(T(spark, sf, "documents"),
                                 "doc_id", "text", iterations=4, k=50)
+
+
+# ---------------------------------------------------------------- q181
+# Keyword-in-context concordance (text_analysis.concordance): every
+# occurrence of 'join' with 3 words of context — match-only explode,
+# no shuffle; pure string/array expressions on the shared
+# normalization.
+@q("q181_concordance", sql="""
+WITH d AS (SELECT doc_id,
+                  string_split(regexp_replace(lower(trim(text)),
+                                              '\\s+', ' ', 'g'),
+                               ' ') AS ws
+           FROM documents),
+occ AS (SELECT doc_id, ws, i AS pos
+        FROM d, UNNEST(generate_series(1, len(ws))) AS u(i)
+        WHERE ws[i] = 'join')
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       COALESCE(array_to_string(ws[GREATEST(pos - 3, 1): pos - 1],
+                                ' '), '') AS left_context,
+       COALESCE(array_to_string(ws[pos + 1: LEAST(pos + 3, len(ws))],
+                                ' '), '') AS right_context
+FROM occ
+""")
+def q181(spark, sf):
+    return TA.concordance(T(spark, sf, "documents"), "doc_id", "text",
+                          term="join", context=3)

@@ -145,3 +145,77 @@ def test_cli_zorder_end_to_end(spark, tmp_path):
     assert rep["overlap"]["x"] < worst
     assert rep["overlap"]["y"] < worst
     assert spark.read.parquet(out).count() == 4_000
+
+
+# --------------------------------------------- item-item similarity
+
+def test_item_similarity_matches_brute_force(spark):
+    import itertools
+    import math as _m
+
+    from rainforest_spark.operators.aggregates import item_similarity_topk
+    rng = random.Random(31)
+    rows = [(b, rng.randrange(20)) for b in range(200)
+            for _ in range(rng.randrange(1, 5))]
+    df = spark.createDataFrame(rows, "b long, i long")
+    got = {(r["item"], r["rank"]): (r["neighbor"], r["cosine"])
+           for r in item_similarity_topk(df, "b", "i", k=3,
+                                         min_support=2).collect()}
+    baskets = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    ni, np_ = {}, {}
+    for items in baskets.values():
+        for i in items:
+            ni[i] = ni.get(i, 0) + 1
+        for a, b2 in itertools.combinations(sorted(items), 2):
+            np_[(a, b2)] = np_.get((a, b2), 0) + 1
+    neigh = {}
+    for (a, b2), n in np_.items():
+        if n < 2:
+            continue
+        for x, y in ((a, b2), (b2, a)):
+            c = round(n / _m.sqrt(ni[x] * ni[y]), 6)
+            neigh.setdefault(x, []).append((-c, y, n))
+    for x, lst in neigh.items():
+        lst.sort()
+        for rank, (c, y, n) in enumerate(lst[:3], start=1):
+            assert got[(x, rank)] == (y, -c), (x, rank)
+
+
+def test_item_similarity_identical_items_cosine_one(spark):
+    from rainforest_spark.operators.aggregates import item_similarity_topk
+    # items 1 and 2 co-occur in every basket they appear in
+    rows = [(b, i) for b in range(5) for i in (1, 2)]
+    df = spark.createDataFrame(rows, "b long, i long")
+    out = item_similarity_topk(df, "b", "i", k=1).collect()
+    assert all(r["cosine"] == 1.0 for r in out)
+
+
+# --------------------------------------------------- concordance
+
+def test_concordance_positions_and_context(spark):
+    from rainforest_spark.operators.text_analysis import concordance
+    df = spark.createDataFrame(
+        [(1, "a b TERM c d"), (2, "TERM x"), (3, "y TERM"),
+         (4, "no match here"), (5, "TERM")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["pos"]): (r["left_context"],
+                                     r["right_context"])
+           for r in concordance(df, "doc_id", "text", term="term",
+                                context=2).collect()}
+    assert out[(1, 3)] == ("a b", "c d")
+    assert out[(2, 1)] == ("", "x")
+    assert out[(3, 2)] == ("y", "")
+    assert out[(5, 1)] == ("", "")
+    assert (4, 1) not in out and len(out) == 4
+
+
+def test_concordance_repeated_term_all_occurrences(spark):
+    from rainforest_spark.operators.text_analysis import concordance
+    df = spark.createDataFrame([(1, "t a t b t")],
+                               "doc_id long, text string")
+    out = sorted(r["pos"] for r in
+                 concordance(df, "doc_id", "text", term="t",
+                             context=1).collect())
+    assert out == [1, 3, 5]

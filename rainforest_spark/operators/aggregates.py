@@ -652,18 +652,34 @@ def ohlc(df: DataFrame, key_cols: list[str], ts_col: str,
         .cast("long")
     b = (df.withColumn("__e", epoch)
          .withColumn("__b", F.expr(f"__e div {int(bucket_sec)}")))
+    out = b.groupBy(*key_cols, "__b").agg(*ohlc_agg_exprs(value_col,
+                                                          tie_col))
+    return out.select(
+        *key_cols,
+        (F.col("__b") * F.lit(int(bucket_sec))).alias("bucket_start"),
+        *ohlc_final_cols())
+
+
+def ohlc_agg_exprs(value_col: str, tie_col: str) -> list[Column]:
+    """The OHLC aggregate expressions (shared with the streaming
+    windowed form — streaming/analytics.ohlc_stream must aggregate
+    bit-identically to the batch operator).  Expects an ``__e`` epoch
+    column on the input."""
     first = F.min(F.struct(F.col("__e"), F.col(tie_col).alias("t"),
                            F.col(value_col).alias("v"))).alias("__f")
     last = F.max(F.struct(F.col("__e"), F.col(tie_col).alias("t"),
                           F.col(value_col).alias("v"))).alias("__l")
     nano = F.floor(F.col(value_col) * F.lit(1e9) + F.lit(0.5)) \
         .cast("decimal(38,0)")
-    out = (b.groupBy(*key_cols, "__b")
-           .agg(first, last,
-                F.max(value_col).alias("high"),
-                F.min(value_col).alias("low"),
-                F.count(F.lit(1)).cast("long").alias("n"),
-                F.sum(nano).alias("__sn")))
+    return [first, last,
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(nano).alias("__sn")]
+
+
+def ohlc_final_cols() -> list[Column]:
+    """Post-aggregation OHLC projection (shared with the stream)."""
     # micros = round-half-away-from-zero(|S| / (1000 n)) with the sign
     # reapplied — (2A + d) div (2d) is round-half-up for A >= 0
     mean = F.expr(
@@ -671,12 +687,9 @@ def ohlc(df: DataFrame, key_cols: list[str], ts_col: str,
         " * ((2 * abs(__sn) + 1000 * n"
         "     - pmod(2 * abs(__sn) + 1000 * n, 2000 * n))"
         "    div (2000 * n)) AS DOUBLE) / 1e6")
-    return out.select(
-        *key_cols,
-        (F.col("__b") * F.lit(int(bucket_sec))).alias("bucket_start"),
-        F.col("__f.v").alias("open"), F.col("high"), F.col("low"),
-        F.col("__l.v").alias("close"), F.col("n"),
-        mean.alias("mean_value"))
+    return [F.col("__f.v").alias("open"), F.col("high"), F.col("low"),
+            F.col("__l.v").alias("close"), F.col("n"),
+            mean.alias("mean_value")]
 
 
 def item_similarity_topk(df: DataFrame, basket_col: str, item_col: str,

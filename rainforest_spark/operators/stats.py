@@ -541,21 +541,50 @@ def seasonal_anomaly(df: DataFrame, key_cols: list[str], ts_col: str,
     the baseline dim (|keys|·period/slot rows), joined back broadcast/
     equi — no window over the data, no self-join.
     """
-    epoch = F.floor(F.col(ts_col).cast("timestamp").cast("double")) \
-        .cast("long")
+    d = slotted_micros(df, ts_col, value_col, period_sec, slot_sec)
+    base = seasonal_baseline(df, key_cols, ts_col, value_col,
+                             period_sec, slot_sec)
+    j = d.join(F.broadcast(base), [*key_cols, "__slot"])
+    mean, flag = anomaly_flag_cols(z)
+    return j.select(
+        *key_cols, F.col(ts_col), F.col(value_col),
+        F.col("__slot").alias("slot"), F.col("__n").alias("slot_n"),
+        mean.alias("slot_mean"), flag.alias("is_anomaly"))
+
+
+def slotted_micros(df: DataFrame, ts_col: str, value_col: str,
+                   period_sec: int, slot_sec: int) -> DataFrame:
+    """Attach the seasonal ``__slot`` index and micro-quantized ``__m``
+    value (shared between the batch gate and the streaming gate so
+    both quantize identically)."""
     mic = F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5)) \
         .cast("long")
-    d = (df.withColumn("__slot", F.expr(
-            f"pmod(floor(cast(cast({ts_col} as timestamp) as double)),"
-            f" {int(period_sec)}) div {int(slot_sec)}").cast("long"))
-         .withColumn("__m", mic))
-    base = (d.groupBy(*key_cols, "__slot")
+    return (df.withColumn("__slot", F.expr(
+                f"pmod(floor(cast(cast({ts_col} as timestamp)"
+                f" as double)), {int(period_sec)})"
+                f" div {int(slot_sec)}").cast("long"))
+            .withColumn("__m", mic))
+
+
+def seasonal_baseline(df: DataFrame, key_cols: list[str], ts_col: str,
+                      value_col: str, period_sec: int,
+                      slot_sec: int) -> DataFrame:
+    """The per-(key, slot) baseline dim (count / micro sum / micro²
+    sum) behind :func:`seasonal_anomaly` — exposed so a STREAM can
+    join the same baseline statically (streaming/analytics)."""
+    d = slotted_micros(df, ts_col, value_col, period_sec, slot_sec)
+    return (d.groupBy(*key_cols, "__slot")
             .agg(F.count(F.lit(1)).cast("long").alias("__n"),
                  F.sum(F.col("__m").cast("decimal(38,0)")).alias("__s"),
                  F.sum((F.col("__m").cast("decimal(19,0)")
                         * F.col("__m").cast("decimal(19,0)"))
                        .cast("decimal(38,0)")).alias("__q")))
-    j = d.join(F.broadcast(base), [*key_cols, "__slot"])
+
+
+def anomaly_flag_cols(z: int) -> tuple[Column, Column]:
+    """(slot-mean, is-anomaly) expressions over a row carrying
+    ``__m/__n/__s/__q`` — the pure-integer decision shared by the
+    batch and streaming gates."""
     dev = F.col("__n") * F.col("__m").cast("decimal(38,0)") - F.col("__s")
     lhs = dev * dev * (F.col("__n") - 1)
     rhs = (F.lit(int(z) * int(z)) * F.col("__n")
@@ -565,10 +594,7 @@ def seasonal_anomaly(df: DataFrame, key_cols: list[str], ts_col: str,
         "CAST((CASE WHEN __s < 0 THEN -1 ELSE 1 END)"
         " * ((2 * abs(__s) + __n - pmod(2 * abs(__s) + __n, 2 * __n))"
         "    div (2 * __n)) AS DOUBLE) / 1e6")
-    return j.select(
-        *key_cols, F.col(ts_col), F.col(value_col),
-        F.col("__slot").alias("slot"), F.col("__n").alias("slot_n"),
-        mean.alias("slot_mean"), flag.alias("is_anomaly"))
+    return mean, flag
 
 
 def linear_attribution(df: DataFrame, unit_col: str, ts_col: str,

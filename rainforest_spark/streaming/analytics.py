@@ -1,0 +1,72 @@
+"""Streaming counterparts of the analytics operators (T-family
+extensions): windowed OHLC bars and the stream-static seasonal anomaly
+gate.  Both reuse the BATCH operators' exact expression builders, so
+an availableNow pass over the same files reproduces the batch result
+bit-for-bit (the repo's batch≡stream parity discipline,
+tests/test_streaming_analytics.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ohlc_stream", "anomaly_gate_stream"]
+
+
+def ohlc_stream(stream: DataFrame, key_cols: list[str], ts_col: str,
+                value_col: str, tie_col: str, bucket_sec: int,
+                watermark: str = "1 hour") -> DataFrame:
+    """Windowed OHLC bars over a stream: tumbling ``bucket_sec``
+    windows with a watermark (append mode emits a bar once its window
+    closes).  Tumbling windows anchor at epoch 0, so the buckets are
+    IDENTICAL to the batch operator's ``epoch div bucket_sec`` and the
+    shared aggregate expressions make the numbers match bit-for-bit.
+
+    State: one open bar per (key, live window) — bounded by the
+    watermark horizon, the T3 posture.
+    """
+    from rainforest_spark.operators.aggregates import (
+        ohlc_agg_exprs, ohlc_final_cols,
+    )
+    ts = F.col(ts_col).cast("timestamp")
+    with_e = (stream
+              .withColumn("__ts", ts)
+              .withColumn("__e", F.floor(ts.cast("double")).cast("long")))
+    win = F.window("__ts", f"{int(bucket_sec)} seconds").alias("__w")
+    agg = (with_e.withWatermark("__ts", watermark)
+           .groupBy(win, *key_cols)
+           .agg(*ohlc_agg_exprs(value_col, tie_col)))
+    return agg.select(
+        *key_cols,
+        F.floor(F.col("__w.start").cast("double")).cast("long")
+        .alias("bucket_start"),
+        *ohlc_final_cols())
+
+
+def anomaly_gate_stream(stream: DataFrame, baseline: DataFrame,
+                        key_cols: list[str], ts_col: str,
+                        value_col: str, period_sec: int, slot_sec: int,
+                        z: int = 3) -> DataFrame:
+    """Stateless streaming seasonal anomaly gate: each arriving
+    observation joins its (key, slot) row of a PRECOMPUTED baseline
+    dim (``stats.seasonal_baseline`` over history) broadcast onto the
+    stream, and the same pure-integer z-inequality flags it — the T6
+    stream-static posture, no streaming state at all.
+
+    The baseline is a snapshot by design: an anomaly gate must not
+    learn from the anomalies it is flagging; refresh it by rebuilding
+    the dim batch-side and restarting the query.
+    """
+    from rainforest_spark.operators.stats import (
+        anomaly_flag_cols, slotted_micros,
+    )
+    d = slotted_micros(stream, ts_col, value_col, period_sec, slot_sec)
+    j = d.join(F.broadcast(baseline), [*key_cols, "__slot"], "left")
+    mean, flag = anomaly_flag_cols(z)
+    return j.select(
+        *key_cols, F.col(ts_col), F.col(value_col),
+        F.col("__slot").alias("slot"),
+        F.coalesce(F.col("__n"), F.lit(0).cast("long")).alias("slot_n"),
+        F.when(F.col("__n").isNotNull(), mean).alias("slot_mean"),
+        F.coalesce(F.when(F.col("__n").isNotNull(), flag),
+                   F.lit(False)).alias("is_anomaly"))

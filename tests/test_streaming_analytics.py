@@ -1,0 +1,147 @@
+"""batch ≡ stream parity for the streaming analytics operators:
+windowed OHLC bars and the stream-static seasonal anomaly gate."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+SCHEMA = "k string, ep long, i long, v double"
+
+
+def _rows(seed, n=400, horizon=4 * 86400):
+    rng = random.Random(seed)
+    return [(rng.choice("ab"), rng.randrange(horizon), i,
+             round(rng.uniform(0, 100), 3)) for i in range(n)]
+
+
+def _write_files(rows, src, parts=3):
+    os.makedirs(src, exist_ok=True)
+    per = (len(rows) + parts - 1) // parts
+    for p in range(parts):
+        chunk = rows[p * per:(p + 1) * per]
+        if chunk:
+            pd.DataFrame(chunk, columns=["k", "ep", "i", "v"]) \
+                .to_parquet(f"{src}/f{p}.parquet", index=False)
+
+
+def _with_ts(df):
+    return df.withColumn("ts", F.timestamp_seconds(F.col("ep")))
+
+
+def test_ohlc_stream_matches_batch(spark, tmp_path):
+    from rainforest_spark.operators.aggregates import ohlc
+    from rainforest_spark.streaming.analytics import ohlc_stream
+
+    rows = _rows(41)
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    _write_files(rows, src)
+    # a far-future row advances the watermark past every real window
+    _write_files([("a", 10 * 86400, 10**6, 1.0)], src + "/late", 1)
+    os.rename(src + "/late/f0.parquet", src + "/flate.parquet")
+
+    stream = _with_ts(spark.readStream.schema(SCHEMA)
+                      .option("maxFilesPerTrigger", 2).parquet(src))
+    q = (ohlc_stream(stream, ["k"], "ts", "v", "i", bucket_sec=21600)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(sink)
+    batch = ohlc(_with_ts(spark.createDataFrame(rows, SCHEMA)),
+                 ["k"], "ts", "v", "i", bucket_sec=21600)
+    g = {(r["k"], r["bucket_start"]): (r["open"], r["high"], r["low"],
+                                       r["close"], r["n"],
+                                       r["mean_value"])
+         for r in got.collect()}
+    b = {(r["k"], r["bucket_start"]): (r["open"], r["high"], r["low"],
+                                       r["close"], r["n"],
+                                       r["mean_value"])
+         for r in batch.collect()}
+    # append mode emitted every closed window; the sentinel's own
+    # window may be unemitted — compare on the batch keys
+    for key, vals in b.items():
+        if key[1] >= 10 * 86400 // 21600 * 21600:
+            continue   # the sentinel row's window
+        assert g[key] == vals, key
+
+
+def test_anomaly_gate_stream_matches_batch(spark, tmp_path):
+    from rainforest_spark.operators.stats import (
+        seasonal_anomaly, seasonal_baseline,
+    )
+    from rainforest_spark.streaming.analytics import anomaly_gate_stream
+
+    hist = _rows(42, n=600)
+    live = _rows(43, n=150)
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    _write_files(live, src)
+
+    hist_df = _with_ts(spark.createDataFrame(hist, SCHEMA))
+    base = seasonal_baseline(hist_df, ["k"], "ts", "v",
+                             period_sec=86400, slot_sec=21600)
+    stream = _with_ts(spark.readStream.schema(SCHEMA)
+                      .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (anomaly_gate_stream(stream, base, ["k"], "ts", "v",
+                             period_sec=86400, slot_sec=21600, z=3)
+         .withColumn("ep", F.floor(F.col("ts").cast("double"))
+                     .cast("long")).drop("ts")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["k"], r["ep"], r["v"]): (r["slot_n"], r["slot_mean"],
+                                       r["is_anomaly"])
+           for r in spark.read.parquet(sink).collect()}
+
+    # batch reference: gate the SAME live rows against the SAME
+    # history baseline (seasonal_anomaly self-baselines, so rebuild
+    # its join manually via the shared pieces)
+    from rainforest_spark.operators.stats import (
+        anomaly_flag_cols, slotted_micros,
+    )
+    live_df = _with_ts(spark.createDataFrame(live, SCHEMA))
+    d = slotted_micros(live_df, "ts", "v", 86400, 21600)
+    mean, flag = anomaly_flag_cols(3)
+    ref = (d.join(F.broadcast(base), ["k", "__slot"], "left")
+           .select("k", "ep", "v",
+                   F.coalesce(F.col("__n"), F.lit(0).cast("long"))
+                   .alias("n"),
+                   F.when(F.col("__n").isNotNull(), mean).alias("m"),
+                   F.coalesce(F.when(F.col("__n").isNotNull(), flag),
+                              F.lit(False)).alias("f")))
+    want = {(r["k"], r["ep"], r["v"]): (r["n"], r["m"], r["f"])
+            for r in ref.collect()}
+    assert got == want and len(got) == len(live)
+
+
+def test_anomaly_gate_stream_flags_known_spike(spark, tmp_path):
+    from rainforest_spark.operators.stats import seasonal_baseline
+    from rainforest_spark.streaming.analytics import anomaly_gate_stream
+
+    # history: tight 10.0 +/- small noise in slot 0
+    hist = [("a", 86400 * d, i, 10.0 + (i % 5) * 0.01)
+            for d, i in ((d, d) for d in range(30))]
+    live = [("a", 86400 * 40, 1000, 10.01),     # normal
+            ("a", 86400 * 41, 1001, 99.0)]      # spike
+    src, sink, ckpt = (str(tmp_path / d) for d in ("s2", "o2", "c2"))
+    _write_files(live, src, parts=1)
+    base = seasonal_baseline(
+        _with_ts(spark.createDataFrame(hist, SCHEMA)),
+        ["k"], "ts", "v", period_sec=86400, slot_sec=21600)
+    stream = _with_ts(spark.readStream.schema(SCHEMA).parquet(src))
+    q = (anomaly_gate_stream(stream, base, ["k"], "ts", "v",
+                             period_sec=86400, slot_sec=21600, z=3)
+         .withColumn("ep", F.floor(F.col("ts").cast("double"))
+                     .cast("long")).drop("ts")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r["v"]: r["is_anomaly"]
+           for r in spark.read.parquet(sink).collect()}
+    assert got == {10.01: False, 99.0: True}

@@ -531,6 +531,41 @@ def cmd_zorder(args) -> int:
     return 0
 
 
+def cmd_drift(args) -> int:
+    """Distribution drift between two parquet snapshots of a numeric
+    column: PSI over fixed bins + the two-sample KS statistic — the
+    one-command answer to "did this release shift the data?"."""
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.stats import ks_2sample, psi_profile
+    from rainforest_spark.session import get_spark
+
+    spark = get_spark("rainforest-drift")
+    a = spark.read.parquet(args.baseline).select(
+        F.col(args.column).alias("v"), F.lit(1).alias("e"))
+    b = spark.read.parquet(args.current).select(
+        F.col(args.column).alias("v"), F.lit(0).alias("e"))
+    u = a.unionByName(b)
+    lo, hi = args.lo, args.hi
+    if lo is None or hi is None:
+        mm = u.agg(F.min("v").alias("lo"), F.max("v").alias("hi")) \
+            .collect()[0]
+        lo = mm["lo"] if lo is None else lo
+        hi = mm["hi"] if hi is None else hi
+    width = (hi - lo) / args.bins if hi > lo else 1.0
+    psi = psi_profile(u, "v", (F.col("e") == 1), lo=lo, width=width,
+                      n_bins=args.bins)
+    psi_total = psi.select("psi_total").limit(1).collect()[0][0]
+    ks = ks_2sample(u, "v", (F.col("e") == 1)).collect()[0]
+    print(json.dumps({
+        "column": args.column, "bins": args.bins,
+        "lo": lo, "hi": hi,
+        "psi": psi_total,
+        "ks_d": ks["ks_d"], "ks_at": ks["ks_at"],
+        "n_baseline": ks["n_a"], "n_current": ks["n_b"]}))
+    return 0
+
+
 def cmd_novelty(args) -> int:
     """Batch semantic novelty of an ingest batch vs the persisted
     corpus (embedding-space analogue of the n-gram novelty report)."""
@@ -826,6 +861,16 @@ def main(argv=None) -> int:
     zo.add_argument("-n", "--num-files", type=int, default=16)
     zo.add_argument("--bits", type=int, default=16)
     zo.set_defaults(fn=cmd_zorder)
+
+    dr = sub.add_parser("drift", help="PSI + KS drift between two "
+                        "parquet snapshots of a numeric column")
+    dr.add_argument("baseline")
+    dr.add_argument("current")
+    dr.add_argument("-c", "--column", required=True)
+    dr.add_argument("--bins", type=int, default=10)
+    dr.add_argument("--lo", type=float, default=None)
+    dr.add_argument("--hi", type=float, default=None)
+    dr.set_defaults(fn=cmd_drift)
 
     nv = sub.add_parser("novelty", help="semantic novelty of a batch "
                         "vs the persisted corpus (embeddings)")

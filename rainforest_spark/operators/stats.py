@@ -759,31 +759,40 @@ def latency_bands(df: DataFrame, group_cols: list[str], value_col: str,
     return ranked.groupBy(*group_cols).agg(*aggs)
 
 
-def pareto_frontier(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+def pareto_frontier(df: DataFrame, x_col: str, y_col: str,
+                    group_cols: list[str] | None = None) -> DataFrame:
     """2-D skyline: the rows NOT dominated by any other row, where q
     dominates p iff ``q.x <= p.x AND q.y <= p.y`` with at least one
     strict (minimize both) — the multi-objective shortlist query
     ("smallest AND cheapest", "fastest AND most accurate").  Duplicate
-    frontier points all survive (neither dominates the other).
+    frontier points all survive (neither dominates the other).  With
+    ``group_cols`` the frontier is computed WITHIN each group (a
+    per-brand shortlist).
 
-    Distributed shape: collapse to the per-distinct-x dim (ONE
-    map-side-combined groupBy: x → min y), run the strictly-preceding
-    running min over x through :func:`ranged_cummin` (range-labeled,
-    no single-partition window), keep x's whose best y beats every
+    Distributed shape: collapse to the per-distinct-(group, x) dim
+    (ONE map-side-combined groupBy: x → min y), run the
+    strictly-preceding running min over x through
+    :func:`ranged_cummin` (range-labeled, no single-partition window;
+    grouped when group_cols is set), keep x's whose best y beats every
     smaller x's best, and join the survivors back — a skyline in two
     shuffles + one equi-join, never a self-join over the data.
 
     EXACT: comparisons only — no arithmetic touches the values.
     """
-    dim = df.groupBy(F.col(x_col).alias("__x")) \
+    g = list(group_cols or [])
+    dim = df.groupBy(*g, F.col(x_col).alias("__x")) \
         .agg(F.min(y_col).alias("__miny"))
     dim = ranged_cummin(dim, "__x", "__miny", cum_col="__cm",
-                        prev_col="__mp")
+                        prev_col="__mp", group_cols=g or None)
     keep = (dim.filter(F.col("__mp").isNull()
                        | (F.col("__mp") > F.col("__miny")))
-            .select("__x", "__miny"))
+            .select(*[F.col(c).alias(f"__kg_{c}") for c in g],
+                    "__x", "__miny"))
     cond = (df[x_col] == F.col("__x")) & (df[y_col] == F.col("__miny"))
-    return df.join(keep, cond, "inner").drop("__x", "__miny")
+    for c in g:
+        cond = cond & df[c].eqNullSafe(F.col(f"__kg_{c}"))
+    return df.join(keep, cond, "inner").drop(
+        "__x", "__miny", *[f"__kg_{c}" for c in g])
 
 
 def jackknife_mean(df: DataFrame, group_col: str, value_col: str,

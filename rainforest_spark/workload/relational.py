@@ -2356,3 +2356,29 @@ def q180(spark, sf):
     l = T(spark, sf, "lineitem")
     return A.item_similarity_topk(l, "l_orderkey", "l_partkey",
                                   k=3, min_support=2)
+
+
+# ---------------------------------------------------------------- q182
+# Grouped Pareto frontier (stats.pareto_frontier with group_cols): the
+# per-BRAND smallest-and-cheapest part shortlist — grouped
+# ranged_cummin on the distinct-(brand, size) dim.
+@q("q182_brand_frontier", sql="""
+WITH b AS (SELECT p_partkey, p_brand, p_size, p_retailprice FROM part),
+d AS (SELECT p_brand, p_size AS x, MIN(p_retailprice) AS miny
+      FROM b GROUP BY 1, 2),
+m AS (SELECT p_brand, x, miny,
+             MIN(miny) OVER (PARTITION BY p_brand ORDER BY x
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS mp
+      FROM d),
+k AS (SELECT p_brand, x, miny FROM m WHERE mp IS NULL OR mp > miny)
+SELECT b.p_partkey, b.p_brand, b.p_size, b.p_retailprice
+FROM b JOIN k ON b.p_brand = k.p_brand AND b.p_size = k.x
+             AND b.p_retailprice = k.miny
+""")
+def q182(spark, sf):
+    from rainforest_spark.operators.stats import pareto_frontier
+    p = T(spark, sf, "part").select("p_partkey", "p_brand", "p_size",
+                                    "p_retailprice")
+    return pareto_frontier(p, "p_size", "p_retailprice",
+                           group_cols=["p_brand"])

@@ -198,3 +198,41 @@ def test_nearest_site_out_of_radius_keeps_point(spark):
         _sites(spark, [(9, 900_000, 900_000)]),
         "px", "py", "sx", "sy", ["pk"], ["sk"], cell=1000).collect()
     assert len(out) == 1 and out[0]["sk"] is None
+
+
+def test_pareto_frontier_grouped_matches_per_group_brute_force(spark):
+    from rainforest_spark.operators.stats import pareto_frontier
+    rng = random.Random(33)
+    rows = [(i, rng.choice("pq"), rng.randrange(30), rng.randrange(500))
+            for i in range(1_500)]
+    df = spark.createDataFrame(rows, "i long, g string, x long, y long")
+    got = sorted(r["i"] for r in
+                 pareto_frontier(df, "x", "y",
+                                 group_cols=["g"]).collect())
+    want = sorted(
+        i for i, g, x, y in rows
+        if not any(qg == g and qx <= x and qy <= y and (qx < x or qy < y)
+                   for _, qg, qx, qy in rows))
+    assert got == want
+
+
+def test_cli_drift_end_to_end(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    rng = random.Random(14)
+    a = [(rng.gauss(50, 10),) for _ in range(2_000)]
+    b = [(rng.gauss(58, 12),) for _ in range(2_000)]
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.createDataFrame(a, "v double").write.parquet(pa)
+    spark.createDataFrame(b, "v double").write.parquet(pb)
+    r = subprocess.run(
+        [sys.executable, "-m", "rainforest_spark.cli", "drift",
+         pa, pb, "-c", "v", "--lo", "0", "--hi", "100"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["n_baseline"] == 2_000 and rep["n_current"] == 2_000
+    # a real shift: both monitors fire well above the usual alert bars
+    assert rep["psi"] > 0.1 and rep["ks_d"] > 0.1

@@ -1,0 +1,165 @@
+"""Versioned snapshot store: a minimal transaction-log table format
+(manifest-per-version over immutable parquet files — the Delta/Iceberg
+trade re-expressed with nothing but a directory of JSON manifests).
+
+Why an engine needs it at 100 TB: plain ``overwrite`` is a
+delete-then-write hole (readers see a missing or half-written table),
+concurrent writers silently clobber each other, and there is no way to
+reproduce "the table as training run X saw it".  A log of immutable
+manifests fixes all three: readers resolve ONE manifest and read the
+immutable files it lists; writers race on an atomic create of the next
+manifest (optimistic concurrency — the loser re-reads and retries);
+any past version stays readable until vacuumed.
+
+Layout::
+
+    <path>/_log/v00000001.json   {"version","parent","op","files",...}
+    <path>/data/<uuid>/part-*.parquet
+
+Manifest creation is ``os.link`` of a written temp file onto the final
+name — an atomic create-if-absent on POSIX, so two writers cannot both
+commit the same version.  Data files are written BEFORE the manifest;
+a crashed writer leaves only unreferenced files (cleaned by
+:func:`vacuum`), never a corrupt table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["commit_snapshot", "read_snapshot", "latest_version",
+           "history", "vacuum"]
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_log")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"v{version:08d}.json")
+
+
+def latest_version(path: str) -> int | None:
+    """Highest committed version, or None for an empty/absent table."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return None
+    vs = [int(f[1:9]) for f in os.listdir(d)
+          if f.startswith("v") and f.endswith(".json")]
+    return max(vs) if vs else None
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def history(path: str) -> list[dict]:
+    """All manifests, oldest first (version/op/file count/timestamp)."""
+    v = latest_version(path)
+    out = []
+    for i in range(1, (v or 0) + 1):
+        m = _read_manifest(path, i)
+        out.append({"version": m["version"], "op": m["op"],
+                    "n_files": len(m["files"]), "ts": m["ts"]})
+    return out
+
+
+def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
+                    max_retries: int = 10) -> int:
+    """Write ``df`` as the next version of the table at ``path``.
+
+    ``mode='append'`` adds the new files to the parent version's list;
+    ``mode='overwrite'`` replaces it.  Returns the committed version.
+    Concurrency: the manifest is created with an atomic
+    create-if-absent; on conflict the commit re-reads the log and
+    retries against the new parent (the data files are already written
+    and version-independent, so retries cost one hardlink attempt).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_log_dir(path), exist_ok=True)
+    data_dir = os.path.join(path, "data", uuid.uuid4().hex)
+    df.write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    for _ in range(max_retries):
+        parent = latest_version(path)
+        if mode == "append" and parent:
+            files = _read_manifest(path, parent)["files"] + new_files
+        else:
+            files = new_files
+        version = (parent or 0) + 1
+        manifest = {"version": version, "parent": parent, "op": mode,
+                    "files": files, "ts": time.time(),
+                    "schema": df.schema.json()}
+        tmp = os.path.join(_log_dir(path),
+                           f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(tmp, _manifest_path(path, version))
+            return version
+        except FileExistsError:
+            continue   # lost the race — re-read the log and retry
+        finally:
+            os.unlink(tmp)
+    raise RuntimeError(
+        f"commit_snapshot lost {max_retries} version races at {path}")
+
+
+def read_snapshot(spark: SparkSession, path: str,
+                  version: int | None = None) -> DataFrame:
+    """The table as of ``version`` (default: latest).  Reads exactly
+    the files that manifest lists — immutable, so the result is
+    reproducible forever (until vacuumed)."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    m = _read_manifest(path, v)
+    if not m["files"]:
+        from pyspark.sql.types import StructType
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*m["files"])
+
+
+def vacuum(path: str, keep_versions: int = 1) -> dict:
+    """Delete data files referenced ONLY by manifests older than the
+    newest ``keep_versions`` (plus any unreferenced crash leftovers),
+    then drop those manifests.  Returns counts.  Time travel to
+    vacuumed versions stops working — that is the point."""
+    v = latest_version(path)
+    if v is None:
+        return {"files_deleted": 0, "manifests_deleted": 0}
+    keep_from = max(1, v - keep_versions + 1)
+    live: set[str] = set()
+    for i in range(keep_from, v + 1):
+        live.update(_read_manifest(path, i)["files"])
+    deleted = 0
+    data_root = os.path.join(path, "data")
+    if os.path.isdir(data_root):
+        for sub in os.listdir(data_root):
+            subdir = os.path.join(data_root, sub)
+            for f in os.listdir(subdir):
+                full = os.path.join(subdir, f)
+                if f.endswith(".parquet") and full not in live:
+                    os.unlink(full)
+                    deleted += 1
+                elif f.startswith(("_", ".")):   # markers
+                    os.unlink(full)
+            if not os.listdir(subdir):
+                os.rmdir(subdir)
+    dropped = 0
+    for i in range(1, keep_from):
+        mp = _manifest_path(path, i)
+        if os.path.exists(mp):
+            os.unlink(mp)
+            dropped += 1
+    return {"files_deleted": deleted, "manifests_deleted": dropped}

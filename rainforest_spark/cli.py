@@ -531,6 +531,34 @@ def cmd_zorder(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Versioned snapshot store operations (sources/versioned.py):
+    commit a parquet table as the next version, show history, read a
+    version out to plain parquet, or vacuum old versions."""
+    from rainforest_spark.session import get_spark
+    from rainforest_spark.sources import versioned as V
+
+    spark = get_spark("rainforest-snapshot")
+    if args.action == "commit":
+        df = spark.read.parquet(args.input)
+        v = V.commit_snapshot(df, args.store, mode=args.mode)
+        print(json.dumps({"store": args.store, "version": v,
+                          "mode": args.mode}))
+    elif args.action == "history":
+        print(json.dumps({"store": args.store,
+                          "history": V.history(args.store)}))
+    elif args.action == "read":
+        df = V.read_snapshot(spark, args.store, version=args.version)
+        df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"store": args.store, "version": args.version
+                          or V.latest_version(args.store),
+                          "output": args.output, "rows": df.count()}))
+    elif args.action == "vacuum":
+        res = V.vacuum(args.store, keep_versions=args.keep)
+        print(json.dumps({"store": args.store, **res}))
+    return 0
+
+
 def cmd_drift(args) -> int:
     """Distribution drift between two parquet snapshots of a numeric
     column: PSI over fixed bins + the two-sample KS statistic — the
@@ -861,6 +889,19 @@ def main(argv=None) -> int:
     zo.add_argument("-n", "--num-files", type=int, default=16)
     zo.add_argument("--bits", type=int, default=16)
     zo.set_defaults(fn=cmd_zorder)
+
+    sn = sub.add_parser("snapshot", help="versioned snapshot store: "
+                        "commit/history/read/vacuum")
+    sn.add_argument("action",
+                    choices=["commit", "history", "read", "vacuum"])
+    sn.add_argument("store")
+    sn.add_argument("-i", "--input", help="parquet to commit")
+    sn.add_argument("-o", "--output", help="parquet dir for read")
+    sn.add_argument("--mode", default="append",
+                    choices=["append", "overwrite"])
+    sn.add_argument("--version", type=int, default=None)
+    sn.add_argument("--keep", type=int, default=1)
+    sn.set_defaults(fn=cmd_snapshot)
 
     dr = sub.add_parser("drift", help="PSI + KS drift between two "
                         "parquet snapshots of a numeric column")

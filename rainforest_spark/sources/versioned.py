@@ -32,8 +32,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["commit_snapshot", "read_snapshot", "latest_version",
-           "history", "vacuum"]
+__all__ = ["commit_snapshot", "read_snapshot", "read_changes",
+           "latest_version", "history", "vacuum"]
 
 
 def _log_dir(path: str) -> str:
@@ -163,3 +163,29 @@ def vacuum(path: str, keep_versions: int = 1) -> dict:
             os.unlink(mp)
             dropped += 1
     return {"files_deleted": deleted, "manifests_deleted": dropped}
+
+
+def read_changes(spark: SparkSession, path: str, from_version: int,
+                 to_version: int | None = None) -> DataFrame:
+    """Rows ADDED between two versions: the files listed by
+    ``to_version`` (default: latest) but not by ``from_version`` —
+    the change feed that lets a downstream consumer (e.g.
+    ``incremental.incremental_agg``) process exactly-once per version
+    without rescanning the table.  File identity works because data
+    files are immutable: an overwrite writes NEW files, so its rows
+    all appear as additions (removed rows are not represented — this
+    is an append-oriented feed; diff snapshots for full CDC).
+    """
+    v_to = latest_version(path) if to_version is None else to_version
+    if v_to is None or from_version > v_to:
+        raise ValueError(f"bad version range {from_version}..{v_to}")
+    new = set(_read_manifest(path, v_to)["files"])
+    old = set(_read_manifest(path, from_version)["files"]) \
+        if from_version > 0 else set()
+    added = sorted(new - old)
+    if not added:
+        from pyspark.sql.types import StructType
+        m = _read_manifest(path, v_to)
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(m["schema"])))
+    return spark.read.parquet(*added)

@@ -128,3 +128,65 @@ def test_empty_commit_reads_back_empty_with_schema(spark, tmp_path):
     commit_snapshot(_df(spark, []), p)
     out = read_snapshot(spark, p)
     assert out.count() == 0 and out.columns == ["k", "v"]
+
+
+def test_read_changes_between_versions(spark, tmp_path):
+    from rainforest_spark.sources.versioned import read_changes
+    p = str(tmp_path / "t")
+    commit_snapshot(_df(spark, [("a", 1)]), p)
+    commit_snapshot(_df(spark, [("b", 2), ("c", 3)]), p)
+    commit_snapshot(_df(spark, [("d", 4)]), p)
+    # since v1: the two later batches
+    assert sorted(r["k"] for r in
+                  read_changes(spark, p, 1).collect()) == ["b", "c", "d"]
+    # v1 -> v2 only
+    assert sorted(r["k"] for r in
+                  read_changes(spark, p, 1, 2).collect()) == ["b", "c"]
+    # since the beginning = the full table
+    assert len(read_changes(spark, p, 0).collect()) == 4
+    # no changes -> empty with schema
+    out = read_changes(spark, p, 3, 3)
+    assert out.count() == 0 and out.columns == ["k", "v"]
+    with pytest.raises(ValueError):
+        read_changes(spark, p, 5, 3)
+
+
+def test_changes_feed_drives_incremental_agg(spark, tmp_path):
+    from rainforest_spark.sources.versioned import read_changes
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    commit_snapshot(_df(spark, [("a", 1), ("a", 2)]), src)
+    incremental_agg(spark, agg, read_changes(spark, src, 0), ["k"], SPEC)
+    commit_snapshot(_df(spark, [("a", 4), ("b", 8)]), src)
+    incremental_agg(spark, agg, read_changes(spark, src, 1), ["k"], SPEC)
+    got = {r["k"]: (r["n"], float(r["sum_v"])) for r in
+           read_agg(spark, agg).collect()}
+    assert got == {"a": (3, 7.0), "b": (1, 8.0)}
+
+
+def test_cli_snapshot_round_trip(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "in")
+    _df(spark, [("a", 1), ("b", 2)]).write.parquet(src)
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "rainforest_spark.cli", *argv],
+            capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    assert run("snapshot", "commit", store, "-i", src)["version"] == 1
+    assert run("snapshot", "commit", store, "-i", src)["version"] == 2
+    hist = run("snapshot", "history", store)["history"]
+    assert [h["version"] for h in hist] == [1, 2]
+    rep = run("snapshot", "read", store, "-o", out, "--version", "1")
+    assert rep["rows"] == 2
+    assert spark.read.parquet(out).count() == 2
+    vac = run("snapshot", "vacuum", store, "--keep", "1")
+    assert vac["manifests_deleted"] == 1

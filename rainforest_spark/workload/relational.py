@@ -2382,3 +2382,59 @@ def q182(spark, sf):
                                     "p_retailprice")
     return pareto_frontier(p, "p_size", "p_retailprice",
                            group_cols=["p_brand"])
+
+
+# ---------------------------------------------------------------- q183
+# CUPED variance-reduced A/B contrast (stats.cuped_contrast): odd/even
+# user arms, purchase revenue adjusted by view-engagement covariate;
+# per-element micro quantization, exact BIGINT/HUGEINT sufficient
+# statistics, identical double trees for theta and the adjusted means.
+@q("q183_cuped_contrast", sql="""
+WITH pu AS (
+  SELECT user_id AS u, CAST(user_id % 2 AS BIGINT) AS arm,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN
+               CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN
+               CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY user_id),
+a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM pu GROUP BY arm),
+t AS (SELECT CAST(SUM(n_units) AS HUGEINT) AS tn, SUM(sy) AS tsy,
+             SUM(sx) AS tsx, SUM(sxy) AS tsxy, SUM(sxx) AS tsxx
+      FROM a),
+j AS (SELECT a.*, t.* FROM a, t),
+c AS (SELECT arm, n_units, sy, sx,
+             (tn * tsxx - tsx * tsx) != 0 AS has_var,
+             CAST(tn * tsxy - tsx * tsy AS DOUBLE)
+               / CAST(tn * tsxx - tsx * tsx AS DOUBLE) AS theta,
+             CAST(tsx AS DOUBLE) / CAST(tn AS DOUBLE) AS xbar
+      FROM j)
+SELECT arm, n_units,
+       CAST((CASE WHEN sy < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(sy) + n_units
+                - (2 * abs(sy) + n_units) % (2 * n_units))
+               // (2 * n_units)) AS DOUBLE) / 1e6 AS raw_mean,
+       ROUND(CASE WHEN has_var THEN
+               (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)
+                - theta * (CAST(sx AS DOUBLE) / CAST(n_units AS DOUBLE)
+                           - xbar)) / 1e6
+             ELSE CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE) / 1e6
+             END, 6) AS adj_mean,
+       CASE WHEN has_var THEN ROUND(theta, 6) END AS theta
+FROM c
+""")
+def q183(spark, sf):
+    from rainforest_spark.operators.stats import cuped_contrast
+    e = T(spark, sf, "events")
+    return cuped_contrast(
+        e, "user_id", (F.col("user_id") % 2),
+        F.when(F.col("event_type") == "purchase",
+               F.col("value")).otherwise(F.lit(0.0)),
+        F.when(F.col("event_type") == "view",
+               F.col("value")).otherwise(F.lit(0.0)))

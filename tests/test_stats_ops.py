@@ -435,3 +435,52 @@ def test_jackknife_mean_matches_python_reference(spark):
     for g, lm in loos.items():
         assert out[g]["loo_mean"] == lm / 1e6
         assert out[g]["jk_se"] == se
+
+
+# ------------------------------------------------------------ CUPED
+
+def test_cuped_matches_python_reference(spark):
+    from rainforest_spark.operators.stats import cuped_contrast
+    rng = random.Random(27)
+    rows = []
+    for u in range(200):
+        arm = u % 2
+        x = rng.uniform(0, 100)                      # covariate signal
+        y = 0.5 * x + rng.uniform(0, 10) + arm * 2.0
+        rows.append((u, arm, round(y, 3), round(x, 3)))
+    df = spark.createDataFrame(rows, "u long, a int, y double, x double")
+    got = {r["arm"]: r for r in
+           cuped_contrast(df, "u", "a", "y", "x").collect()}
+    ys = {u: math.floor(y * 1e6 + 0.5) for u, _, y, _ in rows}
+    xs = {u: math.floor(x * 1e6 + 0.5) for u, _, _, x in rows}
+    n = len(rows)
+    sx, sy = sum(xs.values()), sum(ys.values())
+    sxy = sum(xs[u] * ys[u] for u in xs)
+    sxx = sum(xs[u] * xs[u] for u in xs)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    xbar = sx / n
+    for arm in (0, 1):
+        us = [u for u, a, _, _ in rows if a == arm]
+        na = len(us)
+        sya = sum(ys[u] for u in us)
+        sxa = sum(xs[u] for u in us)
+        adj = round((sya / na - theta * (sxa / na - xbar)) / 1e6, 6)
+        assert got[arm]["n_units"] == na
+        assert got[arm]["adj_mean"] == adj, arm
+        assert got[arm]["theta"] == round(theta, 6)
+    # the adjustment must preserve the treatment effect direction and
+    # shrink the covariate-driven gap toward the true +2.0 lift
+    lift_adj = got[1]["adj_mean"] - got[0]["adj_mean"]
+    assert 1.0 < lift_adj < 3.0
+
+
+def test_cuped_zero_variance_covariate_falls_back(spark):
+    from rainforest_spark.operators.stats import cuped_contrast
+    rows = [(u, u % 2, float(u), 7.0) for u in range(20)]
+    df = spark.createDataFrame(rows, "u long, a int, y double, x double")
+    got = {r["arm"]: r for r in
+           cuped_contrast(df, "u", "a", "y", "x").collect()}
+    for arm in (0, 1):
+        assert got[arm]["theta"] is None
+        assert got[arm]["adj_mean"] == round(
+            sum(float(u) for u in range(arm, 20, 2)) / 10, 6)

@@ -33,7 +33,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["commit_snapshot", "read_snapshot", "read_changes",
-           "latest_version", "history", "vacuum"]
+           "latest_version", "history", "vacuum", "snapshot_sink",
+           "committed_batches"]
 
 
 def _log_dir(path: str) -> str:
@@ -127,7 +128,10 @@ def read_snapshot(spark: SparkSession, path: str,
         from pyspark.sql.types import StructType
         schema = StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*m["files"])
+    # mergeSchema: appended versions may have ADDED columns —
+    # older files surface NULLs for them (schema evolution)
+    return spark.read.option("mergeSchema", "true") \
+        .parquet(*m["files"])
 
 
 def vacuum(path: str, keep_versions: int = 1) -> dict:
@@ -189,3 +193,70 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(m["schema"])))
     return spark.read.parquet(*added)
+
+
+def committed_batches(path: str, query_key: str) -> set[int]:
+    """Streaming batch ids already committed for ``query_key``."""
+    v = latest_version(path)
+    out = set()
+    for i in range(1, (v or 0) + 1):
+        m = _read_manifest(path, i)
+        tag = m.get("stream")
+        if tag and tag.get("query") == query_key:
+            out.add(int(tag["batch_id"]))
+    return out
+
+
+def snapshot_sink(path: str, query_key: str):
+    """An EXACTLY-ONCE ``foreachBatch`` function writing a stream into
+    the snapshot store: each micro-batch appends one version tagged
+    ``(query_key, batch_id)``, and a replayed batch (restart after a
+    sink failure — Structured Streaming's at-least-once contract) is
+    detected in the log and skipped, so rows land exactly once.
+
+    The check-then-commit race is closed by the store itself: a replay
+    that loses the version race re-reads the log, sees its batch id,
+    and skips (commit_snapshot retries bump versions, never dedupe —
+    the dedupe is here, keyed on the manifest tags).
+    """
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        for _ in range(3):
+            if batch_id in committed_batches(path, query_key):
+                return
+            try:
+                _commit_tagged(batch_df, path,
+                               {"query": query_key,
+                                "batch_id": int(batch_id)})
+                return
+            except FileExistsError:
+                continue   # raced; re-check the log
+        raise RuntimeError(f"snapshot_sink could not commit batch "
+                           f"{batch_id} at {path}")
+    return write
+
+
+def _commit_tagged(df: DataFrame, path: str, stream_tag: dict) -> int:
+    """One append commit carrying a stream tag; raises FileExistsError
+    on a lost version race instead of retrying internally (the caller
+    must re-check batch dedupe before retrying)."""
+    os.makedirs(_log_dir(path), exist_ok=True)
+    data_dir = os.path.join(path, "data", uuid.uuid4().hex)
+    df.write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    parent = latest_version(path)
+    files = (_read_manifest(path, parent)["files"] + new_files
+             if parent else new_files)
+    version = (parent or 0) + 1
+    manifest = {"version": version, "parent": parent, "op": "append",
+                "files": files, "ts": time.time(),
+                "schema": df.schema.json(), "stream": stream_tag}
+    tmp = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, _manifest_path(path, version))
+        return version
+    finally:
+        os.unlink(tmp)

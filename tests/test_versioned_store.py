@@ -190,3 +190,52 @@ def test_cli_snapshot_round_trip(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2
     vac = run("snapshot", "vacuum", store, "--keep", "1")
     assert vac["manifests_deleted"] == 1
+
+
+def test_snapshot_sink_exactly_once_on_replay(spark, tmp_path):
+    from rainforest_spark.sources.versioned import (
+        committed_batches, snapshot_sink,
+    )
+    p = str(tmp_path / "t")
+    sink = snapshot_sink(p, query_key="q1")
+    sink(_df(spark, [("a", 1)]), 0)
+    sink(_df(spark, [("b", 2)]), 1)
+    sink(_df(spark, [("b", 2)]), 1)      # replayed batch: skipped
+    assert committed_batches(p, "q1") == {0, 1}
+    assert sorted(r["k"] for r in read_snapshot(spark, p).collect()) \
+        == ["a", "b"]
+    # a DIFFERENT query's batch 1 is independent
+    snapshot_sink(p, query_key="q2")(_df(spark, [("c", 3)]), 1)
+    assert sorted(r["k"] for r in read_snapshot(spark, p).collect()) \
+        == ["a", "b", "c"]
+
+
+def test_snapshot_sink_from_real_stream(spark, tmp_path):
+    import pandas as pd
+
+    from rainforest_spark.sources.versioned import snapshot_sink
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    pd.DataFrame([("a", 1), ("b", 2)], columns=["k", "v"]) \
+        .to_parquet(f"{src}/f0.parquet", index=False)
+    store = str(tmp_path / "store")
+    stream = spark.readStream.schema("k string, v long").parquet(src)
+    q = (stream.writeStream
+         .foreachBatch(snapshot_sink(store, "ingest"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(r["k"] for r in read_snapshot(spark, store).collect()) \
+        == ["a", "b"]
+
+
+def test_schema_evolution_read_merges_added_column(spark, tmp_path):
+    p = str(tmp_path / "t")
+    commit_snapshot(_df(spark, [("a", 1)]), p)
+    wide = spark.createDataFrame([("b", 2, "x")],
+                                 "k string, v long, extra string")
+    commit_snapshot(wide, p, mode="append")
+    out = {r["k"]: r["extra"] for r in read_snapshot(spark, p).collect()}
+    assert out == {"a": None, "b": "x"}
+    # the pre-evolution version still reads with the OLD schema
+    assert read_snapshot(spark, p, version=1).columns == ["k", "v"]

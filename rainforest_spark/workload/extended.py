@@ -1011,6 +1011,15 @@ def q39(spark, sf):
 
 
 # ---------------------------------------------------------------- q54
+# FROZEN-PLANE EXHIBIT — not the operator default.  The 3 planes are
+# pinned so the DuckDB oracle can inline them, which freezes bucket
+# density: candidates grow ~N²/2^planes, measured 14.9x/decade at sf1
+# (bench TIER_GUARD_EXEMPT; its 20x-linear physics guard stays on).
+# Production entry point: embedding_neardup_pairs(planes=None), which
+# auto-sizes planes from the corpus count — benched as q54_auto below,
+# sublinear per decade.  Keep this entry: it hash-proves the bucketed
+# semantics cross-engine at sf0.01.
+#
 # Embedding-cosine near-duplicate pairs (dedup family, SURVEY Phase 6)
 # via the SCALE PATH: multi-table hyperplane-LSH candidate generation
 # (equi-join on the bucket key — never a corpus cross join), then exact

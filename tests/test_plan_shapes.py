@@ -423,3 +423,25 @@ def test_no_case_twin_internal_column_names():
                 offenders.append((os.path.relpath(path, root),
                                   sorted(twins)))
     assert not offenders, offenders
+
+
+def test_rank_statistics_ride_ranged_machinery(spark):
+    # the rank-statistics family must keep the distributed __p-labeled
+    # ranked passes — a plain global window here is one task sorting
+    # the corpus at 100 TB
+    for name in ["q170_quantile_normalize", "q160_spearman_corr",
+                 "q178_pareto_frontier"]:
+        p = fmt_plan(spark, name)
+        assert "hashpartitioning(__p" in p, \
+            f"{name} lost the ranged rank/min path"
+
+
+def test_spatial_join_is_equi_join(spark):
+    # the 9-cell replication must meet points on an EQUI key (hash or
+    # broadcast-hash) — a nested-loop over the corpus is the all-pairs
+    # spatial join this operator exists to avoid
+    p = fmt_plan(spark, "q171_nearest_site")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p \
+        or "ShuffledHashJoin" in p

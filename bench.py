@@ -185,6 +185,10 @@ HEADLINE = [
     # (q180) and the match-only token explode (q181)
     "q180_item_similarity",
     "q181_concordance",
+    # round-7 continued-10: the grouped ranged running-min frontier
+    # (q182) and the unit-rollup CUPED sufficient statistics (q183)
+    "q182_brand_frontier",
+    "q183_cuped_contrast",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle

@@ -28,6 +28,7 @@ __all__ = [
     "psi_profile", "quantile_normalize", "seasonal_anomaly",
     "linear_attribution", "seasonal_naive_error", "latency_bands",
     "pareto_frontier", "jackknife_mean", "cuped_contrast",
+    "proportion_ci",
 ]
 
 
@@ -931,3 +932,40 @@ def cuped_contrast(df: DataFrame, unit_col: str, arm_col: str | Column,
                                   " / CAST(n_units AS DOUBLE) / 1e6")),
                 6).alias("adj_mean"),
         F.when(has_var, F.round(theta, 6)).alias("theta"))
+
+
+def proportion_ci(df: DataFrame, group_cols: list[str],
+                  success_col: str | Column, z: int = 2) -> DataFrame:
+    """Per-group proportion with its Wilson score interval — the error
+    bar for every "X% of rows pass the filter" claim (the Wilson form
+    stays inside [0,1] and behaves at small n and extreme p, where the
+    naive normal interval fails).
+
+    ``z`` is an INTEGER sigma multiplier (default 2 ≈ 95%) so ``z²``
+    is exact.  EXACT counts; the interval is one fixed double tree
+    over them, rounded to 6dp:
+    ``(p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)``.
+
+    Shape: ONE map-side-combined groupBy.  Returns one row per group:
+    ``*group_cols, n, k, rate, ci_lo, ci_hi``.
+    """
+    s = F.col(success_col) if isinstance(success_col, str) else success_col
+    per = (df.select(*[F.col(c) for c in group_cols],
+                     s.cast("long").alias("__s"))
+           .groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("__s").cast("long").alias("k")))
+    z2 = int(z) * int(z)
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    center = p + F.lit(float(z2)) / (F.lit(2.0) * nd)
+    half = F.lit(float(z)) * F.sqrt(
+        p * (F.lit(1.0) - p) / nd
+        + F.lit(float(z2)) / (F.lit(4.0) * nd * nd))
+    denom = F.lit(1.0) + F.lit(float(z2)) / nd
+    rate = F.expr("(2000000 * k + n - pmod(2000000 * k + n, 2 * n))"
+                  " div (2 * n)").cast("double") / F.lit(1e6)
+    return per.select(
+        *group_cols, "n", "k", rate.alias("rate"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"))

@@ -2438,3 +2438,42 @@ def q183(spark, sf):
                F.col("value")).otherwise(F.lit(0.0)),
         F.when(F.col("event_type") == "view",
                F.col("value")).otherwise(F.lit(0.0)))
+
+
+# ---------------------------------------------------------------- q184
+# Wilson proportion intervals (stats.proportion_ci): per-priority
+# fraction of finished orders with 2-sigma Wilson bounds — exact
+# counts, one fixed double tree, 6dp.
+@q("q184_wilson_ci", sql="""
+WITH per AS (SELECT o_orderpriority,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1
+                                  ELSE 0 END) AS BIGINT) AS k
+             FROM orders GROUP BY 1)
+SELECT o_orderpriority, n, k,
+       CAST((2000000 * k + n - (2000000 * k + n) % (2 * n))
+            // (2 * n) AS DOUBLE) / 1e6 AS rate,
+       ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+              + 4.0 / (2.0 * CAST(n AS DOUBLE))
+              - 2.0 * SQRT(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                           * (1.0 - CAST(k AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                           + 4.0 / (4.0 * CAST(n AS DOUBLE)
+                                    * CAST(n AS DOUBLE))))
+             / (1.0 + 4.0 / CAST(n AS DOUBLE)), 6) AS ci_lo,
+       ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+              + 4.0 / (2.0 * CAST(n AS DOUBLE))
+              + 2.0 * SQRT(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                           * (1.0 - CAST(k AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                           + 4.0 / (4.0 * CAST(n AS DOUBLE)
+                                    * CAST(n AS DOUBLE))))
+             / (1.0 + 4.0 / CAST(n AS DOUBLE)), 6) AS ci_hi
+FROM per
+""")
+def q184(spark, sf):
+    from rainforest_spark.operators.stats import proportion_ci
+    return proportion_ci(T(spark, sf, "orders"), ["o_orderpriority"],
+                         (F.col("o_orderstatus") == "F"), z=2)

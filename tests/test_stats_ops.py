@@ -484,3 +484,40 @@ def test_cuped_zero_variance_covariate_falls_back(spark):
         assert got[arm]["theta"] is None
         assert got[arm]["adj_mean"] == round(
             sum(float(u) for u in range(arm, 20, 2)) / 10, 6)
+
+
+# ------------------------------------------------------ Wilson CI
+
+def test_proportion_ci_matches_python_reference(spark):
+    from rainforest_spark.operators.stats import proportion_ci
+    rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 3 + \
+           [("b", 0)] * 1
+    df = spark.createDataFrame(rows, "g string, s int")
+    got = {r["g"]: r for r in
+           proportion_ci(df, ["g"], (F.col("s") == 1), z=2).collect()}
+
+    def wilson(k, n, z=2):
+        p = k / n
+        c = p + z * z / (2 * n)
+        h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        d = 1 + z * z / n
+        return round((c - h) / d, 6), round((c + h) / d, 6)
+
+    for g, (k, n) in {"a": (30, 100), "b": (3, 4)}.items():
+        lo, hi = wilson(k, n)
+        assert (got[g]["n"], got[g]["k"]) == (n, k)
+        assert got[g]["ci_lo"] == lo and got[g]["ci_hi"] == hi
+        assert 0.0 <= got[g]["ci_lo"] <= got[g]["rate"] \
+            <= got[g]["ci_hi"] <= 1.0
+
+
+def test_proportion_ci_extremes_stay_in_unit_interval(spark):
+    from rainforest_spark.operators.stats import proportion_ci
+    df = spark.createDataFrame(
+        [("all", 1)] * 5 + [("none", 0)] * 5, "g string, s int")
+    got = {r["g"]: r for r in
+           proportion_ci(df, ["g"], (F.col("s") == 1)).collect()}
+    assert got["all"]["rate"] == 1.0 and got["all"]["ci_hi"] <= 1.0
+    assert got["none"]["rate"] == 0.0 and got["none"]["ci_lo"] >= 0.0
+    assert got["all"]["ci_lo"] < 1.0      # the Wilson shrink
+    assert got["none"]["ci_hi"] > 0.0

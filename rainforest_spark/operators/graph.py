@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["triangle_census", "component_census"]
+__all__ = ["triangle_census", "component_census",
+           "grid_density_clusters"]
 
 
 def triangle_census(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -110,3 +111,58 @@ def component_census(edges: DataFrame, src: str, dst: str,
                               max_iter=max_iter)
     return (labels.groupBy("component_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+
+
+def grid_density_clusters(points: DataFrame, x_col: str, y_col: str,
+                          key_cols: list[str], cell: int,
+                          min_pts: int, max_iter: int = 25) -> DataFrame:
+    """Grid-density clustering (a distributed DBSCAN approximation):
+    bucket points into ``cell``-sized grid cells, keep cells with
+    ≥ ``min_pts`` points (density gate), connect 8-adjacent dense
+    cells, and label each dense-cell component with its MIN cell id —
+    points in sparse cells come back with a NULL ``cluster_id``
+    (noise), never dropped.
+
+    This is the grid-cell relaxation every distributed DBSCAN makes:
+    point-level ε-reachability degenerates to an all-pairs join, while
+    cell-level density + adjacency is two groupBys, one 9-way literal
+    explode on the DENSE-CELL dim, and O(component diameter) label
+    rounds (``neardup_clusters``).  Choose ``cell ≈ ε``; coordinates
+    are non-negative BIGINTs < 2³¹ (cell ids pack as cx·2³² + cy).
+
+    Returns ``*key_cols, x, y, cluster_id`` (min packed cell id of the
+    component; NULL = noise).
+    """
+    from rainforest_spark.operators.dedup import neardup_clusters
+    c = int(cell)
+    pts = points.select(*key_cols,
+                        F.col(x_col).alias("__x"),
+                        F.col(y_col).alias("__y"),
+                        F.expr(f"{x_col} div {c}").alias("__cx"),
+                        F.expr(f"{y_col} div {c}").alias("__cy"))
+    dense = (pts.groupBy("__cx", "__cy")
+             .agg(F.count(F.lit(1)).alias("__n"))
+             .filter(F.col("__n") >= int(min_pts))
+             .withColumn("__cid", F.expr("__cx * 4294967296 + __cy"))
+             .select("__cx", "__cy", "__cid"))
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"),
+                              F.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                     if not (dx == 0 and dy == 0)])
+    reps = (dense.withColumn("__o", F.explode(offs))
+            .select((F.col("__cx") + F.col("__o.dx")).alias("__cx"),
+                    (F.col("__cy") + F.col("__o.dy")).alias("__cy"),
+                    F.col("__cid").alias("__nid")))
+    edges = (dense.join(reps, ["__cx", "__cy"])
+             .filter(F.col("__cid") < F.col("__nid"))
+             .select("__cid", "__nid").distinct())
+    labels = neardup_clusters(edges, "__cid", "__nid",
+                              out_id="__cid", cluster_col="__lab",
+                              max_iter=max_iter)
+    # isolated dense cells have no edge — they are their own cluster
+    lab = (dense.join(labels, "__cid", "left")
+           .select("__cx", "__cy",
+                   F.coalesce("__lab", "__cid").alias("cluster_id")))
+    return (pts.join(F.broadcast(lab), ["__cx", "__cy"], "left")
+            .select(*key_cols, F.col("__x").alias(x_col),
+                    F.col("__y").alias(y_col), "cluster_id"))

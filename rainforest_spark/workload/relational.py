@@ -2477,3 +2477,47 @@ def q184(spark, sf):
     from rainforest_spark.operators.stats import proportion_ci
     return proportion_ci(T(spark, sf, "orders"), ["o_orderpriority"],
                          (F.col("o_orderstatus") == "F"), z=2)
+
+
+# ---------------------------------------------------------------- q185
+# Grid-density clustering (graph.grid_density_clusters — distributed
+# DBSCAN relaxation): derived customer coordinates, 50k cells,
+# min_pts=5; dense-cell 8-adjacency components labeled by min packed
+# cell id, sparse points NULL (noise).  Oracle: recursive CTE over the
+# dense-cell adjacency (the q68 closure pattern on the cell dim).
+@q("q185_density_clusters", sql="""
+WITH RECURSIVE
+p AS (SELECT c_custkey,
+             (c_custkey * 2654435761) % 1000000 AS px,
+             (c_custkey * 998244353) % 1000000 AS py
+      FROM customer),
+cells AS (SELECT px // 50000 AS cx, py // 50000 AS cy,
+                 COUNT(*) AS n
+          FROM p GROUP BY 1, 2),
+dense AS (SELECT cx, cy, cx * 4294967296 + cy AS cid
+          FROM cells WHERE n >= 5),
+ed AS (SELECT a.cid AS s, b.cid AS t
+       FROM dense a JOIN dense b
+         ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        AND a.cid < b.cid),
+sym AS (SELECT s, t FROM ed UNION ALL SELECT t, s FROM ed),
+reach(s, t) AS (
+  SELECT s, t FROM sym
+  UNION
+  SELECT r.s, y.t FROM reach r JOIN sym y ON r.t = y.s),
+lab AS (SELECT s AS cid, LEAST(s, MIN(t)) AS lab FROM reach GROUP BY s),
+dl AS (SELECT d.cx, d.cy, COALESCE(l.lab, d.cid) AS cluster_id
+       FROM dense d LEFT JOIN lab l ON l.cid = d.cid)
+SELECT p.c_custkey, p.px, p.py, dl.cluster_id
+FROM p LEFT JOIN dl ON dl.cx = p.px // 50000 AND dl.cy = p.py // 50000
+""")
+def q185(spark, sf):
+    from rainforest_spark.operators.graph import grid_density_clusters
+    pts = T(spark, sf, "customer").select(
+        "c_custkey",
+        F.pmod(F.col("c_custkey") * F.lit(2654435761), F.lit(1000000))
+        .alias("px"),
+        F.pmod(F.col("c_custkey") * F.lit(998244353), F.lit(1000000))
+        .alias("py"))
+    return grid_density_clusters(pts, "px", "py", ["c_custkey"],
+                                 cell=50000, min_pts=5)

@@ -521,3 +521,61 @@ def test_proportion_ci_extremes_stay_in_unit_interval(spark):
     assert got["none"]["rate"] == 0.0 and got["none"]["ci_lo"] >= 0.0
     assert got["all"]["ci_lo"] < 1.0      # the Wilson shrink
     assert got["none"]["ci_hi"] > 0.0
+
+
+# -------------------------------------------- grid-density clustering
+
+def test_grid_density_clusters_matches_union_find(spark):
+    from rainforest_spark.operators.graph import grid_density_clusters
+    rng = random.Random(37)
+    pts = [(i, rng.randrange(10**6), rng.randrange(10**6))
+           for i in range(1_200)]
+    cell, minp = 50_000, 4
+    df = spark.createDataFrame(pts, "i long, x long, y long")
+    got = {r["i"]: r["cluster_id"] for r in
+           grid_density_clusters(df, "x", "y", ["i"], cell=cell,
+                                 min_pts=minp).collect()}
+    import collections
+    cnt = collections.Counter((x // cell, y // cell) for _, x, y in pts)
+    dense = {k for k, v in cnt.items() if v >= minp}
+    par = {}
+
+    def find(a):
+        while par.setdefault(a, a) != a:
+            par[a] = par[par[a]]
+            a = par[a]
+        return a
+
+    for (cx, cy) in dense:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (cx + dx, cy + dy)
+                if nb in dense and nb != (cx, cy):
+                    ra, rb = find((cx, cy)), find(nb)
+                    if ra != rb:
+                        par[ra] = rb
+    comp = collections.defaultdict(list)
+    for k in dense:
+        comp[find(k)].append(k)
+    want_label = {}
+    for members in comp.values():
+        lab = min(cx * 4294967296 + cy for cx, cy in members)
+        for m in members:
+            want_label[m] = lab
+    for i, x, y in pts:
+        c = (x // cell, y // cell)
+        assert got[i] == want_label.get(c), (i, c)
+
+
+def test_grid_density_clusters_noise_is_null_not_dropped(spark):
+    from rainforest_spark.operators.graph import grid_density_clusters
+    # 4 points in one cell (dense at min_pts=4), 1 far-away point
+    pts = [(1, 10, 10), (2, 20, 20), (3, 30, 30), (4, 40, 40),
+           (5, 900_000, 900_000)]
+    df = spark.createDataFrame(pts, "i long, x long, y long")
+    got = {r["i"]: r["cluster_id"] for r in
+           grid_density_clusters(df, "x", "y", ["i"], cell=100,
+                                 min_pts=4).collect()}
+    assert len(got) == 5
+    assert got[5] is None
+    assert got[1] == got[2] == got[3] == got[4] == 0

@@ -28,7 +28,7 @@ __all__ = [
     "psi_profile", "quantile_normalize", "seasonal_anomaly",
     "linear_attribution", "seasonal_naive_error", "latency_bands",
     "pareto_frontier", "jackknife_mean", "cuped_contrast",
-    "proportion_ci",
+    "proportion_ci", "entropy_profile",
 ]
 
 
@@ -969,3 +969,48 @@ def proportion_ci(df: DataFrame, group_cols: list[str],
         *group_cols, "n", "k", rate.alias("rate"),
         F.round((center - half) / denom, 6).alias("ci_lo"),
         F.round((center + half) / denom, 6).alias("ci_hi"))
+
+
+def entropy_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy profile of categorical columns — the
+    one-number answer to "how concentrated is this column?" that a
+    mixture designer reads next to the Lorenz/Gini concentration
+    (``source_concentration``): H = −Σ p·ln p in nats, plus the
+    [0,1]-normalized H/ln(k) that compares columns with different
+    cardinalities.
+
+    EXACT counts; each value's term ``−(c/T)·ln(c/T)`` is one fixed
+    double tree over exact BIGINTs rounded to the 1e-9 grid (terms are
+    ≥ 0), summed as exact integers over the value dim; the normalized
+    form is one more double division rounded to 6dp (NULL for
+    single-valued columns — ln(1) = 0).
+
+    Shape at 100 TB: the columns unpivot via ``stack`` (k× the scan,
+    map-only) into ONE map-side-combined groupBy((column, value));
+    everything after runs on the value dim.  NULLs count as a real
+    category.
+    """
+    from pyspark.sql import Window
+    k = len(cols)
+    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    un = df.selectExpr(f"stack({k}, {pairs}) AS (col, val)")
+    per_v = (un.groupBy("col", "val")
+             .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    wt = Window.partitionBy("col")    # value dim per column
+    per_v = (per_v.withColumn("__t", F.sum("__c").over(wt))
+             .withColumn("__k", F.count(F.lit(1)).over(wt)))
+    term = -(F.col("__c").cast("double") / F.col("__t").cast("double")) \
+        * F.log(F.col("__c").cast("double") / F.col("__t").cast("double"))
+    per_v = per_v.withColumn(
+        "__nano", F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long"))
+    out = (per_v.groupBy("col")
+           .agg(F.max("__t").alias("n_rows"),
+                F.max("__k").cast("long").alias("n_distinct"),
+                F.sum("__nano").alias("__hn")))
+    h = F.col("__hn").cast("double") / F.lit(1e9)
+    norm = F.when(F.col("n_distinct") > 1,
+                  F.round(h / F.log(F.col("n_distinct").cast("double")),
+                          6))
+    return out.select(F.col("col").alias("column"), "n_rows",
+                      "n_distinct", h.alias("entropy_nats"),
+                      norm.alias("normalized_entropy"))

@@ -181,7 +181,7 @@ _PRIORITY = [
     "q149_mad_profile", "q150_session_paths", "q151_rolling_active",
     "q152_survival_curve", "q153_fd_violations", "q154_integrity_audit",
     "q155_benford_profile", "q156_market_basket", "q157_percentile_rank",
-    # 79 registered queries lack ANY driver CORRECTNESS row but only
+    # 80 registered queries lack ANY driver CORRECTNESS row but only
     # 50 fit; this window carries the 50 above.  Left for the round-8
     # rotation: q141_rollup_report (its ROLLUP machinery is driver-
     # verified via q60), q158/q159 (cadence gaps, inverted index),
@@ -192,7 +192,8 @@ _PRIORITY = [
     # q175-q177 (linear attribution, naive forecast, bands),
     # q178/q179 (pareto frontier, jackknife), q180/q181 (item
     # similarity, concordance), q182 (brand frontier), q183 (CUPED)
-    # q184 (Wilson intervals) and q185 (density clusters) — all
+    # q184 (Wilson intervals), q185 (density clusters) and q186
+    # (entropy profile) — all
     # exact-parity-gated via tests/test_oracle_parity.py.  The
     # r6-green keepers rotated out (q54_auto, q87, q89, q95, q97,
     # q101, q102, q106, q53_prepare_input, q61, q66, q34, q45) also

@@ -2521,3 +2521,36 @@ def q185(spark, sf):
         .alias("py"))
     return grid_density_clusters(pts, "px", "py", ["c_custkey"],
                                  cell=50000, min_pts=5)
+
+
+# ---------------------------------------------------------------- q186
+# Column entropy profile (stats.entropy_profile): concentration of the
+# documents lang/source columns in one stack-unpivoted pass; exact
+# counts, 1e-9-grid −p·ln p terms summed as integers on the value dim.
+@q("q186_entropy_profile", sql="""
+WITH un AS (
+  SELECT 'lang' AS col, CAST(lang AS VARCHAR) AS val FROM documents
+  UNION ALL
+  SELECT 'source', CAST(source AS VARCHAR) FROM documents),
+pv AS (SELECT col, val, CAST(COUNT(*) AS BIGINT) AS c
+       FROM un GROUP BY 1, 2),
+t AS (SELECT col, CAST(SUM(c) AS BIGINT) AS tt,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM pv GROUP BY col),
+d AS (SELECT pv.col, c, tt, k,
+             CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(tt AS DOUBLE))
+                        * LN(CAST(c AS DOUBLE) / CAST(tt AS DOUBLE))
+                        * 1e9 + 0.5) AS BIGINT) AS nano
+      FROM pv JOIN t ON t.col = pv.col)
+SELECT col AS "column", MAX(tt) AS n_rows, MAX(k) AS n_distinct,
+       CAST(SUM(nano) AS DOUBLE) / 1e9 AS entropy_nats,
+       CASE WHEN MAX(k) > 1 THEN
+         ROUND((CAST(SUM(nano) AS DOUBLE) / 1e9)
+               / LN(CAST(MAX(k) AS DOUBLE)), 6) END
+         AS normalized_entropy
+FROM d GROUP BY col
+""")
+def q186(spark, sf):
+    from rainforest_spark.operators.stats import entropy_profile
+    return entropy_profile(T(spark, sf, "documents"),
+                           ["lang", "source"])

@@ -579,3 +579,38 @@ def test_grid_density_clusters_noise_is_null_not_dropped(spark):
     assert len(got) == 5
     assert got[5] is None
     assert got[1] == got[2] == got[3] == got[4] == 0
+
+
+# ----------------------------------------------------- entropy profile
+
+def test_entropy_profile_matches_python_reference(spark):
+    from rainforest_spark.operators.stats import entropy_profile
+    rng = random.Random(41)
+    rows = [(rng.choice("abc"), rng.choice(["x", "y", "y", "z", None]))
+            for _ in range(600)]
+    df = spark.createDataFrame(rows, "g string, h string")
+    got = {r["column"]: r for r in
+           entropy_profile(df, ["g", "h"]).collect()}
+    import collections
+    for col, idx in (("g", 0), ("h", 1)):
+        cnt = collections.Counter(str(r[idx]) if r[idx] is not None
+                                  else None for r in rows)
+        t = sum(cnt.values())
+        nanos = sum(math.floor(-(c / t) * math.log(c / t) * 1e9 + 0.5)
+                    for c in cnt.values())
+        assert got[col]["n_rows"] == t
+        assert got[col]["n_distinct"] == len(cnt)
+        assert got[col]["entropy_nats"] == nanos / 1e9
+        assert got[col]["normalized_entropy"] == round(
+            (nanos / 1e9) / math.log(len(cnt)), 6)
+
+
+def test_entropy_profile_uniform_is_one_constant_is_zero(spark):
+    from rainforest_spark.operators.stats import entropy_profile
+    rows = [(str(i % 4), "same") for i in range(400)]
+    df = spark.createDataFrame(rows, "u string, c string")
+    got = {r["column"]: r for r in
+           entropy_profile(df, ["u", "c"]).collect()}
+    assert got["u"]["normalized_entropy"] == 1.0
+    assert got["c"]["entropy_nats"] == 0.0
+    assert got["c"]["normalized_entropy"] is None

@@ -108,6 +108,47 @@ _MODULES = [relational, text, vectors, extended]
 #: first; long-proven trivial entries are demoted past slot 50 (they
 #: remain fully covered by tests/test_oracle_parity.py).
 _PRIORITY = [
+    # =================== ROUND-8 GATE WINDOW (50) ===================
+    # Composition: the 30 queries with NO driver CORRECTNESS row ever
+    # (q141 + q158-q186 — the round-7 analytics family; VERDICT r7
+    # "Next round" #1) first, then 20 r7-green keepers chosen so every
+    # demoted operator family keeps a hash-gated representative AND the
+    # round-8 ranged_cumsum rewrite's consumers stay in-window (q108,
+    # q110, q112, q116, q126, q132 + incoming q160/q164/q170/q178).
+    # Every demoted query stays exact-parity-gated via
+    # tests/test_oracle_parity.py (the full local replica of the
+    # driver gate; 188/188 green).
+    #
+    # --- never driver-checked (30) ---
+    "q141_rollup_report", "q158_cadence_gaps", "q159_inverted_index",
+    "q160_spearman_corr", "q161_auc_contrast", "q162_ks_statistic",
+    "q163_ab_contrast", "q164_rfm_segments", "q165_attribution",
+    "q166_triangle_census", "q167_lead_lag", "q168_psi_drift",
+    "q169_ohlc_bars", "q170_quantile_normalize", "q171_nearest_site",
+    "q172_component_census", "q173_zorder_cells", "q174_seasonal_anomaly",
+    "q175_linear_attribution", "q176_seasonal_naive_error",
+    "q177_latency_bands", "q178_pareto_frontier", "q179_jackknife_mean",
+    "q180_item_similarity", "q181_concordance", "q182_brand_frontier",
+    "q183_cuped_contrast", "q184_wilson_ci", "q185_density_clusters",
+    "q186_entropy_profile",
+    # --- keepers (20, all r7-green): bucketed radar path, ranged-rank
+    # + OLS, sampling, multimodal codec, ordered interleave, packing,
+    # contamination matrix, stratified mixture, embedding cohesion /
+    # containment / novelty, grouped ranked quality + perplexity,
+    # BM25 + RRF retrieval, temperature quotas, paragraph dedup,
+    # interval join, SCD-2, blocked fuzzy match ---
+    "q53_bucketed_prepare", "q108_zipf_fit", "q110_weighted_sample",
+    "q111_audio_fingerprint", "q112_interleave", "q116_length_batches",
+    "q119_source_overlap", "q121_stratified_sample",
+    "q122_label_cohesion", "q123_containment_pairs",
+    "q124_embedding_novelty", "q126_perplexity_buckets", "q127_bm25_topk",
+    "q131_temperature_mixture", "q132_relative_quality", "q133_hybrid_rrf",
+    "q134_paragraph_dedup", "q139_interval_join", "q143_scd2_intervals",
+    "q144_fuzzy_match",
+]
+
+#: The ROUND-7 window this one replaced, kept for the rotation record:
+_PRIORITY_R7 = [
     # =================== ROUND-7 GATE WINDOW (50) ===================
     # Composition: 12 never-driver-checked entries first, then 12
     # stale re-checks (latest green row r2-r4 — the driver regenerates

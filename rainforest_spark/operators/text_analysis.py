@@ -1419,11 +1419,19 @@ def textrank_keywords(df, id_col: str, text_col: str,
                  .agg((F.lit(150_000_000)
                        + F.sum(contrib)).cast("long").alias("r"))
                  .withColumnRenamed("dst", "term"))
-    return (ranks
-            .orderBy(F.col("r").desc(), F.col("term")).limit(int(k))
-            .select(F.col("term"),
-                    F.col("r").alias("rank_nanos"),
-                    F.round(F.col("r") / F.lit(1e9), 6).alias("score")))
+    out = (ranks
+           .orderBy(F.col("r").desc(), F.col("term")).limit(int(k))
+           .select(F.col("term"),
+                   F.col("r").alias("rank_nanos"),
+                   F.round(F.col("r") / F.lit(1e9), 6).alias("score")))
+    # materialize the k-row result NOW so the persisted edge table can
+    # be unpersisted before returning — a long-lived session (bench,
+    # parity) otherwise accumulates one cached edge DataFrame per call.
+    # The values are exact integers (+ one final rounded double), so
+    # re-wrapping the collected rows is bit-identical to the lazy plan.
+    rows = out.collect()
+    ew.unpersist()
+    return df.sparkSession.createDataFrame(rows, out.schema)
 
 
 def inverted_index(df, id_col: str, text_col: str,

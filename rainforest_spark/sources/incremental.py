@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rainforest_spark.sources.versioned import (
-    commit_snapshot, latest_version, read_snapshot,
+    ConcurrentCommitError, commit_snapshot, latest_version, read_snapshot,
 )
 
 __all__ = ["incremental_agg", "read_agg"]
@@ -73,7 +73,7 @@ def _combine(old: DataFrame, new: DataFrame, keys: list[str],
 
 def incremental_agg(spark: SparkSession, store_path: str,
                     batch: DataFrame, keys: list[str],
-                    spec: dict) -> int:
+                    spec: dict, max_retries: int = 5) -> int:
     """Fold ``batch`` into the maintained rollup at ``store_path``
     (creating it on first use) and commit the merged state as the next
     snapshot version.  Returns the committed version.
@@ -82,14 +82,32 @@ def incremental_agg(spark: SparkSession, store_path: str,
     state-sized merge groupBy — history is never rescanned.  The
     maintained table is exactly ``_partials(all_batches_unioned)``
     because every aggregate in the spec is algebraic.
+
+    Concurrency: this is a read-modify-write, so the commit carries an
+    ``expected_parent`` precondition — a concurrent refresh that
+    committed first makes this one's merge stale, and a blind retry
+    would overwrite the winner's fold (a silent lost update, dropping
+    that batch from the rollup forever).  On conflict the state is
+    RE-read at the new parent and the batch re-merged; after
+    ``max_retries`` losses it raises, loudly.
     """
     new = _partials(batch, keys, spec)
-    if latest_version(store_path) is None:
-        merged = new
-    else:
-        old = read_snapshot(spark, store_path)
-        merged = _combine(old, new, keys, spec)
-    return commit_snapshot(merged, store_path, mode="overwrite")
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        parent = latest_version(store_path)
+        if parent is None:
+            merged = new
+        else:
+            old = read_snapshot(spark, store_path, version=parent)
+            merged = _combine(old, new, keys, spec)
+        try:
+            return commit_snapshot(merged, store_path, mode="overwrite",
+                                   expected_parent=parent)
+        except ConcurrentCommitError as e:
+            last_err = e   # lost to a concurrent refresh — re-merge
+    raise ConcurrentCommitError(
+        f"incremental_agg lost {max_retries} refresh races at "
+        f"{store_path}") from last_err
 
 
 def read_agg(spark: SparkSession, store_path: str,

@@ -34,7 +34,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["commit_snapshot", "read_snapshot", "read_changes",
            "latest_version", "history", "vacuum", "snapshot_sink",
-           "committed_batches"]
+           "committed_batches", "ConcurrentCommitError"]
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A commit with an ``expected_parent`` precondition found a
+    different latest version (another writer won) — the caller must
+    re-read the table and re-derive its data before retrying."""
 
 
 def _log_dir(path: str) -> str:
@@ -45,14 +51,21 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"v{version:08d}.json")
 
 
-def latest_version(path: str) -> int | None:
-    """Highest committed version, or None for an empty/absent table."""
+def _versions(path: str) -> list[int]:
+    """SURVIVING manifest versions, ascending.  Never assume versions
+    are contiguous from 1 — :func:`vacuum` drops old manifests, so the
+    log is a suffix (plus whatever keep pattern a future tool leaves)."""
     d = _log_dir(path)
     if not os.path.isdir(d):
-        return None
-    vs = [int(f[1:9]) for f in os.listdir(d)
-          if f.startswith("v") and f.endswith(".json")]
-    return max(vs) if vs else None
+        return []
+    return sorted(int(f[1:9]) for f in os.listdir(d)
+                  if f.startswith("v") and f.endswith(".json"))
+
+
+def latest_version(path: str) -> int | None:
+    """Highest committed version, or None for an empty/absent table."""
+    vs = _versions(path)
+    return vs[-1] if vs else None
 
 
 def _read_manifest(path: str, version: int) -> dict:
@@ -61,18 +74,25 @@ def _read_manifest(path: str, version: int) -> dict:
 
 
 def history(path: str) -> list[dict]:
-    """All manifests, oldest first (version/op/file count/timestamp)."""
-    v = latest_version(path)
+    """Surviving manifests, oldest first (version/op/file count/ts).
+    Vacuumed versions simply don't appear (they are gone, not an
+    error)."""
     out = []
-    for i in range(1, (v or 0) + 1):
+    for i in _versions(path):
         m = _read_manifest(path, i)
         out.append({"version": m["version"], "op": m["op"],
                     "n_files": len(m["files"]), "ts": m["ts"]})
     return out
 
 
+#: sentinel: "no expected_parent precondition given"
+_ANY_PARENT = object()
+
+
 def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
-                    max_retries: int = 10) -> int:
+                    max_retries: int = 10,
+                    expected_parent: int | None | object = _ANY_PARENT
+                    ) -> int:
     """Write ``df`` as the next version of the table at ``path``.
 
     ``mode='append'`` adds the new files to the parent version's list;
@@ -81,6 +101,14 @@ def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
     create-if-absent; on conflict the commit re-reads the log and
     retries against the new parent (the data files are already written
     and version-independent, so retries cost one hardlink attempt).
+
+    ``expected_parent`` turns that blind retry into a PRECONDITION:
+    the commit succeeds only if the table's latest version still equals
+    it (None = empty table); otherwise :class:`ConcurrentCommitError`
+    is raised WITHOUT committing.  Required whenever ``df`` was derived
+    FROM the parent state (read-modify-write, e.g. incremental
+    aggregate refreshes) — a blind retry would re-link data computed
+    from a stale parent and silently erase the winner's update.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -90,8 +118,13 @@ def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
     new_files = sorted(
         os.path.join(data_dir, f) for f in os.listdir(data_dir)
         if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    conditioned = expected_parent is not _ANY_PARENT
     for _ in range(max_retries):
         parent = latest_version(path)
+        if conditioned and parent != expected_parent:
+            raise ConcurrentCommitError(
+                f"expected parent {expected_parent}, table at {path} "
+                f"is now v{parent} — re-read and re-derive")
         if mode == "append" and parent:
             files = _read_manifest(path, parent)["files"] + new_files
         else:
@@ -134,37 +167,67 @@ def read_snapshot(spark: SparkSession, path: str,
         .parquet(*m["files"])
 
 
-def vacuum(path: str, keep_versions: int = 1) -> dict:
+def vacuum(path: str, keep_versions: int = 1,
+           grace_sec: float = 600.0) -> dict:
     """Delete data files referenced ONLY by manifests older than the
-    newest ``keep_versions`` (plus any unreferenced crash leftovers),
-    then drop those manifests.  Returns counts.  Time travel to
-    vacuumed versions stops working — that is the point."""
-    v = latest_version(path)
-    if v is None:
+    newest ``keep_versions``, drop those manifests, and clean crash
+    leftovers.  Returns counts.  Time travel to vacuumed versions stops
+    working — that is the point.
+
+    Files referenced by NO manifest at all are ambiguous: crash
+    leftover, or an IN-FLIGHT commit (data is written before its
+    manifest links — deleting it would gut the winner's table or lose
+    its data).  Those are only deleted when older than ``grace_sec``
+    (Delta-style retention window); committed-then-vacuumed files are
+    deleted regardless, since no future commit can reference them
+    except through a retained manifest.
+    """
+    vs = _versions(path)
+    if not vs:
         return {"files_deleted": 0, "manifests_deleted": 0}
-    keep_from = max(1, v - keep_versions + 1)
-    live: set[str] = set()
-    for i in range(keep_from, v + 1):
-        live.update(_read_manifest(path, i)["files"])
+    keep_from = vs[-1] - keep_versions + 1
+    live: set[str] = set()        # referenced by a RETAINED manifest
+    referenced: set[str] = set()  # referenced by ANY surviving manifest
+    for i in vs:
+        fl = _read_manifest(path, i)["files"]
+        referenced.update(fl)
+        if i >= keep_from:
+            live.update(fl)
+    now = time.time()
+
+    def _old_enough(full: str) -> bool:
+        try:
+            return now - os.path.getmtime(full) > grace_sec
+        except OSError:
+            return False
+
     deleted = 0
     data_root = os.path.join(path, "data")
     if os.path.isdir(data_root):
         for sub in os.listdir(data_root):
             subdir = os.path.join(data_root, sub)
-            for f in os.listdir(subdir):
+            entries = os.listdir(subdir)
+            committed_dir = any(os.path.join(subdir, f) in referenced
+                                for f in entries)
+            for f in entries:
                 full = os.path.join(subdir, f)
-                if f.endswith(".parquet") and full not in live:
-                    os.unlink(full)
-                    deleted += 1
-                elif f.startswith(("_", ".")):   # markers
-                    os.unlink(full)
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    if full in live:
+                        continue
+                    if full in referenced or _old_enough(full):
+                        os.unlink(full)
+                        deleted += 1
+                elif f.startswith(("_", ".")):   # writer markers
+                    # safe once the dir's data is committed (the write
+                    # finished) or past the grace window
+                    if committed_dir or _old_enough(full):
+                        os.unlink(full)
             if not os.listdir(subdir):
                 os.rmdir(subdir)
     dropped = 0
-    for i in range(1, keep_from):
-        mp = _manifest_path(path, i)
-        if os.path.exists(mp):
-            os.unlink(mp)
+    for i in vs:
+        if i < keep_from:
+            os.unlink(_manifest_path(path, i))
             dropped += 1
     return {"files_deleted": deleted, "manifests_deleted": dropped}
 
@@ -196,10 +259,18 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
 
 
 def committed_batches(path: str, query_key: str) -> set[int]:
-    """Streaming batch ids already committed for ``query_key``."""
-    v = latest_version(path)
+    """Streaming batch ids already committed for ``query_key``.
+
+    Iterates SURVIVING manifests only — after a :func:`vacuum` the tail
+    of the log still carries every retained version's tags, and append
+    commits never rewrite tags, so a batch id vacuumed out of the log
+    is by definition older than every retained version (its rows are
+    already folded into the retained snapshots; Structured Streaming
+    replays only recent batches, far inside ``keep_versions``).
+    Callers pairing vacuum with a streaming sink should keep at least
+    the checkpoint's replayable horizon of versions."""
     out = set()
-    for i in range(1, (v or 0) + 1):
+    for i in _versions(path):
         m = _read_manifest(path, i)
         tag = m.get("stream")
         if tag and tag.get("query") == query_key:

@@ -239,3 +239,148 @@ def test_schema_evolution_read_merges_added_column(spark, tmp_path):
     assert out == {"a": None, "b": "x"}
     # the pre-evolution version still reads with the OLD schema
     assert read_snapshot(spark, p, version=1).columns == ["k", "v"]
+
+
+# ------------------------------- vacuum survivors + concurrency races
+
+def test_history_and_batches_survive_vacuum(spark, tmp_path):
+    # before round 8, history()/committed_batches() assumed versions
+    # contiguous from 1 and raised FileNotFoundError on any vacuumed
+    # store, permanently breaking the exactly-once sink
+    from rainforest_spark.sources.versioned import (
+        committed_batches, snapshot_sink,
+    )
+    p = str(tmp_path / "t")
+    sink = snapshot_sink(p, query_key="q1")
+    for b in range(4):
+        sink(_df(spark, [(f"k{b}", b)]), b)
+    vacuum(p, keep_versions=2)
+    assert [h["version"] for h in history(p)] == [3, 4]
+    assert committed_batches(p, "q1") == {2, 3}
+    # the sink keeps working on the vacuumed store: new batch commits,
+    # retained replays are still deduped
+    sink(_df(spark, [("k4", 4)]), 4)
+    sink(_df(spark, [("k3", 3)]), 3)     # replay of a retained batch
+    assert committed_batches(p, "q1") == {2, 3, 4}
+    assert sorted(r["k"] for r in read_snapshot(spark, p).collect()) \
+        == ["k0", "k1", "k2", "k3", "k4"]
+
+
+def test_vacuum_spares_young_unreferenced_files(spark, tmp_path):
+    # data is written BEFORE its manifest links — an in-flight commit's
+    # files are unreferenced at vacuum time and must survive the grace
+    # window; old crash leftovers must not
+    p = str(tmp_path / "t")
+    commit_snapshot(_df(spark, [("a", 1)]), p)
+    inflight = os.path.join(p, "data", "deadbeef" * 4)
+    _df(spark, [("x", 9)]).write.parquet(inflight)
+    res = vacuum(p, keep_versions=1, grace_sec=3600)
+    assert res["files_deleted"] == 0
+    assert any(f.endswith(".parquet") for f in os.listdir(inflight))
+    # ...but once past the grace window it is a crash leftover
+    old = 1.0
+    for f in os.listdir(inflight):
+        os.utime(os.path.join(inflight, f), (old, old))
+    res = vacuum(p, keep_versions=1, grace_sec=3600)
+    assert res["files_deleted"] >= 1
+    assert not os.path.isdir(inflight)
+    # the committed table is untouched throughout
+    assert [r["k"] for r in read_snapshot(spark, p).collect()] == ["a"]
+
+
+def test_expected_parent_precondition(spark, tmp_path):
+    from rainforest_spark.sources.versioned import ConcurrentCommitError
+    p = str(tmp_path / "t")
+    commit_snapshot(_df(spark, [("a", 1)]), p)
+    # stale precondition: table moved on
+    commit_snapshot(_df(spark, [("b", 2)]), p)
+    with pytest.raises(ConcurrentCommitError):
+        commit_snapshot(_df(spark, [("c", 3)]), p, mode="overwrite",
+                        expected_parent=1)
+    # matching precondition commits
+    v = commit_snapshot(_df(spark, [("c", 3)]), p, mode="overwrite",
+                        expected_parent=2)
+    assert v == 3
+
+
+def test_two_writer_race_loud_retry(spark, tmp_path):
+    """Two concurrent writer families on ONE store: an exactly-once
+    streaming sink replaying batches while plain commits race it.  The
+    loud-retry contract: every committed version is a distinct manifest
+    (atomic os.link create), no batch lands twice, no append is lost."""
+    import threading
+
+    from rainforest_spark.sources.versioned import (
+        committed_batches, snapshot_sink,
+    )
+    p = str(tmp_path / "t")
+    commit_snapshot(_df(spark, []), p)    # schema seed
+    errs: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def stream_writer():
+        try:
+            barrier.wait(timeout=60)
+            sink = snapshot_sink(p, query_key="qr")
+            for b in range(3):
+                sink(_df(spark, [(f"s{b}", b)]), b)
+                sink(_df(spark, [(f"s{b}", b)]), b)   # immediate replay
+        except Exception as e:   # pragma: no cover - failure path
+            errs.append(e)
+
+    def batch_writer():
+        try:
+            barrier.wait(timeout=60)
+            for i in range(3):
+                commit_snapshot(_df(spark, [(f"c{i}", i)]), p,
+                                mode="append")
+        except Exception as e:   # pragma: no cover - failure path
+            errs.append(e)
+
+    ts = [threading.Thread(target=stream_writer),
+          threading.Thread(target=batch_writer)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+    # every version linked exactly once, contiguous from the seed
+    vs = [h["version"] for h in history(p)]
+    assert vs == list(range(1, 8)), vs   # 1 seed + 3 stream + 3 batch
+    assert committed_batches(p, "qr") == {0, 1, 2}
+    rows = sorted(r["k"] for r in read_snapshot(spark, p).collect())
+    assert rows == ["c0", "c1", "c2", "s0", "s1", "s2"], rows
+
+
+def test_concurrent_incremental_refreshes_never_lose_updates(
+        spark, tmp_path):
+    """The r7 ADVICE lost-update: a refresh losing the version race
+    must RE-merge against the winner's state, not overwrite it.  Two
+    threads each fold disjoint batches into one rollup; the final
+    state must equal the full recompute regardless of interleaving."""
+    import threading
+
+    store = str(tmp_path / "agg")
+    batches = [[("a", 1)], [("a", 10), ("b", 5)],
+               [("b", 2)], [("a", 100), ("c", 7)]]
+    errs: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def worker(mine):
+        try:
+            barrier.wait(timeout=60)
+            for b in mine:
+                incremental_agg(spark, store, _df(spark, b), ["k"], SPEC)
+        except Exception as e:   # pragma: no cover - failure path
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(batches[:2],)),
+          threading.Thread(target=worker, args=(batches[2:],))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+    got = {r["k"]: (r["n"], float(r["sum_v"])) for r in
+           read_agg(spark, store).collect()}
+    assert got == {"a": (3, 111.0), "b": (2, 7.0), "c": (1, 7.0)}

@@ -266,7 +266,7 @@ def fuzzy_match(df: DataFrame, id_col: str, text_col: str,
 def nearest_site(points: DataFrame, sites: DataFrame,
                  point_x: str, point_y: str, site_x: str, site_y: str,
                  point_keys: list[str], site_keys: list[str],
-                 cell: int) -> DataFrame:
+                 cell: int | None = None) -> DataFrame:
     """Bounded-radius nearest-neighbor join on integer planar
     coordinates — the generic form of the reference's station→pixel /
     nearest-gate lookups (grid/lookup.py builds a precomputed LUT for a
@@ -294,9 +294,29 @@ def nearest_site(points: DataFrame, sites: DataFrame,
     the candidate join is a shuffle-on-cell equi-join (or a broadcast
     when the replicated dim fits); one map-side-combined groupBy on the
     point key takes the argmin.  Cell size trades replica count
-    against candidates per cell — at uniform density choose
-    ``cell ≈ √(area/|sites|)`` so both are O(1) per point.
+    against candidates per cell — at uniform density
+    ``cell ≈ √(area/|sites|)`` keeps both O(1) per point.
+
+    ``cell=None`` (the DEFAULT) derives exactly that from the site
+    table itself — one bounded 1-row aggregate (bbox + count) — so the
+    default path stays scale-safe as site density grows (the
+    ``auto_planes`` precedent: pinning the parameter while N grows is
+    the candidate-explosion exhibit shape).  Pass an explicit ``cell``
+    to pin the search radius instead (the radius IS the cell size, so
+    auto-sizing also tightens the match radius as sites densify —
+    callers needing a fixed radius must pin it).
     """
+    if cell is None:
+        import math
+        r = sites.agg(F.min(site_x).alias("x0"), F.max(site_x).alias("x1"),
+                      F.min(site_y).alias("y0"), F.max(site_y).alias("y1"),
+                      F.count(F.lit(1)).alias("n")).first()
+        if r["n"]:
+            area = (max(int(r["x1"]) - int(r["x0"]), 1)
+                    * max(int(r["y1"]) - int(r["y0"]), 1))
+            cell = max(math.isqrt(area // int(r["n"])), 1)
+        else:
+            cell = 1   # no sites: every point LEFT-joins to NULL anyway
     c = int(cell)
     offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)])

@@ -236,3 +236,37 @@ def test_cli_drift_end_to_end(spark, tmp_path):
     assert rep["n_baseline"] == 2_000 and rep["n_current"] == 2_000
     # a real shift: both monitors fire well above the usual alert bars
     assert rep["psi"] > 0.1 and rep["ks_d"] > 0.1
+
+
+def test_nearest_site_auto_cell_matches_brute_force(spark):
+    # cell=None derives cell ~ sqrt(area/|sites|) from the site bbox —
+    # the default path must honor the same bounded-radius contract at
+    # the derived radius
+    import math
+    import random as _r
+    rng = _r.Random(11)
+    pts = [(i, rng.randrange(10**6), rng.randrange(10**6))
+           for i in range(300)]
+    sts = [(j, rng.randrange(10**6), rng.randrange(10**6))
+           for j in range(25)]
+    xs, ys = [s[1] for s in sts], [s[2] for s in sts]
+    area = max(max(xs) - min(xs), 1) * max(max(ys) - min(ys), 1)
+    cell = max(math.isqrt(area // len(sts)), 1)
+    out = {r["pk"]: (r["sk"], r["dist_sq"]) for r in
+           nearest_site(_points(spark, pts), _sites(spark, sts),
+                        "px", "py", "sx", "sy", ["pk"], ["sk"]).collect()}
+    assert len(out) == len(pts)
+    for pk, px, py in pts:
+        best = min(((sk, (px - sx) ** 2 + (py - sy) ** 2)
+                    for sk, sx, sy in sts), key=lambda t: (t[1], t[0]))
+        if best[1] <= cell * cell:
+            assert out[pk] == best, pk
+        # beyond the derived radius the contract allows either the true
+        # nearest (if it shares a cell ring) or NULL — both bounded
+
+
+def test_nearest_site_auto_cell_empty_sites(spark):
+    out = nearest_site(
+        _points(spark, [(1, 5, 5)]), _sites(spark, []),
+        "px", "py", "sx", "sy", ["pk"], ["sk"]).collect()
+    assert len(out) == 1 and out[0]["sk"] is None

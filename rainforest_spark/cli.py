@@ -335,9 +335,22 @@ def cmd_plot(args) -> int:
                  mapped precipitation raster (PNG, own encoder)
       stations — per-station score parquet + station dim → score map
                  (SVG)
+      fit-metrics — wide per-(precip, bound) fit score parquet →
+                 metric x intensity-range bar grid (graphics.py:378
+                 plot_fit_metrics; SVG)
+      crossval — tidy intercomparison scores parquet → per-phase
+                 grouped bars with ±std whiskers (graphics.py:424
+                 plot_crossval_stats; SVG)
+      model-maps — per-station score parquet + station dim → multi-
+                 model map GRID with shared colorbar (eval_plot.py:193
+                 plotModelMapsSubplots; SVG)
     """
-    from rainforest_spark.plots import (render_qpe_png, scatter_density,
+    from rainforest_spark.plots import (crossval_stats_panel,
+                                        fit_metrics_panel,
+                                        render_qpe_png, scatter_density,
                                         score_panel, station_score_map,
+                                        svg_crossval_stats,
+                                        svg_fit_metrics, svg_model_maps,
                                         svg_scatter_density,
                                         svg_score_panels, svg_station_map)
     from rainforest_spark.session import get_spark
@@ -381,6 +394,39 @@ def cmd_plot(args) -> int:
                 g[r["y_idx"], r["x_idx"]] = r[args.value_col]
             frames.append(g[::-1])
         render_qpe_gif(frames, path=args.output, upscale=args.upscale)
+    elif args.kind == "fit-metrics":
+        from pyspark.sql import functions as F
+        if args.agg is not None and "aggregation" in df.columns:
+            df = df.filter(F.col("aggregation") == args.agg)
+        if args.fraction is not None and "fraction" in df.columns:
+            df = df.filter(F.col("fraction") == args.fraction)
+        rows = fit_metrics_panel(df, precip_col=args.precip_col).collect()
+        t = args.title or ", ".join(
+            s for s in (args.fraction and f"fraction={args.fraction}",
+                        args.agg and f"aggregation={args.agg}") if s)
+        svg_fit_metrics(rows, title=t, path=args.output)
+    elif args.kind == "crossval":
+        from pyspark.sql import functions as F
+
+        from rainforest_spark.ml.intercomparison import (
+            intercomparison_summary,
+        )
+        summary = (df if any(c.endswith("_mean") for c in df.columns)
+                   else intercomparison_summary(df))
+        if args.timeagg is not None and "timeagg" in summary.columns:
+            summary = summary.filter(F.col("timeagg") == args.timeagg)
+        if args.bound is not None and "bound" in summary.columns:
+            summary = summary.filter(F.col("bound") == args.bound)
+        rows = crossval_stats_panel(summary).collect()
+        t = args.title or ", ".join(
+            s for s in (args.timeagg and f"Agg: {args.timeagg}",
+                        args.bound and f"R-range {args.bound}") if s)
+        svg_crossval_stats(rows, title=t, path=args.output)
+    elif args.kind == "model-maps":
+        coords = spark.read.parquet(args.stations)
+        rows = station_score_map(df, coords, args.score).collect()
+        svg_model_maps(rows, args.score, title=args.title,
+                       ncols=args.ncols, path=args.output)
     else:  # stations
         coords = spark.read.parquet(args.stations)
         rows = station_score_map(df, coords, args.score).collect()
@@ -819,7 +865,9 @@ def main(argv=None) -> int:
     pl = sub.add_parser("plot", help="render evaluation figures "
                         "(SVG/PNG, matplotlib-free)")
     pl.add_argument("kind", choices=["scores", "scatter", "qpe-map",
-                                     "qpe-movie", "stations"])
+                                     "qpe-movie", "stations",
+                                     "fit-metrics", "crossval",
+                                     "model-maps"])
     pl.add_argument("input", help="input parquet (scores / pairs / "
                     "grid / station scores)")
     pl.add_argument("output", help="output .svg or .png path")
@@ -835,6 +883,18 @@ def main(argv=None) -> int:
     pl.add_argument("--hi", type=float, default=100.0)
     pl.add_argument("--bins", type=int, default=60)
     pl.add_argument("--upscale", type=int, default=1)
+    pl.add_argument("--precip-col", default="precip",
+                    help="precip-type column (fit-metrics kind)")
+    pl.add_argument("--agg", default=None,
+                    help="aggregation filter (fit-metrics kind)")
+    pl.add_argument("--fraction", default=None,
+                    help="train/test fraction filter (fit-metrics kind)")
+    pl.add_argument("--timeagg", default=None,
+                    help="time-aggregation filter (crossval kind)")
+    pl.add_argument("--bound", default=None,
+                    help="intensity-bound filter (crossval kind)")
+    pl.add_argument("--ncols", type=int, default=3,
+                    help="subplot grid columns (model-maps kind)")
     pl.set_defaults(fn=cmd_plot)
 
     c = sub.add_parser("curate", help="corpus curation chain to parquet")

@@ -81,9 +81,10 @@ def score_panel(scores: DataFrame, score_cols: list[str] | None = None,
     Shape at 100 TB: input is already the reduced score table (models ×
     bounds rows); the melt is a map-only ``stack``.
     """
-    passthrough = [c for c in (model_col, bound_col, "agg", "fold",
-                               "timeagg", "phase", "station", "N")
-                   if c in scores.columns]
+    passthrough = list(dict.fromkeys(
+        c for c in (model_col, bound_col, "agg", "fold", "timeagg",
+                    "phase", "station", "N", "aggregation", "fraction")
+        if c in scores.columns))
     if score_cols is None:
         from pyspark.sql.types import NumericType
         score_cols = [c for c in scores.columns
@@ -96,6 +97,50 @@ def score_panel(scores: DataFrame, score_cols: list[str] | None = None,
     return scores.selectExpr(
         *passthrough,
         f"stack({len(score_cols)}, {stack}) AS (score, value)")
+
+
+def fit_metrics_panel(scores: DataFrame, precip_col: str = "precip",
+                      bound_col: str = "bound") -> DataFrame:
+    """Melt a wide per-(aggregation?, fraction?, precip, bound) fit
+    score table — `operators/scores.perfscores` grouped by precip
+    phase + intensity bound, the engine-side analogue of the reference's
+    CV-scores dict (ml/rf.py:592-607) — into the long
+    ``(..., precip, bound, score, value)`` rows `graphics.py:378`
+    ``plot_fit_metrics`` iterates (one bar per precip type, one panel
+    per (metric, intensity range)).
+
+    Shape at 100 TB: the input is already the reduced score table
+    (aggs × fractions × precips × bounds rows); the melt is map-only.
+    The precip column comes out under the renderer's generic ``model``
+    key (precip types play the bar role here).
+    """
+    d = scores.withColumnRenamed(precip_col, "model")
+    return score_panel(d, model_col="model", bound_col=bound_col)
+
+
+def crossval_stats_panel(summary: DataFrame) -> DataFrame:
+    """Melt `ml/intercomparison.intercomparison_summary`'s wide
+    mean/std columns into the long ``(model, timeagg, phase, bound,
+    score, mean, std)`` rows `graphics.py:424` ``plot_crossval_stats``
+    iterates (grouped bars = score × model, whiskers = ±std across CV
+    folds).
+
+    Shape at 100 TB: input is the fold-aggregated score table (models ×
+    timeaggs × phases × bounds rows); the melt is a map-only ``stack``.
+    """
+    meta = [c for c in ("model", "timeagg", "phase", "bound", "station",
+                        "N_total") if c in summary.columns]
+    pairs = sorted({c[:-5] for c in summary.columns
+                    if c.endswith("_mean")
+                    and f"{c[:-5]}_std" in summary.columns})
+    if not pairs:
+        raise ValueError("crossval_stats_panel: no *_mean/*_std column "
+                         f"pairs to melt (columns: {summary.columns})")
+    stack = ", ".join(
+        f"'{s}', CAST(`{s}_mean` AS DOUBLE), CAST(`{s}_std` AS DOUBLE)"
+        for s in pairs)
+    return summary.selectExpr(
+        *meta, f"stack({len(pairs)}, {stack}) AS (score, mean, std)")
 
 
 def station_score_map(station_scores: DataFrame, coords: DataFrame,

@@ -280,6 +280,227 @@ def svg_station_map(rows, score: str, title: str = "", size: int = 420,
     return out
 
 
+def _rowdicts(rows) -> list[dict]:
+    return [dict(r.asDict()) if hasattr(r, "asDict") else dict(r)
+            for r in rows]
+
+
+def svg_fit_metrics(rows, title: str = "", panel_w: int = 150,
+                    panel_h: int = 100, path: str | None = None) -> str:
+    """`plots.data.fit_metrics_panel` rows (precip, bound, score,
+    value) → the reference's fit-metrics grid (`graphics.py:378`
+    ``plot_fit_metrics``): one bar panel per (metric row, intensity-
+    range column), bars = precip types, y-scale shared along each
+    metric row, range labels on the bottom row, metric labels on the
+    left column.  One figure per (aggregation, fraction) — filter the
+    rows before rendering, title accordingly (the CLI does)."""
+    rws = [r for r in _rowdicts(rows) if r.get("value") is not None]
+    precips = sorted({r["model"] for r in rws})   # melted as model_col
+    bounds = sorted({str(r["bound"]) for r in rws})
+    metrics = sorted({r["score"] for r in rws})
+    pad = 40
+    width = pad + len(bounds) * (panel_w + 14) + 10
+    height = pad + len(metrics) * (panel_h + 14) + 30
+    body = []
+    for mi, metric in enumerate(metrics):
+        mvals = [abs(r["value"]) for r in rws if r["score"] == metric]
+        vmax = max(mvals, default=1.0) or 1.0
+        py = pad + mi * (panel_h + 14)
+        body.append(_text(pad - 6, py + panel_h / 2, metric, "middle",
+                          9, extra=f'transform="rotate(-90 '
+                                   f'{pad - 6} {py + panel_h / 2})"'))
+        for bi, bound in enumerate(bounds):
+            px = pad + bi * (panel_w + 14)
+            body.append(f'<rect x="{px}" y="{py}" width="{panel_w}" '
+                        f'height="{panel_h}" fill="white" '
+                        f'stroke="#333"/>')
+            base = py + panel_h / 2
+            body.append(f'<line x1="{px}" y1="{base:.1f}" '
+                        f'x2="{px + panel_w}" y2="{base:.1f}" '
+                        f'stroke="#ccc" stroke-dasharray="2,2"/>')
+            bar_w = panel_w / max(1, len(precips)) * 0.6
+            for pi, p in enumerate(precips):
+                v = next((r["value"] for r in rws
+                          if r["score"] == metric
+                          and str(r["bound"]) == bound
+                          and r["model"] == p), None)
+                if v is None:
+                    continue
+                hgt = abs(v) / vmax * (panel_h / 2 - 8)
+                by = base - hgt if v >= 0 else base
+                bx = px + (pi + 0.5) * panel_w / len(precips) - bar_w / 2
+                body.append(f'<rect x="{bx:.1f}" y="{by:.1f}" '
+                            f'width="{bar_w:.1f}" height="{hgt:.1f}" '
+                            f'fill="{PALETTE[pi % len(PALETTE)]}"/>')
+                if mi == len(metrics) - 1:
+                    body.append(_text(bx + bar_w / 2, py + panel_h + 10,
+                                      p, "middle", 8))
+            if mi == len(metrics) - 1:
+                body.append(_text(px + panel_w / 2, py + panel_h + 22,
+                                  bound, "middle", 9))
+    if title:
+        body.append(_text(width / 2, 14, title, "middle", 12))
+    out = _svg(width, height, body)
+    if path:
+        with open(path, "w") as f:
+            f.write(out)
+    return out
+
+
+def svg_crossval_stats(rows, title: str = "", panel_w: int = 420,
+                       panel_h: int = 150,
+                       path: str | None = None) -> str:
+    """`plots.data.crossval_stats_panel` rows (model, phase, score,
+    mean, std) → the reference's cross-validation figure
+    (`graphics.py:424` ``plot_crossval_stats``): one panel per precip
+    phase stacked vertically, grouped bars per score colored by model,
+    ±std error whiskers, value labels (`graphics.py:27` _autolabel),
+    model legend.  One figure per (timeagg, bound) — filter first (the
+    CLI does)."""
+    rws = [r for r in _rowdicts(rows) if r.get("mean") is not None]
+    models = sorted({r["model"] for r in rws})
+    phases = sorted({str(r.get("phase", "all")) for r in rws})
+    scores = sorted({r["score"] for r in rws})
+    color = {m: PALETTE[i % len(PALETTE)] for i, m in enumerate(models)}
+    pad, legend_w = 40, 120
+    width = pad * 2 + panel_w + legend_w
+    height = pad + len(phases) * (panel_h + pad) + 10
+    vmax = max((abs(r["mean"]) + (r.get("std") or 0.0) for r in rws),
+               default=1.0) or 1.0
+    body = []
+    for fi, ph in enumerate(phases):
+        py = pad + fi * (panel_h + pad)
+        body.append(f'<rect x="{pad}" y="{py}" width="{panel_w}" '
+                    f'height="{panel_h}" fill="white" stroke="#333"/>')
+        base = py + panel_h / 2
+        body.append(f'<line x1="{pad}" y1="{base:.1f}" '
+                    f'x2="{pad + panel_w}" y2="{base:.1f}" '
+                    f'stroke="#999" stroke-dasharray="3,3"/>')
+        body.append(_text(pad - 6, py + panel_h / 2,
+                          f"precip: {ph}", "middle", 9,
+                          extra=f'transform="rotate(-90 {pad - 6} '
+                                f'{py + panel_h / 2})"'))
+        group_w = panel_w / max(1, len(scores))
+        bar_w = max(2.0, group_w / (len(models) + 1))
+        for si, s in enumerate(scores):
+            gx = pad + si * group_w
+            body.append(_text(gx + group_w / 2, py + panel_h + 12, s,
+                              "middle", 8))
+            for mi, m in enumerate(models):
+                row = next((r for r in rws
+                            if str(r.get("phase", "all")) == ph
+                            and r["score"] == s and r["model"] == m),
+                           None)
+                if row is None:
+                    continue
+                v, sd = row["mean"], row.get("std") or 0.0
+                hgt = abs(v) / vmax * (panel_h / 2 - 12)
+                by = base - hgt if v >= 0 else base
+                bx = gx + (mi + 0.5) * bar_w
+                cx = bx + bar_w / 2
+                body.append(f'<rect x="{bx:.1f}" y="{by:.1f}" '
+                            f'width="{bar_w:.1f}" height="{hgt:.1f}" '
+                            f'fill="{color[m]}"/>')
+                if sd > 0:   # ±std whisker through the bar tip
+                    tip = base - hgt if v >= 0 else base + hgt
+                    werr = sd / vmax * (panel_h / 2 - 12)
+                    body.append(f'<line x1="{cx:.1f}" '
+                                f'y1="{tip - werr:.1f}" x2="{cx:.1f}" '
+                                f'y2="{tip + werr:.1f}" stroke="#333" '
+                                f'stroke-width="0.8" class="whisker"/>')
+                ty = by - 2 if v >= 0 else by + hgt + 8
+                body.append(_text(cx, ty, f"{v:.2f}", "middle", 6))
+    lx = width - legend_w + 6
+    for mi, m in enumerate(models):
+        ly = pad + mi * 16
+        body.append(f'<rect x="{lx}" y="{ly}" width="10" height="10" '
+                    f'fill="{color[m]}"/>')
+        body.append(_text(lx + 14, ly + 9, m))
+    if title:
+        body.append(_text(width / 2, 14, title, "middle", 12))
+    out = _svg(width, height, body)
+    if path:
+        with open(path, "w") as f:
+            f.write(out)
+    return out
+
+
+def svg_model_maps(rows, score: str, title: str = "", size: int = 300,
+                   ncols: int = 3,
+                   border: list[tuple[float, float]] | None = None,
+                   path: str | None = None) -> str:
+    """`plots.data.station_score_map` rows (model, station, X, Y,
+    value) → the reference's multi-model score-map GRID
+    (`eval_plot.py:193` ``plotModelMapsSubplots``): one map subplot per
+    model laid out in ``ncols`` columns, (a)/(b)/… panel labels, shared
+    axes extent and color scale, one shared horizontal colorbar at the
+    bottom (the reference's ``subplot2grid`` + shared-norm setup).
+    ``svg_station_map`` remains the single-strip variant."""
+    rws = [r for r in _rowdicts(rows) if r.get("value") is not None]
+    models = sorted({r["model"] for r in rws})
+    nc = max(1, min(ncols, len(models) or 1))
+    nr = max(1, math.ceil((len(models) or 1) / nc))
+    pad, bar_h = 40, 36
+    xs = [r["X"] for r in rws] + [p[0] for p in (border or [])]
+    ys = [r["Y"] for r in rws] + [p[1] for p in (border or [])]
+    if not xs:
+        xs, ys = [0.0, 1.0], [0.0, 1.0]
+    x0, x1, y0, y1 = min(xs), max(xs), min(ys), max(ys)
+    xr, yr = (x1 - x0) or 1.0, (y1 - y0) or 1.0
+    vmax = max((abs(r["value"]) for r in rws), default=1.0) or 1.0
+    width = pad + nc * (size + pad)
+    height = pad + nr * (size + pad) + bar_h + 24
+    body = []
+    for mi, mdl in enumerate(models):
+        ox = pad + (mi % nc) * (size + pad)
+        oy = pad + (mi // nc) * (size + pad)
+
+        def sx(x):
+            return ox + (x - x0) / xr * size
+
+        def sy(y):
+            return oy + size - (y - y0) / yr * size
+
+        body.append(f'<rect x="{ox}" y="{oy}" width="{size}" '
+                    f'height="{size}" fill="#f7f7f7" stroke="#333"/>')
+        lab = chr(ord("a") + mi)
+        body.append(_text(ox + 6, oy + 14, f"({lab}) {mdl}", "start",
+                          11, extra='font-weight="bold"'))
+        if border:
+            pts = " ".join(f"{sx(p[0]):.1f},{sy(p[1]):.1f}"
+                           for p in border)
+            body.append(f'<polyline points="{pts}" fill="none" '
+                        f'stroke="#555" stroke-width="1"/>')
+        for r in rws:
+            if r["model"] != mdl:
+                continue
+            f = 0.5 + 0.5 * r["value"] / vmax   # diverging around 0
+            body.append(f'<circle cx="{sx(r["X"]):.1f}" '
+                        f'cy="{sy(r["Y"]):.1f}" r="4" '
+                        f'fill="{_heat_color(f)}" stroke="#333" '
+                        f'stroke-width="0.4"/>')
+    # shared horizontal colorbar (reference: one fig.colorbar for all)
+    by = pad + nr * (size + pad)
+    bw = width - 2 * pad
+    nseg = 48
+    for i in range(nseg):
+        body.append(f'<rect x="{pad + i * bw / nseg:.1f}" y="{by}" '
+                    f'width="{bw / nseg + 0.5:.1f}" height="12" '
+                    f'fill="{_heat_color(i / (nseg - 1))}" '
+                    f'class="cbar"/>')
+    for frac, v in ((0.0, -vmax), (0.5, 0.0), (1.0, vmax)):
+        body.append(_text(pad + frac * bw, by + 24, f"{v:.2g}",
+                          "middle", 9))
+    body.append(_text(width / 2, by + 35, score, "middle", 10))
+    if title:
+        body.append(_text(width / 2, 14, title, "middle", 13))
+    out = _svg(width, height, body)
+    if path:
+        with open(path, "w") as f:
+            f.write(out)
+    return out
+
+
 # ------------------------------------------------------- animated QPE
 def qpe_gif_palette() -> bytes:
     """256-RGB-triple GIF palette for the QPE ramp: index 0 = below

@@ -352,3 +352,161 @@ def test_data_api_input_validation(spark):
                                       "model string, bound string")
     with pytest.raises(ValueError, match="no numeric score columns"):
         score_panel(only_keys)
+
+
+# ------------------------- round-8: the three residual figure types
+
+def test_fit_metrics_panel_melt(spark):
+    from rainforest_spark.plots import fit_metrics_panel
+    df = spark.createDataFrame(
+        [("test", "solid", "all", 1.2, -0.1),
+         ("test", "liquid", "all", 0.8, 0.2),
+         ("train", "solid", "0.0-2.0", 1.0, 0.0)],
+        "fraction string, precip string, bound string, "
+        "RMSE double, logBias double")
+    rows = fit_metrics_panel(df).collect()
+    # 3 input rows x 2 metrics, keys pass through
+    assert len(rows) == 6
+    got = {(r["fraction"], r["model"], r["bound"], r["score"]): r["value"]
+           for r in rows}
+    assert got[("test", "solid", "all", "RMSE")] == 1.2
+    assert got[("train", "solid", "0.0-2.0", "logBias")] == 0.0
+
+
+def test_crossval_stats_panel_melt(spark):
+    from rainforest_spark.plots import crossval_stats_panel
+    df = spark.createDataFrame(
+        [("RF", "10min", "liquid", "all", 1.1, 0.2, 0.9, 0.05, 100),
+         ("RZC", "10min", "liquid", "all", 1.4, 0.3, 0.8, 0.04, 100)],
+        "model string, timeagg string, phase string, bound string, "
+        "RMSE_mean double, RMSE_std double, corr_p_mean double, "
+        "corr_p_std double, N_total long")
+    rows = crossval_stats_panel(df).collect()
+    assert len(rows) == 4     # 2 models x 2 score pairs
+    got = {(r["model"], r["score"]): (r["mean"], r["std"]) for r in rows}
+    assert got[("RF", "RMSE")] == (1.1, 0.2)
+    assert got[("RZC", "corr_p")] == (0.8, 0.04)
+    with pytest.raises(ValueError):
+        crossval_stats_panel(df.select("model", "timeagg")).collect()
+
+
+def test_svg_fit_metrics_structure(tmp_path):
+    from rainforest_spark.plots import svg_fit_metrics
+    rows = [{"model": p, "bound": b, "score": s, "value": v}
+            for p in ("solid", "liquid", "all")
+            for b in ("all", "0.0-2.0")
+            for s, v in (("RMSE", 1.0), ("logBias", -0.3))]
+    p = tmp_path / "fit.svg"
+    svg = svg_fit_metrics(rows, title="fraction=test", path=str(p))
+    root = _parse(p.read_text())
+    ns = "{http://www.w3.org/2000/svg}"
+    rects = list(root.iter(f"{ns}rect"))
+    # 2 metrics x 2 bounds panel frames + 3 precip bars per panel
+    assert len(rects) == 4 + 12
+    texts = [e.text for e in root.iter(f"{ns}text")]
+    # metric row labels + precip tick labels + the suptitle
+    assert {"RMSE", "logBias", "solid", "fraction=test"} <= set(texts)
+
+
+def test_svg_crossval_stats_structure(tmp_path):
+    from rainforest_spark.plots import svg_crossval_stats
+    rows = [{"model": m, "phase": ph, "score": s, "mean": v, "std": sd}
+            for m, v, sd in (("RF", 1.1, 0.2), ("RZC", 1.4, 0.0))
+            for ph in ("liquid", "solid")
+            for s in ("RMSE", "corr_p")]
+    svg = svg_crossval_stats(rows, title="Agg: 10min",
+                             path=str(tmp_path / "cv.svg"))
+    root = _parse(svg)
+    ns = "{http://www.w3.org/2000/svg}"
+    rects = list(root.iter(f"{ns}rect"))
+    # 2 phase panels + 2x2x2 bars + 2 legend swatches
+    assert len(rects) == 2 + 8 + 2
+    # ±std whiskers only where std > 0: RF's 4 bars
+    whiskers = [e for e in root.iter(f"{ns}line")
+                if e.get("class") == "whisker"]
+    assert len(whiskers) == 4
+
+
+def test_svg_model_maps_structure(tmp_path):
+    from rainforest_spark.plots import svg_model_maps
+    rows = [{"model": m, "station": st, "X": x, "Y": y, "value": v}
+            for m in ("RF", "RZC", "CPC", "AQC")
+            for st, x, y, v in (("OTL", 700.0, 120.0, 1.0),
+                                ("PAY", 560.0, 180.0, -0.5))]
+    svg = svg_model_maps(rows, "BIAS", ncols=3,
+                         border=[(500.0, 100.0), (750.0, 200.0)],
+                         path=str(tmp_path / "maps.svg"))
+    root = _parse(svg)
+    ns = "{http://www.w3.org/2000/svg}"
+    assert len(list(root.iter(f"{ns}circle"))) == 8    # 2 per model
+    assert len(list(root.iter(f"{ns}polyline"))) == 4  # border per panel
+    texts = [e.text for e in root.iter(f"{ns}text")]
+    # (a)..(d) labels in reading order + the shared colorbar caption
+    assert any(t and t.startswith("(a) ") for t in texts)
+    assert any(t and t.startswith("(d) ") for t in texts)
+    assert "BIAS" in texts
+    cbar = [e for e in root.iter(f"{ns}rect") if e.get("class") == "cbar"]
+    assert len(cbar) == 48
+
+
+def test_svg_residual_figures_empty_inputs():
+    from rainforest_spark.plots import (svg_crossval_stats,
+                                        svg_fit_metrics, svg_model_maps)
+    _parse(svg_fit_metrics([]))
+    _parse(svg_crossval_stats([]))
+    _parse(svg_model_maps([], "RMSE"))
+
+
+def test_cli_plot_residual_figures(spark, tmp_path):
+    """fit-metrics / crossval / model-maps CLI kinds end-to-end from
+    parquet inputs."""
+    import subprocess
+    import sys
+
+    fit = str(tmp_path / "fit.parquet")
+    spark.createDataFrame(
+        [("10min", "test", "solid", "all", 1.2, -0.1),
+         ("10min", "test", "liquid", "all", 0.8, 0.2),
+         ("10min", "train", "solid", "all", 1.0, 0.0)],
+        "aggregation string, fraction string, precip string, "
+        "bound string, RMSE double, logBias double").write.parquet(fit)
+    cv = str(tmp_path / "cv.parquet")
+    spark.createDataFrame(
+        [("RF", 0, "10min", "liquid", "all", 1.1, 0.1, 0.9, 50),
+         ("RF", 1, "10min", "liquid", "all", 1.3, -0.1, 0.8, 60),
+         ("RZC", 0, "10min", "liquid", "all", 1.5, 0.2, 0.7, 50),
+         ("RZC", 1, "10min", "liquid", "all", 1.6, 0.0, 0.75, 60)],
+        "model string, fold int, timeagg string, phase string, "
+        "bound string, RMSE double, logBias double, corr_p double, "
+        "N long").write.parquet(cv)
+    st = str(tmp_path / "st.parquet")
+    spark.createDataFrame(
+        [("RF", "OTL", 1.0), ("RZC", "OTL", -0.5)],
+        "model string, station string, RMSE double").write.parquet(st)
+    dim = str(tmp_path / "dim.parquet")
+    spark.createDataFrame([("OTL", 700.0, 120.0)],
+                          "station string, X double, Y double") \
+        .write.parquet(dim)
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "rainforest_spark.cli", *argv],
+            capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    o1 = str(tmp_path / "fit.svg")
+    run("plot", "fit-metrics", fit, o1, "--fraction", "test",
+        "--agg", "10min")
+    t1 = _parse(open(o1).read())
+    assert any(t and "fraction=test" in t for t in
+               (e.text for e in t1.iter(
+                   "{http://www.w3.org/2000/svg}text")))
+    o2 = str(tmp_path / "cv.svg")
+    run("plot", "crossval", cv, o2, "--timeagg", "10min",
+        "--bound", "all")
+    _parse(open(o2).read())
+    o3 = str(tmp_path / "maps.svg")
+    run("plot", "model-maps", st, o3, "--stations", dim,
+        "--score", "RMSE")
+    t3 = _parse(open(o3).read())
+    assert len(list(t3.iter("{http://www.w3.org/2000/svg}circle"))) == 2

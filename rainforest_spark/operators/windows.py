@@ -95,12 +95,13 @@ _BOUNDS_SAMPLE_MOD = 512
 _BOUNDS_SAMPLE_CAP = 65536     # max sampled keys collected to driver
 
 #: auto-sizing target: the sieve's row-count estimate caps the range
-#: count at ~one range per this many rows, so a 600k-row input gets ~3
-#: ranges (shallow CASE tree, small offsets dim) while a 100 TB input
-#: still saturates the requested parallelism.  A 256k-row in-memory
-#: sort is a trivial task; more ranges than est/256k only add label
-#: depth and scheduling overhead.
-_BOUNDS_TARGET_ROWS = 262144
+#: count at ~one range per this many rows, so a 600k-row input gets ~5
+#: ranges (shallow CASE tree, small offsets dim) while anything from
+#: ~4M rows up saturates the requested parallelism (est/128k >= 32
+#: there — the cap, not the target, binds at scale).  A 128k-row
+#: in-memory sort is a trivial task; more ranges than est/128k only
+#: add label depth and scheduling overhead.
+_BOUNDS_TARGET_ROWS = 131072
 
 #: Sampled bounds memoized by (analyzed-plan semantic hash, key expr,
 #: key type, n).  Any ascending cut points of the right type give a

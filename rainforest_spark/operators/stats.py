@@ -28,7 +28,8 @@ __all__ = [
     "psi_profile", "quantile_normalize", "seasonal_anomaly",
     "linear_attribution", "seasonal_naive_error", "latency_bands",
     "pareto_frontier", "jackknife_mean", "cuped_contrast",
-    "proportion_ci", "entropy_profile",
+    "proportion_ci", "entropy_profile", "calibration_curve",
+    "cohens_kappa", "cumulative_gains", "mutual_information",
 ]
 
 
@@ -1014,3 +1015,244 @@ def entropy_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     return out.select(F.col("col").alias("column"), "n_rows",
                       "n_distinct", h.alias("entropy_nats"),
                       norm.alias("normalized_entropy"))
+
+
+def calibration_curve(df: DataFrame, score_col: str,
+                      label_col: str | Column,
+                      n_bins: int = 10) -> DataFrame:
+    """Reliability-diagram data for a probabilistic score in [0, 1] —
+    the per-bin (mean predicted, observed frequency) pairs a curation
+    pipeline reads before trusting a quality classifier's probabilities
+    (the evaluation sibling of :func:`rank_auc`, which checks RANKING;
+    this checks CALIBRATION).
+
+    Rows with a score outside [0, 1] are dropped (the probability
+    contract); score exactly 1.0 lands in the top bin.  Returns one row
+    per non-empty bin: ``bin`` (0-based), ``n``, ``n_pos``,
+    ``mean_score``, ``frac_pos``, ``gap`` (= frac_pos − mean_score; the
+    signed per-bin calibration error, weighted-summable into ECE).
+
+    EXACT: the bin index is ``floor(score·n_bins)`` on doubles (one
+    IEEE expression, identical in both engines); scores quantize ONCE
+    to integer nanos (the hot-path idiom), so ``mean_score`` is an
+    exact round-half-up integer division, and ``frac_pos`` an exact
+    integer micro-division; ``gap`` is one fixed double tree over the
+    two exactly-derived values, rounded to 6dp.
+
+    Shape at 100 TB: ONE map-side-combined groupBy on ≤ n_bins keys —
+    the full-reduction aggregate; everything after runs on the bin dim.
+    """
+    lab = (F.col(label_col) if isinstance(label_col, str)
+           else label_col).cast("long")
+    s = F.col(score_col)
+    b = F.least(F.floor(s * F.lit(float(n_bins))).cast("long"),
+                F.lit(int(n_bins) - 1))
+    nanos = F.floor(s * F.lit(1e9) + F.lit(0.5)).cast("long")
+    per = (df.filter((s >= 0.0) & (s <= 1.0))
+           .select(b.alias("bin"), nanos.alias("__sn"),
+                   lab.alias("__l"))
+           .groupBy("bin")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("__l").cast("long").alias("n_pos"),
+                F.sum(F.col("__sn").cast("decimal(38,0)"))
+                .alias("__ssn")))
+    mean_nanos = F.expr("(2 * __ssn + n) div (2 * CAST(n AS "
+                        "DECIMAL(38,0)))")
+    fp_micros = F.expr("(2000000 * CAST(n_pos AS DECIMAL(38,0)) + n) "
+                       "div (2 * CAST(n AS DECIMAL(38,0)))")
+    out = (per.withColumn("mean_score",
+                          mean_nanos.cast("double") / F.lit(1e9))
+           .withColumn("frac_pos",
+                       fp_micros.cast("double") / F.lit(1e6)))
+    return (out.select("bin", "n", "n_pos", "mean_score", "frac_pos",
+                       F.round(F.col("frac_pos") - F.col("mean_score"),
+                               6).alias("gap"))
+            .orderBy("bin"))
+
+
+def cohens_kappa(df: DataFrame, rater_a: str | Column,
+                 rater_b: str | Column) -> DataFrame:
+    """Cohen's kappa between two categorical labelings of the same
+    rows — the inter-annotator (or model-vs-model) agreement check a
+    labeled-data pipeline runs before pooling annotations.  NULL is a
+    real category on both sides.
+
+    Returns ONE row: ``n``, ``n_agree``, ``po`` (observed agreement),
+    ``pe`` (chance agreement), ``kappa`` (NULL when pe = 1 — a
+    single-category degenerate where kappa is undefined).
+
+    EXACT: the contingency table is integer counts; ``po`` and ``pe``
+    come from round-half-up integer cross-multiplies (pe's numerator
+    Σ_k row_k·col_k rides DECIMAL(38,0)); ``kappa`` is one fixed double
+    tree over the two exactly-derived 6dp values, rounded to 6dp.  The
+    pe = 1 guard compares EXACT integers (pe_num = n²), never a double.
+
+    Shape at 100 TB: ONE map-side-combined groupBy on the (a, b) label
+    pair dim; marginals and their category-matched product run on that
+    tiny dim (two dim-sized groupBys + one dim equi-join).
+    """
+    a = (F.col(rater_a) if isinstance(rater_a, str) else rater_a)
+    b = (F.col(rater_b) if isinstance(rater_b, str) else rater_b)
+    joint = (df.select(
+        F.coalesce(a.cast("string"), F.lit("__null__")).alias("__a"),
+        F.coalesce(b.cast("string"), F.lit("__null__")).alias("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    ra = joint.groupBy("__a").agg(F.sum("__c").cast("long").alias("__ra"))
+    cb = joint.groupBy("__b").agg(F.sum("__c").cast("long").alias("__cb"))
+    pe_num = (ra.join(cb, ra["__a"] == cb["__b"])
+              .agg(F.coalesce(
+                  F.sum(F.col("__ra").cast("decimal(19,0)")
+                        * F.col("__cb").cast("decimal(19,0)")),
+                  F.lit(0).cast("decimal(38,0)")).alias("__pe_num")))
+    tot = joint.agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))
+              .otherwise(F.lit(0))).cast("long").alias("n_agree"))
+    j = tot.crossJoin(pe_num)   # two 1-row aggregates
+    po_micros = F.expr("(2000000 * CAST(n_agree AS DECIMAL(38,0)) + n) "
+                       "div (2 * CAST(n AS DECIMAL(38,0)))")
+    n2 = "CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))"
+    pe_micros = F.expr(f"(2000000 * __pe_num + {n2}) "
+                       f"div (2 * CAST(({n2}) AS DECIMAL(38,0)))")
+    j = (j.withColumn("po", po_micros.cast("double") / F.lit(1e6))
+         .withColumn("pe", pe_micros.cast("double") / F.lit(1e6))
+         .withColumn("__degenerate",
+                     F.expr(f"__pe_num = {n2}")))
+    kappa = F.when(~F.col("__degenerate"),
+                   F.round((F.col("po") - F.col("pe"))
+                           / (F.lit(1.0) - F.col("pe")), 6))
+    return j.select("n", "n_agree", "po", "pe", kappa.alias("kappa"))
+
+
+def cumulative_gains(df: DataFrame, score_col: str,
+                     label_col: str | Column, tie_col: str,
+                     n_buckets: int = 10) -> DataFrame:
+    """Cumulative-gains / lift table: rank rows by score DESCENDING,
+    cut into ``n_buckets`` equal-count buckets, and report how much of
+    the total positive mass the top buckets capture — the
+    model-triage curve ("the top decile holds 43% of the duplicates")
+    a pipeline reads to budget manual review or expensive reprocessing.
+
+    Returns one row per non-empty bucket (1 = top scores): ``bucket``,
+    ``n``, ``n_pos``, ``cum_n``, ``cum_pos``, ``gain``
+    (= cum_pos/total_pos), ``lift`` (= gain / (cum_n/N)).
+
+    EXACT: the rank is the deterministic BIGINT (score, tie) rank of
+    the q108 idiom (ascending; the bucket maps from the top via
+    ``((N − r)·n_buckets) div N + 1``, pure integer); gains and lift
+    are round-half-up integer micro-divisions (lift's cross-multiply
+    rides DECIMAL(38,0)).  NULL gain/lift when there are no positives.
+
+    Shape at 100 TB: one range-partitioned rank pass (no global-sort
+    task), one groupBy on ≤ n_buckets keys, cumulative sums on the
+    bucket dim.
+    """
+    from pyspark.sql import Window
+    lab = (F.col(label_col) if isinstance(label_col, str)
+           else label_col).cast("long")
+    base = (df.select(F.col(score_col).alias("__v"),
+                      lab.alias("__l"), F.col(tie_col).alias("__t"))
+            .withColumn("__ord", F.struct(F.col("__v").alias("v"),
+                                          F.col("__t").alias("i")))
+            .withColumn("__one", F.lit(1).cast("long")))
+    ranked = ranged_cumsum(base, "__ord", "__one", cum_col="__r",
+                           total_col="__N")
+    per = (ranked
+           .withColumn("bucket", F.expr(
+               f"((__N - __r) * {int(n_buckets)}) div __N + 1"))
+           .groupBy("bucket")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("__l").cast("long").alias("n_pos")))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)   # bucket dim
+    wt = Window.partitionBy()
+    per = (per.withColumn("cum_n", F.sum("n").over(w).cast("long"))
+           .withColumn("cum_pos", F.sum("n_pos").over(w).cast("long"))
+           .withColumn("__tp", F.sum("n_pos").over(wt).cast("long"))
+           .withColumn("__tn", F.sum("n").over(wt).cast("long")))
+    gain_micros = F.expr("(2000000 * CAST(cum_pos AS DECIMAL(38,0)) "
+                         "+ __tp) div (2 * CAST(__tp AS DECIMAL(38,0)))")
+    lift_micros = F.expr(
+        "(2000000 * CAST(cum_pos AS DECIMAL(19,0)) "
+        "* CAST(__tn AS DECIMAL(19,0)) "
+        "+ CAST(cum_n AS DECIMAL(19,0)) * CAST(__tp AS DECIMAL(19,0))) "
+        "div (2 * CAST(cum_n AS DECIMAL(19,0)) "
+        "* CAST(__tp AS DECIMAL(19,0)))")
+    pos = F.col("__tp") > 0
+    return (per.select(
+        "bucket", "n", "n_pos", "cum_n", "cum_pos",
+        F.when(pos, gain_micros.cast("double") / F.lit(1e6))
+        .alias("gain"),
+        F.when(pos, lift_micros.cast("double") / F.lit(1e6))
+        .alias("lift"))
+        .orderBy("bucket"))
+
+
+def mutual_information(df: DataFrame, col_a: str | Column,
+                       col_b: str | Column) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, with
+    both marginal entropies and the normalized MI — the leakage /
+    redundancy audit a feature or labeling pipeline runs ("does
+    `source` give away `label`?").  NULL is a real category.
+
+    Returns ONE row: ``n``, ``h_a``, ``h_b`` (marginal entropies),
+    ``mi_nats``, ``nmi`` (= MI/√(H(A)·H(B)), 6dp; NULL when either
+    marginal entropy is 0 — a constant column carries no information
+    to normalize by).
+
+    EXACT: counts are integers end-to-end; every transcendental term
+    — the joint's ``(c/n)·ln(c·n/(r_a·c_b))`` and the marginals'
+    ``−(c/n)·ln(c/n)`` — is ONE fixed IEEE double tree over exact
+    BIGINTs, quantized to the 1e-9 grid (``floor(x·1e9 + 0.5)`` —
+    pure double ops, engine-identical, sign-safe) and summed as exact
+    integers.  The H = 0 guard compares the exact integer nano sum,
+    never a rounded double.
+
+    Shape at 100 TB: ONE map-side-combined groupBy on the (a, b) pair
+    dim; marginals derive from that dim (two dim groupBys) and join
+    back broadcast — the fact table shuffles exactly once.
+    """
+    a = (F.col(col_a) if isinstance(col_a, str) else col_a)
+    b = (F.col(col_b) if isinstance(col_b, str) else col_b)
+    joint = (df.select(
+        F.coalesce(a.cast("string"), F.lit("__null__")).alias("__a"),
+        F.coalesce(b.cast("string"), F.lit("__null__")).alias("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    ra = joint.groupBy("__a").agg(F.sum("__c").cast("long").alias("__ra"))
+    cb = joint.groupBy("__b").agg(F.sum("__c").cast("long").alias("__cb"))
+
+    def _h(dim: DataFrame, cnt: str, out: str) -> DataFrame:
+        from pyspark.sql import Window
+        wt = Window.partitionBy()
+        d = dim.withColumn("__n", F.sum(cnt).over(wt))
+        term = -(F.col(cnt).cast("double") / F.col("__n").cast("double")) \
+            * F.log(F.col(cnt).cast("double") / F.col("__n").cast("double"))
+        d = d.withColumn("__hn", F.floor(term * F.lit(1e9) + F.lit(0.5))
+                         .cast("long"))
+        return d.agg(F.sum("__hn").alias(out),
+                     F.max("__n").cast("long").alias(f"{out}_n"))
+    ha = _h(ra, "__ra", "__han")
+    hb = _h(cb, "__cb", "__hbn")
+    j = (joint.join(F.broadcast(ra), "__a")
+         .join(F.broadcast(cb), "__b"))
+    from pyspark.sql import Window
+    wt = Window.partitionBy()
+    j = j.withColumn("__n", F.sum("__c").over(wt))
+    c, n = F.col("__c").cast("double"), F.col("__n").cast("double")
+    term = (c / n) * F.log(
+        (c * n) / (F.col("__ra").cast("double")
+                   * F.col("__cb").cast("double")))
+    j = j.withColumn("__min", F.floor(term * F.lit(1e9) + F.lit(0.5))
+                     .cast("long"))
+    mi = j.agg(F.sum("__min").alias("__min_sum"),
+               F.max("__n").cast("long").alias("n"))
+    out = mi.crossJoin(ha).crossJoin(hb)   # three 1-row aggregates
+    h_a = F.col("__han").cast("double") / F.lit(1e9)
+    h_b = F.col("__hbn").cast("double") / F.lit(1e9)
+    mi_nats = F.col("__min_sum").cast("double") / F.lit(1e9)
+    nmi = F.when((F.col("__han") > 0) & (F.col("__hbn") > 0),
+                 F.round(mi_nats / F.sqrt(h_a * h_b), 6))
+    return out.select("n", h_a.alias("h_a"), h_b.alias("h_b"),
+                      mi_nats.alias("mi_nats"), nmi.alias("nmi"))

@@ -145,6 +145,11 @@ _PRIORITY = [
     "q131_temperature_mixture", "q132_relative_quality", "q133_hybrid_rrf",
     "q134_paragraph_dedup", "q139_interval_join", "q143_scd2_intervals",
     "q144_fuzzy_match",
+    # Round-8 additions past the window (q187 calibration curve, q188
+    # Cohen's kappa, q189 cumulative gains, q190 mutual information)
+    # are exact-parity-gated via tests/test_oracle_parity.py and
+    # vanilla-probed at sf0.001/0.01/0.1; they queue for a future
+    # window rotation.
 ]
 
 #: The ROUND-7 window this one replaced, kept for the rotation record:

@@ -2554,3 +2554,191 @@ def q186(spark, sf):
     from rainforest_spark.operators.stats import entropy_profile
     return entropy_profile(T(spark, sf, "documents"),
                            ["lang", "source"])
+
+
+# ---------------------------------------------------------------- q187
+# Reliability diagram / calibration bins (stats family,
+# operators/stats.calibration_curve): a deterministic hash-uniform
+# pseudo-probability per event vs a value threshold; one groupBy on
+# <= 10 bin keys, exact nano/micro divisions, 6dp gap.
+@q("q187_calibration_curve", sql="""
+WITH b AS (
+  SELECT CAST((event_id * 2654435761) % 1000000 AS DOUBLE) / 1e6 AS s,
+         CASE WHEN value > CAST(30 AS DOUBLE) THEN 1 ELSE 0 END AS l
+  FROM events),
+p AS (
+  SELECT LEAST(CAST(FLOOR(s * CAST(10 AS DOUBLE)) AS BIGINT), 9)
+           AS bin,
+         CAST(FLOOR(s * 1e9 + 0.5) AS BIGINT) AS sn, l
+  FROM b WHERE s >= 0 AND s <= 1),
+g AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(l) AS BIGINT) AS n_pos,
+         CAST(SUM(CAST(sn AS HUGEINT)) AS HUGEINT) AS ssn
+  FROM p GROUP BY bin)
+SELECT bin, n, n_pos,
+       CAST((2 * ssn + n - (2 * ssn + n) % (2 * CAST(n AS HUGEINT)))
+            // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e9 AS mean_score,
+       CAST((2000000 * CAST(n_pos AS HUGEINT) + n
+             - (2000000 * CAST(n_pos AS HUGEINT) + n)
+               % (2 * CAST(n AS HUGEINT)))
+            // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 AS frac_pos,
+       ROUND(CAST((2000000 * CAST(n_pos AS HUGEINT) + n
+                   - (2000000 * CAST(n_pos AS HUGEINT) + n)
+                     % (2 * CAST(n AS HUGEINT)))
+                  // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6
+             - CAST((2 * ssn + n - (2 * ssn + n)
+                     % (2 * CAST(n AS HUGEINT)))
+                    // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e9,
+             6) AS gap
+FROM g ORDER BY bin
+""")
+def q187(spark, sf):
+    from rainforest_spark.operators.stats import calibration_curve
+    e = T(spark, sf, "events").select(
+        (F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1000000))
+         .cast("double") / F.lit(1e6)).alias("__s"),
+        (F.col("value") > F.lit(30.0)).alias("__l"))
+    return calibration_curve(e, "__s", "__l", n_bins=10)
+
+
+# ---------------------------------------------------------------- q188
+# Cohen's kappa (stats family, operators/stats.cohens_kappa): the
+# lineitem (returnflag, linestatus) pair as the two "raters"; exact
+# contingency counts, dim-side marginal product, 6dp kappa.
+@q("q188_cohens_kappa", sql="""
+WITH j AS (
+  SELECT COALESCE(CAST(l_returnflag AS VARCHAR), '__null__') AS a,
+         COALESCE(CAST(l_linestatus AS VARCHAR), '__null__') AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2),
+ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM j GROUP BY a),
+cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM j GROUP BY b),
+pe AS (SELECT COALESCE(SUM(CAST(ra AS HUGEINT) * cb),
+                       CAST(0 AS HUGEINT)) AS pe_num
+       FROM ra JOIN cb ON ra.a = cb.b),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM j),
+x AS (SELECT n, n_agree, pe_num,
+             CAST(n AS HUGEINT) * n AS n2,
+             CAST((2000000 * CAST(n_agree AS HUGEINT) + n
+                   - (2000000 * CAST(n_agree AS HUGEINT) + n)
+                     % (2 * CAST(n AS HUGEINT)))
+                  // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 AS po
+      FROM t, pe),
+y AS (SELECT n, n_agree, po, pe_num, n2,
+             CAST((2000000 * pe_num + n2
+                   - (2000000 * pe_num + n2) % (2 * n2))
+                  // (2 * n2) AS DOUBLE) / 1e6 AS pe
+      FROM x)
+SELECT n, n_agree, po, pe,
+       CASE WHEN pe_num <> n2
+            THEN ROUND((po - pe) / (CAST(1 AS DOUBLE) - pe), 6) END
+         AS kappa
+FROM y
+""")
+def q188(spark, sf):
+    from rainforest_spark.operators.stats import cohens_kappa
+    return cohens_kappa(T(spark, sf, "lineitem"),
+                        "l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------- q189
+# Cumulative gains / lift table (stats family,
+# operators/stats.cumulative_gains): how much of the high-value event
+# mass the top score deciles capture; one ranged rank pass (q108
+# idiom), bucket-dim cumulatives, exact micro-divisions.
+@q("q189_cumulative_gains", sql="""
+WITH b AS (
+  SELECT CAST((event_id * 2654435761) % 1000000 AS DOUBLE) / 1e6 AS v,
+         CASE WHEN value > CAST(30 AS DOUBLE) THEN 1 ELSE 0 END AS l,
+         event_id AS t
+  FROM events),
+r AS (SELECT l, ROW_NUMBER() OVER (ORDER BY v, t) AS r,
+             CAST(COUNT(*) OVER () AS BIGINT) AS nn
+      FROM b),
+g AS (SELECT ((nn - r) * 10) // nn + 1 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(l) AS BIGINT) AS n_pos
+      FROM r GROUP BY 1),
+c AS (SELECT bucket, n, n_pos,
+             CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
+             CAST(SUM(n_pos) OVER (ORDER BY bucket) AS BIGINT)
+               AS cum_pos,
+             CAST(SUM(n_pos) OVER () AS BIGINT) AS tp,
+             CAST(SUM(n) OVER () AS BIGINT) AS tn
+      FROM g)
+SELECT bucket, n, n_pos, cum_n, cum_pos,
+       CASE WHEN tp > 0 THEN
+         CAST((2000000 * CAST(cum_pos AS HUGEINT) + tp
+               - (2000000 * CAST(cum_pos AS HUGEINT) + tp)
+                 % (2 * CAST(tp AS HUGEINT)))
+              // (2 * CAST(tp AS HUGEINT)) AS DOUBLE) / 1e6 END
+         AS gain,
+       CASE WHEN tp > 0 THEN
+         CAST((2000000 * CAST(cum_pos AS HUGEINT) * tn
+               + CAST(cum_n AS HUGEINT) * tp
+               - (2000000 * CAST(cum_pos AS HUGEINT) * tn
+                  + CAST(cum_n AS HUGEINT) * tp)
+                 % (2 * CAST(cum_n AS HUGEINT) * tp))
+              // (2 * CAST(cum_n AS HUGEINT) * tp) AS DOUBLE) / 1e6 END
+         AS lift
+FROM c ORDER BY bucket
+""")
+def q189(spark, sf):
+    from rainforest_spark.operators.stats import cumulative_gains
+    e = T(spark, sf, "events").select(
+        (F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1000000))
+         .cast("double") / F.lit(1e6)).alias("__s"),
+        (F.col("value") > F.lit(30.0)).alias("__l"),
+        F.col("event_id").alias("__t"))
+    return cumulative_gains(e, "__s", "__l", "__t", n_buckets=10)
+
+
+# ---------------------------------------------------------------- q190
+# Mutual information / label-leakage audit (stats family,
+# operators/stats.mutual_information): does `source` give away `lang`
+# in the corpus?  One (a, b) pair groupBy, dim-side marginals, 1e-9
+# transcendental grid, exact integer nano sums.
+@q("q190_mutual_information", sql="""
+WITH j AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS a,
+         COALESCE(CAST(source AS VARCHAR), '__null__') AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM j GROUP BY a),
+cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM j GROUP BY b),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM j),
+ha AS (SELECT CAST(SUM(CAST(FLOOR(
+                -(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))
+                * LN(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))
+                * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS han
+      FROM ra, t),
+hb AS (SELECT CAST(SUM(CAST(FLOOR(
+                -(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+                * LN(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+                * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS hbn
+      FROM cb, t),
+mi AS (SELECT CAST(SUM(CAST(FLOOR(
+                 (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * LN((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                      / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))
+                 * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS min_sum
+       FROM j JOIN ra USING (a) JOIN cb USING (b)
+       CROSS JOIN t)
+SELECT n,
+       CAST(han AS DOUBLE) / 1e9 AS h_a,
+       CAST(hbn AS DOUBLE) / 1e9 AS h_b,
+       CAST(min_sum AS DOUBLE) / 1e9 AS mi_nats,
+       CASE WHEN han > 0 AND hbn > 0 THEN
+         ROUND((CAST(min_sum AS DOUBLE) / 1e9)
+               / SQRT((CAST(han AS DOUBLE) / 1e9)
+                      * (CAST(hbn AS DOUBLE) / 1e9)), 6) END AS nmi
+FROM t, ha, hb, mi
+""")
+def q190(spark, sf):
+    from rainforest_spark.operators.stats import mutual_information
+    return mutual_information(T(spark, sf, "documents"),
+                              "lang", "source")

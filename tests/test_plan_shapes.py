@@ -356,6 +356,11 @@ _CROSS_JOIN_WHITELIST = {
     # 1-row triangle count — both sides single-row by construction
     # (operators/graph.py triangle_census)
     "q166_triangle_census",
+    # q188/q190: 1-row aggregates (contingency totals / marginal
+    # entropies / MI sum) cross-joined into the single output row —
+    # every side single-row by construction (operators/stats.py
+    # cohens_kappa, mutual_information)
+    "q188_cohens_kappa", "q190_mutual_information",
 }
 
 

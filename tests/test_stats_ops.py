@@ -614,3 +614,141 @@ def test_entropy_profile_uniform_is_one_constant_is_zero(spark):
     assert got["u"]["normalized_entropy"] == 1.0
     assert got["c"]["entropy_nats"] == 0.0
     assert got["c"]["normalized_entropy"] is None
+
+
+# ------------------- round-8: calibration / kappa / gains / MI family
+
+def test_calibration_curve_matches_python(spark):
+    rng = random.Random(5)
+    rows = [(rng.random(), rng.random() < 0.5) for _ in range(800)]
+    rows += [(1.0, True), (-0.2, True), (1.4, False)]   # edges
+    df = spark.createDataFrame(rows, "s double, l boolean")
+    from rainforest_spark.operators.stats import calibration_curve
+    got = {r["bin"]: r for r in
+           calibration_curve(df, "s", "l", n_bins=10).collect()}
+    import collections
+    want = collections.defaultdict(lambda: [0, 0, 0])
+    for s, l in rows:
+        if not (0.0 <= s <= 1.0):
+            continue
+        b = min(int(s * 10), 9)
+        want[b][0] += 1
+        want[b][1] += int(l)
+        want[b][2] += math.floor(s * 1e9 + 0.5)
+    assert set(got) == set(want)
+    for b, (n, npos, ssn) in want.items():
+        r = got[b]
+        assert (r["n"], r["n_pos"]) == (n, npos)
+        assert r["mean_score"] == ((2 * ssn + n) // (2 * n)) / 1e9
+        assert r["frac_pos"] == ((2_000_000 * npos + n) // (2 * n)) / 1e6
+        assert r["gap"] == round(r["frac_pos"] - r["mean_score"], 6)
+
+
+def test_cohens_kappa_matches_formula(spark):
+    rng = random.Random(7)
+    cats = ["x", "y", "z"]
+    rows = [(rng.choice(cats),
+             rng.choice(cats) if rng.random() < 0.6 else None)
+            for _ in range(500)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    from rainforest_spark.operators.stats import cohens_kappa
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    n = len(rows)
+    norm = [(a, b if b is not None else "__null__") for a, b in rows]
+    agree = sum(a == b for a, b in norm)
+    from collections import Counter
+    ra, cb = Counter(a for a, _ in norm), Counter(b for _, b in norm)
+    pe_num = sum(ra[k] * cb.get(k, 0) for k in ra)
+    po = ((2_000_000 * agree + n) // (2 * n)) / 1e6
+    pe = ((2_000_000 * pe_num + n * n) // (2 * n * n)) / 1e6
+    assert (r["n"], r["n_agree"]) == (n, agree)
+    assert (r["po"], r["pe"]) == (po, pe)
+    assert r["kappa"] == round((po - pe) / (1.0 - pe), 6)
+
+
+def test_cohens_kappa_degenerate_single_category(spark):
+    df = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    from rainforest_spark.operators.stats import cohens_kappa
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["po"] == 1.0 and r["pe"] == 1.0 and r["kappa"] is None
+
+
+def test_cumulative_gains_matches_python(spark):
+    rng = random.Random(9)
+    rows = [(rng.random(), rng.random() < 0.3, i)
+            for i in range(730)]
+    df = spark.createDataFrame(rows, "s double, l boolean, t long")
+    from rainforest_spark.operators.stats import cumulative_gains
+    got = cumulative_gains(df, "s", "l", "t", n_buckets=10).collect()
+    srt = sorted(rows, key=lambda r: (r[0], r[2]))   # ascending rank
+    N = len(srt)
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0])
+    for r0, (s, l, t) in enumerate(srt, start=1):
+        b = ((N - r0) * 10) // N + 1
+        agg[b][0] += 1
+        agg[b][1] += int(l)
+    tp = sum(v[1] for v in agg.values())
+    cum_n = cum_p = 0
+    want = {}
+    for b in sorted(agg):
+        cum_n += agg[b][0]
+        cum_p += agg[b][1]
+        gain = ((2_000_000 * cum_p + tp) // (2 * tp)) / 1e6
+        lift = ((2_000_000 * cum_p * N + cum_n * tp)
+                // (2 * cum_n * tp)) / 1e6
+        want[b] = (agg[b][0], agg[b][1], cum_n, cum_p, gain, lift)
+    assert {r["bucket"]: (r["n"], r["n_pos"], r["cum_n"], r["cum_pos"],
+                          r["gain"], r["lift"]) for r in got} == want
+    # the top bucket must over-capture when scores correlate: here the
+    # label is independent, so lift ~1; just check monotone cum fields
+    lifts = [r["lift"] for r in got]
+    assert len(lifts) == 10
+
+
+def test_cumulative_gains_no_positives(spark):
+    df = spark.createDataFrame([(0.1 * i, False, i) for i in range(20)],
+                               "s double, l boolean, t long")
+    from rainforest_spark.operators.stats import cumulative_gains
+    got = cumulative_gains(df, "s", "l", "t", n_buckets=4).collect()
+    assert all(r["gain"] is None and r["lift"] is None for r in got)
+
+
+def test_mutual_information_dependence_and_independence(spark):
+    from rainforest_spark.operators.stats import mutual_information
+    # perfect dependence: b = a -> MI = H(A), NMI = 1
+    rows = [(c, c) for c in "xxyyzz" * 50]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r["nmi"] == pytest.approx(1.0, abs=1e-6)
+    assert r["mi_nats"] == pytest.approx(r["h_a"], abs=1e-6)
+    assert r["h_a"] == pytest.approx(math.log(3), abs=1e-6)
+    # independence: uniform product grid -> MI = 0
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r["mi_nats"] == pytest.approx(0.0, abs=1e-6)
+    # constant column: H = 0 -> NMI undefined
+    df = spark.createDataFrame([("k", v) for v in "uv" * 10],
+                               "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r["h_a"] == 0.0 and r["nmi"] is None
+
+
+def test_mutual_information_matches_python(spark):
+    rng = random.Random(3)
+    rows = [(rng.choice("abc"), rng.choice("uvw")) for _ in range(400)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    from rainforest_spark.operators.stats import mutual_information
+    r = mutual_information(df, "a", "b").collect()[0]
+    from collections import Counter
+    n = len(rows)
+    j, ra, cb = Counter(rows), Counter(a for a, _ in rows), \
+        Counter(b for _, b in rows)
+    mi = sum(math.floor((c / n) * math.log(c * n / (ra[a] * cb[b]))
+                        * 1e9 + 0.5) for (a, b), c in j.items()) / 1e9
+    ha = sum(math.floor(-(c / n) * math.log(c / n) * 1e9 + 0.5)
+             for c in ra.values()) / 1e9
+    assert r["mi_nats"] == pytest.approx(mi, abs=1e-9)
+    assert r["h_a"] == pytest.approx(ha, abs=1e-9)
+    assert r["n"] == n

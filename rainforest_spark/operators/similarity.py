@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import numpy as _np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -1117,3 +1118,136 @@ def rrf_fusion(rankings: list, query_col: str = "query_id",
             .select(F.col("__q").alias(query_col),
                     F.col("fused_rnk").cast("long").alias("fused_rnk"),
                     F.col("__i").alias(item_col), "rrf_score"))
+
+
+def embedding_covariance(vectors: DataFrame, vec_col: str,
+                         dim: int) -> DataFrame:
+    """Upper-triangle covariance + correlation matrix of the embedding
+    dimensions — the collinearity/whitening audit run before picking
+    LSH planes, IVF dims, or a JL target size (a dimension pair with
+    |corr| ≈ 1 wastes index bits; a near-zero-variance dimension is
+    dead weight in every distance).
+
+    Returns one row per ``i <= j`` pair: ``i``, ``j``, ``n``, ``cov``
+    (sample covariance, n−1 denominator), ``corr`` (NULL when either
+    variance is 0 or n < 2).
+
+    EXACT: each per-row product ``x_i·x_j`` and element ``x_i`` is a
+    pure double expression quantized ONCE to integer nanos
+    (``floor(x·1e9 + 0.5)`` — the hot-path idiom), summed as
+    DECIMAL(38,0); cov/corr are fixed IEEE double trees over those
+    exact sums — no rounding step is needed at all, because no
+    engine-divergent operation remains.
+
+    Shape at 100 TB: the pair terms build IN-EXPRESSION (a flattened
+    transform over ``sequence`` — no self-join, no fan-out join) and
+    feed ONE map-side-combined groupBy on the d(d+1)/2 pair dim;
+    marginal sums are a second slim map-side pass (d keys).  Compute
+    is O(N·d²) — for d in the thousands run the same reduction as a
+    numpy Gram accumulation per Arrow batch (mapInPandas) and keep
+    this expression form as the oracle-pairable reference.
+    """
+    d = int(dim)
+    v = F.col(vec_col)
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.transform(
+            F.sequence(i, F.lit(d - 1)),
+            lambda j: F.struct(
+                i.alias("i"), j.alias("j"),
+                F.floor(F.element_at(v, i + 1).cast("double")
+                        * F.element_at(v, j + 1).cast("double")
+                        * F.lit(1e9) + F.lit(0.5)).cast("long")
+                .alias("pn")))))
+    pair_sums = (vectors.select(F.explode(pairs).alias("p"))
+                 .groupBy(F.col("p.i").alias("i"),
+                          F.col("p.j").alias("j"))
+                 .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                      F.sum(F.col("p.pn").cast("decimal(38,0)"))
+                      .alias("__sp")))
+    elems = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.floor(F.element_at(v, i + 1).cast("double")
+                    * F.lit(1e9) + F.lit(0.5)).cast("long")
+            .alias("xn")))
+    dim_sums = (vectors.select(F.explode(elems).alias("e"))
+                .groupBy(F.col("e.i").alias("di"))
+                .agg(F.sum(F.col("e.xn").cast("decimal(38,0)"))
+                     .alias("__sx")))
+    si = dim_sums.select(F.col("di").alias("__ii"),
+                         F.col("__sx").alias("__si"))
+    sj = dim_sums.select(F.col("di").alias("__jj"),
+                         F.col("__sx").alias("__sj"))
+    out = (pair_sums
+           .join(F.broadcast(si), F.col("i") == F.col("__ii"))
+           .join(F.broadcast(sj), F.col("j") == F.col("__jj")))
+    nd = F.col("n").cast("double")
+    cov = F.when(
+        F.col("n") > 1,
+        (F.col("__sp").cast("double") / F.lit(1e9)
+         - (F.col("__si").cast("double") / F.lit(1e9))
+         * (F.col("__sj").cast("double") / F.lit(1e9)) / nd)
+        / (nd - F.lit(1.0)))
+    out = out.withColumn("cov", cov)
+    # correlation needs the two variances — the diagonal of the same
+    # table, joined back broadcast (d rows)
+    diag = (out.filter(F.col("i") == F.col("j"))
+            .select(F.col("i").alias("__dk"),
+                    F.col("cov").alias("__var")))
+    vi = diag.select(F.col("__dk").alias("__vi_k"),
+                     F.col("__var").alias("__vi"))
+    vj = diag.select(F.col("__dk").alias("__vj_k"),
+                     F.col("__var").alias("__vj"))
+    out = (out.join(F.broadcast(vi), F.col("i") == F.col("__vi_k"))
+           .join(F.broadcast(vj), F.col("j") == F.col("__vj_k")))
+    corr = F.when((F.col("__vi") > 0) & (F.col("__vj") > 0),
+                  F.col("cov") / F.sqrt(F.col("__vi") * F.col("__vj")))
+    return (out.select(F.col("i").cast("long").alias("i"),
+                       F.col("j").cast("long").alias("j"),
+                       "n", "cov", corr.alias("corr"))
+            .orderBy("i", "j"))
+
+
+def gram_accumulate(vectors: DataFrame, vec_col: str,
+                    dim: int) -> DataFrame:
+    """The LARGE-d scale path for :func:`embedding_covariance`'s
+    reduction: per-Arrow-batch numpy ``Xᵀ·X`` / ``ΣX`` accumulation in
+    ``mapInPandas`` (one d×d float64 Gram per batch instead of N·d²
+    exploded rows), combined by a final d²-key groupBy.  Returns
+    ``(i, j, n, sum_prod, sum_i_elems?)`` — upper triangle, raw double
+    sums (NOT nano-quantized: this is the throughput path; bit-exact
+    cross-engine pairing is what :func:`embedding_covariance` is for).
+    Tested equal to the exact form within float tolerance.
+    """
+    import pandas as pd
+
+    d = int(dim)
+    iu0, iu1 = _np.triu_indices(d)
+
+    def part(batches):
+        g = _np.zeros((d, d), dtype=_np.float64)
+        s = _np.zeros(d, dtype=_np.float64)
+        n = 0
+        for b in batches:
+            if len(b) == 0:
+                continue
+            x = _np.stack(b[vec_col].to_numpy()).astype(_np.float64)
+            g += x.T @ x
+            s += x.sum(axis=0)
+            n += len(x)
+        if n == 0:
+            return
+        yield pd.DataFrame({
+            "i": iu0.astype("int64"), "j": iu1.astype("int64"),
+            "n": _np.full(len(iu0), n, dtype="int64"),
+            "sp": g[iu0, iu1],
+            "si": s[iu0], "sj": s[iu1]})
+
+    parts = vectors.select(vec_col).mapInPandas(
+        part, "i long, j long, n long, sp double, si double, sj double")
+    return (parts.groupBy("i", "j")
+            .agg(F.sum("n").alias("n"), F.sum("sp").alias("sum_prod"),
+                 F.sum("si").alias("sum_i"), F.sum("sj").alias("sum_j"))
+            .orderBy("i", "j"))

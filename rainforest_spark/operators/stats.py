@@ -1157,10 +1157,10 @@ def cumulative_gains(df: DataFrame, score_col: str,
                                           F.col("__t").alias("i")))
             .withColumn("__one", F.lit(1).cast("long")))
     ranked = ranged_cumsum(base, "__ord", "__one", cum_col="__r",
-                           total_col="__N")
+                           total_col="__tot")
     per = (ranked
            .withColumn("bucket", F.expr(
-               f"((__N - __r) * {int(n_buckets)}) div __N + 1"))
+               f"((__tot - __r) * {int(n_buckets)}) div __tot + 1"))
            .groupBy("bucket")
            .agg(F.count(F.lit(1)).cast("long").alias("n"),
                 F.sum("__l").cast("long").alias("n_pos")))

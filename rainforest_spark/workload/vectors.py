@@ -542,3 +542,45 @@ def q133(spark, sf):
                     "rnk")],
         query_col="query_id", item_col="doc_id", rank_col="rnk",
         k_const=60, k=10)
+
+
+# ---------------------------------------------------------------- q191
+# Embedding-dimension covariance/correlation audit (similarity family,
+# operators/similarity.embedding_covariance): upper-triangle sample
+# covariance + correlation over the 64 dims.  In-expression pair
+# terms (no self-join on the Spark side), one d(d+1)/2-key groupBy,
+# nano-quantized exact sums, fixed IEEE double trees — no rounding
+# step needed.  The oracle spells the same reduction with DuckDB's
+# UNNEST WITH ORDINALITY + a vec_id self-join (its in-SQL equivalent).
+@q("q191_embedding_covariance", sql="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (
+  SELECT vec_id, v[pos] AS xd, CAST(pos AS BIGINT) - 1 AS i
+  FROM v, UNNEST(generate_series(1, len(v))) AS t(pos)),
+p AS (
+  SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(FLOOR(a.xd * b.xd * 1e9 + 0.5) AS HUGEINT)) AS sp
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2),
+s AS (
+  SELECT i, SUM(CAST(FLOOR(xd * 1e9 + 0.5) AS HUGEINT)) AS sx
+  FROM e GROUP BY i),
+c AS (
+  SELECT p.i, p.j, p.n,
+         CASE WHEN p.n > 1 THEN
+           (CAST(sp AS DOUBLE) / 1e9
+            - (CAST(si.sx AS DOUBLE) / 1e9)
+              * (CAST(sj.sx AS DOUBLE) / 1e9) / CAST(p.n AS DOUBLE))
+           / (CAST(p.n AS DOUBLE) - CAST(1 AS DOUBLE)) END AS cov
+  FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j),
+d AS (SELECT i AS dk, cov AS var FROM c WHERE i = j)
+SELECT c.i, c.j, c.n, c.cov,
+       CASE WHEN vi.var > 0 AND vj.var > 0
+            THEN c.cov / SQRT(vi.var * vj.var) END AS corr
+FROM c JOIN d vi ON vi.dk = c.i JOIN d vj ON vj.dk = c.j
+ORDER BY c.i, c.j
+""")
+def q191(spark, sf):
+    e = T(spark, sf, "embeddings")
+    return SIM.embedding_covariance(e, "embedding", 64)

@@ -753,3 +753,54 @@ def test_relative_quality_filter_reference(spark):
            for r in relative_quality_filter(
                df, "doc_id", "text", "source").collect()}
     assert got == exp
+
+
+# --------------------- round-8: embedding covariance / Gram scale path
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+    import pytest
+
+    from rainforest_spark.operators.similarity import embedding_covariance
+    rng = np.random.RandomState(13)
+    d, n = 6, 300
+    base = rng.randn(n, d).astype(np.float32)
+    base[:, 3] = base[:, 1] * 2.0          # perfectly correlated pair
+    base[:, 5] = 0.25                      # zero-variance dim
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    got = {(r["i"], r["j"]): r for r in
+           embedding_covariance(df, "embedding", d).collect()}
+    assert len(got) == d * (d + 1) // 2
+    C = np.cov(base.astype(np.float64), rowvar=False)
+    for (i, j), r in got.items():
+        assert r["n"] == n
+        assert r["cov"] == pytest.approx(C[i, j], abs=5e-6)
+    # corr contracts: the engineered pair is ~1, the dead dim is NULL
+    assert got[(1, 3)]["corr"] == pytest.approx(1.0, abs=1e-4)
+    assert got[(5, 5)]["corr"] is None and got[(0, 5)]["corr"] is None
+    assert abs(got[(5, 5)]["cov"]) < 1e-6
+
+
+def test_gram_accumulate_matches_exact_reduction(spark):
+    import numpy as np
+    import pytest
+
+    from rainforest_spark.operators.similarity import gram_accumulate
+    rng = np.random.RandomState(29)
+    d, n = 8, 500
+    X = rng.randn(n, d).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>").repartition(7)
+    got = {(r["i"], r["j"]): r for r in
+           gram_accumulate(df, "embedding", d).collect()}
+    Xd = X.astype(np.float64)
+    G, S = Xd.T @ Xd, Xd.sum(axis=0)
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), r in got.items():
+        assert r["n"] == n
+        assert r["sum_prod"] == pytest.approx(G[i, j], rel=1e-12)
+        assert r["sum_i"] == pytest.approx(S[i], rel=1e-12)
+        assert r["sum_j"] == pytest.approx(S[j], rel=1e-12)

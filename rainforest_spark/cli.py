@@ -640,6 +640,35 @@ def cmd_drift(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """Categorical-association audit between two columns of one
+    parquet: per-column entropy, mutual information / NMI (leakage),
+    Cohen's kappa (agreement) — the one-command answer to "does column
+    A give away column B?"."""
+    from rainforest_spark.operators.stats import (
+        cohens_kappa, entropy_profile, mutual_information,
+    )
+    from rainforest_spark.session import get_spark
+
+    spark = get_spark("rainforest-audit")
+    df = spark.read.parquet(args.input)
+    mi = mutual_information(df, args.col_a, args.col_b).collect()[0]
+    kap = cohens_kappa(df, args.col_a, args.col_b).collect()[0]
+    ent = {r["column"]: r for r in
+           entropy_profile(df, [args.col_a, args.col_b]).collect()}
+    print(json.dumps({
+        "n": mi["n"],
+        "entropy": {c: {"nats": ent[c]["entropy_nats"],
+                        "n_distinct": ent[c]["n_distinct"],
+                        "normalized": ent[c]["normalized_entropy"]}
+                    for c in ent},
+        "mutual_information": {"nats": mi["mi_nats"], "nmi": mi["nmi"]},
+        "kappa": {"po": kap["po"], "pe": kap["pe"],
+                  "kappa": kap["kappa"]},
+    }))
+    return 0
+
+
 def cmd_novelty(args) -> int:
     """Batch semantic novelty of an ingest batch vs the persisted
     corpus (embedding-space analogue of the n-gram novelty report)."""
@@ -972,6 +1001,13 @@ def main(argv=None) -> int:
     dr.add_argument("--lo", type=float, default=None)
     dr.add_argument("--hi", type=float, default=None)
     dr.set_defaults(fn=cmd_drift)
+
+    au = sub.add_parser("audit", help="entropy + mutual-information + "
+                        "kappa association audit between two columns")
+    au.add_argument("input", help="input parquet")
+    au.add_argument("--col-a", required=True)
+    au.add_argument("--col-b", required=True)
+    au.set_defaults(fn=cmd_audit)
 
     nv = sub.add_parser("novelty", help="semantic novelty of a batch "
                         "vs the persisted corpus (embeddings)")

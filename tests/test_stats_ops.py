@@ -752,3 +752,24 @@ def test_mutual_information_matches_python(spark):
     assert r["mi_nats"] == pytest.approx(mi, abs=1e-9)
     assert r["h_a"] == pytest.approx(ha, abs=1e-9)
     assert r["n"] == n
+
+
+def test_cli_audit_end_to_end(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "in.parquet")
+    spark.createDataFrame([("x", "x"), ("x", "x"), ("y", "y"),
+                           ("y", "x")], "a string, b string") \
+        .write.parquet(src)
+    r = subprocess.run(
+        [sys.executable, "-m", "rainforest_spark.cli", "audit", src,
+         "--col-a", "a", "--col-b", "b"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["n"] == 4
+    assert rep["kappa"]["po"] == 0.75
+    assert rep["entropy"]["a"]["n_distinct"] == 2
+    assert rep["mutual_information"]["nats"] > 0

@@ -330,8 +330,8 @@ def ranged_cumsum(df: DataFrame, order_col: str, weight_col: str,
     # per-(group, partition) offset algebra needs.  (A struct(group,
     # order) key is equally correct but makes every row's log-depth
     # CASE compare STRUCTS — rebuilt and re-evaluated per branch;
-    # measured ~1.5× whole-query on q34's 3-group × 600k-row shape vs
-    # the scalar key.)
+    # measured ~1.2-1.4x whole-query on q34's 3-group x 600k-row shape
+    # vs the scalar key.)
     key = F.col(order_col)
     key_type = (df.select(key.alias("__k")).schema["__k"].dataType)
     bounds = _range_bounds(df, key, key_type, n)

@@ -407,21 +407,31 @@ def _extra_queries():
         return embedding_novelty(batch, corpus, "vec_id", "embedding")
 
     def q144_composite(spark, sf_dir):
-        # the NON-exhibit fuzzy-match shape: a composite block key
-        # (first token x noun x p_size, ~423k possible blocks) whose
-        # OCCUPIED cardinality grows with N, so per-block sizes — and
-        # with them the Sigma n_b^2 pair cost — stay ~flat per decade.
-        # Same operator, same thresholded levenshtein residual; only
-        # the user's blocking choice differs (the operator's documented
-        # scale lever).
+        # the NON-exhibit fuzzy-match shape: a block key whose OCCUPIED
+        # cardinality grows with N, so per-block sizes — and with them
+        # the Sigma n_b^2 pair cost — stay ~flat per decade.  It runs
+        # on DOCUMENTS because that is the one text column the scale
+        # tiers cipher per copy (tools/scale_gen.py): every copy's
+        # first tokens are distinct strings, exactly like real corpus
+        # growth.  (A p_name key canNOT work here: part text is copied
+        # verbatim 100x, so ANY p_name blocking is quadratic on the
+        # tiers by construction — that is what the q144 exhibit
+        # demonstrates.)  Same operator, same thresholded levenshtein
+        # residual; only the user's blocking choice differs (the
+        # operator's documented scale lever).
         from pyspark.sql import functions as F
 
         from rainforest_spark.operators.joins import fuzzy_match
-        p = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
-        first = F.element_at(F.split(F.col("p_name"), " "), 1)
-        noun = F.element_at(F.split(F.col("p_name"), " "), 2)
-        return fuzzy_match(p, "p_partkey", "p_name",
-                           [first, noun, "p_size"], max_dist=4)
+        d = (spark.read.parquet(os.path.join(sf_dir,
+                                             "documents.parquet"))
+             .select("doc_id",
+                     F.substring("text", 1, 40).alias("head"),
+                     F.element_at(F.split(F.col("text"), " "), 1)
+                     .alias("tok1"),
+                     (F.col("n_chars") / F.lit(64)).cast("long")
+                     .alias("lenb")))
+        return fuzzy_match(d, "doc_id", "head", ["tok1", "lenb"],
+                           max_dist=6)
 
     def q171_auto(spark, sf_dir):
         # the nearest-site OPERATOR DEFAULT (cell=None — auto-sized

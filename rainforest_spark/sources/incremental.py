@@ -28,7 +28,7 @@ from rainforest_spark.sources.versioned import (
     ConcurrentCommitError, commit_snapshot, latest_version, read_snapshot,
 )
 
-__all__ = ["incremental_agg", "read_agg"]
+__all__ = ["incremental_agg", "read_agg", "incremental_sink"]
 
 _DEC = "decimal(38,6)"
 
@@ -73,7 +73,8 @@ def _combine(old: DataFrame, new: DataFrame, keys: list[str],
 
 def incremental_agg(spark: SparkSession, store_path: str,
                     batch: DataFrame, keys: list[str],
-                    spec: dict, max_retries: int = 5) -> int:
+                    spec: dict, max_retries: int = 5,
+                    stream_tag: dict | None = None) -> int:
     """Fold ``batch`` into the maintained rollup at ``store_path``
     (creating it on first use) and commit the merged state as the next
     snapshot version.  Returns the committed version.
@@ -102,7 +103,8 @@ def incremental_agg(spark: SparkSession, store_path: str,
             merged = _combine(old, new, keys, spec)
         try:
             return commit_snapshot(merged, store_path, mode="overwrite",
-                                   expected_parent=parent)
+                                   expected_parent=parent,
+                                   stream_tag=stream_tag)
         except ConcurrentCommitError as e:
             last_err = e   # lost to a concurrent refresh — re-merge
     raise ConcurrentCommitError(
@@ -114,3 +116,34 @@ def read_agg(spark: SparkSession, store_path: str,
              version: int | None = None) -> DataFrame:
     """The maintained rollup (optionally time-traveled)."""
     return read_snapshot(spark, store_path, version=version)
+
+
+def incremental_sink(store_path: str, keys: list[str], spec: dict,
+                     query_key: str):
+    """An EXACTLY-ONCE ``foreachBatch`` function that maintains the
+    rollup at ``store_path`` FROM A STREAM: each micro-batch folds into
+    the state via :func:`incremental_agg` and the committed manifest
+    carries a ``(query_key, batch_id)`` tag, so a replayed batch
+    (restart after a sink failure — Structured Streaming's
+    at-least-once contract) is detected in the log and skipped.  The
+    streaming analogue of ``versioned.snapshot_sink``, but the version
+    written is the MERGED AGGREGATE STATE, not the appended rows —
+    "maintain a 100 TB rollup from the feed, never rescan history,
+    never double-count a replay".
+
+    Concurrency composes with the round's lost-update fix: the fold
+    commits with an expected-parent precondition, so a concurrent
+    manual refresh can't be silently overwritten, and a replay that
+    finds its tag already in the log is a no-op.  Pair vacuum() with a
+    ``keep_versions`` at least as deep as the checkpoint's replayable
+    horizon (the snapshot_sink caveat — tags live in manifests).
+    """
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from rainforest_spark.sources.versioned import committed_batches
+        if int(batch_id) in committed_batches(store_path, query_key):
+            return
+        incremental_agg(batch_df.sparkSession, store_path, batch_df,
+                        keys, spec,
+                        stream_tag={"query": query_key,
+                                    "batch_id": int(batch_id)})
+    return write

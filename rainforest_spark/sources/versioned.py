@@ -91,8 +91,8 @@ _ANY_PARENT = object()
 
 def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
                     max_retries: int = 10,
-                    expected_parent: int | None | object = _ANY_PARENT
-                    ) -> int:
+                    expected_parent: int | None | object = _ANY_PARENT,
+                    stream_tag: dict | None = None) -> int:
     """Write ``df`` as the next version of the table at ``path``.
 
     ``mode='append'`` adds the new files to the parent version's list;
@@ -133,6 +133,8 @@ def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
         manifest = {"version": version, "parent": parent, "op": mode,
                     "files": files, "ts": time.time(),
                     "schema": df.schema.json()}
+        if stream_tag is not None:
+            manifest["stream"] = stream_tag
         tmp = os.path.join(_log_dir(path),
                            f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:

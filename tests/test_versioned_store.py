@@ -384,3 +384,45 @@ def test_concurrent_incremental_refreshes_never_lose_updates(
     got = {r["k"]: (r["n"], float(r["sum_v"])) for r in
            read_agg(spark, store).collect()}
     assert got == {"a": (3, 111.0), "b": (2, 7.0), "c": (1, 7.0)}
+
+
+def test_incremental_sink_stream_equals_batch(spark, tmp_path):
+    """Streaming rollup maintenance: an availableNow stream folded
+    through incremental_sink must equal the one-shot full recompute,
+    and a replayed batch must be a no-op (exactly-once)."""
+    import pandas as pd
+
+    from rainforest_spark.sources.incremental import incremental_sink
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows0 = [("a", 1), ("b", 2), ("a", 3)]
+    rows1 = [("b", 4), ("c", 5)]
+    pd.DataFrame(rows0, columns=["k", "v"]).to_parquet(
+        f"{src}/f0.parquet", index=False)
+    pd.DataFrame(rows1, columns=["k", "v"]).to_parquet(
+        f"{src}/f1.parquet", index=False)
+    store = str(tmp_path / "agg")
+    sink = incremental_sink(store, ["k"], SPEC, "roll")
+    stream = spark.readStream.schema("k string, v long") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["k"]: (r["n"], float(r["sum_v"]), r["min_v"], r["max_v"])
+           for r in read_agg(spark, store).collect()}
+    assert got == {"a": (2, 4.0, 1, 3), "b": (2, 6.0, 2, 4),
+                   "c": (1, 5.0, 5, 5)}
+    v_before = latest_version(store)
+    # replayed batch ids are no-ops — state and version unchanged
+    sink(_df(spark, [("a", 999)]), 0)
+    sink(_df(spark, [("z", 999)]), 1)
+    assert latest_version(store) == v_before
+    got2 = {r["k"]: r["n"] for r in read_agg(spark, store).collect()}
+    assert got2 == {"a": 2, "b": 2, "c": 1}
+    # a NEW batch id still folds
+    sink(_df(spark, [("a", 10)]), 2)
+    got3 = {r["k"]: (r["n"], float(r["sum_v"])) for r in
+            read_agg(spark, store).collect()}
+    assert got3["a"] == (3, 14.0)

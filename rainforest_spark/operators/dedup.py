@@ -849,3 +849,92 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
                     F.coalesce("n_kept", F.lit(0)).cast("long")
                     .alias("n_kept"),
                     F.coalesce("cleaned", F.lit("")).alias("cleaned")))
+
+
+def lsh_calibration(df: DataFrame, id_col: str, text_col: str,
+                    n: int = 3, num_hashes: int = 16,
+                    band_size: int = 4) -> DataFrame:
+    """Parameter-calibration table for the MinHash/LSH pipeline: for
+    every LSH candidate pair, compare the MinHash Jaccard ESTIMATOR
+    (matching-signature fraction) against the EXACT shingle Jaccard,
+    grouped by match count — the table a pipeline owner reads before
+    trusting (num_hashes, band_size) on a new corpus ("at 12/16
+    matches the true Jaccard averages 0.71; below 6 matches candidates
+    are ~all false positives — re-cut the bands").
+
+    Returns one row per observed match count: ``matches`` (0..k),
+    ``estimate`` (= matches/k — the unbiased MinHash estimator),
+    ``n_pairs``, ``mean_jaccard``, ``min_jaccard``, ``max_jaccard``,
+    ``bias`` (= estimate − mean_jaccard, 6dp).
+
+    EXACT: signatures and match counts are md5-string equality on both
+    engines; per-pair Jaccard quantizes to integer nanos once
+    (``floor(j·1e9 + 0.5)``), so the mean is a round-half-up integer
+    division and min/max come from the integer nanos.
+
+    Shape at 100 TB: the candidate set is the banded equi-join (never
+    all-pairs); signatures attach via two id-keyed joins against the
+    k-column sig table (one groupBy(id) with k parallel min-aggregates
+    — the q45 shuffle shape); exact Jaccard fans out only over
+    candidates (the q63 shape); the final groupBy has ≤ k+1 keys.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    h0 = sh.select(F.col(id_col), F.md5("shingle").alias("h0"),
+                   "shingle")
+    mh_aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("h0"))))
+        .alias(f"mh{seed}") for seed in range(num_hashes)]
+    sig = h0.groupBy(id_col).agg(*mh_aggs)
+    cand = lsh_candidate_pairs(df, id_col, text_col, n, num_hashes,
+                               band_size)
+    siga = sig.select(F.col(id_col).alias("id_a"),
+                      *[F.col(f"mh{i}").alias(f"__a{i}")
+                        for i in range(num_hashes)])
+    sigb = sig.select(F.col(id_col).alias("id_b"),
+                      *[F.col(f"mh{i}").alias(f"__b{i}")
+                        for i in range(num_hashes)])
+    matches = sum((F.col(f"__a{i}") == F.col(f"__b{i}")).cast("long")
+                  for i in range(num_hashes))
+    est = cand.join(siga, "id_a").join(sigb, "id_b") \
+        .select("id_a", "id_b", matches.alias("matches"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (cand.join(sa, on="id_a")
+             .join(sb, on=["id_b", "shingle"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("__i")))
+    za = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("sz").alias("__sa"))
+    zb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("sz").alias("__sb"))
+    jac = (inter.join(za, "id_a").join(zb, "id_b")
+           .select("id_a", "id_b",
+                   F.floor(F.col("__i").cast("double")
+                           / (F.col("__sa") + F.col("__sb")
+                              - F.col("__i"))
+                           * F.lit(1e9) + F.lit(0.5)).cast("long")
+                   .alias("__jn")))
+    per = est.join(jac, ["id_a", "id_b"])
+    g = (per.groupBy("matches")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+              F.sum(F.col("__jn").cast("decimal(38,0)")).alias("__sj"),
+              F.min("__jn").alias("__jmin"),
+              F.max("__jn").alias("__jmax")))
+    mean_n = F.expr("(2 * __sj + n_pairs) div "
+                    "(2 * CAST(n_pairs AS DECIMAL(38,0)))")
+    estimate = (F.col("matches").cast("double")
+                / F.lit(float(num_hashes)))
+    out = (g.withColumn("estimate", estimate)
+           .withColumn("mean_jaccard",
+                       mean_n.cast("double") / F.lit(1e9))
+           .withColumn("min_jaccard",
+                       F.col("__jmin").cast("double") / F.lit(1e9))
+           .withColumn("max_jaccard",
+                       F.col("__jmax").cast("double") / F.lit(1e9)))
+    return (out.select(
+        "matches", "estimate", "n_pairs", "mean_jaccard",
+        "min_jaccard", "max_jaccard",
+        F.round(F.col("estimate") - F.col("mean_jaccard"), 6)
+        .alias("bias"))
+        .orderBy("matches"))

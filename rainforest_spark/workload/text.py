@@ -2301,3 +2301,83 @@ FROM occ
 def q181(spark, sf):
     return TA.concordance(T(spark, sf, "documents"), "doc_id", "text",
                           term="join", context=3)
+
+
+# ---------------------------------------------------------------- q192
+# MinHash/LSH estimator calibration (dedup family,
+# operators/dedup.lsh_calibration): per LSH candidate pair, the
+# matching-signature fraction (the MinHash estimator) vs the EXACT
+# shingle Jaccard, grouped by match count — the (num_hashes,
+# band_size) tuning table.  q45's candidate join + q63's verified
+# Jaccard + one <=k+1-key groupBy; nano-exact means.
+@q("q192_lsh_calibration", sql="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ') AS words
+        FROM documents),
+       UNNEST(generate_series(1, len(words) - 2)) AS u(i)
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || md5(shingle))) AS mh
+  FROM sh, UNNEST(generate_series(0, 15)) AS s(seed)
+  GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band_id,
+         md5(string_agg(mh, '' ORDER BY seed)) AS band_hash
+  FROM mh GROUP BY doc_id, floor(seed / 4)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+m AS (
+  SELECT c.id_a, c.id_b,
+         CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)
+              AS BIGINT) AS matches
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.id_a
+  JOIN mh mb ON mb.doc_id = c.id_b AND mb.seed = ma.seed
+  GROUP BY 1, 2),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+jac AS (
+  SELECT id_a, id_b,
+         CAST(FLOOR(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 1e9
+                    + 0.5) AS BIGINT) AS jn
+  FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b),
+g AS (
+  SELECT matches, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(jn AS HUGEINT)) AS sj,
+         MIN(jn) AS jmin, MAX(jn) AS jmax
+  FROM m JOIN jac USING (id_a, id_b)
+  GROUP BY matches)
+SELECT matches,
+       CAST(matches AS DOUBLE) / CAST(16 AS DOUBLE) AS estimate,
+       n_pairs,
+       CAST((2 * sj + n_pairs - (2 * sj + n_pairs)
+             % (2 * CAST(n_pairs AS HUGEINT)))
+            // (2 * CAST(n_pairs AS HUGEINT)) AS DOUBLE) / 1e9
+         AS mean_jaccard,
+       CAST(jmin AS DOUBLE) / 1e9 AS min_jaccard,
+       CAST(jmax AS DOUBLE) / 1e9 AS max_jaccard,
+       ROUND(CAST(matches AS DOUBLE) / CAST(16 AS DOUBLE)
+             - CAST((2 * sj + n_pairs - (2 * sj + n_pairs)
+                     % (2 * CAST(n_pairs AS HUGEINT)))
+                    // (2 * CAST(n_pairs AS HUGEINT)) AS DOUBLE) / 1e9,
+             6) AS bias
+FROM g ORDER BY matches
+""")
+def q192(spark, sf):
+    return D.lsh_calibration(T(spark, sf, "documents"), "doc_id",
+                             "text", n=3, num_hashes=16, band_size=4)

@@ -308,3 +308,38 @@ def test_corpus_cardinalities_counts_empty_docs(spark):
     # 3 distinct contents (incl. the empty doc), 3 terms, 2 trigrams?
     # "a b c" has one 3-gram; "a b" none; empty none
     assert (out.n_docs_distinct, out.n_terms, out.n_grams) == (3, 3, 1)
+
+
+# ------------------------------ round-8: LSH estimator calibration
+
+def test_lsh_calibration_exact_dup_and_estimator(spark):
+    from rainforest_spark.operators.dedup import (
+        lsh_calibration, lsh_candidate_pairs, minhash_verified_pairs,
+    )
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    docs = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),         # near dup of 1
+        (4, "completely different text about spark shuffle "
+            "partitions and adaptive query execution plans today"),
+        (5, "another unrelated document mentioning parquet column "
+            "pruning and predicate pushdown behaviour in scans"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["matches"]: r for r in
+           lsh_calibration(df, "doc_id", "text").collect()}
+    # the exact-dup pair matches all 16 hashes with true jaccard 1.0
+    assert 16 in out
+    top = out[16]
+    assert top["estimate"] == 1.0
+    assert top["max_jaccard"] == 1.0
+    # every bucket: estimate == matches/16, bias == est - mean
+    for m, r in out.items():
+        assert r["estimate"] == m / 16.0
+        assert r["bias"] == round(r["estimate"] - r["mean_jaccard"], 6)
+        assert r["min_jaccard"] <= r["mean_jaccard"] <= r["max_jaccard"]
+    # bucket pair counts sum to the candidate-pair count
+    n_cand = lsh_candidate_pairs(df, "doc_id", "text").count()
+    assert sum(r["n_pairs"] for r in out.values()) == n_cand

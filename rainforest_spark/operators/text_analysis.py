@@ -1521,3 +1521,40 @@ def concordance(df: DataFrame, id_col: str, text_col: str, term: str,
     return out.select(F.col(id_col), F.col("pos").cast("long").alias("pos"),
                       left.alias("left_context"),
                       right.alias("right_context"))
+
+
+def readability_scores(df: DataFrame, id_col: str,
+                       text_col: str = "text") -> DataFrame:
+    """Flesch-style readability profile per document — the fluency
+    screen a curation pipeline runs next to :func:`quality_features`
+    ("drop the unreadable tail before the expensive filters").
+
+    Heuristics (deterministic, engine-portable — no dictionary):
+    words = whitespace tokens; sentences = runs of ``[.!?]`` (min 1);
+    syllables = runs of ``[aeiouy]`` in the lowercased text (the
+    standard vowel-group approximation; consonant-only tokens count 0).
+
+    ``flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)``
+    — one fixed IEEE double tree over exact BIGINT counts, rounded to
+    6dp (the only division-bearing step).  Empty/whitespace-only texts
+    return NULL flesch, never a divide-by-zero.
+
+    Shape at 100 TB: map-only — three regex counters per row, no
+    shuffle at all.
+    """
+    t = F.col(text_col)
+    words = F.when(F.length(F.trim(t)) > 0,
+                   F.size(F.split(F.trim(t), r"\s+"))).cast("long")
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")),
+                       F.lit(1)).cast("long")
+    syll = F.regexp_count(F.lower(t), F.lit("[aeiouy]+")).cast("long")
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (syll.cast("double") / words.cast("double")),
+        6)
+    return df.select(
+        F.col(id_col),
+        words.alias("n_words"), sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        F.when(words > 0, flesch).alias("flesch"))

@@ -2381,3 +2381,37 @@ FROM g ORDER BY matches
 def q192(spark, sf):
     return D.lsh_calibration(T(spark, sf, "documents"), "doc_id",
                              "text", n=3, num_hashes=16, band_size=4)
+
+
+# ---------------------------------------------------------------- q193
+# Flesch-style readability profile (text-analysis family,
+# operators/text_analysis.readability_scores): map-only regex counters
+# + one fixed double tree; NULL for empty texts.
+@q("q193_readability", sql="""
+SELECT doc_id,
+       CASE WHEN len(trim(text)) > 0
+            THEN CAST(len(string_split_regex(trim(text), '\\s+'))
+                      AS BIGINT) END AS n_words,
+       CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+            AS BIGINT) AS n_sentences,
+       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+            AS BIGINT) AS n_syllables,
+       CASE WHEN len(trim(text)) > 0 THEN
+         ROUND(206.835
+               - 1.015 * (CAST(len(string_split_regex(trim(text),
+                                                      '\\s+'))
+                               AS DOUBLE)
+                          / CAST(GREATEST(len(regexp_extract_all(
+                                text, '[.!?]+')), 1) AS DOUBLE))
+               - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+                                                     '[aeiouy]+'))
+                              AS DOUBLE)
+                         / CAST(len(string_split_regex(trim(text),
+                                                       '\\s+'))
+                                AS DOUBLE)),
+               6) END AS flesch
+FROM documents
+""")
+def q193(spark, sf):
+    return TA.readability_scores(T(spark, sf, "documents"), "doc_id",
+                                 "text")

@@ -130,3 +130,27 @@ def test_semantic_contamination_plan_broadcasts_eval(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_readability_scores_known_text(spark):
+    from rainforest_spark.operators.text_analysis import (
+        readability_scores,
+    )
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"),
+         (2, "   "),
+         (3, "tsk brr")],             # no [aeiouy] at all: 0 syll
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           readability_scores(df, "doc_id", "text").collect()}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"]) == (6, 2)
+    # vowel runs: e,a,a,e,o,a -> 6
+    assert r1["n_syllables"] == 6
+    want = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
+    assert r1["flesch"] == want
+    # whitespace-only: NULL words and flesch, sentences floor 1
+    assert got[2]["n_words"] is None and got[2]["flesch"] is None
+    assert got[2]["n_sentences"] == 1
+    # consonant-only words count zero syllables (documented heuristic)
+    assert got[3]["n_syllables"] == 0

@@ -1,0 +1,165 @@
+"""Cardinality sketches as pure column expressions (no UDF, no JVM
+helper): a deterministic HyperLogLog whose registers are exact md5
+functions of the values, so the sketch itself — not just its answer —
+is reproducible on ANY engine with md5 (the property that makes it
+oracle-pairable bit-for-bit, and lets registers live in ordinary
+tables).
+
+Why an engine needs it at 100 TB: ``COUNT(DISTINCT user)`` per
+(day, country, …) re-shuffles the raw keys for every grouping; an HLL
+register table is a few hundred BIGINTs per group, MERGEABLE by
+``max`` — which composes with the versioned store's incremental
+aggregate maintenance (``("max", rho)`` is an algebraic spec), so the
+rollup never rescans history and still answers distinct-count
+questions.
+
+Register math: value → md5 hex; the first ``b/4`` hex chars index one
+of ``m = 2^b`` registers (portable per-nibble ``instr`` hex→int — the
+q110 idiom); the next 8 hex chars are a 32-bit window whose
+leading-zero count gives ``rho`` (1..33, 33 = all-zero window).  The
+estimator is the classic HLL: ``E = α_m·m²/Σ 2^{−M_j}`` with the
+small-range linear-counting correction ``m·ln(m/V)`` when
+``E ≤ 2.5m`` and empty registers exist.  ``Σ 2^{−M_j}`` is summed as
+EXACT integers scaled by 2^33 (every term ``2^{33−M}`` is a BIGINT),
+so the only engine-sensitive op in the whole pipeline is the final
+``ln`` — rounded on the 6dp grid like every transcendental in this
+repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hll_registers", "hll_estimate", "hll_accuracy_report",
+           "HLL_RHO_MAX"]
+
+#: rho of an all-zero 32-bit window (8 hex chars) — the window cap.
+HLL_RHO_MAX = 33
+
+
+def _register_expr(hex_col: str, b: int) -> str:
+    """Portable SQL: first b/4 hex chars → integer register index."""
+    n_chars = b // 4
+    terms = [
+        f"CAST(instr('0123456789abcdef', substr({hex_col}, {j + 1}, 1))"
+        f" - 1 AS BIGINT) * {16 ** (n_chars - 1 - j)}"
+        for j in range(n_chars)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _rho_exprs(hex_col: str, b: int) -> tuple[str, str]:
+    """Portable SQL fragments (z = leading-zero hex chars of the
+    32-bit window, rho) — identical text runs on Spark and DuckDB."""
+    start = b // 4 + 1
+    win = f"substr({hex_col}, {start}, 8)"
+    z = f"length(regexp_extract({win}, '^0*', 0))"
+    d = f"substr({hex_col}, {start} + {z}, 1)"
+    rho = (f"CASE WHEN {z} >= 8 THEN {HLL_RHO_MAX} "
+           f"ELSE 4 * {z} + (CASE "
+           f"WHEN {d} IN ('8','9','a','b','c','d','e','f') THEN 0 "
+           f"WHEN {d} IN ('4','5','6','7') THEN 1 "
+           f"WHEN {d} IN ('2','3') THEN 2 ELSE 3 END) + 1 END")
+    return z, rho
+
+
+def hll_registers(df: DataFrame, col: str | Column,
+                  group_cols: list[str] | None = None,
+                  b: int = 8) -> DataFrame:
+    """The register table: ``(group..., register, rho)`` with
+    ``rho = max`` over the group's values — ≤ 2^b rows per group.
+
+    MERGEABLE: registers of two row sets combine by ``max(rho)`` per
+    (group, register) — union-of-sketches == sketch-of-union exactly,
+    which is what makes this safe to maintain incrementally
+    (``incremental_agg`` spec ``{"rho": ("max", "rho")}``) or to store
+    per partition and fold at query time.
+
+    Shape at 100 TB: one map-side-combined groupBy on
+    (group, register) — ≤ m keys per group, partial max per partition;
+    NULL values are skipped (COUNT DISTINCT semantics).
+    """
+    g = list(group_cols or [])
+    c = F.col(col) if isinstance(col, str) else col
+    d = (df.where(c.isNotNull())
+         .select(*g, F.md5(c.cast("string")).alias("__h")))
+    reg = F.expr(_register_expr("__h", b))
+    _, rho = _rho_exprs("__h", b)
+    return (d.select(*g, reg.alias("register"),
+                     F.expr(rho).cast("long").alias("__r"))
+            .groupBy(*g, "register")
+            .agg(F.max("__r").alias("rho")))
+
+
+def hll_estimate(registers: DataFrame,
+                 group_cols: list[str] | None = None,
+                 b: int = 8) -> DataFrame:
+    """Estimate from a register table: one row per group with ``m``,
+    ``v_zero`` (empty registers), ``e_raw`` (the raw HLL estimate) and
+    ``estimate`` (small-range-corrected).
+
+    Exactness: ``Σ 2^{−rho}`` is the exact BIGINT ``Σ 2^{33−rho}``
+    (plus ``2^33`` per empty register), so ``e_raw`` is one fixed IEEE
+    double tree over two exact integers, rounded 6dp; the
+    linear-counting branch's ``ln`` rounds on the same 6dp grid; the
+    branch condition compares the UNROUNDED e_raw tree against
+    ``2.5m`` — identical doubles on both engines.
+    """
+    g = list(group_cols or [])
+    m = 1 << b
+    # every literal CAST to DOUBLE explicitly — both engines parse bare
+    # decimal literals as DECIMAL and would route the arithmetic
+    # through exact-decimal division (the q127/q133 rule)
+    alpha = (f"(CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) "
+             f"+ CAST(1.079 AS DOUBLE) / CAST({m} AS DOUBLE)))")
+    agg = (registers.groupBy(*g)
+           .agg(F.count(F.lit(1)).cast("long").alias("__nreg"),
+                F.sum(F.expr(f"CAST(POW(CAST(2 AS DOUBLE), "
+                              f"{HLL_RHO_MAX} - rho) "
+                              f"AS BIGINT)")).alias("__s")))
+    v = F.lit(m) - F.col("__nreg")
+    s_full = (F.col("__s").cast("decimal(38,0)")
+              + v.cast("decimal(38,0)")
+              * F.lit(1 << HLL_RHO_MAX).cast("decimal(38,0)"))
+    e_raw = F.expr(f"{alpha} * CAST({m} AS DOUBLE) "
+                   f"* CAST({m} AS DOUBLE) "
+                   f"* CAST({1 << HLL_RHO_MAX} AS DOUBLE)") \
+        / s_full.cast("double")
+    out = (agg.withColumn("v_zero", v.cast("long"))
+           .withColumn("__eraw", e_raw))
+    est = F.when((F.col("__eraw") <= F.lit(2.5 * m))
+                 & (F.col("v_zero") > 0),
+                 F.round(F.lit(float(m))
+                         * F.log(F.lit(float(m))
+                                 / F.col("v_zero").cast("double")), 6)) \
+        .otherwise(F.round(F.col("__eraw"), 6))
+    return out.select(*g, F.lit(m).cast("long").alias("m"), "v_zero",
+                      F.round(F.col("__eraw"), 6).alias("e_raw"),
+                      est.alias("estimate"))
+
+
+def hll_accuracy_report(df: DataFrame, col: str | Column,
+                        group_cols: list[str] | None = None,
+                        b: int = 8) -> DataFrame:
+    """Sketch-accuracy report: the HLL estimate NEXT TO the exact
+    distinct count, with the signed relative error — what a pipeline
+    owner reads before replacing exact distincts with the sketch at a
+    given ``b`` ("±2% at m=256 on this key — good enough for the
+    dashboard, not for billing").
+
+    Shape at 100 TB: the sketch side is the ≤m-key register groupBy;
+    the exact side is one two-stage count-distinct (the only full
+    shuffle, and the thing the sketch exists to replace — this report
+    is the one-time calibration run).
+    """
+    g = list(group_cols or [])
+    c = F.col(col) if isinstance(col, str) else col
+    est = hll_estimate(hll_registers(df, c, g, b), g, b)
+    exact = (df.where(c.isNotNull())
+             .groupBy(*g)
+             .agg(F.count_distinct(c).cast("long").alias("n_exact")))
+    j = (est.join(exact, g) if g else est.crossJoin(exact))
+    rel = F.round((F.col("estimate") - F.col("n_exact").cast("double"))
+                  / F.col("n_exact").cast("double"), 6)
+    return j.select(*g, "m", "v_zero", "n_exact", "e_raw", "estimate",
+                    rel.alias("rel_error"))

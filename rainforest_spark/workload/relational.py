@@ -2742,3 +2742,70 @@ def q190(spark, sf):
     from rainforest_spark.operators.stats import mutual_information
     return mutual_information(T(spark, sf, "documents"),
                               "lang", "source")
+
+
+# ---------------------------------------------------------------- q194
+# Expression-only HyperLogLog accuracy report (sketches family,
+# operators/sketches.hll_accuracy_report): per event_type, the m=256
+# register sketch of distinct user_id vs the exact distinct count.
+# The register/rho SQL fragments are GENERATED ONCE by the operator
+# module and embedded verbatim in both engines' plans (the q173
+# zorder pattern), so the sketch — not just its answer — is
+# bit-identical; the only transcendental (the linear-counting ln)
+# rounds on the 6dp grid.
+def _q194_sql() -> str:
+    from rainforest_spark.operators.sketches import (
+        HLL_RHO_MAX, _register_expr, _rho_exprs,
+    )
+    reg = _register_expr("h", 8)
+    _, rho = _rho_exprs("h", 8)
+    m = 256
+    alpha = ("(CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) "
+             "+ CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))")
+    return f"""
+WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE user_id IS NOT NULL),
+r AS (
+  SELECT event_type, {reg} AS register,
+         CAST({rho} AS BIGINT) AS rho
+  FROM h),
+mx AS (SELECT event_type, register, MAX(rho) AS rho
+       FROM r GROUP BY 1, 2),
+a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nreg,
+             SUM(CAST(POW(CAST(2 AS DOUBLE), {HLL_RHO_MAX} - rho)
+                      AS BIGINT)) AS s
+      FROM mx GROUP BY 1),
+e AS (SELECT event_type, {m} - nreg AS v_zero,
+             {alpha} * CAST({m} AS DOUBLE) * CAST({m} AS DOUBLE)
+             * CAST({1 << HLL_RHO_MAX} AS DOUBLE)
+             / CAST(CAST(s AS HUGEINT)
+                    + CAST(({m} - nreg) AS HUGEINT)
+                      * CAST({1 << HLL_RHO_MAX} AS HUGEINT)
+                    AS DOUBLE) AS eraw
+      FROM a),
+x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS n_exact
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+f AS (SELECT e.event_type, CAST(v_zero AS BIGINT) AS v_zero,
+             ROUND(eraw, 6) AS e_raw,
+             CASE WHEN eraw <= CAST(640 AS DOUBLE) AND v_zero > 0
+                  THEN ROUND(CAST({m} AS DOUBLE)
+                             * LN(CAST({m} AS DOUBLE)
+                                  / CAST(v_zero AS DOUBLE)), 6)
+                  ELSE ROUND(eraw, 6) END AS estimate,
+             n_exact
+      FROM e JOIN x ON x.event_type = e.event_type)
+SELECT event_type, CAST({m} AS BIGINT) AS m, v_zero, n_exact, e_raw,
+       estimate,
+       ROUND((estimate - CAST(n_exact AS DOUBLE))
+             / CAST(n_exact AS DOUBLE), 6) AS rel_error
+FROM f
+"""
+
+
+@q("q194_hll_cardinality", sql=_q194_sql())
+def q194(spark, sf):
+    from rainforest_spark.operators.sketches import hll_accuracy_report
+    e = T(spark, sf, "events")
+    return hll_accuracy_report(e, "user_id", ["event_type"], b=8)

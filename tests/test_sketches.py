@@ -1,0 +1,93 @@
+"""Expression-only HyperLogLog sketch (operators/sketches.py):
+register determinism, merge algebra, estimator accuracy, and the
+incremental-maintenance composition."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rainforest_spark.operators.sketches import (
+    hll_accuracy_report, hll_estimate, hll_registers,
+)
+
+
+def _vals(spark, lo, hi, col="v"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("user-"), F.col("id")).alias(col))
+
+
+def test_union_of_sketches_equals_sketch_of_union(spark):
+    a = _vals(spark, 0, 6000)
+    b = _vals(spark, 4000, 10000)          # overlapping halves
+    whole = a.unionByName(b)
+    ra, rb = hll_registers(a, "v"), hll_registers(b, "v")
+    merged = (ra.unionByName(rb).groupBy("register")
+              .agg(F.max("rho").alias("rho")))
+    direct = hll_registers(whole, "v")
+    got = {r["register"]: r["rho"] for r in merged.collect()}
+    want = {r["register"]: r["rho"] for r in direct.collect()}
+    assert got == want
+    # and therefore identical estimates
+    e1 = hll_estimate(merged).collect()[0]
+    e2 = hll_estimate(direct).collect()[0]
+    assert e1.asDict() == e2.asDict()
+
+
+def test_estimator_accuracy_and_small_range_correction(spark):
+    # large cardinality: raw HLL path, expect ~1.04/sqrt(m) sigma
+    rep = hll_accuracy_report(_vals(spark, 0, 20000), "v").collect()[0]
+    assert rep["n_exact"] == 20000
+    assert abs(rep["rel_error"]) < 0.25    # ~4 sigma at m=256
+    # small cardinality: linear-counting branch, much tighter
+    rep = hll_accuracy_report(_vals(spark, 0, 50), "v").collect()[0]
+    assert rep["n_exact"] == 50 and rep["v_zero"] > 0
+    assert abs(rep["estimate"] - 50) <= 5
+    # the correction fired: estimate == m * ln(m / v_zero) on the grid
+    want = round(256.0 * math.log(256.0 / rep["v_zero"]), 6)
+    assert rep["estimate"] == want
+
+
+def test_registers_deterministic_and_null_skipped(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",), (None,)], "v string")
+    r1 = sorted((r["register"], r["rho"]) for r in
+                hll_registers(df, "v").collect())
+    r2 = sorted((r["register"], r["rho"]) for r in
+                hll_registers(df, "v").collect())
+    assert r1 == r2 and len(r1) == 2       # a+b only, dup collapsed
+
+
+def test_grouped_report_matches_per_group_exact(spark):
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("u"), (F.col("id") % 700)).alias("v"))
+    rows = {r["g"]: r for r in
+            hll_accuracy_report(df, "v", ["g"]).collect()}
+    assert set(rows) == {"0", "1", "2"}
+    for g, r in rows.items():
+        assert abs(r["rel_error"]) < 0.25
+
+
+def test_incremental_maintenance_composition(spark, tmp_path):
+    # registers maintained through the versioned store's algebraic
+    # max-fold equal the one-shot sketch — the "never rescan history"
+    # distinct-count rollup
+    from rainforest_spark.sources.incremental import (
+        incremental_agg, read_agg,
+    )
+    store = str(tmp_path / "hll")
+    batches = [(0, 4000), (3000, 7000), (6000, 9000)]
+    for lo, hi in batches:
+        regs = hll_registers(_vals(spark, lo, hi), "v")
+        incremental_agg(spark, store, regs, ["register"],
+                        {"rho": ("max", "rho")})
+    maintained = read_agg(spark, store)
+    direct = hll_registers(_vals(spark, 0, 9000), "v")
+    got = {r["register"]: r["rho"] for r in maintained.collect()}
+    want = {r["register"]: r["rho"] for r in direct.collect()}
+    assert got == want
+    e = hll_estimate(maintained).collect()[0]
+    assert abs(e["estimate"] - 9000) / 9000 < 0.25

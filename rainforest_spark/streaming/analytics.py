@@ -70,3 +70,35 @@ def anomaly_gate_stream(stream: DataFrame, baseline: DataFrame,
         F.when(F.col("__n").isNotNull(), mean).alias("slot_mean"),
         F.coalesce(F.when(F.col("__n").isNotNull(), flag),
                    F.lit(False)).alias("is_anomaly"))
+
+
+def hll_cardinality_sink(store_path: str, col: str,
+                         group_cols: list[str] | None = None,
+                         b: int = 8, query_key: str = "hll"):
+    """EXACTLY-ONCE streaming cardinality maintenance: each
+    micro-batch's rows sketch into HLL registers
+    (operators/sketches.hll_registers — exact md5 register functions)
+    and fold into the versioned store through the algebraic
+    ``max(rho)`` spec, tagged per batch so replays are log-detected
+    no-ops.  Because union-of-sketches == sketch-of-union EXACTLY, the
+    maintained register table is bit-identical to sketching the whole
+    history in one pass — the streaming distinct-count rollup that
+    never rescans history and never double-counts a replay.
+
+    Read the answer any time with
+    ``hll_estimate(read_agg(spark, store_path), group_cols, b)``.
+
+    Shape at 100 TB: per batch, one ≤2^b-key register groupBy + one
+    state-sized max-merge — both bounded by m × |groups|, independent
+    of batch row count after the map-side combine.
+    """
+    from rainforest_spark.operators.sketches import hll_registers
+    from rainforest_spark.sources.incremental import incremental_sink
+
+    g = list(group_cols or [])
+    fold = incremental_sink(store_path, [*g, "register"],
+                            {"rho": ("max", "rho")}, query_key)
+
+    def write(batch_df, batch_id: int) -> None:
+        fold(hll_registers(batch_df, col, g, b), batch_id)
+    return write

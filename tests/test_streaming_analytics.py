@@ -145,3 +145,51 @@ def test_anomaly_gate_stream_flags_known_spike(spark, tmp_path):
     got = {r["v"]: r["is_anomaly"]
            for r in spark.read.parquet(sink).collect()}
     assert got == {10.01: False, 99.0: True}
+
+
+def test_hll_cardinality_sink_stream_equals_batch(spark, tmp_path):
+    """Streaming HLL maintenance: registers folded per micro-batch
+    through the exactly-once store equal the one-shot sketch of the
+    whole feed BIT-FOR-BIT (union-of-sketches == sketch-of-union), and
+    a replayed batch is a no-op."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.sketches import (
+        hll_estimate, hll_registers,
+    )
+    from rainforest_spark.sources.incremental import read_agg
+    from rainforest_spark.sources.versioned import latest_version
+    from rainforest_spark.streaming.analytics import hll_cardinality_sink
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows0 = [(f"u{i}", "a" if i % 2 else "b") for i in range(400)]
+    rows1 = [(f"u{i}", "a" if i % 2 else "b") for i in range(300, 900)]
+    pd.DataFrame(rows0, columns=["uid", "g"]).to_parquet(
+        f"{src}/f0.parquet", index=False)
+    pd.DataFrame(rows1, columns=["uid", "g"]).to_parquet(
+        f"{src}/f1.parquet", index=False)
+    store = str(tmp_path / "hll")
+    sink = hll_cardinality_sink(store, "uid", ["g"], b=8)
+    stream = spark.readStream.schema("uid string, g string") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    whole = spark.createDataFrame(rows0 + rows1, "uid string, g string")
+    direct = {(r["g"], r["register"]): r["rho"] for r in
+              hll_registers(whole, "uid", ["g"]).collect()}
+    maintained = {(r["g"], r["register"]): r["rho"] for r in
+                  read_agg(spark, store).collect()}
+    assert maintained == direct
+    # replay is a no-op
+    v = latest_version(store)
+    sink(whole.limit(10), 0)
+    assert latest_version(store) == v
+    # and the estimate answers the distinct-user question per group
+    est = {r["g"]: r for r in
+           hll_estimate(read_agg(spark, store), ["g"]).collect()}
+    n_a = len({u for u, g in rows0 + rows1 if g == "a"})
+    assert abs(est["a"]["estimate"] - n_a) / n_a < 0.3

@@ -197,6 +197,12 @@ HEADLINE = [
     # (q182) and the unit-rollup CUPED sufficient statistics (q183)
     "q182_brand_frontier",
     "q183_cuped_contrast",
+    # round-8: the map-only readability pass and the HLL accuracy
+    # report (register sketch + the exact two-stage distinct it
+    # exists to replace).  No committed baselines yet (the guard
+    # skips unknown keys); same-run physics guards apply.
+    "q193_readability",
+    "q194_hll_cardinality",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle

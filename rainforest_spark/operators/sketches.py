@@ -32,7 +32,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hll_registers", "hll_estimate", "hll_accuracy_report",
-           "HLL_RHO_MAX"]
+           "HLL_RHO_MAX", "bloom_bits", "bloom_membership",
+           "bloom_fp_report"]
 
 #: rho of an all-zero 32-bit window (8 hex chars) — the window cap.
 HLL_RHO_MAX = 33
@@ -163,3 +164,132 @@ def hll_accuracy_report(df: DataFrame, col: str | Column,
                   / F.col("n_exact").cast("double"), 6)
     return j.select(*g, "m", "v_zero", "n_exact", "e_raw", "estimate",
                     rel.alias("rel_error"))
+
+
+def _hex_int_expr(hex_col: str, n_chars: int = 8) -> str:
+    """Portable SQL: first ``n_chars`` hex chars → BIGINT (per-nibble
+    instr — the q110 idiom shared with the HLL register index)."""
+    terms = [
+        f"CAST(instr('0123456789abcdef', substr({hex_col}, {j + 1}, 1))"
+        f" - 1 AS BIGINT) * {16 ** (n_chars - 1 - j)}"
+        for j in range(n_chars)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def bloom_bits(df: DataFrame, col: str | Column,
+               m_bits: int = 4096, k: int = 4) -> DataFrame:
+    """The Bloom bit table: DISTINCT ``(bit,)`` positions set by the
+    corpus values — k deterministic md5 positions per value, so the
+    filter (like the HLL registers) is an exact function of the value
+    set: reproducible on any engine, MERGEABLE by plain
+    ``union``+``distinct`` (bits-of-union == union-of-bits), and
+    storable as an ordinary ≤m_bits-row table.
+
+    Use case: the "probably already ingested" gate — a broadcastable
+    ≤m_bits-row dim that answers membership with zero false negatives
+    and a tunable false-positive rate, replacing an anti-join against
+    the full corpus on the hot ingest path (run the anti-join only on
+    the "maybe" survivors).
+
+    Shape at 100 TB: one explode(k) + distinct on ≤ m_bits keys —
+    map-side partial dedup makes the shuffle O(m_bits · partitions).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    d = df.where(c.isNotNull()).select(
+        F.md5(c.cast("string")).alias("__v"))
+    bits = F.array(*[
+        F.expr(_hex_int_expr(f"md5(concat('{s}|', __v))", 8))
+        % F.lit(int(m_bits))
+        for s in range(k)])
+    return (d.select(F.explode(bits).alias("bit")).distinct())
+
+
+def bloom_membership(bits: DataFrame, probes: DataFrame,
+                     col: str | Column, m_bits: int = 4096,
+                     k: int = 4) -> DataFrame:
+    """Membership check of ``probes[col]`` against a
+    :func:`bloom_bits` table: adds ``maybe_present`` (true = all k bit
+    positions set — no false negatives; false = DEFINITELY absent).
+
+    Shape at 100 TB: the bit table is ≤ m_bits rows → broadcast; the
+    probe side explodes ×k, one broadcast equi-join, one probe-keyed
+    count — the probe table never self-shuffles.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = probes.withColumn("__v", F.md5(c.cast("string")))
+    bit_arr = F.array(*[
+        F.expr(_hex_int_expr(f"md5(concat('{s}|', __v))", 8))
+        % F.lit(int(m_bits))
+        for s in range(k)])
+    ex = keyed.withColumn("__bit", F.explode(bit_arr))
+    hit = (ex.join(F.broadcast(bits.withColumnRenamed("bit", "__bit")
+                               .withColumn("__hit", F.lit(1))),
+                   "__bit", "left")
+           .groupBy(*probes.columns)
+           .agg((F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                 == F.lit(int(k))).alias("maybe_present")))
+    return hit
+
+
+def bloom_fp_report(corpus: DataFrame, probes: DataFrame,
+                    col: str | Column, m_bits: int = 4096,
+                    k: int = 4) -> DataFrame:
+    """Bloom calibration: measured false-positive rate of the
+    (m_bits, k) filter on ``probes`` against EXACT membership in
+    ``corpus`` — plus the textbook expectation ``(1 − e^{−kn/m})^k``
+    — the one-time report before trusting the gate on the hot path.
+
+    Returns ONE row: ``m_bits``, ``k``, ``n_corpus`` (distinct),
+    ``bits_set``, ``n_probes``, ``n_present``, ``n_absent``,
+    ``false_positives``, ``fp_rate`` (6dp micro-division; NULL when
+    nothing is absent), ``fp_expected`` (6dp — exp is the only
+    transcendental, on the usual grid).
+
+    EXACT: membership truth is a distinct-value left join (no FN by
+    construction is asserted, not assumed: a present-but-unflagged
+    value would be an engine bug); all counts integer.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    bits = bloom_bits(corpus, c, m_bits, k)
+    pv = probes.where(c.isNotNull()) \
+        .select(c.cast("string").alias("__pv")).distinct()
+    flagged = bloom_membership(bits, pv, "__pv", m_bits, k)
+    truth = (corpus.where(c.isNotNull())
+             .select(c.cast("string").alias("__pv")).distinct()
+             .withColumn("__in", F.lit(1)))
+    j = flagged.join(truth, "__pv", "left") \
+        .withColumn("__in", F.coalesce(F.col("__in"), F.lit(0)))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("__in").cast("long").alias("n_present"),
+        F.sum(F.lit(1) - F.col("__in")).cast("long").alias("n_absent"),
+        F.sum(F.when((F.col("__in") == 0) & F.col("maybe_present"),
+                     F.lit(1)).otherwise(F.lit(0))).cast("long")
+        .alias("false_positives"),
+        F.sum(F.when((F.col("__in") == 1) & ~F.col("maybe_present"),
+                     F.lit(1)).otherwise(F.lit(0))).cast("long")
+        .alias("__fn"))
+    nb = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    nc = (corpus.where(c.isNotNull())
+          .agg(F.count_distinct(c.cast("string")).cast("long")
+               .alias("n_corpus")))
+    out = agg.crossJoin(nb).crossJoin(nc)   # three 1-row aggregates
+    fpr = F.expr("CASE WHEN n_absent > 0 THEN "
+                 "CAST((2000000 * CAST(false_positives AS DECIMAL(38,0))"
+                 " + n_absent - pmod(2000000 * "
+                 "CAST(false_positives AS DECIMAL(38,0)) + n_absent, "
+                 "2 * CAST(n_absent AS DECIMAL(38,0)))) "
+                 "div (2 * CAST(n_absent AS DECIMAL(38,0))) AS DOUBLE) "
+                 "/ 1e6 END")
+    fpe = F.round(
+        F.pow(F.lit(1.0) - F.exp(-(F.lit(float(k))
+                                   * F.col("n_corpus").cast("double"))
+                                 / F.lit(float(m_bits))),
+              F.lit(float(k))), 6)
+    return out.select(
+        F.lit(int(m_bits)).cast("long").alias("m_bits"),
+        F.lit(int(k)).cast("long").alias("k"),
+        "n_corpus", "bits_set", "n_probes", "n_present", "n_absent",
+        "false_positives", fpr.alias("fp_rate"),
+        fpe.alias("fp_expected"),
+        (F.col("__fn") == 0).alias("no_false_negatives"))

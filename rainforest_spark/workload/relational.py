@@ -2809,3 +2809,80 @@ def q194(spark, sf):
     from rainforest_spark.operators.sketches import hll_accuracy_report
     e = T(spark, sf, "events")
     return hll_accuracy_report(e, "user_id", ["event_type"], b=8)
+
+
+# ---------------------------------------------------------------- q195
+# Bloom-filter membership calibration (sketches family,
+# operators/sketches.bloom_fp_report): 4/5 of documents as the
+# ingested corpus, all documents as probes — measured FP rate of the
+# (m=65536, k=4) filter vs exact membership, plus the textbook
+# (1-e^{-kn/m})^k expectation.  Bit positions are exact md5 functions
+# (generated-fragment oracle, the q173/q194 pattern); the bit table is
+# the broadcastable <=m-row dim that replaces the hot-path anti-join.
+def _q195_sql() -> str:
+    from rainforest_spark.operators.sketches import _hex_int_expr
+    hx = _hex_int_expr("h", 8)
+    m, k = 65536, 4
+    return f"""
+WITH corpus AS (
+  SELECT DISTINCT CAST(text AS VARCHAR) AS pv FROM documents
+  WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+probes AS (
+  SELECT DISTINCT CAST(text AS VARCHAR) AS pv FROM documents
+  WHERE text IS NOT NULL),
+seeds AS (SELECT seed FROM UNNEST(generate_series(0, {k - 1}))
+          AS s(seed)),
+cbh AS (SELECT md5(CAST(seed AS VARCHAR) || '|' || md5(pv)) AS h
+        FROM corpus, seeds),
+cb AS (SELECT DISTINCT {hx} % {m} AS bit FROM cbh),
+pbh AS (SELECT pv, md5(CAST(seed AS VARCHAR) || '|' || md5(pv)) AS h
+        FROM probes, seeds),
+pb AS (SELECT pv, {hx} % {m} AS bit FROM pbh),
+hits AS (
+  SELECT pv,
+         SUM(CASE WHEN cb.bit IS NOT NULL THEN 1 ELSE 0 END) AS nh
+  FROM pb LEFT JOIN cb USING (bit) GROUP BY pv),
+j AS (
+  SELECT h.pv, h.nh = {k} AS maybe,
+         CASE WHEN c.pv IS NOT NULL THEN 1 ELSE 0 END AS inn
+  FROM hits h LEFT JOIN corpus c ON c.pv = h.pv),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         CAST(SUM(inn) AS BIGINT) AS n_present,
+         CAST(SUM(1 - inn) AS BIGINT) AS n_absent,
+         CAST(SUM(CASE WHEN inn = 0 AND maybe THEN 1 ELSE 0 END)
+              AS BIGINT) AS false_positives,
+         CAST(SUM(CASE WHEN inn = 1 AND NOT maybe THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn
+  FROM j),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM cb),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM corpus)
+SELECT CAST({m} AS BIGINT) AS m_bits, CAST({k} AS BIGINT) AS k,
+       n_corpus, bits_set, n_probes, n_present, n_absent,
+       false_positives,
+       CASE WHEN n_absent > 0 THEN
+         CAST((2000000 * CAST(false_positives AS HUGEINT) + n_absent
+               - (2000000 * CAST(false_positives AS HUGEINT)
+                  + n_absent) % (2 * CAST(n_absent AS HUGEINT)))
+              // (2 * CAST(n_absent AS HUGEINT)) AS DOUBLE) / 1e6 END
+         AS fp_rate,
+       ROUND(POW(CAST(1 AS DOUBLE)
+                 - EXP((-(CAST({k} AS DOUBLE)
+                          * CAST(n_corpus AS DOUBLE)))
+                       / CAST({m} AS DOUBLE)),
+                 CAST({k} AS DOUBLE)), 6) AS fp_expected,
+       CAST(CASE WHEN fn = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS no_false_negatives
+FROM a, nb, nc
+"""
+
+
+@q("q195_bloom_membership", sql=_q195_sql())
+def q195(spark, sf):
+    from rainforest_spark.operators.sketches import bloom_fp_report
+    d = T(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    rep = bloom_fp_report(corpus, d, "text", m_bits=65536, k=4)
+    return rep.withColumn(
+        "no_false_negatives",
+        F.col("no_false_negatives").cast("long"))

@@ -91,3 +91,42 @@ def test_incremental_maintenance_composition(spark, tmp_path):
     assert got == want
     e = hll_estimate(maintained).collect()[0]
     assert abs(e["estimate"] - 9000) / 9000 < 0.25
+
+
+# ------------------------------------------------------ Bloom filter
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.sketches import (
+        bloom_bits, bloom_fp_report, bloom_membership,
+    )
+    corpus = _vals(spark, 0, 2000)
+    probes = _vals(spark, 0, 8000)
+    rep = bloom_fp_report(corpus, probes, "v",
+                          m_bits=65536, k=4).collect()[0]
+    assert rep["no_false_negatives"] is True
+    assert (rep["n_probes"], rep["n_present"], rep["n_absent"]) \
+        == (8000, 2000, 6000)
+    # kn/m = 0.122 -> expected fpr ~ 8e-6; allow generous slack
+    assert rep["false_positives"] <= 10
+    assert 0 < rep["fp_expected"] < 0.001
+    # membership: every corpus value flagged, a definite-absent exists
+    bits = bloom_bits(corpus, "v", 65536, 4)
+    mem = {r["v"]: r["maybe_present"] for r in
+           bloom_membership(bits, probes, "v", 65536, 4).collect()}
+    assert all(mem[f"user-{i}"] for i in range(0, 2000, 97))
+    assert not all(mem[f"user-{i}"] for i in range(2000, 8000, 97))
+
+
+def test_bloom_bits_merge_is_union(spark):
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.sketches import bloom_bits
+    a, b = _vals(spark, 0, 500), _vals(spark, 300, 900)
+    merged = sorted(r["bit"] for r in
+                    bloom_bits(a, "v").unionByName(bloom_bits(b, "v"))
+                    .distinct().collect())
+    direct = sorted(r["bit"] for r in
+                    bloom_bits(a.unionByName(b), "v").collect())
+    assert merged == direct

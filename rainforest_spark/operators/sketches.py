@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["hll_registers", "hll_estimate", "hll_accuracy_report",
            "HLL_RHO_MAX", "bloom_bits", "bloom_membership",
-           "bloom_fp_report"]
+           "bloom_fp_report", "cms_counters", "cms_point_estimates",
+           "cms_accuracy_report"]
 
 #: rho of an all-zero 32-bit window (8 hex chars) — the window cap.
 HLL_RHO_MAX = 33
@@ -293,3 +294,95 @@ def bloom_fp_report(corpus: DataFrame, probes: DataFrame,
         "false_positives", fpr.alias("fp_rate"),
         fpe.alias("fp_expected"),
         (F.col("__fn") == 0).alias("no_false_negatives"))
+
+
+def cms_counters(df: DataFrame, col: str | Column,
+                 width: int = 1024, depth: int = 4,
+                 weight_col: str | None = None) -> DataFrame:
+    """Count-min sketch counters: ``(row, bucket, c)`` — ``depth``
+    hash rows × ``width`` buckets, each counter the exact sum of the
+    weights (default 1) of the values hashing into it.  Like the HLL
+    registers and Bloom bits, the counters are exact md5 functions of
+    the data, so the sketch is engine-reproducible and MERGEABLE by
+    ``sum(c)`` per (row, bucket) — sketch-of-union == sum-of-sketches,
+    which composes with ``incremental_agg``'s ``("sum", c)`` spec for
+    frequency rollups that never rescan history.
+
+    Use case at 100 TB: "how often does each of these 10k terms occur
+    per day" without a day×term shuffle of the raw corpus — the
+    counter table is depth·width BIGINTs per group, and the point
+    estimate ``min_r counter[r][h_r(x)]`` NEVER under-counts
+    (one-sided error ≤ ε·N with ε = e/width at the standard depths).
+
+    Shape: one explode(depth) + ONE map-side-combined groupBy on
+    ≤ depth·width keys.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    d = df.where(c.isNotNull()).select(
+        F.md5(c.cast("string")).alias("__v"), w.alias("__w"))
+    rows = F.array(*[
+        F.struct(
+            F.lit(r).cast("long").alias("row"),
+            (F.expr(_hex_int_expr(f"md5(concat('cms{r}|', __v))", 8))
+             % F.lit(int(width))).alias("bucket"))
+        for r in range(depth)])
+    return (d.select(F.explode(rows).alias("rb"), "__w")
+            .groupBy(F.col("rb.row").alias("row"),
+                     F.col("rb.bucket").alias("bucket"))
+            .agg(F.sum("__w").alias("c")))
+
+
+def cms_point_estimates(counters: DataFrame, queries: DataFrame,
+                        col: str | Column, width: int = 1024,
+                        depth: int = 4) -> DataFrame:
+    """Point frequency estimates for ``queries[col]`` against a
+    :func:`cms_counters` table: adds ``est`` (= min over the depth
+    counters — never below the true count; missing counters read 0).
+
+    Shape at 100 TB: counters ≤ depth·width rows → broadcast; queries
+    explode ×depth, one broadcast equi-join, one query-keyed min.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = queries.withColumn("__v", F.md5(c.cast("string")))
+    rows = F.array(*[
+        F.struct(
+            F.lit(r).cast("long").alias("row"),
+            (F.expr(_hex_int_expr(f"md5(concat('cms{r}|', __v))", 8))
+             % F.lit(int(width))).alias("bucket"))
+        for r in range(depth)])
+    ex = keyed.withColumn("rb", F.explode(rows)) \
+        .select(*queries.columns,
+                F.col("rb.row").alias("row"),
+                F.col("rb.bucket").alias("bucket"))
+    j = ex.join(F.broadcast(counters), ["row", "bucket"], "left")
+    return (j.groupBy(*queries.columns)
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long")))
+                 .alias("est")))
+
+
+def cms_accuracy_report(df: DataFrame, col: str | Column,
+                        width: int = 1024, depth: int = 4,
+                        top: int = 20) -> DataFrame:
+    """Sketch-accuracy report: for the exact top-``top`` values (by
+    count, value as tie-break), the CMS estimate next to the true
+    count and the signed overestimate — never negative (the one-sided
+    guarantee is ASSERTED by the data, not assumed).
+
+    Shape at 100 TB: the exact side is one value groupBy +
+    TakeOrdered(top); the sketch side is the bounded counter table and
+    a ``top``-row probe.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    exact = (df.where(c.isNotNull())
+             .groupBy(c.cast("string").alias("value"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+             .orderBy(F.col("n_true").desc(), F.col("value").asc())
+             .limit(int(top)))
+    counters = cms_counters(df, c, width, depth)
+    est = cms_point_estimates(counters, exact, "value", width, depth)
+    return (est.select(
+        "value", "n_true", "est",
+        (F.col("est") - F.col("n_true")).alias("overestimate"))
+        .orderBy(F.col("n_true").desc(), F.col("value").asc()))

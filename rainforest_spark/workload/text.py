@@ -2415,3 +2415,65 @@ FROM documents
 def q193(spark, sf):
     return TA.readability_scores(T(spark, sf, "documents"), "doc_id",
                                  "text")
+
+
+# ---------------------------------------------------------------- q196
+# Count-min frequency sketch calibration (sketches family,
+# operators/sketches.cms_accuracy_report): the exact top-20 corpus
+# tokens vs their CMS point estimates (depth 4 x width 1024) — the
+# heavy-hitters accuracy run before trusting the sketch for per-slice
+# term frequencies.  Counters are exact md5 functions (generated-
+# fragment oracle, the q194/q195 pattern); estimates never
+# under-count.
+def _q196_sql() -> str:
+    from rainforest_spark.operators.sketches import _hex_int_expr
+    hx = _hex_int_expr("h", 8)
+    w, dep, top = 1024, 4, 20
+    return f"""
+WITH tok AS (
+  SELECT words[i] AS value
+  FROM (SELECT string_split(regexp_replace(lower(trim(text)),
+                                           '\\s+', ' ', 'g'), ' ')
+          AS words FROM documents WHERE text IS NOT NULL),
+       UNNEST(generate_series(1, len(words))) AS u(i)
+  WHERE words[i] <> ''),
+exact AS (
+  SELECT value, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM tok GROUP BY value
+  ORDER BY n_true DESC, value ASC LIMIT {top}),
+seeds AS (SELECT seed FROM UNNEST(generate_series(0, {dep - 1}))
+          AS s(seed)),
+ch AS (SELECT seed,
+              md5('cms' || CAST(seed AS VARCHAR) || '|' || md5(value))
+                AS h
+       FROM tok, seeds),
+counters AS (
+  SELECT seed AS row, {hx} % {w} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ch GROUP BY 1, 2),
+ph AS (SELECT value, n_true, seed,
+              md5('cms' || CAST(seed AS VARCHAR) || '|' || md5(value))
+                AS h
+       FROM exact, seeds),
+pb AS (SELECT value, n_true, seed AS row, {hx} % {w} AS bucket
+       FROM ph),
+est AS (
+  SELECT value, n_true,
+         MIN(COALESCE(c, 0)) AS est
+  FROM pb LEFT JOIN counters USING (row, bucket)
+  GROUP BY value, n_true)
+SELECT value, n_true, CAST(est AS BIGINT) AS est,
+       CAST(est - n_true AS BIGINT) AS overestimate
+FROM est ORDER BY n_true DESC, value ASC
+"""
+
+
+@q("q196_cms_heavy_hitters", sql=_q196_sql())
+def q196(spark, sf):
+    from rainforest_spark.operators.sketches import cms_accuracy_report
+    d = T(spark, sf, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(F.explode(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                 r"\s+", " "), " ")).alias("tok")) \
+        .filter(F.col("tok") != "")
+    return cms_accuracy_report(tok, "tok", width=1024, depth=4, top=20)

@@ -130,3 +130,54 @@ def test_bloom_bits_merge_is_union(spark):
     direct = sorted(r["bit"] for r in
                     bloom_bits(a.unionByName(b), "v").collect())
     assert merged == direct
+
+
+# --------------------------------------------------------- count-min
+
+def test_cms_never_undercounts_and_merge_is_sum(spark):
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.sketches import (
+        cms_counters, cms_point_estimates,
+    )
+    import random as _r
+    rng = _r.Random(21)
+    # Zipf-ish stream: value i appears ~3000/i times
+    rows = [(f"t{i}",) for i in range(1, 60) for _ in range(3000 // i)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "v string")
+    counters = cms_counters(df, "v", width=512, depth=4)
+    from collections import Counter
+    true = Counter(v for v, in rows)
+    qdf = spark.createDataFrame([(k,) for k in true], "v string")
+    est = {r["v"]: r["est"] for r in
+           cms_point_estimates(counters, qdf, "v", 512, 4).collect()}
+    n = len(rows)
+    for k, t in true.items():
+        assert est[k] >= t                       # one-sided guarantee
+        assert est[k] - t <= 0.05 * n            # eps*N slack (e/512)
+    # merge algebra: sum of half-sketches == sketch of the whole
+    a = spark.createDataFrame(rows[: len(rows) // 2], "v string")
+    b = spark.createDataFrame(rows[len(rows) // 2:], "v string")
+    merged = (cms_counters(a, "v", 512, 4)
+              .unionByName(cms_counters(b, "v", 512, 4))
+              .groupBy("row", "bucket").agg(F.sum("c").alias("c")))
+    got = {(r["row"], r["bucket"]): r["c"] for r in merged.collect()}
+    want = {(r["row"], r["bucket"]): r["c"] for r in counters.collect()}
+    assert got == want
+
+
+def test_cms_weighted_counts(spark):
+    from rainforest_spark.operators.sketches import (
+        cms_counters, cms_point_estimates,
+    )
+    df = spark.createDataFrame([("x", 5), ("x", 7), ("y", 1)],
+                               "v string, w long")
+    counters = cms_counters(df, "v", width=256, depth=4,
+                            weight_col="w")
+    qdf = spark.createDataFrame([("x",), ("y",), ("z",)], "v string")
+    est = {r["v"]: r["est"] for r in
+           cms_point_estimates(counters, qdf, "v", 256, 4).collect()}
+    assert est["x"] >= 12 and est["y"] >= 1
+    # an absent value can still collide, but with 3 values it won't
+    assert est["z"] == 0

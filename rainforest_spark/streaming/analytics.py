@@ -102,3 +102,31 @@ def hll_cardinality_sink(store_path: str, col: str,
     def write(batch_df, batch_id: int) -> None:
         fold(hll_registers(batch_df, col, g, b), batch_id)
     return write
+
+
+def cms_frequency_sink(store_path: str, col: str,
+                       width: int = 1024, depth: int = 4,
+                       weight_col: str | None = None,
+                       query_key: str = "cms"):
+    """EXACTLY-ONCE streaming frequency maintenance: each micro-batch
+    sketches into count-min counters
+    (operators/sketches.cms_counters) and folds into the versioned
+    store through the algebraic ``sum(c)`` spec, tagged per batch —
+    sum-of-sketches == sketch-of-union, so the maintained counters are
+    bit-identical to sketching the whole feed once.  Read term
+    frequencies any time with
+    ``cms_point_estimates(read_agg(spark, store_path), queries, ...)``.
+
+    Shape at 100 TB: per batch one ≤depth·width-key groupBy + one
+    state-sized sum-merge — bounded regardless of batch size.
+    """
+    from rainforest_spark.operators.sketches import cms_counters
+    from rainforest_spark.sources.incremental import incremental_sink
+
+    fold = incremental_sink(store_path, ["row", "bucket"],
+                            {"c": ("sum", "c")}, query_key)
+
+    def write(batch_df, batch_id: int) -> None:
+        fold(cms_counters(batch_df, col, width, depth, weight_col),
+             batch_id)
+    return write

@@ -193,3 +193,49 @@ def test_hll_cardinality_sink_stream_equals_batch(spark, tmp_path):
            hll_estimate(read_agg(spark, store), ["g"]).collect()}
     n_a = len({u for u, g in rows0 + rows1 if g == "a"})
     assert abs(est["a"]["estimate"] - n_a) / n_a < 0.3
+
+
+def test_cms_frequency_sink_stream_equals_batch(spark, tmp_path):
+    """Streaming CMS maintenance: counters folded per micro-batch
+    equal the one-shot sketch of the whole feed (sum-merge algebra) —
+    modulo the DECIMAL type the store's sum spec accumulates in."""
+    import pandas as pd
+
+    from rainforest_spark.operators.sketches import (
+        cms_counters, cms_point_estimates,
+    )
+    from rainforest_spark.sources.incremental import read_agg
+    from rainforest_spark.streaming.analytics import cms_frequency_sink
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows0 = [(f"t{i % 7}",) for i in range(300)]
+    rows1 = [(f"t{i % 11}",) for i in range(400)]
+    pd.DataFrame(rows0, columns=["v"]).to_parquet(
+        f"{src}/f0.parquet", index=False)
+    pd.DataFrame(rows1, columns=["v"]).to_parquet(
+        f"{src}/f1.parquet", index=False)
+    store = str(tmp_path / "cms")
+    sink = cms_frequency_sink(store, "v", width=256, depth=4)
+    stream = spark.readStream.schema("v string") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    whole = spark.createDataFrame(rows0 + rows1, "v string")
+    direct = {(r["row"], r["bucket"]): r["c"] for r in
+              cms_counters(whole, "v", 256, 4).collect()}
+    maintained = {(r["row"], r["bucket"]): int(r["c"]) for r in
+                  read_agg(spark, store).collect()}
+    assert maintained == direct
+    # and the maintained counters answer point queries (cast to long)
+    from pyspark.sql import functions as F
+    counters = read_agg(spark, store).select(
+        "row", "bucket", F.col("c").cast("long").alias("c"))
+    qdf = spark.createDataFrame([("t0",), ("absent",)], "v string")
+    est = {r["v"]: r["est"] for r in
+           cms_point_estimates(counters, qdf, "v", 256, 4).collect()}
+    from collections import Counter
+    true = Counter(v for v, in rows0 + rows1)
+    assert est["t0"] >= true["t0"]

@@ -361,6 +361,10 @@ _CROSS_JOIN_WHITELIST = {
     # every side single-row by construction (operators/stats.py
     # cohens_kappa, mutual_information)
     "q188_cohens_kappa", "q190_mutual_information",
+    # q195: the Bloom FP report cross-joins its three 1-row aggregates
+    # (probe counts / bits-set / corpus distinct) into one output row
+    # (operators/sketches.py bloom_fp_report)
+    "q195_bloom_membership",
 }
 
 

@@ -214,7 +214,15 @@ def bloom_membership(bits: DataFrame, probes: DataFrame,
 
     Shape at 100 TB: the bit table is ≤ m_bits rows → broadcast; the
     probe side explodes ×k, one broadcast equi-join, one probe-keyed
-    count — the probe table never self-shuffles.
+    min — the probe table never self-shuffles.
+
+    Duplicate probe rows are safe: the per-probe groupBy collapses
+    duplicates into one group, and the membership test is
+    ``min(hit) == 1`` (every probed bit position set) — NOT a hit-sum
+    compared against k, which a duplicated probe row would inflate to
+    a multiple of k and mis-read as "absent" (a false negative — the
+    one error class the filter contractually never makes; the ingest
+    gate this operator feeds sees duplicate rows routinely).
     """
     c = F.col(col) if isinstance(col, str) else col
     keyed = probes.withColumn("__v", F.md5(c.cast("string")))
@@ -227,8 +235,8 @@ def bloom_membership(bits: DataFrame, probes: DataFrame,
                                .withColumn("__hit", F.lit(1))),
                    "__bit", "left")
            .groupBy(*probes.columns)
-           .agg((F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-                 == F.lit(int(k))).alias("maybe_present")))
+           .agg((F.min(F.coalesce(F.col("__hit"), F.lit(0)))
+                 == F.lit(1)).alias("maybe_present")))
     return hit
 
 

@@ -1408,7 +1408,16 @@ def textrank_keywords(df, id_col: str, text_col: str,
                                 F.col("w1").alias("dst"))))
     edges = both.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("wt"))
     deg = edges.groupBy("src").agg(F.sum("wt").alias("W"))
-    ew = edges.join(deg, "src").persist()
+    # LAZY localCheckpoint instead of persist(): the edge table still
+    # materializes once (first action) and is reused by every
+    # iteration join, but (a) constructing the query runs NO job,
+    # (b) the returned plan keeps the iteration joins visible to the
+    # registry-wide plan lint (a collect()/createDataFrame rewrap
+    # would hand the lint an opaque LocalRelation), and (c) the
+    # checkpoint blocks are dropped by the ContextCleaner when the
+    # RDD is garbage-collected — no per-call persist accumulating in
+    # long-lived sessions and no unpersist for callers to remember.
+    ew = edges.join(deg, "src").localCheckpoint(eager=False)
     ranks = deg.select(F.col("src").alias("term"),
                        F.lit(1_000_000_000).cast("long").alias("r"))
     for _ in range(int(iterations)):
@@ -1419,19 +1428,11 @@ def textrank_keywords(df, id_col: str, text_col: str,
                  .agg((F.lit(150_000_000)
                        + F.sum(contrib)).cast("long").alias("r"))
                  .withColumnRenamed("dst", "term"))
-    out = (ranks
-           .orderBy(F.col("r").desc(), F.col("term")).limit(int(k))
-           .select(F.col("term"),
-                   F.col("r").alias("rank_nanos"),
-                   F.round(F.col("r") / F.lit(1e9), 6).alias("score")))
-    # materialize the k-row result NOW so the persisted edge table can
-    # be unpersisted before returning — a long-lived session (bench,
-    # parity) otherwise accumulates one cached edge DataFrame per call.
-    # The values are exact integers (+ one final rounded double), so
-    # re-wrapping the collected rows is bit-identical to the lazy plan.
-    rows = out.collect()
-    ew.unpersist()
-    return df.sparkSession.createDataFrame(rows, out.schema)
+    return (ranks
+            .orderBy(F.col("r").desc(), F.col("term")).limit(int(k))
+            .select(F.col("term"),
+                    F.col("r").alias("rank_nanos"),
+                    F.round(F.col("r") / F.lit(1e9), 6).alias("score")))
 
 
 def inverted_index(df, id_col: str, text_col: str,

@@ -14,9 +14,12 @@ commit, so readers never see a half-merged rollup, concurrent refreshes
 conflict loudly instead of silently double-counting, and any past state
 is reproducible by version.
 
-Spec format: ``{"out_col": ("count",)}`` / ``("sum"|"min"|"max",
-"value_col")``.  Sums accumulate as DECIMAL(38,6) — exact and
-order-independent.
+Spec format: ``{"out_col": ("count",)}`` / ``("sum"|"sum_long"|"min"|
+"max", "value_col")``.  ``sum`` accumulates as DECIMAL(38,6) — exact
+and order-independent; ``sum_long`` keeps integer counters as BIGINT
+(exact too, for sums that stay under 2^63 — sketch counters, event
+tallies), so readers get back the same type the batch-side producer
+emits instead of a decimal they must re-cast.
 """
 
 from __future__ import annotations
@@ -42,6 +45,9 @@ def _partials(df: DataFrame, keys: list[str], spec: dict) -> DataFrame:
         elif kind == "sum":
             aggs.append(F.sum(F.col(s[1]).cast(_DEC)).cast(_DEC)
                         .alias(out))
+        elif kind == "sum_long":
+            aggs.append(F.sum(F.col(s[1]).cast("long")).cast("long")
+                        .alias(out))
         elif kind == "min":
             aggs.append(F.min(s[1]).alias(out))
         elif kind == "max":
@@ -64,6 +70,8 @@ def _combine(old: DataFrame, new: DataFrame, keys: list[str],
             aggs.append(F.sum(out).cast("long").alias(out))
         elif kind == "sum":
             aggs.append(F.sum(F.col(out)).cast(_DEC).alias(out))
+        elif kind == "sum_long":
+            aggs.append(F.sum(F.col(out)).cast("long").alias(out))
         elif kind == "min":
             aggs.append(F.min(out).alias(out))
         else:
@@ -91,9 +99,27 @@ def incremental_agg(spark: SparkSession, store_path: str,
     that batch from the rollup forever).  On conflict the state is
     RE-read at the new parent and the batch re-merged; after
     ``max_retries`` losses it raises, loudly.
+
+    Replay-vs-retry: when ``stream_tag`` is set, losing the race may
+    mean the WINNER was a concurrent delivery of this very batch (a
+    zombie driver racing its restarted query — the scenario the
+    ``(query, batch_id)`` tag exists for).  Retrying the merge then
+    would fold the batch twice, silently.  So every conflict first
+    re-reads the committed-batch log; if this batch_id is already
+    tagged, the fold is a no-op and the current version is returned.
     """
     new = _partials(batch, keys, spec)
     last_err: Exception | None = None
+
+    def _already_committed() -> int | None:
+        if not stream_tag or "batch_id" not in stream_tag:
+            return None
+        from rainforest_spark.sources.versioned import committed_batches
+        done = committed_batches(store_path, stream_tag.get("query"))
+        if int(stream_tag["batch_id"]) in done:
+            return latest_version(store_path)
+        return None
+
     for _ in range(max_retries):
         parent = latest_version(store_path)
         if parent is None:
@@ -107,6 +133,9 @@ def incremental_agg(spark: SparkSession, store_path: str,
                                    stream_tag=stream_tag)
         except ConcurrentCommitError as e:
             last_err = e   # lost to a concurrent refresh — re-merge
+            v = _already_committed()
+            if v is not None:   # the winner WAS this batch — no-op
+                return v
     raise ConcurrentCommitError(
         f"incremental_agg lost {max_retries} refresh races at "
         f"{store_path}") from last_err

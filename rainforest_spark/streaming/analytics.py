@@ -118,13 +118,17 @@ def cms_frequency_sink(store_path: str, col: str,
     ``cms_point_estimates(read_agg(spark, store_path), queries, ...)``.
 
     Shape at 100 TB: per batch one ≤depth·width-key groupBy + one
-    state-sized sum-merge — bounded regardless of batch size.
+    state-sized sum-merge — bounded regardless of batch size.  The
+    counters are maintained with the integer ``sum_long`` spec, so the
+    stored ``c`` stays the BIGINT the batch-side
+    ``cms_counters`` emits and the docstring recipe above needs no
+    re-cast before probing.
     """
     from rainforest_spark.operators.sketches import cms_counters
     from rainforest_spark.sources.incremental import incremental_sink
 
     fold = incremental_sink(store_path, ["row", "bucket"],
-                            {"c": ("sum", "c")}, query_key)
+                            {"c": ("sum_long", "c")}, query_key)
 
     def write(batch_df, batch_id: int) -> None:
         fold(cms_counters(batch_df, col, width, depth, weight_col),

@@ -108,6 +108,63 @@ _MODULES = [relational, text, vectors, extended]
 #: first; long-proven trivial entries are demoted past slot 50 (they
 #: remain fully covered by tests/test_oracle_parity.py).
 _PRIORITY = [
+    # =================== ROUND-9 GATE WINDOW (50) ===================
+    # Composition: the 10 queries with NO driver CORRECTNESS row ever
+    # (the round-8 sketch/calibration family — VERDICT r8 "Next round"
+    # #1) first; a green round closes the rotation invariant: every
+    # registered query driver-verified at least once (198/198
+    # cross-round union).  Then the 40 STALEST re-checks — the driver
+    # regenerates testdata between rounds, so old green rows decay as
+    # evidence: all 10 r2-vintage rows, all 6 r4-vintage rows, and 24
+    # family representatives from the 42 r5-vintage rows (flagship
+    # pricing, broadcast/as-of/latest-run joins, db-logmean,
+    # temporal/vertical/sessionized aggs, disagg + weighted quantile
+    # windows, DN codec, perfscores + energy distance, interpolation,
+    # argmax, exact/simhash/minhash-verified/cluster dedup, LSH ANN,
+    # multimodal decode, grid composite, VPR correction, embedding
+    # near-dup).  Every query outside the window stays exact-parity-
+    # gated via tests/test_oracle_parity.py, and
+    # tests/test_gate_rotation.py now FAILS if a registered query is
+    # neither driver-checked, in-window, nor explicitly queued.
+    #
+    # --- never driver-checked (10) ---
+    "q187_calibration_curve", "q188_cohens_kappa",
+    "q189_cumulative_gains", "q190_mutual_information",
+    "q191_embedding_covariance", "q192_lsh_calibration",
+    "q193_readability", "q194_hll_cardinality",
+    "q195_bloom_membership", "q196_cms_heavy_hitters",
+    # --- stale re-checks: latest green row r2 (10) ---
+    "q07_wet_hour_filter", "q10_semi_align", "q11_anti_join",
+    "q20_dense_rank", "q23_mode", "q25_lead_fill", "q29_string_funcs",
+    "q30_datetime_funcs", "q32_json_extract", "q64_bpe_token_count",
+    # --- stale re-checks: latest green row r4 (6) ---
+    "q24_transfer_function", "q37_group_first", "q41_token_count",
+    "q42_quality_score", "q43_lang_id", "q44_ngram_jaccard",
+    # --- stale re-checks: latest green row r5 (24 of 42, family
+    # representatives; the other 18 stay pytest-parity-gated with
+    # in-window siblings: q21→q33/q48 scores, q36/q38→q09/q12 joins,
+    # q50/q51→q54/q47 similarity, q55→q33, q56/q58/q65→q52/q62 radar,
+    # q59→q46, q60→q141's r8 row, q69→q41/q83 text, q70-q74→q49
+    # codecs) ---
+    "q01_pricing_summary", "q09_broadcast_dim_join", "q12_asof_join",
+    "q13_latest_per_hour", "q16_db_logmean", "q17_temporal_multiagg",
+    "q18_weighted_vertical", "q22_sessionization", "q26_sliding_disagg",
+    "q27_weighted_quantile", "q31_dn_discretization", "q33_perfscores",
+    "q35_hourly_interpolation", "q39_argmax_linked_agg",
+    "q40_fingerprint_dedup", "q46_simhash", "q47_ann_lsh_topk",
+    "q48_energy_distance", "q49_multimodal_decode", "q52_grid_composite",
+    "q54_embedding_neardup", "q62_vpr_correction",
+    "q63_minhash_verified_neardup", "q68_neardup_clusters",
+]
+
+#: Registered queries with no driver row yet that do NOT fit the
+#: current window — every entry here must be consumed by a future
+#: rotation (tests/test_gate_rotation.py enforces that a new query is
+#: either in-window, already driver-checked, or listed here).
+_QUEUED_FOR_ROTATION: list[str] = []
+
+#: The ROUND-8 window this one replaced, kept for the rotation record:
+_PRIORITY_R8 = [
     # =================== ROUND-8 GATE WINDOW (50) ===================
     # Composition: the 30 queries with NO driver CORRECTNESS row ever
     # (q141 + q158-q186 — the round-7 analytics family; VERDICT r7

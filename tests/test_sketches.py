@@ -119,6 +119,28 @@ def test_bloom_no_false_negatives_and_fp_bound(spark):
     assert not all(mem[f"user-{i}"] for i in range(2000, 8000, 97))
 
 
+def test_bloom_membership_duplicate_probe_rows_no_false_negative(spark):
+    """The r8 ADVICE false negative: duplicate probe rows collapse
+    into ONE group under the per-probe groupBy, so a hit-sum-==-k test
+    reads 2k hits as 'absent'.  Membership must be min(hit)==1 —
+    duplicated present values stay maybe_present=true (the zero-FN
+    contract), duplicated absent values stay deterministic."""
+    from rainforest_spark.operators.sketches import (
+        bloom_bits, bloom_membership,
+    )
+    corpus = _vals(spark, 0, 200)
+    bits = bloom_bits(corpus, "v", 65536, 4)
+    # every probe row duplicated 3x — the ingest-gate shape
+    probes = spark.createDataFrame(
+        [(f"user-{i}",) for i in (0, 7, 150, 5000, 6001)] * 3,
+        "v string")
+    mem = {r["v"]: r["maybe_present"] for r in
+           bloom_membership(bits, probes, "v", 65536, 4).collect()}
+    assert mem["user-0"] and mem["user-7"] and mem["user-150"]
+    # kn/m tiny -> absent values read definitively absent here
+    assert not mem["user-5000"] and not mem["user-6001"]
+
+
 def test_bloom_bits_merge_is_union(spark):
     from pyspark.sql import functions as F
 

@@ -197,8 +197,10 @@ def test_hll_cardinality_sink_stream_equals_batch(spark, tmp_path):
 
 def test_cms_frequency_sink_stream_equals_batch(spark, tmp_path):
     """Streaming CMS maintenance: counters folded per micro-batch
-    equal the one-shot sketch of the whole feed (sum-merge algebra) —
-    modulo the DECIMAL type the store's sum spec accumulates in."""
+    equal the one-shot sketch of the whole feed (sum-merge algebra),
+    INCLUDING the type — the sink's ``sum_long`` spec keeps the stored
+    counters the BIGINT the batch-side sketch emits, so the docstring
+    recipe probes ``read_agg`` output directly, no re-cast."""
     import pandas as pd
 
     from rainforest_spark.operators.sketches import (
@@ -226,13 +228,12 @@ def test_cms_frequency_sink_stream_equals_batch(spark, tmp_path):
     whole = spark.createDataFrame(rows0 + rows1, "v string")
     direct = {(r["row"], r["bucket"]): r["c"] for r in
               cms_counters(whole, "v", 256, 4).collect()}
-    maintained = {(r["row"], r["bucket"]): int(r["c"]) for r in
-                  read_agg(spark, store).collect()}
+    counters = read_agg(spark, store)
+    assert dict(counters.dtypes)["c"] == "bigint"   # sum_long spec
+    maintained = {(r["row"], r["bucket"]): r["c"] for r in
+                  counters.collect()}
     assert maintained == direct
-    # and the maintained counters answer point queries (cast to long)
-    from pyspark.sql import functions as F
-    counters = read_agg(spark, store).select(
-        "row", "bucket", F.col("c").cast("long").alias("c"))
+    # and the maintained counters answer point queries directly
     qdf = spark.createDataFrame([("t0",), ("absent",)], "v string")
     est = {r["v"]: r["est"] for r in
            cms_point_estimates(counters, qdf, "v", 256, 4).collect()}

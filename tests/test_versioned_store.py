@@ -386,6 +386,55 @@ def test_concurrent_incremental_refreshes_never_lose_updates(
     assert got == {"a": (3, 111.0), "b": (2, 7.0), "c": (1, 7.0)}
 
 
+def test_replayed_batch_commit_race_folds_once(spark, tmp_path,
+                                               monkeypatch):
+    """The r8 ADVICE zombie-replay double-fold: two concurrent
+    deliveries of the SAME tagged batch (a zombie driver racing its
+    restarted query) both pass the sink's committed-batches pre-check;
+    the loser's conflict retry must detect the winner's tag in the log
+    and no-op — NOT re-merge the batch a second time.
+
+    Deterministic race: intercept the loser's first commit and have a
+    'zombie twin' commit the identical tagged fold just before it, so
+    the loser always loses exactly once."""
+    import rainforest_spark.sources.incremental as inc
+    from rainforest_spark.sources.versioned import (
+        commit_snapshot as real_commit,
+    )
+
+    store = str(tmp_path / "agg")
+    incremental_agg(spark, store, _df(spark, [("a", 1)]), ["k"], SPEC,
+                    stream_tag={"query": "q", "batch_id": 0})
+    tag = {"query": "q", "batch_id": 7}
+    batch = [("a", 5), ("b", 3)]
+    raced = {"n": 0}
+
+    def racing_commit(df, path, mode="append", expected_parent=None,
+                      stream_tag=None):
+        if stream_tag == tag and raced["n"] == 0:
+            raced["n"] += 1
+            old = read_agg(spark, path)
+            twin = inc._combine(
+                old, inc._partials(_df(spark, batch), ["k"], SPEC),
+                ["k"], SPEC)
+            real_commit(twin, path, mode="overwrite",
+                        expected_parent=expected_parent,
+                        stream_tag=stream_tag)
+            # fall through: the loser's own commit now conflicts
+        return real_commit(df, path, mode=mode,
+                           expected_parent=expected_parent,
+                           stream_tag=stream_tag)
+
+    monkeypatch.setattr(inc, "commit_snapshot", racing_commit)
+    v = incremental_agg(spark, store, _df(spark, batch), ["k"], SPEC,
+                        stream_tag=tag)
+    assert raced["n"] == 1
+    assert v == latest_version(store) == 2   # winner's commit only
+    got = {r["k"]: (r["n"], float(r["sum_v"])) for r in
+           read_agg(spark, store).collect()}
+    assert got == {"a": (2, 6.0), "b": (1, 3.0)}   # folded ONCE
+
+
 def test_incremental_sink_stream_equals_batch(spark, tmp_path):
     """Streaming rollup maintenance: an availableNow stream folded
     through incremental_sink must equal the one-shot full recompute,

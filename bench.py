@@ -343,6 +343,12 @@ SF10_HEADLINE = [
     # round-8: the scale-representative fuzzy-match shape (growing
     # composite block key — the non-exhibit counterpart of q144)
     "q144_composite_block",
+    # round-9: the quantile-sketch pair — the bounded register-dim
+    # path vs the exact ranged-rank pass it replaces, second decade
+    # from day one (the sketch should stay ~flat while exact scales
+    # with the distinct-value count)
+    "q197_sketch_quantiles",
+    "q197_exact_quantiles",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0
@@ -464,13 +470,36 @@ def _extra_queries():
         return nearest_site(pts, sites, "px", "py", "sx", "sy",
                             ["c_custkey"], ["s_suppkey"], cell=None)
 
+    def q197_sketch(spark, sf_dir):
+        # the register-dim quantile path: ONE bounded-bucket groupBy +
+        # a ≤16k-row window — the maintained-rollup shape (r9 sketch
+        # family; the oracle-paired q197 carries BOTH sides and so
+        # can't show the delta)
+        from rainforest_spark.operators.sketches import (
+            quantile_buckets, quantile_estimate,
+        )
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return quantile_estimate(
+            quantile_buckets(ev, "value", ["event_type"], 8),
+            [500000, 900000, 990000], ["event_type"])
+
+    def q197_exact(spark, sf_dir):
+        # the exact ranked pass the sketch replaces: distinct-value
+        # groupBy + grouped ranged_cumsum + rank probe
+        from rainforest_spark.operators.sketches import exact_quantiles
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return exact_quantiles(ev, "value",
+                               [500000, 900000, 990000], ["event_type"])
+
     q53_bucketed.confs = dict(BUCKETED_JOIN_CONFS)
     q53_shuffle.confs = dict(BUCKETED_JOIN_CONFS)
     return {"q53_bucketed_prepare": q53_bucketed,
             "q53_shuffle_prepare": q53_shuffle,
             "q124_auto_novelty": q124_auto,
             "q144_composite_block": q144_composite,
-            "q171_auto_site": q171_auto}
+            "q171_auto_site": q171_auto,
+            "q197_sketch_quantiles": q197_sketch,
+            "q197_exact_quantiles": q197_exact}
 
 
 def _load_baseline() -> dict:

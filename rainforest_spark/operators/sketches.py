@@ -34,7 +34,9 @@ from pyspark.sql import functions as F
 __all__ = ["hll_registers", "hll_estimate", "hll_accuracy_report",
            "HLL_RHO_MAX", "bloom_bits", "bloom_membership",
            "bloom_fp_report", "cms_counters", "cms_point_estimates",
-           "cms_accuracy_report"]
+           "cms_accuracy_report", "quantile_buckets",
+           "quantile_estimate", "exact_quantiles",
+           "quantile_accuracy_report"]
 
 #: rho of an all-zero 32-bit window (8 hex chars) — the window cap.
 HLL_RHO_MAX = 33
@@ -161,8 +163,10 @@ def hll_accuracy_report(df: DataFrame, col: str | Column,
              .groupBy(*g)
              .agg(F.count_distinct(c).cast("long").alias("n_exact")))
     j = (est.join(exact, g) if g else est.crossJoin(exact))
+    # + 0.0 normalizes IEEE negative zero (a tiny negative ratio
+    # rounds to -0.0 in DuckDB, +0.0 in Spark — the q197 idiom)
     rel = F.round((F.col("estimate") - F.col("n_exact").cast("double"))
-                  / F.col("n_exact").cast("double"), 6)
+                  / F.col("n_exact").cast("double"), 6) + F.lit(0.0)
     return j.select(*g, "m", "v_zero", "n_exact", "e_raw", "estimate",
                     rel.alias("rel_error"))
 
@@ -394,3 +398,207 @@ def cms_accuracy_report(df: DataFrame, col: str | Column,
         "value", "n_true", "est",
         (F.col("est") - F.col("n_true")).alias("overestimate"))
         .orderBy(F.col("n_true").desc(), F.col("value").asc()))
+
+
+# ------------------------------------------------------------------
+# Mergeable quantile sketch: dyadic value buckets (the base-2 member
+# of the DDSketch / HDR-histogram family — Masson, Rim & Lee, "DDSketch:
+# a fast and fully-mergeable quantile sketch with relative-error
+# guarantees", VLDB 2019).  Like the HLL/Bloom/CMS registers above,
+# the buckets are EXACT integer functions of the values (bit-length +
+# top-``s`` mantissa bits of the nano-quantized magnitude), so the
+# sketch itself is engine-reproducible bit-for-bit and oracle-pairable.
+#
+# Why an engine needs it at 100 TB: every percentile rollup today pays
+# an exact grouped ranged-rank pass over the facts (ranged_cumsum).
+# The bucket table is ≤ 2·64·2^(s-1) rows per group — a bounded dim,
+# MERGEABLE by ``sum(cnt)`` per (group, bucket), which composes with
+# ``incremental_agg``'s ``("sum_long", cnt)`` spec: the p50/p95/p99
+# dashboard never rescans history, at a guaranteed relative error of
+# 2^-s on the reported value (HDR's mantissa-bits guarantee).
+# ------------------------------------------------------------------
+
+#: nano-quantization scale shared by the sketch and its exact oracle.
+QUANTILE_SCALE = 1_000_000_000
+
+
+def _qbucket_exprs(v: str, s_bits: int) -> tuple[str, str]:
+    """Portable SQL fragments ``(bucket_key, rep_nanos)`` for a BIGINT
+    column named ``v`` (nano-quantized values) — identical text runs on
+    Spark and DuckDB, the q194/q195/q196 generated-fragment property.
+
+    Bucket: ``sign · (e·2^s + m)`` with ``e`` the bit length of
+    ``|v|`` (``length(bin(|v|))`` — minimal binary in both engines)
+    and ``m`` the top ``s`` mantissa bits (per-char ``instr('01', …)``
+    parse of the binary prefix — the q110 hex idiom on base 2).
+    Values with ``e ≤ s`` keep ``m = |v|`` exactly (small integers are
+    loss-free).  The key is strictly monotone in the value, so bucket
+    order IS value order and rank walks need no decode.
+
+    Representative: the bucket's magnitude midpoint
+    ``m·2^(e−s) + 2^(e−s−1) − 1`` (exact BIGINT; powers of two are
+    exact doubles at every exponent, so ``CAST(pow(2, …) AS BIGINT)``
+    is engine-safe), signed back.  ``|rep − true| ≤ 2^(e−s−1)`` against
+    ``|true| ≥ 2^(e−1)`` gives the 2^-s relative-error guarantee.
+    """
+    s = int(s_bits)
+    sign = f"(CASE WHEN {v} < 0 THEN -1 WHEN {v} = 0 THEN 0 ELSE 1 END)"
+    av = f"abs({v})"
+    e = f"(CASE WHEN {av} = 0 THEN 0 ELSE length(bin({av})) END)"
+    bits = " + ".join(
+        f"CAST(instr('01', substr(bin({av}), {j + 1}, 1)) - 1 AS BIGINT)"
+        f" * {1 << (s - 1 - j)}" for j in range(s))
+    m = f"(CASE WHEN {e} <= {s} THEN {av} ELSE ({bits}) END)"
+    p2 = f"CAST(pow(CAST(2 AS DOUBLE), {e} - {s}) AS BIGINT)"
+    p2h = f"CAST(pow(CAST(2 AS DOUBLE), {e} - {s} - 1) AS BIGINT)"
+    key = f"({sign} * ({e} * {1 << s} + {m}))"
+    rep = (f"({sign} * (CASE WHEN {e} <= {s} THEN {av} "
+           f"ELSE {m} * {p2} + {p2h} - 1 END))")
+    return key, rep
+
+
+def _nanos(c: Column) -> Column:
+    """floor(x·1e9 + 0.5) → BIGINT — the repo's hot-path quantization
+    idiom (pure double ops + floor, IEEE-identical across engines)."""
+    return F.floor(c.cast("double") * F.lit(1e9) + F.lit(0.5)) \
+        .cast("long")
+
+
+def quantile_buckets(df: DataFrame, col: str | Column,
+                     group_cols: list[str] | None = None,
+                     s_bits: int = 8) -> DataFrame:
+    """The quantile-sketch bucket table: ``(group..., bucket_key,
+    rep_nanos, cnt)`` — ≤ 2·64·2^(s−1) rows per group (~16k at s=8).
+
+    MERGEABLE: bucket tables of two row sets combine by ``sum(cnt)``
+    per (group, bucket_key, rep_nanos) — union-of-sketches ==
+    sketch-of-union exactly, so it maintains incrementally
+    (``incremental_agg`` spec ``{"cnt": ("sum_long", "cnt")}``) or
+    folds per partition/day and merges at query time.
+
+    Values quantize to nanos first (|x| ≲ 9.2e9 fits BIGINT); NULLs
+    are skipped.  Shape at 100 TB: ONE map-side-combined groupBy on
+    the bounded bucket dim — no sort, no window, no shuffle of raw
+    values beyond the partial-agg exchange.
+    """
+    g = list(group_cols or [])
+    c = F.col(col) if isinstance(col, str) else col
+    d = (df.where(c.isNotNull())
+         .select(*g, _nanos(c).alias("__n")))
+    key, rep = _qbucket_exprs("__n", s_bits)
+    return (d.select(*g, F.expr(key).alias("bucket_key"),
+                     F.expr(rep).alias("rep_nanos"))
+            .groupBy(*g, "bucket_key", "rep_nanos")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def quantile_estimate(buckets: DataFrame, qs_ppm: list[int],
+                      group_cols: list[str] | None = None) -> DataFrame:
+    """Quantile estimates from a :func:`quantile_buckets` table: one
+    row per (group, q) with ``n`` (total count), ``est_nanos`` (the
+    representative of the bucket holding the rank-``⌈q·n⌉`` value —
+    type-1 / lower quantile) and ``estimate`` (denanoized, 6dp).
+
+    Quantiles are EXACT integer parts-per-million (``q_ppm``), the
+    rank ``(q_ppm·n + 999999) div 1e6`` an exact ceil — no double ever
+    lands on a rank boundary.  Because ``bucket_key`` is monotone in
+    the value, the answer is ``min(rep_nanos)`` over buckets whose
+    cumulative count reaches the rank.
+
+    Shape at 100 TB: the cumulative walk is a window over the BOUNDED
+    bucket dim (≤ ~16k rows per group — the few-huge-group window
+    hazard does not apply to register tables); ranks broadcast.
+    """
+    g = list(group_cols or [])
+    from pyspark.sql import Window
+    tot = buckets.groupBy(*g).agg(F.sum("cnt").cast("long").alias("n"))
+    qarr = F.array(*[F.lit(int(p)).cast("long") for p in qs_ppm])
+    ranks = (tot.select(*g, "n", F.explode(qarr).alias("q_ppm"))
+             .withColumn("__rk",
+                         F.expr("(q_ppm * n + 999999) div 1000000")))
+    w = (Window.partitionBy(*g) if g else Window.partitionBy()) \
+        .orderBy("bucket_key") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = buckets.withColumn("__cum", F.sum("cnt").over(w))
+    j = (cum.join(F.broadcast(ranks), g) if g
+         else cum.crossJoin(F.broadcast(ranks)))
+    return (j.where(F.col("__cum") >= F.col("__rk"))
+            .groupBy(*g, "q_ppm", "n")
+            .agg(F.min("rep_nanos").alias("est_nanos"))
+            .select(*g, "q_ppm", "n", "est_nanos",
+                    F.round(F.col("est_nanos").cast("double")
+                            / F.lit(1e9), 6).alias("estimate")))
+
+
+def exact_quantiles(df: DataFrame, col: str | Column,
+                    qs_ppm: list[int],
+                    group_cols: list[str] | None = None) -> DataFrame:
+    """The EXACT type-1 quantile per (group, q): ``(group..., q_ppm,
+    n, exact_nanos)`` — the smallest nano-quantized value whose
+    cumulative count reaches rank ``⌈q·n⌉``.
+
+    This is the full ranked pass the bucket sketch replaces: one
+    distinct-value groupBy + one grouped ``ranged_cumsum``
+    (few-huge-group safe) + a broadcast rank probe.  Kept public so
+    the bench can measure sketch-vs-exact on identical definitions.
+    """
+    g = list(group_cols or [])
+    c = F.col(col) if isinstance(col, str) else col
+    dv = (df.where(c.isNotNull())
+          .select(*g, _nanos(c).alias("__n"))
+          .groupBy(*g, "__n")
+          .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    from rainforest_spark.operators.windows import ranged_cumsum
+    cum = ranged_cumsum(dv, "__n", "__c", cum_col="__cum",
+                        group_cols=g or None, total_col="__tot")
+    qarr = F.array(*[F.lit(int(p)).cast("long") for p in qs_ppm])
+    probe = (cum.select("*", F.explode(qarr).alias("q_ppm"))
+             .withColumn("__rk", F.expr(
+                 "(q_ppm * __tot + 999999) div 1000000")))
+    return (probe.where(F.col("__cum") >= F.col("__rk"))
+            .groupBy(*g, "q_ppm")
+            .agg(F.min("__tot").alias("n"),
+                 F.min("__n").alias("exact_nanos"))
+            .select(*g, "q_ppm", "n", "exact_nanos"))
+
+
+def quantile_accuracy_report(df: DataFrame, col: str | Column,
+                             qs_ppm: list[int],
+                             group_cols: list[str] | None = None,
+                             s_bits: int = 8) -> DataFrame:
+    """Sketch-accuracy report (the q192/q194 calibration treatment):
+    per (group, q), the bucket-sketch estimate NEXT TO the exact
+    type-1 quantile and the signed relative error — guaranteed
+    ``|rel_error| ≤ 2^-s_bits`` by construction, measured here so a
+    pipeline owner can read "±0.4% at s=8 on this column" before
+    replacing the exact ranked pass with the maintained bucket dim.
+
+    Shape at 100 TB: the sketch side is the bounded-bucket groupBy;
+    the exact side is ONE grouped ranged-cumsum over distinct values
+    (``ranged_cumsum`` — few-huge-group safe) + a broadcast rank probe
+    — the full pass the sketch exists to replace; this report is the
+    one-time calibration run.
+    """
+    g = list(group_cols or [])
+    c = F.col(col) if isinstance(col, str) else col
+    est = quantile_estimate(quantile_buckets(df, c, g, s_bits),
+                            qs_ppm, g)
+    ex = exact_quantiles(df, c, qs_ppm, g).select(
+        *g, "q_ppm", "exact_nanos")
+    exact = est.join(ex, [*g, "q_ppm"])
+    # + 0.0 normalizes IEEE negative zero: a ratio like -2e-10 rounds
+    # to -0.0 in DuckDB but +0.0 in Spark (BigDecimal HALF_UP drops
+    # the sign) — adding positive zero maps both to +0.0 exactly and
+    # changes no other value (the engine-portability idiom for any
+    # rounded signed ratio that can land on zero)
+    rel = F.when(
+        F.col("exact_nanos") != 0,
+        F.round((F.col("est_nanos") - F.col("exact_nanos"))
+                .cast("double")
+                / F.abs(F.col("exact_nanos")).cast("double"), 6)
+        + F.lit(0.0))
+    return exact.select(
+        *g, "q_ppm", "n", "est_nanos", "exact_nanos", "estimate",
+        F.round(F.col("exact_nanos").cast("double") / F.lit(1e9), 6)
+        .alias("exact"),
+        rel.alias("rel_error"))

@@ -10,7 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ohlc_stream", "anomaly_gate_stream"]
+__all__ = ["ohlc_stream", "anomaly_gate_stream", "session_rollup_stream",
+           "session_rollup_batch"]
 
 
 def ohlc_stream(stream: DataFrame, key_cols: list[str], ts_col: str,
@@ -134,3 +135,70 @@ def cms_frequency_sink(store_path: str, col: str,
         fold(cms_counters(batch_df, col, width, depth, weight_col),
              batch_id)
     return write
+
+
+def _session_aggs(ts_long, value_col: str | None):
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(ts_long).alias("session_start"),
+            F.max(ts_long).alias("session_end")]
+    if value_col:
+        aggs.append(F.sum(F.col(value_col).cast("decimal(38,6)"))
+                    .cast("decimal(38,6)").alias("value_sum"))
+    return aggs
+
+
+def session_rollup_stream(stream: DataFrame, key_cols: list[str],
+                          ts_col: str, gap_sec: int,
+                          watermark: str = "24 hours",
+                          value_col: str | None = None) -> DataFrame:
+    """Streaming sessionization: per (key, session) rollups via
+    ``session_window`` — the streaming counterpart of the batch
+    ``operators/aggregates.sessionize`` (reference A15 ``split_event``,
+    ml/utils.py:98-115: a gap larger than the threshold — 12 h there —
+    starts a new event/session).
+
+    BOUNDARY PARITY: batch ``sessionize`` starts a new session when
+    ``gap > gap_sec`` (an event exactly ``gap_sec`` later still
+    merges), and Spark's session merge is INCLUSIVE on the window end
+    (two sessions merge when one starts at-or-before the other's
+    ``start + gap``), so ``session_window(gap_sec)`` has identical
+    boundaries — an availableNow pass over the same files reproduces
+    the batch session set bit-for-bit: boundaries (both sides of the
+    exact-gap edge), counts, epoch bounds, and the exact decimal value
+    sums (tests/test_streaming_analytics.py asserts it, including a
+    restart with a late in-watermark event).
+
+    State: one open session per (key, live window), merged by Spark's
+    session-window state store and EXPIRED past the watermark horizon
+    — bounded by (keys active within the watermark) × 1, the T3/T4
+    posture.  Append mode emits each session exactly once, when the
+    watermark passes its close; a crash replays from the checkpoint
+    without re-emitting (the T7 exactly-once posture).
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    with_t = stream.withColumn("__t", ts)
+    ts_long = F.col("__t").cast("long")
+    win = F.session_window("__t", f"{int(gap_sec)} seconds")
+    return (with_t.withWatermark("__t", watermark)
+            .groupBy(*key_cols, win.alias("__s"))
+            .agg(*_session_aggs(ts_long, value_col))
+            .drop("__s"))
+
+
+def session_rollup_batch(df: DataFrame, key_cols: list[str],
+                         ts_col: str, gap_sec: int,
+                         value_col: str | None = None) -> DataFrame:
+    """The batch twin: ``sessionize`` (lag + running cumsum — A15) then
+    the same rollup expressions per (key, session_id) — what
+    :func:`session_rollup_stream` must reproduce bit-for-bit over the
+    same rows.  ``session_id`` is dropped from the output because the
+    stream never numbers sessions (ids are an artifact of the offline
+    ordering); (key, session_start) identifies a session in both.
+    """
+    from rainforest_spark.operators.aggregates import sessionize
+    with_t = df.withColumn("__t", F.col(ts_col).cast("timestamp"))
+    s = sessionize(with_t, key_cols, "__t", int(gap_sec))
+    ts_long = F.col("__t").cast("long")
+    return (s.groupBy(*key_cols, "session_id")
+            .agg(*_session_aggs(ts_long, value_col))
+            .drop("session_id"))

@@ -93,6 +93,17 @@ Round-7 continued (late-round, all proven hash-exact):
   double divisions over integer ranks — spelled with CAST(... AS
   DOUBLE) literals in the oracle so DuckDB cannot route them through
   exact DECIMAL (q133, the q127 rule).
+
+Round-9 additions to the idiom set:
+
+- NEGATIVE-ZERO normalization: ``ROUND(x, 6)`` of a tiny negative
+  ratio (e.g. -2e-10) yields ``-0.0`` in DuckDB but ``+0.0`` in Spark
+  (BigDecimal HALF_UP drops the sign), and the driver's value hash
+  distinguishes them.  Any rounded SIGNED ratio that can land on zero
+  gets ``+ 0.0`` appended on BOTH engines (IEEE: -0.0 + 0.0 = +0.0,
+  every other value unchanged) — spelled ``+ CAST(0 AS DOUBLE)`` in
+  the oracle so the zero cannot parse as DECIMAL (q197 rel_error,
+  retrofitted to q194).
 """
 
 from __future__ import annotations
@@ -161,7 +172,11 @@ _PRIORITY = [
 #: current window — every entry here must be consumed by a future
 #: rotation (tests/test_gate_rotation.py enforces that a new query is
 #: either in-window, already driver-checked, or listed here).
-_QUEUED_FOR_ROTATION: list[str] = []
+_QUEUED_FOR_ROTATION: list[str] = [
+    # round-9 additions past the full window — exact-parity-gated via
+    # tests/test_oracle_parity.py and vanilla-probed; rotate next round
+    "q197_quantile_sketch",
+]
 
 #: The ROUND-8 window this one replaced, kept for the rotation record:
 _PRIORITY_R8 = [

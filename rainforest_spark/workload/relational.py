@@ -2799,7 +2799,8 @@ f AS (SELECT e.event_type, CAST(v_zero AS BIGINT) AS v_zero,
 SELECT event_type, CAST({m} AS BIGINT) AS m, v_zero, n_exact, e_raw,
        estimate,
        ROUND((estimate - CAST(n_exact AS DOUBLE))
-             / CAST(n_exact AS DOUBLE), 6) AS rel_error
+             / CAST(n_exact AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+           AS rel_error
 FROM f
 """
 
@@ -2886,3 +2887,72 @@ def q195(spark, sf):
     return rep.withColumn(
         "no_false_negatives",
         F.col("no_false_negatives").cast("long"))
+
+
+# ---------------------------------------------------------------- q197
+# Mergeable quantile-sketch calibration (sketches family,
+# operators/sketches.quantile_accuracy_report): per event_type, the
+# dyadic-bucket (s=8 mantissa bits — DDSketch/HDR base-2 variant)
+# p50/p90/p99 estimate of events.value NEXT TO the exact type-1
+# quantile, with the signed relative error (guaranteed ≤ 2^-8).  The
+# bucket_key / rep_nanos fragments are GENERATED ONCE by the operator
+# module and embedded verbatim in both engines' plans (the q194
+# pattern), so the sketch — not just its answer — is bit-identical;
+# ranks are exact integer ceils, reps exact BIGINTs, and the only
+# doubles are the final denanoize/ratio divisions rounded 6dp.
+def _q197_sql() -> str:
+    from rainforest_spark.operators.sketches import _qbucket_exprs
+    key, rep = _qbucket_exprs("v", 8)
+    return f"""
+WITH n AS (
+  SELECT event_type, CAST(floor(value * 1e9 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+b AS (SELECT event_type, {key} AS bucket_key, {rep} AS rep_nanos
+      FROM n),
+bc AS (SELECT event_type, bucket_key, rep_nanos,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM b GROUP BY 1, 2, 3),
+t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_total
+      FROM bc GROUP BY 1),
+qq AS (SELECT UNNEST([500000, 900000, 990000]) AS q_ppm),
+r AS (SELECT event_type, n_total,
+             CAST(q_ppm AS BIGINT) AS q_ppm,
+             (CAST(q_ppm AS BIGINT) * n_total + 999999) // 1000000
+                 AS rk
+      FROM t CROSS JOIN qq),
+c AS (SELECT event_type, bucket_key, rep_nanos,
+             SUM(cnt) OVER (PARTITION BY event_type
+                            ORDER BY bucket_key) AS cum
+      FROM bc),
+e AS (SELECT r.event_type, q_ppm, n_total,
+             MIN(rep_nanos) AS est_nanos
+      FROM c JOIN r ON c.event_type = r.event_type
+      WHERE cum >= rk GROUP BY 1, 2, 3),
+dv AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+       FROM n GROUP BY 1, 2),
+dc AS (SELECT event_type, v,
+              SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+       FROM dv),
+x AS (SELECT r.event_type, q_ppm, MIN(v) AS exact_nanos
+      FROM dc JOIN r ON dc.event_type = r.event_type
+      WHERE cum >= rk GROUP BY 1, 2)
+SELECT e.event_type, e.q_ppm, n_total AS n, est_nanos, exact_nanos,
+       ROUND(CAST(est_nanos AS DOUBLE) / 1e9, 6) AS estimate,
+       ROUND(CAST(exact_nanos AS DOUBLE) / 1e9, 6) AS exact,
+       CASE WHEN exact_nanos != 0 THEN
+            ROUND(CAST(est_nanos - exact_nanos AS DOUBLE)
+                  / CAST(abs(exact_nanos) AS DOUBLE), 6)
+              + CAST(0 AS DOUBLE)
+       END AS rel_error
+FROM e JOIN x ON x.event_type = e.event_type AND x.q_ppm = e.q_ppm
+"""
+
+
+@q("q197_quantile_sketch", sql=_q197_sql())
+def q197(spark, sf):
+    from rainforest_spark.operators.sketches import (
+        quantile_accuracy_report,
+    )
+    ev = T(spark, sf, "events")
+    return quantile_accuracy_report(
+        ev, "value", [500000, 900000, 990000], ["event_type"], s_bits=8)

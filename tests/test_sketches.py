@@ -203,3 +203,93 @@ def test_cms_weighted_counts(spark):
     assert est["x"] >= 12 and est["y"] >= 1
     # an absent value can still collide, but with 3 values it won't
     assert est["z"] == 0
+
+
+# ------------------------------------------------- quantile sketch
+
+def _qvals(spark, n=8000, seed=13):
+    import random
+    rng = random.Random(seed)
+    rows = [("g%d" % (i % 3),
+             rng.lognormvariate(2.0, 1.5) * (1 if i % 9 else -1))
+            for i in range(n)] + [("g0", 0.0)] * 3
+    return spark.createDataFrame(rows, "g string, x double")
+
+
+def test_quantile_buckets_merge_equals_whole(spark):
+    from rainforest_spark.operators.sketches import quantile_buckets
+    df = _qvals(spark)
+    a = df.where(F.col("x") > 3.0)
+    b = df.where(F.col("x") <= 3.0)
+    merged = (quantile_buckets(a, "x", ["g"], 8)
+              .unionByName(quantile_buckets(b, "x", ["g"], 8))
+              .groupBy("g", "bucket_key", "rep_nanos")
+              .agg(F.sum("cnt").cast("long").alias("cnt")))
+    whole = quantile_buckets(df, "x", ["g"], 8)
+    got = {tuple(r) for r in merged.collect()}
+    want = {tuple(r) for r in whole.collect()}
+    assert got == want
+
+
+def test_quantile_estimate_relative_error_bound(spark):
+    """The 2^-s guarantee, measured: every (group, q) estimate within
+    2^-8 of the exact type-1 quantile — including negatives (mirrored
+    buckets) and the zero bucket."""
+    from rainforest_spark.operators.sketches import (
+        quantile_accuracy_report,
+    )
+    rep = quantile_accuracy_report(
+        _qvals(spark), "x",
+        [10000, 250000, 500000, 900000, 990000], ["g"], s_bits=8)
+    rows = rep.collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert r["rel_error"] is not None
+        assert abs(r["rel_error"]) <= 2 ** -8 + 1e-9, r
+
+
+def test_quantile_small_integers_are_exact(spark):
+    """Values whose nanos fit in s bits keep m = |v| exactly — the
+    sketch is loss-free on them (e <= s buckets)."""
+    from rainforest_spark.operators.sketches import (
+        quantile_buckets, quantile_estimate,
+    )
+    # nanos in [-200, 200] after quantization: all |v| < 2^8
+    rows = [(i * 1e-9,) for i in range(-200, 201)]
+    df = spark.createDataFrame(rows, "x double")
+    est = quantile_estimate(quantile_buckets(df, "x", None, 8),
+                            [500000], None).collect()[0]
+    assert est["n"] == 401 and est["est_nanos"] == 0
+
+
+def test_quantile_incremental_maintenance(spark, tmp_path):
+    """Bucket tables maintained through incremental_agg (sum_long
+    spec) equal the one-shot sketch of all batches — the maintained
+    p95 never rescans history."""
+    from rainforest_spark.operators.sketches import (
+        quantile_buckets, quantile_estimate,
+    )
+    from rainforest_spark.sources.incremental import (
+        incremental_agg, read_agg,
+    )
+    store = str(tmp_path / "qb")
+    df = _qvals(spark, n=6000)
+    batches = [df.where(F.pmod(F.xxhash64("x"), F.lit(3)) == i)
+               for i in range(3)]
+    for b in batches:
+        incremental_agg(spark, store,
+                        quantile_buckets(b, "x", ["g"], 8),
+                        ["g", "bucket_key", "rep_nanos"],
+                        {"cnt": ("sum_long", "cnt")})
+    maintained = read_agg(spark, store)
+    whole = quantile_buckets(df, "x", ["g"], 8)
+    got = {tuple(r) for r in
+           maintained.select("g", "bucket_key", "rep_nanos",
+                             "cnt").collect()}
+    want = {tuple(r) for r in whole.collect()}
+    assert got == want
+    e1 = {(r["g"], r["q_ppm"]): r["est_nanos"] for r in
+          quantile_estimate(maintained, [950000], ["g"]).collect()}
+    e2 = {(r["g"], r["q_ppm"]): r["est_nanos"] for r in
+          quantile_estimate(whole, [950000], ["g"]).collect()}
+    assert e1 == e2

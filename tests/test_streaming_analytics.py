@@ -240,3 +240,82 @@ def test_cms_frequency_sink_stream_equals_batch(spark, tmp_path):
     from collections import Counter
     true = Counter(v for v, in rows0 + rows1)
     assert est["t0"] >= true["t0"]
+
+
+def test_session_rollup_stream_matches_batch_with_restart(
+        spark, tmp_path):
+    """Streaming sessionization ≡ batch sessionize, bit-for-bit —
+    boundaries (including the exact-gap merge case), counts, epoch
+    bounds, decimal value sums — across a RESTART with a late
+    in-watermark event that extends an already-open session (the T4
+    restart posture on session-window state)."""
+    from rainforest_spark.streaming.analytics import (
+        session_rollup_batch, session_rollup_stream,
+    )
+
+    t0 = 1_717_200_000
+    gap = 1800
+    # user a: two sessions — the second separated by EXACTLY gap+1 s
+    # (split); inside session 1 an event at EXACTLY gap s (merge: the
+    # boundary-parity case).  user b: one session, later extended.
+    f0 = [("a", t0), ("a", t0 + gap), ("a", t0 + gap + 100, 2.5),
+          ("a", t0 + 2 * gap + 101), ("b", t0 + 500)]
+    # late event (in-watermark) EXTENDING b's open session after the
+    # restart, plus far-future sentinels advancing the watermark past
+    # every real session so append mode emits them all
+    f1 = [("b", t0 + 500 + gap, 7.25),
+          ("a", t0 + 40 * 86400), ("b", t0 + 40 * 86400)]
+
+    def norm(rows):
+        return [(k, v[0], float(v[1]) if len(v) > 1 else 1.0)
+                for k, *v in [(r[0], r[1:]) for r in rows]]
+    rows0 = [(r[0], r[1], float(r[2]) if len(r) > 2 else 1.0)
+             for r in f0]
+    rows1 = [(r[0], r[1], float(r[2]) if len(r) > 2 else 1.0)
+             for r in f1]
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    os.makedirs(src)
+    pd.DataFrame(rows0, columns=["k", "ep", "v"]).to_parquet(
+        f"{src}/f0.parquet", index=False)
+
+    def run_once():
+        stream = (spark.readStream.schema("k string, ep long, v double")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = session_rollup_stream(stream, ["k"], "ep", gap,
+                                    watermark="48 hours", value_col="v")
+        q = (out.writeStream.outputMode("append").format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run_once()                                   # first run: f0 only
+    pd.DataFrame(rows1, columns=["k", "ep", "v"]).to_parquet(
+        f"{src}/f1.parquet", index=False)
+    run_once()                                   # restart from ckpt
+
+    emitted = {tuple(r) for r in
+               spark.read.parquet(sink)
+               .select("k", "n_events", "session_start", "session_end",
+                       "value_sum").collect()}
+    whole = spark.createDataFrame(rows0 + rows1,
+                                  "k string, ep long, v double")
+    batch = {tuple(r) for r in
+             session_rollup_batch(whole, ["k"], "ep", gap,
+                                  value_col="v")
+             .select("k", "n_events", "session_start", "session_end",
+                     "value_sum").collect()}
+    # every emitted session equals its batch twin exactly; only the
+    # far-future sentinel sessions (watermark advancers) are still
+    # open and unemitted
+    assert emitted <= batch
+    open_sessions = {r for r in batch
+                     if r[2] == t0 + 40 * 86400}
+    assert emitted == batch - open_sessions
+    # the boundary cases really exercised: a has sessions of 3 and 1
+    # events, b's restart-extended session has 2
+    by_key = sorted((k, n) for k, n, *_ in emitted)
+    assert by_key == [("a", 1), ("a", 3), ("b", 2)]
+    # and the late event folded into b's session across the restart
+    b_row = next(r for r in emitted if r[0] == "b")
+    assert (b_row[2], b_row[3]) == (t0 + 500, t0 + 500 + gap)
+    assert float(b_row[4]) == 8.25

@@ -483,6 +483,28 @@ def _extra_queries():
             quantile_buckets(ev, "value", ["event_type"], 8),
             [500000, 900000, 990000], ["event_type"])
 
+    def q191_gram(spark, sf_dir):
+        # the LARGE-d scale path of the embedding-covariance audit
+        # (VERDICT r8 #7): numpy Gram accumulation per Arrow batch at
+        # a synthetic d=256 (4 deterministic affine copies of the
+        # tier's d=64 embeddings).  The oracle-pairable expression
+        # path at the same d is the documented exhibit — measured once
+        # in PERF.md (~50x slower at d=256: 58 s vs 1.1 s at sf1), too
+        # slow to re-pay every bench run.
+        from pyspark.sql import functions as F
+
+        from rainforest_spark.operators.similarity import gram_accumulate
+        e = spark.read.parquet(os.path.join(sf_dir,
+                                            "embeddings.parquet"))
+        emb = F.col("embedding")
+        v = e.select(F.concat(
+            emb,
+            F.transform(emb, lambda x: x * F.lit(0.5) + F.lit(0.1)),
+            F.transform(emb, lambda x: x * F.lit(-0.25)),
+            F.transform(emb, lambda x: x * F.lit(2.0) - F.lit(0.05)),
+        ).alias("v"))
+        return gram_accumulate(v, "v", 256)
+
     def q197_exact(spark, sf_dir):
         # the exact ranked pass the sketch replaces: distinct-value
         # groupBy + grouped ranged_cumsum + rank probe
@@ -498,8 +520,223 @@ def _extra_queries():
             "q124_auto_novelty": q124_auto,
             "q144_composite_block": q144_composite,
             "q171_auto_site": q171_auto,
+            "q191_gram_d256": q191_gram,
             "q197_sketch_quantiles": q197_sketch,
             "q197_exact_quantiles": q197_exact}
+
+
+#: streaming fixture scale per tier dir basename (frames of synthetic
+#: 2-radar polar scans for the RT chain; events/documents come from
+#: the tier's own parquet).
+_RT_FRAMES = {"sf0.1": 12, "sf1": 120}
+_RT_SCHEMA = ("TIMESTAMP bigint, STATION string, RADAR string, "
+              "SWEEP bigint, az_idx int, rng_idx int, ZH double, "
+              "VISIB double")
+_STREAM_FIXED: dict[str, str] = {}
+
+
+def _streaming_queries():
+    """Streaming bench tier (runs at sf0.1 and sf1): availableNow runs
+    of the streaming surface, timed END-TO-END — source listing,
+    micro-batch planning, state-store work, watermark advancement and
+    sink commits all inside the measured wall.  Every call builds
+    FRESH sink/checkpoint dirs (a reused checkpoint would make the
+    second rep a no-op replay and 'measure' an empty run) and removes
+    them after; the input fixtures are built ONCE per (process, tier)
+    so generation never pollutes the timings.  Entries return None —
+    the runner skips the noop sink for them (the stream already wrote
+    its own)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".benchdata", "stream")
+
+    def _fresh():
+        return tempfile.mkdtemp(prefix="bench_stream_")
+
+    def _finish(query, *dirs):
+        query.awaitTermination(600)
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def ensure_rt_frames(sf_dir: str) -> str:
+        """One 5-min-spaced scan sequence per tier: 2 radars x 360 az
+        x 60 gates per frame, one parquet FILE per frame so
+        maxFilesPerTrigger yields real multi-batch watermark
+        advancement."""
+        tier = os.path.basename(sf_dir.rstrip("/"))
+        key = f"rt:{tier}"
+        if key in _STREAM_FIXED:
+            return _STREAM_FIXED[key]
+        out = os.path.join(base, "rt", tier.replace(".", "_"))
+        frames = _RT_FRAMES.get(tier, 12)
+        marker = os.path.join(out, f"_DONE_{frames}")
+        if not os.path.exists(marker):
+            shutil.rmtree(out, ignore_errors=True)
+            os.makedirs(out)
+            az, rg = np.meshgrid(np.arange(360), np.arange(60),
+                                 indexing="ij")
+            n = az.size
+            rng = np.random.RandomState(11)
+            t0 = 1_717_200_000
+            for f_i in range(frames):
+                chunks = []
+                for radar in ("A", "D"):
+                    chunks.append(pd.DataFrame({
+                        "TIMESTAMP": np.int64(t0 + 300 * f_i),
+                        "STATION": "ST00", "RADAR": radar,
+                        "SWEEP": np.int64(1),
+                        "az_idx": az.ravel().astype(np.int32),
+                        "rng_idx": rg.ravel().astype(np.int32),
+                        "ZH": rng.uniform(0, 50, n),
+                        "VISIB": rng.uniform(50, 100, n)}))
+                pd.concat(chunks).to_parquet(
+                    os.path.join(out, f"frame_{f_i:04d}.parquet"),
+                    index=False)
+            open(marker, "w").close()
+        _STREAM_FIXED[key] = out
+        return out
+
+    def ensure_event_files(spark, sf_dir: str) -> str:
+        """A time-ordered multi-file copy of the tier's events table
+        (8 range files, f0 oldest, ascending mtimes) so file-source
+        micro-batches advance the watermark in event-time order — a
+        single-file input would be ONE batch and append mode would
+        emit nothing.  Timestamps ship as epoch-second BIGINTs (the
+        repo's epoch discipline — also sidesteps pandas/parquet
+        timestamp physical-type drift)."""
+        tier = os.path.basename(sf_dir.rstrip("/"))
+        key = f"ev:{tier}"
+        if key in _STREAM_FIXED:
+            return _STREAM_FIXED[key]
+        out = os.path.join(base, "events", tier.replace(".", "_"))
+        marker = os.path.join(out, "_DONE")
+        if not os.path.exists(marker):
+            shutil.rmtree(out, ignore_errors=True)
+            os.makedirs(out)
+            ev = (spark.read.parquet(os.path.join(sf_dir,
+                                                  "events.parquet"))
+                  .select("user_id", "event_type", "value",
+                          F.col("ts").cast("timestamp").cast("long")
+                          .alias("ep"))
+                  .orderBy("ep").toPandas())
+            per = (len(ev) + 7) // 8
+            for f_i in range(8):
+                chunk = ev.iloc[f_i * per:(f_i + 1) * per]
+                if len(chunk):
+                    chunk.to_parquet(os.path.join(
+                        out, f"f{f_i}.parquet"), index=False)
+            open(marker, "w").close()
+        _STREAM_FIXED[key] = out
+        return out
+
+    def ensure_doc_files(spark, sf_dir: str) -> str:
+        """A 4-file directory copy of the tier's documents table (the
+        file source needs a DIRECTORY, and multiple files give the
+        curation gate real micro-batches)."""
+        tier = os.path.basename(sf_dir.rstrip("/"))
+        key = f"doc:{tier}"
+        if key in _STREAM_FIXED:
+            return _STREAM_FIXED[key]
+        out = os.path.join(base, "docs", tier.replace(".", "_"))
+        marker = os.path.join(out, "_DONE")
+        if not os.path.exists(marker):
+            shutil.rmtree(out, ignore_errors=True)
+            os.makedirs(out)
+            d = (spark.read.parquet(os.path.join(sf_dir,
+                                                 "documents.parquet"))
+                 .orderBy("doc_id").toPandas())
+            per = (len(d) + 3) // 4
+            for f_i in range(4):
+                chunk = d.iloc[f_i * per:(f_i + 1) * per]
+                if len(chunk):
+                    chunk.to_parquet(os.path.join(
+                        out, f"f{f_i}.parquet"), index=False)
+            open(marker, "w").close()
+        _STREAM_FIXED[key] = out
+        return out
+
+    ev_schema = ("user_id bigint, event_type string, value double, "
+                 "ep bigint")
+
+    def s01_rt_tenmin(spark, sf_dir):
+        # the RT post-processing chain's windowed heart: 10-min
+        # tumbling agg with watermark over 5-min scan frames (T1-T3)
+        from rainforest_spark.streaming.rt import ten_minute_aggregate
+        src = ensure_rt_frames(sf_dir)
+        sink, ckpt = _fresh(), _fresh()
+        stream = (spark.readStream.schema(_RT_SCHEMA)
+                  .option("maxFilesPerTrigger", 4).parquet(src))
+        q = (ten_minute_aggregate(stream, ["ZH"])
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        _finish(q, sink, ckpt)
+
+    def s02_curation_gate(spark, sf_dir):
+        # the corpus ingest gate: quality filter -> PII scrub ->
+        # fingerprint -> watermarked dedup over the tier's documents
+        from rainforest_spark.streaming.corpus import curate_stream
+        src = ensure_doc_files(spark, sf_dir)
+        sink, ckpt = _fresh(), _fresh()
+        stream = (spark.readStream
+                  .schema("doc_id bigint, text string, lang string, "
+                          "source string, n_chars bigint")
+                  .option("maxFilesPerTrigger", 2).parquet(src)
+                  .withColumn("ingest_ts", F.timestamp_seconds(
+                      F.lit(1_717_200_000)
+                      + F.pmod(F.col("doc_id"), F.lit(86400)))))
+        q = (curate_stream(stream, "text", "ingest_ts",
+                           watermark="48 hours")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        _finish(q, sink, ckpt)
+
+    def s03_hll_sink(spark, sf_dir):
+        # the exactly-once sketch sink: per-batch HLL registers folded
+        # into a versioned store through tagged commits (T7)
+        from rainforest_spark.streaming.analytics import (
+            hll_cardinality_sink,
+        )
+        src = ensure_event_files(spark, sf_dir)
+        store, ckpt = _fresh(), _fresh()
+        sink = hll_cardinality_sink(os.path.join(store, "hll"),
+                                    "user_id", ["event_type"], b=8)
+        stream = (spark.readStream.schema(ev_schema)
+                  .option("maxFilesPerTrigger", 2).parquet(src))
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        _finish(q, store, ckpt)
+
+    def s04_session_rollup(spark, sf_dir):
+        # session-window state at user cardinality: the r9 streaming
+        # sessionization over time-ordered event files
+        from rainforest_spark.streaming.analytics import (
+            session_rollup_stream,
+        )
+        src = ensure_event_files(spark, sf_dir)
+        sink, ckpt = _fresh(), _fresh()
+        stream = (spark.readStream.schema(ev_schema)
+                  .option("maxFilesPerTrigger", 2).parquet(src))
+        q = (session_rollup_stream(stream, ["user_id"], "ep", 1800,
+                                   watermark="2 hours",
+                                   value_col="value")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        _finish(q, sink, ckpt)
+
+    return {"s01_rt_tenmin": s01_rt_tenmin,
+            "s02_curation_gate": s02_curation_gate,
+            "s03_hll_sink": s03_hll_sink,
+            "s04_session_rollup": s04_session_rollup}
 
 
 def _load_baseline() -> dict:
@@ -531,7 +768,9 @@ def main() -> None:
             for k, v in confs.items():
                 spark.conf.set(k, v)
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out = fn(spark, sf_dir)
+            if out is not None:   # streaming entries ran to completion
+                out.write.format("noop").mode("overwrite").save()
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
@@ -549,10 +788,20 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     extra = _extra_queries()
+    stream_extra = _streaming_queries()
     qs = dict(qs)
     qs.update(extra)
+    qs.update(stream_extra)
+    # streaming entries get 2 reps regardless of SPARK_GRAFT_BENCH_REPS:
+    # each rep is a full fresh-checkpoint availableNow run (multi-batch,
+    # state store, sink commits) — min-of-2 already filters host stalls
+    # and min-of-5 would triple the tier's wall for no extra signal
+    stream_reps = int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_REPS",
+                                     "2"))
     names = HEADLINE + sorted(extra)
     times = {name: best_of(qs[name], SF_DIR, reps) for name in names}
+    times.update({name: best_of(qs[name], SF_DIR, stream_reps)
+                  for name in sorted(stream_extra)})
     total = round(sum(times.values()), 3)
 
     # ---- sf1 tier: only in the default sf0.1 run, opt-out-able --------
@@ -565,7 +814,8 @@ def main() -> None:
             print(f"generated sf1 tier -> {SF1_DIR}", file=sys.stderr)
         sf1_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_REPS", "2"))
         sf1_times = {name: best_of(qs[name], SF1_DIR, sf1_reps)
-                     for name in SF1_HEADLINE + sorted(extra)}
+                     for name in (SF1_HEADLINE + sorted(extra)
+                                  + sorted(stream_extra))}
 
     # drop per-tier JVM residue (cached relations, broadcast cleanup
     # lag) before the big-tier phase — the accumulated state of ~46

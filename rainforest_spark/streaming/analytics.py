@@ -10,8 +10,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ohlc_stream", "anomaly_gate_stream", "session_rollup_stream",
-           "session_rollup_batch"]
+__all__ = ["ohlc_stream", "anomaly_gate_stream",
+           "session_rollup_stream", "session_rollup_batch",
+           "quantile_sketch_sink"]
 
 
 def ohlc_stream(stream: DataFrame, key_cols: list[str], ts_col: str,
@@ -202,3 +203,33 @@ def session_rollup_batch(df: DataFrame, key_cols: list[str],
     return (s.groupBy(*key_cols, "session_id")
             .agg(*_session_aggs(ts_long, value_col))
             .drop("session_id"))
+
+
+def quantile_sketch_sink(store_path: str, col: str,
+                         group_cols: list[str] | None = None,
+                         s_bits: int = 8, query_key: str = "qsk"):
+    """EXACTLY-ONCE streaming quantile maintenance: each micro-batch
+    folds its dyadic bucket table
+    (operators/sketches.quantile_buckets) into the versioned store
+    through the integer ``sum_long`` spec, tagged per batch — the
+    quantile member of the HLL/CMS sink family.  Read p50/p95/p99 any
+    time with ``quantile_estimate(read_agg(spark, store_path), qs,
+    group_cols)`` — the maintained table is bit-identical to
+    sketching the whole feed once (sum-merge algebra), so the
+    dashboard never rescans history and a replayed batch never
+    double-counts.
+
+    Shape at 100 TB: per batch one bounded-bucket groupBy
+    (≤ 2·64·2^(s−1) keys per group) + one state-sized sum-merge.
+    """
+    from rainforest_spark.operators.sketches import quantile_buckets
+    from rainforest_spark.sources.incremental import incremental_sink
+
+    g = list(group_cols or [])
+    fold = incremental_sink(store_path,
+                            [*g, "bucket_key", "rep_nanos"],
+                            {"cnt": ("sum_long", "cnt")}, query_key)
+
+    def write(batch_df, batch_id: int) -> None:
+        fold(quantile_buckets(batch_df, col, g, s_bits), batch_id)
+    return write

@@ -319,3 +319,53 @@ def test_session_rollup_stream_matches_batch_with_restart(
     b_row = next(r for r in emitted if r[0] == "b")
     assert (b_row[2], b_row[3]) == (t0 + 500, t0 + 500 + gap)
     assert float(b_row[4]) == 8.25
+
+
+def test_quantile_sketch_sink_stream_equals_batch(spark, tmp_path):
+    """Streaming quantile maintenance: bucket tables folded per
+    micro-batch equal the one-shot sketch of the whole feed (sum-merge
+    algebra, sum_long counters), and the maintained table answers
+    quantile queries identically."""
+    import pandas as pd
+
+    from rainforest_spark.operators.sketches import (
+        quantile_buckets, quantile_estimate,
+    )
+    from rainforest_spark.sources.incremental import read_agg
+    from rainforest_spark.streaming.analytics import quantile_sketch_sink
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows0 = [("a" if i % 2 else "b", (i % 37) * 1.75 - 8.0)
+             for i in range(300)]
+    rows1 = [("a" if i % 3 else "b", (i % 53) * 0.4 + 100.0)
+             for i in range(400)]
+    pd.DataFrame(rows0, columns=["g", "x"]).to_parquet(
+        f"{src}/f0.parquet", index=False)
+    pd.DataFrame(rows1, columns=["g", "x"]).to_parquet(
+        f"{src}/f1.parquet", index=False)
+    store = str(tmp_path / "qsk")
+    sink = quantile_sketch_sink(store, "x", ["g"], s_bits=8)
+    stream = (spark.readStream.schema("g string, x double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    whole = spark.createDataFrame(rows0 + rows1, "g string, x double")
+    direct = quantile_buckets(whole, "x", ["g"], 8)
+    maintained = read_agg(spark, store)
+    assert dict(maintained.dtypes)["cnt"] == "bigint"
+    got = {tuple(r) for r in
+           maintained.select("g", "bucket_key", "rep_nanos",
+                             "cnt").collect()}
+    want = {tuple(r) for r in direct.collect()}
+    assert got == want
+    e1 = {(r["g"], r["q_ppm"]): (r["n"], r["est_nanos"]) for r in
+          quantile_estimate(maintained, [500000, 990000],
+                            ["g"]).collect()}
+    e2 = {(r["g"], r["q_ppm"]): (r["n"], r["est_nanos"]) for r in
+          quantile_estimate(direct, [500000, 990000],
+                            ["g"]).collect()}
+    assert e1 == e2

@@ -470,6 +470,22 @@ def _extra_queries():
         return nearest_site(pts, sites, "px", "py", "sx", "sy",
                             ["c_custkey"], ["s_suppkey"], cell=None)
 
+    def _quantile_facts(spark, sf_dir):
+        # HIGH-CARDINALITY measurement column: events.value alone has
+        # only ~18k distinct values even at sf10 (the generator draws
+        # from a coarse grid), so the exact path's distinct-value dim
+        # stays bounded and the comparison would never exercise what
+        # the sketch replaces — a percentile over a column whose
+        # distinct count grows with the data (latencies, sizes,
+        # scores).  Perturbing by the unique event_id makes the
+        # distinct count track the row count at every tier.
+        from pyspark.sql import functions as F
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return ev.withColumn(
+            "x", F.col("value")
+            + F.pmod(F.col("event_id"), F.lit(9999991)).cast("double")
+            * F.lit(1e-7))
+
     def q197_sketch(spark, sf_dir):
         # the register-dim quantile path: ONE bounded-bucket groupBy +
         # a ≤16k-row window — the maintained-rollup shape (r9 sketch
@@ -478,9 +494,9 @@ def _extra_queries():
         from rainforest_spark.operators.sketches import (
             quantile_buckets, quantile_estimate,
         )
-        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        ev = _quantile_facts(spark, sf_dir)
         return quantile_estimate(
-            quantile_buckets(ev, "value", ["event_type"], 8),
+            quantile_buckets(ev, "x", ["event_type"], 8),
             [500000, 900000, 990000], ["event_type"])
 
     def q191_gram(spark, sf_dir):
@@ -507,10 +523,11 @@ def _extra_queries():
 
     def q197_exact(spark, sf_dir):
         # the exact ranked pass the sketch replaces: distinct-value
-        # groupBy + grouped ranged_cumsum + rank probe
+        # groupBy + grouped ranged_cumsum + rank probe — its shuffle
+        # grows with the distinct count, the sketch's never does
         from rainforest_spark.operators.sketches import exact_quantiles
-        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return exact_quantiles(ev, "value",
+        ev = _quantile_facts(spark, sf_dir)
+        return exact_quantiles(ev, "x",
                                [500000, 900000, 990000], ["event_type"])
 
     q53_bucketed.confs = dict(BUCKETED_JOIN_CONFS)

@@ -36,7 +36,8 @@ __all__ = ["hll_registers", "hll_estimate", "hll_accuracy_report",
            "bloom_fp_report", "cms_counters", "cms_point_estimates",
            "cms_accuracy_report", "quantile_buckets",
            "quantile_estimate", "exact_quantiles",
-           "quantile_accuracy_report"]
+           "quantile_accuracy_report", "kmv_sketch", "kmv_merge",
+           "kmv_estimate", "kmv_jaccard", "kmv_accuracy_report"]
 
 #: rho of an all-zero 32-bit window (8 hex chars) — the window cap.
 HLL_RHO_MAX = 33
@@ -602,3 +603,165 @@ def quantile_accuracy_report(df: DataFrame, col: str | Column,
         F.round(F.col("exact_nanos").cast("double") / F.lit(1e9), 6)
         .alias("exact"),
         rel.alias("rel_error"))
+
+
+# ------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) sketch: the k smallest distinct
+# md5 hashes of a value set (Bar-Yossef et al. 2002; Beyer et al.,
+# "On synopses for distinct-value estimation under multiset
+# operations", SIGMOD 2007).  Like the rest of the family the sketch
+# is an EXACT function of the value set (the minimum is
+# order-independent and duplicate-blind), so it is engine-reproducible
+# bit-for-bit and oracle-pairable; unlike HLL it also supports SET
+# OPERATIONS — the k smallest of a union are computable from the two
+# sketches alone, which gives distinct-count estimates for unions and
+# Jaccard estimates for overlaps ("how much does corpus B add /
+# overlap corpus A") WITHOUT touching the raw data again.
+# ------------------------------------------------------------------
+
+
+def kmv_sketch(df: DataFrame, col: str | Column,
+               group_cols: list[str] | None = None,
+               k: int = 256) -> DataFrame:
+    """The bottom-k table: ``(group..., h)`` — the ``k``
+    lexicographically-smallest DISTINCT md5 hex hashes per group
+    (md5 hex order == uniform order on [0, 16^32)).
+
+    MERGEABLE: min-k of a union is the min-k of the two sketches'
+    union (:func:`kmv_merge`) — so partition/day/source sketches fold
+    without rescanning, and the union estimator needs only the
+    sketches.
+
+    Shape at 100 TB: ONE ``mapInPandas`` pass keeps a per-group
+    bounded partial min-k per Arrow batch (no shuffle of raw values,
+    no distinct of the full key set — the thing this sketch exists to
+    avoid); the final exact merge ranks the ≤ partitions·k candidate
+    rows per group with an ordinary window over that BOUNDED dim.
+    """
+    import pandas as pd
+
+    g = list(group_cols or [])
+    c = F.col(col) if isinstance(col, str) else col
+    d = df.where(c.isNotNull()).select(
+        *g, F.md5(c.cast("string")).alias("h"))
+    kk = int(k)
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}"
+         for f in d.schema.fields])
+
+    def part(batches):
+        import numpy as _np2
+        best: dict = {}
+        for b in batches:
+            if len(b) == 0:
+                continue
+            groups = (b.groupby(g, sort=False) if g
+                      else [((), b)])
+            for gv, sub in groups:
+                key = gv if isinstance(gv, tuple) else (gv,)
+                arr = _np2.unique(sub["h"].to_numpy())[:kk]
+                cur = best.get(key)
+                if cur is not None:
+                    arr = _np2.union1d(cur, arr)[:kk]
+                best[key] = arr
+        for key, arr in best.items():
+            out = {name: [v] * len(arr)
+                   for name, v in zip(g, key)}
+            out["h"] = arr
+            yield pd.DataFrame(out)
+
+    cand = d.mapInPandas(part, schema).distinct()
+    from pyspark.sql import Window
+    w = Window.partitionBy(*g).orderBy("h")
+    return (cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= kk).drop("__rn"))
+
+
+def kmv_merge(a: DataFrame, b: DataFrame,
+              group_cols: list[str] | None = None,
+              k: int = 256) -> DataFrame:
+    """min-k of two sketches' union == sketch of the unioned data —
+    the fold used for incremental maintenance and the union half of
+    the set-operation estimators.  Bounded input (2k per group)."""
+    g = list(group_cols or [])
+    from pyspark.sql import Window
+    u = a.unionByName(b).distinct()
+    w = Window.partitionBy(*g).orderBy("h")
+    return (u.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= int(k)).drop("__rn"))
+
+
+def kmv_estimate(sketch: DataFrame,
+                 group_cols: list[str] | None = None,
+                 k: int = 256) -> DataFrame:
+    """Distinct-count estimate per group: ``n_hashes`` (sketch size)
+    and ``estimate`` — EXACT ``n_hashes`` when the group never filled
+    the sketch (every distinct value's hash is present), else the
+    classic unbiased KMV ``(k−1)/U_k`` with ``U_k`` the k-th smallest
+    hash as an exact 48-bit fraction (per-nibble instr hex→int over
+    the first 12 chars — identical text both engines; the only double
+    op is one division, rounded 6dp).
+    """
+    g = list(group_cols or [])
+    kk = int(k)
+    agg = (sketch.groupBy(*g)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_hashes"),
+                F.max("h").alias("__hk")))
+    u48 = F.expr(_hex_int_expr("__hk", 12))
+    est = F.when(F.col("n_hashes") < kk,
+                 F.col("n_hashes").cast("double")) \
+        .otherwise(F.when(
+            u48 > 0,
+            F.round(F.lit(float(kk - 1))
+                    / (u48.cast("double")
+                       / F.lit(float(16 ** 12))), 6)))
+    return agg.select(*g, F.lit(kk).cast("long").alias("k"),
+                      "n_hashes", est.alias("estimate"))
+
+
+def kmv_jaccard(sketch_a: DataFrame, sketch_b: DataFrame,
+                k: int = 256) -> DataFrame:
+    """Jaccard estimate between two (ungrouped) sketches: rank the
+    distinct union of the two hash sets, keep the ``k`` smallest (the
+    union's own KMV — computable from sketches alone), and count how
+    many live in BOTH sketches: ``J ≈ n_both / n_union_topk`` (Beyer
+    et al. 2007).  One row: ``k, n_union_topk, n_both, jaccard`` —
+    exact integers + one rounded division.
+
+    Shape: both inputs are ≤k-row dims; everything broadcasts.
+    """
+    kk = int(k)
+    u = (sketch_a.select("h").unionByName(sketch_b.select("h"))
+         .distinct().orderBy("h").limit(kk))
+    both = (u.join(F.broadcast(sketch_a.select("h")), "h", "semi")
+            .join(F.broadcast(sketch_b.select("h")), "h", "semi"))
+    nu = u.agg(F.count(F.lit(1)).cast("long").alias("n_union_topk"))
+    nb = both.agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    j = nu.crossJoin(nb)   # two 1-row aggregates
+    return j.select(
+        F.lit(kk).cast("long").alias("k"), "n_union_topk", "n_both",
+        F.when(F.col("n_union_topk") > 0,
+               F.round(F.col("n_both").cast("double")
+                       / F.col("n_union_topk").cast("double"), 6))
+        .alias("jaccard"))
+
+
+def kmv_accuracy_report(df: DataFrame, col: str | Column,
+                        group_cols: list[str] | None = None,
+                        k: int = 256) -> DataFrame:
+    """Calibration: the KMV estimate next to the exact distinct count
+    with the signed relative error (expected σ ≈ 1/√(k−2)) — read
+    before replacing exact per-group distincts or overlap audits with
+    the sketch.  The exact side is the one full count-distinct pass
+    the sketch replaces."""
+    g = list(group_cols or [])
+    c = F.col(col) if isinstance(col, str) else col
+    est = kmv_estimate(kmv_sketch(df, c, g, k), g, k)
+    exact = (df.where(c.isNotNull())
+             .groupBy(*g)
+             .agg(F.count_distinct(c).cast("long").alias("n_exact")))
+    j = (est.join(exact, g) if g else est.crossJoin(exact))
+    rel = F.round((F.col("estimate") - F.col("n_exact").cast("double"))
+                  / F.col("n_exact").cast("double"), 6) + F.lit(0.0)
+    return j.select(*g, "k", "n_hashes", "n_exact", "estimate",
+                    rel.alias("rel_error"))

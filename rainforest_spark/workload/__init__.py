@@ -176,6 +176,8 @@ _QUEUED_FOR_ROTATION: list[str] = [
     # round-9 additions past the full window — exact-parity-gated via
     # tests/test_oracle_parity.py and vanilla-probed; rotate next round
     "q197_quantile_sketch",
+    "q198_kmv_cardinality",
+    "q199_kmv_token_overlap",
 ]
 
 #: The ROUND-8 window this one replaced, kept for the rotation record:

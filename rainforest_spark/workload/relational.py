@@ -2956,3 +2956,53 @@ def q197(spark, sf):
     ev = T(spark, sf, "events")
     return quantile_accuracy_report(
         ev, "value", [500000, 900000, 990000], ["event_type"], s_bits=8)
+
+
+# ---------------------------------------------------------------- q198
+# KMV (bottom-k) distinct-count calibration (sketches family,
+# operators/sketches.kmv_accuracy_report): per event_type, the k=256
+# minimum-hash sketch's estimate of distinct user_id next to the
+# exact count.  The sketch IS an exact function of the value set (k
+# smallest distinct md5 hashes), so both engines materialize the
+# identical sketch; the estimator (k−1)/U_k uses the 48-bit hash
+# fraction via the shared per-nibble instr fragment, and groups that
+# never fill the sketch report their EXACT count.
+def _q198_sql() -> str:
+    from rainforest_spark.operators.sketches import _hex_int_expr
+    u48 = _hex_int_expr("hk", 12)
+    return f"""
+WITH h AS (SELECT DISTINCT event_type,
+                  md5(CAST(user_id AS VARCHAR)) AS h
+           FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY h) AS rn
+      FROM h),
+s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hashes,
+             MAX(h) AS hk
+      FROM r WHERE rn <= 256 GROUP BY 1),
+e AS (SELECT event_type, n_hashes,
+             CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
+                  WHEN {u48} > 0 THEN
+                       ROUND(CAST(255 AS DOUBLE)
+                             / (CAST({u48} AS DOUBLE)
+                                / CAST(281474976710656 AS DOUBLE)), 6)
+             END AS estimate
+      FROM s),
+x AS (SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+SELECT e.event_type, CAST(256 AS BIGINT) AS k, n_hashes, n_exact,
+       estimate,
+       ROUND((estimate - CAST(n_exact AS DOUBLE))
+             / CAST(n_exact AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+           AS rel_error
+FROM e JOIN x ON x.event_type = e.event_type
+"""
+
+
+@q("q198_kmv_cardinality", sql=_q198_sql())
+def q198(spark, sf):
+    from rainforest_spark.operators.sketches import kmv_accuracy_report
+    ev = T(spark, sf, "events")
+    return kmv_accuracy_report(ev, "user_id", ["event_type"], k=256)

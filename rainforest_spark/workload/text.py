@@ -2477,3 +2477,77 @@ def q196(spark, sf):
                                  r"\s+", " "), " ")).alias("tok")) \
         .filter(F.col("tok") != "")
     return cms_accuracy_report(tok, "tok", width=1024, depth=4, top=20)
+
+
+# ---------------------------------------------------------------- q199
+# KMV set-overlap calibration (sketches family,
+# operators/sketches.kmv_jaccard): split the corpus into doc_id-parity
+# halves, sketch each half's whitespace-token vocabulary with k=256
+# minimum hashes, and estimate their Jaccard from the sketches ALONE
+# (k smallest of the union, counted against both sketches — Beyer et
+# al. 2007), next to the exact intersection/union counts.  The
+# corpus-overlap audit ("how much does source B's vocabulary overlap
+# A's") without a full token-set join.  Everything is exact integers
+# plus two rounded divisions spelled identically in both engines.
+@q("q199_kmv_token_overlap", sql="""
+WITH toks AS (
+  SELECT doc_id % 2 AS half, t.term AS tok
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+       UNNEST(w) AS t(term)
+  WHERE t.term != ''),
+ha AS (SELECT DISTINCT md5(tok) AS h FROM toks WHERE half = 0),
+hb AS (SELECT DISTINCT md5(tok) AS h FROM toks WHERE half = 1),
+ska AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+                       FROM ha) WHERE rn <= 256),
+skb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+                       FROM hb) WHERE rn <= 256),
+u AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+                     FROM (SELECT h FROM ska UNION
+                           SELECT h FROM skb)) WHERE rn <= 256),
+nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union_topk FROM u),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM u
+       WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inter_exact
+       FROM (SELECT tok FROM toks WHERE half = 0
+             INTERSECT SELECT tok FROM toks WHERE half = 1)),
+eu AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_union_exact
+       FROM toks)
+SELECT CAST(256 AS BIGINT) AS k, n_union_topk, n_both,
+       CASE WHEN n_union_topk > 0 THEN
+            ROUND(CAST(n_both AS DOUBLE)
+                  / CAST(n_union_topk AS DOUBLE), 6) END AS jaccard,
+       n_inter_exact, n_union_exact,
+       CASE WHEN n_union_exact > 0 THEN
+            ROUND(CAST(n_inter_exact AS DOUBLE)
+                  / CAST(n_union_exact AS DOUBLE), 6) END
+           AS jaccard_exact
+FROM nu, nb, ex, eu
+""")
+def q199(spark, sf):
+    from rainforest_spark.operators.sketches import (
+        kmv_jaccard, kmv_sketch,
+    )
+    d = T(spark, sf, "documents")
+    toks = (d.select((F.col("doc_id") % 2).alias("half"),
+                     F.explode(TA.tokens("text")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    a = toks.where(F.col("half") == 0)
+    b = toks.where(F.col("half") == 1)
+    est = kmv_jaccard(kmv_sketch(a, "tok", None, 256),
+                      kmv_sketch(b, "tok", None, 256), 256)
+    ta = a.select("tok").distinct()
+    tb = b.select("tok").distinct()
+    inter = (ta.join(tb, "tok", "semi")
+             .agg(F.count(F.lit(1)).cast("long")
+                  .alias("n_inter_exact")))
+    union = (ta.unionByName(tb).distinct()
+             .agg(F.count(F.lit(1)).cast("long")
+                  .alias("n_union_exact")))
+    out = est.crossJoin(inter).crossJoin(union)   # 1-row aggregates
+    je = F.when(F.col("n_union_exact") > 0,
+                F.round(F.col("n_inter_exact").cast("double")
+                        / F.col("n_union_exact").cast("double"), 6))
+    return out.select("k", "n_union_topk", "n_both", "jaccard",
+                      "n_inter_exact", "n_union_exact",
+                      je.alias("jaccard_exact"))

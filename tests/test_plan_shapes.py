@@ -365,6 +365,11 @@ _CROSS_JOIN_WHITELIST = {
     # (probe counts / bits-set / corpus distinct) into one output row
     # (operators/sketches.py bloom_fp_report)
     "q195_bloom_membership",
+    # q199: the KMV overlap report cross-joins its 1-row aggregates
+    # (union-topk / both counts, exact intersection / union counts)
+    # into one output row; the jaccard's semi-probes broadcast ≤k-row
+    # sketch dims (operators/sketches.py kmv_jaccard)
+    "q199_kmv_token_overlap",
 }
 
 

@@ -293,3 +293,51 @@ def test_quantile_incremental_maintenance(spark, tmp_path):
     e2 = {(r["g"], r["q_ppm"]): r["est_nanos"] for r in
           quantile_estimate(whole, [950000], ["g"]).collect()}
     assert e1 == e2
+
+
+# ----------------------------------------------------- KMV (bottom-k)
+
+def test_kmv_merge_equals_whole_and_duplicate_blind(spark):
+    from rainforest_spark.operators.sketches import kmv_merge, kmv_sketch
+    a = _vals(spark, 0, 3000)
+    b = _vals(spark, 2000, 6000)           # overlapping halves
+    # duplicate-blind: tripling rows changes nothing
+    a3 = a.unionByName(a).unionByName(a)
+    merged = kmv_merge(kmv_sketch(a3, "v", None, 128),
+                       kmv_sketch(b, "v", None, 128), None, 128)
+    direct = kmv_sketch(a.unionByName(b), "v", None, 128)
+    assert sorted(r["h"] for r in merged.collect()) \
+        == sorted(r["h"] for r in direct.collect())
+
+
+def test_kmv_estimate_accuracy_and_small_group_exact(spark):
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.sketches import kmv_accuracy_report
+    df = spark.range(0, 24000).select(
+        F.when(F.col("id") % 4 == 0, "small").otherwise("big").alias("g"),
+        F.when(F.col("id") % 4 == 0, F.concat(F.lit("s"),
+                                              F.col("id") % 100))
+        .otherwise(F.concat(F.lit("u"), F.col("id"))).alias("v"))
+    rows = {r["g"]: r for r in
+            kmv_accuracy_report(df, "v", ["g"], k=256).collect()}
+    # small group: ids are multiples of 4, so id % 100 yields 25
+    # distinct values < k -> sketch holds ALL hashes, estimate exact
+    assert rows["small"]["n_hashes"] == 25
+    assert rows["small"]["estimate"] == 25.0
+    assert rows["small"]["rel_error"] == 0.0
+    # big group: 18000 distinct, sigma ~ 1/sqrt(254) ~ 6.3%
+    assert rows["big"]["n_hashes"] == 256
+    assert abs(rows["big"]["rel_error"]) < 0.32    # 5 sigma
+
+
+def test_kmv_jaccard_estimates_known_overlap(spark):
+    from rainforest_spark.operators.sketches import kmv_jaccard, kmv_sketch
+    # |A|=6000, |B|=6000, |A∩B|=2000 -> J = 2000/10000 = 0.2
+    a = _vals(spark, 0, 6000)
+    b = _vals(spark, 4000, 10000)
+    out = kmv_jaccard(kmv_sketch(a, "v", None, 256),
+                      kmv_sketch(b, "v", None, 256), 256).collect()[0]
+    assert out["n_union_topk"] == 256
+    assert 0 <= out["n_both"] <= 256
+    assert abs(out["jaccard"] - 0.2) < 0.15        # ~5 sigma at k=256

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["ohlc_stream", "anomaly_gate_stream",
            "session_rollup_stream", "session_rollup_batch",
-           "quantile_sketch_sink"]
+           "quantile_sketch_sink", "kmv_sink"]
 
 
 def ohlc_stream(stream: DataFrame, key_cols: list[str], ts_col: str,
@@ -232,4 +232,64 @@ def quantile_sketch_sink(store_path: str, col: str,
 
     def write(batch_df, batch_id: int) -> None:
         fold(quantile_buckets(batch_df, col, g, s_bits), batch_id)
+    return write
+
+
+def kmv_sink(store_path: str, col: str,
+             group_cols: list[str] | None = None,
+             k: int = 256, query_key: str = "kmv",
+             max_retries: int = 5):
+    """EXACTLY-ONCE streaming bottom-k maintenance: each micro-batch's
+    KMV sketch (operators/sketches.kmv_sketch) folds into the
+    versioned store, so distinct-count AND set-overlap questions stay
+    answerable from a ≤k-row-per-group table that never rescans the
+    feed.  Unlike the HLL/CMS/quantile sinks, min-k is NOT a per-key
+    algebraic spec (the fold is a rank over the union of hash sets,
+    not a per-(key) combine), so this sink runs the read-merge-commit
+    itself with the full ``incremental_agg`` concurrency posture: an
+    ``expected_parent`` precondition against lost updates, a
+    ``(query, batch_id)`` tag, replay detection BEFORE the fold and
+    again on every conflict (the r9 zombie-delivery rule — the racing
+    winner may have been this very batch).
+
+    Shape at 100 TB: per batch one bounded partial-min-k pass + a
+    (2k per group)-row merge rank — state and work independent of
+    batch row count.
+    """
+    g = list(group_cols or [])
+
+    def write(batch_df, batch_id: int) -> None:
+        from rainforest_spark.operators.sketches import (
+            kmv_merge, kmv_sketch,
+        )
+        from rainforest_spark.sources.versioned import (
+            ConcurrentCommitError, commit_snapshot, committed_batches,
+            latest_version, read_snapshot,
+        )
+        bid = int(batch_id)
+        if bid in committed_batches(store_path, query_key):
+            return
+        new = kmv_sketch(batch_df, col, g, int(k))
+        last: Exception | None = None
+        for _ in range(int(max_retries)):
+            parent = latest_version(store_path)
+            if parent is None:
+                merged = new
+            else:
+                old = read_snapshot(batch_df.sparkSession, store_path,
+                                    version=parent)
+                merged = kmv_merge(old, new, g, int(k))
+            try:
+                commit_snapshot(merged, store_path, mode="overwrite",
+                                expected_parent=parent,
+                                stream_tag={"query": query_key,
+                                            "batch_id": bid})
+                return
+            except ConcurrentCommitError as e:
+                last = e
+                if bid in committed_batches(store_path, query_key):
+                    return   # the winner WAS this batch — no-op
+        raise ConcurrentCommitError(
+            f"kmv_sink lost {max_retries} refresh races at "
+            f"{store_path}") from last
     return write

@@ -369,3 +369,53 @@ def test_quantile_sketch_sink_stream_equals_batch(spark, tmp_path):
           quantile_estimate(direct, [500000, 990000],
                             ["g"]).collect()}
     assert e1 == e2
+
+
+def test_kmv_sink_stream_equals_batch_with_replay(spark, tmp_path):
+    """Streaming KMV maintenance: bottom-k sets folded per micro-batch
+    equal the one-shot sketch of the whole feed (min-k merge algebra),
+    a replayed batch is a tag-detected no-op, and the maintained table
+    still answers the distinct-count question."""
+    import pandas as pd
+
+    from rainforest_spark.operators.sketches import (
+        kmv_estimate, kmv_sketch,
+    )
+    from rainforest_spark.sources.versioned import (
+        latest_version, read_snapshot,
+    )
+    from rainforest_spark.streaming.analytics import kmv_sink
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows0 = [(f"u{i}", "a" if i % 2 else "b") for i in range(500)]
+    rows1 = [(f"u{i}", "a" if i % 2 else "b") for i in range(300, 1200)]
+    pd.DataFrame(rows0, columns=["uid", "g"]).to_parquet(
+        f"{src}/f0.parquet", index=False)
+    pd.DataFrame(rows1, columns=["uid", "g"]).to_parquet(
+        f"{src}/f1.parquet", index=False)
+    store = str(tmp_path / "kmv")
+    sink = kmv_sink(store, "uid", ["g"], k=128)
+    stream = (spark.readStream.schema("uid string, g string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    v = latest_version(store)
+    whole = spark.createDataFrame(rows0 + rows1, "uid string, g string")
+    direct = kmv_sketch(whole, "uid", ["g"], 128)
+    maintained = read_snapshot(spark, store)
+    got = sorted(tuple(r) for r in
+                 maintained.select("g", "h").collect())
+    want = sorted(tuple(r) for r in direct.collect())
+    assert got == want
+    # replay: re-delivering batch 0 is a no-op (same version after)
+    sink(spark.createDataFrame(rows0, "uid string, g string"), 0)
+    assert latest_version(store) == v
+    # the maintained sketch answers the question
+    est = {r["g"]: r["estimate"] for r in
+           kmv_estimate(maintained, ["g"], 128).collect()}
+    n_a = len({u for u, g in rows0 + rows1 if g == "a"})
+    assert abs(est["a"] - n_a) / n_a < 0.35

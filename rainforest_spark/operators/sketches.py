@@ -467,7 +467,8 @@ def _nanos(c: Column) -> Column:
 
 def quantile_buckets(df: DataFrame, col: str | Column,
                      group_cols: list[str] | None = None,
-                     s_bits: int = 8) -> DataFrame:
+                     s_bits: int = 8,
+                     weight_col: str | None = None) -> DataFrame:
     """The quantile-sketch bucket table: ``(group..., bucket_key,
     rep_nanos, cnt)`` — ≤ 2·64·2^(s−1) rows per group (~16k at s=8).
 
@@ -477,20 +478,30 @@ def quantile_buckets(df: DataFrame, col: str | Column,
     (``incremental_agg`` spec ``{"cnt": ("sum_long", "cnt")}``) or
     folds per partition/day and merges at query time.
 
+    ``weight_col`` (integer) makes the percentiles WEIGHTED — a row
+    with weight w counts as w repeats ("p95 document length weighted
+    by token count"); the estimator downstream is unchanged because
+    only ``cnt`` semantics shift.
+
     Values quantize to nanos first (|x| ≲ 9.2e9 fits BIGINT); NULLs
-    are skipped.  Shape at 100 TB: ONE map-side-combined groupBy on
-    the bounded bucket dim — no sort, no window, no shuffle of raw
+    are skipped.  Non-finite values are DETERMINISTIC but
+    engine-specific (Spark's floor saturates ±inf to the extreme
+    buckets and sends NaN to the zero bucket) — filter them before an
+    oracle-paired use.  Shape at 100 TB: ONE map-side-combined groupBy
+    on the bounded bucket dim — no sort, no window, no shuffle of raw
     values beyond the partial-agg exchange.
     """
     g = list(group_cols or [])
     c = F.col(col) if isinstance(col, str) else col
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
     d = (df.where(c.isNotNull())
-         .select(*g, _nanos(c).alias("__n")))
+         .select(*g, _nanos(c).alias("__n"), w.alias("__w")))
     key, rep = _qbucket_exprs("__n", s_bits)
     return (d.select(*g, F.expr(key).alias("bucket_key"),
-                     F.expr(rep).alias("rep_nanos"))
+                     F.expr(rep).alias("rep_nanos"), "__w")
             .groupBy(*g, "bucket_key", "rep_nanos")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+            .agg(F.sum("__w").cast("long").alias("cnt")))
 
 
 def quantile_estimate(buckets: DataFrame, qs_ppm: list[int],

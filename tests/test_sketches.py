@@ -341,3 +341,72 @@ def test_kmv_jaccard_estimates_known_overlap(spark):
     assert out["n_union_topk"] == 256
     assert 0 <= out["n_both"] <= 256
     assert abs(out["jaccard"] - 0.2) < 0.15        # ~5 sigma at k=256
+
+
+def test_quantile_weighted_equals_expanded_rows(spark):
+    """weight_col semantics: a row with weight w sketches exactly like
+    w repeated rows — bucket tables AND estimates identical."""
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.sketches import (
+        quantile_buckets, quantile_estimate,
+    )
+    rows = [("g0", 3.5, 4), ("g0", -1.25, 2), ("g0", 700.0, 1),
+            ("g1", 0.0, 3), ("g1", 9.75, 5)]
+    wdf = spark.createDataFrame(rows, "g string, x double, w long")
+    expanded = spark.createDataFrame(
+        [(g, x) for g, x, w in rows for _ in range(w)],
+        "g string, x double")
+    wb = quantile_buckets(wdf, "x", ["g"], 8, weight_col="w")
+    eb = quantile_buckets(expanded, "x", ["g"], 8)
+    assert sorted(tuple(r) for r in wb.collect()) \
+        == sorted(tuple(r) for r in eb.collect())
+    e1 = sorted(tuple(r) for r in
+                quantile_estimate(wb, [500000, 990000], ["g"]).collect())
+    e2 = sorted(tuple(r) for r in
+                quantile_estimate(eb, [500000, 990000], ["g"]).collect())
+    assert e1 == e2
+
+
+def test_qbucket_fragment_properties_hypothesis():
+    """Property test of the dyadic-bucket fragments themselves,
+    evaluated in DuckDB (no Spark needed — the fragments are the
+    shared engine-portable text): over random finite values, the
+    bucket key is MONOTONE in the value (bucket order == value order,
+    what every rank walk relies on) and the representative is within
+    the 2^-s relative-error guarantee of the nano-quantized value."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rainforest_spark.operators.sketches import _qbucket_exprs
+
+    key, rep = _qbucket_exprs("v", 8)
+    con = duckdb.connect()
+
+    @settings(max_examples=30, deadline=None)
+    @given(vals=st.lists(
+        st.floats(min_value=-9e9, max_value=9e9,
+                  allow_nan=False, allow_infinity=False),
+        min_size=2, max_size=40))
+    def check(vals):
+        con.execute("CREATE OR REPLACE TABLE t(x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+        rows = con.execute(f"""
+            SELECT x, v, {key} AS k, {rep} AS r
+            FROM (SELECT x, CAST(floor(x * 1e9 + 0.5) AS BIGINT) AS v
+                  FROM t) ORDER BY v
+        """).fetchall()
+        prev_v, prev_k = None, None
+        for x, v, k, r in rows:
+            if prev_v is not None:
+                assert (k > prev_k) or (k == prev_k and v >= prev_v)
+                if v == prev_v:
+                    assert k == prev_k
+            prev_v, prev_k = v, k
+            if v != 0:
+                assert abs(r - v) <= abs(v) * 2 ** -8 + 1, (x, v, k, r)
+            else:
+                assert r == 0
+
+    check()

@@ -480,7 +480,9 @@ def _extra_queries():
         # scores).  Perturbing by the unique event_id makes the
         # distinct count track the row count at every tier.
         from pyspark.sql import functions as F
-        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+        from rainforest_spark.workload.common import T as _T
+        ev = _T(spark, sf_dir, "events")   # nanos/micros-ts safe
         return ev.withColumn(
             "x", F.col("value")
             + F.pmod(F.col("event_id"), F.lit(9999991)).cast("double")
@@ -636,8 +638,11 @@ def _streaming_queries():
         if not os.path.exists(marker):
             shutil.rmtree(out, ignore_errors=True)
             os.makedirs(out)
-            ev = (spark.read.parquet(os.path.join(sf_dir,
-                                                  "events.parquet"))
+            # T() normalizes the two ts physical encodings the driver
+            # has shipped (NANOS vs MICROS — the verify-skill gotcha),
+            # so a testdata regeneration can't break the fixture build
+            from rainforest_spark.workload.common import T as _T
+            ev = (_T(spark, sf_dir, "events")
                   .select("user_id", "event_type", "value",
                           F.col("ts").cast("timestamp").cast("long")
                           .alias("ep"))

@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["hll_registers", "hll_estimate", "hll_accuracy_report",
            "HLL_RHO_MAX", "bloom_bits", "bloom_membership",
-           "bloom_fp_report", "cms_counters", "cms_point_estimates",
+           "bloom_membership_rowwise", "bloom_fp_report",
+           "cms_counters", "cms_point_estimates",
            "cms_accuracy_report", "quantile_buckets",
            "quantile_estimate", "exact_quantiles",
            "quantile_accuracy_report", "kmv_sketch", "kmv_merge",
@@ -243,6 +244,36 @@ def bloom_membership(bits: DataFrame, probes: DataFrame,
            .agg((F.min(F.coalesce(F.col("__hit"), F.lit(0)))
                  == F.lit(1)).alias("maybe_present")))
     return hit
+
+
+def bloom_membership_rowwise(bits: DataFrame, probes: DataFrame,
+                             col: str | Column, m_bits: int = 4096,
+                             k: int = 4) -> DataFrame:
+    """Row-wise membership (same semantics as
+    :func:`bloom_membership`, different plan): the k bit probes are k
+    BROADCAST left equi-joins and ``maybe_present`` is a per-row AND —
+    no aggregation at all, so it runs on STREAMS (a streaming groupBy
+    would demand a watermark and hold state; this is the stateless T6
+    stream-static shape) and never re-groups the probe table.  Probe
+    duplicates and pre-existing columns pass through untouched.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = probes.withColumn("__v", F.md5(c.cast("string")))
+    flags = []
+    for s in range(int(k)):
+        bit = (F.expr(_hex_int_expr(f"md5(concat('{s}|', __v))", 8))
+               % F.lit(int(m_bits)))
+        dim = F.broadcast(bits.withColumnRenamed("bit", f"__b{s}")
+                          .withColumn(f"__hit{s}", F.lit(1)))
+        out = (out.withColumn(f"__b{s}", bit)
+               .join(dim, f"__b{s}", "left"))
+        flags.append(F.coalesce(F.col(f"__hit{s}"), F.lit(0)) == 1)
+    pred = flags[0]
+    for f_ in flags[1:]:
+        pred = pred & f_
+    drop = ["__v"] + [f"__b{s}" for s in range(int(k))] \
+        + [f"__hit{s}" for s in range(int(k))]
+    return out.withColumn("maybe_present", pred).drop(*drop)
 
 
 def bloom_fp_report(corpus: DataFrame, probes: DataFrame,

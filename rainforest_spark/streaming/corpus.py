@@ -330,3 +330,35 @@ def novelty_stream(stream: DataFrame, corpus: DataFrame,
         out = out.filter(F.col("novelty").isNull()
                          | (F.col("novelty") >= min_novelty))
     return out
+
+
+def bloom_ingest_gate(stream: DataFrame, bits: DataFrame,
+                      text_col: str = "text",
+                      m_bits: int = 65536, k: int = 4) -> DataFrame:
+    """The Bloom-prefiltered ingest gate (the use case
+    ``operators/sketches.bloom_bits`` documents): against a
+    ≤m_bits-row bit dim built from the accumulated corpus's
+    fingerprints, split arriving documents into the DEFINITELY-new
+    (``maybe_present = false`` — zero false negatives, safe to admit
+    without touching the corpus) and the maybe-already-ingested
+    (route to the exact anti-join / store lookup).  Adds
+    ``fingerprint`` and ``maybe_present``.
+
+    Replaces the per-batch stream-static anti-join against the FULL
+    fingerprint table on the hot path: the bit dim broadcasts once
+    per micro-batch at a fixed few-KB size however large the corpus
+    grows, and only the (rare, fp-rate-bounded) "maybe" survivors pay
+    the exact lookup.  Mergeable maintenance: union new batches' bits
+    into the dim (bloom_bits is union-mergeable), rebuild only to
+    shrink the fp rate.
+
+    Stateless (T6 stream-static posture) — composable in front of
+    :func:`curate_stream`, whose ``known_fingerprints`` exact
+    anti-join then runs on the "maybe" slice only.
+    """
+    from rainforest_spark.operators.sketches import (
+        bloom_membership_rowwise,
+    )
+
+    s = stream.withColumn("fingerprint", TA.fingerprint(text_col))
+    return bloom_membership_rowwise(bits, s, "fingerprint", m_bits, k)

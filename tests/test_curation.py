@@ -219,3 +219,55 @@ def test_budget_stage_keeps_token_fraction(spark):
         F.sum(token_count("text"))).collect()[0][0]
     total = docs.select(F.sum(token_count("text"))).collect()[0][0]
     assert kept_tokens * 2 >= total        # budget is COVERED
+
+
+def test_bloom_ingest_gate_stream(spark, tmp_path):
+    """Bloom prefilter on the ingest stream: every already-ingested
+    document flags maybe_present (zero false negatives — the
+    contractual half), and the definitely-new slice passes without
+    touching the corpus; batch ≡ stream on the same rows."""
+    import os
+
+    import pandas as pd
+
+    from rainforest_spark.operators.sketches import bloom_bits
+    from rainforest_spark.operators.text_analysis import fingerprint
+    from rainforest_spark.streaming.corpus import bloom_ingest_gate
+
+    corpus = spark.createDataFrame(
+        [(i, f"stored document number {i} body") for i in range(300)],
+        "doc_id long, text string")
+    bits = bloom_bits(
+        corpus.withColumn("fingerprint", fingerprint("text")),
+        "fingerprint", 65536, 4)
+
+    arriving = ([(1000 + i, f"stored document number {i} body")
+                 for i in range(0, 300, 23)]           # re-ingests
+                + [(2000 + i, f"fresh document {i}") for i in range(40)])
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    pd.DataFrame(arriving, columns=["doc_id", "text"]).to_parquet(
+        f"{src}/f0.parquet", index=False)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    out = bloom_ingest_gate(stream, bits, "text")
+    q = (out.writeStream.outputMode("append").format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["maybe_present"] for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert len(got) == len(arriving)
+    # zero false negatives: every re-ingest flags
+    assert all(got[1000 + i] for i in range(0, 300, 23))
+    # fresh docs overwhelmingly pass (fp-rate bounded; kn/m tiny here)
+    fresh_flags = [got[2000 + i] for i in range(40)]
+    assert sum(fresh_flags) <= 1
+    # batch ≡ stream on the same rows
+    batch = {r["doc_id"]: r["maybe_present"] for r in
+             bloom_ingest_gate(
+                 spark.createDataFrame(arriving,
+                                       "doc_id long, text string"),
+                 bits, "text").collect()}
+    assert batch == got

@@ -410,3 +410,23 @@ def test_qbucket_fragment_properties_hypothesis():
                 assert r == 0
 
     check()
+
+
+def test_bloom_rowwise_equals_aggregation_membership(spark):
+    """The stateless row-wise membership plan (k broadcast joins)
+    answers identically to the aggregation form on the same probes,
+    duplicates included."""
+    from rainforest_spark.operators.sketches import (
+        bloom_bits, bloom_membership, bloom_membership_rowwise,
+    )
+    corpus = _vals(spark, 0, 400)
+    bits = bloom_bits(corpus, "v", 65536, 4)
+    probes = spark.createDataFrame(
+        [(f"user-{i}",) for i in list(range(0, 400, 13))
+         + list(range(500, 900, 31))] * 2, "v string")
+    agg = {r["v"]: r["maybe_present"] for r in
+           bloom_membership(bits, probes, "v", 65536, 4).collect()}
+    roww = {(r["v"]): r["maybe_present"] for r in
+            bloom_membership_rowwise(bits, probes.distinct(), "v",
+                                     65536, 4).collect()}
+    assert agg == roww

@@ -770,13 +770,19 @@ def kmv_jaccard(sketch_a: DataFrame, sketch_b: DataFrame,
     et al. 2007).  One row: ``k, n_union_topk, n_both, jaccard`` —
     exact integers + one rounded division.
 
-    Shape: both inputs are ≤k-row dims; everything broadcasts.
+    Shape: both inputs are ≤k-row dims; everything broadcasts.  Each
+    sketch feeds THREE consumers (the union and two semi-probes), so
+    both are lazily localCheckpointed — the partial-min-k pass over
+    the raw data runs once, not three times (the textrank posture:
+    no job at construction, blocks GC-reclaimed, plan stays lazy).
     """
     kk = int(k)
-    u = (sketch_a.select("h").unionByName(sketch_b.select("h"))
+    sa = sketch_a.select("h").localCheckpoint(eager=False)
+    sb = sketch_b.select("h").localCheckpoint(eager=False)
+    u = (sa.unionByName(sb)
          .distinct().orderBy("h").limit(kk))
-    both = (u.join(F.broadcast(sketch_a.select("h")), "h", "semi")
-            .join(F.broadcast(sketch_b.select("h")), "h", "semi"))
+    both = (u.join(F.broadcast(sa), "h", "semi")
+            .join(F.broadcast(sb), "h", "semi"))
     nu = u.agg(F.count(F.lit(1)).cast("long").alias("n_union_topk"))
     nb = both.agg(F.count(F.lit(1)).cast("long").alias("n_both"))
     j = nu.crossJoin(nb)   # two 1-row aggregates

@@ -295,7 +295,9 @@ def bloom_fp_report(corpus: DataFrame, probes: DataFrame,
     value would be an engine bug); all counts integer.
     """
     c = F.col(col) if isinstance(col, str) else col
-    bits = bloom_bits(corpus, c, m_bits, k)
+    # the bit table feeds the membership probe AND the bits_set count
+    # — lazily localCheckpointed so the corpus explode runs once
+    bits = bloom_bits(corpus, c, m_bits, k).localCheckpoint(eager=False)
     pv = probes.where(c.isNotNull()) \
         .select(c.cast("string").alias("__pv")).distinct()
     flagged = bloom_membership(bits, pv, "__pv", m_bits, k)
@@ -550,10 +552,14 @@ def quantile_estimate(buckets: DataFrame, qs_ppm: list[int],
 
     Shape at 100 TB: the cumulative walk is a window over the BOUNDED
     bucket dim (≤ ~16k rows per group — the few-huge-group window
-    hazard does not apply to register tables); ranks broadcast.
+    hazard does not apply to register tables); ranks broadcast.  The
+    bucket table feeds TWO consumers (totals and the cumulative walk),
+    so it is lazily localCheckpointed — when ``buckets`` is the
+    one-pass sketch of raw data, that pass runs once, not twice.
     """
     g = list(group_cols or [])
     from pyspark.sql import Window
+    buckets = buckets.localCheckpoint(eager=False)
     tot = buckets.groupBy(*g).agg(F.sum("cnt").cast("long").alias("n"))
     qarr = F.array(*[F.lit(int(p)).cast("long") for p in qs_ppm])
     ranks = (tot.select(*g, "n", F.explode(qarr).alias("q_ppm"))

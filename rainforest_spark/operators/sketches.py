@@ -38,7 +38,8 @@ __all__ = ["hll_registers", "hll_estimate", "hll_accuracy_report",
            "cms_accuracy_report", "quantile_buckets",
            "quantile_estimate", "exact_quantiles",
            "quantile_accuracy_report", "kmv_sketch", "kmv_merge",
-           "kmv_estimate", "kmv_jaccard", "kmv_accuracy_report"]
+           "kmv_estimate", "kmv_jaccard", "kmv_overlap_matrix",
+           "kmv_accuracy_report"]
 
 #: rho of an all-zero 32-bit window (8 hex chars) — the window cap.
 HLL_RHO_MAX = 33
@@ -819,3 +820,53 @@ def kmv_accuracy_report(df: DataFrame, col: str | Column,
                   / F.col("n_exact").cast("double"), 6) + F.lit(0.0)
     return j.select(*g, "k", "n_hashes", "n_exact", "estimate",
                     rel.alias("rel_error"))
+
+
+def kmv_overlap_matrix(sketch: DataFrame, group_col: str,
+                       k: int = 256) -> DataFrame:
+    """Pairwise Jaccard matrix across ALL groups, from their bottom-k
+    sketches alone: one row per unordered pair ``(ga < gb)`` with
+    ``n_union_topk``, ``n_both``, ``jaccard`` — the sketch-scaled
+    counterpart of the exact cross-source contamination matrix
+    (operators/dedup.source_overlap): every pairwise vocabulary /
+    fingerprint overlap across S sources WITHOUT any pass over raw
+    data — only the S·k sketch rows are touched.
+
+    Per pair the estimator is :func:`kmv_jaccard`'s (union's own
+    bottom-k, membership counted by side multiplicity — a hash
+    appearing under both groups has count 2).
+
+    Shape at 100 TB: the pair dim is S(S−1)/2 rows (S = group count —
+    bounded by construction, document when S is large), the tagged
+    hash table ≤ S²·k rows, the rank window per pair ≤ 2k rows.
+    Everything broadcasts; the raw corpus is never read.
+    """
+    from pyspark.sql import Window
+    kk = int(k)
+    s = (sketch.select(F.col(group_col).cast("string").alias("__g"),
+                       "h")
+         .localCheckpoint(eager=False))
+    gs = s.select("__g").distinct()
+    pairs = (gs.select(F.col("__g").alias("ga"))
+             .join(gs.select(F.col("__g").alias("gb")),
+                   F.col("ga") < F.col("gb")))
+    ra = s.join(F.broadcast(pairs), s["__g"] == pairs["ga"]) \
+        .select("ga", "gb", "h")
+    rb = s.join(F.broadcast(pairs), s["__g"] == pairs["gb"]) \
+        .select("ga", "gb", "h")
+    c = (ra.unionAll(rb)
+         .groupBy("ga", "gb", "h")
+         .agg(F.count(F.lit(1)).cast("long").alias("__nsides")))
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    t = (c.withColumn("__rn", F.row_number().over(w))
+         .where(F.col("__rn") <= kk))
+    agg = (t.groupBy("ga", "gb")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_union_topk"),
+                F.sum(F.when(F.col("__nsides") == 2, 1).otherwise(0))
+                .cast("long").alias("n_both")))
+    return agg.select(
+        "ga", "gb", "n_union_topk", "n_both",
+        F.when(F.col("n_union_topk") > 0,
+               F.round(F.col("n_both").cast("double")
+                       / F.col("n_union_topk").cast("double"), 6))
+        .alias("jaccard"))

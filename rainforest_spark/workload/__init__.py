@@ -178,6 +178,7 @@ _QUEUED_FOR_ROTATION: list[str] = [
     "q197_quantile_sketch",
     "q198_kmv_cardinality",
     "q199_kmv_token_overlap",
+    "q200_kmv_overlap_matrix",
 ]
 
 #: The ROUND-8 window this one replaced, kept for the rotation record:

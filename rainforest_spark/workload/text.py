@@ -2551,3 +2551,55 @@ def q199(spark, sf):
     return out.select("k", "n_union_topk", "n_both", "jaccard",
                       "n_inter_exact", "n_union_exact",
                       je.alias("jaccard_exact"))
+
+
+# ---------------------------------------------------------------- q200
+# Pairwise source-overlap matrix from per-source KMV sketches
+# (sketches family, operators/sketches.kmv_overlap_matrix): every
+# unordered source pair's token-vocabulary Jaccard estimated from the
+# bottom-128 sketches ALONE — the sketch-scaled counterpart of q119's
+# exact contamination matrix (no raw-corpus pass per pair; only
+# S·k sketch rows are touched).  Exact strings/integers plus one
+# rounded division per pair, identical in both engines.
+@q("q200_kmv_overlap_matrix", sql="""
+WITH toks AS (
+  SELECT source, t.term AS tok
+  FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+       UNNEST(w) AS t(term)
+  WHERE t.term != ''),
+h AS (SELECT DISTINCT source, md5(tok) AS h FROM toks),
+sk AS (SELECT source, h
+       FROM (SELECT source, h,
+                    ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY h) AS rn
+             FROM h) WHERE rn <= 128),
+g AS (SELECT DISTINCT source FROM sk),
+p AS (SELECT g1.source AS ga, g2.source AS gb
+      FROM g g1 JOIN g g2 ON g1.source < g2.source),
+r AS (SELECT ga, gb, sk.h FROM sk JOIN p ON sk.source = p.ga
+      UNION ALL
+      SELECT ga, gb, sk.h FROM sk JOIN p ON sk.source = p.gb),
+c AS (SELECT ga, gb, h, CAST(COUNT(*) AS BIGINT) AS nsides
+      FROM r GROUP BY 1, 2, 3),
+t AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb
+                                   ORDER BY h) AS rn FROM c)
+SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_union_topk,
+       CAST(SUM(CASE WHEN nsides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both,
+       CASE WHEN COUNT(*) > 0 THEN
+            ROUND(CAST(SUM(CASE WHEN nsides = 2 THEN 1 ELSE 0 END)
+                       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       END AS jaccard
+FROM t WHERE rn <= 128 GROUP BY 1, 2
+""")
+def q200(spark, sf):
+    from rainforest_spark.operators.sketches import (
+        kmv_overlap_matrix, kmv_sketch,
+    )
+    d = T(spark, sf, "documents")
+    toks = (d.select("source",
+                     F.explode(TA.tokens("text")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    sk = kmv_sketch(toks, "tok", ["source"], 128)
+    return kmv_overlap_matrix(sk, "source", 128)

@@ -370,6 +370,11 @@ _CROSS_JOIN_WHITELIST = {
     # into one output row; the jaccard's semi-probes broadcast ≤k-row
     # sketch dims (operators/sketches.py kmv_jaccard)
     "q199_kmv_token_overlap",
+    # q200: the pair dim is the S-row group list self-joined on
+    # ga < gb (a non-equi condition over a bounded-by-construction
+    # dim — S sources); the tagged hash joins broadcast it
+    # (operators/sketches.py kmv_overlap_matrix)
+    "q200_kmv_overlap_matrix",
 }
 
 

@@ -430,3 +430,27 @@ def test_bloom_rowwise_equals_aggregation_membership(spark):
             bloom_membership_rowwise(bits, probes.distinct(), "v",
                                      65536, 4).collect()}
     assert agg == roww
+
+
+def test_kmv_overlap_matrix_matches_pairwise_jaccard(spark):
+    """The matrix row for (ga, gb) equals kmv_jaccard on the two
+    groups' own sketches — same estimator, batched over all pairs."""
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.sketches import (
+        kmv_jaccard, kmv_overlap_matrix, kmv_sketch,
+    )
+    df = spark.range(0, 9000).select(
+        F.concat(F.lit("s"), F.col("id") % 3).alias("g"),
+        F.concat(F.lit("v"), F.col("id") % 2500).alias("v"))
+    sk = kmv_sketch(df, "v", ["g"], 64)
+    got = {(r["ga"], r["gb"]): (r["n_union_topk"], r["n_both"],
+                                r["jaccard"])
+           for r in kmv_overlap_matrix(sk, "g", 64).collect()}
+    assert set(got) == {("s0", "s1"), ("s0", "s2"), ("s1", "s2")}
+    for ga, gb in got:
+        a = sk.where(F.col("g") == ga).select("h")
+        b = sk.where(F.col("g") == gb).select("h")
+        r = kmv_jaccard(a, b, 64).collect()[0]
+        assert got[(ga, gb)] == (r["n_union_topk"], r["n_both"],
+                                 r["jaccard"]), (ga, gb)

@@ -704,10 +704,16 @@ def kmv_sketch(df: DataFrame, col: str | Column,
         for b in batches:
             if len(b) == 0:
                 continue
-            groups = (b.groupby(g, sort=False) if g
+            # dropna=False: Spark groupBy keeps a NULL-key group, so
+            # the sketch must too (pandas' default silently drops it).
+            groups = (b.groupby(g, sort=False, dropna=False) if g
                       else [((), b)])
             for gv, sub in groups:
                 key = gv if isinstance(gv, tuple) else (gv,)
+                # NaN/NaT group keys normalize to None: NaN != NaN
+                # would split one logical group across dict entries,
+                # and None round-trips to a Spark NULL key.
+                key = tuple(None if pd.isna(v) else v for v in key)
                 arr = _np2.unique(sub["h"].to_numpy())[:kk]
                 cur = best.get(key)
                 if cur is not None:
@@ -822,6 +828,260 @@ def kmv_accuracy_report(df: DataFrame, col: str | Column,
                     rel.alias("rel_error"))
 
 
+def kmv_difference(sketch_a: DataFrame, sketch_b: DataFrame,
+                   k: int = 256) -> DataFrame:
+    """Set-DIFFERENCE estimator from two (ungrouped) bottom-k
+    sketches alone: "how many NEW distinct values does corpus B add
+    to A" (|B∖A|) — the question an ingest decision actually asks —
+    plus the union cardinality and the novelty rate, with NO pass
+    over raw data (Beyer et al., SIGMOD 2007 multiset machinery).
+
+    Estimator: the union's own bottom-K (K = min(k, distinct sketch
+    hashes)) is a uniform sample of the union's distinct values; any
+    sampled hash belonging to set X is PROVABLY present in X's sketch
+    (it has < k smaller hashes anywhere), so per-hash membership is
+    exact.  ``union_est`` is the classic (K−1)/U_K (exact count when
+    the union never filled — both sketches then hold their complete
+    hash sets); ``added_est = n_b_only/K · union_est``.
+
+    One row: ``k, n_union_topk, n_both, n_a_only, n_b_only,
+    union_est, added_est, novelty_rate`` — exact integers plus
+    rounded divisions/products spelled identically in both engines
+    (the q198 idiom; in the unfilled case ``added_est`` IS the exact
+    |B∖A|).
+
+    Shape: both inputs are ≤k-row dims; everything broadcasts.  Each
+    sketch feeds two consumers (the union build and its membership
+    probe), so both are lazily localCheckpointed — the partial-min-k
+    pass over raw data runs once per side.
+    """
+    kk = int(k)
+    sa = sketch_a.select("h").localCheckpoint(eager=False)
+    sb = sketch_b.select("h").localCheckpoint(eager=False)
+    u = (sa.unionByName(sb)
+         .distinct().orderBy("h").limit(kk))
+    t = (u.join(F.broadcast(sa.withColumn("__a", F.lit(1))),
+                "h", "left")
+         .join(F.broadcast(sb.withColumn("__b", F.lit(1))),
+               "h", "left"))
+    agg = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_topk"),
+        F.max("h").alias("__hk"),
+        F.sum(F.when(F.col("__a").isNotNull()
+                     & F.col("__b").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_both"),
+        F.sum(F.when(F.col("__a").isNotNull()
+                     & F.col("__b").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_a_only"),
+        F.sum(F.when(F.col("__a").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_b_only"))
+    u48 = F.expr(_hex_int_expr("__hk", 12))
+    union_est = F.when(F.col("n_union_topk") < kk,
+                       F.col("n_union_topk").cast("double")) \
+        .otherwise(F.when(
+            u48 > 0,
+            F.round(F.lit(float(kk - 1))
+                    / (u48.cast("double")
+                       / F.lit(float(16 ** 12))), 6)))
+    e = agg.withColumn("union_est", union_est)
+    added = F.when(F.col("n_union_topk") < kk,
+                   F.col("n_b_only").cast("double")) \
+        .otherwise(F.when(
+            F.col("n_union_topk") > 0,
+            F.round(F.col("n_b_only").cast("double")
+                    / F.col("n_union_topk").cast("double")
+                    * F.col("union_est"), 6)))
+    rate = F.when(F.col("n_union_topk") > 0,
+                  F.round(F.col("n_b_only").cast("double")
+                          / F.col("n_union_topk").cast("double"), 6))
+    return e.select(
+        F.lit(kk).cast("long").alias("k"), "n_union_topk", "n_both",
+        "n_a_only", "n_b_only", "union_est",
+        added.alias("added_est"), rate.alias("novelty_rate"))
+
+
+def kmv_sketch_weighted(df: DataFrame, col: str | Column,
+                        group_cols: list[str] | None = None,
+                        k: int = 256,
+                        weight_col: str | None = None) -> DataFrame:
+    """Weighted bottom-k: ``(group..., h, w)`` — the k smallest
+    distinct md5 hashes per group, each carrying the EXACT BIGINT
+    total weight of its value's rows (``weight_col``, default 1 per
+    row — i.e. the value's multiplicity).  The multiset synopsis of
+    Beyer et al. 2007: a uniform distinct-value sample with exact
+    per-value counters, so it answers "how many ROWS/bytes do the
+    values of this subset carry", not just "how many values".
+
+    Exactness of the counters: a hash in the global bottom-k has
+    < k smaller hashes ANYWHERE, so no partition's local prune can
+    evict it — every partition's partial weight for it survives to
+    the final ``sum``.  Weights must be integral (cast to BIGINT) so
+    partial sums are order-independent.
+
+    MERGEABLE: concat the sketches, ``sum(w)`` per (group, h) —
+    partial weights of the same value add — then re-rank to bottom-k
+    (:func:`kmv_merge_weighted`).
+
+    Shape at 100 TB: same as :func:`kmv_sketch` — ONE mapInPandas
+    pass with a bounded per-group min-k + weight accumulator per
+    Arrow batch (no raw-value shuffle); the final groupBy + rank runs
+    over the ≤ partitions·k candidate dim.
+    """
+    import pandas as pd
+
+    g = list(group_cols or [])
+    c = F.col(col) if isinstance(col, str) else col
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    d = df.where(c.isNotNull()).select(
+        *g, F.md5(c.cast("string")).alias("h"), w.alias("w"))
+    kk = int(k)
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}"
+         for f in d.schema.fields])
+
+    def part(batches):
+        best: dict = {}
+        for b in batches:
+            if len(b) == 0:
+                continue
+            groups = (b.groupby(g, sort=False, dropna=False) if g
+                      else [((), b)])
+            for gv, sub in groups:
+                key = gv if isinstance(gv, tuple) else (gv,)
+                key = tuple(None if pd.isna(v) else v for v in key)
+                hw = sub.groupby("h", sort=False)["w"].sum()
+                cur = best.get(key)
+                if cur is not None:
+                    hw = pd.concat([cur, hw]).groupby(level=0).sum()
+                # prune to the local bottom-k: an evicted hash has
+                # >= k smaller hashes in this partition, so it cannot
+                # be in the global bottom-k — dropping its partial
+                # weight is safe
+                best[key] = hw.sort_index().iloc[:kk]
+        for key, hw in best.items():
+            out = {name: [v] * len(hw)
+                   for name, v in zip(g, key)}
+            out["h"] = hw.index.to_numpy()
+            out["w"] = hw.to_numpy("int64")
+            yield pd.DataFrame(out)
+
+    cand = (d.mapInPandas(part, schema)
+            .groupBy(*g, "h")
+            .agg(F.sum("w").cast("long").alias("w")))
+    from pyspark.sql import Window
+    wnd = Window.partitionBy(*g).orderBy("h")
+    return (cand.withColumn("__rn", F.row_number().over(wnd))
+            .where(F.col("__rn") <= kk).drop("__rn"))
+
+
+def kmv_merge_weighted(a: DataFrame, b: DataFrame,
+                       group_cols: list[str] | None = None,
+                       k: int = 256) -> DataFrame:
+    """Fold two weighted sketches: partial weights of the same value
+    ADD (disjoint row sets of one dataset), then re-rank to bottom-k.
+    ``merge(sketch(X), sketch(Y)) == sketch(X ∪ Y)`` exactly when X
+    and Y partition the rows.  Bounded input (2k rows per group)."""
+    g = list(group_cols or [])
+    from pyspark.sql import Window
+    u = (a.unionByName(b)
+         .groupBy(*g, "h")
+         .agg(F.sum("w").cast("long").alias("w")))
+    wnd = Window.partitionBy(*g).orderBy("h")
+    return (u.withColumn("__rn", F.row_number().over(wnd))
+            .where(F.col("__rn") <= int(k)).drop("__rn"))
+
+
+def kmv_weighted_estimate(sketch: DataFrame,
+                          group_cols: list[str] | None = None,
+                          k: int = 256) -> DataFrame:
+    """Total-weight estimate per group from a weighted bottom-k
+    sketch: ``w_est ≈ D̂ · (Σ sketch weights / n_hashes)`` — the
+    sampled mean weight scaled by the distinct-count estimate (Beyer
+    et al. 2007).  EXACT (``Σ w`` as a plain double of a BIGINT) when
+    the group never filled the sketch; the distinct estimate is the
+    same (k−1)/U_k as :func:`kmv_estimate`.
+
+    Columns: ``group..., k, n_hashes, w_sketch, d_est, w_est``.
+    """
+    g = list(group_cols or [])
+    kk = int(k)
+    agg = (sketch.groupBy(*g)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_hashes"),
+                F.sum("w").cast("long").alias("w_sketch"),
+                F.max("h").alias("__hk")))
+    u48 = F.expr(_hex_int_expr("__hk", 12))
+    d_est = F.when(F.col("n_hashes") < kk,
+                   F.col("n_hashes").cast("double")) \
+        .otherwise(F.when(
+            u48 > 0,
+            F.round(F.lit(float(kk - 1))
+                    / (u48.cast("double")
+                       / F.lit(float(16 ** 12))), 6)))
+    e = agg.withColumn("d_est", d_est)
+    w_est = F.when(F.col("n_hashes") < kk,
+                   F.col("w_sketch").cast("double")) \
+        .otherwise(F.when(
+            F.col("n_hashes") > 0,
+            F.round(F.col("w_sketch").cast("double")
+                    / F.col("n_hashes").cast("double")
+                    * F.col("d_est"), 6)))
+    return e.select(*g, F.lit(kk).cast("long").alias("k"),
+                    "n_hashes", "w_sketch", "d_est",
+                    w_est.alias("w_est"))
+
+
+def kmv_added_weight(sketch_a: DataFrame, wsketch_b: DataFrame,
+                     k: int = 256) -> DataFrame:
+    """How many ROWS (occurrences, bytes, …) does corpus B add — the
+    total WEIGHT of B's values NOT in A, estimated from A's plain
+    sketch and B's weighted sketch alone: the union bottom-K samples
+    the union's distinct values uniformly; each sampled B-only value
+    carries its exact B-weight (provably present in B's sketch), so
+    ``added_w_est = union_est · (Σ w over sampled B-only) / K``.
+    EXACT when the union never filled.  The ingest-volume half of
+    :func:`kmv_difference` (which counts distinct values).
+
+    One row: ``k, n_union_topk, n_b_only, w_b_only, union_est,
+    added_w_est``.  Shape: ≤k-row dims only; everything broadcasts.
+    """
+    kk = int(k)
+    sa = sketch_a.select("h").localCheckpoint(eager=False)
+    sb = wsketch_b.select("h", "w").localCheckpoint(eager=False)
+    u = (sa.unionByName(sb.select("h"))
+         .distinct().orderBy("h").limit(kk))
+    t = (u.join(F.broadcast(sa.withColumn("__a", F.lit(1))),
+                "h", "left")
+         .join(F.broadcast(sb), "h", "left"))
+    agg = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_topk"),
+        F.max("h").alias("__hk"),
+        F.sum(F.when(F.col("__a").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_b_only"),
+        F.sum(F.when(F.col("__a").isNull(), F.col("w")).otherwise(0))
+        .cast("long").alias("w_b_only"))
+    u48 = F.expr(_hex_int_expr("__hk", 12))
+    union_est = F.when(F.col("n_union_topk") < kk,
+                       F.col("n_union_topk").cast("double")) \
+        .otherwise(F.when(
+            u48 > 0,
+            F.round(F.lit(float(kk - 1))
+                    / (u48.cast("double")
+                       / F.lit(float(16 ** 12))), 6)))
+    e = agg.withColumn("union_est", union_est)
+    added_w = F.when(F.col("n_union_topk") < kk,
+                     F.col("w_b_only").cast("double")) \
+        .otherwise(F.when(
+            F.col("n_union_topk") > 0,
+            F.round(F.col("w_b_only").cast("double")
+                    / F.col("n_union_topk").cast("double")
+                    * F.col("union_est"), 6)))
+    return e.select(
+        F.lit(kk).cast("long").alias("k"), "n_union_topk",
+        "n_b_only", "w_b_only", "union_est",
+        added_w.alias("added_w_est"))
+
+
 def kmv_overlap_matrix(sketch: DataFrame, group_col: str,
                        k: int = 256) -> DataFrame:
     """Pairwise Jaccard matrix across ALL groups, from their bottom-k
@@ -834,7 +1094,13 @@ def kmv_overlap_matrix(sketch: DataFrame, group_col: str,
 
     Per pair the estimator is :func:`kmv_jaccard`'s (union's own
     bottom-k, membership counted by side multiplicity — a hash
-    appearing under both groups has count 2).
+    appearing under both groups has count 2).  The matrix also
+    carries the DECISION columns of :func:`kmv_difference`:
+    ``n_a_only``/``n_b_only`` (side-exclusive sample counts),
+    ``union_est`` ((K−1)/U_K per pair; exact when unfilled) and
+    ``adds_est`` — the estimated count of distinct values ``gb``
+    would ADD to ``ga`` (|gb∖ga|), so the contamination matrix
+    doubles as an ingest-ordering report.
 
     Shape at 100 TB: the pair dim is S(S−1)/2 rows (S = group count —
     bounded by construction, document when S is large), the tagged
@@ -851,22 +1117,47 @@ def kmv_overlap_matrix(sketch: DataFrame, group_col: str,
              .join(gs.select(F.col("__g").alias("gb")),
                    F.col("ga") < F.col("gb")))
     ra = s.join(F.broadcast(pairs), s["__g"] == pairs["ga"]) \
-        .select("ga", "gb", "h")
+        .select("ga", "gb", "h", F.lit(0).alias("__isb"))
     rb = s.join(F.broadcast(pairs), s["__g"] == pairs["gb"]) \
-        .select("ga", "gb", "h")
+        .select("ga", "gb", "h", F.lit(1).alias("__isb"))
     c = (ra.unionAll(rb)
          .groupBy("ga", "gb", "h")
-         .agg(F.count(F.lit(1)).cast("long").alias("__nsides")))
+         .agg(F.count(F.lit(1)).cast("long").alias("__nsides"),
+              F.max("__isb").alias("__hasb")))
     w = Window.partitionBy("ga", "gb").orderBy("h")
     t = (c.withColumn("__rn", F.row_number().over(w))
          .where(F.col("__rn") <= kk))
     agg = (t.groupBy("ga", "gb")
            .agg(F.count(F.lit(1)).cast("long").alias("n_union_topk"),
+                F.max("h").alias("__hk"),
                 F.sum(F.when(F.col("__nsides") == 2, 1).otherwise(0))
-                .cast("long").alias("n_both")))
-    return agg.select(
-        "ga", "gb", "n_union_topk", "n_both",
+                .cast("long").alias("n_both"),
+                F.sum(F.when((F.col("__nsides") == 1)
+                             & (F.col("__hasb") == 0), 1).otherwise(0))
+                .cast("long").alias("n_a_only"),
+                F.sum(F.when((F.col("__nsides") == 1)
+                             & (F.col("__hasb") == 1), 1).otherwise(0))
+                .cast("long").alias("n_b_only")))
+    u48 = F.expr(_hex_int_expr("__hk", 12))
+    union_est = F.when(F.col("n_union_topk") < kk,
+                       F.col("n_union_topk").cast("double")) \
+        .otherwise(F.when(
+            u48 > 0,
+            F.round(F.lit(float(kk - 1))
+                    / (u48.cast("double")
+                       / F.lit(float(16 ** 12))), 6)))
+    e = agg.withColumn("union_est", union_est)
+    adds = F.when(F.col("n_union_topk") < kk,
+                  F.col("n_b_only").cast("double")) \
+        .otherwise(F.when(
+            F.col("n_union_topk") > 0,
+            F.round(F.col("n_b_only").cast("double")
+                    / F.col("n_union_topk").cast("double")
+                    * F.col("union_est"), 6)))
+    return e.select(
+        "ga", "gb", "n_union_topk", "n_both", "n_a_only", "n_b_only",
         F.when(F.col("n_union_topk") > 0,
                F.round(F.col("n_both").cast("double")
                        / F.col("n_union_topk").cast("double"), 6))
-        .alias("jaccard"))
+        .alias("jaccard"),
+        "union_est", adds.alias("adds_est"))

@@ -761,6 +761,41 @@ def latency_bands(df: DataFrame, group_cols: list[str], value_col: str,
     return ranked.groupBy(*group_cols).agg(*aggs)
 
 
+def latency_bands_sketch(df: DataFrame, group_cols: list[str],
+                         value_col: str,
+                         bands: list[tuple[int, int, int]] = (
+                             (50, 100, 1), (95, 100, 2), (99, 100, 3)),
+                         s_bits: int = 8) -> DataFrame:
+    """The SKETCH-backed route of :func:`latency_bands`: same answer
+    columns (``group..., n, p50, p95, p99``) but each band value is
+    the dyadic-bucket quantile estimate (within 2^-s_bits relative
+    error, denanoized 6dp) instead of the exact value at the rank.
+
+    The physical trade (the q53_bucketed/q53_shuffle pattern): the
+    exact route pays a grouped ranked pass whose shuffle grows with
+    the DISTINCT value count; this route is ONE map-side-combined
+    groupBy onto the bounded bucket dim (≤ ~16k rows/group) + a
+    window over that dim — and the bucket table is mergeable, so a
+    maintained rollup (incremental_agg spec ``sum_long`` on ``cnt``)
+    answers the dashboard without ever rescanning history.  Pick this
+    route when the value column is high-cardinality or the bands are
+    re-read often; q197's calibration report measures the error.
+    """
+    from rainforest_spark.operators.sketches import (
+        quantile_buckets, quantile_estimate,
+    )
+    g = list(group_cols)
+    ppms = [int(num) * 1_000_000 // int(den) for num, den, _ in bands]
+    est = quantile_estimate(
+        quantile_buckets(df, value_col, g, s_bits), ppms, g)
+    aggs = [F.min("n").alias("n")]
+    for (num, _den, _o), ppm in zip(bands, ppms):
+        aggs.append(F.max(F.when(F.col("q_ppm") == ppm,
+                                 F.col("estimate")))
+                    .alias(f"p{num}"))
+    return est.groupBy(*g).agg(*aggs)
+
+
 def pareto_frontier(df: DataFrame, x_col: str, y_col: str,
                     group_cols: list[str] | None = None) -> DataFrame:
     """2-D skyline: the rows NOT dominated by any other row, where q

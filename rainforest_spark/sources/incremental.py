@@ -108,7 +108,6 @@ def incremental_agg(spark: SparkSession, store_path: str,
     re-reads the committed-batch log; if this batch_id is already
     tagged, the fold is a no-op and the current version is returned.
     """
-    new = _partials(batch, keys, spec)
     last_err: Exception | None = None
 
     def _already_committed() -> int | None:
@@ -120,6 +119,16 @@ def incremental_agg(spark: SparkSession, store_path: str,
             return latest_version(store_path)
         return None
 
+    # Replay safety by construction: ANY tagged caller (not just the
+    # sinks, which carry their own pre-check) is a no-op when the
+    # batch_id is already in the committed log — a replayed
+    # already-committed delivery must never fold twice even without a
+    # concurrent race to surface it.
+    v0 = _already_committed()
+    if v0 is not None:
+        return v0
+
+    new = _partials(batch, keys, spec)
     for _ in range(max_retries):
         parent = latest_version(store_path)
         if parent is None:

@@ -3006,3 +3006,60 @@ def q198(spark, sf):
     from rainforest_spark.operators.sketches import kmv_accuracy_report
     ev = T(spark, sf, "events")
     return kmv_accuracy_report(ev, "user_id", ["event_type"], k=256)
+
+
+# ---------------------------------------------------------------- q204
+# Sketch-backed latency bands (stats family,
+# operators/stats.latency_bands_sketch): the SAME dashboard rollup as
+# q177 — p50/p95/p99 of events.value per event_type — but answered
+# from the mergeable dyadic-bucket quantile sketch (s=8: |rel err| ≤
+# 2^-8) instead of the exact grouped ranked pass: ONE bounded-bucket
+# groupBy + a ≤16k-row window, and the bucket table maintains
+# incrementally (sum-mergeable), so the dashboard never rescans
+# history.  The q53_bucketed/q53_shuffle treatment: same answer
+# columns, two physical routes, both benched side-by-side.  The
+# bucket fragments are generated once and embedded in both engines'
+# plans (the q197 pattern); the only doubles are the final denanoize
+# divisions rounded 6dp.
+def _q204_sql() -> str:
+    from rainforest_spark.operators.sketches import _qbucket_exprs
+    key, rep = _qbucket_exprs("v", 8)
+    return f"""
+WITH n AS (
+  SELECT event_type, CAST(floor(value * 1e9 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+bc AS (SELECT event_type, {key} AS bucket_key, {rep} AS rep_nanos,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM n GROUP BY 1, 2, 3),
+t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_total
+      FROM bc GROUP BY 1),
+qq AS (SELECT UNNEST([500000, 950000, 990000]) AS q_ppm),
+r AS (SELECT event_type, n_total,
+             CAST(q_ppm AS BIGINT) AS q_ppm,
+             (CAST(q_ppm AS BIGINT) * n_total + 999999) // 1000000
+                 AS rk
+      FROM t CROSS JOIN qq),
+c AS (SELECT event_type, bucket_key, rep_nanos,
+             SUM(cnt) OVER (PARTITION BY event_type
+                            ORDER BY bucket_key) AS cum
+      FROM bc),
+e AS (SELECT r.event_type, q_ppm, n_total,
+             MIN(rep_nanos) AS est_nanos
+      FROM c JOIN r ON c.event_type = r.event_type
+      WHERE cum >= rk GROUP BY 1, 2, 3)
+SELECT event_type, MIN(n_total) AS n,
+       MAX(CASE WHEN q_ppm = 500000 THEN
+           ROUND(CAST(est_nanos AS DOUBLE) / 1e9, 6) END) AS p50,
+       MAX(CASE WHEN q_ppm = 950000 THEN
+           ROUND(CAST(est_nanos AS DOUBLE) / 1e9, 6) END) AS p95,
+       MAX(CASE WHEN q_ppm = 990000 THEN
+           ROUND(CAST(est_nanos AS DOUBLE) / 1e9, 6) END) AS p99
+FROM e GROUP BY event_type
+"""
+
+
+@q("q204_latency_bands_sketch", sql=_q204_sql())
+def q204(spark, sf):
+    from rainforest_spark.operators.stats import latency_bands_sketch
+    return latency_bands_sketch(T(spark, sf, "events"),
+                                ["event_type"], "value", s_bits=8)

@@ -2559,9 +2559,16 @@ def q199(spark, sf):
 # unordered source pair's token-vocabulary Jaccard estimated from the
 # bottom-128 sketches ALONE — the sketch-scaled counterpart of q119's
 # exact contamination matrix (no raw-corpus pass per pair; only
-# S·k sketch rows are touched).  Exact strings/integers plus one
-# rounded division per pair, identical in both engines.
-@q("q200_kmv_overlap_matrix", sql="""
+# S·k sketch rows are touched) — now also carrying the per-pair
+# DECISION columns (round 10): side-exclusive sample counts, the
+# (K−1)/U_K union estimate (48-bit hash fraction, q198 idiom) and
+# ``adds_est`` = estimated |gb∖ga| (Beyer et al. 2007).  Exact
+# strings/integers plus rounded divisions/products identical in both
+# engines.
+def _q200_sql() -> str:
+    from rainforest_spark.operators.sketches import _hex_int_expr
+    u48 = _hex_int_expr("hk", 12)
+    return f"""
 WITH toks AS (
   SELECT source, t.term AS tok
   FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS w
@@ -2577,22 +2584,50 @@ sk AS (SELECT source, h
 g AS (SELECT DISTINCT source FROM sk),
 p AS (SELECT g1.source AS ga, g2.source AS gb
       FROM g g1 JOIN g g2 ON g1.source < g2.source),
-r AS (SELECT ga, gb, sk.h FROM sk JOIN p ON sk.source = p.ga
+r AS (SELECT ga, gb, sk.h, 0 AS isb
+      FROM sk JOIN p ON sk.source = p.ga
       UNION ALL
-      SELECT ga, gb, sk.h FROM sk JOIN p ON sk.source = p.gb),
-c AS (SELECT ga, gb, h, CAST(COUNT(*) AS BIGINT) AS nsides
+      SELECT ga, gb, sk.h, 1 AS isb
+      FROM sk JOIN p ON sk.source = p.gb),
+c AS (SELECT ga, gb, h, CAST(COUNT(*) AS BIGINT) AS nsides,
+             MAX(isb) AS hasb
       FROM r GROUP BY 1, 2, 3),
 t AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb
-                                   ORDER BY h) AS rn FROM c)
-SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_union_topk,
-       CAST(SUM(CASE WHEN nsides = 2 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_both,
-       CASE WHEN COUNT(*) > 0 THEN
-            ROUND(CAST(SUM(CASE WHEN nsides = 2 THEN 1 ELSE 0 END)
-                       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-       END AS jaccard
-FROM t WHERE rn <= 128 GROUP BY 1, 2
-""")
+                                   ORDER BY h) AS rn FROM c),
+a AS (SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_union_topk,
+             MAX(h) AS hk,
+             CAST(SUM(CASE WHEN nsides = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_both,
+             CAST(SUM(CASE WHEN nsides = 1 AND hasb = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+             CAST(SUM(CASE WHEN nsides = 1 AND hasb = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only
+      FROM t WHERE rn <= 128 GROUP BY 1, 2),
+e AS (SELECT *,
+             CASE WHEN n_union_topk < 128 THEN
+                       CAST(n_union_topk AS DOUBLE)
+                  WHEN {u48} > 0 THEN
+                       ROUND(CAST(127 AS DOUBLE)
+                             / (CAST({u48} AS DOUBLE)
+                                / CAST(281474976710656 AS DOUBLE)), 6)
+             END AS union_est
+      FROM a)
+SELECT ga, gb, n_union_topk, n_both, n_a_only, n_b_only,
+       CASE WHEN n_union_topk > 0 THEN
+            ROUND(CAST(n_both AS DOUBLE)
+                  / CAST(n_union_topk AS DOUBLE), 6) END AS jaccard,
+       union_est,
+       CASE WHEN n_union_topk < 128 THEN CAST(n_b_only AS DOUBLE)
+            WHEN n_union_topk > 0 THEN
+                 ROUND(CAST(n_b_only AS DOUBLE)
+                       / CAST(n_union_topk AS DOUBLE)
+                       * union_est, 6)
+       END AS adds_est
+FROM e
+"""
+
+
+@q("q200_kmv_overlap_matrix", sql=_q200_sql())
 def q200(spark, sf):
     from rainforest_spark.operators.sketches import (
         kmv_overlap_matrix, kmv_sketch,
@@ -2603,3 +2638,209 @@ def q200(spark, sf):
             .filter(F.col("tok") != ""))
     sk = kmv_sketch(toks, "tok", ["source"], 128)
     return kmv_overlap_matrix(sk, "source", 128)
+
+
+def _q201_toks_sql() -> str:
+    return """
+toks AS (
+  SELECT doc_id % 2 AS half, t.term AS tok
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents),
+       UNNEST(w) AS t(term)
+  WHERE t.term != ''),
+ha AS (SELECT DISTINCT md5(tok) AS h FROM toks WHERE half = 0),
+hb AS (SELECT DISTINCT md5(tok) AS h FROM toks WHERE half = 1),
+ska AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+                       FROM ha) WHERE rn <= 256),
+skb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+                       FROM hb) WHERE rn <= 256),
+u AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+                     FROM (SELECT h FROM ska UNION
+                           SELECT h FROM skb)) WHERE rn <= 256)"""
+
+
+# ---------------------------------------------------------------- q201
+# KMV set-DIFFERENCE calibration (sketches family,
+# operators/sketches.kmv_difference): "how many NEW distinct tokens
+# does corpus half B add to half A" — estimated from the two
+# bottom-256 sketches ALONE (union bottom-K as a uniform distinct
+# sample, exact per-hash membership, (K−1)/U_K union estimate — Beyer
+# et al. 2007) NEXT TO the exact anti-join distinct count the sketch
+# replaces, with the signed relative error.  The ingest-decision
+# report: the exact side is one full token-set anti-join; the sketch
+# side never re-reads raw data.  Exact integers + the q198 48-bit
+# hash-fraction idiom; the signed ratio carries the +0.0
+# negative-zero normalization.
+def _q201_sql() -> str:
+    from rainforest_spark.operators.sketches import _hex_int_expr
+    u48 = _hex_int_expr("hk", 12)
+    return f"""
+WITH {_q201_toks_sql()},
+m AS (SELECT u.h,
+             CASE WHEN u.h IN (SELECT h FROM ska) THEN 1 ELSE 0 END
+                 AS ina,
+             CASE WHEN u.h IN (SELECT h FROM skb) THEN 1 ELSE 0 END
+                 AS inb
+      FROM u),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union_topk,
+             MAX(h) AS hk,
+             CAST(SUM(CASE WHEN ina = 1 AND inb = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+             CAST(SUM(CASE WHEN ina = 1 AND inb = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+             CAST(SUM(CASE WHEN ina = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only
+      FROM m),
+e AS (SELECT *,
+             CASE WHEN n_union_topk < 256 THEN
+                       CAST(n_union_topk AS DOUBLE)
+                  WHEN {u48} > 0 THEN
+                       ROUND(CAST(255 AS DOUBLE)
+                             / (CAST({u48} AS DOUBLE)
+                                / CAST(281474976710656 AS DOUBLE)), 6)
+             END AS union_est
+      FROM a),
+d AS (SELECT *,
+             CASE WHEN n_union_topk < 256 THEN
+                       CAST(n_b_only AS DOUBLE)
+                  WHEN n_union_topk > 0 THEN
+                       ROUND(CAST(n_b_only AS DOUBLE)
+                             / CAST(n_union_topk AS DOUBLE)
+                             * union_est, 6)
+             END AS added_est,
+             CASE WHEN n_union_topk > 0 THEN
+                  ROUND(CAST(n_b_only AS DOUBLE)
+                        / CAST(n_union_topk AS DOUBLE), 6)
+             END AS novelty_rate
+      FROM e),
+x AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_added_exact
+      FROM (SELECT DISTINCT tok FROM toks WHERE half = 1
+            EXCEPT SELECT DISTINCT tok FROM toks WHERE half = 0))
+SELECT CAST(256 AS BIGINT) AS k, n_union_topk, n_both, n_a_only,
+       n_b_only, union_est, added_est, novelty_rate, n_added_exact,
+       CASE WHEN n_added_exact > 0 THEN
+            ROUND((added_est - CAST(n_added_exact AS DOUBLE))
+                  / CAST(n_added_exact AS DOUBLE), 6)
+              + CAST(0 AS DOUBLE)
+       END AS rel_error
+FROM d, x
+"""
+
+
+@q("q201_kmv_added_vocab", sql=_q201_sql())
+def q201(spark, sf):
+    from rainforest_spark.operators.sketches import (
+        kmv_difference, kmv_sketch,
+    )
+    d = T(spark, sf, "documents")
+    toks = (d.select((F.col("doc_id") % 2).alias("half"),
+                     F.explode(TA.tokens("text")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    a = toks.where(F.col("half") == 0)
+    b = toks.where(F.col("half") == 1)
+    est = kmv_difference(kmv_sketch(a, "tok", None, 256),
+                         kmv_sketch(b, "tok", None, 256), 256)
+    exact = (b.select("tok").distinct()
+             .join(a.select("tok").distinct(), "tok", "anti")
+             .agg(F.count(F.lit(1)).cast("long")
+                  .alias("n_added_exact")))
+    out = est.crossJoin(exact)   # 1-row aggregates
+    rel = F.when(
+        F.col("n_added_exact") > 0,
+        F.round((F.col("added_est")
+                 - F.col("n_added_exact").cast("double"))
+                / F.col("n_added_exact").cast("double"), 6)
+        + F.lit(0.0))
+    return out.select("k", "n_union_topk", "n_both", "n_a_only",
+                      "n_b_only", "union_est", "added_est",
+                      "novelty_rate", "n_added_exact",
+                      rel.alias("rel_error"))
+
+
+# ---------------------------------------------------------------- q202
+# Weighted-KMV added-VOLUME calibration (sketches family,
+# operators/sketches.kmv_added_weight over kmv_sketch_weighted): "how
+# many token OCCURRENCES does corpus half B add" — the ingest-volume
+# half of q201 — estimated from A's plain sketch and B's WEIGHTED
+# bottom-256 (each sampled B-only token carries its exact BIGINT
+# occurrence count, provably present in B's sketch), scaled by the
+# union estimate (Beyer et al. 2007 multiset synopsis), NEXT TO the
+# exact anti-join occurrence sum.  Exact integers + the q198 idioms.
+def _q202_sql() -> str:
+    from rainforest_spark.operators.sketches import _hex_int_expr
+    u48 = _hex_int_expr("hk", 12)
+    return f"""
+WITH {_q201_toks_sql()},
+wb AS (SELECT md5(tok) AS h, CAST(COUNT(*) AS BIGINT) AS w
+       FROM toks WHERE half = 1 GROUP BY 1),
+m AS (SELECT u.h,
+             CASE WHEN u.h IN (SELECT h FROM ska) THEN 1 ELSE 0 END
+                 AS ina,
+             (SELECT w FROM wb WHERE wb.h = u.h) AS w
+      FROM u),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union_topk,
+             MAX(h) AS hk,
+             CAST(SUM(CASE WHEN ina = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b_only,
+             CAST(SUM(CASE WHEN ina = 0 THEN w ELSE 0 END) AS BIGINT)
+                 AS w_b_only
+      FROM m),
+e AS (SELECT *,
+             CASE WHEN n_union_topk < 256 THEN
+                       CAST(n_union_topk AS DOUBLE)
+                  WHEN {u48} > 0 THEN
+                       ROUND(CAST(255 AS DOUBLE)
+                             / (CAST({u48} AS DOUBLE)
+                                / CAST(281474976710656 AS DOUBLE)), 6)
+             END AS union_est
+      FROM a),
+d AS (SELECT *,
+             CASE WHEN n_union_topk < 256 THEN
+                       CAST(w_b_only AS DOUBLE)
+                  WHEN n_union_topk > 0 THEN
+                       ROUND(CAST(w_b_only AS DOUBLE)
+                             / CAST(n_union_topk AS DOUBLE)
+                             * union_est, 6)
+             END AS added_w_est
+      FROM e),
+x AS (SELECT CAST(COUNT(*) AS BIGINT) AS w_added_exact
+      FROM toks WHERE half = 1
+        AND tok NOT IN (SELECT DISTINCT tok FROM toks WHERE half = 0))
+SELECT CAST(256 AS BIGINT) AS k, n_union_topk, n_b_only, w_b_only,
+       union_est, added_w_est, w_added_exact,
+       CASE WHEN w_added_exact > 0 THEN
+            ROUND((added_w_est - CAST(w_added_exact AS DOUBLE))
+                  / CAST(w_added_exact AS DOUBLE), 6)
+              + CAST(0 AS DOUBLE)
+       END AS rel_error
+FROM d, x
+"""
+
+
+@q("q202_kmv_weighted_volume", sql=_q202_sql())
+def q202(spark, sf):
+    from rainforest_spark.operators.sketches import (
+        kmv_added_weight, kmv_sketch, kmv_sketch_weighted,
+    )
+    d = T(spark, sf, "documents")
+    toks = (d.select((F.col("doc_id") % 2).alias("half"),
+                     F.explode(TA.tokens("text")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    a = toks.where(F.col("half") == 0)
+    b = toks.where(F.col("half") == 1)
+    est = kmv_added_weight(kmv_sketch(a, "tok", None, 256),
+                           kmv_sketch_weighted(b, "tok", None, 256),
+                           256)
+    exact = (b.join(a.select("tok").distinct(), "tok", "anti")
+             .agg(F.count(F.lit(1)).cast("long")
+                  .alias("w_added_exact")))
+    out = est.crossJoin(exact)   # 1-row aggregates
+    rel = F.when(
+        F.col("w_added_exact") > 0,
+        F.round((F.col("added_w_est")
+                 - F.col("w_added_exact").cast("double"))
+                / F.col("w_added_exact").cast("double"), 6)
+        + F.lit(0.0))
+    return out.select("k", "n_union_topk", "n_b_only", "w_b_only",
+                      "union_est", "added_w_est", "w_added_exact",
+                      rel.alias("rel_error"))

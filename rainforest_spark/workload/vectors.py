@@ -584,3 +584,134 @@ ORDER BY c.i, c.j
 def q191(spark, sf):
     e = T(spark, sf, "embeddings")
     return SIM.embedding_covariance(e, "embedding", 64)
+
+
+# ---------------------------------------------------------------- q203
+# ANN recall calibration — the q192 treatment for the IVF family
+# (operators/similarity.ivf_topk_fixed vs cosine_topk): per probe
+# budget (nprobe ∈ 1,2,4,8), recall@5 of the fixed-codebook IVF
+# against the EXACT brute-force cosine top-5 over the same 20-query
+# sample — so a user choosing nprobe reads measured recall, not a
+# guess.  Hit counts are exact integers (both rankings are the
+# hash-proven q57/q50 shapes: 6dp-rounded sims, neighbor-id
+# tie-breaks, single-list assignment); the only new double is the
+# final recall division, rounded 6dp.
+_Q203_CENTROIDS = [30, 95, 160, 225, 290, 355, 420, 485]
+_Q203_NPROBES = [1, 2, 4, 8]
+_Q203_K = 5
+
+
+def _q203_sql() -> str:
+    cent = ",".join(f"({i}, {cid})"
+                    for i, cid in enumerate(_Q203_CENTROIDS))
+    probes = ", ".join(str(p) for p in _Q203_NPROBES)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS aa
+  FROM embeddings),
+cmap(list_id, cid) AS (VALUES {cent}),
+cdf AS (
+  SELECT c.list_id, v.v AS cv, v.aa AS cc
+  FROM cmap c JOIN v ON v.vec_id = c.cid),
+assigned AS (
+  SELECT vec_id, v, aa, list_id FROM (
+    SELECT v.vec_id, v.v, v.aa, cdf.list_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY ROUND(v.aa - 2*list_dot_product(v.v, cdf.cv)
+                            + cdf.cc, 6),
+                      cdf.list_id) AS rn
+    FROM v, cdf) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, aa AS qaa
+      FROM assigned WHERE vec_id < 20),
+probes AS (
+  SELECT query_id, list_id, pr FROM (
+    SELECT q.query_id, cdf.list_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY ROUND(q.qaa - 2*list_dot_product(q.qv, cdf.cv)
+                            + cdf.cc, 6),
+                      cdf.list_id) AS pr
+    FROM q, cdf)),
+pairs AS (
+  SELECT q.query_id, probes.pr, t.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, t.v)
+               / (sqrt(q.qaa) * sqrt(t.aa)), 6) AS sim
+  FROM q JOIN probes USING (query_id)
+  JOIN assigned t ON t.list_id = probes.list_id
+  WHERE t.vec_id != q.query_id),
+np AS (SELECT CAST(UNNEST([{probes}]) AS BIGINT) AS nprobe),
+ranked AS (
+  SELECT np.nprobe, p2.query_id, p2.neighbor_id,
+         row_number() OVER (PARTITION BY np.nprobe, p2.query_id
+                            ORDER BY p2.sim DESC, p2.neighbor_id)
+             AS rnk
+  FROM np JOIN pairs p2 ON p2.pr <= np.nprobe),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q2.query_id, t.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q2.query_id
+             ORDER BY ROUND(list_dot_product(q2.v, t.v)
+                            / (sqrt(q2.aa) * sqrt(t.aa)), 6) DESC,
+                      t.vec_id) AS rnk
+    FROM (SELECT vec_id AS query_id, v, aa FROM v
+          WHERE vec_id < 20) q2, v t
+    WHERE t.vec_id != q2.query_id) WHERE rnk <= {_Q203_K}),
+den AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs FROM ex),
+hits AS (
+  SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM ranked r
+  WHERE rnk <= {_Q203_K}
+    AND EXISTS (SELECT 1 FROM ex
+                WHERE ex.query_id = r.query_id
+                  AND ex.neighbor_id = r.neighbor_id)
+  GROUP BY nprobe)
+SELECT np.nprobe, CAST({_Q203_K} AS BIGINT) AS k, den.n_exact_pairs,
+       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       CASE WHEN den.n_exact_pairs > 0 THEN
+            ROUND(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE)
+                  / CAST(den.n_exact_pairs AS DOUBLE), 6)
+       END AS recall
+FROM np LEFT JOIN hits ON hits.nprobe = np.nprobe, den
+"""
+
+
+@q("q203_ann_recall", sql=_q203_sql())
+def q203(spark, sf):
+    from rainforest_spark.operators.similarity import (
+        cosine_topk, ivf_topk_fixed,
+    )
+    e = T(spark, sf, "embeddings")
+    pred = F.col("vec_id") < 20
+    exact = (cosine_topk(e, "vec_id", "embedding", pred, k=_Q203_K)
+             .select("query_id", "neighbor_id")
+             .localCheckpoint(eager=False))   # feeds 4 probes + den
+    runs = None
+    for p in _Q203_NPROBES:
+        r = (ivf_topk_fixed(e, "vec_id", "embedding", pred,
+                            centroid_ids=_Q203_CENTROIDS, k=_Q203_K,
+                            nprobe=p)
+             .select(F.lit(int(p)).cast("long").alias("nprobe"),
+                     "query_id", "neighbor_id"))
+        runs = r if runs is None else runs.unionByName(r)
+    hits = (runs.join(F.broadcast(exact),
+                      ["query_id", "neighbor_id"], "semi")
+            .groupBy("nprobe")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    den = exact.agg(F.count(F.lit(1)).cast("long")
+                    .alias("n_exact_pairs"))
+    dim = (e.sparkSession.range(1)
+           .select(F.explode(F.array(
+               *[F.lit(int(p)).cast("long")
+                 for p in _Q203_NPROBES])).alias("nprobe")))
+    out = (dim.join(hits, "nprobe", "left").crossJoin(den)
+           .withColumn("n_hits",
+                       F.coalesce(F.col("n_hits"), F.lit(0))
+                       .cast("long")))
+    recall = F.when(
+        F.col("n_exact_pairs") > 0,
+        F.round(F.col("n_hits").cast("double")
+                / F.col("n_exact_pairs").cast("double"), 6))
+    return out.select("nprobe", F.lit(_Q203_K).cast("long").alias("k"),
+                      "n_exact_pairs", "n_hits",
+                      recall.alias("recall"))

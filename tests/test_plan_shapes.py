@@ -375,6 +375,17 @@ _CROSS_JOIN_WHITELIST = {
     # dim — S sources); the tagged hash joins broadcast it
     # (operators/sketches.py kmv_overlap_matrix)
     "q200_kmv_overlap_matrix",
+    # q201/q202: the KMV difference / weighted-volume reports
+    # cross-join their 1-row aggregates (sketch counts, exact
+    # anti-join count) into one output row; the membership probes
+    # broadcast ≤k-row sketch dims (operators/sketches.py
+    # kmv_difference, kmv_added_weight)
+    "q201_kmv_added_vocab", "q202_kmv_weighted_volume",
+    # q203: rides the q57 IVF machinery (8-row codebook broadcast
+    # nested-loop) plus the q50 broadcast-cosine exact side; the
+    # recall rollup cross-joins the 1-row denominator onto the 4-row
+    # nprobe dim — every non-equi side bounded by construction
+    "q203_ann_recall",
 }
 
 

@@ -454,3 +454,163 @@ def test_kmv_overlap_matrix_matches_pairwise_jaccard(spark):
         r = kmv_jaccard(a, b, 64).collect()[0]
         assert got[(ga, gb)] == (r["n_union_topk"], r["n_both"],
                                  r["jaccard"]), (ga, gb)
+
+
+# ------------------------------------ KMV set difference + weighted
+
+def test_kmv_difference_known_sets(spark):
+    from rainforest_spark.operators.sketches import (
+        kmv_difference, kmv_sketch,
+    )
+    # |A|=6000, |B|=6000, |B\A|=4000, |A∪B|=10000
+    a = _vals(spark, 0, 6000)
+    b = _vals(spark, 4000, 10000)
+    out = kmv_difference(kmv_sketch(a, "v", None, 256),
+                         kmv_sketch(b, "v", None, 256), 256).collect()[0]
+    assert out["n_union_topk"] == 256
+    assert (out["n_both"] + out["n_a_only"] + out["n_b_only"]
+            == out["n_union_topk"])
+    assert abs(out["union_est"] - 10000) / 10000 < 0.32     # 5 sigma
+    assert abs(out["added_est"] - 4000) / 4000 < 0.45
+    assert abs(out["novelty_rate"] - 0.4) < 0.2
+
+
+def test_kmv_difference_exact_when_unfilled(spark):
+    from rainforest_spark.operators.sketches import (
+        kmv_difference, kmv_sketch,
+    )
+    # both sketches unfilled -> complete hash sets -> EXACT answers
+    a = _vals(spark, 0, 50)
+    b = _vals(spark, 30, 80)                    # B\A = [50, 80) = 30
+    out = kmv_difference(kmv_sketch(a, "v", None, 256),
+                         kmv_sketch(b, "v", None, 256), 256).collect()[0]
+    assert out["n_union_topk"] == 80
+    assert out["n_both"] == 20
+    assert out["n_a_only"] == 30
+    assert out["n_b_only"] == 30
+    assert out["union_est"] == 80.0
+    assert out["added_est"] == 30.0
+
+
+def test_kmv_weighted_merge_equals_whole_and_weights_exact(spark):
+    from rainforest_spark.operators.sketches import (
+        kmv_merge_weighted, kmv_sketch_weighted,
+    )
+    # value v{i % 400} appears with known multiplicity; split rows in
+    # two disjoint halves -> merge(sketch(x), sketch(y)) == sketch(all)
+    df = spark.range(0, 8000).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id") % 400).alias("v"))
+    x = df.where(F.col("id") % 2 == 0)
+    y = df.where(F.col("id") % 2 == 1)
+    merged = kmv_merge_weighted(
+        kmv_sketch_weighted(x, "v", None, 64),
+        kmv_sketch_weighted(y, "v", None, 64), None, 64)
+    whole = kmv_sketch_weighted(df, "v", None, 64)
+    assert sorted((r["h"], r["w"]) for r in merged.collect()) \
+        == sorted((r["h"], r["w"]) for r in whole.collect())
+    # every kept value's weight is its exact multiplicity (8000/400)
+    assert all(r["w"] == 20 for r in whole.collect())
+
+
+def test_kmv_weighted_estimate_exact_when_unfilled(spark):
+    from rainforest_spark.operators.sketches import (
+        kmv_sketch_weighted, kmv_weighted_estimate,
+    )
+    df = spark.range(0, 900).select(
+        F.concat(F.lit("v"), F.col("id") % 30).alias("v"))
+    out = kmv_weighted_estimate(
+        kmv_sketch_weighted(df, "v", None, 256), None, 256).collect()[0]
+    assert out["n_hashes"] == 30
+    assert out["w_sketch"] == 900
+    assert out["d_est"] == 30.0
+    assert out["w_est"] == 900.0                # exact total rows
+
+
+def test_kmv_weighted_estimate_accuracy_when_filled(spark):
+    from rainforest_spark.operators.sketches import (
+        kmv_sketch_weighted, kmv_weighted_estimate,
+    )
+    # 6000 distinct values, multiplicity 3 each -> total weight 18000
+    df = spark.range(0, 18000).select(
+        F.concat(F.lit("v"), F.col("id") % 6000).alias("v"))
+    out = kmv_weighted_estimate(
+        kmv_sketch_weighted(df, "v", None, 256), None, 256).collect()[0]
+    assert out["n_hashes"] == 256
+    assert out["w_sketch"] == 256 * 3           # exact per-value counts
+    assert abs(out["w_est"] - 18000) / 18000 < 0.32
+
+
+def test_kmv_added_weight_exact_and_estimated(spark):
+    from rainforest_spark.operators.sketches import (
+        kmv_added_weight, kmv_sketch, kmv_sketch_weighted,
+    )
+    # unfilled: A = user-0..39, B = user-20..49 x multiplicity 5;
+    # B\A = user-40..49 = 10 values -> added weight EXACTLY 50
+    a = _vals(spark, 0, 40)
+    b = spark.range(0, 150).select(
+        F.concat(F.lit("user-"), F.lit(20) + F.col("id") % 30)
+        .alias("v"))
+    out = kmv_added_weight(
+        kmv_sketch(a, "v", None, 256),
+        kmv_sketch_weighted(b, "v", None, 256), 256).collect()[0]
+    assert out["n_b_only"] == 10
+    assert out["w_b_only"] == 50
+    assert out["added_w_est"] == 50.0
+    # filled: |A|=6000, B = [4000, 10000) x multiplicity 2
+    #   -> true added weight = 4000 * 2 = 8000
+    a2 = _vals(spark, 0, 6000)
+    b2 = spark.range(0, 12000).select(
+        F.concat(F.lit("user-"), F.lit(4000) + F.col("id") % 6000)
+        .alias("v"))
+    out2 = kmv_added_weight(
+        kmv_sketch(a2, "v", None, 256),
+        kmv_sketch_weighted(b2, "v", None, 256), 256).collect()[0]
+    assert out2["n_union_topk"] == 256
+    assert abs(out2["added_w_est"] - 8000) / 8000 < 0.45
+
+
+def test_kmv_sketch_keeps_null_group_like_spark_groupby(spark):
+    """Spark groupBy keeps a NULL-key group; the sketch must too (the
+    pandas-groupby dropna fix) — plain and weighted variants."""
+    from rainforest_spark.operators.sketches import (
+        kmv_estimate, kmv_sketch, kmv_sketch_weighted,
+    )
+    df = spark.range(0, 200).select(
+        F.when(F.col("id") % 4 == 0, None).otherwise(
+            F.concat(F.lit("g"), F.col("id") % 2)).alias("g"),
+        F.concat(F.lit("v"), F.col("id") % 37).alias("v"))
+    est = {r["g"]: r["estimate"]
+           for r in kmv_estimate(kmv_sketch(df, "v", ["g"], 64),
+                                 ["g"], 64).collect()}
+    exact = {r["g"]: r["n"]
+             for r in df.groupBy("g")
+             .agg(F.count_distinct("v").alias("n")).collect()}
+    assert set(est) == set(exact) and None in est
+    assert est[None] == float(exact[None])      # unfilled -> exact
+    wsk = kmv_sketch_weighted(df, "v", ["g"], 64)
+    wtot = {r["g"]: r["w"] for r in
+            wsk.groupBy("g").agg(F.sum("w").alias("w")).collect()}
+    assert wtot[None] == 50                     # every 4th of 200 rows
+
+
+def test_kmv_overlap_matrix_adds_matches_kmv_difference(spark):
+    """The matrix's n_a_only/n_b_only/union_est/adds_est equal
+    kmv_difference on the two groups' own sketches."""
+    from rainforest_spark.operators.sketches import (
+        kmv_difference, kmv_overlap_matrix, kmv_sketch,
+    )
+    df = spark.range(0, 9000).select(
+        F.concat(F.lit("s"), F.col("id") % 3).alias("g"),
+        F.concat(F.lit("v"), (F.col("id") * 7) % 2500).alias("v"))
+    sk = kmv_sketch(df, "v", ["g"], 64)
+    got = {(r["ga"], r["gb"]): r for r in
+           kmv_overlap_matrix(sk, "g", 64).collect()}
+    for ga, gb in got:
+        a = sk.where(F.col("g") == ga).select("h")
+        b = sk.where(F.col("g") == gb).select("h")
+        d = kmv_difference(a, b, 64).collect()[0]
+        m = got[(ga, gb)]
+        assert (m["n_a_only"], m["n_b_only"], m["union_est"],
+                m["adds_est"]) == (d["n_a_only"], d["n_b_only"],
+                                   d["union_est"], d["added_est"]), \
+            (ga, gb)

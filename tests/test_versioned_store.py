@@ -475,3 +475,23 @@ def test_incremental_sink_stream_equals_batch(spark, tmp_path):
     got3 = {r["k"]: (r["n"], float(r["sum_v"])) for r in
             read_agg(spark, store).collect()}
     assert got3["a"] == (3, 14.0)
+
+
+def test_replayed_committed_batch_direct_call_is_noop(spark, tmp_path):
+    """Replay safety by construction (r9 ADVICE): a DIRECT
+    incremental_agg call with a stream_tag whose batch_id is already
+    in the committed log must no-op WITHOUT needing a concurrent race
+    to surface it — the guard lives in the function that owns the
+    tag, not only in the sinks' pre-checks."""
+    store = str(tmp_path / "agg")
+    tag = {"query": "q", "batch_id": 3}
+    v1 = incremental_agg(spark, store, _df(spark, [("a", 1), ("b", 2)]),
+                         ["k"], SPEC, stream_tag=tag)
+    # replayed delivery of the SAME tagged batch: no new version, no
+    # double fold
+    v2 = incremental_agg(spark, store, _df(spark, [("a", 1), ("b", 2)]),
+                         ["k"], SPEC, stream_tag=tag)
+    assert v2 == v1
+    got = {r["k"]: (r["n"], float(r["sum_v"])) for r in
+           read_agg(spark, store).collect()}
+    assert got == {"a": (1, 1.0), "b": (1, 2.0)}

@@ -119,6 +119,60 @@ _MODULES = [relational, text, vectors, extended]
 #: first; long-proven trivial entries are demoted past slot 50 (they
 #: remain fully covered by tests/test_oracle_parity.py).
 _PRIORITY = [
+    # =================== ROUND-10 GATE WINDOW (50) ==================
+    # Composition (VERDICT r9 "Next round" #1): the 8 queries with NO
+    # driver CORRECTNESS row ever — the round-9 sketch quartet
+    # (q197-q200, queued last round) plus the four round-10 additions
+    # (q201/q202 KMV difference + weighted volume, q203 ANN recall
+    # calibration, q204 sketch-backed latency bands) — first; then ALL
+    # 18 r5-vintage rows never re-checked since round 5; then 24 of
+    # the 50 r6-vintage rows (scan/filter/set-op primitives, the
+    # radar chain q61/q66/q67 + bucketed prepare, the similarity
+    # family q54_auto/q57/q77, packing/splits q75/q76, corpus gates
+    # q78-q81, scores q34, LSH q45, centroid q14).  The 26 remaining
+    # r6 rows (q82-q107 families) rotate in round 11; every
+    # out-of-window query stays exact-parity-gated via
+    # tests/test_oracle_parity.py and tests/test_gate_rotation.py
+    # forbids silent debt.  A green round makes the cross-round union
+    # 206/206 — every query ever registered driver-verified — with no
+    # row older than r6.
+    #
+    # --- never driver-checked (8) ---
+    "q197_quantile_sketch", "q198_kmv_cardinality",
+    "q199_kmv_token_overlap", "q200_kmv_overlap_matrix",
+    "q201_kmv_added_vocab", "q202_kmv_weighted_volume",
+    "q203_ann_recall", "q204_latency_bands_sketch",
+    # --- stale re-checks: latest green row r5 (all 18 remaining) ---
+    "q19_hourly_complete", "q21_contingency",
+    "q36_local_supplier_revenue", "q38_left_join_nulls",
+    "q50_cosine_topk", "q51_centroid_classify",
+    "q55_bucketed_perfscores", "q56_polar_grid_sql", "q58_polar_masks",
+    "q59_simhash_neardup", "q60_rollup_subtotals",
+    "q65_status_noise_mask", "q69_tfidf_top_terms",
+    "q70_multimodal_resize", "q71_png_rgb_decode", "q72_jpeg_decode",
+    "q73_wav_decode", "q74_frame_sample",
+    # --- stale re-checks: latest green row r6 (24 of 50) ---
+    "q02_time_range_projection", "q03_sentinel_to_null",
+    "q04_threshold_clamp", "q05_dedup_distinct",
+    "q06_consistency_filter", "q08_segment_exclusion",
+    "q14_nearest_centroid", "q15_table_summary", "q28_set_ops",
+    "q34_scatter_score", "q45_minhash_lsh", "q53_prepare_input",
+    "q54_auto_embedding_neardup", "q57_ivf_ann_topk",
+    "q61_zphi_attenuation", "q66_qpe_evaluation",
+    "q67_hzt_fallback_chain", "q75_sequence_packing",
+    "q76_deterministic_split", "q77_quantized_cosine_topk",
+    "q78_document_chunking", "q79_quality_signals",
+    "q80_decontamination", "q81_domain_mixture",
+]
+
+#: Registered queries with no driver row yet that do NOT fit the
+#: current window — every entry here must be consumed by a future
+#: rotation (tests/test_gate_rotation.py enforces that a new query is
+#: either in-window, already driver-checked, or listed here).
+_QUEUED_FOR_ROTATION: list[str] = []
+
+#: The ROUND-9 window this one replaced, kept for the rotation record:
+_PRIORITY_R9 = [
     # =================== ROUND-9 GATE WINDOW (50) ===================
     # Composition: the 10 queries with NO driver CORRECTNESS row ever
     # (the round-8 sketch/calibration family — VERDICT r8 "Next round"
@@ -168,20 +222,7 @@ _PRIORITY = [
     "q63_minhash_verified_neardup", "q68_neardup_clusters",
 ]
 
-#: Registered queries with no driver row yet that do NOT fit the
-#: current window — every entry here must be consumed by a future
-#: rotation (tests/test_gate_rotation.py enforces that a new query is
-#: either in-window, already driver-checked, or listed here).
-_QUEUED_FOR_ROTATION: list[str] = [
-    # round-9 additions past the full window — exact-parity-gated via
-    # tests/test_oracle_parity.py and vanilla-probed; rotate next round
-    "q197_quantile_sketch",
-    "q198_kmv_cardinality",
-    "q199_kmv_token_overlap",
-    "q200_kmv_overlap_matrix",
-]
-
-#: The ROUND-8 window this one replaced, kept for the rotation record:
+#: The ROUND-8 window before that, kept for the rotation record:
 _PRIORITY_R8 = [
     # =================== ROUND-8 GATE WINDOW (50) ===================
     # Composition: the 30 queries with NO driver CORRECTNESS row ever

@@ -1,10 +1,19 @@
 #!/usr/bin/env python
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS].  Prints the full per-tier JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+followed by ONE COMPACT self-contained summary as the LAST stdout line
+(same contract fields + per-tier totals, worst-3 ratios vs baseline,
+streaming state rows, adjudication verdicts, rc — sized to survive the
+driver's tail capture, which truncated every BENCH_r*.json through r9).
 
 Each query is forced end-to-end with a noop sink (no driver collect), so
 the measured time is the distributed plan, not Arrow transfer.
+
+On a guard trip the run adjudicates itself (VERDICT r9 #6): it records
+the load average, settles, re-runs only the offenders best-of-N, folds
+the minima back, and emits a machine-readable ``adjudication`` block —
+rc=1 only when an offender reproduces after its canary.
 
 Residual "WindowExec: No Partition Defined" warnings in the tail are
 BENIGN — they come from windows over bounded tiny dims, never the fact
@@ -203,6 +212,14 @@ HEADLINE = [
     # skips unknown keys); same-run physics guards apply.
     "q193_readability",
     "q194_hll_cardinality",
+    # round-10: the sketch-backed route of the q177 dashboard rollup
+    # (same answer columns, bounded-bucket physical plan) benched next
+    # to the exact grouped ranked pass; q177 itself is above.  NOTE
+    # events.value is LOW-cardinality (~18k distincts), so the two
+    # routes are close here — the high-cardinality delta the sketch
+    # exists for is measured by the q197_*/q201_* extras.  No
+    # committed baseline yet (the guard skips unknown keys).
+    "q204_latency_bands_sketch",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle
@@ -349,6 +366,22 @@ SF10_HEADLINE = [
     # with the distinct-value count)
     "q197_sketch_quantiles",
     "q197_exact_quantiles",
+    # round-10: the KMV added-distinct pair (sketch difference vs the
+    # exact two-DISTINCT anti-join it replaces) and the latency-bands
+    # route pair (exact ranked pass vs bounded-bucket sketch) — both
+    # physical-route comparisons get their second/third decades from
+    # day one
+    "q201_sketch_added",
+    "q201_exact_added",
+    "q177_latency_bands",
+    "q204_latency_bands_sketch",
+    # round-10 (VERDICT r9 #5): streaming's third decade — the RT
+    # 10-min chain at 1200 frames (batch count held ~constant via
+    # maxFilesPerTrigger=40, so the decade measures rows/state per
+    # batch, not scheduler overhead) and the session rollup over the
+    # tier's events; state-store rows recorded in the bench summary
+    "s01_rt_tenmin",
+    "s04_session_rollup",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0
@@ -523,6 +556,36 @@ def _extra_queries():
         ).alias("v"))
         return gram_accumulate(v, "v", 256)
 
+    def q201_sketch(spark, sf_dir):
+        # the sketch route of "how many NEW distinct values does B
+        # add": two partial-min-k mapInPandas passes (NO raw-value
+        # shuffle) + a <=256-row broadcast report (r10 kmv_difference).
+        # High-cardinality x (the q197 lesson: events.value alone has
+        # ~18k distincts even at sf10 — it would never exercise what
+        # the sketch replaces).
+        from pyspark.sql import functions as F
+
+        from rainforest_spark.operators.sketches import (
+            kmv_difference, kmv_sketch,
+        )
+        ev = _quantile_facts(spark, sf_dir)
+        a = ev.where(F.col("user_id") % 2 == 0)
+        b = ev.where(F.col("user_id") % 2 == 1)
+        return kmv_difference(kmv_sketch(a, "x", None, 256),
+                              kmv_sketch(b, "x", None, 256), 256)
+
+    def q201_exact(spark, sf_dir):
+        # the exact route the sketch replaces: two full DISTINCTs +
+        # an anti join — its shuffle grows with the distinct count
+        from pyspark.sql import functions as F
+
+        ev = _quantile_facts(spark, sf_dir)
+        a = ev.where(F.col("user_id") % 2 == 0).select("x").distinct()
+        b = ev.where(F.col("user_id") % 2 == 1).select("x").distinct()
+        return (b.join(a, "x", "anti")
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_added_exact")))
+
     def q197_exact(spark, sf_dir):
         # the exact ranked pass the sketch replaces: distinct-value
         # groupBy + grouped ranged_cumsum + rank probe — its shuffle
@@ -541,13 +604,25 @@ def _extra_queries():
             "q171_auto_site": q171_auto,
             "q191_gram_d256": q191_gram,
             "q197_sketch_quantiles": q197_sketch,
-            "q197_exact_quantiles": q197_exact}
+            "q197_exact_quantiles": q197_exact,
+            "q201_sketch_added": q201_sketch,
+            "q201_exact_added": q201_exact}
 
 
 #: streaming fixture scale per tier dir basename (frames of synthetic
 #: 2-radar polar scans for the RT chain; events/documents come from
-#: the tier's own parquet).
-_RT_FRAMES = {"sf0.1": 12, "sf1": 120}
+#: the tier's own parquet).  sf10 = the THIRD measured decade
+#: (VERDICT r9 #5): 1200 frames with maxFilesPerTrigger scaled so the
+#: BATCH COUNT stays ~constant across tiers — each decade then
+#: measures 10x the rows/state per micro-batch, not 10x the
+#: micro-batch scheduling overhead (which is the s01 sf1 number's
+#: job; state-boundedness is about rows-per-key-in-state).
+_RT_FRAMES = {"sf0.1": 12, "sf1": 120, "sf10": 1200}
+_RT_TRIGGER_FILES = {"sf0.1": 4, "sf1": 4, "sf10": 40}
+#: per-(label:tier) state-store rows from the LAST progress event with
+#: stateOperators — the measured bounded-state evidence recorded in
+#: the bench summary next to wall time
+_STREAM_STATE: dict[str, dict] = {}
 _RT_SCHEMA = ("TIMESTAMP bigint, STATION string, RADAR string, "
               "SWEEP bigint, az_idx int, rng_idx int, ZH double, "
               "VISIB double")
@@ -578,10 +653,32 @@ def _streaming_queries():
     def _fresh():
         return tempfile.mkdtemp(prefix="bench_stream_")
 
-    def _finish(query, *dirs):
-        query.awaitTermination(600)
-        for d in dirs:
-            shutil.rmtree(d, ignore_errors=True)
+    def _finish(query, *dirs, label=None):
+        try:
+            ok = query.awaitTermination(600)
+            if not ok:   # r9 ADVICE: never record a truncated wall
+                query.stop()
+                raise RuntimeError(
+                    f"streaming bench entry {label or '?'} still "
+                    f"running after 600s — failing loudly instead of "
+                    f"recording a partial run as a timing")
+            if label:
+                prog = query.lastProgress or {}
+                ops = prog.get("stateOperators") or []
+                if not ops:
+                    for p in reversed(query.recentProgress or []):
+                        if p.get("stateOperators"):
+                            ops = p["stateOperators"]
+                            break
+                if ops:
+                    _STREAM_STATE[label] = {
+                        "state_rows": sum(
+                            int(o.get("numRowsTotal") or 0)
+                            for o in ops),
+                        "batches": int(prog.get("batchId", -1)) + 1}
+        finally:
+            for d in dirs:
+                shutil.rmtree(d, ignore_errors=True)
 
     def ensure_rt_frames(sf_dir: str) -> str:
         """One 5-min-spaced scan sequence per tier: 2 radars x 360 az
@@ -645,14 +742,38 @@ def _streaming_queries():
             ev = (_T(spark, sf_dir, "events")
                   .select("user_id", "event_type", "value",
                           F.col("ts").cast("timestamp").cast("long")
-                          .alias("ep"))
-                  .orderBy("ep").toPandas())
-            per = (len(ev) + 7) // 8
-            for f_i in range(8):
-                chunk = ev.iloc[f_i * per:(f_i + 1) * per]
-                if len(chunk):
-                    chunk.to_parquet(os.path.join(
-                        out, f"f{f_i}.parquet"), index=False)
+                          .alias("ep")))
+            if tier == "sf10":
+                # third-decade fixture: the tier's events never fit a
+                # driver toPandas — split into 8 time-ordered files
+                # EXECUTOR-side (approx epoch octile bounds, one
+                # single-file write per range, ascending mtimes)
+                bounds = ev.agg(F.percentile_approx(
+                    "ep", [i / 8.0 for i in range(1, 8)], 10000)
+                    .alias("b")).collect()[0]["b"]
+                edges = [None, *bounds, None]
+                for f_i in range(8):
+                    lo, hi = edges[f_i], edges[f_i + 1]
+                    c = ev
+                    if lo is not None:
+                        c = c.where(F.col("ep") >= int(lo))
+                    if hi is not None:
+                        c = c.where(F.col("ep") < int(hi))
+                    tmp = os.path.join(out, f"_tmp{f_i}")
+                    c.coalesce(1).write.mode("overwrite").parquet(tmp)
+                    part = [p for p in os.listdir(tmp)
+                            if p.endswith(".parquet")][0]
+                    os.replace(os.path.join(tmp, part),
+                               os.path.join(out, f"f{f_i}.parquet"))
+                    shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                pdf = ev.orderBy("ep").toPandas()
+                per = (len(pdf) + 7) // 8
+                for f_i in range(8):
+                    chunk = pdf.iloc[f_i * per:(f_i + 1) * per]
+                    if len(chunk):
+                        chunk.to_parquet(os.path.join(
+                            out, f"f{f_i}.parquet"), index=False)
             open(marker, "w").close()
         _STREAM_FIXED[key] = out
         return out
@@ -690,15 +811,17 @@ def _streaming_queries():
         # the RT post-processing chain's windowed heart: 10-min
         # tumbling agg with watermark over 5-min scan frames (T1-T3)
         from rainforest_spark.streaming.rt import ten_minute_aggregate
+        tier = os.path.basename(sf_dir.rstrip("/"))
         src = ensure_rt_frames(sf_dir)
         sink, ckpt = _fresh(), _fresh()
         stream = (spark.readStream.schema(_RT_SCHEMA)
-                  .option("maxFilesPerTrigger", 4).parquet(src))
+                  .option("maxFilesPerTrigger",
+                          _RT_TRIGGER_FILES.get(tier, 4)).parquet(src))
         q = (ten_minute_aggregate(stream, ["ZH"])
              .writeStream.outputMode("append").format("parquet")
              .option("path", sink).option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        _finish(q, sink, ckpt)
+        _finish(q, sink, ckpt, label=f"s01:{tier}")
 
     def s02_curation_gate(spark, sf_dir):
         # the corpus ingest gate: quality filter -> PII scrub ->
@@ -718,7 +841,8 @@ def _streaming_queries():
              .writeStream.outputMode("append").format("parquet")
              .option("path", sink).option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        _finish(q, sink, ckpt)
+        tier = os.path.basename(sf_dir.rstrip("/"))
+        _finish(q, sink, ckpt, label=f"s02:{tier}")
 
     def s03_hll_sink(spark, sf_dir):
         # the exactly-once sketch sink: per-batch HLL registers folded
@@ -735,7 +859,8 @@ def _streaming_queries():
         q = (stream.writeStream.foreachBatch(sink)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        _finish(q, store, ckpt)
+        tier = os.path.basename(sf_dir.rstrip("/"))
+        _finish(q, store, ckpt, label=f"s03:{tier}")
 
     def s04_session_rollup(spark, sf_dir):
         # session-window state at user cardinality: the r9 streaming
@@ -753,7 +878,8 @@ def _streaming_queries():
              .writeStream.outputMode("append").format("parquet")
              .option("path", sink).option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        _finish(q, sink, ckpt)
+        tier = os.path.basename(sf_dir.rstrip("/"))
+        _finish(q, sink, ckpt, label=f"s04:{tier}")
 
     return {"s01_rt_tenmin": s01_rt_tenmin,
             "s02_curation_gate": s02_curation_gate,
@@ -854,52 +980,48 @@ def main() -> None:
         if ensure_tier(spark, SF_DIR, SF10_DIR, factor=100):
             print(f"generated sf10 tier -> {SF10_DIR}", file=sys.stderr)
         sf10_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SF10_REPS", "2"))
-        sf10_times = {name: best_of(qs[name], SF10_DIR, sf10_reps)
-                      for name in SF10_HEADLINE}
+        # streaming third-decade entries run ONE fresh-checkpoint rep
+        # by default: each is a full multi-minute availableNow run and
+        # the adjudication canary re-measures on any guard trip anyway
+        sf10_stream_reps = int(os.environ.get(
+            "SPARK_GRAFT_BENCH_SF10_STREAM_REPS", "1"))
+        sf10_times = {name: best_of(
+            qs[name], SF10_DIR,
+            sf10_stream_reps if name in stream_extra else sf10_reps)
+            for name in SF10_HEADLINE}
 
-    # ---- stall-resilient re-measure -----------------------------------
+    # ---- guards + mechanized adjudication -----------------------------
     # This VM exhibits multi-second host stalls that can span BOTH reps
     # of one query (measured: q62@sf1 8.86 s in a full run vs a 1.3 s
     # idle floor minutes later; q54 exhibit 19.9-60.9 s same-code).
-    # Before a guard declares failure, any would-fail query gets TWO
-    # fresh reps and keeps the min — a real regression reproduces, a
-    # stall does not.  This encodes the round's adjudication protocol
-    # (canary before believing a trip) into the instrument itself;
-    # thresholds are untouched.
+    # The round-9 protocol (canary before believing a trip) ran
+    # correctly but MANUALLY twice; it now lives in the instrument
+    # (VERDICT r9 #6): on any guard trip, bench.py records the load
+    # average, settles, re-runs only the offenders best-of-N, and
+    # emits a machine-readable adjudication block — so a future rc=1
+    # carries its own evidence.  Thresholds are untouched; a real
+    # regression reproduces in the canary, a stall does not.
+    adjudication: list[dict] = []
+    failures: list[dict] = []
     if os.environ.get("SPARK_GRAFT_BENCH_REBASELINE") != "1":
         base = _load_baseline()
+        if sf != "0.1":   # baseline is defined at sf0.1 only
+            base = {k: v for k, v in base.items() if k != "sf0.1"}
 
-        def would_fail(td, bd, ratio, floor, exempt=frozenset()):
-            return [n for n, t in td.items()
-                    if n in bd and n not in exempt
-                    and t > ratio * bd[n] and t > bd[n] + floor]
+        def _rerun(tier, name):
+            tdir = {"sf0.1": SF_DIR, "sf1": SF1_DIR,
+                    "sf10": SF10_DIR}[tier]
+            canary_reps = 1 if name in stream_extra else int(
+                os.environ.get("SPARK_GRAFT_BENCH_CANARY_REPS", "3"))
+            t2 = best_of(qs[name], tdir, canary_reps)
+            print(f"adjudication canary {name} {tier}: -> {t2}",
+                  file=sys.stderr)
+            return t2
 
-        if sf == "0.1" and base.get("sf0.1"):
-            for n in would_fail(times, base["sf0.1"],
-                                PER_QUERY_RATIO, PER_QUERY_FLOOR):
-                t2 = best_of(qs[n], SF_DIR, 2)
-                print(f"re-measured {n} sf0.1: {times[n]} -> "
-                      f"min({times[n]}, {t2})", file=sys.stderr)
-                times[n] = min(times[n], t2)
-        for td, tdir, key, pratio, pfloor in (
-                (sf1_times, SF1_DIR, "sf1",
-                 SF1_LINEAR_RATIO, SF1_LINEAR_FLOOR),
-                (sf10_times, SF10_DIR, "sf10",
-                 SF10_LINEAR_RATIO, SF10_LINEAR_FLOOR)):
-            if not td:
-                continue
-            offenders = set(would_fail(td, base.get(key, {}),
-                                       SF1_PER_QUERY_RATIO,
-                                       SF1_PER_QUERY_FLOOR,
-                                       TIER_GUARD_EXEMPT))
-            offenders |= {n for n, t1 in td.items()
-                          if n in times
-                          and t1 > pratio * times[n] + pfloor}
-            for n in sorted(offenders):
-                t2 = best_of(qs[n], tdir, 2)
-                print(f"re-measured {n} {key}: {td[n]} -> "
-                      f"min({td[n]}, {t2})", file=sys.stderr)
-                td[n] = min(td[n], t2)
+        adjudication, failures = adjudicate(
+            times, sf1_times, sf10_times, base, _rerun,
+            settle=float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE",
+                                        "10")))
     total = round(sum(times.values()), 3)
 
     out = {
@@ -915,6 +1037,8 @@ def main() -> None:
     if sf10_times:
         out["sf10"] = {"queries": sf10_times,
                        "value": round(sum(sf10_times.values()), 3)}
+    if adjudication:
+        out["adjudication"] = adjudication
     print(json.dumps(out))
 
     if os.environ.get("SPARK_GRAFT_BENCH_REBASELINE") == "1":
@@ -934,61 +1058,203 @@ def main() -> None:
         json.dump(new_base, open(BASELINE_PATH, "w"), indent=1)
         print(f"re-baselined {len(times)} queries -> {BASELINE_PATH}",
               file=sys.stderr)
+        print(json.dumps(_summary_line(times, sf1_times, sf10_times,
+                                       {}, sf, 0, [], [])))
         return
 
-    # ---- guards -------------------------------------------------------
-    failures = []
+    rc = 1 if failures else 0
+    for f_ in failures:
+        print(f_["msg"], file=sys.stderr)
+    # the compact self-contained record is the LAST stdout line: the
+    # driver tail-captures bench output and the full per-tier JSON
+    # above can exceed the capture (every BENCH_r*.json through r9 had
+    # "parsed": null and r9 lost its sf0.1 numbers entirely) — this
+    # line carries the contract fields + per-tier totals + worst-3
+    # ratios + stream state + adjudication verdicts in ~4 KB
+    print(json.dumps(_summary_line(times, sf1_times, sf10_times,
+                                   base, sf, rc, adjudication,
+                                   failures)))
+    if rc:
+        sys.exit(rc)
 
-    # physics guard: each scale tier must stay within 2x-linear of the
-    # SAME-RUN sf0.1 time.  Not rebaselineable by design.
+
+def evaluate_guards(times: dict, sf1_times: dict, sf10_times: dict,
+                    base: dict) -> list[dict]:
+    """All guard trips as structured failures.  Kinds:
+
+    - ``physics``: a scale tier exceeded 2x-linear of the SAME-RUN
+      sf0.1 time (not rebaselineable by design);
+    - ``regression``: a query exceeded ratio+floor vs its committed
+      per-tier baseline;
+    - ``uniform_drift``: the sf0.1 common-query total exceeded
+      TOTAL_RATIO x the baseline total (carries ``worst`` — the
+      highest-ratio queries — for the canary to re-run).
+    """
+    failures: list[dict] = []
     for tier, tier_times, ratio, floor, mult in (
-            ("SF1", sf1_times, SF1_LINEAR_RATIO, SF1_LINEAR_FLOOR, "10x"),
-            ("SF10", sf10_times, SF10_LINEAR_RATIO, SF10_LINEAR_FLOOR,
+            ("sf1", sf1_times, SF1_LINEAR_RATIO, SF1_LINEAR_FLOOR,
+             "10x"),
+            ("sf10", sf10_times, SF10_LINEAR_RATIO, SF10_LINEAR_FLOOR,
              "100x")):
         for name, t1 in tier_times.items():
             if name not in times:
                 continue  # tier-only operator variant, no counterpart
             limit = ratio * times[name] + floor
             if t1 > limit:
-                failures.append(
-                    f"{tier} SUPERLINEAR: {name} {t1:.2f}s at {mult} data "
-                    f"> {ratio:.0f}x linear of same-run sf0.1 "
-                    f"{times[name]:.2f}s (+{floor}s)")
-
-    # regression guards vs the committed baseline
-    base = _load_baseline()
-    if sf == "0.1" and base.get("sf0.1"):
-        b01 = base["sf0.1"]
-        bad = {n: (t, b01[n]) for n, t in times.items()
-               if n in b01 and t > PER_QUERY_RATIO * b01[n]
-               and t > b01[n] + PER_QUERY_FLOOR}
-        if bad:
-            failures.append(f"BENCH REGRESSION (>{PER_QUERY_RATIO}x + "
-                            f"{PER_QUERY_FLOOR}s vs baseline): {bad}")
+                failures.append({
+                    "kind": "physics", "tier": tier, "name": name,
+                    "sec": t1, "limit": round(limit, 3),
+                    "baseline": times[name],
+                    "msg": (f"{tier.upper()} SUPERLINEAR: {name} "
+                            f"{t1:.2f}s at {mult} data > {ratio:.0f}x "
+                            f"linear of same-run sf0.1 "
+                            f"{times[name]:.2f}s (+{floor}s)")})
+    b01 = base.get("sf0.1") or {}
+    if b01:
+        for n, t in times.items():
+            if (n in b01 and t > PER_QUERY_RATIO * b01[n]
+                    and t > b01[n] + PER_QUERY_FLOOR):
+                failures.append({
+                    "kind": "regression", "tier": "sf0.1", "name": n,
+                    "sec": t, "baseline": b01[n],
+                    "limit": round(max(PER_QUERY_RATIO * b01[n],
+                                       b01[n] + PER_QUERY_FLOOR), 3),
+                    "msg": (f"BENCH REGRESSION (>{PER_QUERY_RATIO}x + "
+                            f"{PER_QUERY_FLOOR}s vs baseline): "
+                            f"{n} {t} vs {b01[n]}")})
         common = [n for n in times if n in b01]
-        t_sum, b_sum = (sum(times[n] for n in common),
-                        sum(b01[n] for n in common))
+        t_sum = sum(times[n] for n in common)
+        b_sum = sum(b01[n] for n in common)
         if common and t_sum > TOTAL_RATIO * b_sum:
-            failures.append(
-                f"BENCH REGRESSION (uniform drift): common-query total "
-                f"{t_sum:.2f}s > {TOTAL_RATIO}x baseline {b_sum:.2f}s")
+            worst = sorted(common,
+                           key=lambda n: (times[n] / b01[n]
+                                          if b01[n] > 0 else 0),
+                           reverse=True)[:5]
+            failures.append({
+                "kind": "uniform_drift", "tier": "sf0.1", "name": None,
+                "sec": round(t_sum, 3), "baseline": round(b_sum, 3),
+                "limit": round(TOTAL_RATIO * b_sum, 3), "worst": worst,
+                "msg": (f"BENCH REGRESSION (uniform drift): "
+                        f"common-query total {t_sum:.2f}s > "
+                        f"{TOTAL_RATIO}x baseline {b_sum:.2f}s")})
     for tier, tier_times in (("sf1", sf1_times), ("sf10", sf10_times)):
-        if not (tier_times and base.get(tier)):
+        bt = base.get(tier) or {}
+        if not (tier_times and bt):
             continue
-        b1 = base[tier]
-        bad = {n: (t, b1[n]) for n, t in tier_times.items()
-               if n in b1 and n not in TIER_GUARD_EXEMPT
-               and t > SF1_PER_QUERY_RATIO * b1[n]
-               and t > b1[n] + SF1_PER_QUERY_FLOOR}
-        if bad:
-            failures.append(f"{tier.upper()} REGRESSION "
+        for n, t in tier_times.items():
+            if (n in bt and n not in TIER_GUARD_EXEMPT
+                    and t > SF1_PER_QUERY_RATIO * bt[n]
+                    and t > bt[n] + SF1_PER_QUERY_FLOOR):
+                failures.append({
+                    "kind": "regression", "tier": tier, "name": n,
+                    "sec": t, "baseline": bt[n],
+                    "limit": round(max(SF1_PER_QUERY_RATIO * bt[n],
+                                       bt[n] + SF1_PER_QUERY_FLOOR),
+                                   3),
+                    "msg": (f"{tier.upper()} REGRESSION "
                             f"(>{SF1_PER_QUERY_RATIO}x + "
-                            f"{SF1_PER_QUERY_FLOOR}s vs baseline): {bad}")
+                            f"{SF1_PER_QUERY_FLOOR}s vs baseline): "
+                            f"{n} {t} vs {bt[n]}")})
+    return failures
 
+
+def adjudicate(times: dict, sf1_times: dict, sf10_times: dict,
+               base: dict, rerun, sleep=time.sleep, loadavg=None,
+               settle: float = 10.0):
+    """The rc=1 canary protocol, mechanized: evaluate the guards; on
+    any trip, record the load average, settle, re-run ONLY the
+    offenders (``rerun(tier, name) -> sec``; uniform drift re-runs its
+    worst-ratio queries), fold the minima back into the tier dicts,
+    re-evaluate, and return ``(adjudication, remaining_failures)``.
+    Each adjudication entry carries the evidence the round-9 manual
+    protocol wrote in prose: tripped time, canary floor, the limit it
+    tripped, the load average at trip time, and the verdict —
+    ``regression`` (still failing after the canary) or
+    ``environmental`` (the canary cleared it).  MUTATES the tier
+    dicts (keeps min of original and canary, like a stalled rep)."""
+    tiers = {"sf0.1": times, "sf1": sf1_times, "sf10": sf10_times}
+    failures = evaluate_guards(times, sf1_times, sf10_times, base)
+    if not failures:
+        return [], []
+    try:
+        la = [round(x, 2) for x in (loadavg or os.getloadavg)()]
+    except OSError:   # platform without getloadavg
+        la = None
+    offenders: list[tuple[str, str, dict]] = []
+    seen: set = set()
+    for f in failures:
+        names = [f["name"]] if f["name"] else f.get("worst", [])
+        for n in names:
+            if (f["tier"], n) not in seen:
+                seen.add((f["tier"], n))
+                offenders.append((f["tier"], n, f))
+    sleep(settle)
+    adjudication = []
+    for tier, name, f in offenders:
+        tripped = tiers[tier][name]
+        canary = rerun(tier, name)
+        tiers[tier][name] = min(tripped, canary)
+        adjudication.append({
+            "query": name, "tier": tier, "kind": f["kind"],
+            "tripped_sec": tripped, "canary_sec": canary,
+            "baseline_sec": f.get("baseline"),
+            "limit_sec": f.get("limit"),
+            "loadavg_at_trip": la})
+    remaining = evaluate_guards(times, sf1_times, sf10_times, base)
+    still = {(f["tier"], f["name"]) for f in remaining if f["name"]}
+    drift_still = {f["tier"] for f in remaining
+                   if f["kind"] == "uniform_drift"}
+    for a in adjudication:
+        if (a["tier"], a["query"]) in still or (
+                a["kind"] == "uniform_drift"
+                and a["tier"] in drift_still):
+            a["verdict"] = "regression"
+        else:
+            a["verdict"] = "environmental"
+    return adjudication, remaining
+
+
+def _summary_line(times: dict, sf1_times: dict, sf10_times: dict,
+                  base: dict, sf: str, rc: int, adjudication: list,
+                  failures: list) -> dict:
+    """The compact LAST-line record (sized for a tail capture): the
+    bench contract fields + per-tier totals, worst-3 ratios vs the
+    committed baseline, streaming state rows, and adjudication
+    verdicts."""
+    def worst3(td, bd):
+        r = sorted(((round(t / bd[n], 3), n) for n, t in td.items()
+                    if n in bd and bd[n] > 0), reverse=True)
+        return [[n, ratio] for ratio, n in r[:3]]
+
+    tiers = {"sf0.1": {"total": round(sum(times.values()), 3),
+                       "n": len(times),
+                       "worst_vs_baseline": worst3(
+                           times, base.get("sf0.1") or {})}}
+    for key, td in (("sf1", sf1_times), ("sf10", sf10_times)):
+        if td:
+            tiers[key] = {"total": round(sum(td.values()), 3),
+                          "n": len(td),
+                          "worst_vs_baseline": worst3(
+                              td, base.get(key) or {})}
+    line = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rc": rc,
+        "queries": times,
+        "tiers": tiers,
+    }
+    if _STREAM_STATE:
+        line["stream_state"] = _STREAM_STATE
+    if adjudication:
+        line["adjudication"] = [
+            {k: a[k] for k in ("query", "tier", "kind", "tripped_sec",
+                               "canary_sec", "verdict")}
+            for a in adjudication]
     if failures:
-        for f_ in failures:
-            print(f_, file=sys.stderr)
-        sys.exit(1)
+        line["failures"] = [f["msg"] for f in failures]
+    return line
 
 
 if __name__ == "__main__":

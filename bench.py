@@ -1058,6 +1058,8 @@ def main() -> None:
         json.dump(new_base, open(BASELINE_PATH, "w"), indent=1)
         print(f"re-baselined {len(times)} queries -> {BASELINE_PATH}",
               file=sys.stderr)
+        spark.stop()
+        sys.stdout.flush()
         print(json.dumps(_summary_line(times, sf1_times, sf10_times,
                                        {}, sf, 0, [], [])))
         return
@@ -1070,7 +1072,12 @@ def main() -> None:
     # above can exceed the capture (every BENCH_r*.json through r9 had
     # "parsed": null and r9 lost its sf0.1 numbers entirely) — this
     # line carries the contract fields + per-tier totals + worst-3
-    # ratios + stream state + adjudication verdicts in ~4 KB
+    # ratios + stream state + adjudication verdicts in ~4 KB.  Stop
+    # the JVM first: its gc/log lines share fd 1 and a background GC
+    # warning mid-print would corrupt the one record that must parse
+    # (an sf10 run was observed emitting gc,alloc warnings to stdout).
+    spark.stop()
+    sys.stdout.flush()
     print(json.dumps(_summary_line(times, sf1_times, sf10_times,
                                    base, sf, rc, adjudication,
                                    failures)))
@@ -1194,12 +1201,21 @@ def adjudicate(times: dict, sf1_times: dict, sf10_times: dict,
         tripped = tiers[tier][name]
         canary = rerun(tier, name)
         tiers[tier][name] = min(tripped, canary)
+        try:
+            la2 = [round(x, 2) for x in (loadavg or os.getloadavg)()]
+        except OSError:
+            la2 = None
         adjudication.append({
             "query": name, "tier": tier, "kind": f["kind"],
             "tripped_sec": tripped, "canary_sec": canary,
             "baseline_sec": f.get("baseline"),
             "limit_sec": f.get("limit"),
-            "loadavg_at_trip": la})
+            "loadavg_at_trip": la,
+            # the canary shares the run's environment: a high load
+            # average HERE means a "regression" verdict still needs
+            # the fresh-JVM idle re-measure (the PERF.md protocol) —
+            # the in-run canary cannot outrun a degraded host
+            "loadavg_at_canary": la2})
     remaining = evaluate_guards(times, sf1_times, sf10_times, base)
     still = {(f["tier"], f["name"]) for f in remaining if f["name"]}
     drift_still = {f["tier"] for f in remaining

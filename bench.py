@@ -390,6 +390,11 @@ SF10_HEADLINE = [
     # tier's events; state-store rows recorded in the bench summary
     "s01_rt_tenmin",
     "s04_session_rollup",
+    # round-10 continued: the other two streaming entries complete the
+    # three-decade state table — the dedup-gate state (fingerprints
+    # inside the watermark) and the exactly-once HLL sink fold
+    "s02_curation_gate",
+    "s03_hll_sink",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0
@@ -688,6 +693,30 @@ def _streaming_queries():
             for d in dirs:
                 shutil.rmtree(d, ignore_errors=True)
 
+    def _spark_ranged_files(df, order_col: str, n: int, out: str):
+        """Split a DataFrame into n time/key-ordered single-file
+        parquets with ascending mtimes, EXECUTOR-side (the sf10 tables
+        never fit a driver toPandas): approx n-tile bounds, one
+        filtered single-file write per range."""
+        bounds = df.agg(F.percentile_approx(
+            order_col, [i / float(n) for i in range(1, n)], 10000)
+            .alias("b")).collect()[0]["b"]
+        edges = [None, *bounds, None]
+        for f_i in range(n):
+            lo, hi = edges[f_i], edges[f_i + 1]
+            c = df
+            if lo is not None:
+                c = c.where(F.col(order_col) >= lo)
+            if hi is not None:
+                c = c.where(F.col(order_col) < hi)
+            tmp = os.path.join(out, f"_tmp{f_i}")
+            c.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [p for p in os.listdir(tmp)
+                    if p.endswith(".parquet")][0]
+            os.replace(os.path.join(tmp, part),
+                       os.path.join(out, f"f{f_i}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def ensure_rt_frames(sf_dir: str) -> str:
         """One 5-min-spaced scan sequence per tier: 2 radars x 360 az
         x 60 gates per frame, one parquet FILE per frame so
@@ -752,28 +781,9 @@ def _streaming_queries():
                           F.col("ts").cast("timestamp").cast("long")
                           .alias("ep")))
             if tier == "sf10":
-                # third-decade fixture: the tier's events never fit a
-                # driver toPandas — split into 8 time-ordered files
-                # EXECUTOR-side (approx epoch octile bounds, one
-                # single-file write per range, ascending mtimes)
-                bounds = ev.agg(F.percentile_approx(
-                    "ep", [i / 8.0 for i in range(1, 8)], 10000)
-                    .alias("b")).collect()[0]["b"]
-                edges = [None, *bounds, None]
-                for f_i in range(8):
-                    lo, hi = edges[f_i], edges[f_i + 1]
-                    c = ev
-                    if lo is not None:
-                        c = c.where(F.col("ep") >= int(lo))
-                    if hi is not None:
-                        c = c.where(F.col("ep") < int(hi))
-                    tmp = os.path.join(out, f"_tmp{f_i}")
-                    c.coalesce(1).write.mode("overwrite").parquet(tmp)
-                    part = [p for p in os.listdir(tmp)
-                            if p.endswith(".parquet")][0]
-                    os.replace(os.path.join(tmp, part),
-                               os.path.join(out, f"f{f_i}.parquet"))
-                    shutil.rmtree(tmp, ignore_errors=True)
+                # third-decade fixture: 8 time-ordered files,
+                # executor-side
+                _spark_ranged_files(ev, "ep", 8, out)
             else:
                 pdf = ev.orderBy("ep").toPandas()
                 per = (len(pdf) + 7) // 8
@@ -799,15 +809,18 @@ def _streaming_queries():
         if not os.path.exists(marker):
             shutil.rmtree(out, ignore_errors=True)
             os.makedirs(out)
-            d = (spark.read.parquet(os.path.join(sf_dir,
+            dd = spark.read.parquet(os.path.join(sf_dir,
                                                  "documents.parquet"))
-                 .orderBy("doc_id").toPandas())
-            per = (len(d) + 3) // 4
-            for f_i in range(4):
-                chunk = d.iloc[f_i * per:(f_i + 1) * per]
-                if len(chunk):
-                    chunk.to_parquet(os.path.join(
-                        out, f"f{f_i}.parquet"), index=False)
+            if tier == "sf10":
+                _spark_ranged_files(dd, "doc_id", 4, out)
+            else:
+                d = dd.orderBy("doc_id").toPandas()
+                per = (len(d) + 3) // 4
+                for f_i in range(4):
+                    chunk = d.iloc[f_i * per:(f_i + 1) * per]
+                    if len(chunk):
+                        chunk.to_parquet(os.path.join(
+                            out, f"f{f_i}.parquet"), index=False)
             open(marker, "w").close()
         _STREAM_FIXED[key] = out
         return out

@@ -614,3 +614,101 @@ def test_kmv_overlap_matrix_adds_matches_kmv_difference(spark):
                 m["adds_est"]) == (d["n_a_only"], d["n_b_only"],
                                    d["union_est"], d["added_est"]), \
             (ga, gb)
+
+
+def test_kmv_weighted_prune_safety_hypothesis():
+    """Property test of the weighted bottom-k ALGORITHM (pure Python
+    mirror of the mapInPandas kernel — no Spark per example): over
+    random multisets, random partitionings and random batch orders,
+    the per-partition accumulate-then-prune-to-local-min-k pass
+    followed by the global sum+rank merge yields EXACTLY the bottom-k
+    distinct hashes with their exact total weights.  This is the
+    prune-safety claim in kmv_sketch_weighted's docstring: a hash
+    evicted locally has >= k smaller hashes in that partition, so it
+    cannot be in the global bottom-k and its dropped partial weight
+    can never corrupt an emitted counter."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def h(v):
+        return hashlib.md5(str(v).encode()).hexdigest()
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def check(data):
+        k = data.draw(st.integers(min_value=1, max_value=12))
+        rows = data.draw(st.lists(
+            st.tuples(st.integers(min_value=0, max_value=60),   # value
+                      st.integers(min_value=1, max_value=9)),   # weight
+            min_size=1, max_size=120))
+        n_parts = data.draw(st.integers(min_value=1, max_value=5))
+        parts = [[] for _ in range(n_parts)]
+        for r in rows:
+            parts[data.draw(st.integers(0, n_parts - 1))].append(r)
+        # per-partition: batches of random size, accumulate + prune
+        candidates: dict[str, int] = {}
+        for part in parts:
+            cur: dict[str, int] = {}
+            i = 0
+            while i < len(part):
+                step = data.draw(st.integers(min_value=1, max_value=7))
+                for v, w in part[i:i + step]:
+                    cur[h(v)] = cur.get(h(v), 0) + w
+                if len(cur) > k:          # prune to local bottom-k
+                    keep = sorted(cur)[:k]
+                    cur = {x: cur[x] for x in keep}
+                i += step
+            for x, w in cur.items():      # global candidate merge
+                candidates[x] = candidates.get(x, 0) + w
+        got = {x: candidates[x] for x in sorted(candidates)[:k]}
+        # ground truth: bottom-k distinct hashes with exact totals
+        exact: dict[str, int] = {}
+        for v, w in rows:
+            exact[h(v)] = exact.get(h(v), 0) + w
+        want = {x: exact[x] for x in sorted(exact)[:k]}
+        assert got == want
+
+    check()
+
+
+def test_kmv_difference_estimator_properties_hypothesis():
+    """Property test of the set-difference estimator's exactness
+    claims (pure Python mirror — the membership-decidability lemma):
+    for random sets A, B and any k, every hash in the union's
+    bottom-K that belongs to X is present in X's bottom-k (so the
+    side counts are exact functions of the sets), the three side
+    counts partition K, and when the union never fills the sketch the
+    'estimates' are the exact |A∪B| and |B\\A|."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def h(v):
+        return hashlib.md5(str(v).encode()).hexdigest()
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def check(data):
+        k = data.draw(st.integers(min_value=1, max_value=20))
+        a = set(data.draw(st.lists(st.integers(0, 200), max_size=80)))
+        b = set(data.draw(st.lists(st.integers(0, 200), max_size=80)))
+        ska = set(sorted(h(v) for v in a)[:k])
+        skb = set(sorted(h(v) for v in b)[:k])
+        u = sorted(ska | skb)[:k]
+        ha = {h(v) for v in a}
+        hb = {h(v) for v in b}
+        for x in u:   # membership decidability on the sampled prefix
+            assert (x in ha) == (x in ska)
+            assert (x in hb) == (x in skb)
+        n_both = sum(1 for x in u if x in ska and x in skb)
+        n_a_only = sum(1 for x in u if x in ska and x not in skb)
+        n_b_only = sum(1 for x in u if x not in ska)
+        assert n_both + n_a_only + n_b_only == len(u)
+        if len(u) < k:    # unfilled -> complete hash sets -> exact
+            assert len(u) == len(ha | hb)
+            assert n_b_only == len(hb - ha)
+
+    check()

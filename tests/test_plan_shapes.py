@@ -475,3 +475,33 @@ def test_spatial_join_is_equi_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p \
         or "ShuffledHashJoin" in p
+
+
+def test_q204_sketch_bands_cheaper_plan_than_exact_route(spark):
+    """The sketch-backed latency-bands route must stay the BOUNDED
+    plan it exists to be: no range partitioning anywhere (the exact
+    route's grouped ranked pass is the thing it replaces), exactly one
+    window — over the ≤16k-row bucket dim — and strictly fewer
+    exchanges than the exact route on the same question."""
+    ps = fmt_plan(spark, "q204_latency_bands_sketch")
+    pe = fmt_plan(spark, "q177_latency_bands")
+    assert "rangepartitioning" not in ps.lower()
+    assert len(re.findall(r"\(\d+\) Window", ps)) <= 1
+    assert (len(re.findall(r"\(\d+\) Exchange", ps))
+            < len(re.findall(r"\(\d+\) Exchange", pe)))
+    assert "HashAggregate" in ps
+
+
+def test_kmv_difference_plan_bounded_dims(spark):
+    """The set-difference estimator's report plan: the union bottom-k
+    must be a TakeOrderedAndProject (bounded top-k, never a global
+    Sort+collect), membership probes must be broadcast hash joins, and
+    nothing may shuffle-join or cartesian the sketch dims."""
+    import bench
+    ex = bench._extra_queries()
+    df = ex["q201_sketch_added"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p

@@ -2738,6 +2738,10 @@ def q201(spark, sf):
             .filter(F.col("tok") != ""))
     a = toks.where(F.col("half") == 0)
     b = toks.where(F.col("half") == 1)
+    # two per-side passes, NOT one grouped pass: the fused grouped
+    # sketch was measured SLOWER at every tier (PERF.md round 10 —
+    # the kernel is Python-bound locally, so saving the second scan
+    # buys nothing while the per-batch groupby split costs real time)
     est = kmv_difference(kmv_sketch(a, "tok", None, 256),
                          kmv_sketch(b, "tok", None, 256), 256)
     exact = (b.select("tok").distinct()

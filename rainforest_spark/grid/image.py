@@ -77,6 +77,74 @@ def _kernel_gaussian(block: np.ndarray, sigma: float = 0.5) -> np.ndarray:
     return out
 
 
+def outlier_relational(grid: DataFrame, value_col: str,
+                       size: int = 7) -> DataFrame:
+    """The 7×7 outlier kernel (qpe/qpe_utils.py:233-268 semantics) as
+    pure relational algebra over INTEGER-valued pixels — the
+    oracle-pairable route next to :func:`tile_kernel`'s dense-tile
+    ``applyInPandas`` (both nan-aware: a missing pixel is excluded
+    from its neighbours' window statistics, edge windows shrink).
+
+    The z-test runs in EXACT BIGINT arithmetic: with ``n`` present
+    neighbours, ``S = Σv`` and ``Q = Σv²`` over the window (center
+    included), ``|x−μ| ≥ 3σ`` multiplied through by ``n²`` is
+    ``(n·x − S)² ≥ 9·(n·Q − S²)`` — no division, no sqrt, so the
+    replaced-pixel mask is engine-exact (``σ = 0`` ⇒ every present
+    neighbour equals x ⇒ never replaced, matching numpy's nan z).
+    The replacement value μ = S/n is emitted as round-half-up NANOS
+    via the exact integer division ``(2·S·10⁹ + n) div (2n)`` (the
+    q83 idiom; S ≥ 0 required — Spark ``div`` truncates toward zero
+    while DuckDB ``//`` floors, they agree only on non-negative
+    numerators).
+
+    Columns: ``x_idx, y_idx, v, n_win, is_replaced, out_nanos``.
+
+    Shape at 100 TB: map-side explode of each pixel into its 49
+    neighbour windows (bounded 49× amplification, no join) feeding
+    ONE hash aggregation on the window-center key — partial
+    aggregation applies, the plan is a single exchange.  Compare the
+    tile route: same one shuffle but Python-kernel cost per tile;
+    this route stays whole-stage-codegen end to end.
+    """
+    r = size // 2
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"),
+                              F.lit(dy).alias("dy"))
+                     for dx in range(-r, r + 1)
+                     for dy in range(-r, r + 1)])
+    v = F.col(value_col).cast("long")
+    nb = (grid.select(F.col("x_idx").cast("int").alias("x_idx"),
+                      F.col("y_idx").cast("int").alias("y_idx"),
+                      v.alias("__v"))
+          .withColumn("__o", F.explode(offs))
+          .select((F.col("x_idx") + F.col("__o.dx")).alias("cx"),
+                  (F.col("y_idx") + F.col("__o.dy")).alias("cy"),
+                  "__v",
+                  ((F.col("__o.dx") == 0) & (F.col("__o.dy") == 0))
+                  .alias("__isc")))
+    st = (nb.groupBy("cx", "cy")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_win"),
+               F.sum("__v").cast("long").alias("__s"),
+               F.sum(F.col("__v") * F.col("__v")).cast("long")
+               .alias("__q"),
+               F.max(F.when(F.col("__isc"), F.col("__v")))
+               .alias("v")))
+    n, s, q2, x = (F.col("n_win"), F.col("__s"), F.col("__q"),
+                   F.col("v"))
+    var_n2 = n * q2 - s * s          # n²·σ² ≥ 0, exact BIGINT
+    dev_n = n * x - s                # n·(x−μ), exact BIGINT
+    repl = (var_n2 > 0) & (dev_n * dev_n >= F.lit(9) * var_n2)
+    out_nanos = F.when(
+        repl,
+        F.expr("(2 * __s * 1000000000 + n_win) div (2 * n_win)")) \
+        .otherwise(x * F.lit(1000000000))
+    return (st.where(x.isNotNull())
+            .select(F.col("cx").alias("x_idx"),
+                    F.col("cy").alias("y_idx"),
+                    "v", "n_win",
+                    repl.cast("int").alias("is_replaced"),
+                    out_nanos.cast("long").alias("out_nanos")))
+
+
 def tile_kernel(grid: DataFrame, value_col: str, kernel: str = "outlier",
                 halo: int = 3, **kw) -> DataFrame:
     """Apply a dense 2-D kernel to a sparse (x_idx, y_idx, value) grid.

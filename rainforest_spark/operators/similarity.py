@@ -564,10 +564,22 @@ def embedding_dedup(vectors: DataFrame, id_col: str, vec_col: str,
 
 
 def build_ivf_index(vectors: DataFrame, id_col: str, vec_col: str,
-                    path: str, centroid_ids: list[int]) -> None:
+                    path: str, centroid_ids: list[int] | None = None,
+                    n_centroids: int = 16, seed: int = 42,
+                    fit_fraction: float | None = None) -> None:
     """Materialize an IVF index as TABLES: ``{path}/codebook`` (list_id,
     centroid vector, |c|²) and ``{path}/lists`` (the corpus with its
     list assignment), the latter PARTITIONED BY list_id on disk.
+
+    Quantizer DEFAULT is a KMeans fit (``n_centroids`` lists, optional
+    ``fit_fraction`` sampling — centroids need thousands of points per
+    list, not the corpus): the q203 calibration showed a fixed
+    corpus-vector codebook concentrates neighbours at ≈ chance level
+    (recall ≈ scan fraction at every nprobe) while the fit quantizer
+    reaches 2-3× chance on the same embeddings at equal candidate
+    budget (PERF.md ANN curve; pytest-gated in tests/test_ivf_index.py).
+    Pass explicit ``centroid_ids`` (corpus vectors by id) only for the
+    deterministic, SQL-expressible exhibit (the q57/q203 oracle path).
 
     Build once, probe many: the write pays the assignment cross-product
     one time, and every subsequent query batch scans ONLY the probed
@@ -578,14 +590,29 @@ def build_ivf_index(vectors: DataFrame, id_col: str, vec_col: str,
     spark = vectors.sparkSession
     import pandas as pd
 
-    cmap = spark.createDataFrame(pd.DataFrame({
-        "__list": range(len(sorted(centroid_ids))),
-        "__cid": sorted(centroid_ids)}))
     v = with_double_vec(vectors, vec_col, "v").select(
         F.col(id_col).alias("vid"), "v", _dot("v", "v").alias("aa"))
-    cdf = (v.join(broadcast(cmap), F.col("vid") == F.col("__cid"))
-           .select("__list", F.col("v").alias("cv"),
-                   F.col("aa").alias("cc")))
+    if centroid_ids is not None:
+        cmap = spark.createDataFrame(pd.DataFrame({
+            "__list": range(len(sorted(centroid_ids))),
+            "__cid": sorted(centroid_ids)}))
+        cdf = (v.join(broadcast(cmap), F.col("vid") == F.col("__cid"))
+               .select("__list", F.col("v").alias("cv"),
+                       F.col("aa").alias("cc")))
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = v.withColumn("__fv", array_to_vector("v"))
+        fit_set = (feat.sample(fraction=fit_fraction, seed=seed)
+                   if fit_fraction else feat)
+        model = KMeans(k=n_centroids, seed=seed, featuresCol="__fv",
+                       predictionCol="__list").fit(fit_set)
+        centers = [[float(x) for x in c] for c in model.clusterCenters()]
+        cdf = broadcast(spark.createDataFrame(pd.DataFrame({
+            "__list": range(n_centroids),
+            "cv": centers,
+            "cc": [sum(x * x for x in c) for c in centers]})))
     (cdf.withColumnRenamed("__list", "list_id")
         .write.mode("overwrite").parquet(f"{path}/codebook"))
     (_ivf_assign(v, cdf, id_col).repartition("list_id")

@@ -39,7 +39,7 @@ __all__ = ["hll_registers", "hll_estimate", "hll_accuracy_report",
            "quantile_estimate", "exact_quantiles",
            "quantile_accuracy_report", "kmv_sketch", "kmv_merge",
            "kmv_estimate", "kmv_jaccard", "kmv_overlap_matrix",
-           "kmv_accuracy_report"]
+           "kmv_accuracy_report", "kmv_novelty_report"]
 
 #: rho of an all-zero 32-bit window (8 hex chars) — the window cap.
 HLL_RHO_MAX = 33
@@ -671,7 +671,8 @@ def quantile_accuracy_report(df: DataFrame, col: str | Column,
 
 def kmv_sketch(df: DataFrame, col: str | Column,
                group_cols: list[str] | None = None,
-               k: int = 256) -> DataFrame:
+               k: int = 256,
+               max_groups: int = 4096) -> DataFrame:
     """The bottom-k table: ``(group..., h)`` — the ``k``
     lexicographically-smallest DISTINCT md5 hex hashes per group
     (md5 hex order == uniform order on [0, 16^32)).
@@ -686,6 +687,16 @@ def kmv_sketch(df: DataFrame, col: str | Column,
     no distinct of the full key set — the thing this sketch exists to
     avoid); the final exact merge ranks the ≤ partitions·k candidate
     rows per group with an ordinary window over that BOUNDED dim.
+
+    "Bounded" is per GROUP: the per-partition accumulator holds
+    (groups-seen-in-partition × k) hashes (~150 B each), so the
+    operator is sized for LOW-cardinality ``group_cols`` — sources,
+    shards, days, splits — not per-user/per-document keys.  The
+    bound is ENFORCED: a partition seeing more than ``max_groups``
+    distinct keys (default 4096 ≈ 150 MB at k=256) raises loudly
+    instead of growing executor memory; for high-cardinality groups
+    use an ordinary ``groupBy(key).agg(count_distinct(...))`` — per
+    key the exact aggregate IS the bounded plan.
     """
     import pandas as pd
 
@@ -694,6 +705,7 @@ def kmv_sketch(df: DataFrame, col: str | Column,
     d = df.where(c.isNotNull()).select(
         *g, F.md5(c.cast("string")).alias("h"))
     kk = int(k)
+    mg = int(max_groups)
     schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}"
          for f in d.schema.fields])
@@ -718,6 +730,16 @@ def kmv_sketch(df: DataFrame, col: str | Column,
                 cur = best.get(key)
                 if cur is not None:
                     arr = _np2.union1d(cur, arr)[:kk]
+                elif len(best) >= mg:
+                    raise ValueError(
+                        f"kmv_sketch: partition saw more than "
+                        f"max_groups={mg} distinct group keys — the "
+                        f"per-partition accumulator is groups×k "
+                        f"hashes, so the sketch is for low-"
+                        f"cardinality groups (sources/shards/days).  "
+                        f"For high-cardinality keys use groupBy + "
+                        f"count_distinct, or raise max_groups "
+                        f"deliberately.")
                 best[key] = arr
         for key, arr in best.items():
             out = {name: [v] * len(arr)
@@ -854,6 +876,16 @@ def kmv_difference(sketch_a: DataFrame, sketch_b: DataFrame,
     sketch feeds two consumers (the union build and its membership
     probe), so both are lazily localCheckpointed — the partial-min-k
     pass over raw data runs once per side.
+
+    PRECONDITION: both sketches must have been built with a bottom-k
+    parameter ≥ this function's ``k`` — the membership-decidability
+    lemma ("a union-bottom-K hash has < K smaller hashes anywhere, so
+    if its value is in X it is in X's bottom-k") only holds when each
+    side kept at least K minima.  Sketches built with a SMALLER k
+    silently bias ``n_*_only`` upward (absences stop being proof).
+    The row counts of a lazy sketch plan are unknowable here, so the
+    precondition is documented, not checked — every in-repo caller
+    passes the construction k through.
     """
     kk = int(k)
     sa = sketch_a.select("h").localCheckpoint(eager=False)
@@ -903,7 +935,8 @@ def kmv_difference(sketch_a: DataFrame, sketch_b: DataFrame,
 def kmv_sketch_weighted(df: DataFrame, col: str | Column,
                         group_cols: list[str] | None = None,
                         k: int = 256,
-                        weight_col: str | None = None) -> DataFrame:
+                        weight_col: str | None = None,
+                        max_groups: int = 4096) -> DataFrame:
     """Weighted bottom-k: ``(group..., h, w)`` — the k smallest
     distinct md5 hashes per group, each carrying the EXACT BIGINT
     total weight of its value's rows (``weight_col``, default 1 per
@@ -925,7 +958,11 @@ def kmv_sketch_weighted(df: DataFrame, col: str | Column,
     Shape at 100 TB: same as :func:`kmv_sketch` — ONE mapInPandas
     pass with a bounded per-group min-k + weight accumulator per
     Arrow batch (no raw-value shuffle); the final groupBy + rank runs
-    over the ≤ partitions·k candidate dim.
+    over the ≤ partitions·k candidate dim.  As there, "bounded" is
+    per GROUP — the accumulator holds groups×k entries per partition,
+    sized for low-cardinality ``group_cols`` and ENFORCED at
+    ``max_groups`` distinct keys per partition (loud ValueError, not
+    silent executor-memory growth).
     """
     import pandas as pd
 
@@ -936,6 +973,7 @@ def kmv_sketch_weighted(df: DataFrame, col: str | Column,
     d = df.where(c.isNotNull()).select(
         *g, F.md5(c.cast("string")).alias("h"), w.alias("w"))
     kk = int(k)
+    mg = int(max_groups)
     schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}"
          for f in d.schema.fields])
@@ -954,6 +992,16 @@ def kmv_sketch_weighted(df: DataFrame, col: str | Column,
                 cur = best.get(key)
                 if cur is not None:
                     hw = pd.concat([cur, hw]).groupby(level=0).sum()
+                elif len(best) >= mg:
+                    raise ValueError(
+                        f"kmv_sketch_weighted: partition saw more "
+                        f"than max_groups={mg} distinct group keys — "
+                        f"the per-partition accumulator is groups×k "
+                        f"entries, so the sketch is for low-"
+                        f"cardinality groups (sources/shards/days).  "
+                        f"For high-cardinality keys use groupBy + "
+                        f"exact aggregates, or raise max_groups "
+                        f"deliberately.")
                 # prune to the local bottom-k: an evicted hash has
                 # >= k smaller hashes in this partition, so it cannot
                 # be in the global bottom-k — dropping its partial
@@ -1044,6 +1092,11 @@ def kmv_added_weight(sketch_a: DataFrame, wsketch_b: DataFrame,
 
     One row: ``k, n_union_topk, n_b_only, w_b_only, union_est,
     added_w_est``.  Shape: ≤k-row dims only; everything broadcasts.
+
+    PRECONDITION (as :func:`kmv_difference`): both sketches must have
+    been built with bottom-k ≥ this ``k``, or membership stops being
+    decidable and the B-only counts/weights bias upward.  Documented,
+    not checked — lazy sketch sizes are unknowable here.
     """
     kk = int(k)
     sa = sketch_a.select("h").localCheckpoint(eager=False)
@@ -1161,3 +1214,101 @@ def kmv_overlap_matrix(sketch: DataFrame, group_col: str,
                        / F.col("n_union_topk").cast("double"), 6))
         .alias("jaccard"),
         "union_est", adds.alias("adds_est"))
+
+
+def kmv_novelty_report(wsketch: DataFrame, group_col: str,
+                       k: int = 256) -> DataFrame:
+    """Grouped novelty report: for EVERY group g, "what does g add to
+    the union of all the others" — |g ∖ ∪rest| (distinct values) AND
+    its total weight (rows/bytes) — in ONE pass over the S·k sketch
+    rows of a per-group WEIGHTED sketch (:func:`kmv_sketch_weighted`).
+    The ingest-ordering decision over S sources that
+    :func:`kmv_difference` answers pairwise and
+    :func:`kmv_overlap_matrix` answers per-pair, answered per-source
+    against the rest-union without building S rest-sketches.
+
+    Estimator (Beyer et al. 2007 multiset machinery): the GLOBAL
+    union's bottom-K is a uniform sample of the union's distinct
+    values; a sampled hash has < K smaller hashes anywhere, so its
+    membership in each group's sketch is EXACT, and a hash present
+    under exactly ONE group is exclusive to it — with its exact
+    per-group weight riding along.  Per group:
+    ``adds_est = n_only/K · union_est`` and
+    ``added_w_est = w_only/K · union_est`` (both EXACT when the
+    union never filled the sketch), ``novelty_rate = n_only/K``.
+
+    Columns: ``<group_col>, k, n_union_topk, n_in_union, n_only,
+    w_only, union_est, adds_est, added_w_est, novelty_rate`` — exact
+    strings/integers plus rounded divisions/products identical in
+    both engines (oracle-pairable, q200 idiom).
+
+    PRECONDITION (as :func:`kmv_difference`): the sketch must have
+    been built with bottom-k ≥ this ``k`` per group, or membership
+    stops being decidable and exclusive counts bias upward.
+
+    Shape at 100 TB: the sketch is an S·k-row dim (S = group count,
+    bounded by construction); the union bottom-K is a
+    TakeOrderedAndProject over it; every join broadcasts a ≤S·k-row
+    side; the 1-row global aggregate cross-joins onto the S-row group
+    dim.  The raw corpus is never read.
+    """
+    kk = int(k)
+    s = (wsketch.select(F.col(group_col).cast("string").alias("__g"),
+                        "h", "w")
+         .localCheckpoint(eager=False))
+    u = s.select("h").distinct().orderBy("h").limit(kk)
+    # sample hits: (h, group, exact weight) for union-bottom-K hashes
+    m = (u.join(F.broadcast(s), "h")
+         .localCheckpoint(eager=False))
+    per_h = m.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("__ng"))
+    tagged = m.join(F.broadcast(per_h), "h")
+    per_g = (tagged.groupBy("__g")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_in_union"),
+                  F.sum(F.when(F.col("__ng") == 1, 1).otherwise(0))
+                  .cast("long").alias("n_only"),
+                  F.sum(F.when(F.col("__ng") == 1, F.col("w"))
+                        .otherwise(0))
+                  .cast("long").alias("w_only")))
+    glob = u.agg(F.count(F.lit(1)).cast("long").alias("n_union_topk"),
+                 F.max("h").alias("__hk"))
+    groups = s.select("__g").distinct()
+    j = (groups.join(per_g, "__g", "left")
+         .crossJoin(glob)   # 1-row global aggregate
+         .select("__g",
+                 F.coalesce("n_in_union", F.lit(0)).cast("long")
+                 .alias("n_in_union"),
+                 F.coalesce("n_only", F.lit(0)).cast("long")
+                 .alias("n_only"),
+                 F.coalesce("w_only", F.lit(0)).cast("long")
+                 .alias("w_only"),
+                 "n_union_topk", "__hk"))
+    u48 = F.expr(_hex_int_expr("__hk", 12))
+    union_est = F.when(F.col("n_union_topk") < kk,
+                       F.col("n_union_topk").cast("double")) \
+        .otherwise(F.when(
+            u48 > 0,
+            F.round(F.lit(float(kk - 1))
+                    / (u48.cast("double")
+                       / F.lit(float(16 ** 12))), 6)))
+    e = j.withColumn("union_est", union_est)
+
+    def _scaled(cnt: str) -> Column:
+        return F.when(F.col("n_union_topk") < kk,
+                      F.col(cnt).cast("double")) \
+            .otherwise(F.when(
+                F.col("n_union_topk") > 0,
+                F.round(F.col(cnt).cast("double")
+                        / F.col("n_union_topk").cast("double")
+                        * F.col("union_est"), 6)))
+
+    rate = F.when(F.col("n_union_topk") > 0,
+                  F.round(F.col("n_only").cast("double")
+                          / F.col("n_union_topk").cast("double"), 6))
+    return e.select(
+        F.col("__g").alias(group_col),
+        F.lit(kk).cast("long").alias("k"),
+        "n_union_topk", "n_in_union", "n_only", "w_only", "union_est",
+        _scaled("n_only").alias("adds_est"),
+        _scaled("w_only").alias("added_w_est"),
+        rate.alias("novelty_rate"))

@@ -76,8 +76,14 @@ def main() -> None:
             t0 = time.perf_counter()
             approx = fn().localCheckpoint()
             r = recall_at_k(exact, approx, k)
+            r5 = recall_at_k(exact.filter(F.col("rnk") <= 5),
+                             approx.filter(F.col("rnk") <= 5), 5)
+            scan = nprobe / n_lists   # nominal candidate budget
             results.append({"variant": variant, "nprobe": nprobe,
                             "recall_at_10": round(r, 3),
+                            "recall_at_5": round(r5, 3),
+                            "scan_nominal": round(scan, 3),
+                            "recall5_over_chance": round(r5 / scan, 2),
                             "wall_sec": round(time.perf_counter() - t0, 2)})
 
     # list balance — same assignment math as the operators

@@ -119,24 +119,54 @@ _MODULES = [relational, text, vectors, extended]
 #: first; long-proven trivial entries are demoted past slot 50 (they
 #: remain fully covered by tests/test_oracle_parity.py).
 _PRIORITY = [
-    # =================== ROUND-10 GATE WINDOW (50) ==================
-    # Composition (VERDICT r9 "Next round" #1): the 8 queries with NO
-    # driver CORRECTNESS row ever — the round-9 sketch quartet
-    # (q197-q200, queued last round) plus the four round-10 additions
-    # (q201/q202 KMV difference + weighted volume, q203 ANN recall
-    # calibration, q204 sketch-backed latency bands) — first; then ALL
-    # 18 r5-vintage rows never re-checked since round 5; then 24 of
-    # the 50 r6-vintage rows (scan/filter/set-op primitives, the
-    # radar chain q61/q66/q67 + bucketed prepare, the similarity
-    # family q54_auto/q57/q77, packing/splits q75/q76, corpus gates
-    # q78-q81, scores q34, LSH q45, centroid q14).  The 26 remaining
-    # r6 rows (q82-q107 families) rotate in round 11; every
-    # out-of-window query stays exact-parity-gated via
-    # tests/test_oracle_parity.py and tests/test_gate_rotation.py
-    # forbids silent debt.  A green round makes the cross-round union
-    # 206/206 — every query ever registered driver-verified — with no
-    # row older than r6.
+    # =================== ROUND-11 GATE WINDOW (50) ==================
+    # Composition (VERDICT r10 "Next round" #1, #5, #7): the 2 new
+    # round-11 queries with NO driver row ever (q205 W7 outlier tile
+    # oracle pair, q206 grouped KMV novelty report) first; then ALL
+    # 26 r6-vintage rows (the q82-q107 families — the oldest evidence
+    # anywhere, named by the r10 verdict); then the 22 oldest
+    # r7-vintage rows.  The 8 remaining r7 rows (q150-q157) rotate in
+    # round 12 — they are driver-checked (r7) and stay exact-parity-
+    # gated via tests/test_oracle_parity.py; tests/test_gate_rotation
+    # forbids silent debt.  A green round leaves NO driver row older
+    # than r7 anywhere (steady-state: each window refreshes the
+    # oldest 50, max staleness ≤4 rounds).
     #
+    # --- never driver-checked (2, new this round) ---
+    "q205_outlier_tile", "q206_kmv_novelty_report",
+    # --- stale re-checks: latest green row r6 (all 26 remaining) ---
+    "q82_domain_cap", "q83_unigram_logprob", "q84_epoch_shard",
+    "q85_jl_projection", "q86_pii_redaction", "q87_embedding_dedup",
+    "q88_corpus_stats", "q89_packed_tapes", "q90_hard_negatives",
+    "q91_pmi_bigrams", "q92_repeated_spans",
+    "q93_semantic_decontamination", "q94_vocab_coverage",
+    "q95_span_excision", "q96_dsir_weights", "q97_incremental_dedup",
+    "q98_domain_terms", "q99_corpus_drift", "q100_novelty_score",
+    "q101_leakage_free_split", "q102_boilerplate_removal",
+    "q103_cluster_canonical", "q104_margin_alignment",
+    "q105_token_budget", "q106_bigram_logprob", "q107_kmeans_clusters",
+    # --- stale re-checks: latest green row r7 (22 oldest of 30) ---
+    "q109_heaps_fit", "q113_dedup_rebalance", "q114_corpus_diff",
+    "q115_duplication_profile", "q117_tokenizer_fertility",
+    "q118_masking_plan", "q120_source_scorecard",
+    "q125_scatter_density", "q128_length_histogram",
+    "q129_source_concentration", "q130_type_token_ratio",
+    "q135_funnel", "q136_retention_cohorts",
+    "q137_transition_matrix", "q138_conversion_latency",
+    "q140_rolling_zscore", "q142_textrank_keywords",
+    "q145_time_weighted_mean", "q146_dyadic_ewma",
+    "q147_cusum_changepoints", "q148_winsorized_stats",
+    "q149_mad_profile",
+]
+
+#: Registered queries with no driver row yet that do NOT fit the
+#: current window — every entry here must be consumed by a future
+#: rotation (tests/test_gate_rotation.py enforces that a new query is
+#: either in-window, already driver-checked, or listed here).
+_QUEUED_FOR_ROTATION: list[str] = []
+
+#: The ROUND-10 window this one replaced, kept for the rotation record:
+_PRIORITY_R10 = [
     # --- never driver-checked (8) ---
     "q197_quantile_sketch", "q198_kmv_cardinality",
     "q199_kmv_token_overlap", "q200_kmv_overlap_matrix",
@@ -165,13 +195,7 @@ _PRIORITY = [
     "q80_decontamination", "q81_domain_mixture",
 ]
 
-#: Registered queries with no driver row yet that do NOT fit the
-#: current window — every entry here must be consumed by a future
-#: rotation (tests/test_gate_rotation.py enforces that a new query is
-#: either in-window, already driver-checked, or listed here).
-_QUEUED_FOR_ROTATION: list[str] = []
-
-#: The ROUND-9 window this one replaced, kept for the rotation record:
+#: The ROUND-9 window, kept for the rotation record:
 _PRIORITY_R9 = [
     # =================== ROUND-9 GATE WINDOW (50) ===================
     # Composition: the 10 queries with NO driver CORRECTNESS row ever

@@ -1923,3 +1923,59 @@ def q125(spark, sf):
     return scatter_density(pairs, "est", "ref", lo=0.0, hi=480.0,
                            n_bins=60, model_col="model",
                            log_counts=True)
+
+
+# ---------------------------------------------------------------- q205
+# W7: the 7×7 moving-window outlier kernel (qpe/qpe_utils.py:233-268)
+# as exact relational algebra (grid/image.outlier_relational) on an
+# integer lineitem grid — local nan-aware box stats via the bounded
+# 49-offset neighbour explode + one hash aggregation; the z≥3 test
+# multiplied through by n² into pure BIGINT ((n·x−S)² ≥ 9(n·Q−S²), no
+# division/sqrt); the replacement mean emitted as round-half-up nanos
+# via the exact integer division (the q83 idiom, S ≥ 0).  The tile
+# applyInPandas route (tile_kernel) is pytest-equivalence-gated
+# against this on the same fixture (tests/test_grid_pipeline.py).
+@q("q205_outlier_tile", sql="""
+WITH px AS (
+  SELECT x_idx, y_idx, v FROM (
+    SELECT CAST(l_partkey % 96 AS INT) AS x_idx,
+           CAST(l_suppkey % 96 AS INT) AS y_idx,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) % 1000 AS BIGINT) AS v
+    FROM lineitem GROUP BY 1, 2)
+  WHERE v % 8 != 0),
+offs AS (SELECT a.dx, b.dy
+         FROM UNNEST(generate_series(-3, 3)) AS a(dx),
+              UNNEST(generate_series(-3, 3)) AS b(dy)),
+nb AS (SELECT p.x_idx + o.dx AS cx, p.y_idx + o.dy AS cy, v,
+              CASE WHEN o.dx = 0 AND o.dy = 0 THEN v END AS cv
+       FROM px p, offs o),
+st AS (SELECT cx, cy,
+              CAST(COUNT(*) AS BIGINT) AS n_win,
+              CAST(SUM(v) AS BIGINT) AS s,
+              CAST(SUM(v * v) AS BIGINT) AS q2,
+              MAX(cv) AS v
+       FROM nb GROUP BY 1, 2)
+SELECT cx AS x_idx, cy AS y_idx, v, n_win,
+       CASE WHEN n_win * q2 - s * s > 0
+             AND (n_win * v - s) * (n_win * v - s)
+                 >= 9 * (n_win * q2 - s * s)
+            THEN 1 ELSE 0 END AS is_replaced,
+       CAST(CASE WHEN n_win * q2 - s * s > 0
+                  AND (n_win * v - s) * (n_win * v - s)
+                      >= 9 * (n_win * q2 - s * s)
+                 THEN (2 * s * 1000000000 + n_win) // (2 * n_win)
+                 ELSE v * 1000000000 END AS BIGINT) AS out_nanos
+FROM st WHERE v IS NOT NULL
+""")
+def q205(spark, sf):
+    from rainforest_spark.grid.image import outlier_relational
+
+    l = T(spark, sf, "lineitem")
+    px = (l.groupBy((F.col("l_partkey") % 96).cast("int")
+                    .alias("x_idx"),
+                    (F.col("l_suppkey") % 96).cast("int")
+                    .alias("y_idx"))
+          .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+               .alias("v"))
+          .where(F.col("v") % 8 != 0))
+    return outlier_relational(px, "v", 7)

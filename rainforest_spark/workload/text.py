@@ -2848,3 +2848,99 @@ def q202(spark, sf):
     return out.select("k", "n_union_topk", "n_b_only", "w_b_only",
                       "union_est", "added_w_est", "w_added_exact",
                       rel.alias("rel_error"))
+
+
+# ---------------------------------------------------------------- q206
+# Grouped KMV novelty report (sketches family,
+# operators/sketches.kmv_novelty_report): for EVERY source, "what
+# does it add to the union of all the others" — exclusive distinct
+# token-trigrams AND their occurrence volume — from the per-source
+# weighted bottom-256 sketches ALONE, in ONE pass over the S·k
+# sketch rows (no rest-sketch per source, no raw-corpus pass).  The
+# S-source generalization of q201's pairwise difference, composing
+# the kmv_added_weight volume column; the ingest-ordering decision
+# report.  Trigrams (not unigrams: the fixture vocabulary is 31
+# words, all shared — zero signal) give per-source exclusives in the
+# hundreds.  Exact strings/integers + the q198 48-bit hash-fraction
+# idiom; rounded divisions/products spelled identically both engines.
+def _q206_sql() -> str:
+    from rainforest_spark.operators.sketches import _hex_int_expr
+    u48 = _hex_int_expr("hk", 12)
+    return f"""
+WITH arr AS (
+  SELECT source,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                     'g'), ' ') AS w
+  FROM documents),
+tri AS (
+  SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM arr, UNNEST(CASE WHEN len(w) >= 3
+                        THEN generate_series(1, len(w) - 2)
+                        ELSE [] END) AS u(i)),
+hw AS (SELECT source, md5(g) AS h, CAST(COUNT(*) AS BIGINT) AS wt
+       FROM tri GROUP BY 1, 2),
+sk AS (SELECT source, h, wt
+       FROM (SELECT source, h, wt,
+                    ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY h) AS rn
+             FROM hw) WHERE rn <= 256),
+u AS (SELECT h FROM (SELECT DISTINCT h FROM sk)
+      ORDER BY h LIMIT 256),
+gtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union_topk,
+                MAX(h) AS hk FROM u),
+m AS (SELECT sk.source, sk.h, sk.wt FROM u JOIN sk USING (h)),
+cn AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS ng FROM m GROUP BY 1),
+per AS (SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_in_union,
+               CAST(SUM(CASE WHEN ng = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_only,
+               CAST(SUM(CASE WHEN ng = 1 THEN m.wt ELSE 0 END)
+                    AS BIGINT) AS w_only
+        FROM m JOIN cn USING (h) GROUP BY 1),
+gd AS (SELECT DISTINCT source FROM sk),
+j AS (SELECT gd.source,
+             COALESCE(n_in_union, 0) AS n_in_union,
+             COALESCE(n_only, 0) AS n_only,
+             COALESCE(w_only, 0) AS w_only,
+             n_union_topk, hk
+      FROM gd LEFT JOIN per USING (source), gtot),
+e AS (SELECT *,
+             CASE WHEN n_union_topk < 256 THEN
+                       CAST(n_union_topk AS DOUBLE)
+                  WHEN {u48} > 0 THEN
+                       ROUND(CAST(255 AS DOUBLE)
+                             / (CAST({u48} AS DOUBLE)
+                                / CAST(281474976710656 AS DOUBLE)), 6)
+             END AS union_est
+      FROM j)
+SELECT source, CAST(256 AS BIGINT) AS k, n_union_topk, n_in_union,
+       n_only, w_only, union_est,
+       CASE WHEN n_union_topk < 256 THEN CAST(n_only AS DOUBLE)
+            WHEN n_union_topk > 0 THEN
+                 ROUND(CAST(n_only AS DOUBLE)
+                       / CAST(n_union_topk AS DOUBLE)
+                       * union_est, 6) END AS adds_est,
+       CASE WHEN n_union_topk < 256 THEN CAST(w_only AS DOUBLE)
+            WHEN n_union_topk > 0 THEN
+                 ROUND(CAST(w_only AS DOUBLE)
+                       / CAST(n_union_topk AS DOUBLE)
+                       * union_est, 6) END AS added_w_est,
+       CASE WHEN n_union_topk > 0 THEN
+            ROUND(CAST(n_only AS DOUBLE)
+                  / CAST(n_union_topk AS DOUBLE), 6) END
+           AS novelty_rate
+FROM e
+"""
+
+
+@q("q206_kmv_novelty_report", sql=_q206_sql())
+def q206(spark, sf):
+    from rainforest_spark.operators.dedup import word_shingles
+    from rainforest_spark.operators.sketches import (
+        kmv_novelty_report, kmv_sketch_weighted,
+    )
+    d = T(spark, sf, "documents")
+    tri = (d.select("source",
+                    F.explode(word_shingles("text", 3)).alias("g")))
+    sk = kmv_sketch_weighted(tri, "g", ["source"], 256)
+    return kmv_novelty_report(sk, "source", 256)

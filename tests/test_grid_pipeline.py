@@ -154,3 +154,38 @@ def test_tile_gaussian_matches_dense_golden(spark):
     got[out["y_idx"], out["x_idx"]] = out["val"]
     gold = _kernel_gaussian(mat, sigma=0.5)
     assert np.allclose(got, gold, rtol=1e-9, atol=1e-12)
+
+
+def test_outlier_relational_matches_tile_kernel(spark):
+    """W7 route pair: the exact-BIGINT neighbour-join route
+    (grid/image.outlier_relational — the oracle-paired q205 plan) and
+    the dense-tile applyInPandas route agree on an integer-valued
+    sparse grid: same replaced-pixel mask, same output values (the
+    relational route's round-half-up nanos vs the tile's double mean,
+    within half a nano)."""
+    from rainforest_spark.grid.image import outlier_relational, tile_kernel
+
+    rng = np.random.RandomState(7)
+    mat = rng.randint(0, 200, (150, 180)).astype(float)
+    mat[40, 50] = 5000.0                    # a spike to replace
+    mat[90:110, 120:140] = np.nan           # a hole (nan-aware stats)
+    mat[mat % 13 == 0] = np.nan             # scattered sparsity
+    df = _sparse_df(spark, mat)
+
+    tile = tile_kernel(df, "val", kernel="outlier", halo=3).toPandas()
+    rel = outlier_relational(df, "val", 7).toPandas()
+    assert len(rel) == np.isfinite(mat).sum()
+    assert len(tile) == len(rel)
+
+    m = tile.merge(rel, on=["x_idx", "y_idx"], how="inner")
+    assert len(m) == len(rel)
+    got = m["out_nanos"].to_numpy() / 1e9
+    assert np.allclose(got, m["val"].to_numpy(), atol=6e-10, rtol=0)
+    # the spike is replaced on both routes
+    spike = m[(m["y_idx"] == 40) & (m["x_idx"] == 50)].iloc[0]
+    assert spike["is_replaced"] == 1 and spike["out_nanos"] < 5000e9
+    # replacement actually fired somewhere beyond the spike and the
+    # exact-integer mask agrees with the tile route's value changes
+    changed_tile = ~np.isclose(m["val"], m["v"], atol=1e-9)
+    assert (m["is_replaced"] == 1).sum() >= 1
+    assert np.array_equal(changed_tile, m["is_replaced"] == 1)

@@ -386,6 +386,11 @@ _CROSS_JOIN_WHITELIST = {
     # recall rollup cross-joins the 1-row denominator onto the 4-row
     # nprobe dim — every non-equi side bounded by construction
     "q203_ann_recall",
+    # q206: the grouped novelty report cross-joins its 1-row global
+    # union aggregate (n_union_topk, U_K) onto the S-row group dim;
+    # the membership joins broadcast ≤S·k-row sketch dims
+    # (operators/sketches.py kmv_novelty_report)
+    "q206_kmv_novelty_report",
 }
 
 

@@ -712,3 +712,95 @@ def test_kmv_difference_estimator_properties_hypothesis():
             assert n_b_only == len(hb - ha)
 
     check()
+
+
+def test_kmv_novelty_report_exact_when_unfilled(spark):
+    """Union below k: every column is exact — n_only/w_only are the
+    true exclusive distinct counts/weights per group, adds_est and
+    added_w_est equal them, union_est is the true union size."""
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.sketches import (
+        kmv_novelty_report, kmv_sketch_weighted,
+    )
+
+    rows = ([("a", f"shared{i}") for i in range(10) for _ in range(2)]
+            + [("b", f"shared{i}") for i in range(10)]
+            + [("a", f"onlya{i}") for i in range(4)]
+            + [("b", f"onlyb{i}") for i in range(7) for _ in range(3)]
+            + [("c", f"shared{i}") for i in range(5)])
+    df = spark.createDataFrame(rows, "g string, v string")
+    sk = kmv_sketch_weighted(df, "v", ["g"], 256)
+    out = {r["g"]: r for r in
+           kmv_novelty_report(sk, "g", 256).collect()}
+    assert set(out) == {"a", "b", "c"}
+    for r in out.values():
+        assert r["n_union_topk"] == 21  # 10 shared + 4 onlya + 7 onlyb
+        assert r["union_est"] == 21.0
+    assert out["a"]["n_only"] == 4 and out["a"]["adds_est"] == 4.0
+    assert out["a"]["w_only"] == 4 and out["a"]["added_w_est"] == 4.0
+    assert out["b"]["n_only"] == 7 and out["b"]["adds_est"] == 7.0
+    # each onlyb value occurs 3 times -> exact added volume 21
+    assert out["b"]["w_only"] == 21 and out["b"]["added_w_est"] == 21.0
+    assert out["c"]["n_only"] == 0 and out["c"]["added_w_est"] == 0.0
+    assert out["a"]["n_in_union"] == 14
+    assert out["c"]["n_in_union"] == 5
+
+
+def test_kmv_novelty_report_two_groups_matches_difference(spark):
+    """With S=2 the grouped report reduces to kmv_difference: same
+    union bottom-K, so group B's row carries the same exclusive count
+    and scaled estimate (filled-sketch path)."""
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.sketches import (
+        kmv_difference, kmv_novelty_report, kmv_sketch,
+        kmv_sketch_weighted,
+    )
+
+    a = spark.range(0, 3000).select(
+        F.lit("a").alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"))
+    b = spark.range(2000, 6000).select(
+        F.lit("b").alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"))
+    df = a.unionByName(b)
+    rep = {r["g"]: r for r in kmv_novelty_report(
+        kmv_sketch_weighted(df, "v", ["g"], 256), "g", 256).collect()}
+    diff = kmv_difference(kmv_sketch(a, "v", None, 256),
+                          kmv_sketch(b, "v", None, 256),
+                          256).collect()[0]
+    assert rep["b"]["n_only"] == diff["n_b_only"]
+    assert rep["a"]["n_only"] == diff["n_a_only"]
+    assert rep["b"]["n_union_topk"] == diff["n_union_topk"]
+    assert rep["b"]["union_est"] == diff["union_est"]
+    assert rep["b"]["adds_est"] == diff["added_est"]
+    # estimates land near truth: |B\A| = 3000 of union 6000
+    assert abs(rep["b"]["adds_est"] - 3000) < 900
+    assert abs(rep["b"]["union_est"] - 6000) < 1500
+
+
+def test_kmv_sketch_max_groups_guard(spark):
+    """High-cardinality group_cols must fail LOUDLY (executor memory
+    is groups×k per partition), not grow silently — the operator is
+    for per-source/per-shard/per-day dims."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.sketches import (
+        kmv_sketch, kmv_sketch_weighted,
+    )
+
+    big = spark.range(5000).coalesce(1).select(
+        F.col("id").alias("g"),
+        (F.col("id") % 7).cast("string").alias("v"))
+    with pytest.raises(Exception, match="max_groups"):
+        kmv_sketch(big, "v", ["g"], 16, max_groups=100).count()
+    with pytest.raises(Exception, match="max_groups"):
+        kmv_sketch_weighted(big, "v", ["g"], 16,
+                            max_groups=100).count()
+    # at or under the bound the same shape succeeds
+    ok = spark.range(5000).coalesce(1).select(
+        (F.col("id") % 50).alias("g"),
+        (F.col("id") % 7).cast("string").alias("v"))
+    assert kmv_sketch(ok, "v", ["g"], 16, max_groups=100).count() > 0

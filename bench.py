@@ -395,6 +395,10 @@ SF10_HEADLINE = [
     # inside the watermark) and the exactly-once HLL sink fold
     "s02_curation_gate",
     "s03_hll_sink",
+    # round-11 (VERDICT r10 #3): the bounded-state route pair to s02 —
+    # Bloom-gated exactly-once curation, fixed bit-dim state vs s02's
+    # linear-in-docs fingerprint state, measured at the same decades
+    "s05_gated_curation",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0
@@ -697,7 +701,10 @@ def _streaming_queries():
         """Split a DataFrame into n time/key-ordered single-file
         parquets with ascending mtimes, EXECUTOR-side (the sf10 tables
         never fit a driver toPandas): approx n-tile bounds, one
-        filtered single-file write per range."""
+        filtered single-file write per range.  NULL order_col rows
+        ride the FIRST range (the toPandas path at smaller tiers
+        keeps them, so dropping them here would be a silent
+        tier-dependent fixture difference)."""
         bounds = df.agg(F.percentile_approx(
             order_col, [i / float(n) for i in range(1, n)], 10000)
             .alias("b")).collect()[0]["b"]
@@ -708,7 +715,10 @@ def _streaming_queries():
             if lo is not None:
                 c = c.where(F.col(order_col) >= lo)
             if hi is not None:
-                c = c.where(F.col(order_col) < hi)
+                pred = F.col(order_col) < hi
+                if lo is None:
+                    pred = pred | F.col(order_col).isNull()
+                c = c.where(pred)
             tmp = os.path.join(out, f"_tmp{f_i}")
             c.coalesce(1).write.mode("overwrite").parquet(tmp)
             part = [p for p in os.listdir(tmp)
@@ -865,6 +875,50 @@ def _streaming_queries():
         tier = os.path.basename(sf_dir.rstrip("/"))
         _finish(q, sink, ckpt, label=f"s02:{tier}")
 
+    def s05_gated_curation(spark, sf_dir):
+        # the BOUNDED-state route pair to s02 (VERDICT r10 #3 — the
+        # q177/q204 treatment on the streaming side): same quality →
+        # PII → fingerprint chain over the same doc files, but dedup
+        # through the fixed-size Bloom bit dim + exact lookup on the
+        # "maybe" slice, exactly-once store commits — ZERO Structured
+        # Streaming state rows vs s02's one-per-fingerprint (linear in
+        # docs).  The state column recorded here is the bit dim:
+        # bounded by m_bits however large the corpus grows.
+        from rainforest_spark.sources.versioned import read_snapshot
+        from rainforest_spark.streaming.corpus import curated_ingest_sink
+        src = ensure_doc_files(spark, sf_dir)
+        store, ckpt = _fresh(), _fresh()
+        m_bits = 1 << 22   # sized for the sf10 corpus (~500k fps)
+        sink = curated_ingest_sink(store, m_bits=m_bits, k=4)
+        stream = (spark.readStream
+                  .schema("doc_id bigint, text string, lang string, "
+                          "source string, n_chars bigint")
+                  .option("maxFilesPerTrigger", 2).parquet(src))
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        tier = os.path.basename(sf_dir.rstrip("/"))
+        label = f"s05:{tier}"
+        try:
+            ok = q.awaitTermination(600)
+            if not ok:
+                q.stop()
+                raise RuntimeError(
+                    f"streaming bench entry {label} still running "
+                    f"after 600s — failing loudly instead of "
+                    f"recording a partial run as a timing")
+            bits_n = (read_snapshot(spark, os.path.join(store, "bits"))
+                      .select("bit").distinct().count())
+            prog = q.lastProgress or {}
+            _STREAM_STATE[label] = {
+                "state_rows": 0,           # stateless stream by design
+                "bloom_bits_rows": int(bits_n),
+                "m_bits": m_bits,
+                "batches": int(prog.get("batchId", -1)) + 1}
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
     def s03_hll_sink(spark, sf_dir):
         # the exactly-once sketch sink: per-batch HLL registers folded
         # into a versioned store through tagged commits (T7)
@@ -905,7 +959,8 @@ def _streaming_queries():
     return {"s01_rt_tenmin": s01_rt_tenmin,
             "s02_curation_gate": s02_curation_gate,
             "s03_hll_sink": s03_hll_sink,
-            "s04_session_rollup": s04_session_rollup}
+            "s04_session_rollup": s04_session_rollup,
+            "s05_gated_curation": s05_gated_curation}
 
 
 def _load_baseline() -> dict:
@@ -1259,10 +1314,17 @@ def adjudicate(times: dict, sf1_times: dict, sf10_times: dict,
 def _summary_line(times: dict, sf1_times: dict, sf10_times: dict,
                   base: dict, sf: str, rc: int, adjudication: list,
                   failures: list) -> dict:
-    """The compact LAST-line record (sized for a tail capture): the
-    bench contract fields + per-tier totals, worst-3 ratios vs the
-    committed baseline, streaming state rows, and adjudication
-    verdicts."""
+    """The compact LAST-line record, sized for the driver's tail
+    capture — which is 2000 BYTES (every committed BENCH_r*.json:
+    ``tail`` is the last 2000 bytes of stdout, and through r10
+    ``parsed`` stayed null because this line still carried the full
+    per-query map at ~4-9 KB).  The full per-query JSON line is
+    printed immediately before this one; here only the contract
+    fields + per-tier totals, worst-3 ratios vs the committed
+    baseline, COMPACT stream state (label → [state_rows, batches,
+    (bits_rows, m_bits)]) and CAPPED adjudication/failure verdicts —
+    bounded under ~1.9 KB at the real ~120-entry scale
+    (tests/test_bench_adjudication.py exercises that size)."""
     def worst3(td, bd):
         r = sorted(((round(t / bd[n], 3), n) for n, t in td.items()
                     if n in bd and bd[n] > 0), reverse=True)
@@ -1284,18 +1346,26 @@ def _summary_line(times: dict, sf1_times: dict, sf10_times: dict,
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rc": rc,
-        "queries": times,
+        "n_queries": len(times),
         "tiers": tiers,
     }
     if _STREAM_STATE:
-        line["stream_state"] = _STREAM_STATE
+        compact = {}
+        for label, st in _STREAM_STATE.items():
+            row = [st.get("state_rows"), st.get("batches")]
+            if "bloom_bits_rows" in st:
+                row += [st["bloom_bits_rows"], st.get("m_bits")]
+            compact[label] = row
+        line["stream_state"] = compact
     if adjudication:
+        line["n_adjudications"] = len(adjudication)
         line["adjudication"] = [
-            {k: a[k] for k in ("query", "tier", "kind", "tripped_sec",
-                               "canary_sec", "verdict")}
-            for a in adjudication]
+            [a["query"], a["tier"], a["kind"], a["tripped_sec"],
+             a["canary_sec"], a["verdict"]]
+            for a in adjudication[:6]]
     if failures:
-        line["failures"] = [f["msg"] for f in failures]
+        line["n_failures"] = len(failures)
+        line["failures"] = [f["msg"][:110] for f in failures[:3]]
     return line
 
 

@@ -362,3 +362,125 @@ def bloom_ingest_gate(stream: DataFrame, bits: DataFrame,
 
     s = stream.withColumn("fingerprint", TA.fingerprint(text_col))
     return bloom_membership_rowwise(bits, s, "fingerprint", m_bits, k)
+
+
+def curated_ingest_sink(store_path: str,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        min_tokens: int = 10,
+                        max_dup_ngram_ratio: float = 0.3,
+                        redact_pii: bool = True,
+                        m_bits: int = 65536, k: int = 4):
+    """BOUNDED-STATE streaming curation: the :func:`bloom_ingest_gate`-
+    fronted, exactly-once alternative to :func:`curate_stream`'s
+    watermarked dedup — the streaming counterpart of the q177/q204
+    exact-vs-sketch route pair.
+
+    :func:`curate_stream` holds one state row per fingerprint inside
+    the watermark: LINEAR in documents (499 200 rows at the sf10 bench
+    tier — its most expensive entry), and expiring the state re-admits
+    late duplicates.  This sink keeps the STREAM stateless
+    (foreachBatch; no watermark state at all) and moves corpus memory
+    into the store, where the hot-path footprint is FIXED:
+
+    per micro-batch
+      1. quality gate → PII scrub → fingerprint — the exact batch
+         column expressions (stream≡batch bit-parity);
+      2. in-batch exact dedup: keep the min-``id_col`` row per
+         fingerprint (deterministic under replay);
+      3. Bloom gate against the accumulated corpus bit dim
+         (``{store}/bits`` — ≤m_bits rows, a few KB broadcast however
+         large the corpus grows): ``maybe_present = false`` rows are
+         DEFINITELY new (zero false negatives) and skip the corpus
+         entirely; only the fp-rate-bounded "maybe" slice pays the
+         exact anti-join against ``{store}/fps``;
+      4. one tagged exactly-once commit per table — accepted rows →
+         ``{store}/docs``, then their bits OR-folded into
+         ``{store}/bits`` (bloom_bits is union-mergeable), then their
+         fingerprints → ``{store}/fps``.
+
+    Replay safety (the at-least-once → exactly-once argument): the
+    accepted set is a deterministic function of the batch and
+    ``{store}/fps`` — the bit dim only routes rows between the
+    "definitely new" and "maybe → exact-join" branches, and a row
+    absent from fps is admitted on EITHER branch — so a replayed batch
+    recomputes the same accepted set whichever commits survived, and
+    per-table batch tags skip the survivors.  Commit order bits-
+    before-fps keeps the gate's no-false-negative invariant
+    (bits ⊇ fps at every version).
+
+    Unlike the watermarked route there is NO late-duplicate hole: a
+    duplicate arriving years later still hits the store.  The trade
+    moved to the fp rate: ~(n_fps·k/m_bits)^k of genuinely-new docs
+    pay one extra exact probe (size m_bits for the corpus you expect).
+
+    Returns a ``foreachBatch`` function.
+    """
+    import os
+
+    from rainforest_spark.operators.sketches import (
+        bloom_bits, bloom_membership_rowwise,
+    )
+    from rainforest_spark.sources.versioned import (
+        committed_batches, read_snapshot, _commit_tagged,
+    )
+
+    docs_t = os.path.join(store_path, "docs")
+    bits_t = os.path.join(store_path, "bits")
+    fps_t = os.path.join(store_path, "fps")
+
+    def _commit_once(df, table, key, batch_id):
+        if int(batch_id) in committed_batches(table, key):
+            return
+        for _ in range(3):
+            try:
+                _commit_tagged(df, table,
+                               {"query": key, "batch_id": int(batch_id)})
+                return
+            except FileExistsError:
+                if int(batch_id) in committed_batches(table, key):
+                    return
+        raise RuntimeError(
+            f"curated_ingest_sink could not commit batch {batch_id} "
+            f"into {table}")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        s = (batch_df
+             .filter(TA.token_count(text_col) >= min_tokens)
+             .filter(F.coalesce(TA.dup_ngram_ratio(text_col),
+                                F.lit(0.0)) <= max_dup_ngram_ratio))
+        if redact_pii:
+            s = s.withColumn(text_col, TA.pii_redact(text_col))
+        s = s.withColumn("fingerprint", TA.fingerprint(text_col))
+        cols = [c for c in s.columns if c != "fingerprint"]
+        s = (s.groupBy("fingerprint")
+             .agg(F.min(F.struct(id_col, *[c for c in cols
+                                           if c != id_col])).alias("m"))
+             .select("fingerprint", *[F.col(f"m.{c}") for c in
+                                      [id_col] + [c for c in cols
+                                                  if c != id_col]]))
+        try:
+            # distinct: append commits stack per-batch bit sets, and a
+            # duplicate dim key would FAN OUT the probe join
+            bits = read_snapshot(spark, bits_t).select("bit").distinct()
+        except Exception:
+            bits = spark.createDataFrame([], "bit int")
+        gated = bloom_membership_rowwise(bits, s, "fingerprint",
+                                         m_bits, k)
+        new = gated.filter(~F.col("maybe_present"))
+        maybe = gated.filter(F.col("maybe_present"))
+        try:
+            fps = read_snapshot(spark, fps_t).select("fingerprint")
+            maybe = maybe.join(fps, "fingerprint", "left_anti")
+        except Exception:
+            pass   # empty store: every maybe row is a Bloom fp
+        accepted = (new.unionByName(maybe).drop("maybe_present")
+                    .localCheckpoint())
+        _commit_once(accepted, docs_t, "docs", batch_id)
+        _commit_once(bloom_bits(accepted, "fingerprint", m_bits, k),
+                     bits_t, "bits", batch_id)
+        _commit_once(accepted.select("fingerprint"),
+                     fps_t, "fps", batch_id)
+
+    return write

@@ -120,8 +120,69 @@ def test_summary_line_compact_and_self_contained():
         times, {"q_a": 8.0}, {"q_a": 60.0}, _base(), "0.1", 0,
         [], [])
     assert line["metric"] == "headline_queries_total_wall"
-    assert line["rc"] == 0 and line["queries"] == times
+    assert line["rc"] == 0 and line["n_queries"] == len(times)
+    assert line["value"] == 6.0
     assert set(line["tiers"]) == {"sf0.1", "sf1", "sf10"}
     assert line["tiers"]["sf10"]["worst_vs_baseline"] == [["q_a", 1.0]]
+    # the full per-query map lives in the PRECEDING stdout line; the
+    # tail-capture record must not carry it
+    assert "queries" not in line
     import json
-    assert len(json.dumps(line)) < 8000     # fits a tail capture
+    assert len(json.dumps(line)) < 1900     # fits the 2000-byte tail
+
+
+def test_summary_line_fits_tail_capture_at_real_scale():
+    """r10 ADVICE: the tail-capture bound must be exercised at the
+    size of the REAL record — ~120 realistically-named per-query times
+    at three tiers, populated 4-tier stream state, and a worst-case
+    adjudication block — not a 3-query toy.  The driver captures the
+    LAST 2000 BYTES of stdout (see any BENCH_r*.json "tail"), so the
+    compact line must stay under ~1.9 KB at that scale or "parsed"
+    goes null again."""
+    import json
+
+    names = [f"q{i:03d}_realistically_named_workload_entry_{i}"
+             for i in range(115)] + [
+        "s01_rt_tenmin", "s02_curation_gate", "s03_hll_sink",
+        "s04_session_rollup", "s05_gated_curation"]
+    times = {n: round(0.217 + (i % 37) * 0.931, 3)
+             for i, n in enumerate(names)}
+    sf1 = {n: round(1.217 + (i % 23) * 2.931, 3)
+           for i, n in enumerate(names)}
+    sf10 = {n: round(3.417 + (i % 11) * 9.131, 3)
+            for i, n in enumerate(names[:40])}
+    base = {"sf0.1": dict(times), "sf1": dict(sf1), "sf10": dict(sf10)}
+    saved = dict(BENCH._STREAM_STATE)
+    BENCH._STREAM_STATE.update({
+        "s01:sf10": {"state_rows": 6, "batches": 30},
+        "s02:sf10": {"state_rows": 499200, "batches": 2},
+        "s04:sf10": {"state_rows": 32000, "batches": 5},
+        "s05:sf10": {"state_rows": 0, "bloom_bits_rows": 1878433,
+                     "m_bits": 4194304, "batches": 2}})
+    try:
+        adjudication = [
+            {"kind": "per_query", "tier": "sf10", "query": n,
+             "tripped_sec": 11.36, "canary_sec": 9.67,
+             "measured": 11.36, "baseline": 4.654,
+             "loadavg_at_trip": [12.2, 8.0, 4.0],
+             "loadavg_at_canary": [0.03, 1.2, 2.0],
+             "verdict": "environmental"}
+            for n in names[:8]]
+        failures = [{"kind": "per_query", "tier": "sf10", "query": n,
+                     "msg": (f"sf10 {n}: 11.36s vs baseline 4.654s "
+                             f"(2.44x > 1.5x), reproduced by canary")}
+                    for n in names[:2]]
+        line = BENCH._summary_line(times, sf1, sf10, base, "0.1", 1,
+                                   adjudication, failures)
+        assert line["n_queries"] == len(times)
+        assert line["n_adjudications"] == 8
+        assert len(line["adjudication"]) <= 6     # capped, count kept
+        assert line["stream_state"]["s05:sf10"] == [
+            0, 2, 1878433, 4194304]
+        assert len(json.dumps(line)) < 1900, (
+            f"summary line is {len(json.dumps(line))} bytes at "
+            f"realistic scale — the driver tail-captures 2000 bytes, "
+            f"so this record would come back 'parsed: null'")
+    finally:
+        BENCH._STREAM_STATE.clear()
+        BENCH._STREAM_STATE.update(saved)

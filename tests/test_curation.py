@@ -271,3 +271,88 @@ def test_bloom_ingest_gate_stream(spark, tmp_path):
                                        "doc_id long, text string"),
                  bits, "text").collect()}
     assert batch == got
+
+
+def test_curated_ingest_sink_bounded_state_parity(spark, tmp_path):
+    """VERDICT r10 #3: the Bloom-gated exactly-once curation sink —
+    the bounded-state route next to curate_stream's watermarked dedup.
+    Full-chain batch ≡ stream parity (same accepted fingerprint set
+    as the batch quality→PII→fingerprint→keep-one chain over the
+    whole arrival), cross-batch dups dropped with NO watermark hole,
+    replay idempotence, and the hot-path state is the fixed-size bit
+    dim (≤ m_bits rows), not a per-fingerprint state table."""
+    import os
+
+    import pandas as pd
+
+    from rainforest_spark.operators.text_analysis import (
+        fingerprint, pii_redact, token_count, dup_ngram_ratio,
+    )
+    from rainforest_spark.sources.versioned import (
+        history, read_snapshot,
+    )
+    from rainforest_spark.streaming.corpus import curated_ingest_sink
+
+    base = [f"document body number {i} with exactly twelve ordinary "
+            f"plain filler tokens" for i in range(60)]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))
+    rows += [(1000 + i, base[i]) for i in range(0, 60, 7)]   # dups
+    rows += [(2000 + i, base[i]) for i in range(0, 60, 13)]  # more dups
+    rows.append((3000, "too short"))                         # quality-gated
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    # three files -> three micro-batches; dups land in LATER batches
+    for fi, lo in enumerate((0, 60, 66)):
+        hi = {0: 60, 1: 66, 2: len(rows)}[fi]
+        pd.DataFrame(rows[lo:hi], columns=["doc_id", "text"]) \
+            .to_parquet(f"{src}/f{fi}.parquet", index=False)
+
+    store = str(tmp_path / "store")
+    sink = curated_ingest_sink(store, m_bits=8192, k=4)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    # stateless: no Structured Streaming state operator at all
+    for p in q.recentProgress:
+        assert not p.get("stateOperators")
+
+    docs = read_snapshot(spark, os.path.join(store, "docs"))
+    fps = read_snapshot(spark, os.path.join(store, "fps"))
+    bits = read_snapshot(spark, os.path.join(store, "bits")) \
+        .select("bit").distinct()
+
+    # batch semantics over the full arrival: quality -> pii ->
+    # fingerprint -> one per fingerprint
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = (full.filter(token_count("text") >= 10)
+             .filter(F.coalesce(dup_ngram_ratio("text"), F.lit(0.0))
+                     <= 0.3)
+             .withColumn("text", pii_redact("text"))
+             .withColumn("fingerprint", fingerprint("text"))
+             .select("fingerprint").distinct())
+    want = {r["fingerprint"] for r in batch.collect()}
+    got = {r["fingerprint"] for r in docs.select("fingerprint")
+           .collect()}
+    assert got == want                      # full-chain parity
+    assert docs.count() == len(want)        # cross-batch dups dropped
+    assert fps.select("fingerprint").distinct().count() == len(want)
+    # every accepted doc is the FIRST-batch, min-id survivor
+    surv = {r["fingerprint"]: r["doc_id"] for r in docs.collect()}
+    assert all(v < 1000 for v in surv.values())
+    # hot-path state is the bounded bit dim
+    assert bits.count() <= 8192
+    # replay idempotence: re-running a committed batch is a no-op
+    h_before = [len(history(os.path.join(store, t)))
+                for t in ("docs", "bits", "fps")]
+    b0 = spark.read.parquet(f"{src}/f0.parquet")
+    sink(b0, 0)
+    h_after = [len(history(os.path.join(store, t)))
+               for t in ("docs", "bits", "fps")]
+    assert h_after == h_before
+    assert read_snapshot(
+        spark, os.path.join(store, "docs")).count() == len(want)

@@ -220,6 +220,13 @@ HEADLINE = [
     # exists for is measured by the q197_*/q201_* extras.  No
     # committed baseline yet (the guard skips unknown keys).
     "q204_latency_bands_sketch",
+    # round-11: the relational W7 outlier kernel (49-offset explode +
+    # one hash agg over the pixel dim — the oracle-paired route next
+    # to the tile_kernel mapInPandas path) and the grouped KMV novelty
+    # report (one pass over S·k sketch rows).  No committed baselines
+    # yet (the guard skips unknown keys); physics guards apply.
+    "q205_outlier_tile",
+    "q206_kmv_novelty_report",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle
@@ -399,6 +406,12 @@ SF10_HEADLINE = [
     # Bloom-gated exactly-once curation, fixed bit-dim state vs s02's
     # linear-in-docs fingerprint state, measured at the same decades
     "s05_gated_curation",
+    # round-11 continued: second/third decades from day one for the
+    # new pair — the pixel-dim explode (its input groupBy is the only
+    # corpus-sized stage) and the sketch-row novelty report (its
+    # mapInPandas sketch build is the corpus-sized stage)
+    "q205_outlier_tile",
+    "q206_kmv_novelty_report",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0

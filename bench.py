@@ -412,6 +412,11 @@ SF10_HEADLINE = [
     # mapInPandas sketch build is the corpus-sized stage)
     "q205_outlier_tile",
     "q206_kmv_novelty_report",
+    # round-11 continued-2: the W7 kernel route pair on the GROWING
+    # 2048² grid (the oracle fixture saturates at 96×96) — separable
+    # two-pass relational vs dense-tile Arrow kernel, third decade
+    "q205_relational_route",
+    "q205_tile_route",
 ]
 #: same physics, one more decade: <= 2x-linear of same-run sf0.1 (200x)
 SF10_LINEAR_RATIO = 2.0 * 100.0
@@ -627,6 +632,38 @@ def _extra_queries():
 
     q53_bucketed.confs = dict(BUCKETED_JOIN_CONFS)
     q53_shuffle.confs = dict(BUCKETED_JOIN_CONFS)
+    def _w7_grid(spark, sf_dir):
+        # a pixel grid that GROWS with the tier (0.5M -> 3.2M -> 4.2M
+        # occupied cells of a 2048x2048 canvas): the oracle-paired
+        # q205 fixture is frozen at 96x96 for DuckDB pairing, which
+        # saturates at every tier and would measure only job overhead
+        # — this fixture makes the KERNEL the corpus-sized stage, the
+        # thing the route pair exists to compare
+        from pyspark.sql import functions as F
+        l = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        return (l.groupBy((F.col("l_orderkey") % 2048).cast("int")
+                          .alias("x_idx"),
+                          (F.col("l_partkey") % 2048).cast("int")
+                          .alias("y_idx"))
+                .agg((F.sum(F.col("l_quantity").cast("long")) % 1000)
+                     .alias("v"))
+                .where(F.col("v") % 8 != 0))
+
+    def q205_relational(spark, sf_dir):
+        # W7 route pair, relational side: join-free 49-offset explode
+        # + ONE hash agg, whole-stage codegen end to end
+        from rainforest_spark.grid.image import outlier_relational
+        return outlier_relational(_w7_grid(spark, sf_dir), "v", 7)
+
+    def q205_tile(spark, sf_dir):
+        # W7 route pair, tile side: dense-block applyInPandas with
+        # halo replication — every pixel crosses the Arrow boundary
+        # (plus halo copies).  Route equivalence is pytest-gated
+        # (tests/test_grid_pipeline.py).
+        from rainforest_spark.grid.image import tile_kernel
+        return tile_kernel(_w7_grid(spark, sf_dir), "v",
+                           kernel="outlier", halo=3)
+
     return {"q53_bucketed_prepare": q53_bucketed,
             "q53_shuffle_prepare": q53_shuffle,
             "q124_auto_novelty": q124_auto,
@@ -636,7 +673,9 @@ def _extra_queries():
             "q197_sketch_quantiles": q197_sketch,
             "q197_exact_quantiles": q197_exact,
             "q201_sketch_added": q201_sketch,
-            "q201_exact_added": q201_exact}
+            "q201_exact_added": q201_exact,
+            "q205_relational_route": q205_relational,
+            "q205_tile_route": q205_tile}
 
 
 #: streaming fixture scale per tier dir basename (frames of synthetic

@@ -510,3 +510,31 @@ def test_kmv_difference_plan_bounded_dims(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q205_outlier_relational_plan_separable_no_join(spark):
+    """The W7 relational route must stay join-free and SEPARABLE: two
+    7-wide explode+hash-agg passes (x then y — 2·7 map amplification,
+    measured 2.2× faster than the one-stage 49× explode at sf10), no
+    window, no join operator of any kind, and at most the three
+    aggregation exchanges (pixel build + the two passes)."""
+    p = fmt_plan(spark, "q205_outlier_tile")
+    for mark in ("Join", "CartesianProduct", "Window", "InMemoryRelation"):
+        assert mark not in p, f"q205 grew a {mark}"
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 2   # two 1-D passes
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3
+    assert "HashAggregate" in p
+
+
+def test_q206_novelty_report_plan_bounded_dims(spark):
+    """The grouped novelty report (one pass over S·k sketch rows):
+    the global union bottom-K must be a TakeOrderedAndProject (never
+    a global sort), every membership/tag join a broadcast hash join,
+    and no sort-merge join or range partitioning anywhere — the plan
+    must never shuffle the sketch dims."""
+    p = fmt_plan(spark, "q206_kmv_novelty_report")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "rangepartitioning" not in p.lower()
+    assert "CartesianProduct" not in p

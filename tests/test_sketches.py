@@ -804,3 +804,72 @@ def test_kmv_sketch_max_groups_guard(spark):
         (F.col("id") % 50).alias("g"),
         (F.col("id") % 7).cast("string").alias("v"))
     assert kmv_sketch(ok, "v", ["g"], 16, max_groups=100).count() > 0
+
+
+def test_kmv_novelty_report_properties_hypothesis():
+    """Property test of the GROUPED novelty estimator's exactness
+    claims (pure Python mirror of kmv_novelty_report): for random
+    weighted multisets split over random groups and any k —
+    (a) membership decidability extends to S sides: every hash in the
+    GLOBAL union's bottom-K that belongs to group g is present in g's
+    bottom-k sketch, so the per-hash side count over the sample is an
+    exact function of the sets; (b) a sampled hash with side count 1
+    is exclusive to its group WITH its exact weight (the weighted
+    sketch's counter for a global-bottom-K hash is exact); (c) the
+    per-group exclusive counts sum to the number of single-side
+    sample hashes; (d) when the union never fills the sketch, n_only
+    and w_only are the TRUE exclusive distinct counts and weights."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def h(v):
+        return hashlib.md5(str(v).encode()).hexdigest()
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def check(data):
+        k = data.draw(st.integers(min_value=1, max_value=16))
+        n_groups = data.draw(st.integers(min_value=1, max_value=5))
+        rows = data.draw(st.lists(
+            st.tuples(st.integers(0, n_groups - 1),             # group
+                      st.integers(min_value=0, max_value=120),  # value
+                      st.integers(min_value=1, max_value=9)),   # weight
+            min_size=1, max_size=150))
+        # ground truth per group: value -> total weight
+        gw: dict[int, dict[str, int]] = {}
+        for g, v, w in rows:
+            gw.setdefault(g, {})
+            gw[g][h(v)] = gw[g].get(h(v), 0) + w
+        # per-group weighted bottom-k sketches
+        sk = {g: {x: d[x] for x in sorted(d)[:k]} for g, d in gw.items()}
+        # global union bottom-K over the sketch rows
+        u = sorted({x for d in sk.values() for x in d})[:k]
+        for x in u:   # (a) S-side membership decidability
+            for g, d in gw.items():
+                assert (x in d) == (x in sk[g])
+        per_g_only = {g: 0 for g in gw}
+        per_g_wonly = {g: 0 for g in gw}
+        n_single = 0
+        for x in u:
+            owners = [g for g in gw if x in sk[g]]
+            if len(owners) == 1:
+                g = owners[0]
+                n_single += 1
+                per_g_only[g] += 1
+                per_g_wonly[g] += sk[g][x]
+                # (b) the sampled weight is the exact group total
+                assert sk[g][x] == gw[g][x]
+        assert sum(per_g_only.values()) == n_single   # (c)
+        if len(u) < k:   # (d) unfilled -> exact exclusives
+            all_h = {x for d in gw.values() for x in d}
+            assert len(u) == len(all_h)
+            for g, d in gw.items():
+                others = {x for g2, d2 in gw.items() if g2 != g
+                          for x in d2}
+                excl = {x for x in d if x not in others}
+                assert per_g_only[g] == len(excl)
+                assert per_g_wonly[g] == sum(d[x] for x in excl)
+
+    check()

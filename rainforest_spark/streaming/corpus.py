@@ -422,7 +422,8 @@ def curated_ingest_sink(store_path: str,
         bloom_bits, bloom_membership_rowwise,
     )
     from rainforest_spark.sources.versioned import (
-        committed_batches, read_snapshot, _commit_tagged,
+        _read_manifest, _versions, committed_batches, read_snapshot,
+        _commit_tagged,
     )
 
     docs_t = os.path.join(store_path, "docs")
@@ -444,43 +445,82 @@ def curated_ingest_sink(store_path: str,
             f"curated_ingest_sink could not commit batch {batch_id} "
             f"into {table}")
 
+    def _batch_files(table, key, batch_id):
+        """Data files ADDED by the commit tagged (key, batch_id) —
+        manifest file list minus the parent's (raw manifests; the
+        history() helper returns summaries without file lists)."""
+        for i in _versions(table):
+            m = _read_manifest(table, i)
+            st = m.get("stream") or {}
+            if (st.get("query") == key
+                    and st.get("batch_id") == int(batch_id)):
+                parent = m.get("parent")
+                pf = (set(_read_manifest(table, parent)["files"])
+                      if parent else set())
+                return [f for f in m["files"] if f not in pf]
+        # a committed docs batch MUST have a tagged manifest — an
+        # empty fallback here would silently commit empty fps/bits
+        # and let every future duplicate through the gate
+        raise RuntimeError(
+            f"curated_ingest_sink: no manifest tagged ({key!r}, "
+            f"{batch_id}) in {table} — store log corrupted?")
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        s = (batch_df
-             .filter(TA.token_count(text_col) >= min_tokens)
-             .filter(F.coalesce(TA.dup_ngram_ratio(text_col),
-                                F.lit(0.0)) <= max_dup_ngram_ratio))
-        if redact_pii:
-            s = s.withColumn(text_col, TA.pii_redact(text_col))
-        s = s.withColumn("fingerprint", TA.fingerprint(text_col))
-        cols = [c for c in s.columns if c != "fingerprint"]
-        s = (s.groupBy("fingerprint")
-             .agg(F.min(F.struct(id_col, *[c for c in cols
-                                           if c != id_col])).alias("m"))
-             .select("fingerprint", *[F.col(f"m.{c}") for c in
-                                      [id_col] + [c for c in cols
-                                                  if c != id_col]]))
-        try:
-            # distinct: append commits stack per-batch bit sets, and a
-            # duplicate dim key would FAN OUT the probe join
-            bits = read_snapshot(spark, bits_t).select("bit").distinct()
-        except Exception:
-            bits = spark.createDataFrame([], "bit int")
-        gated = bloom_membership_rowwise(bits, s, "fingerprint",
-                                         m_bits, k)
-        new = gated.filter(~F.col("maybe_present"))
-        maybe = gated.filter(F.col("maybe_present"))
-        try:
-            fps = read_snapshot(spark, fps_t).select("fingerprint")
-            maybe = maybe.join(fps, "fingerprint", "left_anti")
-        except Exception:
-            pass   # empty store: every maybe row is a Bloom fp
-        accepted = (new.unionByName(maybe).drop("maybe_present")
-                    .localCheckpoint())
-        _commit_once(accepted, docs_t, "docs", batch_id)
-        _commit_once(bloom_bits(accepted, "fingerprint", m_bits, k),
+        if int(batch_id) not in committed_batches(docs_t, "docs"):
+            s = (batch_df
+                 .filter(TA.token_count(text_col) >= min_tokens)
+                 .filter(F.coalesce(TA.dup_ngram_ratio(text_col),
+                                    F.lit(0.0)) <= max_dup_ngram_ratio))
+            if redact_pii:
+                s = s.withColumn(text_col, TA.pii_redact(text_col))
+            s = s.withColumn("fingerprint", TA.fingerprint(text_col))
+            cols = [c for c in s.columns if c != "fingerprint"]
+            s = (s.groupBy("fingerprint")
+                 .agg(F.min(F.struct(id_col, *[c for c in cols
+                                               if c != id_col]))
+                      .alias("m"))
+                 .select("fingerprint",
+                         *[F.col(f"m.{c}") for c in
+                           [id_col] + [c for c in cols
+                                       if c != id_col]]))
+            try:
+                # distinct: append commits stack per-batch bit sets,
+                # and a duplicate dim key would FAN OUT the probe join
+                bits = (read_snapshot(spark, bits_t)
+                        .select("bit").distinct())
+            except Exception:
+                bits = spark.createDataFrame([], "bit int")
+            # the gate carries the full rows through the k bit-probe
+            # broadcast joins — a narrow fingerprint-only gate with a
+            # decision join back measured SLOWER at two tiers (the
+            # join-back shuffle of the text outweighs the wide
+            # broadcast probes; PERF.md round 11)
+            gated = bloom_membership_rowwise(bits, s, "fingerprint",
+                                             m_bits, k)
+            new = gated.filter(~F.col("maybe_present"))
+            maybe = gated.filter(F.col("maybe_present"))
+            try:
+                fps = read_snapshot(spark, fps_t).select("fingerprint")
+                maybe = maybe.join(fps, "fingerprint", "left_anti")
+            except Exception:
+                pass   # empty store: every maybe row is a Bloom fp
+            accepted = new.unionByName(maybe).drop("maybe_present")
+            # the commit's own parquet write IS the one materialization
+            # of the accepted set (no localCheckpoint double-write)
+            _commit_once(accepted, docs_t, "docs", batch_id)
+        # bits/fps derive from the COMMITTED docs files — a cheap
+        # column-pruned read instead of recomputing the gate chain per
+        # table, and byte-identical under replay by construction
+        # (whichever commits survived a crash, the stored batch is the
+        # single source).  Commit order bits-before-fps keeps the
+        # gate's no-false-negative invariant (bits ⊇ fps always).
+        files = _batch_files(docs_t, "docs", batch_id)
+        newfps = (spark.read.parquet(*files).select("fingerprint")
+                  if files else
+                  spark.createDataFrame([], "fingerprint string"))
+        _commit_once(bloom_bits(newfps, "fingerprint", m_bits, k),
                      bits_t, "bits", batch_id)
-        _commit_once(accepted.select("fingerprint"),
-                     fps_t, "fps", batch_id)
+        _commit_once(newfps, fps_t, "fps", batch_id)
 
     return write

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["ohlc_stream", "anomaly_gate_stream",
            "session_rollup_stream", "session_rollup_batch",
-           "quantile_sketch_sink", "kmv_sink"]
+           "quantile_sketch_sink", "kmv_sink", "kmv_weighted_sink"]
 
 
 def ohlc_stream(stream: DataFrame, key_cols: list[str], ts_col: str,
@@ -291,5 +291,69 @@ def kmv_sink(store_path: str, col: str,
                     return   # the winner WAS this batch — no-op
         raise ConcurrentCommitError(
             f"kmv_sink lost {max_retries} refresh races at "
+            f"{store_path}") from last
+    return write
+
+
+def kmv_weighted_sink(store_path: str, col: str,
+                      group_cols: list[str] | None = None,
+                      k: int = 256, weight_col: str | None = None,
+                      query_key: str = "kmvw",
+                      max_retries: int = 5):
+    """EXACTLY-ONCE maintenance of the WEIGHTED bottom-k sketch
+    (operators/sketches.kmv_sketch_weighted): per-batch partial
+    sketches fold through ``kmv_merge_weighted`` — partial weights of
+    the same value ADD across batches because micro-batches partition
+    the stream's rows, which is exactly the merge's precondition — so
+    the maintained ≤k-row-per-group table keeps EXACT per-value
+    weights and answers the full ingest-decision family from the
+    store alone: per-source volume (kmv_weighted_estimate), pairwise
+    added volume (kmv_added_weight) and the grouped novelty report
+    (kmv_novelty_report — "what does each source add to the union of
+    the rest", distinct values AND bytes/rows) over live feeds, with
+    no rescan of history.  Same concurrency posture as
+    :func:`kmv_sink` (non-algebraic fold → read-merge-commit with an
+    expected_parent precondition, tag-based replay detection before
+    the fold and on every conflict).
+
+    Shape at 100 TB: per batch one bounded partial-min-k+weights pass
+    + a (2k per group)-row merge rank — independent of batch size.
+    """
+    g = list(group_cols or [])
+
+    def write(batch_df, batch_id: int) -> None:
+        from rainforest_spark.operators.sketches import (
+            kmv_merge_weighted, kmv_sketch_weighted,
+        )
+        from rainforest_spark.sources.versioned import (
+            ConcurrentCommitError, commit_snapshot, committed_batches,
+            latest_version, read_snapshot,
+        )
+        bid = int(batch_id)
+        if bid in committed_batches(store_path, query_key):
+            return
+        new = kmv_sketch_weighted(batch_df, col, g, int(k),
+                                  weight_col=weight_col)
+        last: Exception | None = None
+        for _ in range(int(max_retries)):
+            parent = latest_version(store_path)
+            if parent is None:
+                merged = new
+            else:
+                old = read_snapshot(batch_df.sparkSession, store_path,
+                                    version=parent)
+                merged = kmv_merge_weighted(old, new, g, int(k))
+            try:
+                commit_snapshot(merged, store_path, mode="overwrite",
+                                expected_parent=parent,
+                                stream_tag={"query": query_key,
+                                            "batch_id": bid})
+                return
+            except ConcurrentCommitError as e:
+                last = e
+                if bid in committed_batches(store_path, query_key):
+                    return   # the winner WAS this batch — no-op
+        raise ConcurrentCommitError(
+            f"kmv_weighted_sink lost {max_retries} refresh races at "
             f"{store_path}") from last
     return write

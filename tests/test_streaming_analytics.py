@@ -419,3 +419,72 @@ def test_kmv_sink_stream_equals_batch_with_replay(spark, tmp_path):
            kmv_estimate(maintained, ["g"], 128).collect()}
     n_a = len({u for u, g in rows0 + rows1 if g == "a"})
     assert abs(est["a"] - n_a) / n_a < 0.35
+
+
+def test_kmv_weighted_sink_novelty_report_from_store(spark, tmp_path):
+    """The maintained-ingest-dashboard composition (r11): per-source
+    WEIGHTED bottom-k sketches folded per micro-batch equal the
+    one-shot weighted sketch of the whole feed (partial weights of
+    the same value ADD across batches — micro-batches partition the
+    rows, the merge's precondition), a replayed batch is a tag-
+    detected no-op, and kmv_novelty_report over the MAINTAINED store
+    is bit-identical to the report over the direct sketch — "what
+    does each source add" answered from the store alone, no history
+    rescan."""
+    import pandas as pd
+
+    from rainforest_spark.operators.sketches import (
+        kmv_novelty_report, kmv_sketch_weighted,
+    )
+    from rainforest_spark.sources.versioned import (
+        latest_version, read_snapshot,
+    )
+    from rainforest_spark.streaming.analytics import kmv_weighted_sink
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    # overlapping vocab across sources AND batches so both the merge
+    # weights and the exclusive-ownership columns do real work
+    rows0 = ([(f"w{i % 37}", "a" if i % 2 else "b")
+              for i in range(400)]
+             + [(f"onlya{i}", "a") for i in range(40) for _ in (0, 1)])
+    rows1 = ([(f"w{i % 53}", "b" if i % 3 else "c")
+              for i in range(200, 900)]
+             + [(f"onlyc{i}", "c") for i in range(40)])
+    pd.DataFrame(rows0, columns=["tok", "src"]).to_parquet(
+        f"{src}/f0.parquet", index=False)
+    pd.DataFrame(rows1, columns=["tok", "src"]).to_parquet(
+        f"{src}/f1.parquet", index=False)
+    store = str(tmp_path / "kmvw")
+    sink = kmv_weighted_sink(store, "tok", ["src"], k=32)
+    stream = (spark.readStream.schema("tok string, src string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+
+    whole = spark.createDataFrame(rows0 + rows1,
+                                  "tok string, src string")
+    direct = kmv_sketch_weighted(whole, "tok", ["src"], 32)
+    maintained = read_snapshot(spark, store)
+    got = sorted(tuple(r) for r in
+                 maintained.select("src", "h", "w").collect())
+    want = sorted(tuple(r) for r in direct.collect())
+    assert got == want                     # merge == whole, weights exact
+
+    rep_store = sorted(
+        tuple(r) for r in
+        kmv_novelty_report(maintained, "src", 32).collect())
+    rep_direct = sorted(
+        tuple(r) for r in
+        kmv_novelty_report(direct, "src", 32).collect())
+    assert rep_store == rep_direct
+    assert {r[0] for r in rep_store} == {"a", "b", "c"}
+    # exclusive counts do real work on this fixture
+    assert any(r[4] > 0 for r in rep_store)    # some n_only > 0
+
+    # replay: re-delivering batch 0 is a no-op
+    v = latest_version(store)
+    sink(spark.createDataFrame(rows0, "tok string, src string"), 0)
+    assert latest_version(store) == v

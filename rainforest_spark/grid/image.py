@@ -1,8 +1,14 @@
 """2-D grid image kernels as tile-based ``applyInPandas``.
 
 Reference kernels (the only genuinely non-relational ops, SURVEY §2.10):
-- 7×7 moving-window outlier removal (qpe/qpe_utils.py:233-268): local
-  mean/std via convolution; pixels with z ≥ 3 replaced by the local mean.
+- 7×7 moving-window outlier removal, ADAPTED from qpe/qpe_utils.py:233-268
+  (local mean/std over a box; pixels with z ≥ 3 replaced by the local
+  mean) with two deliberate deviations: the test here is TWO-SIDED
+  (|x−μ| ≥ 3σ, the reference tests z ≥ 3 un-absed) and the window stats
+  are NaN-EXCLUDING with shrinking edge windows (the reference convolves
+  raw values, so a NaN poisons its whole neighbourhood and edge counts
+  include padding).  Both repo routes (tile + relational) and the q205
+  oracle share THESE semantics exactly.
 - Gaussian smoothing σ=0.5 (qpe/qpe.py:742-743).
 
 Spark realization: the grid is tiled into TILE×TILE blocks; each pixel
@@ -39,8 +45,9 @@ def _kernel_outlier(block: np.ndarray, size: int = 7,
                     z_thresh: float = 3.0) -> np.ndarray:
     """Local-stats outlier replacement on a dense block (numpy only).
 
-    Matches qpe_utils.py:233-268 semantics: nan-aware box mean/std,
-    replace (x − μ)/σ ≥ z by μ.
+    Adapted from qpe_utils.py:233-268 (see module docstring for the
+    deliberate deviations): nan-aware box mean/std, replace
+    |x − μ|/σ ≥ z by μ.
     """
     from numpy.lib.stride_tricks import sliding_window_view
 
@@ -79,7 +86,8 @@ def _kernel_gaussian(block: np.ndarray, sigma: float = 0.5) -> np.ndarray:
 
 def outlier_relational(grid: DataFrame, value_col: str,
                        size: int = 7) -> DataFrame:
-    """The 7×7 outlier kernel (qpe/qpe_utils.py:233-268 semantics) as
+    """The 7×7 outlier kernel (adapted from qpe/qpe_utils.py:233-268 —
+    two-sided + nan-excluding here, see module docstring) as
     pure relational algebra over INTEGER-valued pixels — the
     oracle-pairable route next to :func:`tile_kernel`'s dense-tile
     ``applyInPandas`` (both nan-aware: a missing pixel is excluded

@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 __all__ = ["hll_registers", "hll_estimate", "hll_accuracy_report",
            "HLL_RHO_MAX", "bloom_bits", "bloom_membership",
            "bloom_membership_rowwise", "bloom_fp_report",
+           "bloom_bits_slab", "bloom_membership_rowwise_slabs",
+           "bloom_slab_params",
            "cms_counters", "cms_point_estimates",
            "cms_accuracy_report", "quantile_buckets",
            "quantile_estimate", "exact_quantiles",
@@ -275,6 +277,111 @@ def bloom_membership_rowwise(bits: DataFrame, probes: DataFrame,
     drop = ["__v"] + [f"__b{s}" for s in range(int(k))] \
         + [f"__hit{s}" for s in range(int(k))]
     return out.withColumn("maybe_present", pred).drop(*drop)
+
+
+def bloom_slab_params(m_bits: int, k: int, slab: int) -> tuple[int, int]:
+    """``(m_s, k_s)`` for scalable-Bloom slab ``slab``: sizes DOUBLE
+    and one hash is ADDED per slab (``m_s = m_bits·2^s``,
+    ``k_s = k + s``), so a slab frozen at ≤50 % occupancy contributes
+    fp ≈ ``0.5^(k+s)`` and the total over ANY number of slabs
+    telescopes to ``< 2·0.5^k`` (the classic scalable-Bloom bound —
+    Almeida et al. 2007) instead of growing linearly with slab count.
+    Slab capacity at the 50 % freeze is ``ln2·m_s/k_s`` values — it
+    GROWS geometrically, so slab count is O(log corpus)."""
+    s = int(slab)
+    return int(m_bits) << s, int(k) + s
+
+
+def _slab_salt(j: int, slab: int) -> str:
+    # slab 0 keeps the legacy bloom_bits salt so flat stores upgrade
+    # in place (their rows ARE slab 0, bit-identical)
+    return f"{j}|" if int(slab) == 0 else f"{j}#{int(slab)}|"
+
+
+def bloom_bits_slab(df: DataFrame, col: str | Column,
+                    m_bits: int = 4096, k: int = 4,
+                    slab: int = 0) -> DataFrame:
+    """One scalable-Bloom SLAB's bit table: DISTINCT ``(slab, bit)``
+    positions set by ``df[col]`` under slab ``slab``'s parameters
+    (:func:`bloom_slab_params` — doubled size, one extra hash per
+    slab).  Slab 0 is BIT-IDENTICAL to :func:`bloom_bits` (plus the
+    slab column), so a legacy flat store upgrades in place: read its
+    rows as slab 0 (``coalesce(slab, 0)`` after a mergeSchema read)
+    and append new slabs beside them.
+
+    This is what gives the Bloom-gated ingest store a GROWTH POLICY:
+    a fixed ``m_bits`` saturates one decade past its design corpus
+    (occupancy → 1, fp → 1, the gate silently degrades to the exact
+    probe's wall); freezing a slab at ~50 % occupancy and opening the
+    next (bigger, one-more-hash) slab keeps total fp ``< 2·0.5^k``
+    forever, with no upfront corpus-size estimate.  Union-mergeable
+    per slab exactly like :func:`bloom_bits`.
+
+    Shape at 100 TB: one explode(k_s) + distinct on ≤ m_s keys.
+    """
+    m_s, k_s = bloom_slab_params(m_bits, k, slab)
+    c = F.col(col) if isinstance(col, str) else col
+    d = df.where(c.isNotNull()).select(
+        F.md5(c.cast("string")).alias("__v"))
+    bits = F.array(*[
+        F.expr(_hex_int_expr(
+            f"md5(concat('{_slab_salt(j, slab)}', __v))", 8))
+        % F.lit(int(m_s))
+        for j in range(k_s)])
+    return (d.select(F.explode(bits).alias("bit")).distinct()
+            .select(F.lit(int(slab)).cast("int").alias("slab"), "bit"))
+
+
+def bloom_membership_rowwise_slabs(bits: DataFrame, probes: DataFrame,
+                                   col: str | Column,
+                                   m_bits: int = 4096, k: int = 4,
+                                   slabs: list[int] | None = None
+                                   ) -> DataFrame:
+    """Row-wise membership against a SLABBED bit store (``(slab,
+    bit)`` rows from :func:`bloom_bits_slab`): ``maybe_present`` is
+    the OR over slabs of that slab's all-``k_s``-bits-hit AND — zero
+    false negatives as long as every committed value's bits live in
+    SOME listed slab, which the ingest sink's bits-before-fps commit
+    order guarantees.  ``slabs`` is the explicit slab-id list (the
+    caller usually knows it from its occupancy bookkeeping); when
+    None it is read off the bit table (one tiny action).
+
+    Stream-legal like :func:`bloom_membership_rowwise` (no
+    aggregation, probe duplicates pass through); the plan is
+    ``Σ k_s`` broadcast left joins of few-KB dims in one codegen
+    stage.  An empty slab list marks every probe DEFINITELY new
+    (empty store).
+    """
+    if slabs is None:
+        slabs = [int(r["slab"]) for r in
+                 bits.select("slab").distinct().collect()]
+    slabs = sorted(int(s) for s in slabs)
+    c = F.col(col) if isinstance(col, str) else col
+    out = probes.withColumn("__v", F.md5(c.cast("string")))
+    drop = ["__v"]
+    slab_preds = []
+    for s in slabs:
+        m_s, k_s = bloom_slab_params(m_bits, k, s)
+        sb = bits.where(F.col("slab") == s).select("bit")
+        flags = []
+        for j in range(k_s):
+            bcol, hcol = f"__b{s}_{j}", f"__hit{s}_{j}"
+            bit = (F.expr(_hex_int_expr(
+                f"md5(concat('{_slab_salt(j, s)}', __v))", 8))
+                % F.lit(int(m_s)))
+            dim = F.broadcast(sb.withColumnRenamed("bit", bcol)
+                              .withColumn(hcol, F.lit(1)))
+            out = out.withColumn(bcol, bit).join(dim, bcol, "left")
+            flags.append(F.coalesce(F.col(hcol), F.lit(0)) == 1)
+            drop += [bcol, hcol]
+        pred = flags[0]
+        for f_ in flags[1:]:
+            pred = pred & f_
+        slab_preds.append(pred)
+    mp = F.lit(False)
+    for p in slab_preds:
+        mp = mp | p
+    return out.withColumn("maybe_present", mp).drop(*drop)
 
 
 def bloom_fp_report(corpus: DataFrame, probes: DataFrame,
@@ -1240,7 +1347,9 @@ def kmv_novelty_report(wsketch: DataFrame, group_col: str,
     Columns: ``<group_col>, k, n_union_topk, n_in_union, n_only,
     w_only, union_est, adds_est, added_w_est, novelty_rate`` — exact
     strings/integers plus rounded divisions/products identical in
-    both engines (oracle-pairable, q200 idiom).
+    both engines (oracle-pairable, q200 idiom).  ``<group_col>``
+    keeps its INPUT dtype (integer/date keys stay joinable back onto
+    the source dim without an implicit cast).
 
     PRECONDITION (as :func:`kmv_difference`): the sketch must have
     been built with bottom-k ≥ this ``k`` per group, or membership
@@ -1253,8 +1362,7 @@ def kmv_novelty_report(wsketch: DataFrame, group_col: str,
     dim.  The raw corpus is never read.
     """
     kk = int(k)
-    s = (wsketch.select(F.col(group_col).cast("string").alias("__g"),
-                        "h", "w")
+    s = (wsketch.select(F.col(group_col).alias("__g"), "h", "w")
          .localCheckpoint(eager=False))
     u = s.select("h").distinct().orderBy("h").limit(kk)
     # sample hits: (h, group, exact weight) for union-bottom-K hashes

@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["commit_snapshot", "read_snapshot", "read_changes",
            "latest_version", "history", "vacuum", "snapshot_sink",
-           "committed_batches", "ConcurrentCommitError"]
+           "committed_batches", "commit_tagged_once",
+           "ConcurrentCommitError"]
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -289,47 +290,55 @@ def snapshot_sink(path: str, query_key: str):
 
     The check-then-commit race is closed by the store itself: a replay
     that loses the version race re-reads the log, sees its batch id,
-    and skips (commit_snapshot retries bump versions, never dedupe —
-    the dedupe is here, keyed on the manifest tags).
+    and skips (:func:`commit_tagged_once` dedupes on the manifest tags
+    between link attempts).
     """
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        for _ in range(3):
-            if batch_id in committed_batches(path, query_key):
-                return
-            try:
-                _commit_tagged(batch_df, path,
-                               {"query": query_key,
-                                "batch_id": int(batch_id)})
-                return
-            except FileExistsError:
-                continue   # raced; re-check the log
-        raise RuntimeError(f"snapshot_sink could not commit batch "
-                           f"{batch_id} at {path}")
+        commit_tagged_once(batch_df, path, query_key, batch_id)
     return write
 
 
-def _commit_tagged(df: DataFrame, path: str, stream_tag: dict) -> int:
-    """One append commit carrying a stream tag; raises FileExistsError
-    on a lost version race instead of retrying internally (the caller
-    must re-check batch dedupe before retrying)."""
+def commit_tagged_once(df: DataFrame, path: str, query_key: str,
+                       batch_id: int, max_retries: int = 3) -> None:
+    """EXACTLY-ONCE tagged append: skip if ``(query_key, batch_id)``
+    is already in the log; otherwise write the data files ONCE and
+    retry only the atomic manifest link on lost version races,
+    re-checking the tag log between attempts (a concurrent writer that
+    committed the same batch turns the retry into a no-op).  Losing a
+    race to a DIFFERENT batch costs one hardlink attempt, never a data
+    rewrite — the one orphan case left is a concurrent same-batch
+    winner, whose loser's files fall to vacuum's grace-window sweep.
+    """
+    bid = int(batch_id)
+    if bid in committed_batches(path, query_key):
+        return
     os.makedirs(_log_dir(path), exist_ok=True)
     data_dir = os.path.join(path, "data", uuid.uuid4().hex)
     df.write.parquet(data_dir)
     new_files = sorted(
         os.path.join(data_dir, f) for f in os.listdir(data_dir)
         if f.endswith(".parquet") and not f.startswith(("_", ".")))
-    parent = latest_version(path)
-    files = (_read_manifest(path, parent)["files"] + new_files
-             if parent else new_files)
-    version = (parent or 0) + 1
-    manifest = {"version": version, "parent": parent, "op": "append",
-                "files": files, "ts": time.time(),
-                "schema": df.schema.json(), "stream": stream_tag}
-    tmp = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    try:
-        os.link(tmp, _manifest_path(path, version))
-        return version
-    finally:
-        os.unlink(tmp)
+    for _ in range(max_retries):
+        parent = latest_version(path)
+        files = (_read_manifest(path, parent)["files"] + new_files
+                 if parent else new_files)
+        version = (parent or 0) + 1
+        manifest = {"version": version, "parent": parent,
+                    "op": "append", "files": files, "ts": time.time(),
+                    "schema": df.schema.json(),
+                    "stream": {"query": query_key, "batch_id": bid}}
+        tmp = os.path.join(_log_dir(path),
+                           f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(tmp, _manifest_path(path, version))
+            return
+        except FileExistsError:
+            if bid in committed_batches(path, query_key):
+                return   # a concurrent writer committed this batch
+        finally:
+            os.unlink(tmp)
+    raise RuntimeError(
+        f"commit_tagged_once lost {max_retries} version races for "
+        f"batch {batch_id} at {path}")

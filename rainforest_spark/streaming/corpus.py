@@ -370,7 +370,8 @@ def curated_ingest_sink(store_path: str,
                         min_tokens: int = 10,
                         max_dup_ngram_ratio: float = 0.3,
                         redact_pii: bool = True,
-                        m_bits: int = 65536, k: int = 4):
+                        m_bits: int = 65536, k: int = 4,
+                        max_occupancy: float = 0.5):
     """BOUNDED-STATE streaming curation: the :func:`bloom_ingest_gate`-
     fronted, exactly-once alternative to :func:`curate_stream`'s
     watermarked dedup — the streaming counterpart of the q177/q204
@@ -388,16 +389,32 @@ def curated_ingest_sink(store_path: str,
          column expressions (stream≡batch bit-parity);
       2. in-batch exact dedup: keep the min-``id_col`` row per
          fingerprint (deterministic under replay);
-      3. Bloom gate against the accumulated corpus bit dim
-         (``{store}/bits`` — ≤m_bits rows, a few KB broadcast however
-         large the corpus grows): ``maybe_present = false`` rows are
-         DEFINITELY new (zero false negatives) and skip the corpus
-         entirely; only the fp-rate-bounded "maybe" slice pays the
-         exact anti-join against ``{store}/fps``;
+      3. Bloom gate against the accumulated corpus bit store
+         (``{store}/bits`` — SCALABLE-BLOOM SLABS, see below):
+         ``maybe_present = false`` rows are DEFINITELY new (zero
+         false negatives) and skip the corpus entirely; only the
+         fp-rate-bounded "maybe" slice pays the exact anti-join
+         against ``{store}/fps``;
       4. one tagged exactly-once commit per table — accepted rows →
-         ``{store}/docs``, then their bits OR-folded into
-         ``{store}/bits`` (bloom_bits is union-mergeable), then their
-         fingerprints → ``{store}/fps``.
+         ``{store}/docs``, then their bits into the CURRENT slab of
+         ``{store}/bits`` (bloom_bits_slab is union-mergeable per
+         slab), then their fingerprints → ``{store}/fps``.
+
+    GROWTH POLICY (scalable Bloom — Almeida et al. 2007): a fixed bit
+    dim saturates one decade past its design corpus (occupancy → 1,
+    fp → 1, the bounded-state wall silently degrades to the exact
+    probe's).  Instead the bit store is a family of SLABS: slab ``s``
+    has ``m_bits·2^s`` positions and ``k+s`` hashes
+    (operators/sketches.bloom_slab_params); when the current slab's
+    occupancy crosses ``max_occupancy`` (default 0.5) the NEXT batch
+    opens slab ``s+1``; probes check ALL slabs (Σk_s broadcast joins
+    of few-KB dims).  Total fp stays ``< 2·(max_occupancy)^k``
+    (≈12.5 % at k=4) however large the corpus grows — no upfront
+    corpus-size estimate needed; ``m_bits`` only sizes slab 0.  Slab
+    capacity doubles per slab, so slab count is O(log corpus).  The
+    slab choice is read from the COMMITTED store, so it is
+    deterministic under replay; legacy flat stores read as slab 0
+    (mergeSchema surfaces their missing slab column as NULL).
 
     Replay safety (the at-least-once → exactly-once argument): the
     accepted set is a deterministic function of the batch and
@@ -411,39 +428,45 @@ def curated_ingest_sink(store_path: str,
 
     Unlike the watermarked route there is NO late-duplicate hole: a
     duplicate arriving years later still hits the store.  The trade
-    moved to the fp rate: ~(n_fps·k/m_bits)^k of genuinely-new docs
-    pay one extra exact probe (size m_bits for the corpus you expect).
+    moved to the fp rate, now BOUNDED FOR GOOD by the slab policy:
+    ``< 2·(max_occupancy)^k`` of genuinely-new docs pay one extra
+    exact probe, at any corpus size.
 
     Returns a ``foreachBatch`` function.
     """
     import os
 
     from rainforest_spark.operators.sketches import (
-        bloom_bits, bloom_membership_rowwise,
+        bloom_bits_slab, bloom_membership_rowwise_slabs,
+        bloom_slab_params,
     )
     from rainforest_spark.sources.versioned import (
-        _read_manifest, _versions, committed_batches, read_snapshot,
-        _commit_tagged,
+        _read_manifest, _versions, commit_tagged_once,
+        committed_batches, read_snapshot,
     )
 
     docs_t = os.path.join(store_path, "docs")
     bits_t = os.path.join(store_path, "bits")
     fps_t = os.path.join(store_path, "fps")
 
-    def _commit_once(df, table, key, batch_id):
-        if int(batch_id) in committed_batches(table, key):
-            return
-        for _ in range(3):
-            try:
-                _commit_tagged(df, table,
-                               {"query": key, "batch_id": int(batch_id)})
-                return
-            except FileExistsError:
-                if int(batch_id) in committed_batches(table, key):
-                    return
-        raise RuntimeError(
-            f"curated_ingest_sink could not commit batch {batch_id} "
-            f"into {table}")
+    def _bits_state(spark):
+        """(bits(slab,bit) df, {slab: distinct bit count}) from the
+        committed store.  Legacy flat stores (no slab column) read as
+        slab 0; a real read failure propagates and fails the batch
+        (Structured Streaming retries it) — only the absent-table
+        FileNotFoundError means 'empty corpus'."""
+        try:
+            raw = read_snapshot(spark, bits_t)
+        except FileNotFoundError:
+            return spark.createDataFrame([], "slab int, bit int"), {}
+        slab = (F.coalesce(F.col("slab"), F.lit(0))
+                if "slab" in raw.columns else F.lit(0))
+        bits = (raw.select(slab.cast("int").alias("slab"), "bit")
+                .distinct().localCheckpoint(eager=False))
+        counts = {int(r["slab"]): int(r["n"])
+                  for r in bits.groupBy("slab")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        return bits, counts
 
     def _batch_files(table, key, batch_id):
         """Data files ADDED by the commit tagged (key, batch_id) —
@@ -467,6 +490,10 @@ def curated_ingest_sink(store_path: str,
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # one committed-store read per batch: feeds the gate's slab
+        # probes AND the slab-growth decision (single-writer stream —
+        # the state cannot change between the two uses)
+        bits, counts = _bits_state(spark)
         if int(batch_id) not in committed_batches(docs_t, "docs"):
             s = (batch_df
                  .filter(TA.token_count(text_col) >= min_tokens)
@@ -484,31 +511,27 @@ def curated_ingest_sink(store_path: str,
                          *[F.col(f"m.{c}") for c in
                            [id_col] + [c for c in cols
                                        if c != id_col]]))
-            try:
-                # distinct: append commits stack per-batch bit sets,
-                # and a duplicate dim key would FAN OUT the probe join
-                bits = (read_snapshot(spark, bits_t)
-                        .select("bit").distinct())
-            except Exception:
-                bits = spark.createDataFrame([], "bit int")
-            # the gate carries the full rows through the k bit-probe
-            # broadcast joins — a narrow fingerprint-only gate with a
-            # decision join back measured SLOWER at two tiers (the
-            # join-back shuffle of the text outweighs the wide
-            # broadcast probes; PERF.md round 11)
-            gated = bloom_membership_rowwise(bits, s, "fingerprint",
-                                             m_bits, k)
+            # distinct inside _bits_state: append commits stack
+            # per-batch bit sets, and a duplicate dim key would FAN
+            # OUT the probe join.  The gate carries the full rows
+            # through the bit-probe broadcast joins — a narrow
+            # fingerprint-only gate with a decision join back measured
+            # SLOWER at two tiers (the join-back shuffle of the text
+            # outweighs the wide broadcast probes; PERF.md round 11)
+            gated = bloom_membership_rowwise_slabs(
+                bits, s, "fingerprint", m_bits, k,
+                slabs=sorted(counts))
             new = gated.filter(~F.col("maybe_present"))
             maybe = gated.filter(F.col("maybe_present"))
             try:
                 fps = read_snapshot(spark, fps_t).select("fingerprint")
                 maybe = maybe.join(fps, "fingerprint", "left_anti")
-            except Exception:
+            except FileNotFoundError:
                 pass   # empty store: every maybe row is a Bloom fp
             accepted = new.unionByName(maybe).drop("maybe_present")
             # the commit's own parquet write IS the one materialization
             # of the accepted set (no localCheckpoint double-write)
-            _commit_once(accepted, docs_t, "docs", batch_id)
+            commit_tagged_once(accepted, docs_t, "docs", batch_id)
         # bits/fps derive from the COMMITTED docs files — a cheap
         # column-pruned read instead of recomputing the gate chain per
         # table, and byte-identical under replay by construction
@@ -519,8 +542,17 @@ def curated_ingest_sink(store_path: str,
         newfps = (spark.read.parquet(*files).select("fingerprint")
                   if files else
                   spark.createDataFrame([], "fingerprint string"))
-        _commit_once(bloom_bits(newfps, "fingerprint", m_bits, k),
-                     bits_t, "bits", batch_id)
-        _commit_once(newfps, fps_t, "fps", batch_id)
+        # slab choice from the COMMITTED bits state (deterministic
+        # under replay; a skipped bits commit leaves it unchanged):
+        # freeze the current slab once occupancy crosses the
+        # threshold and open the next (doubled, one-more-hash) slab
+        cur = max(counts) if counts else 0
+        m_cur, _k = bloom_slab_params(m_bits, k, cur)
+        if counts and counts[cur] >= max_occupancy * m_cur:
+            cur += 1
+        commit_tagged_once(
+            bloom_bits_slab(newfps, "fingerprint", m_bits, k, slab=cur),
+            bits_t, "bits", batch_id)
+        commit_tagged_once(newfps, fps_t, "fps", batch_id)
 
     return write

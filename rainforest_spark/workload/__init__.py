@@ -119,20 +119,64 @@ _MODULES = [relational, text, vectors, extended]
 #: first; long-proven trivial entries are demoted past slot 50 (they
 #: remain fully covered by tests/test_oracle_parity.py).
 _PRIORITY = [
-    # =================== ROUND-11 GATE WINDOW (50) ==================
-    # Composition (VERDICT r10 "Next round" #1, #5, #7): the 2 new
-    # round-11 queries with NO driver row ever (q205 W7 outlier tile
-    # oracle pair, q206 grouped KMV novelty report) first; then ALL
-    # 26 r6-vintage rows (the q82-q107 families — the oldest evidence
-    # anywhere, named by the r10 verdict); then the 22 oldest
-    # r7-vintage rows.  The 8 remaining r7 rows (q150-q157) rotate in
-    # round 12 — they are driver-checked (r7) and stay exact-parity-
-    # gated via tests/test_oracle_parity.py; tests/test_gate_rotation
-    # forbids silent debt.  A green round leaves NO driver row older
-    # than r7 anywhere (steady-state: each window refreshes the
-    # oldest 50, max staleness ≤4 rounds).
+    # =================== ROUND-12 GATE WINDOW (50) ==================
+    # Composition (VERDICT r11 "Next round" #2, #6): the 1 new
+    # round-12 query with NO driver row ever (q207 — the J8
+    # station→gates LUT join oracle pair, the verdict's last
+    # SQL-expressible golden-only family) first; then the 8 remaining
+    # r7-vintage rows (q150–q157, named by the r11 verdict); then 41
+    # of the 50 r8-vintage rows.  The 9 r8 rows deferred to round 13
+    # all keep fresher-evidence family siblings in-window or in
+    # r9–r11 rows: q53_bucketed_prepare (content-identical twin
+    # q53_prepare_input, r10), q141_rollup_report (ROLLUP machinery
+    # via q60, r10), q111_audio_fingerprint (codec family q70–q74,
+    # r10), q112_interleave + q116_length_batches (ranged_cumsum
+    # packing family q84/q89, r11), q121_stratified_sample (sampling
+    # family q113, r11), q132_relative_quality (quality family
+    # q109/q102/q120, r11), q133_hybrid_rrf (fixed-sum RRF idiom
+    # sibling q127, in-window), q144_fuzzy_match (n-gram band family
+    # q44, r9).  All 9 stay exact-parity-gated via
+    # tests/test_oracle_parity.py; tests/test_gate_rotation forbids
+    # silent debt.  A green round leaves NO driver row older than r8
+    # (steady state: each window refreshes the oldest ~50, max
+    # staleness ≤5 rounds for the deferred tail, ≤4 otherwise).
     #
-    # --- never driver-checked (2, new this round) ---
+    # --- never driver-checked (1, new this round) ---
+    "q207_station_gates_lut",
+    # --- stale re-checks: latest green row r7 (all 8 remaining) ---
+    "q150_session_paths", "q151_rolling_active",
+    "q152_survival_curve", "q153_fd_violations",
+    "q154_integrity_audit", "q155_benford_profile",
+    "q156_market_basket", "q157_percentile_rank",
+    # --- stale re-checks: latest green row r8 (41 of 50) ---
+    "q108_zipf_fit", "q110_weighted_sample", "q119_source_overlap",
+    "q122_label_cohesion", "q123_containment_pairs",
+    "q124_embedding_novelty", "q126_perplexity_buckets",
+    "q127_bm25_topk", "q131_temperature_mixture",
+    "q134_paragraph_dedup", "q139_interval_join",
+    "q143_scd2_intervals", "q158_cadence_gaps", "q159_inverted_index",
+    "q160_spearman_corr", "q161_auc_contrast", "q162_ks_statistic",
+    "q163_ab_contrast", "q164_rfm_segments", "q165_attribution",
+    "q166_triangle_census", "q167_lead_lag", "q168_psi_drift",
+    "q169_ohlc_bars", "q170_quantile_normalize", "q171_nearest_site",
+    "q172_component_census", "q173_zorder_cells",
+    "q174_seasonal_anomaly", "q175_linear_attribution",
+    "q176_seasonal_naive_error", "q177_latency_bands",
+    "q178_pareto_frontier", "q179_jackknife_mean",
+    "q180_item_similarity", "q181_concordance", "q182_brand_frontier",
+    "q183_cuped_contrast", "q184_wilson_ci", "q185_density_clusters",
+    "q186_entropy_profile",
+]
+
+#: Registered queries with no driver row yet that do NOT fit the
+#: current window — every entry here must be consumed by a future
+#: rotation (tests/test_gate_rotation.py enforces that a new query is
+#: either in-window, already driver-checked, or listed here).
+_QUEUED_FOR_ROTATION: list[str] = []
+
+#: The ROUND-11 window this one replaced, kept for the rotation record:
+_PRIORITY_R11 = [
+    # --- never driver-checked (2, new in r11) ---
     "q205_outlier_tile", "q206_kmv_novelty_report",
     # --- stale re-checks: latest green row r6 (all 26 remaining) ---
     "q82_domain_cap", "q83_unigram_logprob", "q84_epoch_shard",
@@ -159,13 +203,7 @@ _PRIORITY = [
     "q149_mad_profile",
 ]
 
-#: Registered queries with no driver row yet that do NOT fit the
-#: current window — every entry here must be consumed by a future
-#: rotation (tests/test_gate_rotation.py enforces that a new query is
-#: either in-window, already driver-checked, or listed here).
-_QUEUED_FOR_ROTATION: list[str] = []
-
-#: The ROUND-10 window this one replaced, kept for the rotation record:
+#: The ROUND-10 window before that, kept for the rotation record:
 _PRIORITY_R10 = [
     # --- never driver-checked (8) ---
     "q197_quantile_sketch", "q198_kmv_cardinality",

@@ -1926,7 +1926,9 @@ def q125(spark, sf):
 
 
 # ---------------------------------------------------------------- q205
-# W7: the 7×7 moving-window outlier kernel (qpe/qpe_utils.py:233-268)
+# W7: the 7×7 moving-window outlier kernel (adapted from
+# qpe/qpe_utils.py:233-268 — two-sided |x−μ|≥3σ and nan-excluding
+# shrinking windows here; see grid/image.py module docstring)
 # as exact relational algebra (grid/image.outlier_relational) on an
 # integer lineitem grid — local nan-aware box stats via the bounded
 # 49-offset neighbour explode + one hash aggregation; the z≥3 test
@@ -1979,3 +1981,79 @@ def q205(spark, sf):
                .alias("v"))
           .where(F.col("v") % 8 != 0))
     return outlier_relational(px, "v", 7)
+
+
+# ---------------------------------------------------------------- q207
+# J8 station→gates LUT join (grid/db_build.station_gates_lut; reference
+# common/lookup.py:173-253 + retrieve_radar_data.py:302-377): the
+# polar→Cartesian LUT equi-joined with the station→pixel LUT on the
+# pixel key, then the per-(station, radar, sweep) gate census the ETL
+# worker sizes its neighbourhood aggregation by.  Synthetic LUT dims
+# derive deterministically from part (gates) and customer (station
+# neighbourhood pixels, one pixel per (station, nx, ny) via the exact
+# min-encoded-pixel idiom); every output is an exact integer/string —
+# the q56 pattern, freezing J8's join semantics against the driver's
+# testdata churn (the W7/q205 motivation).
+@q("q207_station_gates_lut", sql="""
+WITH gates AS (
+  SELECT 'R' || CAST(CAST(p_partkey % 5 AS INT) AS VARCHAR) AS radar,
+         CAST(1 + p_partkey % 3 AS INT) AS sweep,
+         CAST(p_partkey % 360 AS INT) AS az_idx,
+         CAST((p_partkey * 7) % 200 AS INT) AS rng_idx,
+         CAST((p_partkey * 3) % 48 AS INT) AS x_idx,
+         CAST((p_partkey * 11) % 48 AS INT) AS y_idx
+  FROM part),
+spx AS (
+  SELECT station, nx, ny,
+         CAST(e // 48 AS INT) AS x_idx, CAST(e % 48 AS INT) AS y_idx
+  FROM (
+    SELECT 'S' || CAST(CAST(c_custkey % 30 AS INT) AS VARCHAR)
+             AS station,
+           CAST(c_custkey % 3 AS INT) AS nx,
+           CAST((c_custkey // 3) % 3 AS INT) AS ny,
+           MIN(((c_custkey * 5) % 48) * 48 + (c_custkey * 13) % 48)
+             AS e
+    FROM customer GROUP BY 1, 2, 3)),
+lut AS (
+  SELECT g.radar, g.sweep, g.az_idx, g.rng_idx, s.station, s.nx, s.ny
+  FROM gates g JOIN spx s USING (x_idx, y_idx))
+SELECT station, radar, sweep,
+       CAST(COUNT(*) AS BIGINT) AS n_gates,
+       CAST(COUNT(DISTINCT nx * 3 + ny) AS BIGINT) AS n_px,
+       MIN(az_idx) AS min_az, MAX(rng_idx) AS max_rng
+FROM lut GROUP BY 1, 2, 3
+""")
+def q207(spark, sf):
+    from rainforest_spark.grid.db_build import station_gates_lut
+
+    p = T(spark, sf, "part")
+    gates = p.select(
+        F.concat(F.lit("R"), (F.col("p_partkey") % 5).cast("int")
+                 .cast("string")).alias("RADAR"),
+        (F.col("p_partkey") % 3 + 1).cast("int").alias("SWEEP"),
+        (F.col("p_partkey") % 360).cast("int").alias("az_idx"),
+        ((F.col("p_partkey") * 7) % 200).cast("int").alias("rng_idx"),
+        ((F.col("p_partkey") * 3) % 48).cast("int").alias("x_idx"),
+        ((F.col("p_partkey") * 11) % 48).cast("int").alias("y_idx"))
+    c = T(spark, sf, "customer")
+    spx = (c.groupBy(
+            F.concat(F.lit("S"), (F.col("c_custkey") % 30).cast("int")
+                     .cast("string")).alias("STATION"),
+            (F.col("c_custkey") % 3).cast("int").alias("NX"),
+            F.expr("CAST((c_custkey div 3) % 3 AS INT)").alias("NY"))
+           .agg(F.min(((F.col("c_custkey") * 5) % 48) * 48
+                      + (F.col("c_custkey") * 13) % 48).alias("__e"))
+           .select("STATION", "NX", "NY",
+                   F.expr("CAST(__e div 48 AS INT)").alias("x_idx"),
+                   (F.col("__e") % 48).cast("int").alias("y_idx")))
+    lut = station_gates_lut(gates, spx)
+    return (lut.groupBy("STATION", "RADAR", "SWEEP")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_gates"),
+                 F.countDistinct(F.col("NX") * 3 + F.col("NY"))
+                 .cast("long").alias("n_px"),
+                 F.min("az_idx").alias("min_az"),
+                 F.max("rng_idx").alias("max_rng"))
+            .select(F.col("STATION").alias("station"),
+                    F.col("RADAR").alias("radar"),
+                    F.col("SWEEP").alias("sweep"),
+                    "n_gates", "n_px", "min_az", "max_rng"))

@@ -144,7 +144,8 @@ def test_summary_line_fits_tail_capture_at_real_scale():
     names = [f"q{i:03d}_realistically_named_workload_entry_{i}"
              for i in range(115)] + [
         "s01_rt_tenmin", "s02_curation_gate", "s03_hll_sink",
-        "s04_session_rollup", "s05_gated_curation"]
+        "s04_session_rollup", "s05_gated_curation",
+        "s06_kmv_novelty_loop"]
     times = {n: round(0.217 + (i % 37) * 0.931, 3)
              for i, n in enumerate(names)}
     sf1 = {n: round(1.217 + (i % 23) * 2.931, 3)
@@ -158,7 +159,9 @@ def test_summary_line_fits_tail_capture_at_real_scale():
         "s02:sf10": {"state_rows": 499200, "batches": 2},
         "s04:sf10": {"state_rows": 32000, "batches": 5},
         "s05:sf10": {"state_rows": 0, "bloom_bits_rows": 1878433,
-                     "m_bits": 4194304, "batches": 2}})
+                     "m_bits": 4194304, "n_slabs": 2, "batches": 2},
+        "s06:sf10": {"state_rows": 0, "sketch_rows": 5120,
+                     "reports": 2, "batches": 2}})
     try:
         adjudication = [
             {"kind": "per_query", "tier": "sf10", "query": n,
@@ -178,7 +181,8 @@ def test_summary_line_fits_tail_capture_at_real_scale():
         assert line["n_adjudications"] == 8
         assert len(line["adjudication"]) <= 6     # capped, count kept
         assert line["stream_state"]["s05:sf10"] == [
-            0, 2, 1878433, 4194304]
+            0, 2, 1878433, 4194304, 2]
+        assert line["stream_state"]["s06:sf10"] == [0, 2, 5120]
         assert len(json.dumps(line)) < 1900, (
             f"summary line is {len(json.dumps(line))} bytes at "
             f"realistic scale — the driver tail-captures 2000 bytes, "

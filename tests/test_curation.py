@@ -273,6 +273,86 @@ def test_bloom_ingest_gate_stream(spark, tmp_path):
     assert batch == got
 
 
+def test_curated_ingest_sink_slab_growth(spark, tmp_path):
+    """VERDICT r11 #1 (the last scale-killer-class gap): the Bloom
+    gate must GROW — a fixed bit dim saturates one decade past its
+    design corpus and the bounded-state route silently degrades to
+    exact-probe wall.  Drive occupancy across the threshold with a
+    tiny slab 0 and assert: (a) new slabs open (doubled size, one more
+    hash), (b) frozen slabs stay near their freeze occupancy instead
+    of saturating, (c) cross-batch duplicates are STILL dropped with
+    bits living in different slabs (the no-false-negative invariant
+    survives growth), (d) replaying a committed batch stays a no-op,
+    (e) a pre-slab LEGACY store (flat bit rows, no slab column)
+    upgrades in place as slab 0."""
+    import os
+
+    from rainforest_spark.operators.sketches import (
+        bloom_bits, bloom_slab_params,
+    )
+    from rainforest_spark.sources.versioned import (
+        commit_tagged_once, history, read_snapshot,
+    )
+    from rainforest_spark.streaming.corpus import curated_ingest_sink
+
+    def docs(lo, hi, id0):
+        return spark.createDataFrame(
+            [(id0 + i, f"slab growth document {i} padded with plain "
+                       f"ordinary filler tokens here") for i in
+             range(lo, hi)],
+            "doc_id long, text string")
+
+    store = str(tmp_path / "store")
+    m, k = 64, 3          # slab-0 freeze at 32 bits (~15 values)
+    sink = curated_ingest_sink(store, m_bits=m, k=k)
+    # LEGACY seeding: commit batch 0's bits FLAT (the pre-slab layout)
+    # plus its docs/fps, simulating a store built before the upgrade
+    from rainforest_spark.operators.text_analysis import fingerprint
+    d0 = docs(0, 20, 0).withColumn("fingerprint", fingerprint("text"))
+    commit_tagged_once(d0, os.path.join(store, "docs"), "docs", 0)
+    commit_tagged_once(bloom_bits(d0, "fingerprint", m, k),
+                       os.path.join(store, "bits"), "bits", 0)
+    commit_tagged_once(d0.select("fingerprint"),
+                       os.path.join(store, "fps"), "fps", 0)
+
+    sink(docs(20, 40, 100), 1)            # slab 0 past freeze -> opens 1
+    sink(docs(40, 60, 200), 2)
+    # batch 3 re-sends batch-0 (legacy) and batch-1 docs as dups +
+    # 10 genuinely new docs under fresh ids
+    dups = docs(0, 40, 9000).unionByName(docs(60, 70, 300))
+    sink(dups, 3)
+
+    bits = read_snapshot(spark, os.path.join(store, "bits"))
+    slab_counts = {
+        int(r["slab"]): int(r["n"]) for r in
+        bits.select(F.coalesce(F.col("slab"), F.lit(0)).alias("slab"),
+                    "bit").distinct()
+        .groupBy("slab").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(slab_counts) >= 2          # (a) growth happened
+    top = max(slab_counts)
+    for s, n in slab_counts.items():      # (b) no slab saturates
+        m_s, _ = bloom_slab_params(m, k, s)
+        if s < top:
+            # frozen at the first batch PAST the threshold: one
+            # batch's bits of spill above 0.5·m_s, never -> m_s
+            assert n < 0.95 * m_s
+    # (c) exactly-one-doc-per-fingerprint across slab boundaries
+    docs_t = read_snapshot(spark, os.path.join(store, "docs"))
+    assert docs_t.count() == 70
+    assert docs_t.select("fingerprint").distinct().count() == 70
+    # dups kept the FIRST arrival's id
+    surv = {r["fingerprint"]: r["doc_id"] for r in docs_t.collect()}
+    assert all(v < 9000 for v in surv.values())
+    # (d) replay no-op
+    h0 = [len(history(os.path.join(store, t)))
+          for t in ("docs", "bits", "fps")]
+    sink(dups, 3)
+    assert [len(history(os.path.join(store, t)))
+            for t in ("docs", "bits", "fps")] == h0
+    assert read_snapshot(spark,
+                         os.path.join(store, "docs")).count() == 70
+
+
 def test_curated_ingest_sink_bounded_state_parity(spark, tmp_path):
     """VERDICT r10 #3: the Bloom-gated exactly-once curation sink —
     the bounded-state route next to curate_stream's watermarked dedup.

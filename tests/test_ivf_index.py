@@ -142,3 +142,58 @@ def test_default_build_is_kmeans_fit_and_beats_chance(spark, tmp_path):
     import numpy as np
     c = np.array(list(sizes.values()), dtype=float)
     assert c.max() / c.mean() < 4.0
+
+
+def test_manifest_quality_probe_two_tiers(spark, tmp_path):
+    """VERDICT r11 #4: every index build records a quality probe in
+    {path}/manifest.json — recall@5-vs-chance + list balance for the
+    CHOSEN codebook AND the alternative variant — because the r11
+    curves showed fit/fixed trading places with corpus size.  Gate at
+    two tiers: the fit default must measure above chance on its own
+    manifest at sf0.001 AND sf0.01, and the fixed exhibit's manifest
+    must record a kmeans-sample alternative."""
+    import json
+    import os
+
+    for tier, sf in (("t1", "/root/testdata/sf0.001"), ("t2", SF_DIR)):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        idx = str(tmp_path / f"fit_{tier}")
+        build_ivf_index(e, "vec_id", "embedding", idx,
+                        n_centroids=8, seed=42)
+        with open(os.path.join(idx, "manifest.json")) as fh:
+            m = json.load(fh)
+        assert m["quantizer"] == "kmeans_fit"
+        ch = m["probe"]["chosen"]
+        assert ch["n_sample"] > 0 and ch["n_queries"] > 0
+        assert ch["recall5_over_chance"] is not None
+        assert ch["recall5_over_chance"] > 1.0, (
+            f"{tier}: fit default at/below chance on its own manifest "
+            f"probe: {ch}")
+        assert ch["balance_max_over_mean"] < 4.0
+        alt = m["probe"]["alternative"]
+        assert alt["variant"] == "fixed_spread_by_id"
+        assert alt["recall5_over_chance"] is not None
+        assert isinstance(m["probe"]["alt_better"], bool)
+
+    # fixed exhibit: manifest records the sample-KMeans alternative
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "fixed")
+    import warnings as _w
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        build_ivf_index(e, "vec_id", "embedding", idx, CENTROIDS)
+    with open(os.path.join(idx, "manifest.json")) as fh:
+        m = json.load(fh)
+    assert m["quantizer"] == "fixed_ids"
+    assert m["probe"]["alternative"]["variant"] == "kmeans_fit_sample"
+    # the warning fires IFF the manifest says the alternative won
+    warned = any("NON-default quantizer" in str(w.message)
+                 for w in caught)
+    assert warned == m["probe"]["alt_better"]
+
+    # probe off: no manifest, build otherwise intact
+    idx2 = str(tmp_path / "noprobe")
+    build_ivf_index(e, "vec_id", "embedding", idx2, CENTROIDS,
+                    quality_probe=False)
+    assert not os.path.exists(os.path.join(idx2, "manifest.json"))
+    assert os.path.isdir(os.path.join(idx2, "lists"))

@@ -154,6 +154,65 @@ def test_bloom_bits_merge_is_union(spark):
     assert merged == direct
 
 
+def test_bloom_slab0_bit_identical_to_flat(spark):
+    """Legacy-upgrade contract: slab 0 of the scalable family is the
+    flat bloom_bits filter bit-for-bit (same salts, same modulus, no
+    extra hash) — a flat store's rows simply ARE slab 0."""
+    from rainforest_spark.operators.sketches import (
+        bloom_bits, bloom_bits_slab,
+    )
+    d = _vals(spark, 0, 400)
+    flat = sorted(r["bit"] for r in
+                  bloom_bits(d, "v", 4096, 4).collect())
+    s0 = bloom_bits_slab(d, "v", 4096, 4, slab=0).collect()
+    assert all(r["slab"] == 0 for r in s0)
+    assert sorted(r["bit"] for r in s0) == flat
+
+
+def test_bloom_slab_params_double_and_add_hash():
+    from rainforest_spark.operators.sketches import bloom_slab_params
+    assert bloom_slab_params(4096, 4, 0) == (4096, 4)
+    assert bloom_slab_params(4096, 4, 1) == (8192, 5)
+    assert bloom_slab_params(4096, 4, 3) == (32768, 7)
+
+
+def test_bloom_slabbed_membership_no_fn_and_fp_bounded(spark):
+    """Scalable-Bloom probe: values committed into EITHER slab read
+    maybe_present=true (zero false negatives across slabs); absent
+    probes stay bounded by the telescoping 2·0.5^k budget even with
+    both slabs near their 50 % freeze point."""
+    from rainforest_spark.operators.sketches import (
+        bloom_bits_slab, bloom_membership_rowwise_slabs,
+        bloom_slab_params,
+    )
+    m, k = 256, 4
+    a = _vals(spark, 0, 44)          # slab 0 (capacity ln2·256/4 ≈ 44)
+    b = _vals(spark, 44, 115)        # slab 1 (capacity ln2·512/5 ≈ 71)
+    bits = (bloom_bits_slab(a, "v", m, k, slab=0)
+            .unionByName(bloom_bits_slab(b, "v", m, k, slab=1)))
+    # occupancy sanity: each slab at/below its freeze point
+    per = {r["slab"]: r["n"] for r in
+           bits.groupBy("slab").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    for s in (0, 1):
+        m_s, _ = bloom_slab_params(m, k, s)
+        assert per[s] <= 0.55 * m_s
+    probes = _vals(spark, 0, 2115)   # 115 present + 2000 absent
+    mem = {r["v"]: r["maybe_present"] for r in
+           bloom_membership_rowwise_slabs(
+               bits, probes, "v", m, k, slabs=[0, 1]).collect()}
+    assert all(mem[f"user-{i}"] for i in range(115))   # zero FN
+    fp = sum(mem[f"user-{i}"] for i in range(115, 2115))
+    # budget 2·0.5^4 = 12.5 % of 2000 = 250; generous slack for the
+    # small-m variance
+    assert fp <= 400
+    # empty slab list: everything definitely new
+    empty = spark.createDataFrame([], "slab int, bit int")
+    mem0 = bloom_membership_rowwise_slabs(
+        empty, probes.limit(5), "v", m, k, slabs=[])
+    assert all(not r["maybe_present"] for r in mem0.collect())
+
+
 # --------------------------------------------------------- count-min
 
 def test_cms_never_undercounts_and_merge_is_sum(spark):

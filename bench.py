@@ -227,6 +227,11 @@ HEADLINE = [
     # yet (the guard skips unknown keys); physics guards apply.
     "q205_outlier_tile",
     "q206_kmv_novelty_report",
+    # round-12: the J8 station→gates LUT join census (two groupBy-built
+    # dims + a pixel-key equi-join + one aggregation — broadcast-sized
+    # at every tier).  No committed baseline yet (the guard skips
+    # unknown keys); physics guards apply.
+    "q207_station_gates_lut",
 ]
 
 #: Regression guard (vs BENCH_BASELINE.json, min-of-5 on an idle

@@ -261,6 +261,15 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
     return spark.read.parquet(*added)
 
 
+#: incremental stream-tag index: path → {version: stream_tag|None}.
+#: Manifests are IMMUTABLE once linked, so each version's tag only
+#: needs to be read once per process — without this every micro-batch
+#: of every sink re-reads the WHOLE log (O(B²) manifest parses over a
+#: B-batch stream's lifetime, each parse O(files) since append
+#: manifests carry the full file list).
+_TAG_CACHE: dict[str, dict] = {}
+
+
 def committed_batches(path: str, query_key: str) -> set[int]:
     """Streaming batch ids already committed for ``query_key``.
 
@@ -271,11 +280,34 @@ def committed_batches(path: str, query_key: str) -> set[int]:
     already folded into the retained snapshots; Structured Streaming
     replays only recent batches, far inside ``keep_versions``).
     Callers pairing vacuum with a streaming sink should keep at least
-    the checkpoint's replayable horizon of versions."""
+    the checkpoint's replayable horizon of versions.
+
+    Incremental: per-version tags fold into a per-process index and
+    only manifests NOT yet seen are read (manifests are immutable;
+    concurrent writers' commits land as new versions and are picked
+    up by the catch-up scan; vacuumed versions evict from the index,
+    keeping the surviving-manifests-only semantics above exactly).
+    Per-call cost is O(log length) set ops + O(new versions) manifest
+    reads — vacuum bounds the former, and the latter replaces the
+    O(whole log) re-read every micro-batch used to pay.  If the log's
+    head ever moves BACKWARDS (a store deleted and rebuilt at the
+    same path — not a supported pattern for live sinks), the index
+    resets and rescans."""
+    vs = _versions(path)
+    cache = _TAG_CACHE.get(path)
+    if cache is None or (cache and vs
+                         and max(vs) < max(cache)):
+        cache = {}
+        _TAG_CACHE[path] = cache
+    live = set(vs)
+    for i in list(cache):
+        if i not in live:
+            del cache[i]           # vacuumed: tag leaves the result
     out = set()
-    for i in _versions(path):
-        m = _read_manifest(path, i)
-        tag = m.get("stream")
+    for i in vs:
+        if i not in cache:
+            cache[i] = _read_manifest(path, i).get("stream")
+        tag = cache[i]
         if tag and tag.get("query") == query_key:
             out.add(int(tag["batch_id"]))
     return out

@@ -471,8 +471,11 @@ def curated_ingest_sink(store_path: str,
     def _batch_files(table, key, batch_id):
         """Data files ADDED by the commit tagged (key, batch_id) —
         manifest file list minus the parent's (raw manifests; the
-        history() helper returns summaries without file lists)."""
-        for i in _versions(table):
+        history() helper returns summaries without file lists).
+        Newest-first: the batch just committed IS the newest manifest
+        in the single-writer stream, so the scan is O(1) manifest
+        reads per batch instead of O(log length)."""
+        for i in reversed(_versions(table)):
             m = _read_manifest(table, i)
             st = m.get("stream") or {}
             if (st.get("query") == key

@@ -549,3 +549,78 @@ def test_incremental_agg_randomized_replay_storm(spark, tmp_path):
     got = {r["k"]: (r["n"], float(r["sum_v"])) for r in
            read_agg(spark, store).collect()}
     assert got == expect
+
+
+def test_committed_batches_tag_index_incremental(spark, tmp_path,
+                                                 monkeypatch):
+    """The stream-tag index (r12): committed_batches must not re-read
+    the whole log on every micro-batch — O(B²) manifest parses over a
+    B-batch stream, each O(files) since append manifests carry the
+    full file list.  Only manifests newer than the last scan are read;
+    tags survive vacuum; a concurrent writer's new version is picked
+    up by the catch-up scan; a same-batch re-check costs ZERO reads."""
+    import rainforest_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    for b in range(6):
+        V.commit_tagged_once(_df(spark, [(f"r{b}", b)]), p, "q1", b)
+    reads = {"n": 0}
+    real = V._read_manifest
+
+    def counting(path, version):
+        reads["n"] += 1
+        return real(path, version)
+
+    monkeypatch.setattr(V, "_read_manifest", counting)
+    # warm scan from a fresh process state
+    V._TAG_CACHE.pop(p, None)
+    assert V.committed_batches(p, "q1") == set(range(6))
+    warm = reads["n"]
+    assert warm == 6
+    # re-check: zero manifest reads
+    assert V.committed_batches(p, "q1") == set(range(6))
+    assert reads["n"] == warm
+    # a new commit (concurrent-writer shape): exactly ONE extra read
+    monkeypatch.setattr(V, "_read_manifest", real)
+    V.commit_tagged_once(_df(spark, [("x", 9)]), p, "q2", 0)
+    monkeypatch.setattr(V, "_read_manifest", counting)
+    assert V.committed_batches(p, "q2") == {0}
+    assert reads["n"] == warm + 1
+    assert V.committed_batches(p, "q1") == set(range(6))
+    assert reads["n"] == warm + 1
+    # vacuum drops old manifests; the index evicts their tags so the
+    # documented surviving-manifests-only semantics hold EXACTLY
+    # (process-independent: a fresh process scanning the vacuumed log
+    # reads the same answer as the warm index)
+    monkeypatch.setattr(V, "_read_manifest", real)
+    vacuum(p, keep_versions=2, grace_sec=0)
+    assert V.committed_batches(p, "q1") == {5}
+    assert V.committed_batches(p, "q2") == {0}
+    # exactly-once through the index: replaying a RETAINED batch is a
+    # no-op and costs zero manifest reads (all survivors cached;
+    # history() reads outside the counter window — it is a reporting
+    # helper, not the per-batch hot path)
+    h0 = len(history(p))
+    monkeypatch.setattr(V, "_read_manifest", counting)
+    before = reads["n"]
+    V.commit_tagged_once(_df(spark, [("dup", 5)]), p, "q1", 5)
+    assert reads["n"] == before
+    monkeypatch.setattr(V, "_read_manifest", real)
+    assert len(history(p)) == h0
+
+
+def test_committed_batches_resets_on_rebuilt_store(spark, tmp_path):
+    """A store deleted and rebuilt at the same path (NOT a live-sink
+    pattern, but tests/tools do it): a log head moving backwards must
+    reset the tag index instead of serving stale tags."""
+    import shutil
+
+    import rainforest_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    for b in range(4):
+        V.commit_tagged_once(_df(spark, [(f"r{b}", b)]), p, "q1", b)
+    assert V.committed_batches(p, "q1") == set(range(4))
+    shutil.rmtree(p)
+    V.commit_tagged_once(_df(spark, [("n", 0)]), p, "q1", 7)
+    assert V.committed_batches(p, "q1") == {7}

@@ -203,6 +203,10 @@ def bloom_bits(df: DataFrame, col: str | Column,
 
     Shape at 100 TB: one explode(k) + distinct on ≤ m_bits keys —
     map-side partial dedup makes the shuffle O(m_bits · partitions).
+    A FIXED m_bits saturates past its design corpus (fp → 1): for a
+    store that grows without an upfront size estimate, use the
+    scalable-slab family (:func:`bloom_bits_slab` /
+    :func:`bloom_membership_rowwise_slabs`) instead.
     """
     c = F.col(col) if isinstance(col, str) else col
     d = df.where(c.isNotNull()).select(

@@ -354,7 +354,10 @@ def bloom_ingest_gate(stream: DataFrame, bits: DataFrame,
 
     Stateless (T6 stream-static posture) — composable in front of
     :func:`curate_stream`, whose ``known_fingerprints`` exact
-    anti-join then runs on the "maybe" slice only.
+    anti-join then runs on the "maybe" slice only.  This standalone
+    gate probes a FLAT fixed-size bit dim; the full store-backed sink
+    (:func:`curated_ingest_sink`) uses the scalable-slab family so
+    the fp rate stays bounded as the corpus grows.
     """
     from rainforest_spark.operators.sketches import (
         bloom_membership_rowwise,

@@ -172,7 +172,16 @@ _PRIORITY = [
 #: current window — every entry here must be consumed by a future
 #: rotation (tests/test_gate_rotation.py enforces that a new query is
 #: either in-window, already driver-checked, or listed here).
-_QUEUED_FOR_ROTATION: list[str] = []
+_QUEUED_FOR_ROTATION: list[str] = [
+    # r12 late addition — the round-12 window was already the
+    # verdict-prescribed q207 + 8×r7 + 41×r8 composition when q208
+    # (scalable-Bloom slab membership, the driver-hash gate on the
+    # new slab-1 modulus/extra-hash math) landed; it rotates into the
+    # round-13 window with the 9 deferred r8 rows.  Exact-parity-
+    # gated via tests/test_oracle_parity.py and vanilla-probed at
+    # sf0.001/0.01 meanwhile.
+    "q208_bloom_slab_membership",
+]
 
 #: The ROUND-11 window this one replaced, kept for the rotation record:
 _PRIORITY_R11 = [

@@ -2889,6 +2889,134 @@ def q195(spark, sf):
         F.col("no_false_negatives").cast("long"))
 
 
+# ---------------------------------------------------------------- q208
+# SCALABLE-Bloom slab membership (r12, operators/sketches.
+# bloom_bits_slab + bloom_membership_rowwise_slabs — the growth
+# policy behind the curated_ingest_sink gate): two corpus halves
+# committed into DIFFERENT slabs (slab 0 = m bits / k hashes with the
+# legacy salts; slab 1 = 2m bits / k+1 hashes with the slab salt) and
+# every document probed across BOTH — maybe_present must OR the
+# slabs' all-hits tests, with zero false negatives whichever slab
+# holds the value.  Bit positions are exact md5 functions
+# (generated-fragment oracle, the q195 pattern), so the driver hash
+# verifies the slab-1 modulus/extra-hash math itself, not just its
+# pytest mirror.  All outputs exact integers.
+def _q208_sql() -> str:
+    from rainforest_spark.operators.sketches import (
+        _hex_int_expr, bloom_slab_params,
+    )
+    hx = _hex_int_expr("h", 8)
+    m, k = 4096, 3
+    m1, k1 = bloom_slab_params(m, k, 1)
+    return f"""
+WITH ca AS (
+  SELECT DISTINCT CAST(text AS VARCHAR) AS pv FROM documents
+  WHERE doc_id % 5 = 1 AND text IS NOT NULL),
+cb_src AS (
+  SELECT DISTINCT CAST(text AS VARCHAR) AS pv FROM documents
+  WHERE doc_id % 5 IN (2, 3) AND text IS NOT NULL),
+probes AS (
+  SELECT DISTINCT CAST(text AS VARCHAR) AS pv FROM documents
+  WHERE text IS NOT NULL),
+s0 AS (SELECT seed FROM UNNEST(generate_series(0, {k - 1}))
+       AS s(seed)),
+s1 AS (SELECT seed FROM UNNEST(generate_series(0, {k1 - 1}))
+       AS s(seed)),
+b0 AS (SELECT DISTINCT {hx} % {m} AS bit FROM (
+         SELECT md5(CAST(seed AS VARCHAR) || '|' || md5(pv)) AS h
+         FROM ca, s0)),
+b1 AS (SELECT DISTINCT {hx} % {m1} AS bit FROM (
+         SELECT md5(CAST(seed AS VARCHAR) || '#1|' || md5(pv)) AS h
+         FROM cb_src, s1)),
+p0 AS (SELECT pv, {hx} % {m} AS bit FROM (
+         SELECT pv, md5(CAST(seed AS VARCHAR) || '|' || md5(pv)) AS h
+         FROM probes, s0)),
+p1 AS (SELECT pv, {hx} % {m1} AS bit FROM (
+         SELECT pv,
+                md5(CAST(seed AS VARCHAR) || '#1|' || md5(pv)) AS h
+         FROM probes, s1)),
+h0 AS (SELECT pv,
+              SUM(CASE WHEN b0.bit IS NOT NULL THEN 1 ELSE 0 END)
+                = {k} AS maybe0
+       FROM p0 LEFT JOIN b0 USING (bit) GROUP BY pv),
+h1 AS (SELECT pv,
+              SUM(CASE WHEN b1.bit IS NOT NULL THEN 1 ELSE 0 END)
+                = {k1} AS maybe1
+       FROM p1 LEFT JOIN b1 USING (bit) GROUP BY pv),
+truth AS (SELECT pv, 1 AS inn FROM
+            (SELECT pv FROM ca UNION SELECT pv FROM cb_src)),
+j AS (
+  SELECT p.pv, (h0.maybe0 OR h1.maybe1) AS maybe,
+         COALESCE(t.inn, 0) AS inn
+  FROM probes p
+  JOIN h0 USING (pv) JOIN h1 USING (pv)
+  LEFT JOIN truth t USING (pv)),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         CAST(SUM(inn) AS BIGINT) AS n_present,
+         CAST(SUM(1 - inn) AS BIGINT) AS n_absent,
+         CAST(SUM(CASE WHEN inn = 0 AND maybe THEN 1 ELSE 0 END)
+              AS BIGINT) AS false_positives,
+         CAST(CASE WHEN SUM(CASE WHEN inn = 1 AND NOT maybe
+                                 THEN 1 ELSE 0 END) = 0
+                   THEN 1 ELSE 0 END AS BIGINT)
+           AS no_false_negatives
+  FROM j),
+n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_slab0 FROM b0),
+n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_slab1 FROM b1)
+SELECT CAST({m} AS BIGINT) AS m_bits, CAST({k} AS BIGINT) AS k,
+       bits_slab0, bits_slab1, n_probes, n_present, n_absent,
+       false_positives, no_false_negatives
+FROM a, n0, n1
+"""
+
+
+@q("q208_bloom_slab_membership", sql=_q208_sql())
+def q208(spark, sf):
+    from rainforest_spark.operators.sketches import (
+        bloom_bits_slab, bloom_membership_rowwise_slabs,
+    )
+    m, k = 4096, 3
+    d = T(spark, sf, "documents").filter(F.col("text").isNotNull())
+    ca = d.filter(F.col("doc_id") % 5 == 1)
+    cb = d.filter((F.col("doc_id") % 5).isin(2, 3))
+    bits = (bloom_bits_slab(ca, "text", m, k, slab=0)
+            .unionByName(bloom_bits_slab(cb, "text", m, k, slab=1))
+            .localCheckpoint(eager=False))
+    probes = d.select(F.col("text").cast("string").alias("pv")) \
+        .distinct()
+    mem = bloom_membership_rowwise_slabs(bits, probes, "pv", m, k,
+                                         slabs=[0, 1])
+    truth = (ca.select(F.col("text").cast("string").alias("pv"))
+             .unionByName(cb.select(F.col("text").cast("string")
+                                    .alias("pv")))
+             .distinct().withColumn("__in", F.lit(1)))
+    j = mem.join(truth, "pv", "left") \
+        .withColumn("__in", F.coalesce(F.col("__in"), F.lit(0)))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("__in").cast("long").alias("n_present"),
+        F.sum(1 - F.col("__in")).cast("long").alias("n_absent"),
+        F.sum(F.when((F.col("__in") == 0) & F.col("maybe_present"),
+                     1).otherwise(0)).cast("long")
+        .alias("false_positives"),
+        (F.sum(F.when((F.col("__in") == 1)
+                      & ~F.col("maybe_present"), 1).otherwise(0))
+         == 0).cast("long").alias("no_false_negatives"))
+    sb = bits.agg(
+        F.sum(F.when(F.col("slab") == 0, 1).otherwise(0))
+        .cast("long").alias("bits_slab0"),
+        F.sum(F.when(F.col("slab") == 1, 1).otherwise(0))
+        .cast("long").alias("bits_slab1"))
+    # 1-row x 1-row global-aggregate cross join (bounded by
+    # construction — the q206 whitelist pattern)
+    return agg.crossJoin(sb).select(
+        F.lit(m).cast("long").alias("m_bits"),
+        F.lit(k).cast("long").alias("k"),
+        "bits_slab0", "bits_slab1", "n_probes", "n_present",
+        "n_absent", "false_positives", "no_false_negatives")
+
+
 # ---------------------------------------------------------------- q197
 # Mergeable quantile-sketch calibration (sketches family,
 # operators/sketches.quantile_accuracy_report): per event_type, the

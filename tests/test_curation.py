@@ -353,6 +353,77 @@ def test_curated_ingest_sink_slab_growth(spark, tmp_path):
                          os.path.join(store, "docs")).count() == 70
 
 
+def test_curated_ingest_sink_partial_commit_replay_at_slab_boundary(
+        spark, tmp_path):
+    """The replay-safety argument under the WORST interleaving: a
+    crash after the docs and bits commits but BEFORE the fps commit,
+    landing exactly when the bits went into a NEW slab.  The replay
+    must skip docs/bits (tags survive), derive fps from the COMMITTED
+    docs files, and the gate must keep zero false negatives — a later
+    batch re-sending those documents is fully dropped even though
+    their fps commit arrived one replay late."""
+    import os
+
+    from rainforest_spark.operators.sketches import (
+        bloom_bits_slab, bloom_membership_rowwise_slabs,
+    )
+    from rainforest_spark.operators.text_analysis import fingerprint
+    from rainforest_spark.sources.versioned import (
+        commit_tagged_once, history, read_snapshot,
+    )
+    from rainforest_spark.streaming.corpus import curated_ingest_sink
+
+    def docs(lo, hi, id0):
+        return spark.createDataFrame(
+            [(id0 + i, f"slab boundary replay doc {i} padded with "
+                       f"plain ordinary filler tokens here") for i in
+             range(lo, hi)],
+            "doc_id long, text string")
+
+    store = str(tmp_path / "store")
+    m, k = 64, 3
+    sink = curated_ingest_sink(store, m_bits=m, k=k)
+    # batch 0 fills slab 0 past its 32-bit freeze point
+    sink(docs(0, 20, 0), 0)
+    # ---- simulate the crash: batch 1's docs + bits (slab 1) are
+    # committed, fps is NOT ----
+    d1 = docs(20, 40, 100).withColumn("fingerprint",
+                                      fingerprint("text"))
+    commit_tagged_once(d1, os.path.join(store, "docs"), "docs", 1)
+    commit_tagged_once(
+        bloom_bits_slab(d1, "fingerprint", m, k, slab=1),
+        os.path.join(store, "bits"), "bits", 1)
+    fps_v = len(history(os.path.join(store, "fps")))
+    # ---- replay of batch 1 (Structured Streaming's at-least-once) --
+    sink(docs(20, 40, 100), 1)
+    docs_t = read_snapshot(spark, os.path.join(store, "docs"))
+    fps_t = read_snapshot(spark, os.path.join(store, "fps"))
+    assert len(history(os.path.join(store, "docs"))) == 2  # no re-commit
+    assert len(history(os.path.join(store, "bits"))) == 2
+    assert len(history(os.path.join(store, "fps"))) == fps_v + 1
+    assert docs_t.count() == 40
+    assert fps_t.select("fingerprint").distinct().count() == 40
+    # fps derived from the committed docs files == docs fingerprints
+    a = {r["fingerprint"] for r in docs_t.select("fingerprint")
+         .collect()}
+    b = {r["fingerprint"] for r in fps_t.collect()}
+    assert a == b
+    # bits ⊇ fps across BOTH slabs: every committed fingerprint probes
+    # maybe_present (zero false negatives through the boundary)
+    braw = read_snapshot(spark, os.path.join(store, "bits"))
+    bits = braw.select(
+        F.coalesce(F.col("slab"), F.lit(0)).cast("int").alias("slab"),
+        "bit").distinct()
+    mem = bloom_membership_rowwise_slabs(
+        bits, fps_t.select("fingerprint"), "fingerprint", m, k,
+        slabs=[0, 1])
+    assert mem.filter(~F.col("maybe_present")).count() == 0
+    # a later batch re-sending batch-1 docs is fully dropped
+    sink(docs(20, 40, 9000), 2)
+    assert read_snapshot(spark,
+                         os.path.join(store, "docs")).count() == 40
+
+
 def test_curated_ingest_sink_bounded_state_parity(spark, tmp_path):
     """VERDICT r10 #3: the Bloom-gated exactly-once curation sink —
     the bounded-state route next to curate_stream's watermarked dedup.

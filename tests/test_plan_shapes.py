@@ -391,6 +391,11 @@ _CROSS_JOIN_WHITELIST = {
     # the membership joins broadcast ≤S·k-row sketch dims
     # (operators/sketches.py kmv_novelty_report)
     "q206_kmv_novelty_report",
+    # q208: the slab-membership calibration cross-joins its 1-row
+    # probe aggregate onto the 1-row per-slab bit-count aggregate —
+    # both global aggregates, bounded by construction; the slab
+    # probes themselves are broadcast equi-joins
+    "q208_bloom_slab_membership",
 }
 
 

@@ -408,10 +408,13 @@ def curated_ingest_sink(store_path: str,
     fp → 1, the bounded-state wall silently degrades to the exact
     probe's).  Instead the bit store is a family of SLABS: slab ``s``
     has ``m_bits·2^s`` positions and ``k+s`` hashes
-    (operators/sketches.bloom_slab_params); when the current slab's
-    occupancy crosses ``max_occupancy`` (default 0.5) the NEXT batch
-    opens slab ``s+1``; probes check ALL slabs (Σk_s broadcast joins
-    of few-KB dims).  Total fp stays ``< 2·(max_occupancy)^k``
+    (operators/sketches.bloom_slab_params); each batch commits its
+    bits into the lowest slab ≥ the current one whose PROJECTED
+    post-commit occupancy (committed bits + the collision-free upper
+    bound ``k_s·n_batch``) stays ≤ ``max_occupancy`` (default 0.5) —
+    so neither gradual growth NOR one huge batch can push any slab
+    past its freeze point; probes check ALL slabs (Σk_s broadcast
+    joins of few-KB dims).  Total fp stays ``< 2·(max_occupancy)^k``
     (≈12.5 % at k=4) however large the corpus grows — no upfront
     corpus-size estimate needed; ``m_bits`` only sizes slab 0.  Slab
     capacity doubles per slab, so slab count is O(log corpus).  The
@@ -549,12 +552,26 @@ def curated_ingest_sink(store_path: str,
                   if files else
                   spark.createDataFrame([], "fingerprint string"))
         # slab choice from the COMMITTED bits state (deterministic
-        # under replay; a skipped bits commit leaves it unchanged):
-        # freeze the current slab once occupancy crosses the
-        # threshold and open the next (doubled, one-more-hash) slab
+        # under replay: newfps derives from committed docs files and
+        # counts from committed bits; a skipped bits commit leaves
+        # both unchanged).  PROJECT the batch in before choosing: a
+        # batch much larger than the current slab's remaining
+        # capacity would overfill it in one commit (measured: a
+        # 10k-doc batch into a 16k-bit slab left it at 91 %
+        # occupancy → that slab alone contributes fp ≈ 0.69,
+        # breaking the 2·0.5^k bound).  k_s·n_new is a collision-free
+        # UPPER bound on the bits the batch can add, so every slab's
+        # POST-commit occupancy stays ≤ max_occupancy by
+        # construction; the choice is monotone (starts at the highest
+        # committed slab) and capacities double, so slab count stays
+        # O(log corpus) even under adversarial batch sizing.
+        n_new = newfps.count()
         cur = max(counts) if counts else 0
-        m_cur, _k = bloom_slab_params(m_bits, k, cur)
-        if counts and counts[cur] >= max_occupancy * m_cur:
+        while True:
+            m_cur, k_cur = bloom_slab_params(m_bits, k, cur)
+            if (counts.get(cur, 0) + k_cur * n_new
+                    <= max_occupancy * m_cur):
+                break
             cur += 1
         commit_tagged_once(
             bloom_bits_slab(newfps, "fingerprint", m_bits, k, slab=cur),

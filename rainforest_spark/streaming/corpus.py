@@ -374,7 +374,9 @@ def curated_ingest_sink(store_path: str,
                         max_dup_ngram_ratio: float = 0.3,
                         redact_pii: bool = True,
                         m_bits: int = 65536, k: int = 4,
-                        max_occupancy: float = 0.5):
+                        max_occupancy: float = 0.5,
+                        compact_stored_ratio: float = 4.0,
+                        compact_min_rows: int = 4096):
     """BOUNDED-STATE streaming curation: the :func:`bloom_ingest_gate`-
     fronted, exactly-once alternative to :func:`curate_stream`'s
     watermarked dedup — the streaming counterpart of the q177/q204
@@ -422,6 +424,16 @@ def curated_ingest_sink(store_path: str,
     deterministic under replay; legacy flat stores read as slab 0
     (mergeSchema surfaces their missing slab column as NULL).
 
+    BITS COMPACTION: append commits stack per-batch bit sets, so the
+    bits table's STORED rows grow with batch count even though its
+    distinct rows are bounded by Σm_s.  When stored rows exceed
+    ``compact_stored_ratio`` × distinct (and ``compact_min_rows``),
+    the sink overwrite-commits the distinct rows before processing
+    the batch — logically a no-op (the gate distincts anyway,
+    bits ⊇ fps preserved, replay tags survive in older manifests),
+    physically capping the per-batch snapshot read at the distinct
+    bound forever.
+
     Replay safety (the at-least-once → exactly-once argument): the
     accepted set is a deterministic function of the batch and
     ``{store}/fps`` — the bit dim only routes rows between the
@@ -456,23 +468,54 @@ def curated_ingest_sink(store_path: str,
     fps_t = os.path.join(store_path, "fps")
 
     def _bits_state(spark):
-        """(bits(slab,bit) df, {slab: distinct bit count}) from the
-        committed store.  Legacy flat stores (no slab column) read as
-        slab 0; a real read failure propagates and fails the batch
-        (Structured Streaming retries it) — only the absent-table
-        FileNotFoundError means 'empty corpus'."""
+        """(bits(slab,bit) df, {slab: distinct bit count}, stored row
+        count) from the committed store.  Legacy flat stores (no slab
+        column) read as slab 0; a real read failure propagates and
+        fails the batch (Structured Streaming retries it) — only the
+        absent-table FileNotFoundError means 'empty corpus'."""
         try:
             raw = read_snapshot(spark, bits_t)
         except FileNotFoundError:
-            return spark.createDataFrame([], "slab int, bit int"), {}
+            return (spark.createDataFrame([], "slab int, bit int"),
+                    {}, 0)
         slab = (F.coalesce(F.col("slab"), F.lit(0))
                 if "slab" in raw.columns else F.lit(0))
-        bits = (raw.select(slab.cast("int").alias("slab"), "bit")
-                .distinct().localCheckpoint(eager=False))
-        counts = {int(r["slab"]): int(r["n"])
-                  for r in bits.groupBy("slab")
-                  .agg(F.count(F.lit(1)).alias("n")).collect()}
-        return bits, counts
+        norm = raw.select(slab.cast("int").alias("slab"), "bit")
+        bits = norm.distinct().localCheckpoint(eager=False)
+        grp = (norm.groupBy("slab")
+               .agg(F.count(F.lit(1)).alias("stored"),
+                    F.count_distinct(F.col("bit")).alias("n"))
+               .collect())
+        counts = {int(r["slab"]): int(r["n"]) for r in grp}
+        stored = sum(int(r["stored"]) for r in grp)
+        return bits, counts, stored
+
+    def _maybe_compact_bits(spark, bits, counts, stored) -> None:
+        """Opportunistic PHYSICAL compaction of the bits table: append
+        commits stack per-batch bit sets, so STORED rows grow linearly
+        with batch count even though distinct (slab, bit) rows are
+        bounded by Σm_s — at 10k micro-batches the per-batch snapshot
+        read would scan millions of redundant rows.  When stored rows
+        exceed 4× the distinct count (and the waste is non-trivial),
+        overwrite-commit the distinct rows: logically a no-op (the
+        gate distincts anyway; bits ⊇ fps preserved exactly), old
+        versions stay readable until vacuum, and replay tags live in
+        the SURVIVING older manifests so exactly-once is untouched.
+        Failure here must not fail the batch — compaction is
+        maintenance, the next batch retries it."""
+        distinct_n = sum(counts.values())
+        if (distinct_n == 0
+                or stored < compact_stored_ratio * distinct_n
+                or stored < compact_min_rows):
+            return
+        from rainforest_spark.sources.versioned import (
+            ConcurrentCommitError, commit_snapshot, latest_version,
+        )
+        try:
+            commit_snapshot(bits, bits_t, mode="overwrite",
+                            expected_parent=latest_version(bits_t))
+        except ConcurrentCommitError:
+            pass   # another writer moved the table; retry next batch
 
     def _batch_files(table, key, batch_id):
         """Data files ADDED by the commit tagged (key, batch_id) —
@@ -500,9 +543,11 @@ def curated_ingest_sink(store_path: str,
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # one committed-store read per batch: feeds the gate's slab
-        # probes AND the slab-growth decision (single-writer stream —
-        # the state cannot change between the two uses)
-        bits, counts = _bits_state(spark)
+        # probes, the slab-growth decision AND the compaction trigger
+        # (single-writer stream — the state cannot change between
+        # the uses)
+        bits, counts, stored = _bits_state(spark)
+        _maybe_compact_bits(spark, bits, counts, stored)
         if int(batch_id) not in committed_batches(docs_t, "docs"):
             s = (batch_df
                  .filter(TA.token_count(text_col) >= min_tokens)

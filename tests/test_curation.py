@@ -508,3 +508,68 @@ def test_curated_ingest_sink_bounded_state_parity(spark, tmp_path):
     assert h_after == h_before
     assert read_snapshot(
         spark, os.path.join(store, "docs")).count() == len(want)
+
+
+def test_curated_ingest_sink_bits_compaction(spark, tmp_path):
+    """The bits table's STORED rows grow linearly with batch count
+    (append commits stack per-batch bit sets) even though distinct
+    rows are bounded by the slab sizes — at 10k micro-batches the
+    per-batch snapshot read would scan millions of redundant rows.
+    The sink must compact opportunistically: overwrite-commit the
+    distinct rows once stored exceeds the ratio, with exactly-once
+    replay and the zero-FN gate untouched."""
+    import os
+
+    from rainforest_spark.sources.versioned import (
+        commit_tagged_once, latest_version, read_snapshot,
+    )
+    from rainforest_spark.streaming.corpus import curated_ingest_sink
+
+    def docs(lo, hi, id0):
+        return spark.createDataFrame(
+            [(id0 + i, f"bits compaction document {i} padded with "
+                       f"plain ordinary filler tokens here") for i in
+             range(lo, hi)],
+            "doc_id long, text string")
+
+    store = str(tmp_path / "store")
+    bits_t = os.path.join(store, "bits")
+    sink = curated_ingest_sink(store, m_bits=64, k=3,
+                               compact_stored_ratio=2.0,
+                               compact_min_rows=0)
+    sink(docs(0, 20, 0), 0)
+    # simulate a long-running stream's redundancy: re-commit batch 0's
+    # bit set under five synthetic batch ids (bits ⊇ fps still holds —
+    # only redundant TRUE bits are added)
+    bits0 = read_snapshot(spark, bits_t)
+    for b in range(100, 105):
+        commit_tagged_once(bits0, bits_t, "bits", b)
+    raw = read_snapshot(spark, bits_t)
+    stored_before = raw.count()
+    distinct_before = (raw.select(
+        F.coalesce(F.col("slab"), F.lit(0)).alias("slab"), "bit")
+        .distinct().count())
+    assert stored_before >= 2 * distinct_before
+    # next batch triggers compaction BEFORE its own append
+    sink(docs(20, 30, 100), 1)
+    raw2 = read_snapshot(spark, bits_t)
+    stored_after = raw2.count()
+    distinct_after = (raw2.select(
+        F.coalesce(F.col("slab"), F.lit(0)).alias("slab"), "bit")
+        .distinct().count())
+    assert stored_after < stored_before          # physically shrank
+    # compacted base + one batch of appends: bounded by distinct + the
+    # new batch's (≤ k_s·n) bit rows, nowhere near the stacked pile
+    assert stored_after <= distinct_after + 3 * (3 + 6) * 10
+    # exactly-once history intact through the untagged compaction
+    # version: replaying committed batches is still a no-op
+    v = latest_version(bits_t)
+    sink(docs(0, 20, 0), 0)
+    sink(docs(20, 30, 100), 1)
+    assert latest_version(bits_t) == v
+    # and the gate still drops duplicates of everything ingested
+    sink(docs(0, 30, 9000), 2)
+    docs_t = read_snapshot(spark, os.path.join(store, "docs"))
+    assert docs_t.count() == 30
+    surv = {r["fingerprint"]: r["doc_id"] for r in docs_t.collect()}
+    assert all(v < 9000 for v in surv.values())

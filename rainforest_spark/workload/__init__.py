@@ -181,6 +181,10 @@ _QUEUED_FOR_ROTATION: list[str] = [
     # gated via tests/test_oracle_parity.py and vanilla-probed at
     # sf0.001/0.01 meanwhile.
     "q208_bloom_slab_membership",
+    # r12 late addition #2: J12 nearest-gate ray fill oracle pair
+    # (grid/polar.fill_nearest_in_ray — J12 moves test→pass once a
+    # window carries it; same probing/status as q208).
+    "q209_ray_gap_fill",
 ]
 
 #: The ROUND-11 window this one replaced, kept for the rotation record:

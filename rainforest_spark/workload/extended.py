@@ -2057,3 +2057,69 @@ def q207(spark, sf):
                     F.col("RADAR").alias("radar"),
                     F.col("SWEEP").alias("sweep"),
                     "n_gates", "n_px", "min_az", "max_rng"))
+
+
+# ---------------------------------------------------------------- q209
+# J12 nearest-gate gap fill (grid/polar.fill_nearest_in_ray; reference
+# radarprocessing.py nearest-neighbour ray fill): null gates take the
+# NEAREST valid gate's value along their ray (ties prefer the earlier
+# gate; max_gap bounds the reach) — two IGNORE NULLS running windows
+# per direction, exact BIGINT values throughout, so the driver hash
+# verifies the fill semantics the golden grid tests pin.  One row per
+# (radar, sweep, az, rng) gate via the q56-style synthetic groupBy;
+# ~1/3 of gates nulled deterministically (q % 3 = 0).
+@q("q209_ray_gap_fill", sql="""
+WITH g AS (
+  SELECT 'R' || CAST(CAST(l_suppkey % 3 AS INT) AS VARCHAR) AS radar,
+         CAST(l_partkey % 2 + 1 AS INT) AS sweep,
+         CAST(l_orderkey % 120 AS INT) AS az_idx,
+         CAST(l_partkey % 60 AS INT) AS rng_idx,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2, 3, 4),
+p AS (SELECT radar, sweep, az_idx, rng_idx,
+             CASE WHEN q % 3 <> 0 THEN q END AS v
+      FROM g),
+w AS (SELECT *,
+        LAST_VALUE(v IGNORE NULLS) OVER
+          (PARTITION BY radar, sweep, az_idx ORDER BY rng_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vb,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN rng_idx END
+                   IGNORE NULLS) OVER
+          (PARTITION BY radar, sweep, az_idx ORDER BY rng_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rb,
+        LAST_VALUE(v IGNORE NULLS) OVER
+          (PARTITION BY radar, sweep, az_idx ORDER BY rng_idx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS va,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN rng_idx END
+                   IGNORE NULLS) OVER
+          (PARTITION BY radar, sweep, az_idx ORDER BY rng_idx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ra
+      FROM p)
+SELECT radar, sweep, az_idx, rng_idx, v,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN ra IS NULL
+                 OR (rb IS NOT NULL
+                     AND rng_idx - rb <= ra - rng_idx)
+            THEN CASE WHEN rng_idx - rb <= 5 THEN vb END
+            ELSE CASE WHEN ra - rng_idx <= 5 THEN va END
+       END AS v_filled
+FROM w
+""")
+def q209(spark, sf):
+    from rainforest_spark.grid.polar import fill_nearest_in_ray
+
+    l = T(spark, sf, "lineitem")
+    gates = (l.groupBy(
+        F.concat(F.lit("R"), (F.col("l_suppkey") % 3).cast("int")
+                 .cast("string")).alias("RADAR"),
+        (F.col("l_partkey") % 2 + 1).cast("int").alias("SWEEP"),
+        (F.col("l_orderkey") % 120).cast("int").alias("az_idx"),
+        (F.col("l_partkey") % 60).cast("int").alias("rng_idx"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("__q")))
+    polar = (gates.withColumn(
+        "v", F.when(F.col("__q") % 3 != 0, F.col("__q")))
+        .drop("__q"))
+    out = fill_nearest_in_ray(polar, "v", max_gap=5)
+    return out.select(F.col("RADAR").alias("radar"),
+                      F.col("SWEEP").alias("sweep"),
+                      "az_idx", "rng_idx", "v", "v_filled")

@@ -119,29 +119,73 @@ _MODULES = [relational, text, vectors, extended]
 #: first; long-proven trivial entries are demoted past slot 50 (they
 #: remain fully covered by tests/test_oracle_parity.py).
 _PRIORITY = [
-    # =================== ROUND-12 GATE WINDOW (50) ==================
-    # Composition (VERDICT r11 "Next round" #2, #6): the 1 new
-    # round-12 query with NO driver row ever (q207 — the J8
-    # station→gates LUT join oracle pair, the verdict's last
-    # SQL-expressible golden-only family) first; then the 8 remaining
-    # r7-vintage rows (q150–q157, named by the r11 verdict); then 41
-    # of the 50 r8-vintage rows.  The 9 r8 rows deferred to round 13
-    # all keep fresher-evidence family siblings in-window or in
-    # r9–r11 rows: q53_bucketed_prepare (content-identical twin
-    # q53_prepare_input, r10), q141_rollup_report (ROLLUP machinery
-    # via q60, r10), q111_audio_fingerprint (codec family q70–q74,
-    # r10), q112_interleave + q116_length_batches (ranged_cumsum
-    # packing family q84/q89, r11), q121_stratified_sample (sampling
-    # family q113, r11), q132_relative_quality (quality family
-    # q109/q102/q120, r11), q133_hybrid_rrf (fixed-sum RRF idiom
-    # sibling q127, in-window), q144_fuzzy_match (n-gram band family
-    # q44, r9).  All 9 stay exact-parity-gated via
-    # tests/test_oracle_parity.py; tests/test_gate_rotation forbids
-    # silent debt.  A green round leaves NO driver row older than r8
-    # (steady state: each window refreshes the oldest ~50, max
-    # staleness ≤5 rounds for the deferred tail, ≤4 otherwise).
+    # =================== ROUND-13 GATE WINDOW (50) ==================
+    # Composition (VERDICT r12 "Next round" #1): the 2 r12 late
+    # additions with NO driver row ever first — q208 (the scalable-
+    # Bloom slab-1 modulus/extra-hash math) and q209 (the J12
+    # nearest-gate ray fill; J12 moves test→pass on its first green
+    # row — the last §2 family whose oracle lacked driver evidence);
+    # then the 9 r8-vintage rows deferred by the round-12 window;
+    # then 39 of the 50 r9-vintage rows.  The 11 r9 rows deferred to
+    # round 14 are the trivial scalar/window entries whose expression
+    # trees are hash-verified transitively (the r7 precedent), each
+    # with an in-window or fresher family sibling:
+    # q20_dense_rank (ranking-window family q157, r12),
+    # q23_mode + q37_group_first (argmax/first-by-order family q39,
+    # in-window), q25_lead_fill (lead/lag fill family q35, in-window;
+    # q167, r12), q29_string_funcs + q30_datetime_funcs +
+    # q32_json_extract (trivial scalar functions, demoted on the same
+    # grounds in r7; exercised transitively via q127/q159/q158/q169,
+    # all r12), q41_token_count (token-count family q117 r11,
+    # q108 r12), q42_quality_score (quality family q109/q102/q120,
+    # r11; q132 in-window), q43_lang_id (scored-text family q120,
+    # r11), q44_ngram_jaccard (n-gram band family q144, in-window).
+    # All 11 stay exact-parity-gated via tests/test_oracle_parity.py;
+    # tests/test_gate_rotation forbids silent debt.  A green round
+    # leaves NO driver row older than r9 and the rotation queue EMPTY
+    # (every registered query driver-checked at least once).
     #
-    # --- never driver-checked (1, new this round) ---
+    # --- never driver-checked (2, the r12 late additions) ---
+    "q208_bloom_slab_membership", "q209_ray_gap_fill",
+    # --- stale re-checks: latest green row r8 (all 9 remaining) ---
+    "q53_bucketed_prepare", "q111_audio_fingerprint",
+    "q112_interleave", "q116_length_batches",
+    "q121_stratified_sample", "q132_relative_quality",
+    "q133_hybrid_rrf", "q141_rollup_report", "q144_fuzzy_match",
+    # --- stale re-checks: latest green row r9 (39 of 50) ---
+    "q01_pricing_summary", "q07_wet_hour_filter",
+    "q09_broadcast_dim_join", "q10_semi_align", "q11_anti_join",
+    "q12_asof_join", "q13_latest_per_hour", "q16_db_logmean",
+    "q17_temporal_multiagg", "q18_weighted_vertical",
+    "q22_sessionization", "q24_transfer_function",
+    "q26_sliding_disagg", "q27_weighted_quantile",
+    "q31_dn_discretization", "q33_perfscores",
+    "q35_hourly_interpolation", "q39_argmax_linked_agg",
+    "q40_fingerprint_dedup", "q46_simhash", "q47_ann_lsh_topk",
+    "q48_energy_distance", "q49_multimodal_decode",
+    "q52_grid_composite", "q54_embedding_neardup",
+    "q62_vpr_correction", "q63_minhash_verified_neardup",
+    "q64_bpe_token_count", "q68_neardup_clusters",
+    "q187_calibration_curve", "q188_cohens_kappa",
+    "q189_cumulative_gains", "q190_mutual_information",
+    "q191_embedding_covariance", "q192_lsh_calibration",
+    "q193_readability", "q194_hll_cardinality",
+    "q195_bloom_membership", "q196_cms_heavy_hitters",
+]
+
+#: Registered queries with no driver row yet that do NOT fit the
+#: current window — every entry here must be consumed by a future
+#: rotation (tests/test_gate_rotation.py enforces that a new query is
+#: either in-window, already driver-checked, or listed here).
+_QUEUED_FOR_ROTATION: list[str] = [
+    # Empty as of round 13: q208/q209 rotated into the window above.
+    # Any NEW oracle-paired query that lands after the window is
+    # frozen goes here (the r12 pattern) and rotates next round.
+]
+
+#: The ROUND-12 window this one replaced, kept for the rotation record:
+_PRIORITY_R12 = [
+    # --- never driver-checked (1, new in r12) ---
     "q207_station_gates_lut",
     # --- stale re-checks: latest green row r7 (all 8 remaining) ---
     "q150_session_paths", "q151_rolling_active",
@@ -168,26 +212,7 @@ _PRIORITY = [
     "q186_entropy_profile",
 ]
 
-#: Registered queries with no driver row yet that do NOT fit the
-#: current window — every entry here must be consumed by a future
-#: rotation (tests/test_gate_rotation.py enforces that a new query is
-#: either in-window, already driver-checked, or listed here).
-_QUEUED_FOR_ROTATION: list[str] = [
-    # r12 late addition — the round-12 window was already the
-    # verdict-prescribed q207 + 8×r7 + 41×r8 composition when q208
-    # (scalable-Bloom slab membership, the driver-hash gate on the
-    # new slab-1 modulus/extra-hash math) landed; it rotates into the
-    # round-13 window with the 9 deferred r8 rows.  Exact-parity-
-    # gated via tests/test_oracle_parity.py and vanilla-probed at
-    # sf0.001/0.01 meanwhile.
-    "q208_bloom_slab_membership",
-    # r12 late addition #2: J12 nearest-gate ray fill oracle pair
-    # (grid/polar.fill_nearest_in_ray — J12 moves test→pass once a
-    # window carries it; same probing/status as q208).
-    "q209_ray_gap_fill",
-]
-
-#: The ROUND-11 window this one replaced, kept for the rotation record:
+#: The ROUND-11 window before that, kept for the rotation record:
 _PRIORITY_R11 = [
     # --- never driver-checked (2, new in r11) ---
     "q205_outlier_tile", "q206_kmv_novelty_report",

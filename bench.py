@@ -229,8 +229,9 @@ HEADLINE = [
     "q206_kmv_novelty_report",
     # round-12: the J8 station→gates LUT join census (two groupBy-built
     # dims + a pixel-key equi-join + one aggregation — broadcast-sized
-    # at every tier).  No committed baseline yet (the guard skips
-    # unknown keys); physics guards apply.
+    # at every tier).  Baseline keys at sf0.1/sf1 were minted from the
+    # r12 idle full run (commit 1968c67) — do NOT re-mint without idle
+    # canaries (CLAUDE.md).
     "q207_station_gates_lut",
 ]
 

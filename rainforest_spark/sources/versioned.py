@@ -13,7 +13,8 @@ any past version stays readable until vacuumed.
 
 Layout::
 
-    <path>/_log/v00000001.json   {"version","parent","op","files",...}
+    <path>/_log/v00000001.json   {"version","parent","op","adds",...}
+    <path>/_log/_identity        store identity stamp (uuid, see below)
     <path>/data/<uuid>/part-*.parquet
 
 Manifest creation is ``os.link`` of a written temp file onto the final
@@ -21,6 +22,24 @@ name — an atomic create-if-absent on POSIX, so two writers cannot both
 commit the same version.  Data files are written BEFORE the manifest;
 a crashed writer leaves only unreferenced files (cleaned by
 :func:`vacuum`), never a corrupt table.
+
+DELTA manifests (round 13): an append manifest records only the files
+it ADDED (``"adds"``) — O(new files) json per commit instead of the
+full cumulative list, so a B-batch ingest writes O(total files) log
+bytes instead of O(B·F).  The full list as of a version is
+reconstructed by walking parents down to the nearest SELF-CONTAINED
+manifest (an overwrite, a legacy full-list manifest, or the
+materialized floor :func:`vacuum` leaves — see below), memoized per
+process in :data:`_FILES_CACHE`.  ``vacuum`` rewrites the oldest
+RETAINED manifest with its full reconstructed list before dropping
+its ancestors, so every surviving version stays reconstructible
+(logical content unchanged — readers see the same list either way).
+
+Per-process caches (:data:`_TAG_CACHE`, :data:`_FILES_CACHE`) key on
+an identity stamp written at table creation (``_log/_identity``): a
+store deleted and rebuilt at the same path gets a NEW stamp, so a
+warm process can never serve the dead store's tags or file lists even
+when the rebuilt log reaches an equal-or-higher version number.
 """
 
 from __future__ import annotations
@@ -34,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["commit_snapshot", "read_snapshot", "read_changes",
            "latest_version", "history", "vacuum", "snapshot_sink",
-           "committed_batches", "commit_tagged_once",
+           "committed_batches", "commit_tagged_once", "added_files",
            "ConcurrentCommitError"]
 
 
@@ -74,6 +93,95 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _store_id(path: str) -> str:
+    """Identity stamp distinguishing a store deleted and rebuilt at the
+    same path: a uuid written once at ``_log/_identity`` (atomic
+    create-if-absent — racers read the winner's).  Legacy stores get
+    stamped lazily on first access.  Best-effort on read-only media
+    (falls back to a constant — no rebuild protection, no crash)."""
+    f = os.path.join(_log_dir(path), "_identity")
+    try:
+        with open(f) as fh:
+            return fh.read().strip()
+    except FileNotFoundError:
+        pass
+    try:
+        os.makedirs(_log_dir(path), exist_ok=True)
+        tmp = os.path.join(_log_dir(path),
+                           f".tmp-id-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(uuid.uuid4().hex)
+        try:
+            os.link(tmp, f)
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+        with open(f) as fh:
+            return fh.read().strip()
+    except OSError:          # read-only store directory
+        return "unstamped"
+
+
+#: reconstructed file-list cache: path → (store_id, {version: tuple}).
+#: Bounded: only the most recent _FILES_CACHE_KEEP versions per path
+#: are retained (the hot path reads latest; incremental consumers read
+#: a recent from_version) — an unbounded memo would hold O(versions ×
+#: files) pointers, the same quadratic the delta manifests remove from
+#: disk.
+_FILES_CACHE: dict[str, tuple[str, dict[int, tuple]]] = {}
+_FILES_CACHE_KEEP = 8
+
+
+def _files(path: str, version: int) -> list[str]:
+    """Full file list as of ``version``: walk delta (``adds``)
+    manifests down to the nearest self-contained one (``files`` key —
+    an overwrite, a legacy manifest, or vacuum's materialized floor),
+    then fold the adds back up.  Memoized per process, keyed on the
+    store identity stamp; a vacuumed ancestor surfaces as
+    FileNotFoundError exactly like reading the vacuumed version
+    directly (vacuum materializes the oldest retained manifest, so
+    this only happens for versions that are themselves vacuumed)."""
+    sid = _store_id(path)
+    entry = _FILES_CACHE.get(path)
+    if entry is None or entry[0] != sid:
+        entry = (sid, {})
+        _FILES_CACHE[path] = entry
+    memo = entry[1]
+    chain: list[tuple[int, dict]] = []
+    v: int | None = version
+    while v is not None and v not in memo:
+        m = _read_manifest(path, v)
+        if "files" in m:            # self-contained: walk terminator
+            memo[v] = tuple(m["files"])
+            break
+        chain.append((v, m))
+        v = m.get("parent")
+    for v2, m in reversed(chain):
+        parent = m.get("parent")
+        base = memo[parent] if parent is not None else ()
+        memo[v2] = base + tuple(m["adds"])
+    out = list(memo[version])
+    if len(memo) > 2 * _FILES_CACHE_KEEP:
+        for old in sorted(memo)[:-_FILES_CACHE_KEEP]:
+            del memo[old]
+    return out
+
+
+def added_files(path: str, version: int) -> list[str]:
+    """Files ADDED by ``version``'s commit: O(1) manifest reads for
+    delta manifests (the ``adds`` list IS the answer); legacy
+    full-list appends fall back to the full-minus-parent diff."""
+    m = _read_manifest(path, version)
+    if "adds" in m:
+        return list(m["adds"])
+    parent = m.get("parent")
+    if m.get("op") == "overwrite" or not parent:
+        return list(m["files"])
+    pf = set(_files(path, parent))
+    return [f for f in m["files"] if f not in pf]
+
+
 def history(path: str) -> list[dict]:
     """Surviving manifests, oldest first (version/op/file count/ts).
     Vacuumed versions simply don't appear (they are gone, not an
@@ -82,7 +190,7 @@ def history(path: str) -> list[dict]:
     for i in _versions(path):
         m = _read_manifest(path, i)
         out.append({"version": m["version"], "op": m["op"],
-                    "n_files": len(m["files"]), "ts": m["ts"]})
+                    "n_files": len(_files(path, i)), "ts": m["ts"]})
     return out
 
 
@@ -114,6 +222,7 @@ def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_log_dir(path), exist_ok=True)
+    _store_id(path)                 # stamp identity at table creation
     data_dir = os.path.join(path, "data", uuid.uuid4().hex)
     df.write.parquet(data_dir)
     new_files = sorted(
@@ -126,14 +235,15 @@ def commit_snapshot(df: DataFrame, path: str, mode: str = "append",
             raise ConcurrentCommitError(
                 f"expected parent {expected_parent}, table at {path} "
                 f"is now v{parent} — re-read and re-derive")
-        if mode == "append" and parent:
-            files = _read_manifest(path, parent)["files"] + new_files
-        else:
-            files = new_files
         version = (parent or 0) + 1
         manifest = {"version": version, "parent": parent, "op": mode,
-                    "files": files, "ts": time.time(),
-                    "schema": df.schema.json()}
+                    "ts": time.time(), "schema": df.schema.json()}
+        if mode == "append" and parent:
+            # DELTA manifest: O(new files) json, never the parent list
+            manifest["adds"] = new_files
+        else:
+            # overwrite (or first version): self-contained terminator
+            manifest["files"] = new_files
         if stream_tag is not None:
             manifest["stream"] = stream_tag
         tmp = os.path.join(_log_dir(path),
@@ -159,15 +269,16 @@ def read_snapshot(spark: SparkSession, path: str,
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version at {path}")
-    m = _read_manifest(path, v)
-    if not m["files"]:
+    files = _files(path, v)
+    if not files:
         from pyspark.sql.types import StructType
+        m = _read_manifest(path, v)
         schema = StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema)
     # mergeSchema: appended versions may have ADDED columns —
     # older files surface NULLs for them (schema evolution)
     return spark.read.option("mergeSchema", "true") \
-        .parquet(*m["files"])
+        .parquet(*files)
 
 
 def vacuum(path: str, keep_versions: int = 1,
@@ -184,6 +295,14 @@ def vacuum(path: str, keep_versions: int = 1,
     (Delta-style retention window); committed-then-vacuumed files are
     deleted regardless, since no future commit can reference them
     except through a retained manifest.
+
+    Delta manifests: before dropping any ancestor, the OLDEST retained
+    manifest is MATERIALIZED — atomically rewritten with its full
+    reconstructed ``files`` list (logical content identical; the
+    ``stream`` tag, op and schema are preserved) — so every retained
+    version keeps reconstructing after its parents are gone.  A crash
+    between the rewrite and the drops just leaves extra self-contained
+    manifests; the next vacuum finishes the job.
     """
     vs = _versions(path)
     if not vs:
@@ -191,11 +310,24 @@ def vacuum(path: str, keep_versions: int = 1,
     keep_from = vs[-1] - keep_versions + 1
     live: set[str] = set()        # referenced by a RETAINED manifest
     referenced: set[str] = set()  # referenced by ANY surviving manifest
-    for i in vs:
-        fl = _read_manifest(path, i)["files"]
+    for i in vs:                  # ascending: each walk is O(1) amortized
+        fl = _files(path, i)
         referenced.update(fl)
         if i >= keep_from:
             live.update(fl)
+    # materialize the retention floor BEFORE any manifest drops
+    floor = min((i for i in vs if i >= keep_from), default=None)
+    if floor is not None and any(i < keep_from for i in vs):
+        m = _read_manifest(path, floor)
+        if "files" not in m:
+            m["files"] = _files(path, floor)
+            m.pop("adds", None)
+            m["materialized"] = True
+            tmp = os.path.join(_log_dir(path),
+                               f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as fh:
+                json.dump(m, fh)
+            os.replace(tmp, _manifest_path(path, floor))
     now = time.time()
 
     def _old_enough(full: str) -> bool:
@@ -249,8 +381,8 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
     v_to = latest_version(path) if to_version is None else to_version
     if v_to is None or from_version > v_to:
         raise ValueError(f"bad version range {from_version}..{v_to}")
-    new = set(_read_manifest(path, v_to)["files"])
-    old = set(_read_manifest(path, from_version)["files"]) \
+    new = set(_files(path, v_to))
+    old = set(_files(path, from_version)) \
         if from_version > 0 else set()
     added = sorted(new - old)
     if not added:
@@ -261,13 +393,16 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
     return spark.read.parquet(*added)
 
 
-#: incremental stream-tag index: path → {version: stream_tag|None}.
-#: Manifests are IMMUTABLE once linked, so each version's tag only
-#: needs to be read once per process — without this every micro-batch
-#: of every sink re-reads the WHOLE log (O(B²) manifest parses over a
-#: B-batch stream's lifetime, each parse O(files) since append
-#: manifests carry the full file list).
-_TAG_CACHE: dict[str, dict] = {}
+#: incremental stream-tag index: path → (store_id,
+#: {version: stream_tag|None}).  Manifest TAGS are immutable once
+#: linked (vacuum's materialization rewrites file lists, never tags),
+#: so each version's tag only needs to be read once per process —
+#: without this every micro-batch of every sink re-reads the WHOLE
+#: log (O(B²) manifest parses over a B-batch stream's lifetime).
+#: Keyed on the store identity stamp so a store deleted and rebuilt
+#: at the same path can never be served the dead store's tags, even
+#: when the rebuilt log reaches an equal-or-higher version number.
+_TAG_CACHE: dict[str, tuple] = {}
 
 
 def committed_batches(path: str, query_key: str) -> set[int]:
@@ -289,16 +424,22 @@ def committed_batches(path: str, query_key: str) -> set[int]:
     keeping the surviving-manifests-only semantics above exactly).
     Per-call cost is O(log length) set ops + O(new versions) manifest
     reads — vacuum bounds the former, and the latter replaces the
-    O(whole log) re-read every micro-batch used to pay.  If the log's
-    head ever moves BACKWARDS (a store deleted and rebuilt at the
-    same path — not a supported pattern for live sinks), the index
-    resets and rescans."""
+    O(whole log) re-read every micro-batch used to pay.  The index is
+    keyed on the store identity stamp (``_log/_identity``): a store
+    deleted and rebuilt at the same path — not a supported pattern
+    for live sinks, but tests/tools do it — gets a fresh stamp and
+    the index resets, even when the rebuilt log reaches an equal-or-
+    higher version number before the warm process's next call."""
     vs = _versions(path)
-    cache = _TAG_CACHE.get(path)
-    if cache is None or (cache and vs
-                         and max(vs) < max(cache)):
-        cache = {}
-        _TAG_CACHE[path] = cache
+    if not vs:
+        _TAG_CACHE.pop(path, None)
+        return set()
+    sid = _store_id(path)
+    entry = _TAG_CACHE.get(path)
+    if entry is None or entry[0] != sid:
+        entry = (sid, {})
+        _TAG_CACHE[path] = entry
+    cache = entry[1]
     live = set(vs)
     for i in list(cache):
         if i not in live:
@@ -345,6 +486,7 @@ def commit_tagged_once(df: DataFrame, path: str, query_key: str,
     if bid in committed_batches(path, query_key):
         return
     os.makedirs(_log_dir(path), exist_ok=True)
+    _store_id(path)                 # stamp identity at table creation
     data_dir = os.path.join(path, "data", uuid.uuid4().hex)
     df.write.parquet(data_dir)
     new_files = sorted(
@@ -352,13 +494,15 @@ def commit_tagged_once(df: DataFrame, path: str, query_key: str,
         if f.endswith(".parquet") and not f.startswith(("_", ".")))
     for _ in range(max_retries):
         parent = latest_version(path)
-        files = (_read_manifest(path, parent)["files"] + new_files
-                 if parent else new_files)
         version = (parent or 0) + 1
         manifest = {"version": version, "parent": parent,
-                    "op": "append", "files": files, "ts": time.time(),
+                    "op": "append", "ts": time.time(),
                     "schema": df.schema.json(),
                     "stream": {"query": query_key, "batch_id": bid}}
+        if parent:
+            manifest["adds"] = new_files   # DELTA: O(new files) json
+        else:
+            manifest["files"] = new_files  # first version: terminator
         tmp = os.path.join(_log_dir(path),
                            f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:

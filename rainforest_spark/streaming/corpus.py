@@ -509,30 +509,34 @@ def curated_ingest_sink(store_path: str,
                 or stored < compact_min_rows):
             return
         from rainforest_spark.sources.versioned import (
-            ConcurrentCommitError, commit_snapshot, latest_version,
+            commit_snapshot, latest_version,
         )
         try:
             commit_snapshot(bits, bits_t, mode="overwrite",
                             expected_parent=latest_version(bits_t))
-        except ConcurrentCommitError:
-            pass   # another writer moved the table; retry next batch
+        except Exception as e:
+            # maintenance-only semantics: a lost commit race, a
+            # transient parquet-write failure or any Spark error must
+            # not fail the batch (the trigger re-fires next batch; a
+            # persistent error would otherwise wedge the stream)
+            import warnings
+            warnings.warn(f"bits compaction skipped this batch: {e!r}",
+                          stacklevel=2)
 
     def _batch_files(table, key, batch_id):
-        """Data files ADDED by the commit tagged (key, batch_id) —
-        manifest file list minus the parent's (raw manifests; the
-        history() helper returns summaries without file lists).
-        Newest-first: the batch just committed IS the newest manifest
-        in the single-writer stream, so the scan is O(1) manifest
-        reads per batch instead of O(log length)."""
+        """Data files ADDED by the commit tagged (key, batch_id)
+        (raw manifests; the history() helper returns summaries
+        without file lists).  Newest-first: the batch just committed
+        IS the newest manifest in the single-writer stream, so the
+        scan is O(1) manifest reads per batch instead of O(log
+        length); delta manifests make the adds lookup itself O(1)."""
+        from rainforest_spark.sources.versioned import added_files
         for i in reversed(_versions(table)):
             m = _read_manifest(table, i)
             st = m.get("stream") or {}
             if (st.get("query") == key
                     and st.get("batch_id") == int(batch_id)):
-                parent = m.get("parent")
-                pf = (set(_read_manifest(table, parent)["files"])
-                      if parent else set())
-                return [f for f in m["files"] if f not in pf]
+                return added_files(table, i)
         # a committed docs batch MUST have a tagged manifest — an
         # empty fallback here would silently commit empty fps/bits
         # and let every future duplicate through the gate

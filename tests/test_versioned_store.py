@@ -624,3 +624,122 @@ def test_committed_batches_resets_on_rebuilt_store(spark, tmp_path):
     shutil.rmtree(p)
     V.commit_tagged_once(_df(spark, [("n", 0)]), p, "q1", 7)
     assert V.committed_batches(p, "q1") == {7}
+
+
+# ----------------------------------- delta manifests (round 13)
+
+def test_append_manifest_bytes_are_o_new_files(spark, tmp_path):
+    """The r12 verdict's one remaining super-linear curve: append
+    manifests carried the FULL file list — O(F) json per commit,
+    O(B·F) log bytes before vacuum.  Delta manifests record only the
+    ADDED files: manifest size must stay flat as the table grows."""
+    import rainforest_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    sizes = []
+    for b in range(12):
+        V.commit_tagged_once(_df(spark, [(f"r{b}", b)]), p, "q1", b)
+        sizes.append(os.path.getsize(V._manifest_path(p, b + 1)))
+    # v2..v12 are delta appends over a growing table; their manifests
+    # must NOT grow with table size (identical single-file batches)
+    assert max(sizes[1:]) - min(sizes[1:]) < 64, sizes
+    m = json.load(open(V._manifest_path(p, 12)))
+    assert "adds" in m and "files" not in m
+    assert len(m["adds"]) >= 1
+    # the reconstruction still sees every batch's rows
+    assert sorted(r["k"] for r in read_snapshot(spark, p).collect()) \
+        == sorted(f"r{b}" for b in range(12))
+    # and added_files is O(1): exactly the delta list
+    assert V.added_files(p, 12) == m["adds"]
+
+
+def test_vacuum_materializes_retention_floor(spark, tmp_path):
+    """Dropping ancestors must not orphan retained delta manifests:
+    vacuum rewrites the oldest retained manifest self-contained
+    (identical logical content, stream tag preserved)."""
+    import rainforest_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    for b in range(6):
+        V.commit_tagged_once(_df(spark, [(f"r{b}", b)]), p, "q1", b)
+    before = sorted(r["k"] for r in read_snapshot(spark, p).collect())
+    vacuum(p, keep_versions=3, grace_sec=0)
+    # fresh process state: no warm caches helping the reconstruction
+    V._TAG_CACHE.clear()
+    V._FILES_CACHE.clear()
+    floor = json.load(open(V._manifest_path(p, 4)))
+    assert "files" in floor and floor.get("materialized") is True
+    assert floor["stream"] == {"query": "q1", "batch_id": 3}
+    assert sorted(r["k"] for r in read_snapshot(spark, p).collect()) \
+        == before
+    assert [h["n_files"] for h in history(p)] == \
+        [len(V._files(p, v)) for v in (4, 5, 6)]
+    assert V.committed_batches(p, "q1") == {3, 4, 5}
+    # appends keep working on the materialized floor
+    V.commit_tagged_once(_df(spark, [("r6", 6)]), p, "q1", 6)
+    assert sorted(r["k"] for r in read_snapshot(spark, p).collect()) \
+        == before + ["r6"]
+
+
+def test_read_changes_across_materialized_floor(spark, tmp_path):
+    import rainforest_spark.sources.versioned as V
+    from rainforest_spark.sources.versioned import read_changes
+
+    p = str(tmp_path / "t")
+    for b in range(5):
+        commit_snapshot(_df(spark, [(f"r{b}", b)]), p)
+    vacuum(p, keep_versions=3, grace_sec=0)
+    V._FILES_CACHE.clear()
+    assert sorted(r["k"] for r in
+                  read_changes(spark, p, 3).collect()) == ["r3", "r4"]
+    assert sorted(r["k"] for r in
+                  read_changes(spark, p, 3, 4).collect()) == ["r3"]
+
+
+def test_caches_reset_on_rebuilt_store_at_higher_version(spark,
+                                                         tmp_path):
+    """The r12 ADVICE variant the head-moved-backwards heuristic
+    missed: a store deleted and rebuilt at the same path that reaches
+    an EQUAL-OR-HIGHER version before the warm process's next call.
+    The identity stamp (written at table creation) must reset both
+    the tag index and the file-list cache."""
+    import shutil
+
+    import rainforest_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    for b in range(3):
+        V.commit_tagged_once(_df(spark, [(f"old{b}", b)]), p, "q1", b)
+    assert V.committed_batches(p, "q1") == {0, 1, 2}    # warm caches
+    read_snapshot(spark, p)
+    shutil.rmtree(p)
+    # rebuild PAST the old head before the warm process looks again
+    for b in range(10, 15):
+        V.commit_tagged_once(_df(spark, [(f"new{b}", b)]), p, "q1", b)
+    assert V.committed_batches(p, "q1") == {10, 11, 12, 13, 14}
+    assert sorted(r["k"] for r in read_snapshot(spark, p).collect()) \
+        == [f"new{b}" for b in range(10, 15)]
+
+
+def test_added_files_legacy_full_list_manifest(spark, tmp_path):
+    """Pre-r13 stores carry cumulative ``files`` lists; added_files
+    must fall back to the full-minus-parent diff on them."""
+    import rainforest_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    commit_snapshot(_df(spark, [("a", 1)]), p)
+    commit_snapshot(_df(spark, [("b", 2)]), p)
+    # rewrite v2 as a LEGACY manifest (cumulative files, no adds)
+    m2 = json.load(open(V._manifest_path(p, 2)))
+    adds = m2.pop("adds")
+    m2["files"] = V._files(p, 1) + adds
+    with open(V._manifest_path(p, 2), "w") as fh:
+        json.dump(m2, fh)
+    V._FILES_CACHE.clear()
+    assert sorted(V.added_files(p, 2)) == sorted(adds)
+    assert sorted(V.added_files(p, 1)) == sorted(V._files(p, 1))
+    # a delta append on top of the legacy manifest reconstructs fine
+    commit_snapshot(_df(spark, [("c", 3)]), p)
+    V._FILES_CACHE.clear()
+    assert sorted(r["k"] for r in read_snapshot(spark, p).collect()) \
+        == ["a", "b", "c"]

@@ -711,36 +711,80 @@ def build_ivf_index(vectors: DataFrame, id_col: str, vec_col: str,
         [list(r["cv"]) for r in
          sorted(cdf.select("__list", "cv").collect(),
                 key=lambda r: r["__list"])], dtype=np.float64)
-    if centroid_ids is not None:
-        alt_variant = "kmeans_fit_sample"
-        alt_C = _np_kmeans_fit(X, len(chosen_C))
+    k_lists = len(chosen_C)
+
+    def _probe_at(m: int) -> dict:
+        """Chosen-vs-alternative verdict on the first ``m`` probe
+        vectors (md5 order — the small sample is a prefix, so the two
+        scales differ ONLY in sample size).  The alternative codebook
+        is re-derived at each scale: that is the point — the r12
+        sf10 measurement showed the 4096-sample verdict disagreeing
+        with the 200k full-corpus instrument, so a verdict that flips
+        between two probe scales is flagged as scale-dependent."""
+        Xs = X[:m]
+        if centroid_ids is not None:
+            alt_variant = "kmeans_fit_sample"
+            alt_C = _np_kmeans_fit(Xs, k_lists)
+        else:
+            # the fixed exhibit's rule: corpus vectors spread by id
+            alt_variant = "fixed_spread_by_id"
+            by_id = sorted(range(m), key=lambda i: sample[i]["vid"])
+            alt_C = Xs[[by_id[(j * m) // k_lists]
+                        for j in range(k_lists)]]
+        chosen_s = _ivf_probe_stats(Xs, chosen_C, probe_queries)
+        alt_s = _ivf_probe_stats(Xs, alt_C, probe_queries)
+        co, ao = (chosen_s["recall5_over_chance"],
+                  alt_s["recall5_over_chance"])
+        return {"chosen": chosen_s,
+                "alternative": {"variant": alt_variant, **alt_s},
+                "alt_better": bool(co is not None and ao is not None
+                                   and ao > 1.1 * co)}
+
+    probe = _probe_at(len(X))
+    # second, smaller scale (VERDICT r12 #4): the observed failure
+    # mode is the verdict CHANGING with probe scale — two agreeing
+    # scales are evidence the sample-level signal is stable; a flip
+    # says the build sits in the regime where only the full-corpus
+    # instrument (tools/ivf_quality) can adjudicate.
+    small_m = len(X) // 4
+    if small_m >= max(64, 2 * k_lists):
+        probe_small = _probe_at(small_m)
+        regime = ("consistent"
+                  if probe_small["alt_better"] == probe["alt_better"]
+                  else "flips_with_sample_size")
     else:
-        # the fixed exhibit's rule: corpus vectors spread by id rank
-        alt_variant = "fixed_spread_by_id"
-        by_id = sorted(range(len(sample)), key=lambda i: sample[i]["vid"])
-        alt_C = X[[by_id[(j * len(sample)) // n_centroids]
-                   for j in range(int(n_centroids))]]
-    chosen = _ivf_probe_stats(X, chosen_C, probe_queries)
-    alt = _ivf_probe_stats(X, alt_C, probe_queries)
-    co, ao = (chosen["recall5_over_chance"], alt["recall5_over_chance"])
-    alt_better = (co is not None and ao is not None and ao > 1.1 * co)
+        probe_small, regime = None, "single_scale_only"
     manifest = {"quantizer": quantizer,
-                "n_centroids": int(len(chosen_C)),
+                "n_centroids": int(k_lists),
                 "seed": int(seed),
-                "probe": {"chosen": chosen,
-                          "alternative": {"variant": alt_variant, **alt},
-                          "alt_better": bool(alt_better)}}
+                "probe": probe,
+                "probe_small": probe_small,
+                "probe_regime": regime}
     with open(os.path.join(path, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
-    if alt_better:
+    co = probe["chosen"]["recall5_over_chance"]
+    ao = probe["alternative"]["recall5_over_chance"]
+    alt_variant = probe["alternative"]["variant"]
+    if regime == "flips_with_sample_size":
+        warnings.warn(
+            f"build_ivf_index({path}): the chosen-vs-alternative "
+            f"verdict FLIPS between the {len(X)}- and {small_m}-vector "
+            f"probe scales — the sample-level signal is scale-"
+            f"dependent here (the regime where the 4096-sample probe "
+            f"and the full-corpus instrument disagreed at sf10, "
+            f"PERF.md).  Do not choose a quantizer from this probe: "
+            f"run python -m rainforest_spark.tools.ivf_quality at the "
+            f"corpus tier.  Full numbers: {path}/manifest.json",
+            stacklevel=2)
+    elif probe["alt_better"]:
         warnings.warn(
             f"build_ivf_index({path}): the NON-default quantizer "
             f"({alt_variant}) measured recall5_over_chance={ao} vs "
             f"the chosen {quantizer}'s {co} on the {len(X)}-vector "
-            f"probe sample — the variants trade places with corpus "
-            f"size (PERF.md ANN curves); consider rebuilding with "
-            f"the other quantizer.  Full numbers: "
-            f"{path}/manifest.json", stacklevel=2)
+            f"probe sample (and the {small_m}-vector scale agrees) — "
+            f"the variants trade places with corpus size (PERF.md ANN "
+            f"curves); consider rebuilding with the other quantizer.  "
+            f"Full numbers: {path}/manifest.json", stacklevel=2)
 
 
 def _ivf_assign(v: DataFrame, cdf: DataFrame, id_col: str) -> DataFrame:

@@ -186,10 +186,23 @@ def test_manifest_quality_probe_two_tiers(spark, tmp_path):
         m = json.load(fh)
     assert m["quantizer"] == "fixed_ids"
     assert m["probe"]["alternative"]["variant"] == "kmeans_fit_sample"
-    # the warning fires IFF the manifest says the alternative won
-    warned = any("NON-default quantizer" in str(w.message)
-                 for w in caught)
-    assert warned == m["probe"]["alt_better"]
+    # r13: the manifest records the probe's REGIME — the second,
+    # smaller probe scale either agrees (verdict trustworthy) or the
+    # verdict flips (scale-dependent; the full-corpus instrument must
+    # adjudicate).  The rebuild warning fires IFF the alternative won
+    # AND the scales agree; a flip fires the scale-dependence warning
+    # instead.
+    assert m["probe_regime"] in ("consistent", "flips_with_sample_size",
+                                 "single_scale_only")
+    if m["probe_regime"] != "single_scale_only":
+        assert m["probe_small"]["alternative"]["recall5_over_chance"] \
+            is not None
+    rebuild_warned = any("NON-default quantizer" in str(w.message)
+                         for w in caught)
+    flip_warned = any("FLIPS between" in str(w.message) for w in caught)
+    assert rebuild_warned == (m["probe"]["alt_better"]
+                              and m["probe_regime"] != "flips_with_sample_size")
+    assert flip_warned == (m["probe_regime"] == "flips_with_sample_size")
 
     # probe off: no manifest, build otherwise intact
     idx2 = str(tmp_path / "noprobe")
@@ -197,3 +210,47 @@ def test_manifest_quality_probe_two_tiers(spark, tmp_path):
                     quality_probe=False)
     assert not os.path.exists(os.path.join(idx2, "manifest.json"))
     assert os.path.isdir(os.path.join(idx2, "lists"))
+
+
+def test_manifest_probe_flip_regime(spark, tmp_path, monkeypatch):
+    """VERDICT r12 #4, the observed failure mode: the sample-level
+    verdict disagreeing with itself across probe scales (sf10 read
+    the fit ahead on the 4096-probe while the full-corpus instrument
+    read the fixed codebook ahead).  Controlled reproduction: pin the
+    probe stats so the alternative wins at the full scale and loses
+    at the small scale — the manifest must record
+    probe_regime='flips_with_sample_size' and the build must warn
+    about scale-dependence INSTEAD of recommending a rebuild."""
+    import json
+    import os
+    import warnings as _w
+
+    import rainforest_spark.operators.similarity as S
+
+    real = S._ivf_probe_stats
+    calls = {"n": 0}
+
+    def rigged(X, C, n_queries):
+        out = real(X, C, n_queries)
+        calls["n"] += 1
+        # call order: full(chosen, alt), small(chosen, alt)
+        rigged_vals = {1: 2.0, 2: 3.0,     # full scale: alt wins
+                       3: 2.0, 4: 1.0}     # small scale: alt loses
+        out["recall5_over_chance"] = rigged_vals[calls["n"]]
+        return out
+
+    monkeypatch.setattr(S, "_ivf_probe_stats", rigged)
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "flip")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        build_ivf_index(e, "vec_id", "embedding", idx, CENTROIDS)
+    with open(os.path.join(idx, "manifest.json")) as fh:
+        m = json.load(fh)
+    assert m["probe_regime"] == "flips_with_sample_size"
+    assert m["probe"]["alt_better"] is True
+    assert m["probe_small"]["alt_better"] is False
+    msgs = [str(w.message) for w in caught]
+    assert any("FLIPS between" in s and "ivf_quality" in s
+               for s in msgs), msgs
+    assert not any("NON-default quantizer" in s for s in msgs), msgs

@@ -22,6 +22,21 @@ tables: the distinct-label rank in dense_group_ids
 ranged_cumsum (operators/windows.py), the lead()-paired VPR ladder
 (grid/corrections.py), and the frame dim in advection
 (grid/advection.py).  Don't chase them as drift.
+
+GROWTH POLICY (round 13 — the suite reached ~45-60 min and grew every
+round; VERDICT r12 #5): the headline/extra/sf10 lists are FROZEN at
+their round-13 size.  A new entry must DISPLACE one — name the
+displaced entry and why in the commit.  Route-pair cost exhibits
+(exact-vs-sketch, tile-vs-relational, bucketed-vs-shuffle) exist to
+price a decision; once that decision is recorded in PERF.md the
+EXHIBIT side rotates out of the timed tiers into
+``_retired_exhibits()`` (still importable, still plan-shape-linted by
+tests — only the recurring wall-clock leaves).  Rotated out in r13,
+decisions recorded in PERF.md rounds 9-10: q197_exact_quantiles,
+q201_exact_added, q201_sketch_added, q204_latency_bands_sketch.  The
+operator-default paths users actually run (q197_sketch_quantiles,
+q177_latency_bands, the registered q204 oracle query) stay timed and
+guarded.
 """
 
 from __future__ import annotations
@@ -212,14 +227,11 @@ HEADLINE = [
     # skips unknown keys); same-run physics guards apply.
     "q193_readability",
     "q194_hll_cardinality",
-    # round-10: the sketch-backed route of the q177 dashboard rollup
-    # (same answer columns, bounded-bucket physical plan) benched next
-    # to the exact grouped ranked pass; q177 itself is above.  NOTE
-    # events.value is LOW-cardinality (~18k distincts), so the two
-    # routes are close here — the high-cardinality delta the sketch
-    # exists for is measured by the q197_*/q201_* extras.  No
-    # committed baseline yet (the guard skips unknown keys).
-    "q204_latency_bands_sketch",
+    # (q204_latency_bands_sketch rotated out r13 under the growth
+    # policy: the bounded-vs-exact route decision is recorded in
+    # PERF.md r10 and its plan shape stays pinned by
+    # tests/test_plan_shapes.py; q177 — the exact operator entry —
+    # stays above.)
     # round-11: the relational W7 outlier kernel (49-offset explode +
     # one hash agg over the pixel dim — the oracle-paired route next
     # to the tile_kernel mapInPandas path) and the grouped KMV novelty
@@ -290,15 +302,13 @@ SF1_PER_QUERY_FLOOR = 2.0
 #: 19.9 / 35.7 / 42.2 / 60.9 s at sf1 — PERF.md round-6 continued-4).
 #: Guarding noise would make every future run a coin flip; the
 #: operator's DEFAULT path (q54_auto) stays fully guarded.
-#: q197_exact_quantiles joins the exemption for the same reason
-#: (round 10): it is the EXACT-side cost exhibit of the quantile
-#: calibration pair — a full ~10M-distinct-key shuffle that is
-#: GC-pressure-sensitive late in the sf10 tier, measured swinging
-#: 4.6→11.4 s same-code same-data (PERF.md round 10: two full runs +
-#: fresh-JVM idle canaries at 4.62/4.65 s, under baseline both times).
-#: The OPERATOR path users actually run (q197_sketch_quantiles) stays
-#: fully guarded, and the physics guard still applies to both.
-TIER_GUARD_EXEMPT = {"q54_embedding_neardup", "q197_exact_quantiles"}
+#: (q197_exact_quantiles held the same exemption through r12 — the
+#: EXACT-side cost exhibit, GC-pressure-sensitive, measured swinging
+#: 4.6→11.4 s same-code same-data, PERF.md round 10 — until the r13
+#: growth policy rotated it out of the timed tiers entirely; the
+#: exemption list shrinks with it.  Any NEW member needs the same
+#: deliberate-pathology justification in PERF.md.)
+TIER_GUARD_EXEMPT = {"q54_embedding_neardup"}
 
 #: ---- sf10 spot tier (second measured decade) ------------------------
 #: factor=100 off sf0.1 (tools/scale_gen.py — the md5-permutation
@@ -381,21 +391,14 @@ SF10_HEADLINE = [
     # round-8: the scale-representative fuzzy-match shape (growing
     # composite block key — the non-exhibit counterpart of q144)
     "q144_composite_block",
-    # round-9: the quantile-sketch pair — the bounded register-dim
-    # path vs the exact ranged-rank pass it replaces, second decade
-    # from day one (the sketch should stay ~flat while exact scales
-    # with the distinct-value count)
+    # round-9: the quantile sketch's bounded register-dim path keeps
+    # its decades (operator default); its exact cost-exhibit twin
+    # (q197_exact_quantiles) rotated out r13 under the growth policy —
+    # decision recorded PERF.md r9-r10, plan pinned by tests.  The
+    # q201 added-distinct pair and q204's sketch route rotated out on
+    # the same grounds (decisions in PERF.md r10).
     "q197_sketch_quantiles",
-    "q197_exact_quantiles",
-    # round-10: the KMV added-distinct pair (sketch difference vs the
-    # exact two-DISTINCT anti-join it replaces) and the latency-bands
-    # route pair (exact ranked pass vs bounded-bucket sketch) — both
-    # physical-route comparisons get their second/third decades from
-    # day one
-    "q201_sketch_added",
-    "q201_exact_added",
     "q177_latency_bands",
-    "q204_latency_bands_sketch",
     # round-10 (VERDICT r9 #5): streaming's third decade — the RT
     # 10-min chain at 1200 frames (batch count held ~constant via
     # maxFilesPerTrigger=40, so the decade measures rows/state per
@@ -438,7 +441,7 @@ SF10_LINEAR_FLOOR = 5.0
 _BUCKETED_TABLES: dict = {}
 
 
-def _extra_queries():
+def _all_extra_queries():
     """Bench-only entries (no oracle pairing — the underlying operator
     chain is driver-gated as q53_prepare_input; these measure the
     PHYSICAL-design delta): the same prepare_input over the same
@@ -676,18 +679,35 @@ def _extra_queries():
         return tile_kernel(_w7_grid(spark, sf_dir), "v",
                            kernel="outlier", halo=3)
 
-    return {"q53_bucketed_prepare": q53_bucketed,
-            "q53_shuffle_prepare": q53_shuffle,
-            "q124_auto_novelty": q124_auto,
-            "q144_composite_block": q144_composite,
-            "q171_auto_site": q171_auto,
-            "q191_gram_d256": q191_gram,
-            "q197_sketch_quantiles": q197_sketch,
-            "q197_exact_quantiles": q197_exact,
-            "q201_sketch_added": q201_sketch,
-            "q201_exact_added": q201_exact,
-            "q205_relational_route": q205_relational,
-            "q205_tile_route": q205_tile}
+    active = {"q53_bucketed_prepare": q53_bucketed,
+              "q53_shuffle_prepare": q53_shuffle,
+              "q124_auto_novelty": q124_auto,
+              "q144_composite_block": q144_composite,
+              "q171_auto_site": q171_auto,
+              "q191_gram_d256": q191_gram,
+              "q197_sketch_quantiles": q197_sketch,
+              "q205_relational_route": q205_relational,
+              "q205_tile_route": q205_tile}
+    # Route-pair cost exhibits whose decision is recorded in PERF.md
+    # (growth policy, module docstring): no longer timed per run, but
+    # still importable so the plan-shape tests keep pinning the
+    # bounded-plan guarantees the decisions rest on.
+    retired = {"q197_exact_quantiles": q197_exact,
+               "q201_sketch_added": q201_sketch,
+               "q201_exact_added": q201_exact}
+    return active, retired
+
+
+def _extra_queries():
+    """ACTIVE bench-only entries (timed every run)."""
+    return _all_extra_queries()[0]
+
+
+def _retired_exhibits():
+    """Cost exhibits rotated out of the timed tiers (growth policy,
+    module docstring): decisions recorded in PERF.md, plan shapes
+    still pinned by tests/test_plan_shapes.py via this registry."""
+    return _all_extra_queries()[1]
 
 
 #: streaming fixture scale per tier dir basename (frames of synthetic

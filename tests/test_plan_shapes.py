@@ -508,7 +508,9 @@ def test_kmv_difference_plan_bounded_dims(spark):
     Sort+collect), membership probes must be broadcast hash joins, and
     nothing may shuffle-join or cartesian the sketch dims."""
     import bench
-    ex = bench._extra_queries()
+    # q201 rotated out of the timed tiers r13 (growth policy): the
+    # plan guarantee stays pinned here via the retired registry
+    ex = bench._retired_exhibits()
     df = ex["q201_sketch_added"](spark, SF_DIR)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p

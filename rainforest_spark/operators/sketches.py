@@ -388,6 +388,92 @@ def bloom_membership_rowwise_slabs(bits: DataFrame, probes: DataFrame,
     return out.withColumn("maybe_present", mp).drop(*drop)
 
 
+def bloom_membership_rowwise_slabs_bitmap(
+        bits: DataFrame, probes: DataFrame, col: str | Column,
+        m_bits: int = 4096, k: int = 4,
+        slabs: list[int] | None = None,
+        max_bitmap_bytes: int = 64 << 20) -> DataFrame:
+    """Arrow-kernel variant of :func:`bloom_membership_rowwise_slabs`
+    (VERDICT r12 #6): the committed ``(slab, bit)`` rows collect into
+    per-slab PACKED numpy bitmaps (``Σ m_s/8`` bytes — KBs at typical
+    ``m_bits``), broadcast once per batch (the ``curate_media_stream``
+    posture, bound enforced at ``max_bitmap_bytes``), and every probe
+    row checks all slabs inside ONE ``mapInPandas`` kernel — zero
+    probe joins at any slab count, vs the join route's ``Σ k_s``.
+    Output is row-identical to the join route (pinned by
+    tests/test_sketches.py parity); null probe values read
+    ``maybe_present = false`` on both.
+
+    MEASURED at the r12 forced-growth configuration (m=16384, 3 slabs,
+    Σk_s = 27, 10k-doc batches of sf1 documents — PERF.md r13): the
+    kernel pays the full-row Arrow round-trip of the document text,
+    the join route keeps rows JVM-side; see PERF.md for the verdict
+    and when each side wins.  The kernel early-exits per slab on the
+    first missing bit, so the expected digest count per NEW row is
+    ~1-2 per slab, not ``k_s``.
+    """
+    import hashlib
+
+    import numpy as np
+
+    spark = probes.sparkSession
+    if slabs is None:
+        slabs = [int(r["slab"]) for r in
+                 bits.select("slab").distinct().collect()]
+    params = [(s, *bloom_slab_params(m_bits, k, s))
+              for s in sorted(int(s) for s in slabs)]
+    total = sum((m_s + 7) // 8 for _, m_s, _ in params)
+    if total > int(max_bitmap_bytes):
+        raise ValueError(
+            f"slab bitmaps need {total} bytes > max_bitmap_bytes="
+            f"{max_bitmap_bytes} — use bloom_membership_rowwise_slabs "
+            f"(broadcast-join probe) for bit dims this large")
+    maps = {}
+    for s, m_s, _ in params:
+        arr = np.zeros((m_s + 7) // 8, dtype=np.uint8)
+        idx = np.array([int(r["bit"]) for r in
+                        bits.where(F.col("slab") == s)
+                        .select("bit").collect()], dtype=np.int64)
+        if len(idx):
+            np.bitwise_or.at(arr, idx >> 3,
+                             (1 << (idx & 7)).astype(np.uint8))
+        maps[s] = arr
+    salts = {s: [_slab_salt(j, s) for j in range(k_s)]
+             for s, _, k_s in params}
+    bc = spark.sparkContext.broadcast((params, salts, maps))
+    c = F.col(col) if isinstance(col, str) else col
+    src = probes.withColumn("__v", F.md5(c.cast("string")))
+    schema = src.drop("__v").withColumn("maybe_present",
+                                        F.lit(True)).schema
+
+    def kernel(batches):
+        params_, salts_, maps_ = bc.value
+        md5 = hashlib.md5
+        for pdf in batches:
+            flags = []
+            for v in pdf["__v"]:
+                hit = False
+                if isinstance(v, str):   # null probe → False, as joins
+                    for s, m_s, _ in params_:
+                        arr = maps_[s]
+                        ok = True
+                        for salt in salts_[s]:
+                            b = int(md5((salt + v).encode())
+                                    .hexdigest()[:8], 16) % m_s
+                            if not (arr[b >> 3] >> (b & 7)) & 1:
+                                ok = False
+                                break
+                        if ok:
+                            hit = True
+                            break
+                flags.append(hit)
+            out = pdf.drop(columns=["__v"])
+            out["maybe_present"] = flags
+            yield out
+
+    return src.mapInPandas(kernel, schema=schema)
+
+
 def bloom_fp_report(corpus: DataFrame, probes: DataFrame,
                     col: str | Column, m_bits: int = 4096,
                     k: int = 4) -> DataFrame:

@@ -456,7 +456,7 @@ def curated_ingest_sink(store_path: str,
 
     from rainforest_spark.operators.sketches import (
         bloom_bits_slab, bloom_membership_rowwise_slabs,
-        bloom_slab_params,
+        bloom_membership_rowwise_slabs_bitmap, bloom_slab_params,
     )
     from rainforest_spark.sources.versioned import (
         _read_manifest, _versions, commit_tagged_once,
@@ -572,11 +572,22 @@ def curated_ingest_sink(store_path: str,
             # distinct inside _bits_state: append commits stack
             # per-batch bit sets, and a duplicate dim key would FAN
             # OUT the probe join.  The gate carries the full rows
-            # through the bit-probe broadcast joins — a narrow
-            # fingerprint-only gate with a decision join back measured
-            # SLOWER at two tiers (the join-back shuffle of the text
-            # outweighs the wide broadcast probes; PERF.md round 11)
-            gated = bloom_membership_rowwise_slabs(
+            # through the probe either way — a narrow fingerprint-only
+            # gate with a decision join back measured SLOWER at two
+            # tiers (the join-back shuffle of the text outweighs the
+            # wide probes; PERF.md round 11).  Probe ROUTE by slab
+            # count (measured r13, PERF.md): at 1 slab the k broadcast
+            # joins win (0.34 vs 0.76 s standalone — the Arrow
+            # round-trip of the text dominates); at ≥2 slabs the
+            # packed-bitmap Arrow kernel wins (~1.7× faster sink
+            # batches at 3 slabs — Σk_s join/broadcast builds dominate)
+            # as long as the bitmaps fit the broadcast bound.
+            bitmap_bytes = sum(
+                ((m_bits << int(sl)) + 7) // 8 for sl in counts)
+            probe_fn = (bloom_membership_rowwise_slabs_bitmap
+                        if len(counts) >= 2 and bitmap_bytes <= 64 << 20
+                        else bloom_membership_rowwise_slabs)
+            gated = probe_fn(
                 bits, s, "fingerprint", m_bits, k,
                 slabs=sorted(counts))
             new = gated.filter(~F.col("maybe_present"))

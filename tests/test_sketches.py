@@ -932,3 +932,40 @@ def test_kmv_novelty_report_properties_hypothesis():
                 assert per_g_wonly[g] == sum(d[x] for x in excl)
 
     check()
+
+
+def test_bloom_slab_bitmap_probe_parity_with_joins(spark):
+    """The Arrow-bitmap slab probe (r13, VERDICT r12 #6) must be
+    row-identical to the Σk_s broadcast-join route on a 3-slab store —
+    present values, absent values, null probes and extra carried
+    columns — and refuse bit dims past its broadcast bound."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from rainforest_spark.operators.sketches import (
+        bloom_bits_slab, bloom_membership_rowwise_slabs,
+        bloom_membership_rowwise_slabs_bitmap,
+    )
+    m, k = 256, 4
+    parts = [_vals(spark, 0, 40), _vals(spark, 40, 100),
+             _vals(spark, 100, 220)]
+    bits = parts[0].sparkSession.createDataFrame([], "slab int, bit int")
+    for s, p in enumerate(parts):
+        bits = bits.unionByName(bloom_bits_slab(p, "v", m, k, slab=s))
+    probes = (_vals(spark, 0, 500)
+              .unionByName(spark.createDataFrame([(None,)], "v string"))
+              .withColumn("extra", F.length("v")))
+    a = {(r["v"], r["extra"]): r["maybe_present"] for r in
+         bloom_membership_rowwise_slabs(
+             bits, probes, "v", m, k, slabs=[0, 1, 2]).collect()}
+    b = {(r["v"], r["extra"]): r["maybe_present"] for r in
+         bloom_membership_rowwise_slabs_bitmap(
+             bits, probes, "v", m, k, slabs=[0, 1, 2]).collect()}
+    assert a == b
+    assert b[(None, None)] is False
+    assert all(b[(f"user-{i}", len(f"user-{i}"))] for i in range(220))
+    with pytest.raises(ValueError, match="max_bitmap_bytes"):
+        bloom_membership_rowwise_slabs_bitmap(
+            bits, probes, "v", m, k, slabs=[0, 1, 2],
+            max_bitmap_bytes=16)

@@ -302,7 +302,12 @@ def vacuum(path: str, keep_versions: int = 1,
     ``stream`` tag, op and schema are preserved) — so every retained
     version keeps reconstructing after its parents are gone.  A crash
     between the rewrite and the drops just leaves extra self-contained
-    manifests; the next vacuum finishes the job.
+    manifests; the next vacuum finishes the job.  (A reader that
+    resolved the floor manifest in its pre-materialization delta form
+    and only follows the parent pointer after the drops sees a
+    transient FileNotFoundError — the same read-vs-vacuum window
+    time-travel reads always had; retry re-resolves the materialized
+    floor.)
     """
     vs = _versions(path)
     if not vs:

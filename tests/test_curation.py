@@ -573,3 +573,61 @@ def test_curated_ingest_sink_bits_compaction(spark, tmp_path):
     assert docs_t.count() == 30
     surv = {r["fingerprint"]: r["doc_id"] for r in docs_t.collect()}
     assert all(v < 9000 for v in surv.values())
+
+
+def test_bits_compaction_failure_does_not_fail_batch(spark, tmp_path,
+                                                     monkeypatch):
+    """r12 ADVICE #1: compaction is maintenance — a transient (or even
+    persistent) error during the compaction overwrite must log and
+    continue, never fail the micro-batch, or a stream past the
+    compaction ratio would wedge forever (the trigger re-fires every
+    batch)."""
+    import os
+    import warnings as _w
+
+    import rainforest_spark.streaming.corpus as C
+    from rainforest_spark.sources.versioned import (
+        commit_tagged_once, read_snapshot,
+    )
+    from rainforest_spark.streaming.corpus import curated_ingest_sink
+
+    def docs(lo, hi, id0):
+        return spark.createDataFrame(
+            [(id0 + i, f"compaction failure document {i} padded with "
+                       f"plain ordinary filler tokens here") for i in
+             range(lo, hi)],
+            "doc_id long, text string")
+
+    store = str(tmp_path / "store")
+    bits_t = os.path.join(store, "bits")
+    sink = curated_ingest_sink(store, m_bits=64, k=3,
+                               compact_stored_ratio=2.0,
+                               compact_min_rows=0)
+    sink(docs(0, 20, 0), 0)
+    bits0 = read_snapshot(spark, bits_t)
+    for b in range(100, 104):
+        commit_tagged_once(bits0, bits_t, "bits", b)
+
+    import rainforest_spark.sources.versioned as V
+    real_commit = V.commit_snapshot
+
+    def exploding(df, path, mode="append", **kw):
+        if mode == "overwrite" and path == bits_t:
+            raise OSError("disk hiccup during compaction write")
+        return real_commit(df, path, mode=mode, **kw)
+
+    # the sink imports commit_snapshot lazily from the versioned
+    # module inside _maybe_compact_bits — patch it at the source
+    monkeypatch.setattr(V, "commit_snapshot", exploding)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        sink(docs(20, 30, 100), 1)       # must NOT raise
+    assert any("compaction skipped" in str(w.message) for w in caught)
+    monkeypatch.setattr(V, "commit_snapshot", real_commit)
+    # the batch itself landed exactly-once despite the failed
+    # compaction, and the gate still works
+    d = read_snapshot(spark, os.path.join(store, "docs"))
+    assert d.count() == 30
+    sink(docs(0, 30, 9000), 2)           # all duplicates -> dropped
+    assert read_snapshot(
+        spark, os.path.join(store, "docs")).count() == 30

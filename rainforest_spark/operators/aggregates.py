@@ -573,7 +573,13 @@ def co_occurrence(df: DataFrame, basket_col: str, item_col: str,
     Scale shape: dedup to (basket, item) first (map-side combine),
     then the pair fan-out is a SELF-EQUI-JOIN on the basket key with
     ``item_a < item_b`` — C(n,2) per basket, governed by basket size,
-    never by corpus size.  ``max_basket`` drops pathological mega-
+    never by corpus size.  (r13 NOTE: a collect_set + in-expression
+    C(n,2) pair explode — one corpus Exchange fewer — measured FASTER
+    at sf1 (5.74 → 4.96 s) but REGRESSED at sf10 (26.2 → ≥32.7 s)
+    with GCLocker allocation stalls: the pair array materializes
+    per-basket in task memory while the self-join streams pairs.
+    Reverted; recorded in OPTIMIZATION_r13.md.)  ``max_basket`` drops
+    pathological mega-
     baskets (a single basket of 10⁵ items would fan to 5·10⁹ pairs);
     dropped baskets are counted in a side column on every output row
     so the cap is never silent.  Item counts join back on the item
@@ -706,7 +712,10 @@ def item_similarity_topk(df: DataFrame, basket_col: str, item_col: str,
     engines rank identically.
 
     Scale shape: the pair build is co_occurrence's basket-keyed
-    self-equi-join; both directions union (symmetric neighborhoods);
+    self-equi-join (r13 NOTE: the collect_set + in-expression pair
+    explode variant regressed at sf10 — 23.0 → ≥28.6 s with GCLocker
+    stalls — and was reverted; see co_occurrence's docstring);
+    both directions union (symmetric neighborhoods);
     the per-item top-k is a grouped window over MANY SMALL groups
     (items), the case where a plain grouped window is the right plan.
     """

@@ -156,8 +156,19 @@ def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
     # leak executor storage across invocations in a long-lived session
     sh = shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # semi-filter each verify side down to the docs that actually
+    # appear in a candidate pair BEFORE the shingle exchanges (guide
+    # §3.2, r13): candidates are LSH-sparse, so the id-keyed and
+    # (id, shingle)-keyed exchanges below otherwise carry the whole
+    # corpus's shingles to verify a small candidate set.  The id dims
+    # are distinct candidate ids — broadcast-sized; the extra cand
+    # recomputes ride the band subtree's reused exchanges.
+    ida = cand.select(F.col("id_a").alias(id_col)).distinct()
+    idb = cand.select(F.col("id_b").alias(id_col)).distinct()
+    sa = (sh.join(ida, id_col, "semi")
+          .select(F.col(id_col).alias("id_a"), "shingle"))
+    sb = (sh.join(idb, id_col, "semi")
+          .select(F.col(id_col).alias("id_b"), "shingle"))
     inter = (cand.join(sa, on="id_a")
              .join(sb, on=["id_b", "shingle"])
              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
@@ -428,7 +439,12 @@ def excise_repeated_spans(df: DataFrame, id_col: str, text_col: str,
     Shape at 100 TB: the gram table shuffles once on the gram (uniform
     keys), the min-doc table is gram-keyed and joins 1:1 per
     occurrence, ranges collapse per doc (bounded rows), and the final
-    pass is one doc-keyed join + groupBy over the token explode.
+    rebuild is a doc-keyed join of the (small) per-doc range lists back
+    to the document row with the keep test and the cleaned text built
+    IN-EXPRESSION over the words array — no token explode, no
+    token-level Exchange, no collect_list re-sort (r13: the explode →
+    id-shuffle → collect_list rebuild was ~40 % of the wall at sf10;
+    the range side is docs-with-removals only, so AQE broadcasts it).
     """
     from pyspark.sql import Window
 
@@ -456,38 +472,28 @@ def excise_repeated_spans(df: DataFrame, id_col: str, text_col: str,
               .groupBy(id_col)
               .agg(F.collect_list(F.struct("s", "e")).alias("__rm")))
     words = F.split(normalized_text(text_col), " ")
-    toks = (df.select(F.col(id_col), words.alias("__words"))
-            .select(F.col(id_col),
-                    F.posexplode("__words").alias("__p", "tok"))
-            .select(F.col(id_col),
-                    (F.col("__p") + 1).cast("long").alias("tpos"), "tok")
-            .filter(F.col("tok") != ""))
+    # the keep test and the cleaned text are pure array expressions
+    # over the staged words array: a token at 1-based position p is
+    # gone iff some merged range covers p; empty tokens (the ""
+    # artifact of splitting an empty normalized text) are neither kept
+    # nor counted, exactly like the pre-r13 explode path's
+    # tok != '' pre-filter
     rm = F.col("__rm")
-    removed = (rm.isNotNull()
-               & F.exists(rm, lambda r: (F.col("tpos") >= r["s"])
-                          & (F.col("tpos") <= r["e"])))
-    marked = toks.join(ranges, id_col, "left").withColumn(
-        "__gone", removed.cast("int"))
-    kept_text = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(
-                F.when(F.col("__gone") == 0,
-                       F.struct("tpos", "tok")))),
-            lambda x: x["tok"]), " ")
-    out = (marked.groupBy(id_col)
-           .agg(F.sum(F.lit(1) - F.col("__gone")).alias("n_tokens_kept"),
-                F.sum("__gone").alias("n_tokens_removed"),
-                kept_text.alias("cleaned")))
-    # docs whose normalized text has no tokens (empty docs) never reach
-    # the explode — restore them with an empty cleaned string
-    base = df.select(F.col(id_col)).distinct()
-    return (base.join(out, id_col, "left")
+    covered = lambda p: (rm.isNotNull()
+                         & F.exists(rm, lambda r: (p >= r["s"])
+                                    & (p <= r["e"])))
+    w = F.col("__words")
+    kept_arr = F.filter(
+        w, lambda tok, i: (tok != "") & ~covered(i + F.lit(1)))
+    gone_arr = F.filter(
+        w, lambda tok, i: (tok != "") & covered(i + F.lit(1)))
+    staged = df.select(F.col(id_col), words.alias("__words"))
+    return (staged.join(ranges, id_col, "left")
             .select(F.col(id_col),
-                    F.coalesce("n_tokens_kept", F.lit(0)).cast("long")
-                    .alias("n_tokens_kept"),
-                    F.coalesce("n_tokens_removed", F.lit(0)).cast("long")
+                    F.size(kept_arr).cast("long").alias("n_tokens_kept"),
+                    F.size(gone_arr).cast("long")
                     .alias("n_tokens_removed"),
-                    F.coalesce("cleaned", F.lit("")).alias("cleaned")))
+                    F.array_join(kept_arr, " ").alias("cleaned")))
 
 
 def incremental_neardup(new_df: DataFrame, old_df: DataFrame,
@@ -524,6 +530,13 @@ def incremental_neardup(new_df: DataFrame, old_df: DataFrame,
             .select(F.col(id_col).alias("new_id"), "sz_n"))
     sz_o = (sh_o.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_o"))
             .select(F.col(id_col).alias("old_id"), "sz_o"))
+    # NOTE (r13): the guide-§3.2 semi-prefilter of the verify sides by
+    # candidate ids (shipped on minhash_verified_pairs, where it
+    # measured 8.1 -> 6.0 s at sf1) was tried here and REVERTED: the
+    # incremental shape re-derives the candidate table per filter
+    # branch (joins are not deduped the way Exchanges are), and the
+    # extra band-join recomputes measured 4.2 -> 9.4 s at sf1 — the
+    # negative result is recorded in OPTIMIZATION_r13.md
     sa = sh_n.select(F.col(id_col).alias("new_id"), "shingle")
     sb = sh_o.select(F.col(id_col).alias("old_id"), "shingle")
     inter = (cand.join(sa, "new_id")
@@ -802,31 +815,47 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
     per doc).  No global windows, no fan-out beyond one row per
     paragraph instance.
     """
-    words = F.filter(F.split(normalized_text(text_col), " "),
-                     lambda w: w != "")
+    # the paragraph source array is STAGED as a column before the
+    # block/trim lambdas run over it (no CSE across lambda scopes —
+    # the pre-r13 shape re-evaluated the normalize+split per block)
     if sep is not None:
-        paras = F.filter(F.transform(F.split(F.col(text_col), sep),
-                                     lambda p: F.trim(p)),
-                         lambda p: p != "")
+        src = F.split(F.col(text_col), sep)
+
+        def paras_of(s):
+            return F.filter(F.transform(s, lambda p: F.trim(p)),
+                            lambda p: p != "")
     else:
         bw = int(block_words)
-        nb = F.ceil(F.size(words) / F.lit(float(bw))).cast("int")
-        paras = F.when(
-            nb > 0,
-            F.transform(F.sequence(F.lit(0), nb - F.lit(1)),
-                        lambda i: F.array_join(
-                            F.slice(words, i * bw + 1, F.lit(bw)), " "))
-        ).otherwise(F.array().cast("array<string>"))
+        src = F.filter(F.split(normalized_text(text_col), " "),
+                       lambda w: w != "")
+
+        def paras_of(w):
+            nb = F.ceil(F.size(w) / F.lit(float(bw))).cast("int")
+            return F.when(
+                nb > 0,
+                F.transform(F.sequence(F.lit(0), nb - F.lit(1)),
+                            lambda i: F.array_join(
+                                F.slice(w, i * bw + 1, F.lit(bw)), " "))
+            ).otherwise(F.array().cast("array<string>"))
     joiner = join_with if join_with is not None else (
         " " if sep is None else "\n\n")
 
-    inst = df.select(F.col(id_col).alias("__id"),
-                     F.posexplode(paras).alias("blk", "para"))
+    staged = (df.select(F.col(id_col).alias("__id"),
+                        src.alias("__src"))
+              .select(F.col("__id"),
+                      paras_of(F.col("__src")).alias("__paras")))
+    inst = staged.select("__id",
+                         F.posexplode("__paras").alias("blk", "para"))
     firsts = inst.groupBy("para").agg(
         F.min(F.struct("__id", "blk")).alias("__first"))
     # flag every instance instead of filtering: totals and survivors
     # then come out of ONE id-keyed aggregation (collect_list skips the
-    # NULLs the non-keepers produce), not two groupBys + two joins
+    # NULLs the non-keepers produce), not two groupBys + two joins.
+    # (r13 NOTE: a dropped-blocks-only rebuild — non-keeper ints to
+    # the groupBy, survivors filtered in-expression from __paras — was
+    # tried and REVERTED: it rebuilds the paras array a second time
+    # under the doc-keyed join and measured 2.6 -> 4.3 s at sf1;
+    # recorded in OPTIMIZATION_r13.md)
     flagged = (inst.join(firsts, "para")
                .withColumn("__keep",
                            (F.col("__first.__id") == F.col("__id"))

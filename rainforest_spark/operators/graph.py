@@ -37,9 +37,11 @@ def triangle_census(edges: DataFrame, src: str, dst: str) -> DataFrame:
     ``C(d,2)`` sums over the degree dim.  The coefficient is one
     round-half-up integer micro-division.
 
-    Shape: two groupBys on node keys (degree, out-adjacency), one
-    equi-join wedge build on the low-π endpoint, one equi-join closure
-    probe on the (y,z) pair — all shuffle-on-key, no cartesian.
+    Shape: two groupBys on node keys (degree, out-adjacency), the
+    wedge fan-out as an in-expression ordered-pair explode over the
+    collected O(√m)-bounded out-adjacency (r13 — was a u-keyed
+    self-equi-join), one equi-join closure probe on the (y,z) pair —
+    all shuffle-on-key, no cartesian.
 
     Returns one row: ``n_nodes, n_edges, n_triangles, n_wedges,
     clustering_coeff``.
@@ -63,15 +65,25 @@ def triangle_census(edges: DataFrame, src: str, dst: str) -> DataFrame:
          .select("u", "v", "dv"))
     # wedge pairs ordered by the SAME π-order the closure edge uses —
     # ordering by node id alone would miss triangles whose closing
-    # edge runs against the id order
-    w1 = e.select(F.col("u"), F.col("v").alias("y"),
-                  F.col("dv").alias("dy"))
-    w2 = e.select(F.col("u"), F.col("v").alias("z"),
-                  F.col("dv").alias("dz"))
-    wedges = (w1.join(w2, "u")
-              .filter((F.col("dy") < F.col("dz"))
-                      | ((F.col("dy") == F.col("dz"))
-                         & (F.col("y") < F.col("z")))))
+    # edge runs against the id order.  The out-adjacency is collected
+    # per low-π endpoint (O(√m)-bounded by the orientation) sorted by
+    # (d, v), and the ordered pairs explode IN-EXPRESSION (r13: this
+    # replaces the u-keyed self-equi-join of e with itself — one
+    # exchange + one sort fewer; the pair count is identical)
+    adj = (e.groupBy("u")
+           .agg(F.array_sort(F.collect_list(
+               F.struct(F.col("dv").alias("d"),
+                        F.col("v").alias("n")))).alias("__adj")))
+    arr = F.col("__adj")
+    mk = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size(arr) - 2),
+        lambda j: F.transform(
+            F.sequence(j + 1, F.size(arr) - 1),
+            lambda i: F.struct(F.get(arr, j)["n"].alias("y"),
+                               F.get(arr, i)["n"].alias("z")))))
+    wedges = (adj.filter(F.size(arr) >= 2)
+              .select(F.explode(mk).alias("__w"))
+              .select("__w.y", "__w.z"))
     closed = wedges.join(
         e.select(F.col("u").alias("y"), F.col("v").alias("z")),
         ["y", "z"])

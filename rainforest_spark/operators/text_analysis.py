@@ -191,20 +191,39 @@ EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_PATTERN = r"https?://[^\s]+"
 
 
+def _let(val: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``val`` ONCE and bind it
+    as a lambda variable inside ``body`` (a Column -> Column callable).
+
+    Spark performs no common-subexpression elimination across lambda
+    scopes (the shingle_table lesson, measured ~50x on real
+    documents), so a Column-returning helper that references an
+    expensive expression inside an ``F.transform`` lambda re-evaluates
+    it per element.  Staging as a DataFrame column is not available to
+    a pure Column function; wrapping the value in a 1-element array
+    and transforming it binds the value as a lambda variable, which IS
+    evaluated once per row."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
 def dup_ngram_ratio(text_col, n: int = 5) -> Column:
     """1 − distinct/total over word n-grams as one column expression
     (NULL below ``n`` tokens) — reusable from batch selects and
-    streaming stages alike."""
-    toks = tokens(text_col)
-    total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    ngrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    ngrams = F.when(total > 0, ngrams).otherwise(F.array())
-    return F.when(
-        total > 0,
-        F.round(1.0 - F.size(F.array_distinct(ngrams))
-                / total.cast("double"), 6))
+    streaming stages alike.  The token array is let-bound (r13): the
+    n-gram lambda previously re-evaluated the normalize+split per
+    gram position — O(tokens × text length) per document."""
+    def body(toks: Column) -> Column:
+        total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        ngrams = F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ngrams = F.when(total > 0, ngrams).otherwise(F.array())
+        return F.when(
+            total > 0,
+            F.round(1.0 - F.size(F.array_distinct(ngrams))
+                    / total.cast("double"), 6))
+    return _let(tokens(text_col), body)
 
 
 def repetition_signals(df, id_col: str, text_col: str, n: int = 5):
@@ -232,13 +251,15 @@ def repetition_signals(df, id_col: str, text_col: str, n: int = 5):
 
 def word_ngrams(text_col, n: int):
     """Distinct word n-grams of a document as one array column (built
-    in-expression: sequence + slice + concat; empty below n tokens)."""
-    toks = tokens(text_col)
-    total = F.size(toks) - (n - 1)
-    ng = F.transform(
-        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(total > 0, F.array_distinct(ng)).otherwise(F.array())
+    in-expression: sequence + slice + concat; empty below n tokens).
+    Token array let-bound (r13) — see :func:`_let`."""
+    def body(toks: Column) -> Column:
+        total = F.size(toks) - (n - 1)
+        ng = F.transform(
+            F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        return F.when(total > 0, F.array_distinct(ng)).otherwise(F.array())
+    return _let(tokens(text_col), body)
 
 
 def contamination_overlap(train, eval_docs, id_col: str, text_col: str,
@@ -713,14 +734,27 @@ def corpus_cardinalities(df, group_col: str, text_col: str,
 def _tile_table(df: "DataFrame", id_col: str, text_col: str,
                 source_col: str, tile: int):
     """Non-overlapping ``tile``-word segments of the normalized text as
-    exploded ``(id, source, pos, tile)`` rows (short final tile kept)."""
-    toks = F.split(normalized_text(text_col), " ")
+    exploded ``(id, source, pos, tile)`` rows (short final tile kept).
+
+    The words array is STAGED as a column before the tile transform
+    (the shingle_table lesson: referencing the raw ``split(...)``
+    inside the lambda re-evaluates the split per element — no CSE
+    across lambda scopes)."""
+    staged = df.select(F.col(id_col), F.col(source_col),
+                       F.split(normalized_text(text_col), " ")
+                       .alias("__toks"))
+    return staged.select(F.col(id_col), F.col(source_col),
+                         F.posexplode(_tiles_of(F.col("__toks"), tile))
+                         .alias("pos", "tile"))
+
+
+def _tiles_of(toks: "Column", tile: int) -> "Column":
+    """Non-overlapping ``tile``-word segments of a staged words-array
+    column, in order (short final tile kept)."""
     n_tiles = F.floor((F.size(toks) + F.lit(tile - 1)) / F.lit(tile))
-    tiles_arr = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), (n_tiles - 1).cast("int")),
         lambda i: F.concat_ws(" ", F.slice(toks, i * tile + 1, tile)))
-    return df.select(F.col(id_col), F.col(source_col),
-                     F.posexplode(tiles_arr).alias("pos", "tile"))
 
 
 def boilerplate_tiles(df: "DataFrame", id_col: str, text_col: str,
@@ -806,28 +840,36 @@ def _boilerplate_cleaned(df: "DataFrame", id_col: str, text_col: str,
                          min_docs: int, frac_denom: int):
     """Shared core: ``(id, n_tiles, n_removed, cleaned)`` with the
     kept tiles re-joined in original order ('' when all removed).
-    The tile fan-out — the pipeline's heaviest stage — runs ONCE: the
-    same exploded table feeds the DF counting side and the strip side
-    (Spark shares its exchange via ReusedExchange)."""
+
+    The tile fan-out runs ONCE, for the DF counting side only; the
+    strip side is IN-EXPRESSION (r13): the per-source boilerplate set
+    is bounded by construction (every bp tile appears in >= nd/
+    ``frac_denom`` of the source's docs, so a source has at most
+    ``frac_denom`` x avg-tiles-per-doc of them), so it collapses to a
+    per-source array on a broadcast-sized dim and each doc filters its
+    own tiles array against it — the pre-r13 shape re-shuffled every
+    corpus tile through a (source, tile) anti join and rebuilt the
+    text with a collect_list + array_sort groupBy on the doc id."""
     t = _tile_table(df, id_col, text_col, source_col, tile)
     bp = boilerplate_tiles(df, id_col, text_col, source_col,
                            tile=tile, min_docs=min_docs,
                            frac_denom=frac_denom, tiles=t)
-    kept = t.join(bp, [source_col, "tile"], "left_anti")
-    toks = F.split(normalized_text(text_col), " ")
-    n_tiles = F.floor((F.size(toks) + F.lit(tile - 1)) / F.lit(tile))
-    agg = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n_kept"),
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(
-                F.struct(F.col("pos"), F.col("tile")))),
-                lambda s: s["tile"]), " ").alias("__cleaned"))
-    base = df.select(F.col(id_col), n_tiles.cast("int").alias("n_tiles"))
-    return (base.join(agg, id_col, "left")
-            .select(F.col(id_col), "n_tiles",
-                    (F.col("n_tiles") - F.coalesce("__n_kept", F.lit(0)))
-                    .cast("int").alias("n_removed"),
-                    F.coalesce("__cleaned", F.lit("")).alias("cleaned")))
+    bp_sets = bp.groupBy(source_col).agg(
+        F.collect_list("tile").alias("__bp"))
+    staged = (df.select(F.col(id_col), F.col(source_col),
+                        F.split(normalized_text(text_col), " ")
+                        .alias("__toks"))
+              .select(F.col(id_col), F.col(source_col),
+                      _tiles_of(F.col("__toks"), tile).alias("__tiles")))
+    bparr = F.coalesce(F.col("__bp"), F.array().cast("array<string>"))
+    kept = F.filter(F.col("__tiles"),
+                    lambda s: ~F.array_contains(bparr, s))
+    return (staged.join(bp_sets, source_col, "left")
+            .select(F.col(id_col),
+                    F.size("__tiles").cast("int").alias("n_tiles"),
+                    (F.size("__tiles") - F.size(kept)).cast("int")
+                    .alias("n_removed"),
+                    F.array_join(kept, " ").alias("cleaned")))
 
 
 def bigram_logprob(df, id_col: str, text_col: str,

@@ -34,13 +34,22 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string> (empty if fewer than n words)."""
-    words = F.split(normalized_text(text), " ")
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    mk = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1)
-                                          for k in range(n)]))
-    return F.when(F.size(words) >= n, mk).otherwise(F.array().cast("array<string>"))
+    """Word n-gram shingles as array<string> (empty if fewer than n
+    words).  The words array is let-bound (r13): referencing the raw
+    ``split(normalized_text(...))`` inside the transform lambda
+    re-evaluates it per element per ``element_at`` — no CSE across
+    lambda scopes (the `shingle_table` lesson; DataFrame callers should
+    prefer :func:`shingle_table`, which stages a column instead)."""
+    from rainforest_spark.operators.text_analysis import _let
+
+    def body(words: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(words) - n)
+        mk = F.transform(
+            idx, lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + k + 1) for k in range(n)]))
+        return F.when(F.size(words) >= n, mk).otherwise(
+            F.array().cast("array<string>"))
+    return _let(F.split(normalized_text(text), " "), body)
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str,

@@ -59,18 +59,19 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
     micro-division plus a final double subtraction.
 
     Shape at 100 TB: two range-partitioned rank passes over (value,
-    tie) struct keys, one equi-join on the unique tie key, one
+    tie) struct keys — the second pass CARRIES the first rank column
+    through (ranged_cumsum preserves carried columns), so the old
+    equi-join of the two rank tables on the tie key is gone (r13:
+    one sort-merge join — two exchanges + two sorts — removed for the
+    cost of one extra BIGINT in the second rank's shuffle rows); one
     order-free aggregate.  No global window anywhere.
 
     Returns one row: ``n`` (BIGINT), ``spearman_rho`` (DOUBLE, 6dp).
     """
     base = df.select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"),
                      F.col(tie_col).alias("__t"))
-    rx = _rank(base.select("__x", "__t"), "__x", "__t", "__rx") \
-        .select("__t", "__rx")
-    ry = _rank(base.select("__y", "__t"), "__y", "__t", "__ry") \
-        .select("__t", "__ry")
-    j = rx.join(ry, "__t")
+    rx = _rank(base, "__x", "__t", "__rx")
+    j = _rank(rx.select("__y", "__t", "__rx"), "__y", "__t", "__ry")
     d = F.col("__rx") - F.col("__ry")
     # (18,0)x(18,0) -> decimal(37,0): exact product on both engines
     d2 = d.cast("decimal(18,0)") * d.cast("decimal(18,0)")

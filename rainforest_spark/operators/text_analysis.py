@@ -913,8 +913,13 @@ def bigram_logprob(df, id_col: str, text_col: str,
           .filter((F.col("w1") != "") & (F.col("w2") != "")))
     tf = bg.groupBy(id_col, "w1", "w2").agg(
         F.count(F.lit(1)).alias("tf"))
-    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    cs = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cs"))
+    # partial-aggregation chain (r13, guide §2.2): c(w1 w2) = Σ_id tf
+    # and c(w1 .) = Σ_w2 c(w1 w2) — identical integer counts, but the
+    # bigram explode runs ONCE (for tf) instead of three times, and
+    # the cb/cs exchanges carry pre-aggregated (id-distinct) rows
+    # instead of raw bigram instances
+    cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    cs = cb.groupBy("w1").agg(F.sum("cb").alias("cs"))
     uni = (df.select(F.explode(toks).alias("w2"))
            .filter(F.col("w2") != ""))
     cu = uni.groupBy("w2").agg(F.count(F.lit(1)).alias("cu"))

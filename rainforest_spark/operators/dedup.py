@@ -824,37 +824,26 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
     per doc).  No global windows, no fan-out beyond one row per
     paragraph instance.
     """
-    # the paragraph source array is STAGED as a column before the
-    # block/trim lambdas run over it (no CSE across lambda scopes —
-    # the pre-r13 shape re-evaluated the normalize+split per block)
+    words = F.filter(F.split(normalized_text(text_col), " "),
+                     lambda w: w != "")
     if sep is not None:
-        src = F.split(F.col(text_col), sep)
-
-        def paras_of(s):
-            return F.filter(F.transform(s, lambda p: F.trim(p)),
-                            lambda p: p != "")
+        paras = F.filter(F.transform(F.split(F.col(text_col), sep),
+                                     lambda p: F.trim(p)),
+                         lambda p: p != "")
     else:
         bw = int(block_words)
-        src = F.filter(F.split(normalized_text(text_col), " "),
-                       lambda w: w != "")
-
-        def paras_of(w):
-            nb = F.ceil(F.size(w) / F.lit(float(bw))).cast("int")
-            return F.when(
-                nb > 0,
-                F.transform(F.sequence(F.lit(0), nb - F.lit(1)),
-                            lambda i: F.array_join(
-                                F.slice(w, i * bw + 1, F.lit(bw)), " "))
-            ).otherwise(F.array().cast("array<string>"))
+        nb = F.ceil(F.size(words) / F.lit(float(bw))).cast("int")
+        paras = F.when(
+            nb > 0,
+            F.transform(F.sequence(F.lit(0), nb - F.lit(1)),
+                        lambda i: F.array_join(
+                            F.slice(words, i * bw + 1, F.lit(bw)), " "))
+        ).otherwise(F.array().cast("array<string>"))
     joiner = join_with if join_with is not None else (
         " " if sep is None else "\n\n")
 
-    staged = (df.select(F.col(id_col).alias("__id"),
-                        src.alias("__src"))
-              .select(F.col("__id"),
-                      paras_of(F.col("__src")).alias("__paras")))
-    inst = staged.select("__id",
-                         F.posexplode("__paras").alias("blk", "para"))
+    inst = df.select(F.col(id_col).alias("__id"),
+                     F.posexplode(paras).alias("blk", "para"))
     firsts = inst.groupBy("para").agg(
         F.min(F.struct("__id", "blk")).alias("__first"))
     # flag every instance instead of filtering: totals and survivors

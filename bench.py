@@ -85,9 +85,9 @@ HEADLINE = [
     # round-6 corpus-shaping ops with non-trivial scale shapes: the
     # token explode + vocab join (q83), the hash-ordered ranged count
     # (q84), the zero-Exchange literal projection chain (q85), and the
-    # chained-regex scrub (q86).  No committed baseline yet (the guard
-    # skips unknown keys); the same-run sf1/sf10 physics guards apply
-    # from day one.
+    # chained-regex scrub (q86).  Baselines long since committed (the
+    # guard is active for these keys — re-mint only deliberately per
+    # CLAUDE.md); the same-run sf1/sf10 physics guards also apply.
     "q83_unigram_logprob",
     "q84_epoch_shard",
     "q85_jl_projection",
@@ -112,15 +112,15 @@ HEADLINE = [
     "q107_kmeans_clusters",
     # continued-3: the vocab-rank + token-explode regression (q108),
     # the double-cumsum growth curve (q109) and the WAV-encode ->
-    # fingerprint Arrow chain (q111).  No committed baseline yet (the
-    # guard skips unknown keys); same-run physics guards apply.
+    # fingerprint Arrow chain (q111).  Baselines since committed (guard
+    # active — re-mint only deliberately); physics guards apply.
     "q108_zipf_fit",
     "q109_heaps_fit",
     "q111_audio_fingerprint",
     # round-7: contiguous-tape packing joins the headline so its sf10
     # spot datapoint (VERDICT r6 #5) has same-run sf0.1/sf1
-    # counterparts for the physics guard.  No committed baseline yet;
-    # the guard skips unknown keys.
+    # counterparts for the physics guard.  Baselines since committed;
+    # the guard is active (re-mint only deliberately).
     "q89_packed_tapes",
     # round-7 additions with non-trivial scale shapes: the distinct
     # (source, gram) self-join contamination matrix and the
@@ -143,16 +143,16 @@ HEADLINE = [
     # rides the q127 token-explode machinery over the whole corpus),
     # and the per-source grouped ranged-rank quality cut (q132).
     # q131's post-count work is all on the per-group dim — benched for
-    # the count-agg scan it rides.  No committed baseline yet (the
-    # guard skips unknown keys); same-run physics guards apply.
+    # the count-agg scan it rides.  Baselines since committed (guard
+    # active — re-mint only deliberately); physics guards apply.
     "q131_temperature_mixture",
     "q132_relative_quality",
     "q133_hybrid_rrf",
     # round-7 continued-2: MassiveText paragraph dedup — one
     # map-side-combined groupBy(para) + para-keyed join back + id-keyed
     # reassembly — and the single-shuffle funnel fold over events.
-    # No committed baselines yet (guard skips unknown keys); same-run
-    # physics guards apply.
+    # Baselines since committed (guard active — re-mint only
+    # deliberately); same-run physics guards apply.
     "q134_paragraph_dedup",
     "q135_funnel",
     # round-7 continued-3: the keyless bucket-expansion interval join
@@ -168,8 +168,8 @@ HEADLINE = [
     # round-7 continued-4: the blocked fuzzy self-join (candidate cost
     # rides the blocking key), the grouped-ranged-rank winsorized
     # stats, the struct-sorted session-path miner, and the bounded-
-    # fan-out rolling distinct.  No committed baselines yet (guard
-    # skips unknown keys); same-run physics guards apply.
+    # fan-out rolling distinct.  Baselines since committed (guard
+    # active — re-mint only deliberately); physics guards apply.
     #
     # q144 is a FIXED-BLOCK EXHIBIT (the q54 frozen-plane posture): its
     # (noun, p_size) block-key cardinality is FIXED (~4.6k blocks), so
@@ -223,8 +223,8 @@ HEADLINE = [
     "q183_cuped_contrast",
     # round-8: the map-only readability pass and the HLL accuracy
     # report (register sketch + the exact two-stage distinct it
-    # exists to replace).  No committed baselines yet (the guard
-    # skips unknown keys); same-run physics guards apply.
+    # exists to replace).  Baselines since committed (the guard is
+    # active — re-mint only deliberately); physics guards apply.
     "q193_readability",
     "q194_hll_cardinality",
     # (q204_latency_bands_sketch rotated out r13 under the growth
@@ -235,8 +235,8 @@ HEADLINE = [
     # round-11: the relational W7 outlier kernel (49-offset explode +
     # one hash agg over the pixel dim — the oracle-paired route next
     # to the tile_kernel mapInPandas path) and the grouped KMV novelty
-    # report (one pass over S·k sketch rows).  No committed baselines
-    # yet (the guard skips unknown keys); physics guards apply.
+    # report (one pass over S·k sketch rows).  Baselines since
+    # committed (guard active — re-mint only deliberately).
     "q205_outlier_tile",
     "q206_kmv_novelty_report",
     # round-12: the J8 station→gates LUT join census (two groupBy-built

@@ -103,13 +103,26 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str,
     """MinHash signature banded for LSH: (id, band_id, band_hash).
 
     Each of the ``num_hashes`` hash functions is ``md5(seed || '|' ||
-    shingle)`` and the min-hash is the lexicographic MIN — pure string
-    ops, identical across engines, no signed-overflow pitfalls.
+    md5(shingle))`` and the min-hash is the lexicographic MIN — pure
+    string ops, identical across engines, no signed-overflow pitfalls.
 
     Shuffle shape: ONE groupBy(id) computing all k min-hashes as parallel
     aggregates (map-side combine keeps k strings per doc per partition),
     then the band table unpivots driver-free via a small stack().  An
     explode-by-seed would multiply the shuffle k× for no benefit.
+
+    NOTE (r13, negative result): a ZERO-exchange in-expression variant
+    (``array_min(transform(md5s, seeded_md5))`` over the staged
+    distinct-gram array — min over the distinct set equals min over
+    the multiset, so it is result-identical) measured ~3× SLOWER at
+    sf1 (q45 3.1 → 9.7 s isolated best-of-3; q63 5.0 → 11.2; q97
+    4.4 → 6.4), and adding a doc-level repartition for map parallelism
+    did not recover it (q45 11.4 s).  Root cause: higher-order
+    functions (``transform``/``array_min``) evaluate their lambdas
+    INTERPRETED per element — 16 seeded md5s per gram outside
+    whole-stage codegen lose far more than the two removed Exchanges
+    save.  The aggregate shape keeps every md5 inside codegen'd
+    operators; do not retry without checking HOF codegen first.
     """
     # hash the shingle ONCE to a fixed 32-char key before the distinct —
     # the dedup shuffle then moves 32-byte keys instead of raw shingles,
@@ -387,7 +400,19 @@ def repeated_spans(df: DataFrame, id_col: str, text_col: str,
     1. positioned ``n``-gram shingles (in-expression fan-out, no join);
     2. "hot" grams: groupBy(gram) → approx nothing, an EXACT distinct-doc
        count, filter ≥ ``min_docs``.  The shuffle key is the gram —
-       uniform (md5-able at scale; string kept here for the oracle);
+       uniform (md5-able at scale; string kept here for the oracle).
+       NOTE (r13, negative result): staging the positioned table
+       behind an explicit gram-keyed repartition measured 4.4 → 2.2 s
+       at sf1 but INVERTED at the scale decade (35.2 → 47.3 s at
+       sf10, same-window isolated best-of-N) and was reverted — the
+       sf1 win was only parallelism (the heavy distinct-doc partial
+       aggregation moves off the 10 scan tasks the small tier's file
+       layout yields), while at sf10 (100 input splits) scan-side
+       parallelism is already sufficient and the extra full
+       positioned-row shuffle, unpruned and uncompacted by map-side
+       partial aggregation, is pure cost.  The branches prune
+       different columns, so the two exchanges never canonicalize
+       equal — there is no ReusedExchange to be had here;
     3. hit positions join hot grams (equi-join, 1:1 per position), then
        per-doc merge of overlapping-or-adjacent hits into maximal spans
        via the classic cummax sessionization (running MAX of span end
@@ -457,6 +482,13 @@ def excise_repeated_spans(df: DataFrame, id_col: str, text_col: str,
     """
     from pyspark.sql import Window
 
+    # NOTE (r13, negative result): staging `pos` behind an explicit
+    # repartition("shingle") measured 3.2 → 4.7 s at sf1 HERE (and the
+    # same change on repeated_spans won at sf1 only to invert at sf10
+    # — see that operator's NOTE); reverted in both.  The branches
+    # prune different columns, so the exchanges never canonicalize
+    # equal and the full positioned-row shuffle is pure added cost on
+    # top of the doc-rebuild branch this operator uniquely carries.
     pos = positioned_shingles(df, id_col, text_col, n=n)
     gstat = (pos.groupBy("shingle")
              .agg(F.countDistinct(id_col).alias("__nd"),
@@ -531,21 +563,40 @@ def incremental_neardup(new_df: DataFrame, old_df: DataFrame,
     bo = (minhash_bands(old_df, id_col, text_col, n, num_hashes,
                         band_size)
           .select(F.col(id_col).alias("old_id"), "band_id", "band_hash"))
+    # The candidate table is MATERIALIZED once (localCheckpoint, eager)
+    # before the verify stage fans out.  r13 history: the guide-§3.2
+    # semi-prefilter of the verify sides by candidate ids (the q63 win)
+    # first measured 4.2 -> 9.4 s at sf1 here, because every filter
+    # branch re-derived the band join (joins are not deduped the way
+    # Exchanges are, and the optimizer's column pruning under each
+    # branch makes the subtrees canonically unequal — no reuse is
+    # possible by construction).  Materializing cand removes the
+    # recompute: LSH candidates are sparse by design (measured sf10:
+    # 8.9 k pairs over a 400 k-doc corpus — 2 % of old ids), so the
+    # checkpoint is a candidate-pair-sized table computed exactly once
+    # per invocation, inside the measured query, never across runs.
+    # At cluster scale localCheckpoint's executor-local storage trades
+    # re-computation on executor loss for zero distributed-FS traffic —
+    # the right trade for a table this small.
     cand = (bn.join(bo, ["band_id", "band_hash"])
-            .select("new_id", "old_id").distinct())
-    sh_n = shingle_table(new_df, id_col, text_col, n)
-    sh_o = shingle_table(old_df, id_col, text_col, n)
+            .select("new_id", "old_id").distinct()
+            .localCheckpoint())
+    ida = cand.select(F.col("new_id").alias(id_col)).distinct()
+    idb = cand.select(F.col("old_id").alias(id_col)).distinct()
+    # Semi-filter BOTH verify sides down to candidate docs before any
+    # gram work: the semi join pushes below the gram explode to the
+    # doc scan (PushDownLeftSemiAntiJoin), so the corpus side's gram
+    # GENERATION — not just its shuffle — runs on the 2 %, and the
+    # size dims aggregate only candidate docs (the final inner joins
+    # restrict to those ids anyway; results are identical).
+    sh_n = shingle_table(new_df.join(ida, id_col, "semi"),
+                         id_col, text_col, n)
+    sh_o = shingle_table(old_df.join(idb, id_col, "semi"),
+                         id_col, text_col, n)
     sz_n = (sh_n.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_n"))
             .select(F.col(id_col).alias("new_id"), "sz_n"))
     sz_o = (sh_o.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_o"))
             .select(F.col(id_col).alias("old_id"), "sz_o"))
-    # NOTE (r13): the guide-§3.2 semi-prefilter of the verify sides by
-    # candidate ids (shipped on minhash_verified_pairs, where it
-    # measured 8.1 -> 6.0 s at sf1) was tried here and REVERTED: the
-    # incremental shape re-derives the candidate table per filter
-    # branch (joins are not deduped the way Exchanges are), and the
-    # extra band-join recomputes measured 4.2 -> 9.4 s at sf1 — the
-    # negative result is recorded in OPTIMIZATION_r13.md
     sa = sh_n.select(F.col(id_col).alias("new_id"), "shingle")
     sb = sh_o.select(F.col(id_col).alias("old_id"), "shingle")
     inter = (cand.join(sa, "new_id")
@@ -691,17 +742,33 @@ def group_overlap(df: DataFrame, id_col: str, text_col: str,
     aggregation folds each gram's member groups into a sorted set
     (size ≤ G, the group count — a handful); pair counts and per-group
     sizes both explode out of that per-gram set, so the corpus-scale
-    work (scan → shingle explode → two distincts → gram shuffle) sits
+    work (scan → shingle explode → one distinct → gram shuffle) sits
     under a single Exchange that Spark REUSES across the two branches
     — a naive gram self-join re-ran the whole shingle pipeline four
     times (once per join side and twice for the size dim).  The final
     matrix assembly is a cross join of the G-row size dim with itself.
     Jaccard is exact-integer counts through one double division,
     rounded to 6dp — identical in any engine.
+
+    r13: the group column rides the gram explode directly (the doc row
+    already carries it), so the old per-doc ``shingle_table`` distinct
+    (a corpus-scale (id, gram) Exchange) and the id-keyed join back to
+    the doc dim are both GONE — per-doc-distinct-then-group-distinct
+    and direct group-distinct are the same set, and the (group, gram)
+    hash aggregate's map-side partial dedups in-doc repeats just as
+    well.  Measured 2 corpus Exchanges removed.
     """
-    grams = (shingle_table(df, id_col, text_col, n)
-             .join(df.select(id_col, group_col), id_col)
-             .select(F.col(group_col).alias("__g"), "shingle")
+    words = F.split(normalized_text(text_col), " ")
+    staged = df.select(F.col(group_col).alias("__g"),
+                       words.alias("__words"))
+    w = F.col("__words")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    mk = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + k + 1)
+                                          for k in range(n)]))
+    shingles = F.when(F.size(w) >= n, mk) \
+        .otherwise(F.array().cast("array<string>"))
+    grams = (staged.select("__g", F.explode(shingles).alias("shingle"))
              .distinct())
     bg = grams.groupBy("shingle").agg(
         F.array_sort(F.collect_set("__g")).alias("__gs"))

@@ -589,8 +589,16 @@ def co_occurrence(df: DataFrame, basket_col: str, item_col: str,
     Confidence is oriented a→b with ``item_a < item_b`` (emit both
     directions by unioning the swap if needed).
     """
-    ub = df.select(F.col(basket_col).alias("__b"),
-                   F.col(item_col).alias("__i")).distinct()
+    # ONE basket-keyed exchange serves the whole chain (r13): the raw
+    # rows repartition by basket, and every downstream distribution —
+    # the (b, i) dedup, the basket-size aggregate, the self-join on b
+    # (both sides, via ReusedExchange) — is satisfied by
+    # hashpartitioning(__b), so the old shape's second corpus exchange
+    # (re-keying the (b, i)-distinct output by b for the join) is gone.
+    ub = (df.select(F.col(basket_col).alias("__b"),
+                    F.col(item_col).alias("__i"))
+          .repartition(F.col("__b"))
+          .dropDuplicates(["__b", "__i"]))
     n_dropped = 0
     if max_basket is not None:
         sizes = ub.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
@@ -720,8 +728,12 @@ def item_similarity_topk(df: DataFrame, basket_col: str, item_col: str,
     (items), the case where a plain grouped window is the right plan.
     """
     from pyspark.sql import Window
-    ub = df.select(F.col(basket_col).alias("__b"),
-                   F.col(item_col).alias("__i")).distinct()
+    # same single basket-keyed exchange as co_occurrence (r13): the
+    # dedup and the self-join's two sides all ride one repartition
+    ub = (df.select(F.col(basket_col).alias("__b"),
+                    F.col(item_col).alias("__i"))
+          .repartition(F.col("__b"))
+          .dropDuplicates(["__b", "__i"]))
     item_n = ub.groupBy("__i").agg(F.count(F.lit(1)).cast("long")
                                    .alias("__ni"))
     a = ub.select(F.col("__b"), F.col("__i").alias("item"))

@@ -426,8 +426,20 @@ def repeated_spans(df: DataFrame, id_col: str, text_col: str,
     from pyspark.sql import Window
 
     pos = positioned_shingles(df, id_col, text_col, n=n)
-    hot = (pos.groupBy("shingle")
-           .agg(F.countDistinct(id_col).alias("__nd"))
+    # Hot-gram census from a per-doc-DISTINCT gram stream (r13): the
+    # old `pos.groupBy(shingle).agg(countDistinct(id))` planned the
+    # two-phase distinct aggregate, whose exchange carries one row per
+    # distinct (gram, doc) PAIR — ~all 25M gram strings at sf10,
+    # measured 52 s of the 67 s wall.  Deduping each doc's grams
+    # in-expression first makes `count(1)` per gram exactly equal to
+    # the distinct-doc count, so the map-side partial aggregation
+    # compacts the exchange to one row per partition-distinct GRAM —
+    # vocabulary-bounded, not pair-bounded.  The hot set is identical.
+    dg = df.select(F.col(id_col),
+                   F.explode(F.array_distinct(
+                       word_shingles(text_col, n))).alias("shingle"))
+    hot = (dg.groupBy("shingle")
+           .agg(F.count(F.lit(1)).alias("__nd"))
            .filter(F.col("__nd") >= min_docs)
            .select("shingle"))
     hits = pos.join(hot, "shingle").select(F.col(id_col), "pos")
@@ -490,8 +502,15 @@ def excise_repeated_spans(df: DataFrame, id_col: str, text_col: str,
     # equal and the full positioned-row shuffle is pure added cost on
     # top of the doc-rebuild branch this operator uniquely carries.
     pos = positioned_shingles(df, id_col, text_col, n=n)
-    gstat = (pos.groupBy("shingle")
-             .agg(F.countDistinct(id_col).alias("__nd"),
+    # per-doc-distinct gram stream for the census (the q92 r13 trick):
+    # count(1) over it equals countDistinct(id), min(id) is unchanged,
+    # and the exchange compacts from (gram, doc)-pair rows to
+    # partition-distinct gram rows via plain map-side partials
+    dg = df.select(F.col(id_col),
+                   F.explode(F.array_distinct(
+                       word_shingles(text_col, n))).alias("shingle"))
+    gstat = (dg.groupBy("shingle")
+             .agg(F.count(F.lit(1)).alias("__nd"),
                   F.min(id_col).alias("__keeper"))
              .filter(F.col("__nd") >= min_docs)
              .select("shingle", "__keeper"))

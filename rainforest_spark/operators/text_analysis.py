@@ -778,15 +778,30 @@ def boilerplate_tiles(df: "DataFrame", id_col: str, text_col: str,
     Shape at 100 TB: tile fan-out is ~n_words/tile per doc (an order
     less than n-gram shingling), one groupBy on (source, tile), and the
     per-source doc-count dim is tiny and broadcast.  ``tiles`` (a
-    pre-built :func:`_tile_table`) lets the removal pipeline reuse ONE
-    fan-out for both the counting and the strip side.
+    pre-built :func:`_tile_table`) lets a caller reuse an existing
+    fan-out; the default path (r13) counts over a per-doc-DISTINCT
+    tile stream instead — ``count(1)`` then equals the distinct-doc
+    count (the q92 census trick), so the (source, tile) aggregate
+    rides plain map-side partials (one row per partition-distinct
+    tile) instead of the two-phase distinct aggregate's
+    (source, tile, id)-pair exchange, and the doc id never rides the
+    fan-out at all.
     """
-    t = tiles if tiles is not None else _tile_table(
-        df, id_col, text_col, source_col, tile)
     srcn = df.groupBy(source_col).agg(
         F.countDistinct(id_col).alias("__nd"))
-    tdf = t.groupBy(source_col, "tile").agg(
-        F.countDistinct(id_col).alias("__df"))
+    if tiles is not None:
+        tdf = tiles.groupBy(source_col, "tile").agg(
+            F.countDistinct(id_col).alias("__df"))
+    else:
+        staged = df.select(F.col(source_col),
+                           F.split(normalized_text(text_col), " ")
+                           .alias("__toks"))
+        dg = staged.select(
+            F.col(source_col),
+            F.explode(F.array_distinct(
+                _tiles_of(F.col("__toks"), tile))).alias("tile"))
+        tdf = dg.groupBy(source_col, "tile").agg(
+            F.count(F.lit(1)).alias("__df"))
     from pyspark.sql.functions import broadcast
     return (tdf.join(broadcast(srcn), source_col)
             .filter((F.col("__df") >= min_docs)
@@ -850,10 +865,12 @@ def _boilerplate_cleaned(df: "DataFrame", id_col: str, text_col: str,
     own tiles array against it — the pre-r13 shape re-shuffled every
     corpus tile through a (source, tile) anti join and rebuilt the
     text with a collect_list + array_sort groupBy on the doc id."""
-    t = _tile_table(df, id_col, text_col, source_col, tile)
+    # tiles=None: the census side uses boilerplate_tiles' per-doc-
+    # distinct stream (r13) — the strip side below is in-expression,
+    # so no exploded tile table is shared anymore
     bp = boilerplate_tiles(df, id_col, text_col, source_col,
                            tile=tile, min_docs=min_docs,
-                           frac_denom=frac_denom, tiles=t)
+                           frac_denom=frac_denom)
     bp_sets = bp.groupBy(source_col).agg(
         F.collect_list("tile").alias("__bp"))
     staged = (df.select(F.col(id_col), F.col(source_col),

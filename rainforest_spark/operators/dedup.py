@@ -127,6 +127,13 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str,
     # hash the shingle ONCE to a fixed 32-char key before the distinct —
     # the dedup shuffle then moves 32-byte keys instead of raw shingles,
     # and the k seeded hashes run over the short key.
+    # (r13 finding: the `.distinct()` below never reaches the physical
+    # plan — RemoveRedundantAggregates elides the dedup aggregate
+    # because every signature aggregate is a duplicate-agnostic MIN,
+    # so this path already shuffles ONLY the compact groupBy(id)
+    # partials.  An explicit distinct-free variant produced a
+    # bit-identical physical plan and flat timings at both tiers;
+    # kept as-is since shingle_table is the shared, tested idiom.)
     sh = (shingle_table(df, id_col, text_col, n)
           .select(F.col(id_col), F.md5("shingle").alias("h0")))
     mh_aggs = [

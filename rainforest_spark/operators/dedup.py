@@ -449,7 +449,15 @@ def repeated_spans(df: DataFrame, id_col: str, text_col: str,
            .agg(F.count(F.lit(1)).alias("__nd"))
            .filter(F.col("__nd") >= min_docs)
            .select("shingle"))
-    hits = pos.join(hot, "shingle").select(F.col(id_col), "pos")
+    # SHUFFLE_HASH on the hot side (r13): the hot-gram dim grows with
+    # the corpus (1.2M grams at sf10), and AQE's broadcast pick pays a
+    # single-threaded build of that whole relation per run — measured
+    # 31.6-58.5 s vs 12.8-18.3 s full-query interleaved at sf10
+    # (4.6-10.9 vs 2.4-3.8 s at sf1).  A shuffled hash join builds
+    # per-partition maps in parallel and is also the only choice that
+    # stays bounded when the hot dim outgrows any broadcast threshold.
+    hits = (pos.join(hot.hint("shuffle_hash"), "shingle")
+            .select(F.col(id_col), "pos"))
     w_prev = (Window.partitionBy(id_col).orderBy("pos")
               .rowsBetween(Window.unboundedPreceding, -1))
     w_run = (Window.partitionBy(id_col).orderBy("pos")
@@ -521,6 +529,12 @@ def excise_repeated_spans(df: DataFrame, id_col: str, text_col: str,
                   F.min(id_col).alias("__keeper"))
              .filter(F.col("__nd") >= min_docs)
              .select("shingle", "__keeper"))
+    # SHUFFLE_HASH (r13): same corpus-dependent-dim pathology as
+    # repeated_spans' hot join — AQE's broadcast pick single-threaded-
+    # builds the whole gram-stat relation; per-partition hash builds
+    # measured 11.6-21.0 → 8.9-12.0 s at sf10 (4.1 → 3.5 s at sf1),
+    # and stay bounded when the dim outgrows any broadcast threshold
+    gstat = gstat.hint("shuffle_hash")
     dropped = (pos.join(gstat, "shingle")
                .filter(F.col(id_col) != F.col("__keeper"))
                .select(F.col(id_col), "pos"))
@@ -947,7 +961,12 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
     # tried and REVERTED: it rebuilds the paras array a second time
     # under the doc-keyed join and measured 2.6 -> 4.3 s at sf1;
     # recorded in OPTIMIZATION_r13.md)
-    flagged = (inst.join(firsts, "para")
+    # SHUFFLE_HASH (r13): `firsts` is one row per DISTINCT paragraph —
+    # a corpus-sized dim; AQE's broadcast pick single-threaded-builds
+    # it per run (the q92 hot-join pathology).  Per-partition hash
+    # builds measured 10.1-11.7 → 7.1-8.6 s at sf10 (2.9 → 1.8 s at
+    # sf1) and stay bounded at any corpus size.
+    flagged = (inst.join(firsts.hint("shuffle_hash"), "para")
                .withColumn("__keep",
                            (F.col("__first.__id") == F.col("__id"))
                            & (F.col("__first.blk") == F.col("blk"))))

@@ -84,6 +84,14 @@ def triangle_census(edges: DataFrame, src: str, dst: str) -> DataFrame:
     wedges = (adj.filter(F.size(arr) >= 2)
               .select(F.explode(mk).alias("__w"))
               .select("__w.y", "__w.z"))
+    # NOTE (r13, negative result): a SHUFFLE_HASH hint on the edge
+    # side (the q92/q95/q134 corpus-dim pattern) measured WORSE here
+    # in both alternating sf10 cycles (181.7 vs 118.6 s, 89.6 vs
+    # 71.3 s) and was reverted: the probe side — the wedge stream,
+    # C(d,2) rows per node — is far LARGER than the edge dim, so the
+    # hint adds a full wedge exchange where the broadcast probe needs
+    # none.  The pattern's boundary: hint only when the probe side
+    # does not dwarf the dim's broadcast-build cost.
     closed = wedges.join(
         e.select(F.col("u").alias("y"), F.col("v").alias("z")),
         ["y", "z"])

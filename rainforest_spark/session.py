@@ -56,6 +56,19 @@ def get_spark(app_name: str = "rainforest-spark",
         # this default is irrelevant.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # Spark 4.1 writes a companion ".checksum" file for EVERY
+        # checkpoint file (offsets, commits, state deltas, sink
+        # metadata) by default.  On a Hadoop LocalFileSystem/HDFS
+        # deployment the filesystem layer already checksums writes
+        # (.crc companions), so the Spark-level pass doubles the file
+        # ops per micro-batch for no added integrity.  Measured (r14,
+        # steal-guarded A/B): the 31-batch RT chain at sf1 drops
+        # 28.2 -> 19.1 s with it off; work-bound streams (s02/s05 at
+        # sf10) are unchanged.  Re-enable for object stores without
+        # native checksumming via SPARK_GRAFT_CKPT_CHECKSUM=1.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM") == "1"
+                else "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

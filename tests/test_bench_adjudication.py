@@ -190,3 +190,21 @@ def test_summary_line_fits_tail_capture_at_real_scale():
     finally:
         BENCH._STREAM_STATE.clear()
         BENCH._STREAM_STATE.update(saved)
+
+
+def test_baseline_guard_skipped_off_baseline_cpus():
+    # the committed baseline is a local[BASELINE_CPUS] artifact: at any
+    # other core count _guard_baseline must return {} (no regression /
+    # uniform-drift guards, hence no canary storm — the r13 8-core
+    # scaling run timed out re-running dozens of tripped canaries),
+    # while at BASELINE_CPUS it passes the baseline through untouched
+    b = _base()
+    assert BENCH._guard_baseline(b, BENCH.BASELINE_CPUS) is b
+    assert BENCH._guard_baseline(b, 8) == {}
+    assert BENCH._guard_baseline(b, 16) == {}
+    # physics guards are same-run ratios and stay active regardless of
+    # the baseline dict: a superlinear tier entry must still trip with
+    # an empty baseline
+    fails = BENCH.evaluate_guards(
+        {"q_a": 0.1}, {"q_a": 8.0}, {}, BENCH._guard_baseline(b, 8))
+    assert [f["kind"] for f in fails] == ["physics"]

@@ -119,6 +119,56 @@ _MODULES = [relational, text, vectors, extended]
 #: first; long-proven trivial entries are demoted past slot 50 (they
 #: remain fully covered by tests/test_oracle_parity.py).
 _PRIORITY = [
+    # =================== ROUND-14 GATE WINDOW (50) ==================
+    # Composition (the r13 steady-state rule: oldest driver rows
+    # first).  Freshness before this round: r9×11, r10×50, r11×50,
+    # r12×50, r13×50 — so the window is the 11 remaining r9-vintage
+    # rows (the trivial scalar/window entries deferred by the r13
+    # window, now at the head so the debt retires) plus 39 of the 50
+    # r10-vintage rows.  The 11 r10 rows deferred to round 15 are the
+    # trivial relational entries whose operator families all carry a
+    # FRESH r13 driver row: q02_time_range_projection +
+    # q04_threshold_clamp + q06_consistency_filter +
+    # q08_segment_exclusion (simple-filter family: q07 r13, q11 r13),
+    # q03_sentinel_to_null (codec/null-map family: q31 r13),
+    # q05_dedup_distinct (distinct family: q40 r13),
+    # q15_table_summary (scan-agg family: q01/q17 r13),
+    # q19_hourly_complete (calendar-fill family: q35 r13),
+    # q21_contingency (contingency-table family: q188 r13),
+    # q28_set_ops (set-op family: q10/q11 r13),
+    # q38_left_join_nulls (join family: q09/q12/q13 r13).
+    # All 11 stay exact-parity-gated via tests/test_oracle_parity.py;
+    # tests/test_gate_rotation forbids silent debt.  A green round
+    # leaves NO driver row older than r10.
+    #
+    # --- stale re-checks: latest green row r9 (all 11 remaining) ---
+    "q20_dense_rank", "q23_mode", "q25_lead_fill",
+    "q29_string_funcs", "q30_datetime_funcs", "q32_json_extract",
+    "q37_group_first", "q41_token_count", "q42_quality_score",
+    "q43_lang_id", "q44_ngram_jaccard",
+    # --- stale re-checks: latest green row r10 (39 of 50) ---
+    "q14_nearest_centroid", "q34_scatter_score",
+    "q36_local_supplier_revenue", "q45_minhash_lsh",
+    "q50_cosine_topk", "q51_centroid_classify", "q53_prepare_input",
+    "q54_auto_embedding_neardup", "q55_bucketed_perfscores",
+    "q56_polar_grid_sql", "q57_ivf_ann_topk", "q58_polar_masks",
+    "q59_simhash_neardup", "q60_rollup_subtotals",
+    "q61_zphi_attenuation", "q65_status_noise_mask",
+    "q66_qpe_evaluation", "q67_hzt_fallback_chain",
+    "q69_tfidf_top_terms", "q70_multimodal_resize",
+    "q71_png_rgb_decode", "q72_jpeg_decode", "q73_wav_decode",
+    "q74_frame_sample", "q75_sequence_packing",
+    "q76_deterministic_split", "q77_quantized_cosine_topk",
+    "q78_document_chunking", "q79_quality_signals",
+    "q80_decontamination", "q81_domain_mixture",
+    "q197_quantile_sketch", "q198_kmv_cardinality",
+    "q199_kmv_token_overlap", "q200_kmv_overlap_matrix",
+    "q201_kmv_added_vocab", "q202_kmv_weighted_volume",
+    "q203_ann_recall", "q204_latency_bands_sketch",
+]
+
+#: The ROUND-13 window this one replaced, kept for the rotation record:
+_PRIORITY_R13 = [
     # =================== ROUND-13 GATE WINDOW (50) ==================
     # Composition (VERDICT r12 "Next round" #1): the 2 r12 late
     # additions with NO driver row ever first — q208 (the scalable-

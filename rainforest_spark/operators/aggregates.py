@@ -610,7 +610,21 @@ def co_occurrence(df: DataFrame, basket_col: str, item_col: str,
     item_n = ub.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
     a = ub.select(F.col("__b"), F.col("__i").alias("item_a"))
     b = ub.select(F.col("__b"), F.col("__i").alias("item_b"))
-    pairs = (a.join(b, "__b")
+    # SHUFFLE_HASH on the self-join (r14, the q92/q95/q134 corpus-dim
+    # lesson): under the broadcast threshold (the sf1 regime) AQE
+    # broadcasts the (b, i) side — but that side IS the corpus, so the
+    # hash relation is built single-threaded from the whole dedup
+    # output while the basket-keyed exchange both sides were built to
+    # reuse sits idle.  The hint keeps both sides on that ONE
+    # ReusedExchange (no exchange added — BHJ needed the probe-side
+    # exchange anyway for the dedup) with per-partition parallel
+    # builds.  Measured (r14, interleaved A/B): sf1 SHJ wins or ties
+    # 9/12 cycles (cold cycles 9.98->6.60 / 6.99->5.71; warm floors
+    # ~equal), sf10 flat (the (b,i) side exceeds the threshold there
+    # and the plain plan is already non-broadcast) — shipped for the
+    # bounded-build property: no driver-side corpus-sized broadcast
+    # build at ANY corpus size, same plan shape at every decade.
+    pairs = (a.join(b.hint("shuffle_hash"), "__b")
              .filter(F.col("item_a") < F.col("item_b"))
              .groupBy("item_a", "item_b")
              .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
@@ -738,7 +752,9 @@ def item_similarity_topk(df: DataFrame, basket_col: str, item_col: str,
                                    .alias("__ni"))
     a = ub.select(F.col("__b"), F.col("__i").alias("item"))
     b = ub.select(F.col("__b"), F.col("__i").alias("neighbor"))
-    pairs = (a.join(b, "__b")
+    # SHUFFLE_HASH: same corpus-side broadcast-build pathology as
+    # co_occurrence (see the NOTE there; r14 measured pair)
+    pairs = (a.join(b.hint("shuffle_hash"), "__b")
              .filter(F.col("item") < F.col("neighbor"))
              .groupBy("item", "neighbor")
              .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))

@@ -15,6 +15,15 @@ the load average, settles, re-runs only the offenders best-of-N, folds
 the minima back, and emits a machine-readable ``adjudication`` block —
 rc=1 only when an offender reproduces after its canary.
 
+LOW-CORE SCALING RUNS (round 14): at $SPARK_GRAFT_CPUS !=
+BASELINE_CPUS the committed baseline does not apply (it is a local[32]
+artifact — every ratio would measure the core count) and the run's
+job is the per-query sf0.1 scaling map, nothing else: baseline guards
+off, reps default 2, sf1/sf10 tiers default off (env-overridable).
+The round-13 driver's 8-core run timed out (rc=124, parsed null)
+re-running dozens of tripped-guard canaries; with these defaults the
+same run completes in ~5 min with a full 101-query map, rc=0.
+
 Residual "WindowExec: No Partition Defined" warnings in the tail are
 BENIGN — they come from windows over bounded tiny dims, never the fact
 tables: the distinct-label rank in dense_group_ids
